@@ -1,0 +1,85 @@
+package graft
+
+import graft.engine.GrepEngine
+import graft.engine.GrepEngine._
+
+class GrepEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val iliad = "/root/reference/ILIAD_1STBOOK_IT_ALTERED"
+
+  test("reference-parity golden: 'Achille' on the Iliad fixture") {
+    // Ground truth measured on the fixture (FIXTURES.md §1): 34 matching
+    // lines pre-dedup; top duplicates ×6, ×5, ×4.
+    val out = GrepEngine.distGrep(spark, iliad, "Achille").collect()
+    assert(out.map(_.getLong(1)).sum === 34L)
+    val byLine = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLine("il re de' prodi Atride e il divo Achille.") === 6L)
+    assert(byLine("Cantami, o Diva, del Pelìde Achille") === 5L)
+    assert(byLine("levossi Achille piè-veloce, e disse:") === 4L)
+    assert(out.forall(_.getString(0).contains("Achille")))
+  }
+
+  test("per-line counting: a line containing the pattern twice counts 1") {
+    // SURVEY.md §2.1 counting note / §2.4(b).
+    val df = Seq("xx yy xx", "xx", "yy").toDF("value")
+    val out = GrepEngine.grepFreq(df, "value", "xx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("xx yy xx" -> 1L, "xx" -> 1L))
+  }
+
+  test("duplicate lines aggregate to their count") {
+    val df = Seq("a b", "a b", "a b", "zzz", "a c").toDF("value")
+    val out = GrepEngine.grepFreq(df, "value", "a ").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a b" -> 3L, "a c" -> 1L))
+  }
+
+  test("zero matches and empty input produce empty results (§2.4(g))") {
+    val df = Seq("aaa", "bbb").toDF("value")
+    assert(GrepEngine.grepFreq(df, "value", "zzz").count() === 0L)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      df.schema)
+    assert(GrepEngine.grepFreq(empty, "value", "x").count() === 0L)
+  }
+
+  test("case sensitivity: substring mode is case-sensitive; ci mode is not") {
+    val df = Seq("Spark", "spark", "SPARK").toDF("value")
+    assert(GrepEngine.grepFreq(df, "value", "spark").count() === 1L)
+    assert(GrepEngine.grepFreq(df, "value", "spark", SubstringIgnoreCase).count() === 3L)
+  }
+
+  test("regex mode matches patterns substring mode cannot") {
+    val df = Seq("vector", "vecktor", "victor").toDF("value")
+    val out = GrepEngine.grepFreq(df, "value", "ve[ck]{1,2}tor", Regex).collect()
+    assert(out.map(_.getString(0)).toSet === Set("vector", "vecktor"))
+  }
+
+  test("multiGrep is a single disjunctive filter (any-of semantics)") {
+    val df = Seq("has foo", "has bar", "has both foo bar", "neither").toDF("value")
+    val out = GrepEngine.multiGrep(df, "value", Seq("foo", "bar")).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).sum === 3L) // "both" counted once, not twice
+  }
+
+  test("grepTopK is deterministic under ties (tie-break by line)") {
+    val df = Seq("pa", "pb", "pc", "pb").toDF("value")
+    val out = GrepEngine.grepTopK(df, "value", "p", 2).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("pb", "pa"))
+  }
+
+  test("highlight modes match the reference client (client/client.go:69-79)") {
+    assert(GrepEngine.highlight("a foo b", "foo", "asterisks") === "a *foo* b")
+    assert(GrepEngine.highlight("a foo b", "foo", "none") === "a foo b")
+    assert(GrepEngine.highlight("a foo b", "foo", "classic").contains(Console.RED_B))
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
