@@ -35,6 +35,16 @@ object SparkEntry {
       GrepEngine.multiGrep(Tables.documents(s, d), "text", Seq("vector", "stream"))),
     "q_grep_topk" -> ((s, d) =>
       GrepEngine.grepTopK(Tables.documents(s, d), "text", "spark", 10)),
+    // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
+    "q_pricing_summary" -> (operators.Relational.pricingSummary _),
+    "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
+    "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomer(s, d)),
+    "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
+    "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
+    "q_lineitem_rollup" -> (operators.Relational.lineitemRollup _),
+    "q_active_positive" -> (operators.Relational.activePositiveCustomers _),
+    "q_events_daily" -> (operators.Relational.eventsDaily _),
+    "q_events_props" -> (operators.Relational.eventsPropsAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +61,46 @@ object SparkEntry {
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%vector%' OR text LIKE '%stream%' GROUP BY text",
     "q_grep_topk" ->
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%spark%' GROUP BY text ORDER BY freq DESC, line ASC LIMIT 10",
+    "q_pricing_summary" -> ("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus""".stripMargin.trim),
+    "q_revenue_by_nation" -> ("""
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""".stripMargin.trim),
+    "q_top_orders_window" -> ("""
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t WHERE rn <= 2""".stripMargin.trim),
+    "q_cust_no_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_cust_big_orders" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400.0)",
+    "q_lineitem_rollup" -> ("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin.trim),
+    "q_active_positive" -> ("""
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin.trim),
+    "q_events_daily" -> ("""
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin.trim),
+    "q_events_props" -> ("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+      FROM events GROUP BY 1""".stripMargin.trim),
   )
 }

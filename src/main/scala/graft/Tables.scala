@@ -1,9 +1,16 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver testdata
   * (/root/repo/TESTDATA.md, schemas in /root/repo/FIXTURES.md).
+  *
+  * NOTE on `events.ts`: the parquet stores TIMESTAMP(NANOS) which Spark's
+  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). All graft sessions
+  * set `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), so
+  * the raw column arrives as LongType nanos and [[events]] converts it to
+  * a proper microsecond timestamp column.
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -18,5 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events with `ts` converted from raw nanos (LongType) to TimestampType
+    * (microsecond precision — Spark's native resolution).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+}
+
+/** One place for session construction so every entry point (Verify, Bench,
+  * CLI, tests) gets identical, oracle-compatible configuration.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
 }

@@ -108,12 +108,10 @@ object GrepEngine {
     val mode: Mode = if (args.length > 3 && args(3) == "regex") Regex else Substring
     require(Seq("classic", "asterisks", "none").contains(hl),
       s"invalid highlight mode '$hl' (client/client.go:32-36 parity)")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    val spark = graft.Sessions.builder(
+        sys.env.getOrElse("SPARK_MASTER", "local[*]"),
+        Runtime.getRuntime.availableProcessors())
       .appName("distgrep")
-      .config("spark.sql.shuffle.partitions",
-        Runtime.getRuntime.availableProcessors().toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rows = distGrep(spark, path, pattern, mode).collect()

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator suite over the TPC-H-ish star schema
+  * (/root/repo/FIXTURES.md §2): typed scans, aggregation, broadcast joins,
+  * window functions, semi/anti joins, rollup, set ops.
+  *
+  * The reference has NO relational operators (SURVEY.md §2.2) — this is the
+  * capability-class generalization required by the north star
+  * (/root/repo/BASELINE.json).
+  *
+  * Scale notes (100 TB design):
+  *   - Fact tables (lineitem/orders) are never broadcast; dimension tables
+  *     (nation/region/customer at TPC-H ratios) are tiny relative to facts
+  *     and get explicit `broadcast()` hints, turning the join into a
+  *     map-side BroadcastHashJoin with zero shuffle of the fact side.
+  *   - Aggregates are declared via groupBy().agg() so Catalyst plans
+  *     partial (map-side) aggregation before the single hash exchange.
+  *   - Money math is done in DECIMAL(18,2): exact, associative, and
+  *     reproducible regardless of partitioning/merge order — double sums
+  *     would make results partitioning-dependent, which breaks both the
+  *     oracle compare and cross-run determinism at scale.
+  */
+object Relational {
+
+  /** Cast a money/quantity double column to exact decimal for aggregation. */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: scan-heavy single-pass aggregate.
+    * Filter is pushed to the parquet scan; one shuffle on the 6-ish
+    * distinct (returnflag, linestatus) keys after partial aggregation.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue per nation: fact ⋈ dim ⋈ dim with explicit broadcast of the
+    * dimension side. Plan: one scan of orders/customer, BroadcastHashJoin
+    * against nation (25 rows at any scale), then agg.
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec("o_totalprice")).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-2 orders per customer by total price: window function
+    * (row_number over partitionBy(custkey)). Deterministic tie-break by
+    * orderkey. Scales as one shuffle on custkey; no global sort.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  /** Customers with no orders — left ANTI join (NOT EXISTS). At scale this
+    * is a shuffled hash anti-join on custkey; Spark plans broadcast
+    * automatically when the right side is small enough.
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Customers with at least one big order — left SEMI join (EXISTS).
+    * The orders side is filtered BEFORE the join so the pushed-down
+    * predicate shrinks the build side.
+    */
+  def customersWithBigOrders(spark: SparkSession, sfDir: String,
+                             minTotal: Double = 400.0): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > minTotal).select(col("o_custkey"))
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Rollup over (returnflag, linestatus): grouping-sets aggregation.
+    * One pass, Expand + single exchange.
+    */
+  def lineitemRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Set operation: custkeys that placed an order INTERSECT custkeys with
+    * positive balance. Planned as a distinct + hash semi-join.
+    */
+  def activePositiveCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordered = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"))
+    val positive = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+    ordered.intersect(positive)
+  }
+
+  /** Events daily summary: timestamp → date bucketing + two-key agg.
+    * (The `events` table is streaming-shaped; this is its batch view —
+    * the streaming counterpart lives in graft.streaming.)
+    */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("decimal(18,2)").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** JSON extraction over the events.props column: get_json_object →
+    * pushdown-friendly scan + scalar projection, aggregated per key value.
+    */
+  def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+}

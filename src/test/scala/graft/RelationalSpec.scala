@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.execution.SparkPlan
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+  val sf = TestSpark.sf0001
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricing summary: 6 groups, decimal-exact sums") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 8)
+    // decimal columns are exact: re-running yields identical values
+    val again = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("revenue by nation: plan uses a broadcast join on the dimension") {
+    val df = Relational.revenueByNation(spark, sf)
+    assert(executedPlan(df).contains("BroadcastHashJoin"),
+      "nation dim must be broadcast, not shuffled")
+    assert(df.count() === 25)
+  }
+
+  test("pricing summary: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan(Relational.pricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("window top-k per customer: rn bounded, deterministic tie-break") {
+    val rows = Relational.topOrdersPerCustomer(spark, sf, 2).collect()
+    assert(rows.forall(_.getInt(2) <= 2))
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 2))
+  }
+
+  test("anti join semantics on synthetic data") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
+    val out = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+      .select("c_custkey").as[Long].collect()
+    assert(out.toSet === Set(2L))
+  }
+
+  test("rollup includes subtotal and grand-total rows") {
+    val rows = Relational.lineitemRollup(spark, sf).collect()
+    val nulls2 = rows.count(r => r.isNullAt(0) && r.isNullAt(1))
+    val nulls1 = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(nulls2 === 1, "exactly one grand-total row")
+    assert(nulls1 >= 1, "per-returnflag subtotals present")
+  }
+
+  test("intersect returns distinct keys present in both sides") {
+    val out = Relational.activePositiveCustomers(spark, sf)
+    assert(out.count() === out.distinct().count())
+  }
+
+  test("events daily: nanos ts converts to sensible dates") {
+    val rows = Relational.eventsDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDate(1).toString.startsWith("2024")))
+  }
+}
