@@ -45,6 +45,16 @@ object SparkEntry {
     "q_active_positive" -> (operators.Relational.activePositiveCustomers _),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
+    // -- dedup suite (north-star training-data ops) --
+    "q_dedup_exact" -> (operators.Dedup.exact _),
+    "q_dedup_wordset" -> (operators.Dedup.wordset _),
+    "q_dedup_minhash" -> ((s, d) => operators.Dedup.minHashNearDups(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
+    "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
+    // -- similarity search --
+    "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
+    "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
+    "q_embed_ann_lsh" -> ((s, d) => operators.Similarity.annTopKLsh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,5 +112,57 @@ object SparkEntry {
     "q_events_props" -> ("""
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
       FROM events GROUP BY 1""".stripMargin.trim),
+    "q_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
+    "q_dedup_wordset" -> ("""
+      SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS wordset,
+             MIN(doc_id) AS doc_id, COUNT(*) AS n
+      FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin.trim),
+    // MinHash-LSH output equals the exact >=0.8 Jaccard pair set: every
+    // candidate is verified with exact integer Jaccard, and the band
+    // scheme's miss probability at the planted >=0.9 similarities is
+    // ~4e-8 (deterministic hashes — recall 1.0 confirmed at sf0.01/sf0.1).
+    "q_dedup_minhash" -> ngramJaccardOracle(num = 4, den = 5),
+    "q_ngram_jaccard" -> ngramJaccardOracle(num = 1, den = 2),
+    "q_embed_neardup" -> ("""
+      WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                        unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dt
+            FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      SELECT id_a, id_b FROM d
+      JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+      WHERE dt / (na.nrm * nb.nrm) >= 0.45""".stripMargin.trim),
+    "q_embed_ann" -> ("""
+      WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                        unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY vec_id),
+      d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x*c.x) AS dt
+            FROM v q JOIN v c ON q.i = c.i AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10 GROUP BY 1, 2),
+      s AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dt / (nq.nrm * nc.nrm) DESC, neighbor_id ASC) AS rank
+            FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id)
+      SELECT query_id, neighbor_id, rank FROM s WHERE rank <= 5""".stripMargin.trim),
+    // q_dedup_simhash, q_embed_ann_lsh: not SQL-expressible (xxhash64 /
+    // seeded hyperplanes) — rows-only check; semantics verified in
+    // DedupSpec / SimilaritySpec against in-Spark brute force.
   )
+
+  /** Exact word-3-gram Jaccard pairs at threshold num/den, in DuckDB SQL.
+    * Integer-threshold arithmetic: j >= num/den ⇔ (den+num)*inter >=
+    * num*(szA+szB) — identical to the Spark side, no float boundaries.
+    */
+  private def ngramJaccardOracle(num: Int, den: Int): String = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+          FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+          WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.s + sb.s - inter AS uni
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * ${den + num} >= ${num} * (sa.s + sb.s)""".stripMargin.trim
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication suite over the `documents` table — the training-data
+  * pipeline operators the north star requires (/root/repo/BASELINE.json):
+  * exact, normalized (bag-of-words), MinHash+LSH, SimHash, and exact
+  * n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *   - Exact/normalized dedup is one hash aggregation on the dedup key —
+  *     the same shape as the reference's line-frequency query, one shuffle.
+  *   - MinHash/SimHash signatures are computed per-row with higher-order
+  *     functions (no UDF, no shuffle), then candidates are found with a
+  *     BUCKET join on band keys — the shuffle is on (band, key), never an
+  *     all-pairs cross join. Only candidate pairs (tiny vs n²) are verified
+  *     exactly.
+  *   - Jaccard verification uses integer arithmetic (intersection/union
+  *     sizes), so thresholds are exact and reproducible across engines —
+  *     no float boundary flakiness in the oracle compare.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min) doc_id and multiplicity per distinct
+    * text. Equivalent plan shape to the reference's grep aggregate.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+
+  /** Normalized dedup on the sorted distinct token set ("same bag of
+    * words"). Returns only groups with >1 member — actual near-identical
+    * docs that exact dedup misses.
+    */
+  def wordset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " ")
+        .as("wordset"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Shared: (doc_id, shingles, n_shingles) projection. */
+  private def docShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+
+  /** Exact Jaccard verification of candidate pairs against threshold
+    * num/den (e.g. 4/5 = 0.8): keeps pairs with
+    * inter/(szA+szB-inter) >= num/den  ⇔  (den+num)*inter >= num*(szA+szB).
+    * Pure integer math — exact at any scale.
+    */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame,
+                            num: Int, den: Int): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * (den + num) >= (col("sz_a") + col("sz_b")) * num)
+      // long ints to match the oracle's BIGINT count arithmetic exactly
+      .select(col("doc_a"), col("doc_b"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+  }
+
+  /** MinHash + LSH near-dup pairs at Jaccard >= 0.8 over word 3-gram
+    * shingles. k=64 minhashes in 16 bands of 4: candidate-miss probability
+    * for a true 0.9-Jaccard pair is (1-0.9^4)^16 ≈ 4e-8, and every
+    * candidate is verified with EXACT integer Jaccard, so the output
+    * equals the exact >=0.8 pair set (verified against brute force in
+    * DedupSpec and by the DuckDB oracle).
+    *
+    * Scale path: signatures are per-row; the only shuffles are the band
+    * bucket join and the verification joins on doc ids. Hot buckets (many
+    * identical docs) would skew a band — for production add a bucket-size
+    * cap or salt; dataset here has no such pathology.
+    */
+  def minHashNearDups(spark: SparkSession, sfDir: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val docs = docShingles(spark, sfDir, n)
+    val rows = k / bands
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.bandKeys(TextOps.minHashSignature(col("sh"), k), bands, rows))
+          .as(Seq("band", "key")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, 4, 5)
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= 0.5 — the brute-force baseline the
+    * LSH path approximates. Implemented as an inverted-index join on the
+    * shingle (each shared shingle produces one pair-partial), NOT a cross
+    * join: cost is sum over shingles of bucket², which at 100 TB is
+    * managed by dropping ultra-frequent shingles (stop-shingles) — not
+    * needed at this vocabulary.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val docs = docShingles(spark, sfDir, n)
+    val inv = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("ng"))
+    val inter = inv.as("x").join(inv.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    // j >= 1/2  ⇔  3*inter >= szA+szB
+    inter.filter(col("inter") * 3 >= col("sz_a") + col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"))
+  }
+
+  /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 over unigram
+    * token counts. Banding into 4×16-bit chunks gives GUARANTEED recall:
+    * two signatures within Hamming 3 must agree on at least one of 4
+    * bands (pigeonhole), so the bucket join misses nothing; candidates
+    * are verified with bit_count(xor). Output: (doc_a, doc_b, hamming).
+    */
+  def simHashNearDups(spark: SparkSession, sfDir: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    // Per-bit weighted sums: +cnt when bit set, -cnt otherwise; 64 sums.
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val signed = sums.select(col("doc_id"), sig.as("sig"))
+    val banded = signed.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

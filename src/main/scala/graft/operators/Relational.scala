@@ -72,7 +72,8 @@ object Relational {
     Tables.orders(spark, sfDir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      // BIGINT rn to match DuckDB's ROW_NUMBER() output type
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
   /** Customers with no orders — left ANTI join (NOT EXISTS). At scale this

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+  val sf = TestSpark.sf0001
+
+  /** Brute-force word-n-gram Jaccard pairs computed driver-side. */
+  private def brutePairs(threshold: Double, n: Int = 3): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("exact dedup preserves every doc and multiplicity sums to row count") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.exact(spark, sf)
+    assert(out.agg(sum("n")).as[Long].head === docs.count())
+  }
+
+  test("wordset dedup finds groups exact dedup misses") {
+    val out = Dedup.wordset(spark, sf).collect()
+    assert(out.forall(_.getLong(2) > 1))
+  }
+
+  test("minhash LSH + exact verify equals brute-force Jaccard >= 0.8") {
+    val got = Dedup.minHashNearDups(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brutePairs(0.8), "LSH must have full recall on this data")
+  }
+
+  test("exact ngram Jaccard pairs equal brute force at >= 0.5") {
+    val got = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brutePairs(0.5))
+  }
+
+  test("ngram intersection/union sizes are exact") {
+    val row = Dedup.ngramJaccardPairs(spark, sf)
+      .orderBy("doc_a", "doc_b").limit(1).collect().headOption
+    row.foreach { r =>
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      val sa = docs(r.getLong(0)).split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sb = docs(r.getLong(1)).split(" ").sliding(3).map(_.mkString(" ")).toSet
+      assert(r.getLong(2) === (sa & sb).size.toLong)
+      assert(r.getLong(3) === (sa | sb).size.toLong)
+    }
+  }
+
+  test("simhash banding catches every pair within hamming 3 (pigeonhole)") {
+    // Ground truth: compute signatures via the same query's sig column is
+    // circular; instead verify the guarantee structurally — every output
+    // pair respects the bound, and near-identical docs appear.
+    val out = Dedup.simHashNearDups(spark, sf).collect()
+    assert(out.forall(_.getInt(2) <= 3))
+    // The planted >=0.9-Jaccard near-dups share almost all tokens, so
+    // their simhashes must be within a few bits: expect non-empty overlap
+    // with the Jaccard pair set.
+    val jacc = brutePairs(0.9)
+    if (jacc.nonEmpty) {
+      val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((got & jacc).nonEmpty, "simhash should find planted near-dups")
+    }
+  }
+
+  test("shingles: docs shorter than n tokens yield empty array, not garbage") {
+    val df = Seq("a b", "a b c", "a b c d").toDF("text")
+    val out = df.select(TextOps.shingles(col("text"), 3).as("sh"))
+      .select(size(col("sh"))).as[Int].collect()
+    assert(out.toSeq === Seq(0, 1, 2))
+  }
+
+  test("minhash signature is deterministic and k-long") {
+    val df = Seq("x y z w", "x y z w").toDF("text")
+    val sigs = df.select(TextOps.minHashSignature(
+      TextOps.shingles(col("text"), 3), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 16)
+  }
+}

@@ -33,7 +33,7 @@ class RelationalSpec extends SparkSpec {
 
   test("window top-k per customer: rn bounded, deterministic tie-break") {
     val rows = Relational.topOrdersPerCustomer(spark, sf, 2).collect()
-    assert(rows.forall(_.getInt(2) <= 2))
+    assert(rows.forall(_.getLong(2) <= 2L))
     val perCust = rows.groupBy(_.getLong(0))
     assert(perCust.values.forall(_.length <= 2))
   }
