@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity of two float/double array
+  * columns, computed in ONE fused pass — dot product and both norms in a
+  * single loop over the raw `ArrayData`, no intermediate arrays.
+  *
+  * Why custom (SURVEY.md §7.3 route (b)): the built-in spelling
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates a zipped array per
+  * row and evaluates three lambda closures per element; for 100 TB of
+  * 64-dim vectors that is the hot path. This expression generates a tight
+  * scalar loop inside whole-stage codegen (doGenCode below), reading
+  * primitive floats straight out of Tungsten's UnsafeArrayData.
+  *
+  * Null semantics: null if either side is null (BinaryExpression default);
+  * mismatched lengths raise, matching zip_with's strictness on equal-size
+  * semantics for similarity use.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
+    val aF = elemIsFloat(left); val bF = elemIsFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.$aGet($i);
+         |  final double $y = (double) $b.$bGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API entry point: `cosine_sim(embA, embB)`. */
+  def cosineSim(a: Column, b: Column): Column =
+    CatalystBridge.column(CosineSimilarity(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Register as a SQL function `cosine_sim` on the session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.CosineSimilarity.cosineSim
 
 /** Similarity search over the `embeddings` table (64-dim float vectors —
   * /root/repo/FIXTURES.md §2).
@@ -14,42 +15,40 @@ import graft.Tables
   *     prunes the candidate set, then exact re-scoring — approximate by
   *     construction, recall measured in SimilaritySpec).
   *
-  * All vector math is double-precision `functions` higher-order
-  * expressions (zip_with / aggregate) — codegen-friendly, no UDFs — and
-  * unit-normalization happens ONCE per vector so pair scoring is a plain
-  * dot product.
+  * Scoring uses the native codegen expression
+  * [[graft.functions.CosineSimilarity]] directly on the raw float arrays —
+  * one fused loop per pair, no intermediate normalized vectors. The
+  * composed-builtins spelling ([[Similarity.dot]] over [[unitVec]]) is
+  * kept as the reference implementation; SimilaritySpec asserts both agree.
   */
 object Similarity {
 
-  /** embedding (float array) → unit-normalized double array. */
-  private def unitVec(emb: Column): Column = {
+  /** embedding (float array) → unit-normalized double array.
+    * Composed-builtins path (higher-order functions, no UDF).
+    */
+  def unitVec(emb: Column): Column = {
     val d = transform(emb, x => x.cast("double"))
     val nrm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
     transform(d, x => x / nrm)
   }
 
-  /** Dot product of two unit vectors = cosine similarity. */
+  /** Dot product via zip_with/aggregate — composed-builtins path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** (vec_id, unit, label) projection. */
-  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), unitVec(col("embedding")).as("unit"), col("label"))
-
   /** Embedding near-dup: all pairs with cosine >= `threshold`. Brute
-    * force O(n²) pair scan — correct baseline; use [[annTopKLsh]]'s
-    * bucketing scheme for the at-scale variant. Output is ids only
-    * (ints): float scores never surface, so the oracle compare can't hit
-    * float-boundary flakiness.
+    * force O(n²) pair scan — correct baseline; [[annTopKLsh]]'s bucketing
+    * is the at-scale variant. Output is ids only (ints): float scores
+    * never surface, so the oracle compare can't hit float-boundary
+    * flakiness.
     */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String,
                          threshold: Double = 0.45): DataFrame = {
-    val v = vectors(spark, sfDir)
-    val a = v.select(col("vec_id").as("id_a"), col("unit").as("ua"))
-    val b = v.select(col("vec_id").as("id_b"), col("unit").as("ub"))
+    val v = Tables.embeddings(spark, sfDir)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("id_a") < col("id_b"))
-      .filter(dot(col("ua"), col("ub")) >= threshold)
+      .filter(cosineSim(col("ea"), col("eb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -61,12 +60,12 @@ object Similarity {
     */
   def annTopKBrute(spark: SparkSession, sfDir: String,
                    nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, sfDir)
+    val v = Tables.embeddings(spark, sfDir)
     val q = broadcast(v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("uq")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
     val scored = v.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("uq"), col("unit")).as("sim"))
+        cosineSim(col("eq"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -84,12 +83,14 @@ object Similarity {
   }
 
   /** LSH sketch keys for one vector: one key per table, key = the r sign
-    * bits of the vector against that table's hyperplanes.
+    * bits of the vector against that table's hyperplanes. sign(dot) ==
+    * sign(cosine), so the native expression scores raw float arrays
+    * against double-literal planes directly.
     */
-  private def sketchKeys(unit: Column, pl: Seq[Seq[Seq[Double]]]): Column =
+  private def sketchKeys(emb: Column, pl: Seq[Seq[Seq[Double]]]): Column =
     array(pl.zipWithIndex.map { case (table, t) =>
       val bits = table.zipWithIndex.map { case (plane, p) =>
-        when(dot(unit, typedlit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+        when(cosineSim(emb, typedlit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       // disambiguate tables: key = (table index, bit pattern)
       (bits + lit(t * 65536)).cast("long")
@@ -98,25 +99,26 @@ object Similarity {
   /** ANN top-k via random-hyperplane LSH: candidates = vectors sharing at
     * least one sketch key with the query (bucket join, no cross join),
     * re-scored exactly, per-query top-k. Approximate: recall depends on
-    * (nTables, bitsPerTable); measured >= 0.8 vs brute force in
-    * SimilaritySpec at the defaults. THE scale path: cost is bucket-local,
-    * and hot buckets can be salted or capped.
+    * (nTables, bitsPerTable); measured vs brute force in SimilaritySpec at
+    * the defaults. THE scale path: cost is bucket-local, and hot buckets
+    * can be salted or capped.
     */
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
                  nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val pl = planes(nTables, bitsPerTable, 64)
-    val v = vectors(spark, sfDir)
-      .select(col("vec_id"), col("unit"), explode(sketchKeys(col("unit"), pl)).as("key"))
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sketchKeys(col("embedding"), pl)).as("key"))
     val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("uq"), col("key"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("key"))
     val cands = v.join(q, Seq("key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("uq"), col("vec_id").as("neighbor_id"), col("unit"))
+      .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"), col("embedding"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.withColumn("sim", dot(col("uq"), col("unit")))
+    cands.withColumn("sim", cosineSim(col("eq"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.functions.CosineSimilarity.cosineSim
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression equals composed-builtins dot on unit vectors") {
+    val df = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val diff = pairs.select(abs(
+      cosineSim(col("ea"), col("eb")) -
+        Similarity.dot(Similarity.unitVec(col("ea")), Similarity.unitVec(col("eb"))))
+      .as("d")).agg(max("d")).as[Double].head
+    assert(diff < 1e-12, s"native vs builtin cosine diverged by $diff")
+  }
+
+  test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+    ).toDF("a", "b", "want")
+    val got = df.select(cosineSim(col("a"), col("b")).as("c"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-9) }
+  }
+
+  test("null inputs yield null; length mismatch raises") {
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val out = df.select(cosineSim(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("mixed float/double array inputs work (codegen accessor dispatch)") {
+    val df = Seq((Array(3f, 4f), Array(3.0, 4.0))).toDF("a", "b")
+    val c = df.select(cosineSim(col("a"), col("b"))).as[Double].head
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("SQL registration: cosine_sim callable from spark.sql") {
+    CosineSimilarity.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .createOrReplaceTempView("vv")
+    val c = spark.sql("SELECT cosine_sim(a, b) AS c FROM vv").as[Double].head
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    val df = Tables.embeddings(spark, TestSpark.sf0001).limit(5)
+      .select(cosineSim(col("embedding"), col("embedding")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into a WholeStageCodegen stage; the
+    // Project evaluating the expression must carry it.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.contains("*(")), s"plan:\n$plan")
+    // and evaluation under codegen produces 1.0 for self-similarity
+    assert(df.as[Double].collect().forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+}
