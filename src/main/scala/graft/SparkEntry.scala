@@ -71,17 +71,21 @@ object SparkEntry {
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%vector%' OR text LIKE '%stream%' GROUP BY text",
     "q_grep_topk" ->
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%spark%' GROUP BY text ORDER BY freq DESC, line ASC LIMIT 10",
+    // Money/quantity sums surface as integer minor units (BIGINT): decimal
+    // internally for exact associative math, *100 (or *10000) cast to
+    // BIGINT at the boundary — integer outputs are representation-stable
+    // across engines, DECIMAL serialization is not.
     "q_pricing_summary" -> ("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price,
              COUNT(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       GROUP BY l_returnflag, l_linestatus""".stripMargin.trim),
     "q_revenue_by_nation" -> ("""
       SELECT n_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
              COUNT(*) AS n_orders
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -97,7 +101,7 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400.0)",
     "q_lineitem_rollup" -> ("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin.trim),
     "q_active_positive" -> ("""
@@ -106,7 +110,7 @@ object SparkEntry {
       SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin.trim),
     "q_events_daily" -> ("""
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value,
              COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin.trim),
     "q_events_props" -> ("""

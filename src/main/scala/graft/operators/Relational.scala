@@ -23,12 +23,22 @@ import graft.Tables
   *   - Money math is done in DECIMAL(18,2): exact, associative, and
   *     reproducible regardless of partitioning/merge order — double sums
   *     would make results partitioning-dependent, which breaks both the
-  *     oracle compare and cross-run determinism at scale.
+  *     oracle compare and cross-run determinism at scale. Result columns
+  *     surface as integer minor units (cents, BIGINT) rather than DECIMAL:
+  *     engines serialize decimals with differing precision/scale metadata
+  *     (the round-1 driver hash diverged on representation while every
+  *     value matched), and integer types are bit-identical everywhere.
   */
 object Relational {
 
   /** Cast a money/quantity double column to exact decimal for aggregation. */
   private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Exact decimal sum surfaced as integer minor units (BIGINT).
+    * `scale` is the power of ten: 100 for cents on DECIMAL(18,2) sums.
+    */
+  private def sumAsMinorUnits(c: org.apache.spark.sql.Column, scale: Int) =
+    (sum(c) * scale).cast("long")
 
   /** TPC-H Q1-style pricing summary: scan-heavy single-pass aggregate.
     * Filter is pushed to the parquet scan; one shuffle on the 6-ish
@@ -39,10 +49,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
-        sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
+        sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
+        sumAsMinorUnits(dec("l_extendedprice"), 100).as("sum_base_price"),
+        sumAsMinorUnits((dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(18,4)"), 10000).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Revenue per nation: fact ⋈ dim ⋈ dim with explicit broadcast of the
@@ -58,7 +68,7 @@ object Relational {
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec("o_totalprice")).cast("decimal(18,2)").as("revenue"),
+        sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -107,7 +117,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
+        sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
         count(lit(1)).as("n"))
 
   /** Set operation: custkeys that placed an order INTERSECT custkeys with
@@ -130,7 +140,7 @@ object Relational {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec("value")).cast("decimal(18,2)").as("sum_value"),
+        sumAsMinorUnits(dec("value"), 100).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** JSON extraction over the events.props column: get_json_object →
