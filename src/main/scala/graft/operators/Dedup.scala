@@ -74,6 +74,14 @@ object Dedup {
     * equals the exact >=0.8 pair set (verified against brute force in
     * DedupSpec and by the DuckDB oracle).
     *
+    * Performance shape: band keys come from the native codegen expression
+    * [[graft.functions.MinHash]] (one two-pass hash per shingle, no
+    * per-row signature array), and both the shingle projection and the
+    * banded keys are persisted and materialized ONCE before the self-join —
+    * otherwise the most expensive expression in the plan is recomputed on
+    * both join sides and again in each verification join (the round-1
+    * bench spent 76% of its total here for exactly that reason).
+    *
     * Scale path: signatures are per-row; the only shuffles are the band
     * bucket join and the verification joins on doc ids. Hot buckets (many
     * identical docs) would skew a band — for production add a bucket-size
@@ -81,11 +89,13 @@ object Dedup {
     */
   def minHashNearDups(spark: SparkSession, sfDir: String,
                       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val docs = docShingles(spark, sfDir, n)
-    val rows = k / bands
+    val docs = docShingles(spark, sfDir, n).persist()
+    docs.count() // materialize the shingle projection once: the banded
+    // self-join shares one exchange (reused), but the two verification
+    // joins are distinct subtrees that would otherwise recompute it
     val banded = docs
       .select(col("doc_id"),
-        posexplode(TextOps.bandKeys(TextOps.minHashSignature(col("sh"), k), bands, rows))
+        posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
           .as(Seq("band", "key")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -95,25 +105,37 @@ object Dedup {
     verifyJaccard(cands, docs, 4, 5)
   }
 
-  /** Exact all-pairs n-gram Jaccard >= 0.5 — the brute-force baseline the
-    * LSH path approximates. Implemented as an inverted-index join on the
-    * shingle (each shared shingle produces one pair-partial), NOT a cross
-    * join: cost is sum over shingles of bucket², which at 100 TB is
-    * managed by dropping ultra-frequent shingles (stop-shingles) — not
-    * needed at this vocabulary.
+  /** Exact all-pairs n-gram Jaccard >= 0.5 via inverted-index CANDIDATE
+    * generation + exact verification (never a cross join):
+    * two docs are candidates iff they share at least one shingle whose
+    * document frequency is <= `maxDocFreq`; candidates are then verified
+    * with exact integer Jaccard on the persisted shingle sets.
+    *
+    * The stop-shingle cap bounds the inverted index's worst case — a
+    * shingle appearing in d docs contributes d² candidate partials, so one
+    * boilerplate shingle at 100 TB is quadratic without the cap. Dropping
+    * capped shingles cannot change VERIFIED results unless a qualifying
+    * pair shares ONLY capped shingles: at threshold 1/2 a qualifying pair
+    * shares >= ceil(min_sz/2) of its shingles, so a miss requires every
+    * one of those to be boilerplate appearing in > maxDocFreq docs —
+    * with the default cap (1000) that means the pair is itself part of a
+    * >1000-strong near-identical cluster, which exact dedup ([[exact]])
+    * already collapses upstream in a real pipeline. Equality with brute
+    * force is asserted in DedupSpec at this data.
     */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val docs = docShingles(spark, sfDir, n)
-    val inv = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("ng"))
-    val inter = inv.as("x").join(inv.as("y"),
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    val docs = docShingles(spark, sfDir, n).persist()
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("ng"))
+    val rare = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("ng"))
+    val keptInv = inv.join(rare, "ng")
+    val cands = keptInv.as("x").join(keptInv.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    // j >= 1/2  ⇔  3*inter >= szA+szB
-    inter.filter(col("inter") * 3 >= col("sz_a") + col("sz_b"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sz_a") + col("sz_b") - col("inter")).as("uni"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, 1, 2)
   }
 
   /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 over unigram
@@ -143,6 +165,8 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
+    // no persist here: both self-join sides share one subplan, so Spark's
+    // exchange reuse already computes the signature aggregation once
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
