@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.engine.GrepEngine
 import graft.engine.GrepEngine.{Regex, Substring, SubstringIgnoreCase}
 
@@ -43,8 +44,32 @@ object SparkEntry {
     "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
     "q_lineitem_rollup" -> (operators.Relational.lineitemRollup _),
     "q_active_positive" -> (operators.Relational.activePositiveCustomers _),
+    "q_revenue_by_region" -> (operators.Relational.revenueByRegion _),
+    "q_part_type_revenue" -> (operators.Relational.partTypeRevenue _),
+    "q_supplier_nation_volume" -> (operators.Relational.supplierNationVolume _),
+    "q_union_big_or_debt" -> ((s, d) => operators.Relational.bigOrderOrDebtCustomers(s, d)),
+    "q_except_small_only" -> ((s, d) => operators.Relational.onlySmallOrderCustomers(s, d)),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
+    // -- text analysis (SURVEY.md §7.2 M2: token/n-gram frequency + profiling) --
+    "q_token_freq" -> ((s, d) => operators.TextAnalysis.tokenFreq(s, d)),
+    "q_ngram_docfreq" -> ((s, d) => operators.TextAnalysis.ngramDocFreq(s, d)),
+    "q_lang_hist" -> (operators.TextAnalysis.langHistogram _),
+    "q_quality" -> (operators.TextAnalysis.qualityMetrics _),
+    "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
+    "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
+    // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
+    "q_csv_nation_region" -> ((s, d) =>
+      sources.Roundtrip.csv(s, d, "nation")
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"))),
+    "q_json_customer_segments" -> ((s, d) =>
+      sources.Roundtrip.json(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long")
+            .as("acctbal_cents"))),
     // -- dedup suite (north-star training-data ops) --
     "q_dedup_exact" -> (operators.Dedup.exact _),
     "q_dedup_wordset" -> (operators.Dedup.wordset _),
@@ -108,6 +133,91 @@ object SparkEntry {
       SELECT o_custkey AS custkey FROM orders
       INTERSECT
       SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin.trim),
+    "q_revenue_by_region" -> ("""
+      SELECT r_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""".stripMargin.trim),
+    "q_part_type_revenue" -> ("""
+      SELECT p_type,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type""".stripMargin.trim),
+    "q_supplier_nation_volume" -> ("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name""".stripMargin.trim),
+    "q_union_big_or_debt" -> ("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin.trim),
+    "q_except_small_only" -> ("""
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0""".stripMargin.trim),
+    "q_token_freq" -> ("""
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 20""".stripMargin.trim),
+    "q_ngram_docfreq" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3)
+      SELECT ng, COUNT(*) AS df FROM g
+      GROUP BY ng ORDER BY df DESC, ng ASC LIMIT 20""".stripMargin.trim),
+    "q_lang_hist" -> ("""
+      WITH h AS (SELECT text,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS h_en,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','les','de','et'], x))) AS h_fr,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','las','y','es'], x))) AS h_es
+        FROM documents),
+      g AS (SELECT CASE
+        WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+        WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        WHEN h_en = greatest(h_en, h_fr, h_de, h_es) AND h_en > 0 THEN 'en'
+        WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) AND h_fr > 0 THEN 'fr'
+        WHEN h_de = greatest(h_en, h_fr, h_de, h_es) AND h_de > 0 THEN 'de'
+        WHEN h_es = greatest(h_en, h_fr, h_de, h_es) AND h_es > 0 THEN 'es'
+        ELSE 'und' END AS lang_guess FROM h)
+      SELECT lang_guess, COUNT(*) AS n FROM g GROUP BY lang_guess""".stripMargin.trim),
+    "q_quality" -> ("""
+      WITH m AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_len
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             n_types * 100 // n_tokens AS ttr_pct,
+             n_stop * 100 // n_tokens AS stop_pct,
+             char_len * 100 // n_tokens AS mean_tok_len_x100
+      FROM m""".stripMargin.trim),
+    "q_token_stats" -> ("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS n_types
+      FROM documents GROUP BY source""".stripMargin.trim),
+    "q_fingerprint" -> ("""
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents""".stripMargin.trim),
+    "q_csv_nation_region" -> ("""
+      SELECT r_name, COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""".stripMargin.trim),
+    "q_json_customer_segments" -> ("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+      FROM customer GROUP BY c_mktsegment""".stripMargin.trim),
     "q_events_daily" -> ("""
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value,

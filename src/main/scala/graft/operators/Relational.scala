@@ -151,4 +151,76 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
+
+  /** Revenue per region: two dimension hops (customer → nation → region),
+    * both tiny at any TPC-H scale and explicitly broadcast — the fact
+    * side never shuffles for the joins, only for the final 5-key agg.
+    */
+  def revenueByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val region = Tables.region(spark, sfDir)
+    Tables.orders(spark, sfDir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Revenue by part type: fact ⋈ part dimension. `part` grows with SF
+    * (unlike nation/region), so no forced broadcast — Spark/AQE picks
+    * broadcast under the threshold and a shuffled hash join above it.
+    */
+  def partTypeRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        sumAsMinorUnits(dec("l_extendedprice"), 100).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Shipped quantity per supplier nation: lineitem ⋈ supplier ⋈ nation.
+    * Covers the supplier dimension; same broadcast-dim shape as
+    * [[revenueByNation]].
+    */
+  def supplierNationVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  /** Set op UNION (distinct): customers with a big order ∪ customers in
+    * debt. Planned as union + hash-distinct — one exchange on the key.
+    * Default threshold sits in the upper quintile of o_totalprice so both
+    * sides contribute and overlap non-trivially.
+    */
+  def bigOrderOrDebtCustomers(spark: SparkSession, sfDir: String,
+                              minTotal: Double = 400000.0): DataFrame = {
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > minTotal)
+      .select(col("o_custkey").as("custkey"))
+    val debt = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    big.union(debt).distinct()
+  }
+
+  /** Set op EXCEPT (distinct): customers who ordered but never above the
+    * threshold. Planned as a hash anti-join after distinct.
+    */
+  def onlySmallOrderCustomers(spark: SparkSession, sfDir: String,
+                              minTotal: Double = 400000.0): DataFrame = {
+    val all = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > minTotal)
+      .select(col("o_custkey").as("custkey"))
+    all.except(big)
+  }
 }

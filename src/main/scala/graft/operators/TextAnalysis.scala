@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: token/n-gram
+  * frequency, language identification, quality scoring, and document
+  * fingerprinting — the first-pass profiling stages of a training-data
+  * pipeline (the reference's line-frequency query generalized from lines
+  * to tokens, SURVEY.md §7.2 M2).
+  *
+  * Everything is built from codegen'd scalar functions and a single
+  * hash-aggregation per query — the same one-shuffle shape as grep — so
+  * each op is one scan + one exchange at any scale. Ratio/score outputs
+  * use pure INTEGER arithmetic (percent = 100*x DIV y): exact,
+  * engine-portable, no float-boundary flakiness in the oracle compare.
+  */
+object TextAnalysis {
+
+  /** Top-k tokens by total occurrence count. The reference's
+    * line-frequency aggregate applied to tokens: explode → count —
+    * partial aggregation happens map-side, the exchange carries one row
+    * per distinct token, top-k is a TakeOrderedAndProject.
+    */
+  def tokenFreq(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("tok"))
+      .limit(k)
+
+  /** Top-k word n-grams by DOCUMENT frequency (distinct-per-doc, so a
+    * gram repeated within one doc counts once) — the boilerplate-detection
+    * statistic that feeds stop-shingle caps like
+    * [[Dedup.ngramJaccardPairs]]'s.
+    */
+  def ngramDocFreq(spark: SparkSession, sfDir: String,
+                   n: Int = 3, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextOps.shingles(col("text"), n)).as("ng"))
+      .groupBy(col("ng"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("ng"))
+      .limit(k)
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny so the same logic stays expressible in ANSI-ish
+    * oracle SQL; extend per deployment. Order = tie-break precedence.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+  )
+
+  /** Number of tokens of `toks` that appear in `profile` (occurrences,
+    * not distinct — `filter` keeps duplicates, unlike array_intersect).
+    */
+  private def profileHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => profile.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Language-ID: CJK scripts by codepoint range, alphabetic languages by
+    * stopword-profile argmax (ties broken by profile order, 'und' =
+    * undetermined when no profile hits). A deterministic scalar
+    * expression — classification quality is asserted on real
+    * multilingual snippets in TextAnalysisSpec; the fixture run proves
+    * the at-scale shape with an exact oracle.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val hits = langProfiles.map { case (lang, prof) => lang -> profileHits(toks, prof) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und")) { case ((lang, h), rest) =>
+      when(h === best && best > 0, lit(lang)).otherwise(rest)
+    }
+    // kana/hangul checked BEFORE the han range: Japanese text routinely
+    // mixes kanji with kana, Korean can embed hanja
+    when(text.rlike("[\\x{3040}-\\x{30ff}]"), lit("ja"))
+      .when(text.rlike("[\\x{ac00}-\\x{d7af}]"), lit("ko"))
+      .when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** Corpus language histogram via [[langGuess]]. */
+  def langHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(langGuess(col("text")).as("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document quality metrics in pure integer arithmetic:
+    *   n_tokens        total whitespace tokens
+    *   ttr_pct         type/token ratio ×100 (lexical diversity)
+    *   stop_pct        stopword occurrence share ×100 (en profile)
+    *   mean_tok_len_x100  mean token length ×100
+    * Downstream filters (e.g. drop docs with stop_pct < 5 or ttr_pct <
+    * 20) compose as plain predicates that push into the scan.
+    */
+  def qualityMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        profileHits(toks, langProfiles.head._2).cast("long").as("n_stop"),
+        length(concat_ws("", toks)).cast("long").as("char_len"))
+      // integer DIV on positive longs truncates identically in Spark and
+      // DuckDB — ratios stay exact and hash-stable
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
+        expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
+        expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"))
+  }
+
+  /** Token-count statistics per source: docs, total tokens, and total
+    * distinct-per-doc types — the per-slice profiling a pipeline uses to
+    * spot degenerate sources before training.
+    */
+  def tokenStatsBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("ty"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("ty")).as("n_types"))
+  }
+
+  /** Canonicalizing document fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text, emitted per document. md5 is
+    * bit-identical across engines, so every fingerprint value is
+    * oracle-checked — unlike seeded xxhash sketches. Grouping on the
+    * fingerprint column downstream yields normalized dedup (same shape
+    * as [[Dedup.exact]]).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("fingerprint"))
+}

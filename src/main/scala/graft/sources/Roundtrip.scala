@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** CSV and JSON sources/sinks (SURVEY.md §2.2 scans row).
+  *
+  * The testdata is parquet-only, so format coverage is exercised as a
+  * round-trip: parquet → write fmt → read fmt back with the ORIGINAL
+  * schema (never inference — header/inferSchema double-scans the data and
+  * guesses types; at 100 TB the schema is a contract, not a guess).
+  * Doubles survive both formats bit-exactly (Spark serializes them via
+  * shortest round-trip representation), so downstream aggregates match
+  * the parquet-side oracle.
+  */
+object Roundtrip {
+
+  /** Scratch dir for format round-trips; under the build dir, per-table
+    * and per-source so concurrent SFs don't collide.
+    */
+  private def scratch(fmt: String, sfDir: String, table: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"target/roundtrip/$fmt/${tag}_$table"
+  }
+
+  /** Load `table`, bounce it through `fmt` on disk, read it back with the
+    * original schema. `fmt` ∈ {csv, json}.
+    */
+  def via(fmt: String)(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val orig = Tables.load(spark, sfDir, table)
+    val path = scratch(fmt, sfDir, table)
+    val writer = orig.write.mode("overwrite")
+    (fmt match {
+      case "csv" => writer.option("header", "true")
+      case _     => writer
+    }).format(fmt).save(path)
+    val reader = spark.read.schema(orig.schema)
+    (fmt match {
+      case "csv" => reader.option("header", "true")
+      case _     => reader
+    }).format(fmt).load(path)
+  }
+
+  def csv(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    via("csv")(spark, sfDir, table)
+
+  def json(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    via("json")(spark, sfDir, table)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+  val sf = TestSpark.sf0001
+
+  test("langGuess identifies real multilingual snippets") {
+    val samples = Seq(
+      ("the cat sat on the mat and looked at a bird", "en"),
+      ("le chat est sur la table et les oiseaux chantent", "fr"),
+      ("der hund und die katze sind im garten das ist gut", "de"),
+      ("el perro y los gatos corren en las calles", "es"),
+      ("今天天气很好我们去公园散步", "zh"),
+      ("こんにちは世界これはテストです", "ja"),
+      ("안녕하세요 세계 이것은 테스트입니다", "ko"),
+      ("xyzzy quux blorp", "und"),
+    ).toDF("text", "want")
+    val got = samples
+      .select(col("want"), TextAnalysis.langGuess(col("text")).as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (want, g) => assert(g === want, s"want $want got $g") }
+  }
+
+  test("token frequency equals driver-side brute force") {
+    val docs = Tables.documents(spark, sf).select("text").as[String].collect()
+    val want = docs.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = TextAnalysis.tokenFreq(spark, sf).as[(String, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("ngram doc frequency counts each doc once per gram") {
+    val got = TextAnalysis.ngramDocFreq(spark, sf).as[(String, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 <= nDocs), "df cannot exceed doc count")
+  }
+
+  test("quality metrics: exact integer values on a hand-made doc") {
+    // 5 tokens, 4 types, 2 'the/a' stopword hits, 15 chars sans spaces
+    val df = Seq((1L, "the quick the a fox")).toDF("doc_id", "text")
+      .createOrReplaceTempView("qm_doc")
+    val toks = split(col("text"), " ")
+    val row = Seq((1L, "the quick the a fox")).toDF("doc_id", "text")
+      .select(
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        length(concat_ws("", toks)).cast("long").as("char_len"))
+      .as[(Long, Long, Long)].head
+    assert(row === ((5L, 4L, 15L)))
+    val metrics = TextAnalysis.qualityMetrics(spark, sf).collect()
+    assert(metrics.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 100), "ttr in (0,100]")
+    assert(metrics.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 100), "stop_pct in [0,100]")
+  }
+
+  test("fingerprint is case/whitespace-insensitive, content-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, " hello world "),
+      (3L, "hello worlds"),
+    ).toDF("doc_id", "text")
+    val fp = df.select(
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("f"))
+      .as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("set ops: union distinct and except produce disjoint+complete split") {
+    import graft.operators.Relational
+    val all = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"))
+      .distinct().as[Long].collect().toSet
+    val small = Relational.onlySmallOrderCustomers(spark, sf).as[Long].collect().toSet
+    val big = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey")).as[Long].collect().toSet
+    assert(small === all -- big, "EXCEPT semantics")
+    assert((small & big).isEmpty)
+  }
+
+  test("csv and json round-trips preserve row counts and values") {
+    val orig = Tables.nation(spark, sf)
+    val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
+    val viaJson = graft.sources.Roundtrip.json(spark, sf, "nation")
+    assert(viaCsv.schema === orig.schema)
+    assert(viaJson.schema === orig.schema)
+    val o = orig.orderBy("n_nationkey").collect().map(_.toString)
+    assert(viaCsv.orderBy("n_nationkey").collect().map(_.toString) === o)
+    assert(viaJson.orderBy("n_nationkey").collect().map(_.toString) === o)
+  }
+}
