@@ -7,15 +7,27 @@ object Bench {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // (name -> (seconds, error)); a failed query must NEVER pass for a
+    // fast one — its error is logged and reported in the JSON line.
+    val results: Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Some(e.getClass.getSimpleName)
+        }
+        name -> (((System.nanoTime() - t0) / 1e9, err))
+      }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // queries stays strictly {"name": seconds} for the driver; failures
+    // are reported in a parallel "query_errors" object
+    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":$sec""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => s""""${esc(k)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,7 +93,11 @@ object GrepEngine {
     */
   def highlight(line: String, pattern: String, mode: String): String =
     mode match {
-      case "classic"   => line.replace(pattern, Console.RED_B + pattern + Console.RESET)
+      // bold + red FOREGROUND, matching the reference client's escape
+      // sequence (client/client.go:17-18: bold + colorRed), not a red
+      // background
+      case "classic"   => line.replace(pattern,
+        Console.BOLD + Console.RED + pattern + Console.RESET)
       case "asterisks" => line.replace(pattern, "*" + pattern + "*")
       case _           => line
     }
@@ -116,8 +120,8 @@ object GrepEngine {
     spark.sparkContext.setLogLevel("WARN")
     val rows = distGrep(spark, path, pattern, mode).collect()
     // Header + "<freq>\t<line>" per row (server/server.go:228-235,
-    // client/client.go:80 parity).
-    println("Freq.\tLine\n-----------------")
+    // client/client.go:80 parity, including the 41-dash ruler).
+    println("Freq.\tLine\n-----------------------------------------")
     rows.foreach { r =>
       println(s"${r.getLong(1)}\t${highlight(r.getString(0), pattern, hl)}")
     }

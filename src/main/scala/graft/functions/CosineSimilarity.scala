@@ -20,18 +20,31 @@ import org.apache.spark.sql.types._
   *
   * Null semantics: null if either side is null (BinaryExpression default);
   * mismatched lengths raise, matching zip_with's strictness on equal-size
-  * semantics for similarity use.
+  * semantics for similarity use. Zero-norm inputs (zero vector or empty
+  * array) return 0.0 — "no similarity evidence" — rather than NaN, which
+  * would poison comparisons and never equal itself.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects array<float|double> args, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"cosine_sim expects array<float|double>, got ${t.sql}")
+    case _ => false
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -49,7 +62,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -75,7 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  final double $y = (double) $b.$bGet($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
   }

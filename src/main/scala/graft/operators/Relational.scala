@@ -133,7 +133,9 @@ object Relational {
 
   /** Events daily summary: timestamp → date bucketing + two-key agg.
     * (The `events` table is streaming-shaped; this is its batch view —
-    * the streaming counterpart lives in graft.streaming.)
+    * the streaming counterpart is
+    * [[graft.streaming.StreamingOps.windowedEventCounts]], and
+    * StreamingSpec asserts the two agree per day in batch mode.)
     */
   def eventsDaily(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

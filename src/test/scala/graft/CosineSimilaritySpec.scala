@@ -43,6 +43,24 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("zero vectors and empty arrays yield 0.0, never NaN") {
+    val df = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(0f, 0f)),
+      (Array.empty[Float], Array.empty[Float]),
+    ).toDF("a", "b")
+    val out = df.select(cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("non-array input is rejected at analysis time, not execution time") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("x", "e")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(cosineSim(col("x"), col("e"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+
   test("mixed float/double array inputs work (codegen accessor dispatch)") {
     val df = Seq((Array(3f, 4f), Array(3.0, 4.0))).toDF("a", "b")
     val c = df.select(cosineSim(col("a"), col("b"))).as[Double].head

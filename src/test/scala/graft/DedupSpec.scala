@@ -7,12 +7,15 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
   val sf = TestSpark.sf0001
 
-  /** Brute-force word-n-gram Jaccard pairs computed driver-side. */
+  /** Brute-force word-n-gram Jaccard pairs computed driver-side.
+    * sliding(n) emits one short window for docs with < n tokens; filter
+    * it so semantics match TextOps.shingles (empty set below n tokens).
+    */
   private def brutePairs(threshold: Double, n: Int = 3): Set[(Long, Long)] = {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect()
     val sh = docs.map { case (id, t) =>
-      id -> t.split(" ").sliding(n).map(_.mkString(" ")).toSet
+      id -> t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
     }
     (for {
       (a, sa) <- sh; (b, sb) <- sh if a < b
@@ -57,20 +60,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash banding catches every pair within hamming 3 (pigeonhole)") {
-    // Ground truth: compute signatures via the same query's sig column is
-    // circular; instead verify the guarantee structurally — every output
-    // pair respects the bound, and near-identical docs appear.
-    val out = Dedup.simHashNearDups(spark, sf).collect()
-    assert(out.forall(_.getInt(2) <= 3))
-    // The planted >=0.9-Jaccard near-dups share almost all tokens, so
-    // their simhashes must be within a few bits: expect non-empty overlap
-    // with the Jaccard pair set.
-    val jacc = brutePairs(0.9)
-    if (jacc.nonEmpty) {
-      val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert((got & jacc).nonEmpty, "simhash should find planted near-dups")
+  /** Independent driver-side SimHash: plain Scala loops over token
+    * counts, same 64-bit xxhash64(tok, seed 42) as the SQL expression —
+    * an independent REIMPLEMENTATION of the signature + threshold (the
+    * engine path is Spark SQL sum/when/bit ops; this is scalar Scala).
+    */
+  private def driverSimHash(text: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val counts = text.split(" ").groupBy(identity).view.mapValues(_.length)
+    val sums = new Array[Long](64)
+    for ((tok, c) <- counts) {
+      val h = XxHash64Function.hash(UTF8String.fromString(tok), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        sums(b) += (if (((h >>> b) & 1L) == 1L) c else -c)
+        b += 1
+      }
     }
+    (0 until 64).foldLeft(0L)((acc, b) => if (sums(b) > 0) acc | (1L << b) else acc)
+  }
+
+  test("simhash pairs equal an independent driver-side implementation exactly") {
+    val sigs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> driverSimHash(t) }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val got = Dedup.simHashNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want, "banding must have full recall (pigeonhole) and exact hamming")
   }
 
   test("shingles: docs shorter than n tokens yield empty array, not garbage") {

@@ -72,7 +72,9 @@ class GrepEngineSpec extends SparkSpec {
   test("highlight modes match the reference client (client/client.go:69-79)") {
     assert(GrepEngine.highlight("a foo b", "foo", "asterisks") === "a *foo* b")
     assert(GrepEngine.highlight("a foo b", "foo", "none") === "a foo b")
-    assert(GrepEngine.highlight("a foo b", "foo", "classic").contains(Console.RED_B))
+    // classic = bold + red FOREGROUND (client.go bold+colorRed), not background
+    assert(GrepEngine.highlight("a foo b", "foo", "classic") ===
+      s"a ${Console.BOLD}${Console.RED}foo${Console.RESET} b")
   }
 
   test("entry returns rows on sf0.001") {
