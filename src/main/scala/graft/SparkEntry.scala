@@ -58,6 +58,9 @@ object SparkEntry {
     "q_quality" -> (operators.TextAnalysis.qualityMetrics _),
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
+    // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
+    "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
+    "q_mm_feature_neardup" -> ((s, d) => operators.Multimodal.featureNearDups(s, d)),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")
@@ -210,6 +213,16 @@ object SparkEntry {
     "q_fingerprint" -> ("""
       SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""".stripMargin.trim),
+    "q_mm_asset_stats" -> ("""
+      SELECT CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS mime,
+             COUNT(*) AS n_assets,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1""".stripMargin.trim),
+    // q_mm_feature_neardup: byte-histogram features are not practically
+    // SQL-expressible in DuckDB — rows-only check; exact pair set is
+    // asserted against a driver-side reimplementation in MultimodalSpec.
     "q_csv_nation_region" -> ("""
       SELECT r_name, COUNT(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey

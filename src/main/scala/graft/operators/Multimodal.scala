@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ByteHistogram.byteHistogram
+
+/** Multimodal-column plumbing: image/audio/video assets as opaque
+  * `binary` payload columns with typed metadata, flowing through the
+  * same engine as text and embeddings.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[byteHistogram]] — a real native
+  * expression over the raw bytes standing in for "decode + embed"); all
+  * the Spark-side structure a production decode would need is real:
+  * binary columns survive parquet/shuffle untouched, metadata travels in
+  * a struct, feature extraction is a per-row projection (no shuffle),
+  * and extracted features feed the existing similarity stack
+  * ([[Similarity]]'s cosine scoring) unchanged.
+  *
+  * Scale notes: payloads dominate row size, so asset tables should be
+  * scanned with pushed projections that DROP the payload once features
+  * are extracted (asserted in MultimodalSpec) — shuffling raw media is
+  * the classic 100 TB mistake. Feature extraction is embarrassingly
+  * parallel per-row work inside whole-stage codegen.
+  */
+object Multimodal {
+
+  /** Deterministic in-flight asset view derived from the documents
+    * fixture (no synthetic testdata on disk): payload = UTF-8 bytes of
+    * the text standing in for an encoded media blob, mime assigned
+    * round-robin, metadata struct carrying fake-but-typed dimensions.
+    */
+  def assets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (length(col("text")) % 640).cast("int").as("width"),
+        (length(col("text")) % 480).cast("int").as("height"),
+        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+
+  /** STUB decode + feature extraction: 16-bin byte histogram of the
+    * payload as float features — deterministic stand-in for a real
+    * decoder+encoder; swap [[byteHistogram]] for a codec-backed
+    * expression in production without touching the pipeline shape.
+    */
+  def features(assetsDf: DataFrame, bins: Int = 16): DataFrame =
+    assetsDf.select(
+      col("asset_id"), col("mime"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      byteHistogram(col("payload"), bins).as("features"))
+
+  /** "Frame sampling" stub: every `stride`-th kilobyte slice of the
+    * payload becomes one frame row (posexplode) — the per-frame fan-out
+    * a video pipeline needs, on binary slices via substring.
+    */
+  def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 64,
+                   stride: Int = 128): DataFrame =
+    assetsDf.select(col("asset_id"),
+      posexplode(
+        transform(
+          sequence(lit(1), greatest((length(col("payload")) / stride).cast("int"), lit(1))),
+          i => substring(col("payload"), (i - lit(1)) * stride + 1, lit(frameBytes))))
+        .as(Seq("frame_no", "frame")))
+
+  /** Multimodal near-dup: assets whose payload-derived features are
+    * cosine-similar — the binary-column path into the similarity stack.
+    * Same blocked-pair layout as [[Similarity.cosineNearDupPairs]].
+    */
+  def featureNearDups(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.999): DataFrame =
+    Similarity.blockedPairs(spark,
+      features(assets(spark, sfDir))
+        .select(col("asset_id").as("id"), col("features").as("v")),
+      blocks = 8)
+      .filter(graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+  /** Asset inventory by mime type: count + payload bytes — the
+    * SQL-expressible face of the asset table (oracle-checked; the
+    * feature values themselves are verified in MultimodalSpec against a
+    * driver-side reimplementation).
+    */
+  def assetStats(spark: SparkSession, sfDir: String): DataFrame =
+    assets(spark, sfDir)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+}

@@ -63,26 +63,38 @@ object Similarity {
     * noise) keeps the exact-set oracle stable across engines.
     */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String,
-                         threshold: Double = 0.45, blocks: Int = 8): DataFrame = {
+                         threshold: Double = 0.45, blocks: Int = 8): DataFrame =
+    blockedPairs(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id").as("id"), col("embedding").as("v")),
+      blocks)
+      .filter(cosineSim(col("va"), col("vb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+  /** Blocked all-pairs enumeration over a (id, v) DataFrame: every
+    * unordered row pair appears EXACTLY once in the output
+    * (id_a, va, id_b, vb), behind a plain equi-join on block-pair ids —
+    * never a cartesian/BroadcastNestedLoopJoin. Rows hash into `blocks`
+    * buckets; the B(B+1)/2 bucket pairs become join keys, giving
+    * balanced partition-local nested loops that spill and AQE-split.
+    * Replication factor ≈ B per side; pick blocks ≈ sqrt(2·parallelism).
+    */
+  def blockedPairs(spark: SparkSession, df: DataFrame, blocks: Int): DataFrame = {
     import spark.implicits._
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+    val v = df.withColumn("blk", pmod(hash(col("id")), lit(blocks)))
     val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
       .select(col("bi"), col("bj"), (col("bi") * blocks + col("bj")).as("pid"),
         (col("bi") === col("bj")).as("diag"))
     val a = v.join(broadcast(bp), col("blk") === col("bi"))
-      .select(col("pid"), col("diag"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .select(col("pid"), col("diag"), col("id").as("id_a"), col("v").as("va"))
     val b = v.join(broadcast(bp.drop("diag")), col("blk") === col("bj"))
-      .select(col("pid"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .select(col("pid"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, "pid")
       // diagonal blocks see each unordered pair twice — keep one;
       // off-diagonal blocks see it once (block of a = bi, block of b = bj)
       .filter(!col("diag") || col("id_a") < col("id_b"))
-      .filter(cosineSim(col("ea"), col("eb")) >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .select(col("id_a"), col("va"), col("id_b"), col("vb"))
   }
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
