@@ -12,7 +12,12 @@ object Bench {
     val results: Map[String, (Double, Option[String])] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        // noop sink materializes every result column (count() would let
+        // Spark prune final projections and under-measure them)
+        val err = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          None
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
             Some(e.getClass.getSimpleName)

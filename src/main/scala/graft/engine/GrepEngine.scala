@@ -102,6 +102,17 @@ object GrepEngine {
       case _           => line
     }
 
+  /** Render the result exactly like the reference: header + 41-dash
+    * ruler (client/client.go:80), then "<freq>\t<line>" per row
+    * (server/server.go:231-234) with the highlight applied client-side.
+    */
+  def formatOutput(rows: Seq[(String, Long)], pattern: String, hl: String): String = {
+    val header = "Freq.\tLine\n-----------------------------------------"
+    (header +: rows.map { case (line, freq) =>
+      s"$freq\t${highlight(line, pattern, hl)}"
+    }).mkString("\n")
+  }
+
   /** CLI with the reference's flag surface (client/client.go:25-28):
     * usage: GrepCli <file> <pattern> [hl-mode: classic|asterisks|none] [regex]
     */
@@ -119,12 +130,8 @@ object GrepEngine {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rows = distGrep(spark, path, pattern, mode).collect()
-    // Header + "<freq>\t<line>" per row (server/server.go:228-235,
-    // client/client.go:80 parity, including the 41-dash ruler).
-    println("Freq.\tLine\n-----------------------------------------")
-    rows.foreach { r =>
-      println(s"${r.getLong(1)}\t${highlight(r.getString(0), pattern, hl)}")
-    }
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    println(formatOutput(rows, pattern, hl))
     spark.stop()
   }
 }

@@ -77,6 +77,16 @@ class GrepEngineSpec extends SparkSpec {
       s"a ${Console.BOLD}${Console.RED}foo${Console.RESET} b")
   }
 
+  test("formatOutput matches the reference's header, ruler, and row format") {
+    val out = GrepEngine.formatOutput(
+      Seq(("alpha foo", 3L), ("beta", 1L)), "foo", "asterisks")
+    val lines = out.split("\n").toSeq
+    assert(lines(0) === "Freq.\tLine")
+    assert(lines(1) === "-" * 41, "41-dash ruler (client/client.go:80)")
+    assert(lines(2) === "3\talpha *foo*")
+    assert(lines(3) === "1\tbeta")
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

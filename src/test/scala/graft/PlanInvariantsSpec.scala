@@ -1,0 +1,53 @@
+package graft
+
+/** Global physical-plan invariants over EVERY registered query: the
+  * properties that keep a plan 100×-scalable are asserted for the whole
+  * surface, not just the queries someone remembered to test.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+  val sf = TestSpark.sf0001
+
+  /** Brute-force ANN deliberately streams every vector past a broadcast
+    * of the ~10 query vectors — a BroadcastNestedLoopJoin whose build
+    * side is constant-size is linear, not quadratic, and IS the intended
+    * exact-baseline plan. Everything else must stay equi-join shaped.
+    */
+  private val intendedBnlj = Set("q_embed_ann")
+
+  test("no query plans a cartesian product or unintended nested-loop join") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") ||
+          (plan.contains("BroadcastNestedLoopJoin") && !intendedBnlj(name)))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join operators in: ${offenders.mkString(", ")}")
+  }
+
+  test("every query participates in whole-stage codegen somewhere") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // AQE only materializes codegen stages in the FINAL plan
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("*(")) None else Some(name)
+    }
+    assert(offenders.isEmpty, s"no codegen stage in: ${offenders.mkString(", ")}")
+  }
+
+  test("lineitem scans prune columns: no query reads the full 11-column schema") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem"))
+      // every lineitem ReadSchema must be a strict subset of the table
+      val bad = scans.exists { l =>
+        val schema = l.substring(l.indexOf("ReadSchema:"))
+        schema.count(_ == ',') >= 10 // 11 columns -> 10 commas inside struct
+      }
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpruned lineitem scan in: ${offenders.mkString(", ")}")
+  }
+}

@@ -25,6 +25,12 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() === 25)
   }
 
+  test("revenue by region: both dimension hops are broadcast joins") {
+    val plan = executedPlan(Relational.revenueByRegion(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation AND region must broadcast:\n$plan")
+  }
+
   test("pricing summary: shipdate filter is pushed to the parquet scan") {
     val plan = executedPlan(Relational.pricingSummary(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
