@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point (SURVEY.md §7.3 route (c) surface):
+  * registers graft's native expressions as SQL functions at session
+  * build, so `spark.sql("SELECT cosine_sim(a, b) ...")` works without
+  * programmatic registration. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — [[Sessions.builder]] does the
+  * former, making every entry point (CLI, Verify, Bench, tests) uniform.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$name must be an integer literal")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[functions.MinHashBandKeys].getName, "minhash_band_keys"),
+      (exprs: Seq[Expression]) => functions.MinHashBandKeys(exprs(0),
+        intLit(exprs(1), "k"), intLit(exprs(2), "bands"))))
+    ext.injectFunction((
+      FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[functions.ByteHistogramExpr].getName, "byte_histogram"),
+      (exprs: Seq[Expression]) => functions.ByteHistogramExpr(exprs(0),
+        intLit(exprs(1), "bins"))))
+  }
+}

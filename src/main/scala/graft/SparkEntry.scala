@@ -60,7 +60,7 @@ object SparkEntry {
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
     "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
-    "q_mm_feature_neardup" -> ((s, d) => operators.Multimodal.featureNearDups(s, d)),
+    "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")
@@ -220,9 +220,21 @@ object SparkEntry {
              COUNT(*) AS n_assets,
              CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
       FROM documents GROUP BY 1""".stripMargin.trim),
-    // q_mm_feature_neardup: byte-histogram features are not practically
-    // SQL-expressible in DuckDB — rows-only check; exact pair set is
-    // asserted against a driver-side reimplementation in MultimodalSpec.
+    "q_mm_frame_stats" -> ("""
+      WITH a AS (SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                   ELSE 'video/mp4' END AS mime,
+                 octet_length(encode(text)) AS nb
+                 FROM documents),
+      f AS (SELECT mime, GREATEST(LEAST(64, nb - (i-1)*128), 0) AS fl
+            FROM a, (SELECT unnest(generate_series(1, GREATEST(nb // 128, 1))) AS i))
+      SELECT mime, COUNT(*) AS n_frames,
+             CAST(SUM(fl) AS BIGINT) AS total_frame_bytes
+      FROM f GROUP BY mime""".stripMargin.trim),
+    // featureNearDups: library+spec only — the stub features are
+    // non-discriminative on this fixture (see Multimodal.scaladoc);
+    // exact pair set asserted vs a driver-side reimplementation in
+    // MultimodalSpec.
     "q_csv_nation_region" -> ("""
       SELECT r_name, COUNT(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -83,12 +83,19 @@ object Dedup {
     * bench spent 76% of its total here for exactly that reason).
     *
     * Scale path: signatures are per-row; the only shuffles are the band
-    * bucket join and the verification joins on doc ids. Hot buckets (many
-    * identical docs) would skew a band — for production add a bucket-size
-    * cap or salt; dataset here has no such pathology.
+    * bucket join and the verification joins on doc ids. Hot buckets
+    * (a mega-cluster of near-identical docs) would make one band bucket
+    * quadratic — `maxBucket` caps them: buckets with more than
+    * `maxBucket` members are dropped from candidate generation. A pair
+    * is lost only if EVERY band bucket it shares exceeds the cap, i.e.
+    * the pair belongs to a > maxBucket near-identical cluster — which
+    * [[exact]] dedup collapses upstream in a real pipeline. This data
+    * has no such cluster (recall stays 1.0; asserted vs brute force in
+    * DedupSpec, cap behavior itself unit-tested with a tiny cap).
     */
   def minHashNearDups(spark: SparkSession, sfDir: String,
-                      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      maxBucket: Int = 10000): DataFrame = {
     val docs = docShingles(spark, sfDir, n).persist()
     docs.count() // materialize the shingle projection once: the banded
     // self-join shares one exchange (reused), but the two verification
@@ -97,7 +104,12 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
           .as(Seq("band", "key")))
-    val cands = banded.as("x").join(banded.as("y"),
+    val small = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"))
+    val capped = banded.join(small, Seq("band", "key"))
+    val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

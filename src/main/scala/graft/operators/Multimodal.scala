@@ -60,16 +60,34 @@ object Multimodal {
     */
   def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 64,
                    stride: Int = 128): DataFrame =
-    assetsDf.select(col("asset_id"),
+    assetsDf.select(col("asset_id"), col("mime"),
       posexplode(
         transform(
           sequence(lit(1), greatest((length(col("payload")) / stride).cast("int"), lit(1))),
           i => substring(col("payload"), (i - lit(1)) * stride + 1, lit(frameBytes))))
         .as(Seq("frame_no", "frame")))
 
+  /** Frame-sampling statistics per mime type — the bounded-output face
+    * of [[sampleFrames]], oracle-checked end to end (frame counts and
+    * byte totals are integer-exact across engines).
+    */
+  def frameStats(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(assets(spark, sfDir))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame")).cast("long")).as("total_frame_bytes"))
+
   /** Multimodal near-dup: assets whose payload-derived features are
     * cosine-similar — the binary-column path into the similarity stack.
     * Same blocked-pair layout as [[Similarity.cosineNearDupPairs]].
+    *
+    * Library + test surface only (exact pair set asserted in
+    * MultimodalSpec): on THIS fixture the stub byte-histogram features
+    * are non-discriminative by construction (all docs share one
+    * character distribution — 38% of all pairs clear 0.999), so a
+    * shipped near-dup query over them would materialize millions of
+    * meaningless pairs. With real decoder-backed embeddings the same
+    * pipeline is selective.
     */
   def featureNearDups(spark: SparkSession, sfDir: String,
                       threshold: Double = 0.999): DataFrame =

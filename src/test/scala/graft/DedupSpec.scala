@@ -41,6 +41,17 @@ class DedupSpec extends SparkSpec {
     assert(got === brutePairs(0.8), "LSH must have full recall on this data")
   }
 
+  test("minhash hot-bucket cap drops capped buckets from candidate generation") {
+    // cap = 1: every bucket that could produce a candidate (>= 2 members)
+    // is dropped, so the output must be empty — the structural proof the
+    // cap gates the self-join
+    assert(Dedup.minHashNearDups(spark, sf, maxBucket = 1).count() === 0)
+    // and a cap far above any real bucket changes nothing
+    val capped = Dedup.minHashNearDups(spark, sf, maxBucket = 1000000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === brutePairs(0.8))
+  }
+
   test("exact ngram Jaccard pairs equal brute force at >= 0.5") {
     val got = Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -1,0 +1,33 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native functions are SQL-callable via GraftExtensions (no registration call)") {
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .as[Double].head
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val nKeys = spark.sql(
+      "SELECT size(minhash_band_keys(array('a b c', 'b c d'), 64, 16)) AS n")
+      .as[Int].head
+    assert(nKeys === 16)
+
+    val hist = spark.sql(
+      "SELECT byte_histogram(CAST('aaaa' AS BINARY), 16) AS h")
+      .as[Seq[Float]].head
+    assert(hist.length === 16)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6f)
+    // 'a' = 0x61 -> bin 6 holds everything
+    assert(hist(6) === 1.0f)
+  }
+
+  test("non-literal band parameters are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_band_keys(array('x'), CAST(id AS INT), 16) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
