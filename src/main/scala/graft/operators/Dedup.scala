@@ -138,16 +138,41 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
                         maxDocFreq: Int = 1000): DataFrame = {
     val docs = docShingles(spark, sfDir, n).persist()
+    docs.count() // shared by the inverted index, size joins, and the rare
+    // exact-verify path — materialize the shingle arrays once
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("ng"))
-    val rare = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select(col("ng"))
-    val keptInv = inv.join(rare, "ng")
-    val cands = keptInv.as("x").join(keptInv.as("y"),
+    val dfreq = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val keptInv = inv.join(dfreq.filter(col("df") <= maxDocFreq).select("ng"), "ng")
+    // exact intersection over KEPT shingles straight out of the join
+    // aggregation — no per-pair array work on the main path
+    val interKept = keptInv.as("x").join(keptInv.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, docs, 1, 2)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_kept"))
+    // docs carrying any hot (capped) shingle; pairs where BOTH sides do
+    // may share hot shingles, so only those need array verification
+    val hotDocs = inv.join(dfreq.filter(col("df") > maxDocFreq).select("ng"), "ng")
+      .select(col("doc_id")).distinct().withColumn("is_hot", lit(true))
+    val sizes = docs.select(col("doc_id"), col("sz"))
+    val pairs = interKept
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .join(hotDocs.select(col("doc_id").as("doc_a"), col("is_hot").as("hot_a")),
+        Seq("doc_a"), "left")
+      .join(hotDocs.select(col("doc_id").as("doc_b"), col("is_hot").as("hot_b")),
+        Seq("doc_b"), "left")
+    val bothHot = coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false))
+    // j >= 1/2  ⇔  3*inter >= szA+szB, with inter == inter_kept exact
+    // whenever at least one side has no hot shingles
+    val easy = pairs.filter(!bothHot)
+      .filter(col("inter_kept") * 3 >= col("sz_a") + col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter_kept").cast("long").as("inter"),
+        (col("sz_a") + col("sz_b") - col("inter_kept")).cast("long").as("uni"))
+    // hot∧hot pairs (empty unless a shingle exceeds the cap): exact
+    // array intersection on the persisted shingle sets
+    val hard = verifyJaccard(
+      pairs.filter(bothHot).select(col("doc_a"), col("doc_b")), docs, 1, 2)
+    easy.union(hard)
   }
 
   /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 over unigram

@@ -58,6 +58,15 @@ class DedupSpec extends SparkSpec {
     assert(got === brutePairs(0.5))
   }
 
+  test("ngram Jaccard with an aggressive stop-shingle cap stays sound") {
+    // a tiny cap marks common shingles hot, exercising the hot∧hot
+    // exact-verify path; recall may drop (documented approximation) but
+    // every emitted pair must still be a TRUE >= 0.5 pair
+    val got = Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brutePairs(0.5)), "no false positives under capping")
+  }
+
   test("ngram intersection/union sizes are exact") {
     val row = Dedup.ngramJaccardPairs(spark, sf)
       .orderBy("doc_a", "doc_b").limit(1).collect().headOption
