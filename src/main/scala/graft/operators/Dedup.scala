@@ -104,11 +104,14 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
           .as(Seq("band", "key")))
-    val small = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
+    // bucket-size cap via a window over the SAME (band, key) hash
+    // partitioning the self-join shuffles on — Catalyst reuses one
+    // exchange for the window and both join sides
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("key"))
-    val capped = banded.join(small, Seq("band", "key"))
+      .drop("bsz")
     val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
