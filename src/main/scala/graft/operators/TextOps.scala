@@ -18,10 +18,20 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles of `text`, as space-joined strings.
-    * Empty array when the doc has fewer than n tokens (guards Spark's
-    * `sequence`, which would otherwise generate a DESCENDING range).
+    * Empty array when the doc has fewer than n tokens. Backed by the
+    * native codegen expression [[graft.functions.WordShingles]] — the
+    * interpreted HOF spelling below ([[shinglesHof]]) was the hottest
+    * projection in the bench.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
+
+  /** Composed-builtins reference spelling of [[shingles]] — kept for the
+    * equivalence test (MinHashSpec asserts the two agree column-for-
+    * column). The `when` guards Spark's `sequence`, which would
+    * otherwise generate a DESCENDING range below n tokens.
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val ws = tokens(text)
     when(size(ws) >= n,
       array_distinct(

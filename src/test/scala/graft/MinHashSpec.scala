@@ -69,6 +69,22 @@ class MinHashSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("native word_shingles equals the composed-builtins spelling on real docs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text"),
+        TextOps.shingles(col("text"), 3).as("native"),
+        TextOps.shinglesHof(col("text"), 3).as("hof"))
+    val diffs = docs.filter(not(col("native") === col("hof"))).count()
+    assert(diffs === 0, "native and HOF shingles must agree exactly")
+    // and on edge shapes: short docs, repeated grams, trailing spaces
+    val edge = Seq("", "a", "a b", "a b c", "a b c d", "x x x x x", "a b c ",
+      " a b c", "a  b c d").toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("native"),
+        TextOps.shinglesHof(col("text"), 3).as("hof"))
+    val edgeDiffs = edge.filter(not(col("native") === col("hof"))).count()
+    assert(edgeDiffs === 0)
+  }
+
   test("empty set yields defined keys (all-minima sentinel), no crash") {
     val keys = Seq(Array.empty[String]).toDF("sh")
       .select(minhashBandKeys(col("sh"), 64, 16).as("keys")).as[Seq[Long]].head
