@@ -51,6 +51,7 @@ object SparkEntry {
     "q_except_small_only" -> ((s, d) => operators.Relational.onlySmallOrderCustomers(s, d)),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
+    "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
     // -- text analysis (SURVEY.md §7.2 M2: token/n-gram frequency + profiling) --
     "q_token_freq" -> ((s, d) => operators.TextAnalysis.tokenFreq(s, d)),
     "q_ngram_docfreq" -> ((s, d) => operators.TextAnalysis.ngramDocFreq(s, d)),
@@ -251,6 +252,15 @@ object SparkEntry {
     "q_events_props" -> ("""
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
       FROM events GROUP BY 1""".stripMargin.trim),
+    // as-of semantics spelled as a correlated top-1 (latest order at or
+    // before the event, ties to the largest orderkey) — mirrors the
+    // union+window engine implementation exactly
+    "q_events_asof_order" -> ("""
+      SELECT e.event_id,
+             (SELECT o.o_orderkey FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+      FROM events e""".stripMargin.trim),
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_wordset" -> ("""

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (point-in-time) join — the canonical operator Spark's built-in
+  * join surface lacks (SURVEY.md §7.3 custom-operator class, route (a):
+  * composed from existing ops).
+  *
+  * Implemented the scale-correct way: UNION both sides tagged, one
+  * shuffle on the key, one per-key sort, and a running `last(...,
+  * ignoreNulls)` window carries the most recent right-side value forward
+  * into each left row. Cost is O((|L|+|R|) log) per key with NO join
+  * fan-out — the naive spelling (equi-join on key + time filter + window
+  * rank) multiplies each left row by every earlier right row before
+  * discarding all but one, which explodes on active keys at scale.
+  * AsOfSpec asserts both spellings agree.
+  *
+  * Tie semantics: a right row at exactly the left row's time IS visible
+  * ("at or before"); among right rows with equal time the largest
+  * `rightVal` wins (deterministic).
+  */
+object AsOf {
+
+  /** Generic as-of: for each left row, the `rightVal` of the latest
+    * right row with rightTime <= leftTime on the same key; null when no
+    * prior right row exists. Output: leftId, value columns.
+    */
+  def asOfJoin(left: DataFrame, leftKey: Column, leftTime: Column, leftId: Column,
+               right: DataFrame, rightKey: Column, rightTime: Column,
+               rightVal: Column, outName: String): DataFrame = {
+    val r = right.select(rightKey.as("k"), rightTime.as("t"),
+      lit(0).as("tag"), rightVal.as("v"), lit(null).cast("long").as("lid"))
+    val l = left.select(leftKey.as("k"), leftTime.as("t"),
+      lit(1).as("tag"), lit(null).cast("long").as("v"), leftId.as("lid"))
+    // sort (time, tag, v): right rows precede left rows at equal time
+    // ("at or before"), and among equal-time right rows the running
+    // last() lands on the largest v — the deterministic tie-break
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tag").asc, col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("asof_v", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("lid"), col("asof_v").as(outName))
+  }
+
+  /** Each event matched to the user's most recent order at or before the
+    * event time: the point-in-time feature-join shape (label events with
+    * the state that was current when they happened).
+    */
+  def eventsAsOfOrders(spark: SparkSession, sfDir: String): DataFrame =
+    asOfJoin(
+      Tables.events(spark, sfDir), col("user_id"), col("ts"), col("event_id"),
+      Tables.orders(spark, sfDir), col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey"), "o_orderkey")
+      .withColumnRenamed("lid", "event_id")
+}
