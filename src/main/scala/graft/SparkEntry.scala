@@ -52,6 +52,9 @@ object SparkEntry {
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
+    // rows-only: HLL sketch values are engine-specific; error bound vs
+    // the exact count asserted in RelationalSpec
+    "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),
     // -- text analysis (SURVEY.md §7.2 M2: token/n-gram frequency + profiling) --
     "q_token_freq" -> ((s, d) => operators.TextAnalysis.tokenFreq(s, d)),
     "q_ngram_docfreq" -> ((s, d) => operators.TextAnalysis.ngramDocFreq(s, d)),

@@ -77,6 +77,18 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame")).cast("long")).as("total_frame_bytes"))
 
+  /** "Resize" stub: sum-pool a feature vector down by `factor`
+    * (16-bin histogram → 4 coarse bins), the downsampling stage of an
+    * image pipeline as pure composed builtins. L1 normalization is
+    * preserved (pooled bins sum to the same total).
+    */
+  def resizeFeatures(features: Column, bins: Int, factor: Int): Column = {
+    require(bins % factor == 0, s"bins=$bins must divide by factor=$factor")
+    transform(sequence(lit(0), lit(bins / factor - 1)),
+      i => aggregate(slice(features, i * factor + 1, lit(factor)),
+        lit(0.0f), (acc, x) => acc + x))
+  }
+
   /** Multimodal near-dup: assets whose payload-derived features are
     * cosine-similar — the binary-column path into the similarity stack.
     * Same blocked-pair layout as [[Similarity.cosineNearDupPairs]].

@@ -198,6 +198,22 @@ object Relational {
         sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
         count(lit(1)).as("n_items"))
 
+  /** Approximate distinct users per event type via HyperLogLog++
+    * (`approx_count_distinct`, rsd 2%) next to the exact count. At 100 TB
+    * the exact distinct is the expensive path (exchange carries every
+    * distinct (type, user) pair); the sketch is fixed-size per group and
+    * merges associatively. Sketch values are engine-specific, so this
+    * query is verified by RelationalSpec's error-bound test rather than
+    * the DuckDB oracle.
+    */
+  def eventTypeApproxUsers(spark: SparkSession, sfDir: String,
+                           rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** Set op UNION (distinct): customers with a big order ∪ customers in
     * debt. Planned as union + hash-distinct — one exchange on the key.
     * Default threshold sits in the upper quintile of o_totalprice so both

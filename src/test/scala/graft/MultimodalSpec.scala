@@ -53,6 +53,16 @@ class MultimodalSpec extends SparkSpec {
     assert(!cols.contains("payload"))
   }
 
+  test("resize pooling preserves mass and halves dimensionality") {
+    val pooled = Multimodal.features(Multimodal.assets(spark, sf))
+      .select(Multimodal.resizeFeatures(col("features"), 16, 4).as("p"))
+      .as[Seq[Float]].limit(50).collect()
+    pooled.foreach { p =>
+      assert(p.length === 4)
+      assert(math.abs(p.sum - 1.0f) < 1e-4f, "sum-pooling preserves L1 mass")
+    }
+  }
+
   test("frame sampling fans out >=1 bounded frame per asset") {
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf), 64, 128)
     val n = Tables.documents(spark, sf).count()

@@ -65,6 +65,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() === out.distinct().count())
   }
 
+  test("approx distinct users within the configured relative error of exact") {
+    val rows = Relational.eventTypeApproxUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("events daily: nanos ts converts to sensible dates") {
     val rows = Relational.eventsDaily(spark, sf).collect()
     assert(rows.nonEmpty)
