@@ -52,6 +52,7 @@ object SparkEntry {
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
+    "q_event_session_pairs" -> ((s, d) => operators.AsOf.eventPairsWithin(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
     "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),
@@ -264,6 +265,13 @@ object SparkEntry {
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
       FROM events e""".stripMargin.trim),
+    // integer-microsecond arithmetic on both engines (epoch_us /
+    // unix_micros both floor positive nanos), so the boundary is exact
+    "q_event_session_pairs" -> ("""
+      SELECT e1.event_id AS id_a, e2.event_id AS id_b
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+      WHERE abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 600000000""".stripMargin.trim),
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_wordset" -> ("""

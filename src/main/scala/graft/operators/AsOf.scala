@@ -57,4 +57,39 @@ object AsOf {
       Tables.orders(spark, sfDir), col("o_custkey"), col("o_orderdate"),
       col("o_orderkey"), "o_orderkey")
       .withColumnRenamed("lid", "event_id")
+
+  /** Banded range (interval) self-join: pairs of events from the same
+    * user within `windowSec` of each other — the sessionization shape.
+    *
+    * A naive spelling joins on user and filters |Δt| — per-user
+    * quadratic with the time predicate applied AFTER the fan-out. The
+    * banded layout buckets time into `windowSec`-wide bands; any
+    * qualifying pair lands in the same or adjacent band, so joining on
+    * (user, band) ∪ (user, band+1) (via a 2-way explode of one side)
+    * bounds each join group to two bands' worth of rows, then the exact
+    * time predicate filters band-local candidates. Time arithmetic is
+    * integer microseconds end to end — identical truncation on both
+    * engines, no interval-type semantics in play.
+    */
+  def eventPairsWithin(spark: SparkSession, sfDir: String,
+                       windowSec: Long = 600): DataFrame = {
+    val winUs = windowSec * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("band", floor(col("us") / winUs))
+    // the probe side covers its own band and the next, so every
+    // qualifying pair is found with the earlier-or-equal-band event as
+    // probe; least/greatest + distinct collapses the equal-band case
+    // where both role assignments match
+    val probe = ev.select(col("event_id").as("id_x"), col("user_id"),
+        col("us").as("us_x"), explode(array(col("band"), col("band") + 1)).as("band"))
+    val build = ev.select(col("event_id").as("id_y"), col("user_id"),
+      col("us").as("us_y"), col("band"))
+    probe.join(build, Seq("user_id", "band"))
+      .filter(col("id_x") =!= col("id_y") &&
+        abs(col("us_x") - col("us_y")) <= winUs)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  val sf = TestSpark.sf0001
+
+  test("banded range join equals the naive per-user quadratic join") {
+    val got = AsOf.eventPairsWithin(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._2)
+    val want = (for {
+      es <- byUser.values.map(_.toSeq).toSeq
+      x <- es
+      y <- es
+      if x._1 < y._1 && math.abs(x._3 - y._3) <= 600000000L
+    } yield (x._1, y._1)).toSet
+    assert(got === want)
+  }
+
+  test("pairs straddling a band boundary are found (adjacent-band probe)") {
+    // two events 1s apart but in different 600s bands: 599.5 and 600.5
+    val ev = Seq(
+      (1L, 7L, 599500000L), (2L, 7L, 600500000L), // adjacent bands, |d|=1s
+      (3L, 7L, 1800000000L),                      // far away
+      (4L, 8L, 600000000L),                       // other user
+    ).toDF("event_id", "user_id", "us")
+    // exercise the same banding logic inline
+    val winUs = 600000000L
+    val banded = ev.withColumn("band", floor(col("us") / winUs))
+    val probe = banded.select(col("event_id").as("id_x"), col("user_id"),
+      col("us").as("us_x"), explode(array(col("band"), col("band") + 1)).as("band"))
+    val build = banded.select(col("event_id").as("id_y"), col("user_id"),
+      col("us").as("us_y"), col("band"))
+    val pairs = probe.join(build, Seq("user_id", "band"))
+      .filter(col("id_x") =!= col("id_y") &&
+        abs(col("us_x") - col("us_y")) <= winUs)
+      .select(least(col("id_x"), col("id_y")).as("a"),
+        greatest(col("id_x"), col("id_y")).as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
