@@ -72,6 +72,10 @@ object SparkEntry {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_nations"))),
+    "q_events_by_day_partitioned" -> ((s, d) =>
+      sources.Roundtrip.eventsPartitionedByDay(s, d)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"))),
     "q_json_customer_segments" -> ((s, d) =>
       sources.Roundtrip.json(s, d, "customer")
         .groupBy(col("c_mktsegment"))
@@ -244,6 +248,9 @@ object SparkEntry {
       SELECT r_name, COUNT(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name""".stripMargin.trim),
+    "q_events_by_day_partitioned" -> ("""
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1""".stripMargin.trim),
     "q_json_customer_segments" -> ("""
       SELECT c_mktsegment, COUNT(*) AS n_cust,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents

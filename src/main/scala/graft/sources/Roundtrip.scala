@@ -46,4 +46,23 @@ object Roundtrip {
 
   def json(spark: SparkSession, sfDir: String, table: String): DataFrame =
     via("json")(spark, sfDir, table)
+
+  /** Day-partitioned parquet layout of the events table — the canonical
+    * large-table organization: one directory per day so per-day queries
+    * prune whole partitions at planning time (`PartitionFilters` in the
+    * scan, asserted in TextAnalysisSpec) instead of reading 100 TB to
+    * filter 1 TB. Returns the read-back DataFrame whose `day` column is
+    * the (string) partition column.
+    */
+  def eventsPartitionedByDay(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = scratch("parquet_by_day", sfDir, "events")
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // partition-column type inference off in Sessions? default infers
+    // dates/numbers; read with explicit string to stay schema-stable
+    spark.read.option("inferSchema", "false").parquet(path)
+      .withColumn("day", col("day").cast("string"))
+  }
 }

@@ -81,6 +81,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert((small & big).isEmpty)
   }
 
+  test("day-partitioned layout prunes partitions for per-day queries") {
+    val df = graft.sources.Roundtrip.eventsPartitionedByDay(spark, sf)
+    val days = df.select("day").distinct().as[String].collect().sorted
+    assert(days.nonEmpty && days.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+    val oneDay = df.filter(col("day") === days.head)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(plan.contains(days.head), "day predicate must reach partition pruning")
+    // pruned count equals the unpruned group count for that day
+    val viaGroup = df.groupBy("day").count()
+      .filter(col("day") === days.head).select("count").as[Long].head
+    assert(oneDay.count() === viaGroup)
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
