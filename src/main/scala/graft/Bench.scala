@@ -7,6 +7,11 @@ object Bench {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM (codegen compiler, parquet readers, shuffle machinery)
+    // so the first measured query isn't charged for one-time session cost
+    spark.range(1000000).selectExpr("id % 7 AS k").groupBy("k").count()
+      .write.mode("overwrite").format("noop").save()
+    Tables.documents(spark, sfDir).limit(100).write.mode("overwrite").format("noop").save()
     // (name -> (seconds, error)); a failed query must NEVER pass for a
     // fast one — its error is logged and reported in the JSON line.
     val results: Map[String, (Double, Option[String])] =
