@@ -12,11 +12,12 @@ import graft.Tables
   * Scale design (100 TB):
   *   - Exact/normalized dedup is one hash aggregation on the dedup key —
   *     the same shape as the reference's line-frequency query, one shuffle.
-  *   - MinHash/SimHash signatures are computed per-row with higher-order
-  *     functions (no UDF, no shuffle), then candidates are found with a
-  *     BUCKET join on band keys — the shuffle is on (band, key), never an
-  *     all-pairs cross join. Only candidate pairs (tiny vs n²) are verified
-  *     exactly.
+  *   - MinHash/SimHash signatures are computed per-row (MinHash via the
+  *     native codegen expression [[graft.functions.MinHash]], SimHash via
+  *     SQL bit arithmetic — no UDF, no shuffle), then candidates are
+  *     found with a BUCKET join on band keys — the shuffle is on
+  *     (band, key), never an all-pairs cross join. Only candidate pairs
+  *     (tiny vs n²) are verified exactly.
   *   - Jaccard verification uses integer arithmetic (intersection/union
   *     sizes), so thresholds are exact and reproducible across engines —
   *     no float boundary flakiness in the oracle compare.
@@ -76,11 +77,11 @@ object Dedup {
     *
     * Performance shape: band keys come from the native codegen expression
     * [[graft.functions.MinHash]] (one two-pass hash per shingle, no
-    * per-row signature array), and both the shingle projection and the
-    * banded keys are persisted and materialized ONCE before the self-join —
-    * otherwise the most expensive expression in the plan is recomputed on
-    * both join sides and again in each verification join (the round-1
-    * bench spent 76% of its total here for exactly that reason).
+    * per-row signature array), and the shingle projection is persisted and
+    * materialized ONCE up front — the banded self-join's two sides share
+    * a reused exchange, but the verification joins are distinct subtrees
+    * that would otherwise recompute the projection (the round-1 bench
+    * spent 76% of its total on exactly that recomputation).
     *
     * Scale path: signatures are per-row; the only shuffles are the band
     * bucket join and the verification joins on doc ids. Hot buckets
@@ -120,11 +121,12 @@ object Dedup {
     verifyJaccard(cands, docs, 4, 5)
   }
 
-  /** Exact all-pairs n-gram Jaccard >= 0.5 via inverted-index CANDIDATE
-    * generation + exact verification (never a cross join):
-    * two docs are candidates iff they share at least one shingle whose
-    * document frequency is <= `maxDocFreq`; candidates are then verified
-    * with exact integer Jaccard on the persisted shingle sets.
+  /** Exact all-pairs n-gram Jaccard >= 0.5 via an inverted-index join
+    * (never a cross join): two docs pair up iff they share a shingle
+    * whose document frequency is <= `maxDocFreq`, and the join's own
+    * aggregation counts their shared kept shingles — which IS the exact
+    * intersection whenever at least one side carries no capped shingle;
+    * only hot∧hot pairs fall back to array verification.
     *
     * The stop-shingle cap bounds the inverted index's worst case — a
     * shingle appearing in d docs contributes d² candidate partials, so one
