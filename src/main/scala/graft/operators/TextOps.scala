@@ -43,6 +43,9 @@ object TextOps {
   /** MinHash signature (k values) of a shingle-set column: for each seed
     * s, min over shingles of xxhash64(shingle, s). One pass over the
     * array per row; no shuffle, no UDF (SURVEY.md §7.3 route (a)).
+    * Readable reference spelling — the production dedup path uses the
+    * native codegen [[graft.functions.MinHash]] instead (HOF lambdas
+    * stay interpreted and dominated the round-1 bench).
     */
   def minHashSignature(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
