@@ -67,6 +67,56 @@ class PropertySpec extends SparkSpec {
     check("jaccardAlgebra", prop, n = 500)
   }
 
+  test("as-of join equals brute force on random key/time data") {
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, new java.sql.Timestamp(t * 1000))
+    val sideGen = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, rowGen))
+    val prop = Prop.forAll(sideGen, sideGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val got = graft.operators.AsOf.asOfJoin(
+          left.toDF("k", "t", "id"), col("k"), col("t"), col("id"),
+          right.toDF("k", "t", "v"), col("k"), col("t"), col("v"), "v")
+        .as[(Long, Option[Long])].collect().toMap
+      val want = left.map { case (k, t, id) =>
+        val prior = right.filter(r => r._1 == k && !r._2.after(t))
+        id -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(r => (r._2.getTime, r._3))._3))
+      }.toMap
+      got == want
+    }
+    check("asOfJoin", prop, n = 10)
+  }
+
+  test("banded range pairing equals brute force on random timestamps") {
+    import org.apache.spark.sql.functions._
+    val winUs = 600L
+    val evGen = Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n,
+      for { u <- Gen.chooseNum(1, 3); t <- Gen.chooseNum(0L, 5000L) } yield (u.toLong, t)))
+    val prop = Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      val df = rows.toDF("event_id", "user_id", "us")
+        .withColumn("band", floor(col("us") / winUs))
+      val probe = df.select(col("event_id").as("id_x"), col("user_id"),
+        col("us").as("us_x"), explode(array(col("band"), col("band") + 1)).as("band"))
+      val build = df.select(col("event_id").as("id_y"), col("user_id"),
+        col("us").as("us_y"), col("band"))
+      val got = probe.join(build, Seq("user_id", "band"))
+        .filter(col("id_x") =!= col("id_y") &&
+          abs(col("us_x") - col("us_y")) <= winUs)
+        .select(least(col("id_x"), col("id_y")), greatest(col("id_x"), col("id_y")))
+        .distinct().as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 < b._1 && a._2 == b._2 && math.abs(a._3 - b._3) <= winUs
+      } yield (a._1, b._1)).toSet
+      got == want
+    }
+    check("bandedRange", prop, n = 10)
+  }
+
   test("wordset dedup key is permutation-invariant over token order") {
     val prop = Prop.forAll(bagGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
       (bag, seed) =>
