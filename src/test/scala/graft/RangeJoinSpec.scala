@@ -23,6 +23,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sessionization: session count and bounds match a driver-side scan") {
+    val got = AsOf.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var seq = 0L
+      var prev = Long.MinValue
+      val sessions = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+      sorted.foreach { case (_, _, us) =>
+        if (prev == Long.MinValue || us - prev > 600000000L) seq += 1
+        sessions(seq) = sessions.getOrElse(seq, Vector.empty) :+ us
+        prev = us
+      }
+      sessions.map { case (s, uss) =>
+        (user, s, uss.length.toLong, uss.min, uss.max)
+      }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("train/eval split is deterministic, complete, and ~80/20") {
+    val rows = graft.operators.TextAnalysis.trainEvalSplit(spark, sf)
+      .as[(String, Long, Long)].collect().map { case (k, n, _) => k -> n }.toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.values.sum === total, "every doc lands in exactly one split")
+    val frac = rows.getOrElse("train", 0L).toDouble / total
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac off the cc/256 target")
+    // determinism: re-running yields identical counts
+    val again = graft.operators.TextAnalysis.trainEvalSplit(spark, sf)
+      .as[(String, Long, Long)].collect().map { case (k, n, _) => k -> n }.toMap
+    assert(again === rows)
+  }
+
   test("pairs straddling a band boundary are found (adjacent-band probe)") {
     // two events 1s apart but in different 600s bands: 599.5 and 600.5
     val ev = Seq(
