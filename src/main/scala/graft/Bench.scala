@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,27 +7,38 @@ object Bench {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen compiler, parquet readers, shuffle machinery)
-    // so the first measured query isn't charged for one-time session cost
-    spark.range(1000000).selectExpr("id % 7 AS k").groupBy("k").count()
-      .write.mode("overwrite").format("noop").save()
-    Tables.documents(spark, sfDir).limit(100).write.mode("overwrite").format("noop").save()
+    def runOnce(name: String, fn: (SparkSession, String) => DataFrame): Option[String] =
+      try {
+        // noop sink materializes every result column (count() would let
+        // Spark prune final projections and under-measure them)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        None
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e.getClass.getSimpleName)
+      }
+    // operators that persist() shared projections (dedup suite) hand
+    // cache ownership to the caller — drop between queries so no query
+    // is measured against another's (or the warm-up's) cache; called
+    // OUTSIDE the timed region so cleanup isn't charged to the query
+    def dropCaches(): Unit = spark.catalog.clearCache()
+    // One full UNTIMED pass first: JIT/codegen compilation, parquet
+    // footer caches, and shuffle machinery warm up on the queries
+    // themselves. Round 2 charged ~33 s of first-query JVM warm-up to
+    // two innocent queries (22.7 s recorded vs 0.34 s steady state) —
+    // a token warm-up does not touch decimal-agg/window/wide-scan
+    // codegen paths, so warm up with the real thing.
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn); dropCaches() }
     // (name -> (seconds, error)); a failed query must NEVER pass for a
     // fast one — its error is logged and reported in the JSON line.
     val results: Map[String, (Double, Option[String])] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        // noop sink materializes every result column (count() would let
-        // Spark prune final projections and under-measure them)
-        val err = try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          None
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Some(e.getClass.getSimpleName)
-        }
-        name -> (((System.nanoTime() - t0) / 1e9, err))
+        val err = runOnce(name, fn)
+        val sec = (System.nanoTime() - t0) / 1e9
+        dropCaches()
+        name -> ((sec, err))
       }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // queries stays strictly {"name": seconds} for the driver; failures

@@ -21,20 +21,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case _ => throw new IllegalArgumentException(s"$name must be an integer literal")
   }
 
+  /** Clean analysis-time error naming the function — indexing exprs
+    * unchecked would surface as IndexOutOfBoundsException.
+    */
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"function $fn expects $n arguments, got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("cosine_sim", exprs, 2)
+        functions.CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[functions.MinHashBandKeys].getName, "minhash_band_keys"),
-      (exprs: Seq[Expression]) => functions.MinHashBandKeys(exprs(0),
-        intLit(exprs(1), "k"), intLit(exprs(2), "bands"))))
+      (exprs: Seq[Expression]) => {
+        arity("minhash_band_keys", exprs, 3)
+        functions.MinHashBandKeys(exprs(0),
+          intLit(exprs(1), "k"), intLit(exprs(2), "bands"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("byte_histogram"),
       new ExpressionInfo(classOf[functions.ByteHistogramExpr].getName, "byte_histogram"),
-      (exprs: Seq[Expression]) => functions.ByteHistogramExpr(exprs(0),
-        intLit(exprs(1), "bins"))))
+      (exprs: Seq[Expression]) => {
+        arity("byte_histogram", exprs, 2)
+        functions.ByteHistogramExpr(exprs(0), intLit(exprs(1), "bins"))
+      }))
   }
 }

@@ -39,7 +39,8 @@ object SparkEntry {
     // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
     "q_pricing_summary" -> (operators.Relational.pricingSummary _),
     "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
-    "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomer(s, d)),
+    // skew-safe two-phase spelling; == plain window (RelationalSpec)
+    "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomerSkewSafe(s, d)),
     "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
     "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
     "q_lineitem_rollup" -> (operators.Relational.lineitemRollup _),
@@ -49,12 +50,16 @@ object SparkEntry {
     "q_supplier_nation_volume" -> (operators.Relational.supplierNationVolume _),
     "q_union_big_or_debt" -> ((s, d) => operators.Relational.bigOrderOrDebtCustomers(s, d)),
     "q_except_small_only" -> ((s, d) => operators.Relational.onlySmallOrderCustomers(s, d)),
+    "q_orders_ranked" -> (operators.Relational.ordersRanked _),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
     "q_event_session_pairs" -> ((s, d) => operators.AsOf.eventPairsWithin(s, d)),
-    "q_event_sessions" -> ((s, d) => operators.AsOf.sessionize(s, d)),
+    // skew-safe two-phase spelling; == single-window (RangeJoinSpec)
+    "q_event_sessions" -> ((s, d) => operators.AsOf.sessionizeSalted(s, d)),
     "q_train_eval_split" -> ((s, d) => operators.TextAnalysis.trainEvalSplit(s, d)),
+    "q_train_eval_assign" -> ((s, d) =>
+      operators.TextAnalysis.trainEvalAssign(s, d).select("doc_id", "split")),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
     "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),
@@ -301,6 +306,16 @@ object SparkEntry {
              COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1""".stripMargin.trim),
+    "q_train_eval_assign" -> ("""
+      SELECT doc_id,
+             CASE WHEN md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) < 'cc'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents""".stripMargin.trim),
+    "q_orders_ranked" -> ("""
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents
+      FROM orders
+      ORDER BY o_totalprice_cents DESC, o_orderkey ASC""".stripMargin.trim),
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_wordset" -> ("""
@@ -309,8 +324,12 @@ object SparkEntry {
       FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin.trim),
     // MinHash-LSH output equals the exact >=0.8 Jaccard pair set: every
     // candidate is verified with exact integer Jaccard, and the band
-    // scheme's miss probability at the planted >=0.9 similarities is
-    // ~4e-8 (deterministic hashes — recall 1.0 confirmed at sf0.01/sf0.1).
+    // scheme's candidate-miss probability at the planted >=0.9
+    // similarities is negligible — `minHashOracleGuard` below DERIVES
+    // that bound from Dedup's shared (k, bands, n) constants and fails
+    // loudly if retuning ever invalidates this exact-set oracle
+    // (recall 1.0 confirmed empirically at sf0.01/sf0.1; the float-free
+    // integer-Jaccard verify makes the compare exact).
     "q_dedup_minhash" -> ngramJaccardOracle(num = 4, den = 5),
     "q_ngram_jaccard" -> ngramJaccardOracle(num = 1, den = 2),
     "q_embed_neardup" -> ("""
@@ -338,6 +357,26 @@ object SparkEntry {
     // seeded hyperplanes) — rows-only check; semantics verified in
     // DedupSpec / SimilaritySpec against in-Spark brute force.
   )
+
+  /** Oracle-validity guard for q_dedup_minhash, derived from the SAME
+    * constants the implementation uses: with r = k/bands rows per band,
+    * a true Jaccard-J pair is missed by every band with probability
+    * (1 - J^r)^bands. The fixture's qualifying pairs sit at J >= 0.9;
+    * the exact-set oracle is only honest while that miss probability is
+    * negligible, and the SQL oracle hard-codes 3-gram shingles. Runs at
+    * object load (Verify/Bench/tests) — retune Dedup and this throws.
+    */
+  private val minHashOracleGuard: Unit = {
+    import graft.operators.Dedup
+    val r = Dedup.MinHashK / Dedup.MinHashBands
+    val missProb = math.pow(1.0 - math.pow(0.9, r), Dedup.MinHashBands)
+    require(missProb < 1e-6,
+      s"q_dedup_minhash exact-set oracle invalid: miss prob $missProb at " +
+        s"(k=${Dedup.MinHashK}, bands=${Dedup.MinHashBands}) — retune or " +
+        "downgrade the query to rows-only")
+    require(Dedup.ShingleN == 3,
+      s"ngramJaccardOracle SQL hard-codes 3-gram shingles but Dedup.ShingleN=${Dedup.ShingleN}")
+  }
 
   /** Exact word-3-gram Jaccard pairs at threshold num/den, in DuckDB SQL.
     * Integer-threshold arithmetic: j >= num/den ⇔ (den+num)*inter >=

@@ -24,6 +24,16 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Shared near-dup tuning constants. The q_dedup_minhash DuckDB oracle
+    * is only valid while the LSH candidate-miss probability stays
+    * negligible AND the oracle SQL builds the same shingle length —
+    * SparkEntry derives both guards from these values at load, so
+    * retuning here cannot silently invalidate the exact-set oracle.
+    */
+  val ShingleN = 3
+  val MinHashK = 64
+  val MinHashBands = 16
+
   /** Exact dedup: canonical (min) doc_id and multiplicity per distinct
     * text. Equivalent plan shape to the reference's grep aggregate.
     */
@@ -43,9 +53,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
-  /** Shared: (doc_id, shingles, n_shingles) projection. */
-  private def docShingles(spark: SparkSession, sfDir: String, n: Int): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Shared: (doc_id, shingles, n_shingles) projection over any
+    * (doc_id, text) input.
+    */
+  private def docShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
@@ -77,11 +89,9 @@ object Dedup {
     *
     * Performance shape: band keys come from the native codegen expression
     * [[graft.functions.MinHash]] (one two-pass hash per shingle, no
-    * per-row signature array), and the shingle projection is persisted and
-    * materialized ONCE up front — the banded self-join's two sides share
-    * a reused exchange, but the verification joins are distinct subtrees
-    * that would otherwise recompute the projection (the round-1 bench
-    * spent 76% of its total on exactly that recomputation).
+    * per-row signature array), and the shingle projection is
+    * persist()-marked so the verification joins reuse it instead of
+    * recomputing (see [[minHashNearDupsOn]] for the cache contract).
     *
     * Scale path: signatures are per-row; the only shuffles are the band
     * bucket join and the verification joins on doc ids. Hot buckets
@@ -95,12 +105,28 @@ object Dedup {
     * DedupSpec, cap behavior itself unit-tested with a tiny cap).
     */
   def minHashNearDups(spark: SparkSession, sfDir: String,
-                      n: Int = 3, k: Int = 64, bands: Int = 16,
-                      maxBucket: Int = 10000): DataFrame = {
-    val docs = docShingles(spark, sfDir, n).persist()
-    docs.count() // materialize the shingle projection once: the banded
-    // self-join shares one exchange (reused), but the two verification
-    // joins are distinct subtrees that would otherwise recompute it
+                      n: Int = ShingleN, k: Int = MinHashK,
+                      bands: Int = MinHashBands,
+                      maxBucket: Int = 10000): DataFrame =
+    minHashNearDupsOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, k, bands, maxBucket)
+
+  /** [[minHashNearDups]] over any (doc_id, text) DataFrame — the entry
+    * ScaleSmoke drives so scale evidence covers the SHIPPED path.
+    *
+    * The shingle projection is persist()-marked (lazy): the banded
+    * self-join's two sides share a reused exchange, but the verification
+    * joins are distinct subtrees that would otherwise recompute it (the
+    * round-1 bench spent 76% of its total on exactly that). The cache
+    * populates on first action — plan-only consumers stay lazy — and the
+    * CALLER owns cleanup: Bench/Verify/ScaleSmoke clearCache() after
+    * consuming each result.
+    */
+  def minHashNearDupsOn(docTexts: DataFrame, n: Int = ShingleN,
+                        k: Int = MinHashK, bands: Int = MinHashBands,
+                        maxBucket: Int = 10000): DataFrame = {
+    val docs = docShingles(docTexts, n).persist()
     val banded = docs
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
@@ -133,18 +159,30 @@ object Dedup {
     * boilerplate shingle at 100 TB is quadratic without the cap. Dropping
     * capped shingles cannot change VERIFIED results unless a qualifying
     * pair shares ONLY capped shingles: at threshold 1/2 a qualifying pair
-    * shares >= ceil(min_sz/2) of its shingles, so a miss requires every
-    * one of those to be boilerplate appearing in > maxDocFreq docs —
-    * with the default cap (1000) that means the pair is itself part of a
-    * >1000-strong near-identical cluster, which exact dedup ([[exact]])
-    * already collapses upstream in a real pipeline. Equality with brute
-    * force is asserted in DedupSpec at this data.
+    * shares >= ceil(min_sz/2) of its shingles, so for docs of more than a
+    * few shingles a miss requires a whole block of the doc to be
+    * boilerplate appearing in > maxDocFreq docs — in practice a
+    * > maxDocFreq near-identical cluster that exact dedup ([[exact]])
+    * collapses upstream. The honest residual: VERY SHORT docs (one or two
+    * shingles) whose entire content is such boilerplate can qualify and
+    * be missed without belonging to any near-identical cluster — the
+    * approximation is "capped shingles carry no candidate signal", not a
+    * recall guarantee. Equality with brute force is asserted in DedupSpec
+    * at this data; soundness (no false positives) holds under ANY cap.
     */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = 3,
-                        maxDocFreq: Int = 1000): DataFrame = {
-    val docs = docShingles(spark, sfDir, n).persist()
-    docs.count() // shared by the inverted index, size joins, and the rare
-    // exact-verify path — materialize the shingle arrays once
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = ShingleN,
+                        maxDocFreq: Int = 1000): DataFrame =
+    ngramJaccardPairsOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over any (doc_id, text) DataFrame (ScaleSmoke
+    * entry). Shingle projection persist()-marked lazily, caller-owned
+    * cleanup — same contract as [[minHashNearDupsOn]].
+    */
+  def ngramJaccardPairsOn(docTexts: DataFrame, n: Int = ShingleN,
+                          maxDocFreq: Int = 1000): DataFrame = {
+    val docs = docShingles(docTexts, n).persist()
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("ng"))
     val dfreq = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     val keptInv = inv.join(dfreq.filter(col("df") <= maxDocFreq).select("ng"), "ng")

@@ -86,6 +86,30 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
+  /** Skew-safe two-phase per-key top-k — identical output to
+    * [[topOrdersPerCustomer]] (proven in RelationalSpec). Phase 1 ranks
+    * within (custkey, salt) and keeps each salt's top k, so a hot key's
+    * rows sort across `salts` tasks instead of one; phase 2 re-ranks the
+    * <= k·salts survivors per key — every true global top-k row is in
+    * its salt's top k, and every row globally above it also survives, so
+    * the re-rank reproduces exact global ranks. The salt is a hash of
+    * the row's own key column (deterministic, no RNG).
+    */
+  def topOrdersPerCustomerSkewSafe(spark: SparkSession, sfDir: String,
+                                   k: Int = 2, salts: Int = 8): DataFrame = {
+    val w1 = Window.partitionBy(col("o_custkey"), col("salt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(salts)))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
+  }
+
   /** Customers with no orders — left ANTI join (NOT EXISTS). At scale this
     * is a shuffled hash anti-join on custkey; Spark plans broadcast
     * automatically when the right side is small enough.
@@ -229,6 +253,23 @@ object Relational {
       .select(col("c_custkey").as("custkey"))
     big.union(debt).distinct()
   }
+
+  /** Globally ordered orders projection — the standalone total-order
+    * operator (SURVEY §2.2 sorts row): a full Sort with a
+    * RangePartitioning exchange, NOT a top-k (no limit, so Spark cannot
+    * plan TakeOrderedAndProject). At scale this is the one operator that
+    * genuinely needs range partitioning: Spark samples the sort keys to
+    * build balanced range bounds, so output files come out globally
+    * sorted and evenly sized. Sort key is the exact integer cents value
+    * (monotone in o_totalprice) with orderkey tie-break — total order,
+    * deterministic on any engine. RelationalSpec asserts the
+    * rangepartitioning exchange is in the plan.
+    */
+  def ordersRanked(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (dec("o_totalprice") * 100).cast("long").as("o_totalprice_cents"))
+      .orderBy(col("o_totalprice_cents").desc, col("o_orderkey").asc)
 
   /** Set op EXCEPT (distinct): customers who ordered but never above the
     * threshold. Planned as a hash anti-join after distinct.

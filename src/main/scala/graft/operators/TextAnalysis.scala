@@ -140,12 +140,21 @@ object TextAnalysis {
     */
   def trainEvalSplit(spark: SparkSession, sfDir: String,
                      threshold: String = "cc"): DataFrame =
+    trainEvalAssign(spark, sfDir, threshold)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Per-document split assignment — the artifact a pipeline actually
+    * consumes (join it against any downstream table to route docs).
+    * Same content-hash rule as [[trainEvalSplit]]; that aggregate is just
+    * this projection grouped.
+    */
+  def trainEvalAssign(spark: SparkSession, sfDir: String,
+                      threshold: String = "cc"): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"),
         when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
           lit("train")).otherwise(lit("eval")).as("split"))
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
   /** Canonicalizing document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text, emitted per document. md5 is

@@ -34,8 +34,54 @@ class AsOfSpec extends SparkSpec {
       13L -> Some(102L), 20L -> Some(200L), 30L -> None))
   }
 
+  test("banded as-of handles ties, equal-time, no-prior identically") {
+    // same hand-built case as above, with a band width small enough (1h)
+    // that the rows spread across many bands and the carry path runs
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L),
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 11:00:00"), 200L),
+    ).toDF("k", "t", "v")
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),
+      (1L, ts("2024-01-01 10:00:00"), 11L),
+      (1L, ts("2024-01-01 11:59:59"), 12L),
+      (1L, ts("2024-01-01 12:00:00"), 13L),
+      (2L, ts("2024-01-02 00:00:00"), 20L),
+      (3L, ts("2024-01-02 00:00:00"), 30L),
+    ).toDF("k", "t", "id")
+    val got = AsOf.asOfJoinBanded(left, col("k"), col("t"), col("id"),
+        right, col("k"), col("t"), col("v"), "v", bandUs = 3600L * 1000000L)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      10L -> None, 11L -> Some(101L), 12L -> Some(101L),
+      13L -> Some(102L), 20L -> Some(200L), 30L -> None))
+  }
+
+  test("banded as-of equals union+window under a hot key across many bands") {
+    // one hot key: 400 left rows at 30s spacing, right rows every 5min,
+    // band = 10min → ~20 bands, every band boundary exercised; plus a
+    // cold key and a right-only key
+    val base = ts("2024-01-01 00:00:00").getTime
+    val right = ((0 until 40).map(i => (1L, new Timestamp(base + i * 300000L), 1000L + i)) ++
+      Seq((2L, new Timestamp(base + 1000L), 5L))).toDF("k", "t", "v")
+    val left = ((0 until 400).map(i => (1L, new Timestamp(base + i * 30000L), i.toLong)) ++
+      Seq((3L, new Timestamp(base), 9999L))).toDF("k", "t", "id")
+    val banded = AsOf.asOfJoinBanded(left, col("k"), col("t"), col("id"),
+        right, col("k"), col("t"), col("v"), "v", bandUs = 600L * 1000000L)
+      .as[(Long, Option[Long])].collect().toMap
+    val plain = AsOf.asOfJoin(left, col("k"), col("t"), col("id"),
+        right, col("k"), col("t"), col("v"), "v")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(banded === plain)
+  }
+
   test("union+window equals the naive join+rank spelling on real data") {
-    val fast = AsOf.eventsAsOfOrders(spark, sf)
+    val fast = AsOf.asOfJoin(
+        Tables.events(spark, sf), col("user_id"), col("ts"), col("event_id"),
+        Tables.orders(spark, sf), col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), "o_orderkey")
       .as[(Long, Option[Long])].collect().toMap
     // naive: per-event fan-out join + top-1 window (the spelling that
     // explodes at scale, kept here as ground truth)
@@ -55,9 +101,27 @@ class AsOfSpec extends SparkSpec {
     assert(fast === naive)
   }
 
-  test("as-of plan is one shuffle + sort: no join operator at all") {
-    val plan = AsOf.eventsAsOfOrders(spark, sf).queryExecution.executedPlan.toString
+  test("plain as-of plan is one shuffle + sort: no join operator at all") {
+    val plan = AsOf.asOfJoin(
+        Tables.events(spark, sf), col("user_id"), col("ts"), col("event_id"),
+        Tables.orders(spark, sf), col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), "o_orderkey")
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"union+window must not join:\n$plan")
     assert(plan.contains("Window"))
+  }
+
+  test("banded as-of (production path) equals plain on real data; equi-join only") {
+    val banded = AsOf.eventsAsOfOrders(spark, sf)
+    val plain = AsOf.asOfJoin(
+        Tables.events(spark, sf), col("user_id"), col("ts"), col("event_id"),
+        Tables.orders(spark, sf), col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), "o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(banded.as[(Long, Option[Long])].collect().toMap === plain)
+    // the carry join is on (key, band) — never a row-fan-out or cartesian
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }

@@ -47,6 +47,39 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("salted sessionization equals single-window on the fixture") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val plain = AsOf.sessionizeEvents(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // band = 1h (fixture spans 30 days → many bands per user)
+    val salted = AsOf.sessionizeSaltedEvents(ev, bandSec = 3600L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("salted sessionization equals single-window under a hot key, sessions spanning bands") {
+    // hot user 1: 3000 events at 90s spacing (continuous run: gap 90s <
+    // 600s, so ONE session spanning ~75 one-hour bands — every band
+    // boundary must merge); users 2-10: sparse events forming many
+    // small sessions; plus exact-boundary gaps (== 600s stays in
+    // session, 601s splits)
+    val hot = (0 until 3000).map(i => (i.toLong, 1L, i * 90000000L))
+    val sparse = for (u <- 2L to 10L; i <- 0 until 30)
+      yield (10000L + u * 100 + i, u, i * 3600000000L + u * 7000000L)
+    val boundary = Seq(
+      (20001L, 11L, 0L), (20002L, 11L, 600000000L),   // gap == 600s: same session
+      (20003L, 11L, 1201000000L))                     // gap 601s: new session
+    val ev = (hot ++ sparse ++ boundary).toDF("event_id", "user_id", "us")
+    val plain = AsOf.sessionizeEvents(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val salted = AsOf.sessionizeSaltedEvents(ev, bandSec = 3600L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(salted === plain)
+    // sanity: the hot user really is one session spanning many bands
+    assert(plain.count(_._1 == 1L) === 1)
+  }
+
   test("train/eval split is deterministic, complete, and ~80/20") {
     val rows = graft.operators.TextAnalysis.trainEvalSplit(spark, sf)
       .as[(String, Long, Long)].collect().map { case (k, n, _) => k -> n }.toMap

@@ -44,6 +44,29 @@ class RelationalSpec extends SparkSpec {
     assert(perCust.values.forall(_.length <= 2))
   }
 
+  test("skew-safe two-phase top-k equals the single-window spelling") {
+    val plain = Relational.topOrdersPerCustomer(spark, sf, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // salts > 1 so phase 1 genuinely splits keys across salt groups
+    val salted = Relational.topOrdersPerCustomerSkewSafe(spark, sf, 2, salts = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("orders_ranked plans a global sort: range partitioning, no top-k") {
+    val df = Relational.ordersRanked(spark, sf)
+    val rows = df.collect() // AQE finalizes the plan
+    val plan = executedPlan(df).toLowerCase
+    assert(plan.contains("rangepartitioning"),
+      s"global sort needs a range exchange:\n$plan")
+    assert(plan.contains("sort "), s"expected a Sort node:\n$plan")
+    assert(!plan.contains("takeorderedandproject"),
+      "no limit — must not degrade to top-k")
+    // output really is globally ordered: cents desc, orderkey asc
+    val keys = rows.map(r => (-r.getLong(2), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "rows not in global sort order")
+  }
+
   test("anti join semantics on synthetic data") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val ords = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
