@@ -2,30 +2,69 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup}
 
-/** Scale-sensitivity smoke: replicates the documents table Nx in memory
-  * (fresh doc_ids per copy, perturbed first token so copies aren't exact
-  * dups) and times the heavy dedup pipelines at growing input sizes.
-  * Near-linear growth validates the bucketed designs; quadratic growth
-  * would expose an all-pairs plan hiding behind small test data.
+/** Scale-sensitivity smoke over the SHIPPED operator entry points:
+  * replicates the documents/events tables Nx in memory and times the
+  * production pipelines at growing input sizes. Near-linear growth
+  * validates the bucketed/capped designs; quadratic growth would expose
+  * an all-pairs plan hiding behind small test data.
   *
-  * Usage: `sbt 'runMain graft.ScaleSmoke [sfDir]'` — prints one JSON
-  * line per (pipeline, factor) with rows and seconds.
+  * Covered per factor:
+  *   - [[Dedup.minHashNearDupsOn]] (banded LSH + exact verify);
+  *   - [[Dedup.ngramJaccardPairsOn]] — the CAPPED production path, not
+  *     the raw inverted index;
+  *   - the same path under an ADVERSARIAL boilerplate shingle stamped
+  *     into every doc, with maxDocFreq below its document frequency:
+  *     without the stop-shingle cap this one shingle alone contributes
+  *     (500·factor)² candidate partials; bounded growth here is the
+  *     cap doing its job;
+  *   - salted vs single-window sessionization with one hot user holding
+  *     ~factor·1500× the median user's events — the power-law tail the
+  *     salted two-phase spelling exists for.
+  *
+  * Usage: `sbt 'runMain graft.ScaleSmoke [sfDir] [factors]'` — prints
+  * one JSON line per factor with rows and seconds.
   */
 object ScaleSmoke {
 
-  private def replicated(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+  /** documents replicated `factor`x: fresh doc_ids per copy (strided by
+    * max(doc_id)+1, collision-free for any id distribution), every token
+    * suffixed per copy so replicas share no shingles with each other or
+    * the original — the pair structure stays that of the base data
+    * scaled Nx; replicating verbatim would build factor-sized near-dup
+    * cliques and measure that pathology instead of pipeline scaling.
+    */
+  private def replicatedDocs(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val n = base.count()
+    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
     (0 until factor).map { i =>
       base.select(
-        (col("doc_id") + lit(i * n)).as("doc_id"),
-        // suffix EVERY token per copy: replicas share no shingles with
-        // each other or the original, so the pair structure stays that
-        // of the base data scaled Nx — replicating verbatim would build
-        // factor-sized near-dup cliques and measure that pathology
-        // instead of pipeline scaling
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** events replicated `factor`x as (event_id, user_id, us): the first
+    * max(1, factor/4) replicas ALL collapse onto one hot user (id -1),
+    * so the hot key grows WITH the factor — at sf0.01, factor 16 puts
+    * 40k events on one user vs a ~66-event median (600× skew) — while
+    * other replicas keep distinct strided users. Timestamps get a
+    * per-replica sub-second jitter so collapsed copies don't reduce to
+    * mass timestamp ties.
+    */
+  private def replicatedEvents(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val eStride = base.agg(max(col("event_id"))).head.getLong(0) + 1
+    val uStride = base.agg(max(col("user_id"))).head.getLong(0) + 1
+    val hotReplicas = math.max(1, factor / 4)
+    (0 until factor).map { i =>
+      base.select(
+        (col("event_id") + lit(i * eStride)).as("event_id"),
+        (if (i < hotReplicas) lit(-1L)
+         else (col("user_id") + lit(i * uStride))).as("user_id"),
+        (col("us") + lit(i * 997L)).as("us"))
     }.reduce(_ union _)
   }
 
@@ -42,35 +81,34 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.TextOps
 
     for (factor <- factors) {
-      val docs = replicated(spark, sfDir, factor)
-        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
-        .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
-        .persist()
-      docs.count()
+      val docs = replicatedDocs(spark, sfDir, factor)
 
-      // minhash-LSH shape: band keys -> bucket self-join -> distinct pairs
-      val banded = docs.select(col("doc_id"),
-        posexplode(functions.MinHash.minhashBandKeys(col("sh"), 64, 16))
-          .as(Seq("band", "key")))
-      val (tMh, nMh) = timeIt {
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
-      }
-      // inverted-index shape: explode -> df filter -> pair-count agg
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("ng"))
-      val (tNg, nNg) = timeIt {
-        inv.as("x").join(inv.as("y"),
-            col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id"), col("y.doc_id")).count().count()
-      }
-      println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_cands":$nMh,""" +
-        s""""ngram_sec":$tNg,"ngram_pairs":$nNg}""")
-      docs.unpersist()
+      val (tMh, nMh) = timeIt(Dedup.minHashNearDupsOn(docs).count())
+      spark.catalog.clearCache()
+
+      val (tNg, nNg) = timeIt(Dedup.ngramJaccardPairsOn(docs).count())
+      spark.catalog.clearCache()
+
+      // boilerplate attack: one 3-token preamble on EVERY doc creates a
+      // shingle with df = 500·factor; maxDocFreq=100 keeps it capped at
+      // every factor, so runtime must stay near-linear and soundness
+      // falls to the hot-and-hot verify path
+      val adv = docs.select(col("doc_id"),
+        concat(lit("boiler plate preamble "), col("text")).as("text"))
+      val (tAdv, nAdv) = timeIt(
+        Dedup.ngramJaccardPairsOn(adv, maxDocFreq = 100).count())
+      spark.catalog.clearCache()
+
+      val events = replicatedEvents(spark, sfDir, factor)
+      val (tSes, nSes) = timeIt(AsOf.sessionizeSaltedEvents(events).count())
+      val (tSesPlain, _) = timeIt(AsOf.sessionizeEvents(events).count())
+
+      println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
+        s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
+        s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
+        s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes}""")
     }
     spark.stop()
   }

@@ -332,6 +332,12 @@ object SparkEntry {
     // integer-Jaccard verify makes the compare exact).
     "q_dedup_minhash" -> ngramJaccardOracle(num = 4, den = 5),
     "q_ngram_jaccard" -> ngramJaccardOracle(num = 1, den = 2),
+    // q_embed_neardup / q_embed_ann select on FLOAT comparisons (cosine
+    // threshold / rank-by-sim) while surfacing only ids; the exact-set
+    // oracle is valid because the data keeps a margin >= 1e-6 around
+    // every decision boundary at sf0.01 AND sf0.1 — ASSERTED in
+    // SimilaritySpec "oracle float margins". If that test ever fails on
+    // a new fixture, downgrade these two to rows-only.
     "q_embed_neardup" -> ("""
       WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),

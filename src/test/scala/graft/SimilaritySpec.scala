@@ -79,6 +79,41 @@ class SimilaritySpec extends SparkSpec {
       s"array-typed grouping key in:\n${aggLines.mkString("\n")}")
   }
 
+  /** Oracle-stability guard for q_embed_neardup / q_embed_ann: both
+    * surface only ids, but the SELECTION depends on float comparisons
+    * (cosine >= 0.45; rank-by-sim). Spark and DuckDB sum the dot product
+    * in different orders (~1e-15 ulp noise), so the exact-set oracles are
+    * only honest while the DATA keeps a margin around every decision
+    * boundary. This asserts that margin at the oracle SFs — if a future
+    * fixture ever fails here, downgrade those queries to rows-only.
+    */
+  test("oracle float margins: |cos−0.45| and ANN rank-5/6 gap >= 1e-6 at sf0.01 and sf0.1") {
+    for (sfDir <- Seq(TestSpark.sf001, TestSpark.sf01)) {
+      val vs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) =>
+          val d = v.map(_.toDouble).toArray
+          val n = math.sqrt(d.map(x => x * x).sum)
+          (id, d.map(_ / n))
+        }
+      def c(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      var minMargin = Double.MaxValue
+      for (i <- vs.indices; j <- i + 1 until vs.length)
+        minMargin = math.min(minMargin, math.abs(c(vs(i)._2, vs(j)._2) - 0.45))
+      val minGap = vs.filter(_._1 < 10).map { case (q, qv) =>
+        val sims = vs.filter(_._1 != q).map(v => c(qv, v._2)).sortBy(x => -x)
+        sims(4) - sims(5) // gap between last kept (rank 5) and first dropped
+      }.min
+      info(f"$sfDir: threshold margin $minMargin%.2e, rank-boundary gap $minGap%.2e")
+      assert(minMargin > 1e-6, f"$sfDir: pair within $minMargin%.2e of 0.45 — oracle flaky")
+      assert(minGap > 1e-6, f"$sfDir: ANN rank boundary gap $minGap%.2e — oracle flaky")
+    }
+  }
+
   test("LSH ANN ranks are contiguous from 1 per query") {
     val byQuery = Similarity.annTopKLsh(spark, sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1)

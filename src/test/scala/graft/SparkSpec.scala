@@ -12,6 +12,7 @@ object TestSpark {
   }
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 abstract class SparkSpec extends AnyFunSuite {
