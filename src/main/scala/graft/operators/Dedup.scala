@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Deduplication suite over the `documents` table — the training-data
@@ -147,28 +148,33 @@ object Dedup {
     verifyJaccard(cands, docs, 4, 5)
   }
 
-  /** Exact all-pairs n-gram Jaccard >= 0.5 via an inverted-index join
-    * (never a cross join): two docs pair up iff they share a shingle
-    * whose document frequency is <= `maxDocFreq`, and the join's own
-    * aggregation counts their shared kept shingles — which IS the exact
-    * intersection whenever at least one side carries no capped shingle;
-    * only hot∧hot pairs fall back to array verification.
+  /** Exact all-pairs n-gram Jaccard >= 0.5 via a PREFIX-FILTERED
+    * inverted-index join (never a cross join), then exact integer-Jaccard
+    * verification of each candidate.
     *
-    * The stop-shingle cap bounds the inverted index's worst case — a
-    * shingle appearing in d docs contributes d² candidate partials, so one
-    * boilerplate shingle at 100 TB is quadratic without the cap. Dropping
-    * capped shingles cannot change VERIFIED results unless a qualifying
-    * pair shares ONLY capped shingles: at threshold 1/2 a qualifying pair
-    * shares >= ceil(min_sz/2) of its shingles, so for docs of more than a
-    * few shingles a miss requires a whole block of the doc to be
-    * boilerplate appearing in > maxDocFreq docs — in practice a
-    * > maxDocFreq near-identical cluster that exact dedup ([[exact]])
-    * collapses upstream. The honest residual: VERY SHORT docs (one or two
-    * shingles) whose entire content is such boilerplate can qualify and
-    * be missed without belonging to any near-identical cluster — the
-    * approximation is "capped shingles carry no candidate signal", not a
-    * recall guarantee. Equality with brute force is asserted in DedupSpec
-    * at this data; soundness (no false positives) holds under ANY cap.
+    * Prefix filtering (the AllPairs/PPJoin candidate condition — Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
+    * public literature): order every doc's shingles by a global canonical
+    * order (df ascending, rarest first), and index only each doc's first
+    * p = sz - ceil(t·sz) + 1 shingles. For J(A,B) >= t the overlap is
+    * >= ceil(t·|A|) (from i >= t(a+b)/(1+t) and b >= i), so the two
+    * prefixes must share a shingle — candidate generation over prefixes
+    * alone LOSES NOTHING while shrinking the inverted index ~2x at t=1/2
+    * and, decisively, demoting boilerplate: a high-df shingle sorts LAST
+    * in the canonical order and enters a doc's prefix only when most of
+    * that doc is even-hotter boilerplate. Candidate partials drop from
+    * Σ df² over all shingles to Σ df_prefix² over rare-half shingles.
+    *
+    * The stop-shingle cap stays as the hard worst-case bound: prefix
+    * entries with df > `maxDocFreq` are dropped, so one boilerplate
+    * shingle at 100 TB can never go quadratic. A qualifying pair is lost
+    * only if EVERY shared prefix shingle is capped — i.e. the rarest
+    * half of both docs is > maxDocFreq boilerplate, in practice a
+    * > maxDocFreq near-identical cluster that [[exact]] dedup collapses
+    * upstream (residual: tiny all-boilerplate docs, documented
+    * approximation). Equality with brute force is asserted in DedupSpec;
+    * soundness (no false positives) holds under ANY cap because every
+    * candidate is verified on the full shingle arrays.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String, n: Int = ShingleN,
                         maxDocFreq: Int = 1000): DataFrame =
@@ -182,40 +188,31 @@ object Dedup {
     */
   def ngramJaccardPairsOn(docTexts: DataFrame, n: Int = ShingleN,
                           maxDocFreq: Int = 1000): DataFrame = {
+    val (num, den) = (1, 2) // threshold t = num/den, shared with verify
     val docs = docShingles(docTexts, n).persist()
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("ng"))
+    val inv = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("ng"))
     val dfreq = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
-    val keptInv = inv.join(dfreq.filter(col("df") <= maxDocFreq).select("ng"), "ng")
-    // exact intersection over KEPT shingles straight out of the join
-    // aggregation — no per-pair array work on the main path
-    val interKept = keptInv.as("x").join(keptInv.as("y"),
+    // canonical rarest-first order; row_number over doc_id is a doc-sized
+    // window (bounded by the longest doc, never key-skewed)
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("ng").asc)
+    // p = sz - ceil(t*sz) + 1, in exact integer math
+    val prefixLen = col("sz") - expr(s"(sz * $num + ${den - 1}) DIV $den") + 1
+    val prefixInv = inv.join(dfreq, "ng")
+      .filter(col("df") <= maxDocFreq)
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= prefixLen)
+      .select(col("doc_id"), col("ng"))
+    // persisted: the prefix index is an expensive subtree (explode +
+    // dfreq join + per-doc window) consumed by BOTH self-join sides, and
+    // exchange reuse does not always canonicalize across them — caching
+    // guarantees one compute under any join strategy (measured ~2x on
+    // the cold path without it). Same caller-owned cleanup as `docs`.
+    val cands = prefixInv.persist().as("x").join(prefixInv.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter_kept"))
-    // docs carrying any hot (capped) shingle; pairs where BOTH sides do
-    // may share hot shingles, so only those need array verification
-    val hotDocs = inv.join(dfreq.filter(col("df") > maxDocFreq).select("ng"), "ng")
-      .select(col("doc_id")).distinct().withColumn("is_hot", lit(true))
-    val sizes = docs.select(col("doc_id"), col("sz"))
-    val pairs = interKept
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .join(hotDocs.select(col("doc_id").as("doc_a"), col("is_hot").as("hot_a")),
-        Seq("doc_a"), "left")
-      .join(hotDocs.select(col("doc_id").as("doc_b"), col("is_hot").as("hot_b")),
-        Seq("doc_b"), "left")
-    val bothHot = coalesce(col("hot_a"), lit(false)) && coalesce(col("hot_b"), lit(false))
-    // j >= 1/2  ⇔  3*inter >= szA+szB, with inter == inter_kept exact
-    // whenever at least one side has no hot shingles
-    val easy = pairs.filter(!bothHot)
-      .filter(col("inter_kept") * 3 >= col("sz_a") + col("sz_b"))
-      .select(col("doc_a"), col("doc_b"), col("inter_kept").cast("long").as("inter"),
-        (col("sz_a") + col("sz_b") - col("inter_kept")).cast("long").as("uni"))
-    // hot∧hot pairs (empty unless a shingle exceeds the cap): exact
-    // array intersection on the persisted shingle sets
-    val hard = verifyJaccard(
-      pairs.filter(bothHot).select(col("doc_a"), col("doc_b")), docs, 1, 2)
-    easy.union(hard)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, docs, num, den)
   }
 
   /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 over unigram
