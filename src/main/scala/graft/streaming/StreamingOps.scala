@@ -1,9 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.engine.GrepEngine
 import graft.engine.GrepEngine.{Mode, Substring}
+
+/** Typed event row for the custom-state operators. */
+case class UserEvent(user_id: Long, event_id: Long, us: Long)
+
+/** Running per-user profile: the feature-store shape a streaming
+  * pipeline maintains (count + last activity so far).
+  */
+case class UserProfile(user_id: Long, n_events: Long, last_us: Long)
 
 /** Structured Streaming counterparts of the batch operators (SURVEY.md
   * §7.2 M3). The transforms are the SAME declarative plans as the batch
@@ -50,4 +59,59 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming gap-based sessionization via Spark's native
+    * `session_window` — the incremental counterpart of
+    * [[graft.operators.AsOf.sessionizeSalted]]: state per open session,
+    * merged as events arrive, finalized (append mode) once the watermark
+    * passes session end + gap. The Spark-first answer to streaming
+    * sessions — no hand-rolled state.
+    */
+  def sessionWindowCounts(events: DataFrame, tsCol: String = "ts",
+                          gap: String = "10 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup on a canonical fingerprint: state is one
+    * entry per distinct key; `withWatermark` + dropDuplicates bounds it
+    * for event-time keys. The streaming counterpart of
+    * [[graft.operators.Dedup.exact]] — first occurrence wins, later
+    * duplicates are suppressed across micro-batches.
+    */
+  def dedupStream(lines: DataFrame, textCol: String = "value"): DataFrame =
+    lines
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .dropDuplicates("fingerprint")
+
+  /** Custom keyed state via mapGroupsWithState (the
+    * KeyValueGroupedDataset surface): a running per-user profile —
+    * cumulative event count and last-seen time — updated each
+    * micro-batch. State is one fixed-size row per user, partitioned by
+    * the grouping key exactly like a batch shuffle; use update output
+    * mode. Demonstrates route (d) custom state where no built-in
+    * aggregation fits (the profile must SURVIVE across triggers and
+    * emit its running value each batch).
+    */
+  def runningUserProfiles(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, Long.MinValue))
+          var n = prev.n_events
+          var last = prev.last_us
+          evs.foreach { e => n += 1; if (e.us > last) last = e.us }
+          val next = UserProfile(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
 }

@@ -117,6 +117,34 @@ class PropertySpec extends SparkSpec {
     check("bandedRange", prop, n = 10)
   }
 
+  test("prefix-filtered ngram Jaccard equals brute force on random corpora") {
+    import org.apache.spark.sql.functions.col
+    // small vocabulary so shared shingles (and near-dup pairs) are common
+    val tok = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup
+        .ngramJaccardPairsOn(docs.toDF("doc_id", "text"))
+        .select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect().toSet
+      spark.catalog.clearCache()
+      val sh = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        if inter * 3 >= sa.size + sb.size // j >= 1/2 in integer algebra
+      } yield (a, b)).toSet
+      got == want
+    }
+    check("ngramPrefixFilter", prop, n = 10)
+  }
+
   test("wordset dedup key is permutation-invariant over token order") {
     val prop = Prop.forAll(bagGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
       (bag, seed) =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingOps
+import graft.streaming.{StreamingOps, UserEvent, UserProfile}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -89,6 +89,67 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.text(out).as[String].collect().sorted.toSeq
     assert(got === Seq("spark one", "spark three", "spark two"),
       "exactly the matching lines, each exactly once, across restarts")
+  }
+
+  test("session_window merges events across micro-batches and finalizes on watermark") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val events = ms.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.sessionWindowCounts(events)
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      // two events 5 min apart (one session), another user far away
+      ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      // a later batch EXTENDS the open session (9 min gap < 10) — state
+      // merge across micro-batches
+      ms.addData((ts("2024-01-01 10:14:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sw").count() === 0, "session still open: nothing final")
+      // watermark jump finalizes it
+      ms.addData((ts("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("sw")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === Set((1L, "2024-01-01 10:00:00", 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses duplicates across micro-batches") {
+    val ms = MemoryStream[String]
+    val q = StreamingOps.dedupStream(ms.toDF())
+      .select("value")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      ms.addData("alpha beta", "  Alpha   BETA ", "gamma")
+      q.processAllAvailable()
+      // canonicalization: case/whitespace variants share a fingerprint
+      assert(spark.table("dd").count() === 2)
+      ms.addData("alpha beta", "delta")
+      q.processAllAvailable()
+      val got = spark.table("dd").as[String].collect().toSet
+      assert(got.size === 3 && got.contains("gamma") && got.contains("delta"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user profile across batches") {
+    val ms = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserProfiles(ms.toDS())
+      .writeStream.format("memory").queryName("up").outputMode("update").start()
+    try {
+      ms.addData(UserEvent(1L, 10L, 100L), UserEvent(1L, 11L, 200L), UserEvent(2L, 20L, 50L))
+      q.processAllAvailable()
+      val r1 = spark.table("up").as[UserProfile]
+        .collect().groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(r1(1L) === UserProfile(1L, 2L, 200L))
+      assert(r1(2L) === UserProfile(2L, 1L, 50L))
+      // state survives: the next batch ACCUMULATES, not restarts
+      ms.addData(UserEvent(1L, 12L, 150L))
+      q.processAllAvailable()
+      val r2 = spark.table("up").as[UserProfile]
+        .collect().groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(r2(1L) === UserProfile(1L, 3L, 200L), "count up, last_us keeps max")
+    } finally q.stop()
   }
 
   test("same transform runs in batch mode over the events table") {
