@@ -60,6 +60,8 @@ object SparkEntry {
     "q_train_eval_split" -> ((s, d) => operators.TextAnalysis.trainEvalSplit(s, d)),
     "q_train_eval_assign" -> ((s, d) =>
       operators.TextAnalysis.trainEvalAssign(s, d).select("doc_id", "split")),
+    "q_token_quantiles" -> ((s, d) => operators.TextAnalysis.tokenQuantilesBySource(s, d)),
+    "q_sample_stratified" -> ((s, d) => operators.TextAnalysis.stratifiedSample(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
     "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),
@@ -316,6 +318,29 @@ object SparkEntry {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents
       FROM orders
       ORDER BY o_totalprice_cents DESC, o_orderkey ASC""".stripMargin.trim),
+    // rank-selected discrete quantiles: rn == ceil(p*n) in integer math,
+    // result is an actual member value — engine-portable, no float
+    // interpolation (see TextAnalysis.tokenQuantilesBySource)
+    "q_token_quantiles" -> ("""
+      WITH t AS (SELECT source, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                 FROM documents),
+      r AS (SELECT source, nt,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt ASC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS cnt
+            FROM t)
+      SELECT source,
+             MAX(CASE WHEN rn = (cnt + 1) // 2 THEN nt END) AS p50_tokens,
+             MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN nt END) AS p90_tokens,
+             COUNT(*) AS n_docs
+      FROM r GROUP BY source""".stripMargin.trim),
+    // thresholds must mirror TextAnalysis.stratifiedSample's default
+    // rates map (r/256 encoded as a 2-hex-digit md5 prefix bound)
+    "q_sample_stratified" -> ("""
+      SELECT doc_id, source FROM documents
+      WHERE md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) <
+            CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '80'
+                        WHEN 'src2' THEN 'c0' ELSE 'g' END""".stripMargin.trim),
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents GROUP BY text",
     "q_dedup_wordset" -> ("""

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operators over the `documents` table: token/n-gram
@@ -155,6 +156,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"),
         when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
           lit("train")).otherwise(lit("eval")).as("split"))
+
+  /** Exact discrete token-count quantiles (p50/p90) per source — the
+    * length-distribution profile a pipeline reads before setting
+    * truncation/packing parameters. Spelled as rank selection
+    * (row_number == ceil(p·n), pure integer math) so the result is an
+    * ACTUAL member value, identical on any engine — no float
+    * interpolation, no sketch. One window + one aggregation per source.
+    * At extreme scale swap in `approx_percentile` (fixed-size mergeable
+    * sketch, engine-specific values → rows-only verification) — the
+    * exact spelling is preferable wherever a per-source sort fits,
+    * since it is reproducible bit-for-bit.
+    */
+  def tokenQuantilesBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("nt").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("nt"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("nt"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("nt"))).as("p90_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Deterministic stratified downsampling: keep a doc iff its content
+    * hash's first two hex digits fall under its source's threshold (out
+    * of 256) — the source-balancing op that tames over-represented
+    * slices of a training mix. Content-keyed like [[trainEvalAssign]]:
+    * reproducible across engines/partitionings/runs, and exact dups
+    * sample identically (no cross-run survivorship drift). Unlisted
+    * sources keep everything ("g" sorts above every hex digit). A pure
+    * per-row projection+filter — composes into the scan at any scale.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       rates: Map[String, Int] = Map(
+                         "src0" -> 64, "src1" -> 128, "src2" -> 192)): DataFrame = {
+    val thresh = rates.foldLeft(lit("g")) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(f"$r%02x")).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .filter(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < thresh)
+      .select(col("doc_id"), col("source"))
+  }
 
   /** Canonicalizing document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text, emitted per document. md5 is

@@ -70,6 +70,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("token quantiles: rank-selected p50/p90 equal driver-side discrete quantiles") {
+    val got = TextAnalysis.tokenQuantilesBySource(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .as[(String, Long, Long)].collect()
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length
+      def at(p: Int, q: Int) = sorted((p * n + q - 1) / q - 1) // ceil(p*n/q)-th, 1-based
+      src -> ((at(1, 2), at(9, 10), n.toLong))
+    }
+    assert(got === want)
+    got.values.foreach { case (p50, p90, _) => assert(p50 <= p90) }
+  }
+
+  test("stratified sample keeps exactly the docs under each source's hash threshold") {
+    val rates = Map("src0" -> 64, "src1" -> 128, "src2" -> 192)
+    val got = TextAnalysis.stratifiedSample(spark, sf, rates)
+      .as[(Long, String)].collect().toSet
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      .as[(Long, String, String)].collect()
+      .filter { case (_, src, h) =>
+        rates.get(src) match {
+          case Some(r) => h < f"$r%02x"
+          case None => true
+        }
+      }
+      .map { case (id, src, _) => (id, src) }.toSet
+    assert(got === want)
+    // sampled sources actually shrank; unlisted sources are untouched
+    val bySrc = want.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(bySrc("src0") < totals("src0"))
+    assert(bySrc("src3") === totals("src3").toInt)
+    // determinism across runs
+    val again = TextAnalysis.stratifiedSample(spark, sf, rates)
+      .as[(Long, String)].collect().toSet
+    assert(again === got)
+  }
+
   test("set ops: union distinct and except produce disjoint+complete split") {
     import graft.operators.Relational
     val all = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"))
