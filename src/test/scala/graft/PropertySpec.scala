@@ -117,6 +117,51 @@ class PropertySpec extends SparkSpec {
     check("bandedRange", prop, n = 10)
   }
 
+  test("salted sessionization equals single-window on random event sets") {
+    import org.apache.spark.sql.functions.col
+    // timestamps quantized near the gap (600s) and band (3600s)
+    // boundaries so splits/merges and exact-boundary ties all occur
+    val evGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n,
+      for {
+        u <- Gen.chooseNum(1, 3)
+        t <- Gen.chooseNum(0L, 40L)
+        jit <- Gen.oneOf(0L, 1L, 300L)
+      } yield (u.toLong, t * 600000000L + jit * 1000000L)))
+    val prop = Prop.forAll(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, us), i) => (i.toLong, u, us) }
+      val df = rows.toDF("event_id", "user_id", "us")
+      val plain = graft.operators.AsOf.sessionizeEvents(df)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val salted = graft.operators.AsOf.sessionizeSaltedEvents(df, bandSec = 3600L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      salted == plain
+    }
+    check("saltedSessionize", prop, n = 10)
+  }
+
+  test("banded as-of equals plain as-of on random key/time data") {
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0L, 50L)
+    } yield (k.toLong, new java.sql.Timestamp(t * 600000L)) // spans bands at 20min
+    val sideGen = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, rowGen))
+    val prop = Prop.forAll(sideGen, sideGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val banded = graft.operators.AsOf.asOfJoinBanded(
+          left.toDF("k", "t", "id"), col("k"), col("t"), col("id"),
+          right.toDF("k", "t", "v"), col("k"), col("t"), col("v"), "v",
+          bandUs = 1200L * 1000000L)
+        .as[(Long, Option[Long])].collect().toMap
+      val plain = graft.operators.AsOf.asOfJoin(
+          left.toDF("k", "t", "id"), col("k"), col("t"), col("id"),
+          right.toDF("k", "t", "v"), col("k"), col("t"), col("v"), "v")
+        .as[(Long, Option[Long])].collect().toMap
+      banded == plain
+    }
+    check("asOfJoinBanded", prop, n = 8)
+  }
+
   test("prefix-filtered ngram Jaccard equals brute force on random corpora") {
     import org.apache.spark.sql.functions.col
     // small vocabulary so shared shingles (and near-dup pairs) are common
