@@ -101,6 +101,9 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
     "q_embed_ann_lsh" -> ((s, d) => operators.Similarity.annTopKLsh(s, d)),
+    // rows-only: kmeans-seeded cells are engine-specific; recall vs
+    // brute force asserted in SimilaritySpec
+    "q_embed_ann_ivf" -> ((s, d) => operators.Similarity.annTopKIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -159,6 +159,69 @@ object Similarity {
     * would shuffle ~0.5 KB of grouping key per row; the duplicate scores
     * collapse in the same aggregation that drops the vectors.
     */
+  /** ANN top-k via IVF (inverted-file index): a k-means coarse quantizer
+    * partitions the vector space into `nlist` cells; each vector is
+    * assigned to its nearest centroid, and a query re-scores only the
+    * vectors in its `nprobe` nearest cells — the classic
+    * coarse-quantization ANN layout (public FAISS/IVF literature).
+    *
+    * Plumbing is Spark-first end to end: centroids come from
+    * `ml.clustering.KMeans` (seeded — deterministic model) fit on a
+    * SAMPLE (at 100 TB you fit the quantizer on a few million rows, a
+    * constant-size model), then live as literals inside a codegen'd
+    * argmin assignment — the data side is one scan + one equi-join on
+    * cell id, never all-pairs. Probe fan-out replicates each query
+    * `nprobe` times (queries are the tiny side).
+    *
+    * Like [[annTopKLsh]], this fixture is the ADVERSARIAL case for
+    * pruning: isotropic vectors put true neighbors barely above
+    * background, so cells carry little signal and nprobe must cover
+    * three quarters of the cells for recall ≈ 0.96 (measured at both
+    * sf0.001 and sf0.01; SimilaritySpec asserts ≥ 0.85). On clustered
+    * real-world embeddings the same index prunes hard at nprobe/nlist
+    * « 1. Engine-specific (kmeans-seeded) → rows-only driver check.
+    */
+  def annTopKIvf(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 10, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sfDir)
+    // coarse quantizer: L2 k-means over unit-normalized vectors ranks
+    // cells identically to cosine (||q-c||² = 2 - 2·cos on unit vectors)
+    val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // codegen argmax assignment as ARRAY ops: a when-chain over
+    // `greatest(sims)` would re-inline all 16 sims per branch (~270
+    // copies — blows the JVM's 64KB method limit and falls back to
+    // interpreted); array_position(sims, array_max(sims)) references
+    // the sims array twice total
+    def simsArr(emb: Column): Column =
+      array(centroids.map(c => cosineSim(emb, typedlit(c))): _*)
+    val data = emb.select(col("vec_id"), col("embedding"),
+      (array_position(simsArr(col("embedding")),
+        array_max(simsArr(col("embedding")))) - 1).cast("int").as("cell"))
+    // each query probes its nprobe nearest cells (tiny side: explode)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        posexplode(array(centroids.map(c => cosineSim(col("embedding"), typedlit(c))): _*))
+          .as(Seq("cell", "csim")))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
+    val probeCells = probes.withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("eq"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    data.join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("eq"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
                  nTables: Int = 16, bitsPerTable: Int = 2): DataFrame = {

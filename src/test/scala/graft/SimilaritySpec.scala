@@ -67,6 +67,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.2f below bound")
   }
 
+  test("IVF ANN recall >= 0.85 vs brute force; probes bound candidate cells") {
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.annTopKIvf(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"IVF ANN recall = $recall%.2f (${ivf.size} returned)")
+    assert(recall >= 0.85, f"recall $recall%.2f below bound")
+    // and with full probing (nprobe == nlist) IVF must equal brute force:
+    // the index only PARTITIONS the space, it never loses vectors
+    val full = Similarity.annTopKIvf(spark, sf, nprobe = 16)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(full === brute)
+  }
+
   test("LSH ANN plan dedups candidates on ids, not array payloads") {
     val plan = Similarity.annTopKLsh(spark, sf).queryExecution.executedPlan.toString
     // the dedup aggregation must key on (query_id, neighbor_id); if an
