@@ -61,6 +61,7 @@ object SparkEntry {
     "q_train_eval_assign" -> ((s, d) =>
       operators.TextAnalysis.trainEvalAssign(s, d).select("doc_id", "split")),
     "q_token_quantiles" -> ((s, d) => operators.TextAnalysis.tokenQuantilesBySource(s, d)),
+    "q_token_bpe" -> ((s, d) => operators.TextAnalysis.subwordStats(s, d)),
     "q_sample_stratified" -> ((s, d) => operators.TextAnalysis.stratifiedSample(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
@@ -337,6 +338,13 @@ object SparkEntry {
              MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN nt END) AS p90_tokens,
              COUNT(*) AS n_docs
       FROM r GROUP BY source""".stripMargin.trim),
+    // pattern mirrors TextAnalysis.BpeishPattern verbatim (portable
+    // RE2/Java subset: no lookarounds)
+    "q_token_bpe" -> ("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens
+      FROM documents GROUP BY source""".stripMargin.trim),
     // thresholds must mirror TextAnalysis.stratifiedSample's default
     // rates map (r/256 encoded as a 2-hex-digit md5 prefix bound)
     "q_sample_stratified" -> ("""

@@ -157,6 +157,30 @@ object TextAnalysis {
         when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
           lit("train")).otherwise(lit("eval")).as("split"))
 
+  /** BPE-ish pre-tokenizer pattern (public GPT-2-style shape, kept to
+    * portable RE2/Java syntax — no lookarounds): letter runs stay
+    * whole words, digits split one per token, every other non-space
+    * symbol (incl. CJK codepoints) is its own token. Shared verbatim
+    * with the DuckDB oracle.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token counting both ways per source: whitespace tokens (how the
+    * rest of the suite tokenizes) next to a BPE-ish regex count — the
+    * cheap budget estimator pipelines use to predict real tokenizer
+    * cost before running one. Pure per-row regex projection + one agg.
+    */
+  def subwordStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .cast("long").as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+
   /** Exact discrete token-count quantiles (p50/p90) per source — the
     * length-distribution profile a pipeline reads before setting
     * truncation/packing parameters. Spelled as rank selection

@@ -70,6 +70,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) !== fp(2))
   }
 
+  test("BPE-ish token counting: exact counts on hand-made docs, CJK chars split") {
+    val df = Seq(
+      "hello world42, ok!", // hello|world|4|2|,|ok|! = 7
+      "今天天气 abc12",     // 4 CJK chars + abc + 1 + 2 = 7
+    ).toDF("text")
+    val got = df.select(size(regexp_extract_all(col("text"),
+      lit(TextAnalysis.BpeishPattern), lit(0)))).as[Int].collect().toSeq
+    assert(got === Seq(7, 7))
+    // suite-level: bpe counts >= ws counts (splitting only adds tokens)
+    val stats = TextAnalysis.subwordStats(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (src, _, ws, bpe) =>
+      assert(bpe >= ws, s"$src: bpe $bpe < ws $ws")
+    }
+  }
+
   test("token quantiles: rank-selected p50/p90 equal driver-side discrete quantiles") {
     val got = TextAnalysis.tokenQuantilesBySource(spark, sf)
       .as[(String, Long, Long, Long)].collect()
