@@ -44,6 +44,7 @@ object SparkEntry {
     "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
     "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
     "q_lineitem_rollup" -> (operators.Relational.lineitemRollup _),
+    "q_lineitem_cube" -> (operators.Relational.lineitemCube _),
     "q_active_positive" -> (operators.Relational.activePositiveCustomers _),
     "q_revenue_by_region" -> (operators.Relational.revenueByRegion _),
     "q_part_type_revenue" -> (operators.Relational.partTypeRevenue _),
@@ -154,6 +155,11 @@ object SparkEntry {
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin.trim),
+    "q_lineitem_cube" -> ("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin.trim),
     "q_active_positive" -> ("""
       SELECT o_custkey AS custkey FROM orders
       INTERSECT

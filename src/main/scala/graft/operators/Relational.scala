@@ -144,6 +144,17 @@ object Relational {
         sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Cube over (returnflag, linestatus): all 2^2 grouping sets in one
+    * pass — same Expand + single-exchange shape as [[lineitemRollup]]
+    * with 4 instead of 3 grouping sets.
+    */
+  def lineitemCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"),
+        count(lit(1)).as("n"))
+
   /** Set operation: custkeys that placed an order INTERSECT custkeys with
     * positive balance. Planned as a distinct + hash semi-join.
     */

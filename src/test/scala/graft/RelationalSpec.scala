@@ -83,6 +83,15 @@ class RelationalSpec extends SparkSpec {
     assert(nulls1 >= 1, "per-returnflag subtotals present")
   }
 
+  test("cube adds the per-linestatus grouping set rollup lacks") {
+    val cube = Relational.lineitemCube(spark, sf).collect()
+    val rollup = Relational.lineitemRollup(spark, sf).collect()
+    // cube ⊇ rollup rows, plus (null, linestatus) subtotals
+    val statusOnly = cube.count(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(statusOnly >= 1, "per-linestatus subtotals present")
+    assert(cube.length === rollup.length + statusOnly)
+  }
+
   test("intersect returns distinct keys present in both sides") {
     val out = Relational.activePositiveCustomers(spark, sf)
     assert(out.count() === out.distinct().count())
