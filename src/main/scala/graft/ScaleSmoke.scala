@@ -105,10 +105,26 @@ object ScaleSmoke {
       val (tSes, nSes) = timeIt(AsOf.sessionizeSaltedEvents(events).count())
       val (tSesPlain, _) = timeIt(AsOf.sessionizeEvents(events).count())
 
+      // as-of under the same hot-user skew: every replicated event
+      // labeled with the user's latest prior order (orders NOT
+      // replicated — the skew lives on the probe side)
+      val evTs = events.select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"))
+      val orders = Tables.orders(spark, sfDir)
+      val (tAsof, nAsof) = timeIt(AsOf.asOfJoinBanded(
+        evTs, col("user_id"), col("ts"), col("event_id"),
+        orders, col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), "o").count())
+      val (tAsofPlain, _) = timeIt(AsOf.asOfJoin(
+        evTs, col("user_id"), col("ts"), col("event_id"),
+        orders, col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), "o").count())
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
-        s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes}""")
+        s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
+        s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof}""")
     }
     spark.stop()
   }
