@@ -30,4 +30,15 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("wrong arity yields an analysis-time error naming the function") {
+    for ((sql, fn) <- Seq(
+      ("SELECT cosine_sim(array(1.0f))", "cosine_sim"),
+      ("SELECT minhash_band_keys(array('x'), 64)", "minhash_band_keys"),
+      ("SELECT byte_histogram(CAST('a' AS BINARY), 16, 3)", "byte_histogram"))) {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(fn) && e.getMessage.contains("argument"),
+        s"$sql: got ${e.getMessage.take(200)}")
+    }
+  }
 }
