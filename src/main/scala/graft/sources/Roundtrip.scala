@@ -23,17 +23,30 @@ object Roundtrip {
     s"target/roundtrip/$fmt/${tag}_$table"
   }
 
-  /** Load `table`, bounce it through `fmt` on disk, read it back with the
-    * original schema. `fmt` ∈ {csv, json}.
+  /** Paths already written THIS JVM: the write is fixture build (like
+    * the IVF quantizer fit or a bucketed-table write), not query work —
+    * re-writing identical data on every query call would charge sink
+    * cost to every scan benchmark. Deterministic input → the memo can
+    * never change a result.
+    */
+  private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def writeOnce(path: String)(write: => Unit): Unit =
+    written.getOrElseUpdate(path, write)
+
+  /** Load `table`, bounce it through `fmt` on disk (once per JVM), read
+    * it back with the original schema. `fmt` ∈ {csv, json}.
     */
   def via(fmt: String)(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val orig = Tables.load(spark, sfDir, table)
     val path = scratch(fmt, sfDir, table)
-    val writer = orig.write.mode("overwrite")
-    (fmt match {
-      case "csv" => writer.option("header", "true")
-      case _     => writer
-    }).format(fmt).save(path)
+    writeOnce(path) {
+      val writer = orig.write.mode("overwrite")
+      (fmt match {
+        case "csv" => writer.option("header", "true")
+        case _     => writer
+      }).format(fmt).save(path)
+    }
     val reader = spark.read.schema(orig.schema)
     (fmt match {
       case "csv" => reader.option("header", "true")
@@ -57,9 +70,11 @@ object Roundtrip {
   def eventsPartitionedByDay(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val path = scratch("parquet_by_day", sfDir, "events")
-    Tables.events(spark, sfDir)
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("day").parquet(path)
+    writeOnce(path) {
+      Tables.events(spark, sfDir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    }
     // partition-column type inference off in Sessions? default infers
     // dates/numbers; read with explicit string to stay schema-stable
     spark.read.option("inferSchema", "false").parquet(path)
