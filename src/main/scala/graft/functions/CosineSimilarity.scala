@@ -105,8 +105,17 @@ object CosineSimilarity {
     CatalystBridge.column(CosineSimilarity(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
-  /** Register as a SQL function `cosine_sim` on the session. */
+  /** Register as a SQL function `cosine_sim` on the session. Same
+    * arity validation as the GraftExtensions route — this builder
+    * REPLACES the injected one on the session, so it must be just as
+    * strict or a 1-arg call degrades to an index error.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"function cosine_sim expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }, "built-in")
 }
