@@ -87,6 +87,12 @@ object SparkEntry {
       sources.Roundtrip.eventsPartitionedByDay(s, d)
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n"))),
+    "q_orc_supplier_balance" -> ((s, d) =>
+      sources.Roundtrip.orc(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(col("s_acctbal").cast("decimal(18,2)")) * 100).cast("long")
+            .as("acctbal_cents"))),
     "q_json_customer_segments" -> ((s, d) =>
       sources.Roundtrip.json(s, d, "customer")
         .groupBy(col("c_mktsegment"))
@@ -270,6 +276,12 @@ object SparkEntry {
     "q_events_by_day_partitioned" -> ("""
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
       FROM events GROUP BY 1""".stripMargin.trim),
+    // oracle reads the original parquet — the round-trip through ORC
+    // must be value-preserving for the hash to match
+    "q_orc_supplier_balance" -> ("""
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+      FROM supplier GROUP BY s_nationkey""".stripMargin.trim),
     "q_json_customer_segments" -> ("""
       SELECT c_mktsegment, COUNT(*) AS n_cust,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents

@@ -60,6 +60,12 @@ object Roundtrip {
   def json(spark: SparkSession, sfDir: String, table: String): DataFrame =
     via("json")(spark, sfDir, table)
 
+  /** ORC: the other columnar format Spark bundles — vectorized reads,
+    * predicate pushdown, and column pruning work like parquet's.
+    */
+  def orc(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    via("orc")(spark, sfDir, table)
+
   /** Day-partitioned parquet layout of the events table — the canonical
     * large-table organization: one directory per day so per-day queries
     * prune whole partitions at planning time (`PartitionFilters` in the
