@@ -21,7 +21,9 @@ import graft.operators.{AsOf, Dedup}
   *     cap doing its job;
   *   - salted vs single-window sessionization with one hot user holding
   *     ~factor·1500× the median user's events — the power-law tail the
-  *     salted two-phase spelling exists for.
+  *     salted two-phase spelling exists for;
+  *   - banded vs plain as-of join over the same skewed events (orders
+  *     unreplicated: the skew lives on the probe side).
   *
   * Usage: `sbt 'runMain graft.ScaleSmoke [sfDir] [factors]'` — prints
   * one JSON line per factor with rows and seconds.
