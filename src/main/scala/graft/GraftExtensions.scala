@@ -52,5 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("byte_histogram", exprs, 2)
         functions.ByteHistogramExpr(exprs(0), intLit(exprs(1), "bins"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[functions.SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => {
+        arity("sorted_intersect_size", exprs, 2)
+        functions.SortedIntersectSize(exprs(0), exprs(1))
+      }))
   }
 }

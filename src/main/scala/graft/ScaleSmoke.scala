@@ -94,9 +94,11 @@ object ScaleSmoke {
       spark.catalog.clearCache()
 
       // boilerplate attack: one 3-token preamble on EVERY doc creates a
-      // shingle with df = 500·factor; maxDocFreq=100 keeps it capped at
-      // every factor, so runtime must stay near-linear and soundness
-      // falls to the hot-and-hot verify path
+      // shingle with df = 500·factor; maxDocFreq=100 drops it from the
+      // prefix index at every factor, so runtime must stay near-linear.
+      // Soundness is preserved regardless (every candidate is verified
+      // on the full shingle arrays); the documented residual is recall
+      // on docs whose ENTIRE prefix is capped boilerplate.
       val adv = docs.select(col("doc_id"),
         concat(lit("boiler plate preamble "), col("text")).as("text"))
       val (tAdv, nAdv) = timeIt(

@@ -88,9 +88,14 @@ object AsOf {
       .orderBy(col("t").asc, col("tag").asc, col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBand = u.withColumn("v_run", last(col("v"), ignoreNulls = true).over(wIn))
-    // the band's final right value under the SAME (t, v) ordering the
-    // window uses — max_by on the (t, v) struct compares lexicographically
-    val bandLast = u.filter(col("tag") === 0)
+    // the band's final NON-NULL right value under the SAME (t, v)
+    // ordering the window uses — max_by on the (t, v) struct compares
+    // lexicographically. Null-v right rows are dropped here to match the
+    // plain spelling's `last(v, ignoreNulls)` window exactly: a band
+    // whose latest right row has null v must still carry the band's
+    // earlier non-null value (and nulls sort FIRST under v asc, so the
+    // equal-time tie-break is unchanged).
+    val bandLast = u.filter(col("tag") === 0 && col("v").isNotNull)
       .groupBy(col("k"), col("band"))
       .agg(max_by(col("v"), struct(col("t"), col("v"))).as("band_v"))
     // one row per (key, band) that OCCURS on either side; carry = latest

@@ -55,25 +55,34 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** Shared: (doc_id, shingles, n_shingles) projection over any
-    * (doc_id, text) input.
+    * (doc_id, text) input. Shingle arrays are SORTED ascending — the
+    * exact-verify merge scan ([[graft.functions.SortedIntersect]])
+    * requires it, and nothing downstream is order-sensitive (minhash
+    * band keys take a min over element hashes; the inverted index
+    * explodes the set).
     */
   private def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), sort_array(TextOps.shingles(col("text"), n)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
 
   /** Exact Jaccard verification of candidate pairs against threshold
     * num/den (e.g. 4/5 = 0.8): keeps pairs with
     * inter/(szA+szB-inter) >= num/den  ⇔  (den+num)*inter >= num*(szA+szB).
-    * Pure integer math — exact at any scale.
+    * Pure integer math — exact at any scale. Intersections come from the
+    * native merge-scan expression over the sorted shingle arrays
+    * ([[graft.functions.SortedIntersect]]) — `size(array_intersect(..))`
+    * builds a boxed hash set per candidate pair and was the hottest span
+    * of the round-3 bench (~7 s of a ~37 s total).
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame,
                             num: Int, den: Int): DataFrame = {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersect.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * (den + num) >= (col("sz_a") + col("sz_b")) * num)
       // long ints to match the oracle's BIGINT count arithmetic exactly
@@ -185,6 +194,28 @@ object Dedup {
   /** [[ngramJaccardPairs]] over any (doc_id, text) DataFrame (ScaleSmoke
     * entry). Shingle projection persist()-marked lazily, caller-owned
     * cleanup — same contract as [[minHashNearDupsOn]].
+    *
+    * Candidate pruning beyond the prefix filter (round-3 generated ~410k
+    * candidates at sf0.1 for 256 true pairs — verification dominated the
+    * bench), both from the AllPairs/PPJoin line of work (Bayardo et al.
+    * WWW 2007; Xiao et al. WWW 2008 — public literature), both provably
+    * recall-free:
+    *
+    *   - LENGTH filter, in the join condition: J(A,B) >= t forces
+    *     i >= t·max(|A|,|B|) and i <= min(|A|,|B|), hence
+    *     den·min(sz) >= num·max(sz). Applied before the candidate
+    *     aggregation so disqualified partials never shuffle.
+    *   - POSITIONAL filter, on the aggregated candidate: shared elements
+    *     appear in the same relative order in both docs under the global
+    *     canonical order, so with e* = the first shared UNCAPPED element
+    *     (for a qualifying pair e* lies in both prefixes — same
+    *     contradiction argument as the prefix theorem — and the join's
+    *     min matched positions identify it), the uncapped overlap is
+    *     <= 1 + min(szu_a − pos_a(e*), szu_b − pos_b(e*)) and the capped
+    *     overlap is <= min(sz_a − szu_a, sz_b − szu_b), where szu counts
+    *     a doc's below-cap shingles (= sz when nothing is capped). Drop
+    *     the pair when the two bounds can't reach
+    *     iMin = ceil(num·(sz_a+sz_b)/(num+den)).
     */
   def ngramJaccardPairsOn(docTexts: DataFrame, n: Int = ShingleN,
                           maxDocFreq: Int = 1000): DataFrame = {
@@ -193,25 +224,42 @@ object Dedup {
     val inv = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("ng"))
     val dfreq = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     // canonical rarest-first order; row_number over doc_id is a doc-sized
-    // window (bounded by the longest doc, never key-skewed)
+    // window (bounded by the longest doc, never key-skewed). szu = the
+    // doc's uncapped-shingle count, for the positional filter's capped
+    // correction term — same partition, one window pass.
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("ng").asc)
+    val wDocAll = Window.partitionBy(col("doc_id"))
     // p = sz - ceil(t*sz) + 1, in exact integer math
     val prefixLen = col("sz") - expr(s"(sz * $num + ${den - 1}) DIV $den") + 1
     val prefixInv = inv.join(dfreq, "ng")
       .filter(col("df") <= maxDocFreq)
       .withColumn("pos", row_number().over(wDoc))
+      .withColumn("szu", count(lit(1)).over(wDocAll))
       .filter(col("pos") <= prefixLen)
-      .select(col("doc_id"), col("ng"))
+      .select(col("doc_id"), col("ng"), col("pos"), col("sz"), col("szu"))
     // persisted: the prefix index is an expensive subtree (explode +
     // dfreq join + per-doc window) consumed by BOTH self-join sides, and
     // exchange reuse does not always canonicalize across them — caching
     // guarantees one compute under any join strategy (measured ~2x on
     // the cold path without it). Same caller-owned cleanup as `docs`.
-    val cands = prefixInv.persist().as("x").join(prefixInv.as("y"),
-        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pre = prefixInv.persist()
+    val iMin = expr(s"($num * (sz_a + sz_b) + ${num + den - 1}) DIV ${num + den}")
+    val cands = pre.as("x").join(pre.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) * den >=
+            greatest(col("x.sz"), col("y.sz")) * num)
+      // the aggregation replaces the former distinct() — same shuffle
+      // shape (sz/szu are functionally dependent on the doc ids), but it
+      // carries the min matched positions the positional filter needs
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"),
+        col("x.szu").as("szu_a"), col("y.szu").as("szu_b"))
+      .agg(min(col("x.pos")).as("mpa"), min(col("y.pos")).as("mpb"))
+      .filter(lit(1) +
+        least(col("szu_a") - col("mpa"), col("szu_b") - col("mpb")) +
+        least(col("sz_a") - col("szu_a"), col("sz_b") - col("szu_b")) >= iMin)
+      .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cands, docs, num, den)
   }
 
