@@ -2,12 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.engine.GrepEngine
 import graft.engine.GrepEngine.{Mode, Substring}
 
 /** Typed event row for the custom-state operators. */
 case class UserEvent(user_id: Long, event_id: Long, us: Long)
+
+/** [[UserEvent]] plus the event-time column the watermark is declared
+  * on — the expiring-state operators need the timestamp to survive into
+  * the grouped Dataset.
+  */
+case class UserEventTs(user_id: Long, event_id: Long, us: Long,
+                       ts: java.sql.Timestamp)
 
 /** Running per-user profile: the feature-store shape a streaming
   * pipeline maintains (count + last activity so far).
@@ -79,17 +86,40 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
-  /** Streaming exact dedup on a canonical fingerprint: state is one
-    * entry per distinct key; `withWatermark` + dropDuplicates bounds it
-    * for event-time keys. The streaming counterpart of
-    * [[graft.operators.Dedup.exact]] — first occurrence wins, later
-    * duplicates are suppressed across micro-batches.
+  /** Streaming exact dedup on a canonical fingerprint — the streaming
+    * counterpart of [[graft.operators.Dedup.exact]]: first occurrence
+    * wins, later duplicates are suppressed across micro-batches.
+    *
+    * STATE CAVEAT: this spelling keeps one state entry per distinct
+    * fingerprint FOREVER (no watermark), which is correct only for
+    * bounded key universes or short-lived queries. The production shape
+    * for unbounded ingest is [[dedupStreamWithinWatermark]], which
+    * evicts a fingerprint's state once the watermark passes its arrival
+    * time + the dedup horizon.
     */
   def dedupStream(lines: DataFrame, textCol: String = "value"): DataFrame =
     lines
       .withColumn("fingerprint",
         md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
       .dropDuplicates("fingerprint")
+
+  /** Bounded-state streaming dedup: duplicates of a fingerprint are
+    * suppressed while they arrive within `watermark` of the first
+    * occurrence's event time; once the watermark passes, the state entry
+    * is dropped — so a re-occurrence far later is emitted again. That is
+    * the deliberate contract for 100 TB/day ingest: state size is
+    * O(distinct keys per horizon), not O(distinct keys ever), and
+    * upstream batch dedup ([[graft.operators.Dedup.exact]]) owns
+    * cross-horizon duplicates. Append-mode-safe (emits on arrival).
+    */
+  def dedupStreamWithinWatermark(lines: DataFrame, tsCol: String = "ts",
+                                 textCol: String = "value",
+                                 watermark: String = "10 minutes"): DataFrame =
+    lines
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
@@ -99,6 +129,12 @@ object StreamingOps {
     * mode. Demonstrates route (d) custom state where no built-in
     * aggregation fits (the profile must SURVIVE across triggers and
     * emit its running value each batch).
+    *
+    * STATE CAVEAT: NoTimeout keeps one profile row per user forever —
+    * fine for a bounded user universe, wrong for unbounded ingest. The
+    * production shape is [[runningUserProfilesExpiring]], which evicts a
+    * user's state once the event-time watermark passes their last
+    * activity + a TTL.
     */
   def runningUserProfiles(events: Dataset[UserEvent]): Dataset[UserProfile] = {
     import events.sparkSession.implicits._
@@ -112,6 +148,46 @@ object StreamingOps {
           val next = UserProfile(uid, n, last)
           state.update(next)
           next
+      }
+  }
+
+  /** [[runningUserProfiles]] with bounded state: a user's profile is
+    * evicted once the event-time watermark passes their last activity +
+    * `ttlMs`. Uses flatMapGroupsWithState + EventTimeTimeout — the
+    * timeout callback (empty input, hasTimedOut) removes the state and
+    * emits nothing, so an expired user who returns starts a FRESH
+    * profile. That is the 100 TB contract: state is O(users active
+    * within the TTL horizon), and long-horizon profiles belong to the
+    * batch side (e.g. [[graft.operators.AsOf.sessionizeSalted]] runs).
+    */
+  def runningUserProfilesExpiring(events: Dataset[UserEvent],
+                                  watermark: String = "10 minutes",
+                                  ttlMs: Long = 3600000L): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    val marked = events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", watermark)
+      .as[UserEventTs]
+    marked.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserProfile(uid, 0L, Long.MinValue))
+            var n = prev.n_events
+            var last = prev.last_us
+            evs.foreach { e => n += 1; if (e.us > last) last = e.us }
+            val next = UserProfile(uid, n, last)
+            state.update(next)
+            // expire at last activity + TTL (micros → millis); Spark
+            // clamps nothing — the timestamp must sit past the current
+            // watermark, which last-event-time + positive TTL always does
+            state.setTimeoutTimestamp(last / 1000L + ttlMs)
+            Iterator.single(next)
+          }
       }
   }
 }

@@ -132,6 +132,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked dedup evicts state: a key re-occurring past the horizon re-emits") {
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.dedupStreamWithinWatermark(
+        ms.toDF().toDF("ts", "value"), watermark = "10 minutes")
+      .select("value")
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      // duplicate inside the horizon is suppressed
+      ms.addData((ts("2024-01-01 10:00:00"), "alpha"),
+                 (ts("2024-01-01 10:01:00"), "  ALPHA "))
+      q.processAllAvailable()
+      assert(spark.table("ddw").count() === 1)
+      // advance the watermark far past alpha's arrival + horizon,
+      // evicting its state entry
+      ms.addData((ts("2024-01-01 12:00:00"), "beta"))
+      q.processAllAvailable()
+      // the SAME content re-occurring after eviction is emitted again —
+      // the documented bounded-state contract (cross-horizon dups belong
+      // to the batch dedup)
+      ms.addData((ts("2024-01-01 12:01:00"), "alpha"))
+      q.processAllAvailable()
+      val got = spark.table("ddw").as[String].collect().toSeq
+      assert(got.count(_.trim.equalsIgnoreCase("alpha")) === 2)
+      assert(got.size === 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user profile across batches") {
     val ms = MemoryStream[UserEvent]
     val q = StreamingOps.runningUserProfiles(ms.toDS())
@@ -149,6 +176,34 @@ class StreamingSpec extends SparkSpec {
       val r2 = spark.table("up").as[UserProfile]
         .collect().groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
       assert(r2(1L) === UserProfile(1L, 3L, 200L), "count up, last_us keeps max")
+    } finally q.stop()
+  }
+
+  test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val ms = MemoryStream[UserEvent]
+    // 10-minute TTL so a 2-hour watermark jump is unambiguously past it
+    val q = StreamingOps.runningUserProfilesExpiring(
+        ms.toDS(), watermark = "10 minutes", ttlMs = 600000L)
+      .writeStream.format("memory").queryName("upe").outputMode("update").start()
+    try {
+      ms.addData(UserEvent(1L, 10L, us("2024-01-01 10:00:00")),
+                 UserEvent(1L, 11L, us("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val r1 = spark.table("upe").as[UserProfile].collect()
+      assert(r1.filter(_.user_id == 1L).map(_.n_events).max === 2L)
+      // another user far ahead advances the watermark past user 1's
+      // last activity + TTL → the timeout callback evicts user 1
+      ms.addData(UserEvent(2L, 20L, us("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // user 1 returns AFTER eviction: the profile restarts from zero
+      // (documented contract — long-horizon profiles are batch-side)
+      ms.addData(UserEvent(1L, 12L, us("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val r2 = spark.table("upe").as[UserProfile].collect()
+        .filter(r => r.user_id == 1L && r.last_us == us("2024-01-01 12:30:00"))
+      assert(r2.nonEmpty && r2.map(_.n_events).max === 1L,
+        "fresh profile after TTL eviction, not a continuation")
     } finally q.stop()
   }
 
