@@ -105,6 +105,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => operators.Dedup.minHashNearDups(s, d)),
     "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
+    "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
+    "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -386,6 +388,41 @@ object SparkEntry {
     // integer-Jaccard verify makes the compare exact).
     "q_dedup_minhash" -> ngramJaccardOracle(num = 4, den = 5),
     "q_ngram_jaccard" -> ngramJaccardOracle(num = 1, den = 2),
+    // connected components over the SAME exact >=0.8-Jaccard pair set as
+    // q_dedup_minhash (valid for the same reason — see minHashOracleGuard);
+    // recursive min-reachability CTE = component minimum
+    "q_dedup_clusters" -> ("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                WHERE inter * 9 >= 4 * (sa.s + sb.s)),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, lab) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
+      SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u""".stripMargin.trim),
+    // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
+    "q_decontaminate" -> ("""
+      WITH w AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) < 'cc' AS is_train,
+                   string_split(text, ' ') AS ws
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id, is_train, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      e AS (SELECT DISTINCT ng FROM g WHERE NOT is_train)
+      SELECT doc_id, COUNT(*) AS n_shared_ngrams
+      FROM g JOIN e USING (ng) WHERE is_train
+      GROUP BY doc_id""".stripMargin.trim),
     // q_embed_neardup / q_embed_ann select on FLOAT comparisons (cosine
     // threshold / rank-by-sim) while surfacing only ids; the exact-set
     // oracle is valid because the data keeps a margin >= 1e-6 around

@@ -263,6 +263,74 @@ object Dedup {
     verifyJaccard(cands, docs, num, den)
   }
 
+  /** Near-dup CLUSTERS from the MinHash pair list: connected components
+    * over the >=0.8-Jaccard pair graph, labeling every member doc with
+    * its component's minimum doc_id — the canonical-representative
+    * artifact a dedup pipeline actually consumes ("keep cluster_id ==
+    * doc_id, drop the rest"). Only docs that occur in at least one pair
+    * appear; singleton docs are trivially their own cluster and need no
+    * row at 100 TB.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterPairs(minHashNearDups(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an undirected pair list (doc_a, doc_b) →
+    * (doc_id, cluster_id = min doc_id reachable). Pregel-style min-label
+    * propagation: each round, every node takes the min of its own label
+    * and its neighbors' labels — one shuffled join + one aggregation per
+    * round, fully distributed, converging in O(graph diameter) rounds.
+    *
+    * Scale design (100 TB): the pair list is already the SMALL artifact
+    * (near-dup candidates post-verification, linear in corpus size — see
+    * [[minHashNearDups]]), and near-dup components are dense clique-like
+    * clusters with single-digit diameter, so the round count stays small
+    * where it matters. Each round localCheckpoint()s the label frame to
+    * truncate lineage (on a cluster, prefer `checkpoint()` to a
+    * replicated dir for fault tolerance). The driver-side loop is control
+    * plane only — per-round data never leaves executors; the one
+    * driver-visible value is the converged/changed counter. For
+    * adversarial long-chain graphs the published O(log n) alternative is
+    * the large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — public literature);
+    * documented as the upgrade path, not needed for near-dup topology.
+    *
+    * `maxIter` is a correctness guard, not a truncation: non-convergence
+    * within it throws rather than returning a partially-propagated
+    * labeling.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.doc_id"))
+        .select(col("e.u").as("doc_id"), col("l.cluster_id").as("cluster_id"))
+        .union(labels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge within $maxIter rounds — graph " +
+          "diameter exceeds the near-dup assumption; use large-star/small-star")
+    labels
+  }
+
   /** 64-bit SimHash near-dup pairs at Hamming distance <= 3 over unigram
     * token counts. Banding into 4×16-bit chunks gives GUARANTEED recall:
     * two signatures within Hamming 3 must agree on at least one of 4

@@ -157,6 +157,38 @@ object TextAnalysis {
         when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
           lit("train")).otherwise(lit("eval")).as("split"))
 
+  /** Benchmark DECONTAMINATION: train docs that share at least one word
+    * n-gram with any eval-split doc, with the count of distinct shared
+    * n-grams — the standard leakage check a training pipeline runs before
+    * shipping a corpus (eval/benchmark text appearing verbatim inside
+    * training docs inflates downstream scores).
+    *
+    * Scale design (100 TB): the eval side collapses to a DISTINCT n-gram
+    * SET before the join, so each (train doc, n-gram) row matches at most
+    * ONE row — output is bounded by the train inverted index, never
+    * (train × eval) quadratic, no cap needed. In production the eval side
+    * is a fixed benchmark suite: wrap it in `broadcast()` and the join is
+    * shuffle-free. Here eval is the md5-threshold split (data-scale), so
+    * the hint is left off and AQE picks broadcast at runtime when the set
+    * is small. Same shingle primitive and canonical-hash split rule as
+    * [[graft.operators.Dedup]] / [[trainEvalAssign]], so the DuckDB
+    * oracle shares their SQL spellings.
+    */
+  def contamination(spark: SparkSession, sfDir: String,
+                    n: Int = Dedup.ShingleN,
+                    threshold: String = "cc"): DataFrame = {
+    def shingled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
+          .as("is_train"),
+        explode(TextOps.shingles(col("text"), n)).as("ng"))
+    val evalNgrams = shingled.filter(!col("is_train")).select(col("ng")).distinct()
+    shingled.filter(col("is_train"))
+      .join(evalNgrams, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** BPE-ish pre-tokenizer pattern (public GPT-2-style shape, kept to
     * portable RE2/Java syntax — no lookarounds): letter runs stay
     * whole words, digits split one per token, every other non-space

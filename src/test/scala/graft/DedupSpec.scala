@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side union-find over a pair list; merging by min root makes
+    * every final root the component minimum — the same labeling
+    * clusterPairs converges to.
+    */
+  private def bruteComponents(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
+  }
+
+  test("near-dup clusters equal driver-side union-find over the exact pair set") {
+    val got = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === bruteComponents(brutePairs(0.8)))
+  }
+
+  test("clusterPairs: chains, merged triangles, and separate components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusterPairs converges on a pure chain (worst-case diameter)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(chain).as[(Long, Long)].collect()
+    assert(got.length === 12 && got.forall(_._2 == 1L))
+    // and the guard actually guards: a bound below the diameter throws
+    // instead of returning a half-propagated labeling
+    assertThrows[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIter = 3)
+    }
+  }
+
   /** Independent driver-side SimHash: plain Scala loops over token
     * counts, same 64-bit xxhash64(tok, seed 42) as the SQL expression —
     * an independent REIMPLEMENTATION of the signature + threshold (the

@@ -133,6 +133,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("contamination equals a driver-side shingle-overlap reimplementation") {
+    def canon(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sh(t: String) =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, md5hex(canon(t)) < "cc", sh(t)) }
+    val evalNgrams = docs.filter(!_._2).flatMap(_._3).toSet
+    val want = docs.filter(_._2)
+      .map { case (id, _, s) => id -> (s & evalNgrams).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = TextAnalysis.contamination(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must actually exercise the overlap path")
+  }
+
   test("set ops: union distinct and except produce disjoint+complete split") {
     import graft.operators.Relational
     val all = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"))
