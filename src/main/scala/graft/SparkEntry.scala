@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
+    "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
@@ -410,6 +411,16 @@ object SparkEntry {
         UNION
         SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u""".stripMargin.trim),
+    // same canonical-fingerprint spelling as q_fingerprint
+    "q_dedup_incremental" -> ("""
+      WITH f AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+                 FROM documents)
+      SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n
+      FROM f b WHERE doc_id % 10 >= 8
+        AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8
+                        AND c.fingerprint = b.fingerprint)
+      GROUP BY fingerprint""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

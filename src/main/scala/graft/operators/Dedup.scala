@@ -263,6 +263,44 @@ object Dedup {
     verifyJaccard(cands, docs, num, den)
   }
 
+  /** Incremental-ingestion dedup: collapse a NEW batch internally on the
+    * canonical content fingerprint, then anti-join away everything whose
+    * fingerprint already exists in the corpus — the per-delivery shape of
+    * a continuously-fed corpus ("which of today's crawl is genuinely
+    * new"). Output: one row per new-to-the-corpus fingerprint with its
+    * canonical (min) doc_id and within-batch multiplicity.
+    *
+    * Scale design (100 TB corpus, small-by-comparison batch): both the
+    * batch aggregation and the anti-join shuffle on the fingerprint — a
+    * uniform hash key, so no skew story is needed. The corpus side prunes
+    * to the fingerprint column; in production that column is a
+    * precomputed index table ([[graft.operators.TextAnalysis.fingerprints]]
+    * materialized at ingest), so the anti-join never rescans corpus text.
+    * AQE broadcasts the batch side when it is small enough, making the
+    * corpus pass a single scan with a broadcast anti-join — the optimal
+    * plan for the daily-delta case.
+    */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    def fp(d: DataFrame) = d.withColumn("fingerprint",
+      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+    fp(batch)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .join(fp(corpus).select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+  }
+
+  /** [[incrementalNew]] over the documents table with a deterministic
+    * corpus/batch partition (doc_id mod 10: 0-7 corpus, 8-9 batch) — the
+    * driver-query harness for the operator; real pipelines pass their
+    * own corpus and delivery frames.
+    */
+  def incrementalNewDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalNew(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** Near-dup CLUSTERS from the MinHash pair list: connected components
     * over the >=0.8-Jaccard pair graph, labeling every member doc with
     * its component's minimum doc_id — the canonical-representative
@@ -294,6 +332,13 @@ object Dedup {
     * Components in MapReduce and Beyond", SoCC 2014 — public literature);
     * documented as the upgrade path, not needed for near-dup topology.
     *
+    * Convergence is detected with a MONOTONICITY argument instead of a
+    * per-round diff join: labels only ever decrease under min
+    * propagation, so the label SUM strictly decreases iff any label
+    * changed — one tiny aggregate per round (exact decimal sum, immune
+    * to long overflow at any corpus size) instead of a full join against
+    * the previous round.
+    *
     * `maxIter` is a correctness guard, not a truncation: non-convergence
     * within it throws rather than returning a partially-propagated
     * labeling.
@@ -306,8 +351,13 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val next = edges.as("e")
         .join(labels.as("l"), col("e.v") === col("l.doc_id"))
@@ -316,10 +366,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }

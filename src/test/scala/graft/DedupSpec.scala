@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals a driver-side fingerprint anti-join") {
+    def canon(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, md5hex(canon(t))) }
+    val corpusFps = docs.filter(_._1 % 10 < 8).map(_._2).toSet
+    val want = docs.filter(_._1 % 10 >= 8)
+      .groupBy(_._2).view
+      .mapValues(rows => (rows.map(_._1).min, rows.size.toLong)).toMap
+      .filter { case (fp, _) => !corpusFps.contains(fp) }
+    val got = Dedup.incrementalNewDocs(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (fp, id, n) => fp -> ((id, n)) }.toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must have genuinely-new batch docs")
+  }
+
   /** Independent driver-side SimHash: plain Scala loops over token
     * counts, same 64-bit xxhash64(tok, seed 42) as the SQL expression —
     * an independent REIMPLEMENTATION of the signature + threshold (the
