@@ -12,6 +12,9 @@ import graft.operators.{AsOf, Dedup}
   *
   * Covered per factor:
   *   - [[Dedup.minHashNearDupsOn]] (banded LSH + exact verify);
+  *   - [[Dedup.clusterPairs]] over the verified pairs (pairs
+  *     pre-materialized: times only the propagation loop — linear
+  *     components, constant topology ⇒ rounds must stay constant);
   *   - [[Dedup.ngramJaccardPairsOn]] — the CAPPED production path, not
   *     the raw inverted index;
   *   - the same path under an ADVERSARIAL boilerplate shingle stamped
@@ -90,6 +93,19 @@ object ScaleSmoke {
       val (tMh, nMh) = timeIt(Dedup.minHashNearDupsOn(docs).count())
       spark.catalog.clearCache()
 
+      // connected components over the verified pair list: pairs are
+      // materialized first so this times ONLY the propagation loop.
+      // Replicas share no shingles, so components (and pairs) scale
+      // linearly while topology — hence round count — stays constant;
+      // super-linear growth here would mean the per-round join/agg
+      // shape, not the data, is the bottleneck.
+      val pairList = Dedup.minHashNearDupsOn(docs)
+        .select(col("doc_a"), col("doc_b")).persist()
+      pairList.count()
+      val (tCl, nCl) = timeIt(Dedup.clusterPairs(pairList).count())
+      pairList.unpersist()
+      spark.catalog.clearCache()
+
       val (tNg, nNg) = timeIt(Dedup.ngramJaccardPairsOn(docs).count())
       spark.catalog.clearCache()
 
@@ -125,6 +141,7 @@ object ScaleSmoke {
         col("o_orderkey"), "o").count())
 
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
+        s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
