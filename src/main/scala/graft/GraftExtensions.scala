@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("byte_histogram", exprs, 2)
         functions.ByteHistogramExpr(exprs(0), intLit(exprs(1), "bins"))
       }))
+    // aggregate function: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression during resolution, same as built-in aggs
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
+      (exprs: Seq[Expression]) => {
+        arity("simhash_agg", exprs, 1)
+        functions.SimHashAgg(exprs(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[functions.SortedIntersectSize].getName, "sorted_intersect_size"),

@@ -385,24 +385,20 @@ object Dedup {
     * two signatures within Hamming 3 must agree on at least one of 4
     * bands (pigeonhole), so the bucket join misses nothing; candidates
     * are verified with bit_count(xor). Output: (doc_a, doc_b, hamming).
+    *
+    * Signatures come from the native aggregate
+    * [[graft.functions.SimHashAgg]]: ONE ObjectHashAggregate over the
+    * exploded token stream (per-occurrence ±1 sums to the same counters
+    * as per-token ±count), replacing the composed spelling's two
+    * shuffled aggregations — kept as [[simHashSignaturesRef]] and
+    * equivalence-asserted in DedupSpec.
     */
   def simHashNearDups(spark: SparkSession, sfDir: String,
                       maxHamming: Int = 3): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    val signed = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    // Per-bit weighted sums: +cnt when bit set, -cnt otherwise; 64 sums.
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$b")
-    }
-    val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val signed = sums.select(col("doc_id"), sig.as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("sig"))
     val banded = signed.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -416,5 +412,30 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Composed-builtins reference spelling of the SimHash signature —
+    * per-(doc, token) counts, then 64 `sum(when(bit, cnt).otherwise(-cnt))`
+    * columns — kept to keep the native [[graft.functions.SimHashAgg]]
+    * honest (DedupSpec asserts signature-for-signature equality), same
+    * contract as shinglesHof / minHashSignature for the other native
+    * expressions. Not on the production path: two shuffled aggregations
+    * vs the aggregate's one.
+    */
+  def simHashSignaturesRef(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("sig"))
   }
 }

@@ -165,6 +165,17 @@ class DedupSpec extends SparkSpec {
     (0 until 64).foldLeft(0L)((acc, b) => if (sums(b) > 0) acc | (1L << b) else acc)
   }
 
+  test("native simhash_agg equals the composed two-aggregation spelling per doc") {
+    val ref = Dedup.simHashSignaturesRef(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val got = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(xxhash64(col("tok"))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref)
+  }
+
   test("simhash pairs equal an independent driver-side implementation exactly") {
     val sigs = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect()

@@ -21,6 +21,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(hist.sum - 1.0f) < 1e-6f)
     // 'a' = 0x61 -> bin 6 holds everything
     assert(hist(6) === 1.0f)
+
+    // aggregate function: one token 'a' (count 2) and one 'b' — the
+    // signature must equal the driver-side sign-of-sums computation
+    val sig = spark.sql("""
+      SELECT simhash_agg(xxhash64(tok)) AS sig
+      FROM (SELECT explode(array('a', 'a', 'b')) AS tok)""").as[Long].head
+    val expected = {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val hs = Seq(("a", 2), ("b", 1)).map { case (t, c) =>
+        (XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L), c)
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val s = hs.map { case (h, c) => (((h >>> b) & 1L) * 2 - 1) * c }.sum
+        if (s > 0) acc | (1L << b) else acc
+      }
+    }
+    assert(sig === expected)
   }
 
   test("non-literal band parameters are rejected with a clear error") {
