@@ -108,6 +108,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
+    "q_tfidf_terms" -> ((s, d) => operators.TextAnalysis.tfidfTopTerms(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -411,6 +412,21 @@ object SparkEntry {
         UNION
         SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u""".stripMargin.trim),
+    // integer-scaled idf surrogate keeps score/rank exact cross-engine —
+    // see TextAnalysis.tfidfTopTerms scaladoc
+    "q_tfidf_terms" -> ("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, term, tf, df, tf * ((n_docs * 1000) // df) AS score
+            FROM tf JOIN idf USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, tf, df, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS rank
+            FROM s)
+      SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 3""".stripMargin.trim),
     // same canonical-fingerprint spelling as q_fingerprint
     "q_dedup_incremental" -> ("""
       WITH f AS (SELECT doc_id,

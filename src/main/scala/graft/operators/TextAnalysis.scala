@@ -157,6 +157,40 @@ object TextAnalysis {
         when(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold,
           lit("train")).otherwise(lit("eval")).as("split"))
 
+  /** Top-k characteristic terms per document by a TF-IDF-style weight —
+    * the term-importance feature extractor (doc keywords, topic hints,
+    * index terms). Weight = tf · (N·1000 DIV df): document frequency's
+    * reciprocal scaled to an INTEGER, so scores and ranks are exact and
+    * engine-portable — a float idf (log N/df) ranks near-identically but
+    * puts an IEEE-rounding boundary under the oracle hash (same
+    * integer-only rule as the money columns; ties broken by term ASC).
+    *
+    * Scale design: tf is one (doc, term) aggregation; df reuses those
+    * rows (one more aggregation on term); N arrives as a broadcast 1-row
+    * cross join, never a driver-side scalar pull; the per-doc top-k
+    * window partitions on doc_id — bounded by document length, not
+    * corpus size. Three shuffles total, each on a natural key.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000) DIV df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Benchmark DECONTAMINATION: train docs that share at least one word
     * n-gram with any eval-split doc, with the count of distinct shared
     * n-grams — the standard leakage check a training pipeline runs before

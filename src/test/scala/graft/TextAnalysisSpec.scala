@@ -133,6 +133,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("tf-idf top terms equal a driver-side reimplementation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (term, occ) => (id, term, occ.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = tf.map { case (id, term, f) =>
+      (id, term, f, dfm(term), f * (n * 1000L / dfm(term)))
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._5, r._2)).take(3).zipWithIndex.toSeq
+        .map { case ((id, term, f, df, score), i) => (id, term, f, df, score, (i + 1).toLong) }
+    }.toSet
+    val got = TextAnalysis.tfidfTopTerms(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("contamination equals a driver-side shingle-overlap reimplementation") {
     def canon(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
