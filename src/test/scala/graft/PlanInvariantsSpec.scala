@@ -8,11 +8,12 @@ class PlanInvariantsSpec extends SparkSpec {
   val sf = TestSpark.sf0001
 
   /** Brute-force ANN deliberately streams every vector past a broadcast
-    * of the ~10 query vectors — a BroadcastNestedLoopJoin whose build
-    * side is constant-size is linear, not quadratic, and IS the intended
-    * exact-baseline plan. Everything else must stay equi-join shaped.
+    * of the ~10 query vectors, and tf-idf cross-joins a broadcast 1-ROW
+    * corpus-count frame — a BroadcastNestedLoopJoin whose build side is
+    * constant-size is linear, not quadratic, and IS the intended plan.
+    * Everything else must stay equi-join shaped.
     */
-  private val intendedBnlj = Set("q_embed_ann")
+  private val intendedBnlj = Set("q_embed_ann", "q_tfidf_terms")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
