@@ -53,6 +53,7 @@ object SparkEntry {
     "q_except_small_only" -> ((s, d) => operators.Relational.onlySmallOrderCustomers(s, d)),
     "q_orders_ranked" -> (operators.Relational.ordersRanked _),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
+    "q_events_pivot" -> (operators.Relational.eventsDailyPivot _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
     "q_event_session_pairs" -> ((s, d) => operators.AsOf.eventPairsWithin(s, d)),
@@ -295,6 +296,15 @@ object SparkEntry {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value,
              COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin.trim),
+    // COUNT(CASE ...) mirrors the 0-filled pivot cells exactly
+    "q_events_pivot" -> ("""
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1""".stripMargin.trim),
     "q_events_props" -> ("""
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
       FROM events GROUP BY 1""".stripMargin.trim),

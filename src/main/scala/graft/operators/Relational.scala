@@ -180,6 +180,28 @@ object Relational {
         sumAsMinorUnits(dec("value"), 100).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Known event-type vocabulary for the pivot — enumerated explicitly
+    * so the plan is ONE aggregation pass (see [[eventsDailyPivot]]).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event counts PIVOTED to one column per event type — the
+    * wide/report reshaping surface (`RelationalGroupedDataset.pivot`).
+    * The pivot values are enumerated explicitly: without the list Spark
+    * first runs a DISTINCT over the pivot column to discover values — an
+    * extra full pass at 100 TB, and a nondeterministic schema besides
+    * (columns appearing/disappearing with the data); a pivot over an
+    * unbounded-cardinality column is the wrong operator at any scale.
+    * Absent cells are filled to 0 to match SQL's COUNT(CASE ...)
+    * spelling. One shuffle on day; the pivot itself is map-side width.
+    */
+  def eventsDailyPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
   /** JSON extraction over the events.props column: get_json_object →
     * pushdown-friendly scan + scalar projection, aggregated per key value.
     */

@@ -121,6 +121,36 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming INCREMENTAL INGEST via foreachBatch — the streaming front
+    * door to [[graft.operators.Dedup.incrementalNew]]: each micro-batch
+    * is collapsed on the canonical content fingerprint, anti-joined
+    * against the fingerprints already in the corpus directory, and ONLY
+    * corpus-new rows are appended. foreachBatch is the right tool when a
+    * sink needs full batch-DataFrame semantics (an arbitrary join against
+    * batch data + a table append) that no built-in streaming sink offers.
+    *
+    * Scale notes: the anti-join reads only the corpus `fingerprint`
+    * column (parquet column pruning); at 100 TB that column is the
+    * ingest index, kept compacted. The append is idempotent per
+    * fingerprint by construction (a re-delivered batch re-anti-joins
+    * against the corpus it already extended, finding nothing new), so
+    * failure-replay cannot duplicate rows — stronger than relying on the
+    * sink's exactly-once log.
+    */
+  def ingestNewDocs(lines: DataFrame, corpusDir: String,
+                    textCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      val fresh = batch
+        .select(fp.as("fingerprint"), col(textCol).as("text"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("text")).as("text"))
+        .join(batch.sparkSession.read.parquet(corpusDir).select("fingerprint"),
+          Seq("fingerprint"), "left_anti")
+      fresh.write.mode("append").parquet(corpusDir)
+      ()
+    }.start()
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

@@ -113,4 +113,22 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getDate(1).toString.startsWith("2024")))
   }
+
+  test("pivot matches the long-form daily counts cell for cell") {
+    import org.apache.spark.sql.functions._
+    val long = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = Relational.eventsDailyPivot(spark, sf).collect()
+    assert(wide.nonEmpty)
+    for (r <- wide; (t, i) <- Relational.EventTypes.zipWithIndex) {
+      val want = long.getOrElse((r.getDate(0).toString, t), 0L)
+      assert(r.getLong(i + 1) === want, s"day ${r.getDate(0)} type $t")
+    }
+    // every long-form cell is accounted for (no silent value drop)
+    assert(wide.map(r => Relational.EventTypes.map(t => r.getLong(
+      Relational.EventTypes.indexOf(t) + 1)).sum).sum === long.values.sum)
+  }
 }

@@ -179,6 +179,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental ingest appends only corpus-new fingerprints") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-ingest").resolve("corpus").toString
+    // seed the corpus with one known doc
+    Seq("alpha doc").toDF("text")
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .select("fingerprint", "text")
+      .write.parquet(corpus)
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocs(ms.toDF(), corpus)
+    try {
+      // a corpus dup, a new doc, and a canonical variant of the new doc
+      ms.addData("alpha doc", "beta doc", "  BETA   DOC ")
+      q.processAllAvailable()
+      // a within-stream dup across batches, and another new doc
+      ms.addData("beta doc", "gamma doc")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(corpus)
+      assert(rows.count() === 3, "alpha (seed) + beta + gamma, each exactly once")
+      assert(rows.select("fingerprint").distinct().count() === 3)
+      val texts = rows.select("text").as[String].collect().toSet
+      assert(texts.contains("alpha doc") && texts.contains("gamma doc"))
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
