@@ -347,9 +347,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    var labels = edges.select(col("u").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // initialization IS the first propagation round: every node starts
+    // at min(self, neighbors) — one aggregation over the edge list,
+    // saving a full join round (every node has >= 1 edge by construction)
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("doc_id"), least(col("doc_id"), col("mv")).as("cluster_id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
