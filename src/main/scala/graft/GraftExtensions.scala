@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"function $fn expects $n arguments, got ${exprs.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: builtin sorted-distinct intersect-size spelling →
+    // native merge scan (see plans.IntersectSizeRewrite for the guards)
+    ext.injectOptimizerRule(_ => plans.IntersectSizeRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),

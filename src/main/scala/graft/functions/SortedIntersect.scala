@@ -29,14 +29,26 @@ import org.apache.spark.sql.types._
   * but is NOT the intersection) — equivalence with `array_intersect` on
   * sorted inputs is asserted in DedupSpec.
   *
-  * Null semantics: null if either side is null (BinaryExpression default).
-  * Null ELEMENTS are outside the contract — the shingle pipeline never
-  * produces them, and the merge scan reads elements unconditionally.
+  * Null semantics: null if either side is null (BinaryExpression
+  * default). Null ELEMENTS follow array_intersect: a null shared by both
+  * sides counts once (nulls-first sorted prefix, see [[sizeSorted]]).
+  *
+  * Users who spell the builtin composition
+  * `size(array_intersect(sort_array(array_distinct(a)), ...))` get this
+  * expression automatically via the optimizer rule
+  * [[graft.plans.IntersectSizeRewrite]].
   */
 object SortedIntersect {
 
   /** Merge-scan intersection size; static so generated code JITs it.
     * Called from both interpreted eval and whole-stage codegen.
+    *
+    * Null ELEMENTS sort first under `sort_array(.., asc)`, so they are
+    * skipped as a prefix; a null present on BOTH sides counts once —
+    * exactly `size(array_intersect(a, b))` semantics on sorted
+    * duplicate-free input (array_intersect keeps a shared null). On the
+    * dedup hot path the arrays are null-free and the two skip loops exit
+    * immediately.
     */
   def sizeSorted(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
@@ -44,6 +56,9 @@ object SortedIntersect {
     var i = 0
     var j = 0
     var c = 0
+    while (i < n && a.isNullAt(i)) i += 1
+    while (j < m && b.isNullAt(j)) j += 1
+    if (i > 0 && j > 0) c += 1
     while (i < n && j < m) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
@@ -77,6 +92,7 @@ object SortedIntersect {
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def prettyName: String = "sorted_intersect_size"
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
