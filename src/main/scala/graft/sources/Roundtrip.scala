@@ -86,4 +86,31 @@ object Roundtrip {
     spark.read.option("inferSchema", "false").parquet(path)
       .withColumn("day", col("day").cast("string"))
   }
+
+  /** Compacted, layout-controlled parquet rewrite of the events table:
+    * exactly `files` output files (repartition on the access key), each
+    * sorted within by (user_id, ts).
+    *
+    * This is the small-files + data-layout control a 100 TB ingest needs:
+    * streaming/micro-batch sinks emit thousands of KB-sized files whose
+    * per-file open/footer overhead dominates scans, and unsorted row
+    * groups make parquet min/max statistics useless. Hash-repartitioning
+    * on the dominant access key fixes the file count; the within-file
+    * sort makes each row group's (user_id, ts) range tight so point/range
+    * reads skip row groups. The same two lines are the batch compaction
+    * job you would schedule behind [[graft.streaming.StreamingOps
+    * .ingestNewDocs]].
+    */
+  def eventsCompacted(spark: SparkSession, sfDir: String,
+                      files: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = scratch("parquet_compact", sfDir, "events")
+    writeOnce(path) {
+      Tables.events(spark, sfDir)
+        .repartition(files, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 }

@@ -69,6 +69,22 @@ class GrepEngineSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq === Seq("pb", "pa"))
   }
 
+  test("SQL front door: the same query runs via spark.sql over a temp view") {
+    // the engine is fully usable from plain SQL — temp view + spark.sql
+    // with the session extensions' functions available; identical result
+    // to the DataFrame spelling
+    Tables.documents(spark, TestSpark.sf0001).createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql("""
+      SELECT text AS line, count(*) AS freq
+      FROM documents_v WHERE contains(text, 'spark')
+      GROUP BY text""")
+      .as[(String, Long)].collect().toSet
+    val viaApi = GrepEngine
+      .grepFreq(Tables.documents(spark, TestSpark.sf0001), "text", "spark")
+      .as[(String, Long)].collect().toSet
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+  }
+
   test("highlight modes match the reference client (client/client.go:69-79)") {
     assert(GrepEngine.highlight("a foo b", "foo", "asterisks") === "a *foo* b")
     assert(GrepEngine.highlight("a foo b", "foo", "none") === "a foo b")

@@ -48,6 +48,29 @@ class MultimodalSpec extends SparkSpec {
       l.contains("bytehistogramexpr") && l.contains("*(")), s"plan:\n$plan")
   }
 
+  test("metadata-only queries over stored assets prune the binary payload scan") {
+    import org.apache.spark.sql.functions._
+    // persist the asset table (payload + meta struct) as parquet — the
+    // at-rest layout a multimodal corpus has in production
+    val path = "target/roundtrip/parquet_assets/sf0001"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      operators.Multimodal.assets(spark, TestSpark.sf0001)
+        .write.mode("overwrite").parquet(path)
+    val q = spark.read.parquet(path)
+      .groupBy(col("mime"))
+      .agg(sum(col("meta.duration_ms")).as("total_ms"))
+    q.collect()
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // nested schema pruning: the scan must read mime + meta.duration_ms
+    // and must NOT touch the (dominant-size) binary payload — at 100 TB
+    // metadata queries over a media corpus are only viable if the bytes
+    // stay unread
+    assert(scanLine.contains("duration_ms"), s"pruned nested field missing: $scanLine")
+    assert(!scanLine.contains("payload"), s"payload must be pruned: $scanLine")
+    assert(!scanLine.contains("width"), s"unused nested fields must be pruned: $scanLine")
+  }
+
   test("feature output drops the payload column (no media bytes downstream)") {
     val cols = Multimodal.features(Multimodal.assets(spark, sf)).columns.toSet
     assert(!cols.contains("payload"))

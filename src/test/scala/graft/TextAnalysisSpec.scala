@@ -196,6 +196,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oneDay.count() === viaGroup)
   }
 
+  test("compacted events: exact file count, sorted layout, values preserved") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = sources.Roundtrip.eventsCompacted(spark, sf, files = 4)
+    // content identical to the source table
+    assert(out.count() === Tables.events(spark, sf).count())
+    assert(out.agg(sum(col("event_id"))).head.getLong(0) ===
+      Tables.events(spark, sf).agg(sum(col("event_id"))).head.getLong(0))
+    // exactly the requested number of data files (small-files control)
+    val dir = Paths.get("target/roundtrip/parquet_compact/_root_testdata_sf0.001_events")
+    val parts = Files.list(dir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts === 4)
+    // within-file ordering: rows of one file are (user_id, ts)-sorted,
+    // so parquet row-group min/max stats are tight for the access key
+    val fileSorted = out
+      .select(input_file_name().as("f"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+          .orderBy(monotonically_increasing_id())))
+    val viol = fileSorted.as("a").join(fileSorted.as("b"),
+        col("a.f") === col("b.f") && col("a.rn") + 1 === col("b.rn"))
+      .filter(col("a.user_id") > col("b.user_id") ||
+        (col("a.user_id") === col("b.user_id") && col("a.us") > col("b.us")))
+    assert(viol.isEmpty, "physical row order must follow (user_id, ts) per file")
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
