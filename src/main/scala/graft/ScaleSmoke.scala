@@ -15,6 +15,11 @@ import graft.operators.{AsOf, Dedup}
   *   - [[Dedup.clusterPairs]] over the verified pairs (pairs
   *     pre-materialized: times only the propagation loop — linear
   *     components, constant topology ⇒ rounds must stay constant);
+  *   - [[Dedup.incrementalNew]] with a factor-sized corpus and a
+  *     base-sized delivery batch (time tracks the corpus scan);
+  *   - [[graft.operators.TextAnalysis.contaminationOn]] (eval side
+  *     collapses to a distinct n-gram set ⇒ bounded by the train
+  *     inverted index);
   *   - [[Dedup.ngramJaccardPairsOn]] — the CAPPED production path, not
   *     the raw inverted index;
   *   - the same path under an ADVERSARIAL boilerplate shingle stamped
@@ -121,6 +126,24 @@ object ScaleSmoke {
         Dedup.ngramJaccardPairsOn(adv, maxDocFreq = 100).count())
       spark.catalog.clearCache()
 
+      // incremental ingest: corpus grows with the factor, the delivery
+      // batch stays base-sized — time must track the corpus SCAN
+      // (linear), with the anti-join shuffling only fingerprints. Half
+      // the delivery (the x0 copy) already exists in the corpus and must
+      // be filtered; half (the raw originals) is genuinely new.
+      val batch = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .union(replicatedDocs(spark, sfDir, 1))
+      val (tInc, nInc) = timeIt(
+        Dedup.incrementalNew(docs, batch).count())
+      spark.catalog.clearCache()
+
+      // decontamination: both sides grow with the factor, but the eval
+      // side collapses to a distinct n-gram set before the join, so the
+      // output (and time) must stay bounded by the train inverted index
+      val (tDec, nDec) = timeIt(
+        operators.TextAnalysis.contaminationOn(docs).count())
+      spark.catalog.clearCache()
+
       val events = replicatedEvents(spark, sfDir, factor)
       val (tSes, nSes) = timeIt(AsOf.sessionizeSaltedEvents(events).count())
       val (tSesPlain, _) = timeIt(AsOf.sessionizeEvents(events).count())
@@ -142,6 +165,8 @@ object ScaleSmoke {
 
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
+        s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
+        s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +

@@ -210,8 +210,17 @@ object TextAnalysis {
     */
   def contamination(spark: SparkSession, sfDir: String,
                     n: Int = Dedup.ShingleN,
-                    threshold: String = "cc"): DataFrame = {
-    def shingled = Tables.documents(spark, sfDir)
+                    threshold: String = "cc"): DataFrame =
+    contaminationOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, threshold)
+
+  /** [[contamination]] over any (doc_id, text) DataFrame (ScaleSmoke
+    * entry) — same contract as the other `*On` variants.
+    */
+  def contaminationOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
+                      threshold: String = "cc"): DataFrame = {
+    def shingled = docTexts
       .select(col("doc_id"),
         (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
           .as("is_train"),

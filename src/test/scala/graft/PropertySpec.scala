@@ -190,6 +190,39 @@ class PropertySpec extends SparkSpec {
     check("ngramPrefixFilter", prop, n = 10)
   }
 
+  test("connected components equal union-find on random graphs") {
+    def unionFind(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
+    }
+    // random graphs cover chains, cycles, stars, and forests — the
+    // topologies min-label propagation must converge on
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(1, 18)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.Dedup.clusterPairs(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        got == unionFind(edges.toSet)
+      }
+    }
+    check("clusterPairs", prop, n = 6)
+  }
+
   test("wordset dedup key is permutation-invariant over token order") {
     val prop = Prop.forAll(bagGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
       (bag, seed) =>
