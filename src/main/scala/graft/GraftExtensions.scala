@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("byte_histogram", exprs, 2)
         functions.ByteHistogramExpr(exprs(0), intLit(exprs(1), "bins"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        arity("dot_product", exprs, 2)
+        functions.DotProduct(exprs(0), exprs(1))
+      }))
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression during resolution, same as built-in aggs
     ext.injectFunction((

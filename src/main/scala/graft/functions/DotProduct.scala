@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** Native dot product of two float/double array columns — the norm-free
+  * sibling of [[CosineSimilarity]], one fused loop in whole-stage
+  * codegen.
+  *
+  * Why it exists: sign tests don't need norms. The hyperplane-LSH sketch
+  * evaluates `sign(v · plane)` for 32 planes per row; spelling that as
+  * `cosine_sim > 0` recomputes ‖v‖ (and the constant plane's norm) on
+  * every call — three passes of arithmetic where one suffices, ~3× the
+  * flops on the sketch projection. Same contract as cosine_sim: null if
+  * either side is null, length mismatch raises, empty arrays give 0.0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "dot_product"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double> args, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_product: length mismatch ${n} vs ${b.numElements()}")
+    val aF = elemIsFloat(left); val bF = elemIsFloat(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API entry point: `dot_product(a, b)`. */
+  def dotProduct(a: Column, b: Column): Column =
+    CatalystBridge.column(DotProduct(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+}

@@ -129,13 +129,17 @@ object Similarity {
 
   /** LSH sketch keys for one vector: one key per table, key = the r sign
     * bits of the vector against that table's hyperplanes. sign(dot) ==
-    * sign(cosine), so the native expression scores raw float arrays
-    * against double-literal planes directly.
+    * sign(cosine), so the norm-free native [[graft.functions.DotProduct]]
+    * scores raw float arrays against double-literal planes directly —
+    * cosine's two norm accumulations per plane test would be pure waste
+    * on a sign test (~3× the flops over 32 planes; sign equivalence
+    * asserted in SimilaritySpec).
     */
   private def sketchKeys(emb: Column, pl: Seq[Seq[Seq[Double]]]): Column =
     array(pl.zipWithIndex.map { case (table, t) =>
       val bits = table.zipWithIndex.map { case (plane, p) =>
-        when(cosineSim(emb, typedlit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+        when(graft.functions.DotProduct.dotProduct(emb, typedlit(plane)) > 0,
+          lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       // disambiguate tables: key = (table index, bit pattern)
       (bits + lit(t * 65536)).cast("long")

@@ -20,6 +20,31 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff < 1e-12, s"native vs builtin cosine diverged by $diff")
   }
 
+  test("dot_product: norm-free sibling agrees with cosine in sign and scale") {
+    import graft.functions.DotProduct.dotProduct
+    val df = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(dotProduct(col("ea"), col("eb")).as("dp"),
+        cosineSim(col("ea"), col("eb")).as("cs"),
+        dotProduct(col("ea"), col("ea")).as("na2"),
+        dotProduct(col("eb"), col("eb")).as("nb2"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (dp, cs, na2, nb2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // sign(dot) == sign(cosine) — the property the LSH sketch relies on
+      assert(math.signum(dp) === math.signum(cs))
+      // and dot / (|a||b|) IS the cosine
+      assert(math.abs(dp / math.sqrt(na2 * nb2) - cs) < 1e-12)
+    }
+    // SQL registration via extensions
+    val s = spark.sql("SELECT dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .as[Double].head
+    assert(math.abs(s - 11.0) < 1e-12)
+  }
+
   test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),
