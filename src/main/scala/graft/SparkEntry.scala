@@ -63,6 +63,9 @@ object SparkEntry {
     "q_train_eval_assign" -> ((s, d) =>
       operators.TextAnalysis.trainEvalAssign(s, d).select("doc_id", "split")),
     "q_token_quantiles" -> ((s, d) => operators.TextAnalysis.tokenQuantilesBySource(s, d)),
+    // rows-only: GK-sketch internals are engine-specific; error bound vs
+    // the exact rank-selection quantiles asserted in TextAnalysisSpec
+    "q_token_quantiles_approx" -> ((s, d) => operators.TextAnalysis.tokenQuantilesApprox(s, d)),
     "q_token_bpe" -> ((s, d) => operators.TextAnalysis.subwordStats(s, d)),
     "q_sample_stratified" -> ((s, d) => operators.TextAnalysis.stratifiedSample(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs

@@ -282,6 +282,26 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Approximate token-length quantiles per source via Spark's
+    * percentile_approx (a Greenwald-Khanna-style mergeable sketch) —
+    * the 100 TB companion to [[tokenQuantilesBySource]]: the exact
+    * rank-selection spelling needs a per-source sort, the sketch is one
+    * aggregation pass with fixed-size mergeable state (same scale
+    * argument as the HLL distinct count). `accuracy` trades state size
+    * for error; rows-only at the driver (sketch internals are
+    * engine-specific) with the error bound vs the exact quantiles
+    * asserted in TextAnalysisSpec.
+    */
+  def tokenQuantilesApprox(spark: SparkSession, sfDir: String,
+                           accuracy: Int = 10000): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        percentile_approx(col("nt"), lit(0.5), lit(accuracy)).as("p50_approx"),
+        percentile_approx(col("nt"), lit(0.9), lit(accuracy)).as("p90_approx"),
+        count(lit(1)).as("n_docs"))
+
   /** Deterministic stratified downsampling: keep a doc iff its content
     * hash's first two hex digits fall under its source's threshold (out
     * of 256) — the source-balancing op that tames over-represented

@@ -121,6 +121,35 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-static enrichment: every micro-batch joined to a static
+    * dimension table — the canonical "label events with reference data"
+    * shape. The dim side is explicitly broadcast (it is a true
+    * dimension), so each micro-batch plans a broadcast hash join with no
+    * shuffle of the stream and NO join state: the static side is simply
+    * re-planned per batch. Stateless ⇒ watermark-free and append-safe.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
+  /** Stream-stream interval join (the attribution shape): each click
+    * joined to the same user's impression at-or-before it within
+    * `windowSec`. BOTH sides carry watermarks and the join condition
+    * bounds event-time distance — that pair is what lets Spark expire
+    * join state (an unbounded stream-stream join would buffer both
+    * streams forever). Inner join ⇒ matches emit as soon as both rows
+    * arrive; state for a row is dropped once the watermark passes its
+    * time + window.
+    */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      watermark: String = "10 minutes",
+                      windowSec: Long = 600): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        expr(s"""imp_user = click_user AND
+                 click_ts >= imp_ts AND
+                 click_ts <= imp_ts + interval $windowSec seconds"""))
+
   /** Streaming INCREMENTAL INGEST via foreachBatch — the streaming front
     * door to [[graft.operators.Dedup.incrementalNew]]: each micro-batch
     * is collapsed on the canonical content fingerprint, anti-joined

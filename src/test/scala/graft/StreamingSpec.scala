@@ -179,6 +179,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamingOps.enrichWithDim(
+        ms.toDF().toDF("user_id", "event_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      ms.addData((1L, 100L), (2L, 101L), (3L, 102L))
+      q.processAllAvailable()
+      val got = spark.table("enr").select("event_id", "tier")
+        .as[(Long, String)].collect().toSet
+      // inner join: the dim-less user drops; tiers attach per batch
+      assert(got === Set((100L, "gold"), (101L, "basic")))
+      ms.addData((1L, 103L))
+      q.processAllAvailable()
+      assert(spark.table("enr").count() === 3)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: clicks attribute to in-window impressions only") {
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingOps.attributeClicks(
+        imps.toDF().toDF("imp_user", "imp_id", "imp_ts"),
+        clks.toDF().toDF("click_user", "click_id", "click_ts"))
+      .select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      imps.addData((1L, 10L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      clks.addData(
+        (1L, 20L, ts("2024-01-01 10:05:00")), // in window → attributed
+        (1L, 21L, ts("2024-01-01 10:20:00")), // 20 min later → outside
+        (2L, 22L, ts("2024-01-01 10:05:00"))) // no impression → dropped
+      q.processAllAvailable()
+      val got = spark.table("attr").as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 20L)), "exactly the in-window same-user pair")
+      // a second impression arriving later still matches a FUTURE click
+      imps.addData((2L, 11L, ts("2024-01-01 10:30:00")))
+      clks.addData((2L, 23L, ts("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+      assert(spark.table("attr").as[(Long, Long)].collect().toSet
+        === Set((10L, 20L), (11L, 23L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental ingest appends only corpus-new fingerprints") {
     import java.nio.file.Files
     val corpus = Files.createTempDirectory("graft-ingest").resolve("corpus").toString

@@ -133,6 +133,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("approx quantile sketch lands within one doc-length rank of exact") {
+    val exact = TextAnalysis.tokenQuantilesBySource(spark, sf)
+      .select("source", "p50_tokens", "p90_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val approx = TextAnalysis.tokenQuantilesApprox(spark, sf)
+      .select("source", "p50_approx", "p90_approx")
+      .as[(String, Long, Long)].collect()
+    assert(approx.nonEmpty)
+    // at accuracy=10000 and fixture sizes, the GK sketch's rank error is
+    // < 1 rank — the returned member value sits within the tight
+    // token-length spread around the exact discrete quantile
+    for ((src, p50a, p90a) <- approx) {
+      val (p50e, p90e) = exact(src)
+      assert(math.abs(p50a - p50e) <= 2, s"$src p50: sketch $p50a vs exact $p50e")
+      assert(math.abs(p90a - p90e) <= 2, s"$src p90: sketch $p90a vs exact $p90e")
+    }
+  }
+
   test("tf-idf top terms equal a driver-side reimplementation") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect()
