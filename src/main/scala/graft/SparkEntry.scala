@@ -76,6 +76,7 @@ object SparkEntry {
     "q_ngram_docfreq" -> ((s, d) => operators.TextAnalysis.ngramDocFreq(s, d)),
     "q_lang_hist" -> (operators.TextAnalysis.langHistogram _),
     "q_quality" -> (operators.TextAnalysis.qualityMetrics _),
+    "q_quality_filter" -> (operators.TextAnalysis.qualityFilter _),
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
@@ -247,6 +248,34 @@ object SparkEntry {
              n_stop * 100 // n_tokens AS stop_pct,
              char_len * 100 // n_tokens AS mean_tok_len_x100
       FROM m""".stripMargin.trim),
+    // rule thresholds mirror TextAnalysis.qualityFilter verbatim
+    "q_quality_filter" -> ("""
+      WITH m AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_len,
+        CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_grams
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+              CAST(COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS BIGINT) AS ndg
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3 GROUP BY doc_id),
+      r AS (SELECT m.doc_id, n_tokens,
+              n_types * 100 // n_tokens AS ttr_pct,
+              n_stop * 100 // n_tokens AS stop_pct,
+              char_len * 100 // n_tokens AS mean_tok_len_x100,
+              CASE WHEN n_grams > 0
+                   THEN (n_grams - COALESCE(ndg, 0)) * 100 // n_grams
+                   ELSE CAST(0 AS BIGINT) END AS rep_pct
+            FROM m LEFT JOIN g ON m.doc_id = g.doc_id)
+      SELECT doc_id, n_tokens, ttr_pct, stop_pct, mean_tok_len_x100, rep_pct,
+             CAST(CASE WHEN n_tokens >= 20
+                        AND mean_tok_len_x100 BETWEEN 300 AND 1000
+                        AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM r""".stripMargin.trim),
     "q_token_stats" -> ("""
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

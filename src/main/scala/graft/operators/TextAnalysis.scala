@@ -116,6 +116,50 @@ object TextAnalysis {
         expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"))
   }
 
+  /** Composite QUALITY FILTER — the keep/drop decision stage of a
+    * training pipeline, composing Gopher-style heuristic rules (Rae et
+    * al. 2021, public literature) in exact integer arithmetic:
+    *
+    *   n_tokens >= 20                 not a fragment
+    *   300 <= mean_tok_len_x100 <= 1000   plausible word lengths
+    *   stop_pct >= 3                  natural-language stopword presence
+    *   ttr_pct >= 40                  not keyword-stuffed / degenerate
+    *   rep_pct <= 2                   bounded duplicated-3-gram share
+    *
+    * rep_pct = duplicated word-3-gram occurrence share ×100: total
+    * 3-gram slots are n_tokens − 2, the distinct count is the shingle
+    * set's size — both already computed by this suite, so repetition is
+    * a pure projection, no shuffle. `keep` surfaces as 0/1 BIGINT (hash-
+    * stable across engines), and every rule bit is in the output so a
+    * pipeline can audit WHY a doc dropped — the filter composes as a
+    * plain predicate that pushes into the scan.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        profileHits(toks, langProfiles.head._2).cast("long").as("n_stop"),
+        length(concat_ws("", toks)).cast("long").as("char_len"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
+        size(TextOps.shingles(col("text"), 3)).cast("long").as("n_distinct_grams"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
+        expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
+        expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"),
+        when(col("n_grams") > 0,
+          expr("(n_grams - n_distinct_grams) * 100 DIV n_grams"))
+          .otherwise(lit(0L)).as("rep_pct"))
+      .withColumn("keep",
+        (col("n_tokens") >= 20 &&
+          col("mean_tok_len_x100").between(300, 1000) &&
+          col("stop_pct") >= 3 &&
+          col("ttr_pct") >= 40 &&
+          col("rep_pct") <= 2).cast("long"))
+  }
+
   /** Token-count statistics per source: docs, total tokens, and total
     * distinct-per-doc types — the per-slice profiling a pipeline uses to
     * spot degenerate sources before training.

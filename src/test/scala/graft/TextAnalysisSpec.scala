@@ -133,6 +133,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("quality filter: rule bits equal driver-side recomputation, both outcomes occur") {
+    val stop = Set("the", "a", "of", "and", "is")
+    val got = TextAnalysis.qualityFilter(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length === docs.size)
+    got.foreach { case (id, nt, ttr, st, mlen, rep, keep) =>
+      val ws = docs(id).split(" ")
+      val nG = math.max(ws.length - 2, 0)
+      val nDg = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size
+      assert(nt === ws.length.toLong)
+      assert(ttr === ws.distinct.length * 100L / ws.length)
+      assert(st === ws.count(stop) * 100L / ws.length)
+      assert(mlen === ws.map(_.length).sum * 100L / ws.length)
+      assert(rep === (if (nG > 0) (nG - nDg) * 100L / nG else 0L))
+      val wantKeep = nt >= 20 && mlen >= 300 && mlen <= 1000 &&
+        st >= 3 && ttr >= 40 && rep <= 2
+      assert(keep === (if (wantKeep) 1L else 0L))
+    }
+    // the rules must actually discriminate on this fixture
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L))
+  }
+
   test("approx quantile sketch lands within one doc-length rank of exact") {
     val exact = TextAnalysis.tokenQuantilesBySource(spark, sf)
       .select("source", "p50_tokens", "p90_tokens")
