@@ -77,6 +77,7 @@ object SparkEntry {
     "q_lang_hist" -> (operators.TextAnalysis.langHistogram _),
     "q_quality" -> (operators.TextAnalysis.qualityMetrics _),
     "q_quality_filter" -> (operators.TextAnalysis.qualityFilter _),
+    "q_token_shards" -> ((s, d) => operators.TextAnalysis.tokenShards(s, d)),
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
@@ -276,6 +277,18 @@ object SparkEntry {
                         AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2
                   THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM r""".stripMargin.trim),
+    // direct single-window spelling — the engine computes the same
+    // prefix blockwise (see TextAnalysis.tokenShards; equality asserted)
+    "q_token_shards" -> ("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS BIGINT)) AS pre
+            FROM t)
+      SELECT doc_id, n_tokens, pre // 5000 AS shard FROM r""".stripMargin.trim),
     "q_token_stats" -> ("""
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

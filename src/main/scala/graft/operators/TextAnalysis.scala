@@ -346,6 +346,47 @@ object TextAnalysis {
         percentile_approx(col("nt"), lit(0.9), lit(accuracy)).as("p90_approx"),
         count(lit(1)).as("n_docs"))
 
+  /** Token-budget SHARDING: assign docs (in doc_id order) to consecutive
+    * shards of ≈`budgetTokens` tokens each — the split a pipeline makes
+    * before fanning a corpus out to tokenizer/packing workers, where
+    * shard boundaries must depend on cumulative TOKENS, not row counts.
+    * shard = floor(exclusive-prefix-sum(n_tokens) / budget).
+    *
+    * The prefix sum is computed BLOCKWISE (the textbook distributed
+    * spelling), because the naive single `Window.orderBy(doc_id)` with no
+    * partition key serializes the entire corpus through ONE task:
+    *   1. fixed logical blocks (doc_id DIV blockSize — deterministic,
+    *      data-independent, unlike repartitionByRange's sampled bounds);
+    *   2. per-block token sums (one aggregation);
+    *   3. running offsets over the BLOCK sums — a window over
+    *      corpus/blockSize rows (pick blockSize so that side stays
+    *      small: 1e6-doc blocks ⇒ 1e4 rows per 1e10-doc corpus);
+    *   4. offsets broadcast back; the within-block running sum windows
+    *      on (block), bounded by blockSize.
+    * Equality with the direct single-window spelling is asserted in
+    * TextAnalysisSpec; the DuckDB oracle uses the plain window.
+    */
+  def tokenShards(spark: SparkSession, sfDir: String,
+                  budgetTokens: Long = 5000, blockSize: Long = 100): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV $blockSize").as("blk"))
+    val offsets = base.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(
+        sum(col("bsum")).over(Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "blk")
+      .withColumn("pre",
+        col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"pre DIV $budgetTokens").as("shard"))
+  }
+
   /** Deterministic stratified downsampling: keep a doc iff its content
     * hash's first two hex digits fall under its source's threshold (out
     * of 256) — the source-balancing op that tames over-represented

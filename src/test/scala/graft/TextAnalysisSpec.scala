@@ -133,6 +133,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("token shards: blockwise prefix equals the direct spelling; budgets respected") {
+    val got = TextAnalysis.tokenShards(spark, sf, budgetTokens = 500, blockSize = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // direct driver-side prefix sum in doc_id order
+    var pre = 0L
+    val want = got.map(_._1).zip(
+      Tables.documents(spark, sf).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+        .map { case (_, t) => t.split(" ").length.toLong })
+    want.foreach { case (id, nt) =>
+      val shard = pre / 500
+      val row = got.find(_._1 == id).get
+      assert(row._2 === nt && row._3 === shard, s"doc $id")
+      pre += nt
+    }
+    // every shard except possibly the last crosses its budget boundary:
+    // consecutive shard ids with no gaps
+    val shards = got.map(_._3).distinct.sorted
+    assert(shards === (0L to shards.max).toArray.toSeq)
+    assert(shards.length > 1, "fixture must span multiple shards")
+  }
+
   test("quality filter: rule bits equal driver-side recomputation, both outcomes occur") {
     val stop = Set("the", "a", "of", "and", "is")
     val got = TextAnalysis.qualityFilter(spark, sf)
