@@ -38,6 +38,7 @@ object Bench {
     // 12.3 s on an identical plan across runs); the median is immune to
     // one such spike per query where a single sample is not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results: Map[String, (Double, Option[String])] =
       SparkEntry.queries.map { case (name, fn) =>
         val samples = (0 until reps).map { _ =>

@@ -18,16 +18,21 @@ import org.apache.spark.sql.types._
   * scalar loop inside whole-stage codegen (doGenCode below), reading
   * primitive floats straight out of Tungsten's UnsafeArrayData.
   *
-  * Null semantics: null if either side is null (BinaryExpression default);
-  * mismatched lengths raise, matching zip_with's strictness on equal-size
-  * semantics for similarity use. Zero-norm inputs (zero vector or empty
-  * array) return 0.0 — "no similarity evidence" — rather than NaN, which
-  * would poison comparisons and never equal itself.
+  * Null semantics: null if either side — or any ELEMENT — is null
+  * (element nulls match the builtin zip_with/aggregate spelling instead
+  * of silently reading 0); mismatched lengths raise, matching zip_with's
+  * strictness on equal-size semantics for similarity use. Zero-norm
+  * inputs (zero vector or empty array) return 0.0 — "no similarity
+  * evidence" — rather than NaN, which would poison comparisons and never
+  * equal itself.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // may return null for null ELEMENTS even when the array columns
+  // themselves are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -57,6 +62,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element ⇒ null result (builtin-arithmetic parity; a vector
+      // with missing dimensions has no meaningful similarity)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -84,6 +92,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $x = (double) $a.$aGet($i);
          |  final double $y = (double) $b.$bGet($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;

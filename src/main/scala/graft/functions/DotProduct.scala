@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * `cosine_sim > 0` recomputes ‖v‖ (and the constant plane's norm) on
   * every call — three passes of arithmetic where one suffices, ~3× the
   * flops on the sketch projection. Same contract as cosine_sim: null if
-  * either side is null, length mismatch raises, empty arrays give 0.0.
+  * either side (or any ELEMENT) is null — matching the builtin
+  * zip_with/aggregate spelling, never silently reading a null slot as
+  * 0 — length mismatch raises, empty arrays give 0.0.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,6 +44,8 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -52,6 +56,9 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // null element ⇒ null result, matching the builtin arithmetic
+      // spelling (zip_with x*y + aggregate) — never silently read as 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -75,6 +82,7 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |}
          |${ev.value} = $dot;

@@ -73,17 +73,6 @@ object SortedIntersect {
     CatalystBridge.column(SortedIntersectSize(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
-  /** Register as a SQL function — same strict arity contract as the
-    * GraftExtensions-injected builder it replaces on the session.
-    */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size", exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"function sorted_intersect_size expects 2 arguments, got ${exprs.length}")
-        SortedIntersectSize(exprs(0), exprs(1))
-      }, "built-in")
 }
 
 /** Catalyst expression wrapping [[SortedIntersect.sizeSorted]];

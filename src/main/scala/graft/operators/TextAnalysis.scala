@@ -260,15 +260,21 @@ object TextAnalysis {
       n, threshold)
 
   /** [[contamination]] over any (doc_id, text) DataFrame (ScaleSmoke
-    * entry) — same contract as the other `*On` variants.
+    * entry) — same contract as the other `*On` variants. The shingled
+    * projection (scan + md5 split + explode) is persist()-marked: the
+    * eval and train sides consume it under DIFFERENT filters, so
+    * exchange reuse cannot dedup the subtree and the corpus would
+    * otherwise be scanned+shingled twice. Caller owns cleanup
+    * (Bench/Verify/ScaleSmoke clearCache between queries).
     */
   def contaminationOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
                       threshold: String = "cc"): DataFrame = {
-    def shingled = docTexts
+    val shingled = docTexts
       .select(col("doc_id"),
         (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
           .as("is_train"),
         explode(TextOps.shingles(col("text"), n)).as("ng"))
+      .persist()
     val evalNgrams = shingled.filter(!col("is_train")).select(col("ng")).distinct()
     shingled.filter(col("is_train"))
       .join(evalNgrams, "ng")
@@ -368,10 +374,16 @@ object TextAnalysis {
     */
   def tokenShards(spark: SparkSession, sfDir: String,
                   budgetTokens: Long = 5000, blockSize: Long = 100): DataFrame = {
+    // persisted: the (doc_id, n_tokens, blk) projection — tiny next to
+    // the text it derives from — feeds BOTH the offsets aggregation and
+    // the final join; self-join-side exchange reuse is not guaranteed,
+    // and a second full scan+tokenize of the corpus is the alternative.
+    // Caller owns cleanup (clearCache between queries).
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         expr(s"doc_id DIV $blockSize").as("blk"))
+      .persist()
     val offsets = base.groupBy(col("blk"))
       .agg(sum(col("n_tokens")).as("bsum"))
       .withColumn("boff", coalesce(

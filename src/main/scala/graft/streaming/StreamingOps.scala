@@ -169,13 +169,22 @@ object StreamingOps {
   def ingestNewDocs(lines: DataFrame, corpusDir: String,
                     textCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-      val fresh = batch
+      val deduped = batch
         .select(fp.as("fingerprint"), col(textCol).as("text"))
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
-        .join(batch.sparkSession.read.parquet(corpusDir).select("fingerprint"),
-          Seq("fingerprint"), "left_anti")
+      // bootstrap: day 0 has no corpus directory yet — the first batch IS
+      // the corpus (checked via the path's filesystem, not java.io, so
+      // any Hadoop-compatible store works)
+      val path = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (fs.exists(path))
+          deduped.join(spark.read.parquet(corpusDir).select("fingerprint"),
+            Seq("fingerprint"), "left_anti")
+        else deduped
       fresh.write.mode("append").parquet(corpusDir)
       ()
     }.start()

@@ -59,6 +59,31 @@ class AsOfSpec extends SparkSpec {
       13L -> Some(102L), 20L -> Some(200L), 30L -> None))
   }
 
+  test("null right values: banded carries the band's earlier non-null like plain") {
+    // regression for the bandLast null-v fix: the band's LATEST right row
+    // has null v — max_by over (t, v) without the isNotNull filter would
+    // carry null and lose 100, while the plain last(v, ignoreNulls)
+    // window keeps it
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100L)),
+      (1L, ts("2024-01-01 10:30:00"), Option.empty[Long]), // latest in band, null v
+      (1L, ts("2024-01-03 10:00:00"), Some(101L)),
+    ).toDF("k", "t", "v")
+    val left = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 10L), // same band, after the null row
+      (1L, ts("2024-01-02 11:00:00"), 11L), // later band: carry must be 100
+      (1L, ts("2024-01-03 11:00:00"), 12L), // after the next non-null: 101
+    ).toDF("k", "t", "id")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Option[Long])].collect().toMap
+    val plain = run(AsOf.asOfJoin(left, col("k"), col("t"), col("id"),
+      right, col("k"), col("t"), col("v"), "v"))
+    val banded = run(AsOf.asOfJoinBanded(left, col("k"), col("t"), col("id"),
+      right, col("k"), col("t"), col("v"), "v"))
+    assert(plain === Map(10L -> Some(100L), 11L -> Some(100L), 12L -> Some(101L)))
+    assert(banded === plain, "null-v right rows must not erase the carry")
+  }
+
   test("banded as-of equals union+window under a hot key across many bands") {
     // one hot key: 400 left rows at 30s spacing, right rows every 5min,
     // band = 10min → ~20 bands, every band boundary exercised; plus a

@@ -43,6 +43,18 @@ class CosineSimilaritySpec extends SparkSpec {
     val s = spark.sql("SELECT dot_product(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
       .as[Double].head
     assert(math.abs(s - 11.0) < 1e-12)
+    // null ELEMENT → null result (builtin-arithmetic parity), never a
+    // silent 0 — interpreted path (literal) and codegen path (column)
+    assert(spark.sql(
+      "SELECT dot_product(array(1.0f, CAST(NULL AS FLOAT)), array(3.0f, 4.0f)) AS d")
+      .collect().head.isNullAt(0))
+    val nulled = Seq((1f, 3f)).toDF("x", "y").select(
+      dotProduct(array(col("x"), when(col("x") < 0, col("x"))),
+        array(col("y"), col("y"))).as("d"),
+      cosineSim(array(col("x"), when(col("x") < 0, col("x"))),
+        array(col("y"), col("y"))).as("c"))
+      .collect().head
+    assert(nulled.isNullAt(0) && nulled.isNullAt(1))
   }
 
   test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {

@@ -228,15 +228,13 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch incremental ingest appends only corpus-new fingerprints") {
     import java.nio.file.Files
     val corpus = Files.createTempDirectory("graft-ingest").resolve("corpus").toString
-    // seed the corpus with one known doc
-    Seq("alpha doc").toDF("text")
-      .withColumn("fingerprint",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
-      .select("fingerprint", "text")
-      .write.parquet(corpus)
     val ms = MemoryStream[String]
     val q = StreamingOps.ingestNewDocs(ms.toDF(), corpus)
     try {
+      // bootstrap: NO corpus directory exists — the first batch creates it
+      ms.addData("alpha doc")
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() === 1)
       // a corpus dup, a new doc, and a canonical variant of the new doc
       ms.addData("alpha doc", "beta doc", "  BETA   DOC ")
       q.processAllAvailable()
@@ -244,7 +242,7 @@ class StreamingSpec extends SparkSpec {
       ms.addData("beta doc", "gamma doc")
       q.processAllAvailable()
       val rows = spark.read.parquet(corpus)
-      assert(rows.count() === 3, "alpha (seed) + beta + gamma, each exactly once")
+      assert(rows.count() === 3, "alpha (bootstrap) + beta + gamma, each exactly once")
       assert(rows.select("fingerprint").distinct().count() === 3)
       val texts = rows.select("text").as[String].collect().toSet
       assert(texts.contains("alpha doc") && texts.contains("gamma doc"))
