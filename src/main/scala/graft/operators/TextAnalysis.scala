@@ -260,21 +260,25 @@ object TextAnalysis {
       n, threshold)
 
   /** [[contamination]] over any (doc_id, text) DataFrame (ScaleSmoke
-    * entry) — same contract as the other `*On` variants. The shingled
-    * projection (scan + md5 split + explode) is persist()-marked: the
-    * eval and train sides consume it under DIFFERENT filters, so
-    * exchange reuse cannot dedup the subtree and the corpus would
-    * otherwise be scanned+shingled twice. Caller owns cleanup
-    * (Bench/Verify/ScaleSmoke clearCache between queries).
+    * entry) — same contract as the other `*On` variants.
+    *
+    * The shingled subtree is consumed by BOTH join sides under different
+    * filters (no exchange reuse), so the corpus is deliberately scanned
+    * and shingled twice: persisting this projection was tried and
+    * MEASURED 4× slower (0.73 s → 3.04 s at sf0.1) — the exploded
+    * per-shingle rows are several times larger than the pruned
+    * (doc_id, text) scan they derive from, so writing them to cache
+    * costs more than recomputing a cheap codegen'd scan+explode. The
+    * persist heuristic only pays when the cached subtree is SMALL
+    * relative to its compute (cf. [[tokenShards]]'s 3-long rows).
     */
   def contaminationOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
                       threshold: String = "cc"): DataFrame = {
-    val shingled = docTexts
+    def shingled = docTexts
       .select(col("doc_id"),
         (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
           .as("is_train"),
         explode(TextOps.shingles(col("text"), n)).as("ng"))
-      .persist()
     val evalNgrams = shingled.filter(!col("is_train")).select(col("ng")).distinct()
     shingled.filter(col("is_train"))
       .join(evalNgrams, "ng")
