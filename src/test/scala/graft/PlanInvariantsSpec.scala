@@ -51,4 +51,23 @@ class PlanInvariantsSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unpruned lineitem scan in: ${offenders.mkString(", ")}")
   }
+
+  /** tokenShards' block-offset window runs over corpus/blockSize rows —
+    * a deliberately bounded side input (see its scaladoc), not the
+    * corpus. Every other window must carry a partition key, or one task
+    * serializes the whole dataset at scale.
+    */
+  private val intendedGlobalWindow = Set("q_token_shards")
+
+  test("no window function runs without a partition key (single-task serialization)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val hasGlobal = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobal && !intendedGlobalWindow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"partitionless window (whole-data single task) in: ${offenders.mkString(", ")}")
+  }
 }
