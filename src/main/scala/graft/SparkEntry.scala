@@ -42,6 +42,8 @@ object SparkEntry {
     // skew-safe two-phase spelling; == plain window (RelationalSpec)
     "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomerSkewSafe(s, d)),
     "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
+    "q_cust_order_stats" -> (operators.Relational.customerOrderStats _),
+    "q_cust_activity_full" -> (operators.Relational.customerActivityFull _),
     "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
     "q_lineitem_rollup" -> (operators.Relational.lineitemRollup _),
     "q_lineitem_cube" -> (operators.Relational.lineitemCube _),
@@ -164,6 +166,21 @@ object SparkEntry {
         FROM orders) t WHERE rn <= 2""".stripMargin.trim),
     "q_cust_no_orders" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_cust_order_stats" -> ("""
+      SELECT c_custkey,
+             COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+             COALESCE(total_cents, CAST(0 AS BIGINT)) AS total_cents
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin.trim),
+    "q_cust_activity_full" -> ("""
+      WITH o AS (SELECT o_custkey AS key, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      e AS (SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1)
+      SELECT COALESCE(o.key, e.key) AS key,
+             COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+             COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events
+      FROM o FULL JOIN e ON o.key = e.key""".stripMargin.trim),
     "q_cust_big_orders" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400.0)",
     "q_lineitem_rollup" -> ("""

@@ -180,6 +180,45 @@ object Relational {
         sumAsMinorUnits(dec("value"), 100).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** LEFT OUTER join: every customer with their order statistics,
+    * customers with no orders surviving at zero (coalesced — the output
+    * contract is total, not partial). Aggregate-THEN-join: the orders
+    * side collapses to one row per customer before the join, so the
+    * outer join matches at most one row and never fans out; both sides
+    * shuffle on the key (sort-merge at scale, no broadcast — both grow
+    * with the data).
+    */
+  def customerOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumAsMinorUnits(dec("o_totalprice"), 100).as("total_cents"))
+    Tables.customer(spark, sfDir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_cents"), lit(0L)).as("total_cents"))
+  }
+
+  /** FULL OUTER join: order activity ∪ event activity per key — entities
+    * present on EITHER side survive, absent sides coalesce to zero. The
+    * reconciliation shape (comparing two systems' views of the same key
+    * space); same aggregate-then-join discipline as
+    * [[customerOrderStats]].
+    */
+  def customerActivityFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** Known event-type vocabulary for the pivot — enumerated explicitly
     * so the plan is ONE aggregation pass (see [[eventsDailyPivot]]).
     */

@@ -114,6 +114,35 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getDate(1).toString.startsWith("2024")))
   }
 
+  test("left outer order stats: complete over customers, zeros for the orderless") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.customerOrderStats(spark, sf)
+    assert(out.count() === graft.Tables.customer(spark, sf).count(),
+      "left outer must keep every customer")
+    // total orders reconcile exactly; orderless customers carry 0 not null
+    assert(out.agg(sum("n_orders")).head.getLong(0) ===
+      graft.Tables.orders(spark, sf).count())
+    assert(out.filter(col("n_orders").isNull || col("total_cents").isNull).isEmpty)
+  }
+
+  test("full outer activity: keys equal the union of both sides, zero-filled") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.customerActivityFull(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val oKeys = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    val eKeys = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().as[Long].collect().toSet
+    assert(out.map(_._1).toSet === (oKeys ++ eKeys))
+    // one-sided keys carry a zero on the absent side, never null/drop
+    out.foreach { case (k, nO, nE) =>
+      assert((nO > 0) === oKeys(k), s"key $k orders side")
+      assert((nE > 0) === eKeys(k), s"key $k events side")
+    }
+    assert(out.exists(r => r._2 == 0L) || out.exists(r => r._3 == 0L),
+      "fixture must exercise at least one one-sided key")
+  }
+
   test("pivot matches the long-form daily counts cell for cell") {
     import org.apache.spark.sql.functions._
     val long = graft.Tables.events(spark, sf)
