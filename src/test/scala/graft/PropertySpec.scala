@@ -223,6 +223,24 @@ class PropertySpec extends SparkSpec {
     check("clusterPairs", prop, n = 6)
   }
 
+  test("token sharding: blockwise prefix equals direct for random budgets/blocks") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => (id, t.split(" ").length.toLong) }
+    val prop = Prop.forAll(Gen.chooseNum(50L, 5000L), Gen.chooseNum(1L, 600L)) {
+      (budget, blockSize) =>
+        var pre = 0L
+        val want = docs.map { case (id, nt) =>
+          val s = pre / budget; pre += nt; (id, s)
+        }.toMap
+        val got = graft.operators.TextAnalysis
+          .tokenShards(spark, TestSpark.sf0001, budget, blockSize)
+          .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+        got == want
+    }
+    check("tokenShards", prop, n = 6)
+  }
+
   test("wordset dedup key is permutation-invariant over token order") {
     val prop = Prop.forAll(bagGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
       (bag, seed) =>
