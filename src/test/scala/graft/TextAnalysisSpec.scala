@@ -287,6 +287,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viol.isEmpty, "physical row order must follow (user_id, ts) per file")
   }
 
+  test("malformed JSON records: permissive captures, drop skips, failfast raises") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // a 100 TB crawl ingest WILL contain broken rows; the engine must
+    // offer all three contracts, not die or silently corrupt
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.write(dir.resolve("part.json"), Seq(
+      """{"doc_id": 1, "text": "good row"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """{"doc_id": 3, "text": "truncated""").asJava)
+    val path = dir.toString
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path).cache() // corrupt-column queries require a cached/full scan
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1,
+      "the broken row is captured, not dropped or parsed as garbage")
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val dropped = spark.read.schema("doc_id LONG, text STRING")
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.count() === 2)
+    assertThrows[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id LONG, text STRING")
+        .option("mode", "FAILFAST").json(path).collect()
+    }
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
