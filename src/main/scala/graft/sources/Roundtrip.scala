@@ -87,6 +87,22 @@ object Roundtrip {
       .withColumn("day", col("day").cast("string"))
   }
 
+  /** Dynamic partition-overwrite UPSERT into a day-partitioned layout:
+    * rewrites ONLY the day partitions present in `delta`, leaving every
+    * other partition's files physically untouched — the late-arriving-
+    * data pattern at 100 TB (re-materialize the affected days, never the
+    * table; static overwrite mode would truncate everything first). The
+    * option is per-write, so the table needs no session-level config.
+    */
+  def upsertEventsByDay(delta: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    delta
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+  }
+
   /** Compacted, layout-controlled parquet rewrite of the events table:
     * exactly `files` output files (repartition on the access key), each
     * sorted within by (user_id, ts).

@@ -287,6 +287,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viol.isEmpty, "physical row order must follow (user_id, ts) per file")
   }
 
+  test("dynamic partition overwrite rewrites only the delta's day partitions") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft-upsert").resolve("events").toString
+    val events = Tables.events(spark, sf)
+    // base layout: all days
+    sources.Roundtrip.upsertEventsByDay(events, path)
+    val days = spark.read.parquet(path).select("day").distinct()
+      .as[String].collect().sorted
+    assert(days.length >= 2, "fixture must span multiple days")
+    val (touched, untouched) = (days.head, days.last)
+    def files(day: String) =
+      Files.list(Paths.get(path, s"day=$day")).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+    val untouchedBefore = files(untouched)
+    // late delta: only the touched day, with corrected values
+    val delta = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === touched)
+      .withColumn("value", col("value") * 2)
+    sources.Roundtrip.upsertEventsByDay(delta, path)
+    // the untouched partition's files are PHYSICALLY identical
+    assert(files(untouched) === untouchedBefore,
+      "dynamic overwrite must not rewrite unaffected partitions")
+    // the touched day carries the corrected rows; row counts preserved
+    val after = spark.read.parquet(path)
+    assert(after.count() === events.count())
+    val wantSum = events.filter(date_format(col("ts"), "yyyy-MM-dd") === touched)
+      .agg(sum(col("value") * 2)).head.getDouble(0)
+    val gotSum = after.filter(col("day") === touched)
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(gotSum - wantSum) < 1e-6)
+  }
+
   test("malformed JSON records: permissive captures, drop skips, failfast raises") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
