@@ -99,22 +99,33 @@ object TextAnalysis {
     * Downstream filters (e.g. drop docs with stop_pct < 5 or ttr_pct <
     * 20) compose as plain predicates that push into the scan.
     */
-  def qualityMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared raw metric projection for [[qualityMetrics]] /
+    * [[qualityFilter]] — ONE spelling of the counts so the two queries
+    * (and their oracles, which mirror it verbatim) cannot drift.
+    */
+  private def rawQualityCounts: Seq[org.apache.spark.sql.Column] = {
     val toks = TextOps.tokens(col("text"))
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_types"),
-        profileHits(toks, langProfiles.head._2).cast("long").as("n_stop"),
-        length(concat_ws("", toks)).cast("long").as("char_len"))
-      // integer DIV on positive longs truncates identically in Spark and
-      // DuckDB — ratios stay exact and hash-stable
-      .select(col("doc_id"), col("n_tokens"),
-        expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
-        expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
-        expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"))
+    Seq(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      profileHits(toks, langProfiles.head._2).cast("long").as("n_stop"),
+      length(concat_ws("", toks)).cast("long").as("char_len"))
   }
+
+  /** Shared pct projections over [[rawQualityCounts]]: integer DIV on
+    * positive longs truncates identically in Spark and DuckDB — ratios
+    * stay exact and hash-stable.
+    */
+  private val qualityPcts = Seq(
+    expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
+    expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
+    expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"))
+
+  def qualityMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(rawQualityCounts: _*)
+      .select(col("doc_id") +: col("n_tokens") +: qualityPcts: _*)
 
   /** Composite QUALITY FILTER — the keep/drop decision stage of a
     * training pipeline, composing Gopher-style heuristic rules (Rae et
@@ -137,21 +148,13 @@ object TextAnalysis {
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_types"),
-        profileHits(toks, langProfiles.head._2).cast("long").as("n_stop"),
-        length(concat_ws("", toks)).cast("long").as("char_len"),
+      .select(rawQualityCounts ++ Seq(
         greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
-        size(TextOps.shingles(col("text"), 3)).cast("long").as("n_distinct_grams"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
-        expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
-        expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"),
+        size(TextOps.shingles(col("text"), 3)).cast("long").as("n_distinct_grams")): _*)
+      .select(col("doc_id") +: col("n_tokens") +: qualityPcts :+
         when(col("n_grams") > 0,
           expr("(n_grams - n_distinct_grams) * 100 DIV n_grams"))
-          .otherwise(lit(0L)).as("rep_pct"))
+          .otherwise(lit(0L)).as("rep_pct"): _*)
       .withColumn("keep",
         (col("n_tokens") >= 20 &&
           col("mean_tok_len_x100").between(300, 1000) &&
@@ -377,7 +380,11 @@ object TextAnalysis {
     * TextAnalysisSpec; the DuckDB oracle uses the plain window.
     */
   def tokenShards(spark: SparkSession, sfDir: String,
-                  budgetTokens: Long = 5000, blockSize: Long = 100): DataFrame = {
+                  budgetTokens: Long = 5000, blockSize: Long = 1000000): DataFrame = {
+    // a zero divisor reaches the plan as `DIV 0` — ANSI raises deep in a
+    // task, non-ANSI silently nulls the join key and drops every row
+    require(budgetTokens > 0 && blockSize > 0,
+      s"tokenShards needs positive budgetTokens/blockSize, got $budgetTokens/$blockSize")
     // persisted: the (doc_id, n_tokens, blk) projection — tiny next to
     // the text it derives from — feeds BOTH the offsets aggregation and
     // the final join; self-join-side exchange reuse is not guaranteed,

@@ -175,13 +175,21 @@ object StreamingOps {
         .select(fp.as("fingerprint"), col(textCol).as("text"))
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
-      // bootstrap: day 0 has no corpus directory yet — the first batch IS
-      // the corpus (checked via the path's filesystem, not java.io, so
-      // any Hadoop-compatible store works)
+      // bootstrap: day 0 has no corpus DATA yet — the first batch IS the
+      // corpus. Checked for actual data files (not bare path existence:
+      // a failed first write or an empty batch can leave a directory
+      // holding only _SUCCESS/_temporary, and read.parquet on that would
+      // wedge every subsequent batch). Flat layout — this op's own
+      // appends — so a top-level listing suffices; Hadoop FS API keeps
+      // it store-agnostic.
       val path = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
       val fresh =
-        if (fs.exists(path))
+        if (hasData)
           deduped.join(spark.read.parquet(corpusDir).select("fingerprint"),
             Seq("fingerprint"), "left_anti")
         else deduped

@@ -236,6 +236,9 @@ class PropertySpec extends SparkSpec {
         val got = graft.operators.TextAnalysis
           .tokenShards(spark, TestSpark.sf0001, budget, blockSize)
           .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+        // each call persist()s its base projection (caller-owned
+        // cleanup contract) — drop it so iterations don't accumulate
+        spark.catalog.clearCache()
         got == want
     }
     check("tokenShards", prop, n = 6)
