@@ -112,7 +112,10 @@ class ExtensionsSpec extends SparkSpec {
     for ((sql, fn) <- Seq(
       ("SELECT cosine_sim(array(1.0f))", "cosine_sim"),
       ("SELECT minhash_band_keys(array('x'), 64)", "minhash_band_keys"),
-      ("SELECT byte_histogram(CAST('a' AS BINARY), 16, 3)", "byte_histogram"))) {
+      ("SELECT byte_histogram(CAST('a' AS BINARY), 16, 3)", "byte_histogram"),
+      ("SELECT dot_product(array(1.0f))", "dot_product"),
+      ("SELECT sorted_intersect_size(array('a'))", "sorted_intersect_size"),
+      ("SELECT simhash_agg(1L, 2L)", "simhash_agg"))) {
       val e = intercept[Exception](spark.sql(sql).collect())
       assert(e.getMessage.contains(fn) && e.getMessage.contains("argument"),
         s"$sql: got ${e.getMessage.take(200)}")
