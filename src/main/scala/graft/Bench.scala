@@ -60,6 +60,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"}""")
+    // Second, SHORT line with the headline metric: the long line above
+    // grew past the driver's tail-capture window at 61 queries
+    // (BENCH_r04.json parsed:null — the "total" prefix was truncated
+    // away), so re-print the total last where truncation can't reach it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

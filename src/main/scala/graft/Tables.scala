@@ -44,6 +44,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partition directory values (e.g. day=2024-01-03) stay StringType
+      // instead of being inferred as date/int — schema-stable reads of
+      // partitioned layouts (Roundtrip.eventsPartitionedByDay)
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 }

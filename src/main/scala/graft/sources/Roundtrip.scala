@@ -81,9 +81,10 @@ object Roundtrip {
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("day").parquet(path)
     }
-    // partition-column type inference off in Sessions? default infers
-    // dates/numbers; read with explicit string to stay schema-stable
-    spark.read.option("inferSchema", "false").parquet(path)
+    // partitionColumnTypeInference is off in Sessions, so `day` comes
+    // back as StringType; the cast is a no-op belt-and-braces for
+    // sessions built elsewhere
+    spark.read.parquet(path)
       .withColumn("day", col("day").cast("string"))
   }
 
