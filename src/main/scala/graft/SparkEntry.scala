@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
+    "q_decontaminate_cov" -> ((s, d) => operators.TextAnalysis.contaminationCoverage(s, d)),
     "q_tfidf_terms" -> ((s, d) => operators.TextAnalysis.tfidfTopTerms(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
@@ -301,11 +302,11 @@ object SparkEntry {
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents),
       r AS (SELECT doc_id, n_tokens,
-              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
                 CAST(0 AS BIGINT)) AS pre
             FROM t)
-      SELECT doc_id, n_tokens, pre // 5000 AS shard FROM r""".stripMargin.trim),
+      SELECT doc_id, n_tokens, CAST(pre // 5000 AS BIGINT) AS shard FROM r""".stripMargin.trim),
     "q_token_stats" -> ("""
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -522,6 +523,26 @@ object SparkEntry {
       SELECT doc_id, COUNT(*) AS n_shared_ngrams
       FROM g JOIN e USING (ng) WHERE is_train
       GROUP BY doc_id""".stripMargin.trim),
+    // coverage-ratio extension: integer-percent of each train doc's
+    // distinct n-grams found in the eval split, + the >=50% decision bit
+    "q_decontaminate_cov" -> ("""
+      WITH w AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) < 'cc' AS is_train,
+                   string_split(text, ' ') AS ws
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id, is_train, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM g WHERE is_train GROUP BY doc_id),
+      e AS (SELECT DISTINCT ng FROM g WHERE NOT is_train),
+      s AS (SELECT doc_id, COUNT(*) AS n_shared_ngrams
+            FROM g JOIN e USING (ng) WHERE is_train
+            GROUP BY doc_id)
+      SELECT s.doc_id, n_shared_ngrams, n_ngrams,
+             CAST(n_shared_ngrams * 100 // n_ngrams AS BIGINT) AS cov_pct,
+             CAST(CASE WHEN n_shared_ngrams * 100 // n_ngrams >= 50
+                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM s JOIN sz USING (doc_id)""".stripMargin.trim),
     // q_embed_neardup / q_embed_ann select on FLOAT comparisons (cosine
     // threshold / rank-by-sim) while surfacing only ids; the exact-set
     // oracle is valid because the data keeps a margin >= 1e-6 around

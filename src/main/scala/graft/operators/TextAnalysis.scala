@@ -289,6 +289,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** [[contamination]] completed into a THRESHOLDABLE contract: each
+    * contaminated train doc with the FRACTION of its distinct n-grams
+    * that appear in the eval split (integer percent — engine-portable)
+    * and the decision bit at `minPct`. Practical decontamination drops
+    * train docs above a coverage threshold, not above a raw count — a
+    * 10-token quote in a 100k-token doc is fine; the same quote being
+    * 80% of a short doc is leakage.
+    *
+    * Same bounded join shape as [[contaminationOn]] (eval side collapses
+    * to a distinct n-gram set; output bounded by the train inverted
+    * index); the only addition is the per-doc distinct-n-gram size
+    * carried through the aggregation as a max() payload — shingles are
+    * already distinct per doc ([[TextOps.shingles]]), so `size(ngs)` IS
+    * the denominator, no second aggregation.
+    */
+  def contaminationCoverage(spark: SparkSession, sfDir: String,
+                            n: Int = Dedup.ShingleN,
+                            threshold: String = "cc",
+                            minPct: Long = 50L): DataFrame =
+    contaminationCoverageOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, threshold, minPct)
+
+  /** [[contaminationCoverage]] over any (doc_id, text) DataFrame. */
+  def contaminationCoverageOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
+                              threshold: String = "cc",
+                              minPct: Long = 50L): DataFrame = {
+    def shingled = docTexts
+      .select(col("doc_id"),
+        (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
+          .as("is_train"),
+        size(TextOps.shingles(col("text"), n)).cast("long").as("n_ngrams"),
+        explode(TextOps.shingles(col("text"), n)).as("ng"))
+    val evalNgrams = shingled.filter(!col("is_train")).select(col("ng")).distinct()
+    shingled.filter(col("is_train"))
+      .join(evalNgrams, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        max(col("n_ngrams")).as("n_ngrams"))
+      .select(col("doc_id"), col("n_shared_ngrams"), col("n_ngrams"),
+        expr("n_shared_ngrams * 100 DIV n_ngrams").as("cov_pct"),
+        when(expr("n_shared_ngrams * 100 DIV n_ngrams") >= minPct, lit(1L))
+          .otherwise(lit(0L)).as("contaminated"))
+  }
+
   /** BPE-ish pre-tokenizer pattern (public GPT-2-style shape, kept to
     * portable RE2/Java syntax — no lookarounds): letter runs stay
     * whole words, digits split one per token, every other non-space

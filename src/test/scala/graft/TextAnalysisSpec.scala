@@ -235,6 +235,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must actually exercise the overlap path")
   }
 
+  test("contamination coverage: ratio and threshold bit match a planted fixture") {
+    // md5 split verified driver-side: docs 1-3 land train (< 'cc'), doc 90
+    // lands eval. Eval n-grams = {alpha beta gamma, beta gamma delta,
+    // gamma delta zeta}. Doc 1: both its n-grams shared -> 100%,
+    // contaminated. Doc 2: 1 of 4 -> 25%, kept in output but below the
+    // 50% bit. Doc 3: nothing shared -> absent entirely.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zz yy xx"),
+      (3L, "quick brown fox jumps over"),
+      (90L, "alpha beta gamma delta zeta"))
+    val got = TextAnalysis.contaminationCoverageOn(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 2L, 2L, 100L, 1L),
+      (2L, 1L, 4L, 25L, 0L))
+    assert(got === want)
+    // threshold is a real parameter: at minPct=20 doc 2 flips to contaminated
+    val loose = TextAnalysis.contaminationCoverageOn(docs.toDF("doc_id", "text"), minPct = 20L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(loose === Set((1L, 2L, 2L, 100L, 1L), (2L, 1L, 4L, 25L, 1L)))
+  }
+
   test("set ops: union distinct and except produce disjoint+complete split") {
     import graft.operators.Relational
     val all = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"))
