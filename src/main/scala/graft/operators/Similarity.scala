@@ -155,8 +155,21 @@ object Similarity {
     * (1 − 0.585²)¹⁶ ≈ 1e-3 → expected recall ≈ 0.999; SimilaritySpec
     * asserts ≥ 0.9. On isotropic vectors like these the candidate sets
     * are near-full (no free lunch at cosine 0.3); on real clustered
-    * embedding corpora the same bucketing prunes hard. Hot buckets can be
-    * salted or capped at scale.
+    * embedding corpora the same bucketing prunes hard.
+    *
+    * Hot-bucket cap (mirrors [[Dedup.minHashNearDupsOn]]'s `maxBucket`):
+    * a viral near-duplicate embedding cluster puts its whole population
+    * on ONE (table, pattern) key, making that join group quadratic at
+    * scale. Data-side keys whose bucket exceeds `maxBucket` are dropped
+    * from candidate generation via a count window over the SAME key
+    * partitioning the join shuffles on (one reused exchange). A true
+    * neighbor is lost only if EVERY key it shares with the query is
+    * over-capped — i.e. it sits in a > maxBucket near-identical cluster
+    * on all tables, which exact dedup collapses upstream in a real
+    * pipeline. Queries keep their UNCAPPED probe keys (the query side is
+    * nQueries rows — never the hot side). Recall on this fixture is
+    * unchanged (asserted); cap behavior itself is unit-tested with a
+    * planted all-identical cluster and a tiny cap.
     *
     * Candidate dedup happens on (query_id, neighbor_id) AFTER scoring —
     * never `.distinct()` over rows carrying the two float arrays, which
@@ -239,16 +252,34 @@ object Similarity {
 
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
-                 nTables: Int = 16, bitsPerTable: Int = 2): DataFrame = {
+                 nTables: Int = 16, bitsPerTable: Int = 2,
+                 maxBucket: Int = 10000): DataFrame =
+    annTopKLshOn(Tables.embeddings(spark, sfDir),
+      nQueries, k, nTables, bitsPerTable, maxBucket)
+
+  /** [[annTopKLsh]] over any (vec_id, embedding) DataFrame — the entry
+    * the hot-bucket spec drives so cap evidence covers the SHIPPED path.
+    */
+  def annTopKLshOn(emb: DataFrame,
+                   nQueries: Int = 10, k: Int = 5,
+                   nTables: Int = 16, bitsPerTable: Int = 2,
+                   maxBucket: Int = 10000): DataFrame = {
     val pl = planes(nTables, bitsPerTable, 64)
-    val v = Tables.embeddings(spark, sfDir)
+    val v = emb
       .select(col("vec_id"), col("embedding"),
         explode(sketchKeys(col("embedding"), pl)).as("key"))
+    // query probes stay uncapped — the query side is nQueries rows, so a
+    // query sitting in a hot bucket still probes it; only the DATA side
+    // of that bucket is bounded
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("key"))
+    val capped = v
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    v.join(q, Seq("key"))
+    capped.join(q, Seq("key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("eq"), col("embedding")).as("sim"))

@@ -129,6 +129,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH ANN hot-bucket cap: default cap is a no-op on the fixture (recall unchanged)") {
+    // sf0.001 buckets run ~n/4 ≈ 125 rows — far under the 10000 default,
+    // so the capped plan must return EXACTLY the uncapped result
+    val capped = Similarity.annTopKLsh(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = Similarity.annTopKLsh(spark, sf, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === uncapped)
+  }
+
+  test("LSH ANN hot-bucket cap bounds a planted all-identical cluster") {
+    // plant 500 exact copies of query 0's vector: identical vectors have
+    // identical sketches, so ONE (table, pattern) key per table carries
+    // the whole cluster — the viral-near-dup shape that makes a bucket
+    // join quadratic at scale. Fixture buckets are ~125 rows; the hot
+    // buckets are ~125 + 500. A cap of 300 keeps every normal bucket and
+    // drops exactly the hot ones.
+    val base = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val v0 = base.find(_._1 == 0L).get._2
+    val clones = (0 until 500).map(i => (100000L + i, v0))
+    val emb = spark.createDataset(base.toSeq ++ clones)
+      .toDF("vec_id", "embedding")
+
+    val uncapped = Similarity.annTopKLshOn(emb, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Long)].collect()
+    // sanity: without the cap, query 0's neighbors ARE the clones (cos 1.0)
+    assert(uncapped.filter(_._1 == 0L).map(_._2).forall(_ >= 100000L))
+
+    val capped = Similarity.annTopKLshOn(emb, maxBucket = 300)
+      .as[(Long, Long, Long)].collect()
+    // every hot-bucket member is gone from candidate generation: no clone
+    // ever surfaces as a neighbor, for any query
+    assert(!capped.exists(_._2 >= 100000L),
+      "clone ids must be dropped from the capped candidate set")
+    // queries whose own probe keys aren't all-hot still return full top-5
+    val byQuery = capped.groupBy(_._1)
+    assert((1L to 9L).forall(q => byQuery.get(q).exists(_.length == 5)),
+      s"non-hot queries must keep full results, got ${byQuery.view.mapValues(_.length).toMap}")
+  }
+
   test("LSH ANN ranks are contiguous from 1 per query") {
     val byQuery = Similarity.annTopKLsh(spark, sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1)
