@@ -17,6 +17,9 @@ import graft.operators.{AsOf, Dedup}
   *     components, constant topology ⇒ rounds must stay constant);
   *   - [[Dedup.incrementalNew]] with a factor-sized corpus and a
   *     base-sized delivery batch (time tracks the corpus scan);
+  *   - [[Dedup.incrementalNearDup]] over the same corpus/batch split
+  *     (batch probes the corpus band index — linear in the corpus,
+  *     never corpus×corpus);
   *   - [[graft.operators.TextAnalysis.contaminationOn]] (eval side
   *     collapses to a distinct n-gram set ⇒ bounded by the train
   *     inverted index);
@@ -137,6 +140,16 @@ object ScaleSmoke {
         Dedup.incrementalNew(docs, batch).count())
       spark.catalog.clearCache()
 
+      // incremental NEAR-dup: same factor-sized corpus, base-sized batch.
+      // Batch band keys PROBE the corpus index — candidates are bounded
+      // by batch size × bucket occupancy, so time must track the corpus
+      // shingle/index build (linear), never corpus×corpus. The x0-copy
+      // half of the batch rediscovers its corpus twins (exact dups are
+      // near-dups); the raw-original half is new.
+      val (tIncN, nIncN) = timeIt(
+        Dedup.incrementalNearDup(docs, batch).count())
+      spark.catalog.clearCache()
+
       // decontamination: both sides grow with the factor, but the eval
       // side collapses to a distinct n-gram set before the join, so the
       // output (and time) must stay bounded by the train inverted index
@@ -166,6 +179,7 @@ object ScaleSmoke {
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
+        s""""incr_near_sec":$tIncN,"incr_near_rows":$nIncN,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +

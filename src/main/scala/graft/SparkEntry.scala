@@ -115,6 +115,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
+    "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
     "q_decontaminate_cov" -> ((s, d) => operators.TextAnalysis.contaminationCoverage(s, d)),
     "q_tfidf_terms" -> ((s, d) => operators.TextAnalysis.tfidfTopTerms(s, d)),
@@ -510,6 +511,32 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8
                         AND c.fingerprint = b.fingerprint)
       GROUP BY fingerprint""".stripMargin.trim),
+    // exact cross-split >=0.8-Jaccard matches: valid as an exact-set
+    // oracle for the LSH-probed operator for the same reason as
+    // q_dedup_minhash (every candidate exact-verified; candidate-miss
+    // probability negligible — see minHashOracleGuard)
+    "q_dedup_incr_near" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+      inter AS (SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+                FROM g b JOIN g c ON b.ng = c.ng
+                WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+                GROUP BY 1, 2),
+      m AS (SELECT inter.doc_id AS doc_id, MIN(corpus_id) AS dup_of,
+                   COUNT(*) AS n_dups
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_id
+            JOIN sz sb ON sb.doc_id = corpus_id
+            WHERE inter.inter * 9 >= 4 * (sa.s + sb.s)
+            GROUP BY inter.doc_id)
+      SELECT d.doc_id, dup_of,
+             COALESCE(n_dups, CAST(0 AS BIGINT)) AS n_dups,
+             CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      FROM documents d LEFT JOIN m USING (doc_id)
+      WHERE d.doc_id % 10 >= 8""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

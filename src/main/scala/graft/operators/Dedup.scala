@@ -46,6 +46,14 @@ object Dedup {
   /** Normalized dedup on the sorted distinct token set ("same bag of
     * words"). Returns only groups with >1 member — actual near-identical
     * docs that exact dedup misses.
+    *
+    * NOTE (100 TB): this spelling shuffles the full wordset STRING as the
+    * grouping key because the oracle-checked contract surfaces it. At
+    * scale, group on `xxhash64(wordset)` (8-byte shuffle key) and carry
+    * the string as a `first()` payload only if the output needs it —
+    * same result modulo a ~2^-64 collision, a fraction of the shuffle
+    * bytes. (Same reasoning as [[exact]], whose key the oracle also
+    * pins; [[incrementalNew]] already keys on the md5 fingerprint.)
     */
   def wordset(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -301,6 +309,74 @@ object Dedup {
       docs.filter(col("doc_id") % 10 >= 8))
   }
 
+  /** Incremental NEAR-dup ingest: each batch doc classified as NEW or as
+    * a near-duplicate of the existing corpus (Jaccard >= num/den on word
+    * n-gram shingles), composing [[incrementalNew]]'s ingest contract
+    * with [[minHashNearDupsOn]]'s banded-LSH machinery. Output: one row
+    * per batch doc — (doc_id, dup_of = canonical min matching corpus
+    * doc_id or null, n_dups = matching corpus docs, is_new bit).
+    *
+    * Scale design (100 TB corpus, daily batch): the corpus never
+    * self-joins — batch band keys PROBE the corpus (band, key) index, so
+    * candidate count is bounded by batch size × bucket occupancy, and
+    * `maxBucket` caps degenerate corpus buckets exactly like
+    * [[minHashNearDupsOn]] (a probe loses a true match only if EVERY
+    * shared bucket is a > maxBucket near-identical cluster). In
+    * production the corpus index (doc_id, band, key) and shingle frame
+    * are MATERIALIZED at ingest (write once, probe daily) — here they're
+    * derived inline and persist()-marked as the stand-in; the caller
+    * owns cache cleanup (same contract as [[minHashNearDupsOn]]).
+    * Candidates are verified with exact integer Jaccard before any doc
+    * is declared a duplicate, so false bucket collisions never
+    * misclassify.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         n: Int = ShingleN, k: Int = MinHashK,
+                         bands: Int = MinHashBands,
+                         num: Int = 4, den: Int = 5,
+                         maxBucket: Int = 10000): DataFrame = {
+    def bandKeys(sh: DataFrame) = sh.select(col("doc_id"),
+      posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
+        .as(Seq("band", "key")))
+    val corpusSh = docShingles(corpus, n).persist()
+    val batchSh = docShingles(batch, n).persist()
+    val corpusIdx = bandKeys(corpusSh)
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cands = bandKeys(batchSh)
+      .join(corpusIdx.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    val verified = cands
+      .join(batchSh.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_id")
+      .join(corpusSh.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_b"), col("sz").as("sz_b")), "corpus_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersect.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .filter(col("inter") * (den + num) >= (col("sz_a") + col("sz_b")) * num)
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    // every batch doc gets a verdict — including sub-n-token docs that
+    // produce no shingles (trivially new)
+    batch.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("is_new"))
+  }
+
+  /** [[incrementalNearDup]] over the documents table with the same
+    * deterministic corpus/batch split as [[incrementalNewDocs]] — the
+    * driver-query harness (q_dedup_incr_near).
+    */
+  def incrementalNearDupDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalNearDup(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** Near-dup CLUSTERS from the MinHash pair list: connected components
     * over the >=0.8-Jaccard pair graph, labeling every member doc with
     * its component's minimum doc_id — the canonical-representative
@@ -329,8 +405,10 @@ object Dedup {
     * driver-visible value is the converged/changed counter. For
     * adversarial long-chain graphs the published O(log n) alternative is
     * the large-star/small-star algorithm (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC 2014 — public literature);
-    * documented as the upgrade path, not needed for near-dup topology.
+    * Components in MapReduce and Beyond", SoCC 2014 — public literature),
+    * implemented as [[clusterPairsStar]]; hitting `maxIter` here FALLS
+    * BACK to it, so pathological topology degrades to O(log n) rounds,
+    * never to a wrong answer or a wall.
     *
     * Convergence is detected with a MONOTONICITY argument instead of a
     * per-round diff join: labels only ever decrease under min
@@ -340,8 +418,8 @@ object Dedup {
     * the previous round.
     *
     * `maxIter` is a correctness guard, not a truncation: non-convergence
-    * within it throws rather than returning a partially-propagated
-    * labeling.
+    * within it hands the graph to [[clusterPairsStar]] rather than
+    * returning a partially-propagated labeling.
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -376,10 +454,75 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) clusterPairsStar(pairs) else labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public literature): same (doc_a, doc_b) → (doc_id,
+    * cluster_id = component min) contract as [[clusterPairs]], but
+    * converging in O(log n) rounds on ANY topology — the adversarial-
+    * chain path where min-label propagation needs O(diameter) rounds.
+    *
+    * Each round rewires the edge set toward component minima:
+    *   - large-star at node u (over the bidirectional neighborhood):
+    *     every neighbor v > u is re-pointed at m = min(N(u) ∪ {u}) —
+    *     strictly decreases big nodes' connections;
+    *   - small-star at node u (edges oriented large→small): every
+    *     neighbor (all <= u) and u itself re-pointed at m = min(N(u)) —
+    *     collapses local chains into stars.
+    * The fixed point is one star per component centered at its minimum;
+    * both steps preserve connectivity (every emitted edge connects two
+    * nodes already connected through u), so the center is the true
+    * component min. Per round: two join+agg shuffles over the pair list
+    * (the SMALL artifact — candidates post-verification), lineage
+    * truncated via localCheckpoint, driver sees only counts.
+    * Convergence = edge set unchanged (distinct sets of equal size, so
+    * one-sided except suffices).
+    */
+  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("n"))
+      .union(pairs.select(col("doc_b").as("n"))).distinct().persist()
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = bidir.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val oriented = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val minsS = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      iter += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"clusterPairs did not converge within $maxIter rounds — graph " +
-          "diameter exceeds the near-dup assumption; use large-star/small-star")
+        s"clusterPairsStar did not converge within $maxIter rounds — " +
+          "O(log n) bound exceeded; inspect the input graph")
+    // fixed point is a star per component: non-centers have exactly one
+    // outgoing edge (to the center); centers have none → label = self.
+    // min() makes the extraction idempotent even off the fixed point.
+    val labels = nodes
+      .join(edges.select(col("u").as("n"), col("v").as("lab")), Seq("n"), "left")
+      .groupBy(col("n"))
+      .agg(min(col("lab")).as("mlab"))
+      .select(col("n").as("doc_id"), coalesce(col("mlab"), col("n")).as("cluster_id"))
+    nodes.unpersist()
     labels
   }
 

@@ -59,9 +59,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngram Jaccard with an aggressive stop-shingle cap stays sound") {
-    // a tiny cap marks common shingles hot, exercising the hot∧hot
-    // exact-verify path; recall may drop (documented approximation) but
-    // every emitted pair must still be a TRUE >= 0.5 pair
+    // a tiny cap drops common shingles from the prefix index; recall may
+    // drop (documented approximation) but soundness holds — candidates
+    // are verified on FULL shingle arrays, so every emitted pair must
+    // still be a TRUE >= 0.5 pair
     val got = Dedup.ngramJaccardPairs(spark, sf, maxDocFreq = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(brutePairs(0.5)), "no false positives under capping")
@@ -117,11 +118,38 @@ class DedupSpec extends SparkSpec {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = Dedup.clusterPairs(chain).as[(Long, Long)].collect()
     assert(got.length === 12 && got.forall(_._2 == 1L))
-    // and the guard actually guards: a bound below the diameter throws
-    // instead of returning a half-propagated labeling
-    assertThrows[IllegalStateException] {
-      Dedup.clusterPairs(chain, maxIter = 3)
+    // the guard is a FALLBACK, not a wall: a bound below the diameter
+    // hands the graph to large-star/small-star and still returns the
+    // exact labeling, never a half-propagated one
+    val fellBack = Dedup.clusterPairs(chain, maxIter = 3)
+      .as[(Long, Long)].collect()
+    assert(fellBack.length === 12 && fellBack.forall(_._2 == 1L))
+  }
+
+  test("clusterPairsStar equals min-label propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 30
+      val m = n * 3 / 2
+      val pairs = Seq.fill(m) {
+        val a = rng.nextInt(n).toLong
+        val b = rng.nextInt(n).toLong
+        (a, if (a == b) a + 1 else b)
+      }.toDF("doc_a", "doc_b")
+      val star = Dedup.clusterPairsStar(pairs).as[(Long, Long)].collect().toMap
+      val minLabel = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+      assert(star === minLabel, s"trial $trial (n=$n, m=$m)")
     }
+  }
+
+  test("clusterPairsStar collapses a 10k-node path graph in O(log n) rounds") {
+    // diameter 10k: min-label propagation would need ~10k rounds (its
+    // maxIter guard exists exactly for this shape); large-star/small-star
+    // must label every node with the path minimum within its 60-round
+    // O(log n) budget or throw
+    val path = (0L until 10000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairsStar(path).as[(Long, Long)].collect()
+    assert(got.length === 10001 && got.forall(_._2 == 0L))
   }
 
   test("incremental dedup equals a driver-side fingerprint anti-join") {
@@ -141,6 +169,53 @@ class DedupSpec extends SparkSpec {
       .map { case (fp, id, n) => fp -> ((id, n)) }.toMap
     assert(got === want)
     assert(want.nonEmpty, "fixture must have genuinely-new batch docs")
+  }
+
+  test("incremental near-dup classifies planted batch docs across the boundary") {
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (2L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val batch = Seq(
+      // last token changed: 9 of 10 shingles shared with doc 1 →
+      // J = 9/11, and 9·9 ≥ 4·20 holds with a margin of 1 — right at
+      // the 0.8 integer-threshold boundary
+      (18L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 zz"),
+      (19L, "completely different tokens over here"),
+      (28L, "u1 u2 u3 u4 u5 u6"), // exact copy of corpus doc 2
+      (30L, "xy zz")              // < 3 tokens: no shingles, trivially new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(corpus, batch)
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    assert(got === Set(
+      (18L, Some(1L), 1L, 0L),
+      (19L, None, 0L, 1L),
+      (28L, Some(2L), 1L, 0L),
+      (30L, None, 0L, 1L)))
+    spark.catalog.clearCache() // operator persist()s its shingle frames
+  }
+
+  test("incremental near-dup equals driver-side cross-split brute force") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val batchIds = docs.map(_._1).filter(_ % 10 >= 8)
+    val corpusIds = docs.map(_._1).filter(_ % 10 < 8)
+    val want = batchIds.map { b =>
+      val matches = corpusIds.filter { c =>
+        val (sa, sb) = (sh(b), sh(c))
+        sa.nonEmpty && sb.nonEmpty &&
+          (sa & sb).size * 9 >= 4 * (sa.size + sb.size)
+      }
+      if (matches.isEmpty) (b, None, 0L, 1L)
+      else (b, Some(matches.min), matches.size.toLong, 0L)
+    }.toSet
+    val got = Dedup.incrementalNearDupDocs(spark, sf)
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._4 == 0L), "fixture must plant cross-boundary near-dups")
+    spark.catalog.clearCache()
   }
 
   /** Independent driver-side SimHash: plain Scala loops over token
