@@ -316,12 +316,18 @@ object TextAnalysis {
   def contaminationCoverageOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
                               threshold: String = "cc",
                               minPct: Long = 50L): DataFrame = {
+    // materialize the shingle array in its own projection: size() and
+    // explode() in ONE select would inline the (expensive) shingle
+    // expression twice per row — Catalyst does no common-subexpression
+    // elimination across a Project/Generate boundary
     def shingled = docTexts
       .select(col("doc_id"),
         (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
           .as("is_train"),
-        size(TextOps.shingles(col("text"), n)).cast("long").as("n_ngrams"),
-        explode(TextOps.shingles(col("text"), n)).as("ng"))
+        TextOps.shingles(col("text"), n).as("ngs"))
+      .select(col("doc_id"), col("is_train"),
+        size(col("ngs")).cast("long").as("n_ngrams"),
+        explode(col("ngs")).as("ng"))
     val evalNgrams = shingled.filter(!col("is_train")).select(col("ng")).distinct()
     shingled.filter(col("is_train"))
       .join(evalNgrams, "ng")
