@@ -197,6 +197,64 @@ object StreamingOps {
       ()
     }.start()
 
+  /** Streaming NEAR-dup ingest via foreachBatch — the streaming front
+    * door to [[graft.operators.Dedup.incrementalNearDup]]: each
+    * micro-batch is collapsed on the exact content fingerprint, then
+    * probed against the corpus's MinHash band index; only docs that are
+    * neither exact nor >= 0.8-Jaccard near-duplicates of the corpus are
+    * appended. The near-dup probe alone would miss sub-n-token docs
+    * (no shingles → trivially "new"), so the exact fingerprint anti-join
+    * stays in the pipeline as the backstop — the append condition is
+    * fingerprint-new AND near-dup-new.
+    *
+    * Idempotent under failure replay like [[ingestNewDocs]]: a
+    * re-delivered batch finds each of its docs at Jaccard 1.0 against
+    * the copy it already appended (or fingerprint-caught when too short
+    * to shingle), so nothing is appended twice.
+    *
+    * doc ids are synthesized as xxhash64(fingerprint) — stable across
+    * batches and engines, so the corpus table needs no id column and
+    * re-deliveries map to the same id. In production the corpus band
+    * index is MATERIALIZED and maintained incrementally (see
+    * [[graft.operators.Dedup.incrementalNearDup]]'s scaladoc); here each
+    * batch derives it from the corpus read, and the operator's internal
+    * persist()s are dropped per batch via clearCache — this sink assumes
+    * it owns its session's cache (run ingest as a dedicated job).
+    */
+  def ingestNewDocsNearDup(lines: DataFrame, corpusDir: String,
+                           textCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val spark = batch.sparkSession
+      val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      val deduped = batch
+        .select(fp.as("fingerprint"), col(textCol).as("text"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("text")).as("text"))
+        .withColumn("doc_id", xxhash64(col("fingerprint")))
+      val path = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val fresh =
+        if (hasData) {
+          val corpus = spark.read.parquet(corpusDir)
+          val nearNewIds = graft.operators.Dedup.incrementalNearDup(
+              corpus.select(col("doc_id"), col("text")),
+              deduped.select(col("doc_id"), col("text")))
+            .filter(col("is_new") === 1L)
+            .select(col("doc_id"))
+          deduped
+            .join(nearNewIds, "doc_id")
+            .join(corpus.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+        } else deduped
+      fresh.select(col("fingerprint"), col("text"), col("doc_id"))
+        .write.mode("append").parquet(corpusDir)
+      spark.catalog.clearCache() // drop incrementalNearDup's shingle caches
+      ()
+    }.start()
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

@@ -249,6 +249,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch near-dup ingest appends only docs new to the corpus at >= 0.8 Jaccard") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-ingest-near").resolve("corpus").toString
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpus)
+    try {
+      val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+      ms.addData(a, "xy zz") // bootstrap: both appended (incl. the sub-3-token doc)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() === 2)
+      // a near-dup of `a` (last token changed: J = 9/11 >= 0.8), an exact
+      // re-delivery, a short-doc re-delivery (shingle-free — only the
+      // fingerprint backstop can catch it), and a genuinely new doc
+      ms.addData("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 zz", a, "xy zz",
+        "completely different tokens over here")
+      q.processAllAvailable()
+      val texts = spark.read.parquet(corpus).select("text").as[String].collect().toSet
+      assert(texts === Set(a, "xy zz", "completely different tokens over here"),
+        "only the new doc may be appended")
+      // failure-replay idempotency: the same delivery again adds nothing
+      ms.addData("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 zz", a, "xy zz",
+        "completely different tokens over here")
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() === 3)
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
