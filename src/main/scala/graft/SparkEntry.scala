@@ -118,6 +118,7 @@ object SparkEntry {
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
     "q_decontaminate_cov" -> ((s, d) => operators.TextAnalysis.contaminationCoverage(s, d)),
+    "q_decontaminate_eval_cov" -> ((s, d) => operators.TextAnalysis.evalContaminationCoverage(s, d)),
     "q_tfidf_terms" -> ((s, d) => operators.TextAnalysis.tfidfTopTerms(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
@@ -564,6 +565,25 @@ object SparkEntry {
       e AS (SELECT DISTINCT ng FROM g WHERE NOT is_train),
       s AS (SELECT doc_id, COUNT(*) AS n_shared_ngrams
             FROM g JOIN e USING (ng) WHERE is_train
+            GROUP BY doc_id)
+      SELECT s.doc_id, n_shared_ngrams, n_ngrams,
+             CAST(n_shared_ngrams * 100 // n_ngrams AS BIGINT) AS cov_pct,
+             CAST(CASE WHEN n_shared_ngrams * 100 // n_ngrams >= 50
+                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM s JOIN sz USING (doc_id)""".stripMargin.trim),
+    // eval-side mirror: percent of each eval doc's n-grams found in train
+    "q_decontaminate_eval_cov" -> ("""
+      WITH w AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) < 'cc' AS is_train,
+                   string_split(text, ' ') AS ws
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id, is_train, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM g WHERE NOT is_train GROUP BY doc_id),
+      t AS (SELECT DISTINCT ng FROM g WHERE is_train),
+      s AS (SELECT doc_id, COUNT(*) AS n_shared_ngrams
+            FROM g JOIN t USING (ng) WHERE NOT is_train
             GROUP BY doc_id)
       SELECT s.doc_id, n_shared_ngrams, n_ngrams,
              CAST(n_shared_ngrams * 100 // n_ngrams AS BIGINT) AS cov_pct,

@@ -312,6 +312,51 @@ object TextAnalysis {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       n, threshold, minPct)
 
+  /** The EVAL-side mirror of [[contaminationCoverage]]: for each eval
+    * doc, the integer percent of ITS distinct n-grams that appear
+    * anywhere in the train split — the number a benchmark-leakage report
+    * quotes ("x% of this eval task is in the training set") and the
+    * threshold that decides whether an eval RESULT is trustworthy, where
+    * the train-side ratio decides which train DOCS to drop.
+    *
+    * Same bounded shape mirrored: the TRAIN side collapses to a distinct
+    * n-gram set before the join, so output is bounded by the eval
+    * inverted index — at 100 TB the train n-gram set is the big side,
+    * and this stays one shuffle join keyed on the n-gram, never
+    * train × eval.
+    */
+  def evalContaminationCoverage(spark: SparkSession, sfDir: String,
+                                n: Int = Dedup.ShingleN,
+                                threshold: String = "cc",
+                                minPct: Long = 50L): DataFrame =
+    evalContaminationCoverageOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, threshold, minPct)
+
+  /** [[evalContaminationCoverage]] over any (doc_id, text) DataFrame. */
+  def evalContaminationCoverageOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
+                                  threshold: String = "cc",
+                                  minPct: Long = 50L): DataFrame = {
+    def shingled = docTexts
+      .select(col("doc_id"),
+        (md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")) < threshold)
+          .as("is_train"),
+        TextOps.shingles(col("text"), n).as("ngs"))
+      .select(col("doc_id"), col("is_train"),
+        size(col("ngs")).cast("long").as("n_ngrams"),
+        explode(col("ngs")).as("ng"))
+    val trainNgrams = shingled.filter(col("is_train")).select(col("ng")).distinct()
+    shingled.filter(!col("is_train"))
+      .join(trainNgrams, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        max(col("n_ngrams")).as("n_ngrams"))
+      .select(col("doc_id"), col("n_shared_ngrams"), col("n_ngrams"),
+        expr("n_shared_ngrams * 100 DIV n_ngrams").as("cov_pct"),
+        when(expr("n_shared_ngrams * 100 DIV n_ngrams") >= minPct, lit(1L))
+          .otherwise(lit(0L)).as("contaminated"))
+  }
+
   /** [[contaminationCoverage]] over any (doc_id, text) DataFrame. */
   def contaminationCoverageOn(docTexts: DataFrame, n: Int = Dedup.ShingleN,
                               threshold: String = "cc",

@@ -256,6 +256,11 @@ class TextAnalysisSpec extends SparkSpec {
     val loose = TextAnalysis.contaminationCoverageOn(docs.toDF("doc_id", "text"), minPct = 20L)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(loose === Set((1L, 2L, 2L, 100L, 1L), (2L, 1L, 4L, 25L, 1L)))
+    // eval-side mirror on the same fixture: doc 90 (the one eval doc with
+    // train overlap) has 3 n-grams, 2 of them in the train set -> 66%
+    val eval = TextAnalysis.evalContaminationCoverageOn(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(eval === Set((90L, 2L, 3L, 66L, 1L)))
   }
 
   test("set ops: union distinct and except produce disjoint+complete split") {
