@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every
+// stdout line with "[info] " — that prefix breaks any driver that
+// json.loads() captured lines (BENCH parsed:null every round). Pass
+// the program's stdout/stderr through raw instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,19 +52,29 @@ object Bench {
         name -> ((median, samples.flatMap(_._2).headOption))
       }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // The driver captures only the LAST 2000 chars of merged output and
+    // line-scans it for JSON (BENCH_r01..r05 all have parsed:null: the
+    // full-precision line overflowed the window and sbt's "[info] "
+    // LoggedOutput prefix made every line unparseable besides). Keep the
+    // whole contract line inside the window: millisecond precision is
+    // plenty for per-query diagnostics and keeps 61 queries ≈ 1.7 kB.
+    def ms(sec: Double) = BigDecimal(sec).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // queries stays strictly {"name": seconds} for the driver; failures
-    // are reported in a parallel "query_errors" object
-    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":$sec""" }
+    // are reported in a parallel "query_errors" object (omitted when
+    // empty — every byte counts against the 2000-char tail window)
+    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":${ms(sec)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir"}""")
-    // Second, SHORT line with the headline metric: the long line above
-    // grew past the driver's tail-capture window at 61 queries
-    // (BENCH_r04.json parsed:null — the "total" prefix was truncated
-    // away), so re-print the total last where truncation can't reach it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val errsField = if (errs == "{}") "" else s""","query_errors":$errs"""
+    val total = ms(results.values.map(_._1).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
     spark.stop()
+    // Re-print the headline total LAST, after spark.stop(), so a
+    // last-JSON-line parser finds it even if future query growth pushes
+    // the long line's head back out of the tail window. Same metric
+    // name on purpose: the driver records ONE parsed object, so either
+    // line parsing yields the same total (no summing consumer exists).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }
