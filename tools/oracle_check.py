@@ -25,13 +25,24 @@ def type_lint(schema, side):
     (round 4) both hash-mismatch against Spark's int64 while VALUES are
     identical — ban the whole class so an uncast SUM can never ship.
     Floats are banned too (integer minor units only, see MEMORY)."""
+    def leaves(t):
+        """All leaf types reachable through list/struct/map nesting —
+        a DECIMAL hiding inside a struct field is just as banned as a
+        top-level one."""
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+            return leaves(t.value_type)
+        if pa.types.is_struct(t):
+            return [lt for i in range(t.num_fields) for lt in leaves(t.field(i).type)]
+        if pa.types.is_map(t):
+            return leaves(t.key_type) + leaves(t.item_type)
+        return [t]
     bad = []
     for f in schema:
-        t = f.type
-        inner = t.value_type if pa.types.is_list(t) or pa.types.is_large_list(t) else t
-        if (pa.types.is_decimal(inner) or pa.types.is_floating(inner)
-                or pa.types.is_float16(inner)):
-            bad.append(f"{side}.{f.name}:{t}")
+        for inner in leaves(f.type):
+            if (pa.types.is_decimal(inner) or pa.types.is_floating(inner)
+                    or pa.types.is_float16(inner)):
+                bad.append(f"{side}.{f.name}:{f.type}")
+                break
     return bad
 
 def norm(v):
