@@ -200,8 +200,11 @@ object StreamingOps {
   /** Streaming NEAR-dup ingest via foreachBatch — the streaming front
     * door to [[graft.operators.Dedup.incrementalNearDup]]: each
     * micro-batch is collapsed on the exact content fingerprint, then
-    * probed against the corpus's MinHash band index; only docs that are
-    * neither exact nor >= 0.8-Jaccard near-duplicates of the corpus are
+    * collapsed AGAIN on in-batch near-duplicate clusters (min-doc_id
+    * representative per cluster — two non-identical near-dups arriving
+    * together must not both enter the corpus), then probed against the
+    * corpus's MinHash band index; only docs that are neither exact nor
+    * >= 0.8-Jaccard near-duplicates of the corpus are
     * appended. The near-dup probe alone would miss sub-n-token docs
     * (no shingles → trivially "new"), so the exact fingerprint anti-join
     * stays in the pipeline as the backstop — the append condition is
@@ -226,11 +229,26 @@ object StreamingOps {
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-      val deduped = batch
+      val exactDeduped = batch
         .select(fp.as("fingerprint"), col(textCol).as("text"))
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
+      // IN-BATCH near-dup collapse: the corpus probe alone can't see two
+      // non-identical near-duplicates that arrive in the SAME micro-batch
+      // (neither is in the corpus yet), so both would be appended
+      // permanently — arrival batching would change corpus contents.
+      // Keep each in-batch near-dup cluster's min-doc_id representative
+      // (same canonicalization as [[graft.operators.Dedup.clusterPairs]]
+      // consumers) before any doc is allowed to probe the corpus.
+      val inBatchPairs = graft.operators.Dedup.minHashNearDupsOn(
+          exactDeduped.select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      val inBatchLosers = graft.operators.Dedup.clusterPairs(inBatchPairs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+      val deduped = exactDeduped
+        .join(inBatchLosers, Seq("doc_id"), "left_anti")
       val path = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>

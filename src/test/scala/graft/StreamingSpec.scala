@@ -276,6 +276,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest collapses near-dups WITHIN a micro-batch, including at bootstrap") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-ingest-inbatch").resolve("corpus").toString
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpus)
+    try {
+      // BOOTSTRAP batch already contains a near-dup pair (J = 9/11 >= 0.8):
+      // without the in-batch pass both would seed the corpus
+      val b1 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+      val b1near = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 yy"
+      ms.addData(b1, b1near)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() === 1,
+        "bootstrap batch keeps one representative of the near-dup pair")
+      // a later batch with a fresh near-dup pair (both corpus-new) plus a
+      // doc near-duplicating the corpus: exactly one row may land
+      val b2 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"
+      val b2near = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 vv"
+      val corpusNear = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 ww"
+      ms.addData(b2, b2near, corpusNear)
+      q.processAllAvailable()
+      val texts = spark.read.parquet(corpus).select("text").as[String].collect().toSet
+      assert(texts.size === 2, s"one per cluster, got $texts")
+      assert(texts.exists(t => t == b2 || t == b2near),
+        "the second cluster is represented exactly once")
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
