@@ -46,6 +46,11 @@ object Bench {
           val err = runOnce(name, fn)
           val sec = (System.nanoTime() - t0) / 1e9
           dropCaches()
+          // collect in the UNTIMED gap: a long-lived JVM accumulates
+          // garbage across 60+ queries and a collection landing mid-query
+          // shows up as a multi-second spike on an innocent plan
+          // (BENCH_r05 charged 4.9 s to a 0.8 s broadcast-join query)
+          System.gc()
           (sec, err)
         }
         val median = samples.map(_._1).sorted.apply(reps / 2)

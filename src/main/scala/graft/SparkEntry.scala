@@ -54,6 +54,10 @@ object SparkEntry {
     "q_union_big_or_debt" -> ((s, d) => operators.Relational.bigOrderOrDebtCustomers(s, d)),
     "q_except_small_only" -> ((s, d) => operators.Relational.onlySmallOrderCustomers(s, d)),
     "q_orders_ranked" -> (operators.Relational.ordersRanked _),
+    "q_order_gaps" -> (operators.Relational.orderGaps _),
+    // skew-safe blockwise-prefix-sum spelling; == plain ntile window
+    // (RelationalSpec)
+    "q_orders_ntile" -> ((s, d) => operators.Relational.ntileRevenueSkewSafe(s, d)),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_pivot" -> (operators.Relational.eventsDailyPivot _),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
@@ -82,6 +86,7 @@ object SparkEntry {
     "q_token_shards" -> ((s, d) => operators.TextAnalysis.tokenShards(s, d)),
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
+    "q_rep_topgram" -> (operators.TextAnalysis.topGramShare _),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
     "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
     "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
@@ -317,6 +322,35 @@ object SparkEntry {
     "q_fingerprint" -> ("""
       SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents""".stripMargin.trim),
+    // occurrence-preserving n-grams (duplicates kept): unigrams via
+    // unnest(split), bigrams via a positional list comprehension — MAX of
+    // count*len is value-based so ties are harmless; aggregates cast to
+    // BIGINT before the integer division (SUM widens to HUGEINT)
+    "q_rep_topgram" -> ("""
+      WITH t1 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
+      c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+      a1 AS (SELECT doc_id,
+                    CAST(MAX(c * length(g)) AS BIGINT) AS top_chars,
+                    CAST(SUM(c * length(g)) AS BIGINT) AS tot_chars
+             FROM c1 GROUP BY 1),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      t2 AS (
+        SELECT doc_id,
+               unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS g
+        FROM tk WHERE len(tk) >= 2),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+      a2 AS (SELECT doc_id,
+                    CAST(MAX(c * length(g)) AS BIGINT) AS top_chars,
+                    CAST(SUM(c * length(g)) AS BIGINT) AS tot_chars
+             FROM c2 GROUP BY 1)
+      SELECT a1.doc_id,
+             a1.top_chars * 100 // a1.tot_chars AS top1_pct,
+             COALESCE(a2.top_chars * 100 // a2.tot_chars, 0) AS top2_pct,
+             CAST(CASE WHEN a1.top_chars * 100 // a1.tot_chars <= 30
+                        AND COALESCE(a2.top_chars * 100 // a2.tot_chars, 0) <= 20
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM a1 LEFT JOIN a2 ON a1.doc_id = a2.doc_id""".stripMargin.trim),
     "q_mm_asset_stats" -> ("""
       SELECT CASE CAST(doc_id % 3 AS INTEGER)
                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
@@ -419,6 +453,35 @@ object SparkEntry {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents
       FROM orders
       ORDER BY o_totalprice_cents DESC, o_orderkey ASC""".stripMargin.trim),
+    // gap values depend only on the ordered date sequence, so equal-date
+    // ties cannot perturb them (see Relational.orderGaps)
+    "q_order_gaps" -> ("""
+      WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+        FROM orders)
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             COUNT(gap_days) AS n_gaps,
+             CAST(COALESCE(MAX(gap_days), 0) AS BIGINT) AS max_gap_days,
+             CAST(COALESCE(SUM(gap_days), 0) AS BIGINT) AS sum_gap_days
+      FROM g GROUP BY 1""".stripMargin.trim),
+    // ntile over the (price, orderkey) TOTAL order — deterministic bucket
+    // assignment on any engine (see Relational.ntileRevenueSkewSafe)
+    "q_orders_ntile" -> ("""
+      WITH q AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders)
+      SELECT o_orderpriority,
+             CAST(quartile AS BIGINT) AS quartile,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue
+      FROM q GROUP BY 1, 2""".stripMargin.trim),
     // rank-selected discrete quantiles: rn == ceil(p*n) in integer math,
     // result is an actual member value — engine-portable, no float
     // interpolation (see TextAnalysis.tokenQuantilesBySource)

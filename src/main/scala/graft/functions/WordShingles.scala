@@ -24,13 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordShingles {
 
-  /** One-pass shingle construction; shared by eval and generated code. */
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  /** One-pass shingle construction; shared by eval and generated code.
+    * `distinct = false` keeps every window occurrence in position order —
+    * the occurrence-preserving n-gram stream the repetition metrics count
+    * (a duplicate-share is meaningless over a set).
+    */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     // split(" ", -1): single-space separator, trailing empties kept —
     // exactly Spark's split(text, " ") semantics
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet dedups in first-occurrence order; when duplicates are
+    // wanted, a plain array of all (len - n + 1) windows
+    val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
+    val all = if (distinct) null else new Array[Any](toks.length - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -41,9 +48,11 @@ object WordShingles {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var k = 0
@@ -55,9 +64,20 @@ object WordShingles {
     require(n >= 1, s"n=$n must be positive")
     CatalystBridge.column(WordShinglesExpr(CatalystBridge.expression(text), n))
   }
+
+  /** ALL word n-grams of `text` in position order, duplicates kept —
+    * the occurrence stream for repetition metrics (top-n-gram character
+    * share). Same tokenization and window join as [[wordShingles]].
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n=$n must be positive")
+    CatalystBridge.column(
+      WordShinglesExpr(CatalystBridge.expression(text), n, distinct = false))
+  }
 }
 
-case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordShinglesExpr(child: Expression, n: Int,
+                            distinct: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -68,11 +88,11 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)

@@ -354,4 +354,102 @@ object Relational {
       .select(col("o_custkey").as("custkey"))
     all.except(big)
   }
+
+  /** Per-customer inter-order gap statistics via LAG: days between
+    * consecutive orders (ordered by date, orderkey tie-break), aggregated
+    * to one row per customer. Covers the offset window functions
+    * (lag/lead are mirrors). Gap values depend only on the ordered DATE
+    * sequence, so equal-date ties cannot perturb the result — exact on
+    * any engine.
+    *
+    * Scale: the window partitions on o_custkey (TPC-H ~10 orders per
+    * customer — per-key work is naturally bounded; a pathological hot
+    * customer would take the [[graft.operators.AsOf.sessionizeSalted]]
+    * banding treatment), and the same exchange feeds the groupBy, so the
+    * whole query is one shuffle.
+    */
+  def orderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("gap_days")).as("n_gaps"),
+        coalesce(max(col("gap_days")), lit(0L)).as("max_gap_days"),
+        coalesce(sum(col("gap_days")), lit(0L)).cast("long").as("sum_gap_days"))
+  }
+
+  /** Reference spelling of quartile revenue: ntile(4) within each order
+    * priority over (price, orderkey) — a total order, so bucket
+    * assignment is deterministic. KEPT AS THE EQUIVALENCE BASELINE for
+    * [[ntileRevenueSkewSafe]] (RelationalSpec asserts the two agree);
+    * o_orderpriority has ~5 distinct values, so this window serializes
+    * each priority through one task — fine at test SF, wrong at 100 TB.
+    */
+  def ntileRevenuePlain(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("quartile", ntile(k).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"))
+  }
+
+  /** Skew-safe EXACT ntile: quartile revenue per order priority without
+    * ever sorting a whole priority in one task. Same blockwise
+    * prefix-sum idea as [[TextAnalysis.tokenShards]]:
+    *
+    *   1. band rows by VALUE (floor(price / bandWidth)) — bands are
+    *      monotone in the sort key, so (band, within-band rank) IS the
+    *      global (price, orderkey) order;
+    *   2. rank within each (priority, band) — the only per-row window,
+    *      task-bounded by band occupancy, never by priority size;
+    *   3. per-band counts (one agg row per band) get cumulative offsets
+    *      and priority totals via a window over that TINY aggregated
+    *      frame, broadcast back;
+    *   4. global position = band offset + local rank, and the standard
+    *      ntile split (first cnt % k buckets take one extra row) is pure
+    *      integer arithmetic on (position, cnt).
+    *
+    * Proven row-identical to [[ntileRevenuePlain]] in RelationalSpec
+    * (including a non-default k). The driver query runs THIS spelling.
+    */
+  def ntileRevenueSkewSafe(spark: SparkSession, sfDir: String, k: Int = 4,
+                           bandWidth: Int = 20000): DataFrame = {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("band", floor(col("o_totalprice") / bandWidth).cast("long"))
+    val wLocal = Window.partitionBy(col("pri"), col("band"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val local = rows.withColumn("rn_local", row_number().over(wLocal).cast("long"))
+    val bandCounts = rows.groupBy(col("pri"), col("band"))
+      .agg(count(lit(1)).as("bc"))
+    val wOff = Window.partitionBy(col("pri")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .withColumn("cnt", sum(col("bc")).over(Window.partitionBy(col("pri"))))
+      .select(col("pri"), col("band"), col("off"), col("cnt"))
+    local
+      .join(broadcast(offsets), Seq("pri", "band"))
+      .withColumn("rn", col("off") + col("rn_local"))
+      // ntile(k) split: r = cnt % k leading buckets hold s + 1 rows, the
+      // rest hold s = cnt DIV k; s = 0 (cnt < k) only ever takes the
+      // first branch, so the DIV by s is never reached
+      .withColumn("quartile", expr(
+        s"""CASE WHEN rn <= (cnt % $k) * (cnt DIV $k + 1)
+           |     THEN (rn - 1) DIV (cnt DIV $k + 1) + 1
+           |     ELSE (cnt % $k) + (rn - (cnt % $k) * (cnt DIV $k + 1) - 1) DIV (cnt DIV $k) + 1
+           |END""".stripMargin))
+      .groupBy(col("pri").as("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"))
+  }
 }

@@ -538,4 +538,50 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
           .as("fingerprint"))
+
+  /** Top n-gram CHARACTER share per doc — the remaining Gopher-style
+    * repetition signals (Rae et al. 2021, public literature): the share
+    * of a doc's n-gram characters taken by its single most frequent
+    * n-gram, for unigrams and bigrams. (The fixture is single-line text,
+    * so the duplicate-line/paragraph variants of the family are
+    * structurally inapplicable; the duplicated-3-gram share already
+    * ships in [[qualityFilter]]'s rep_pct.) `keep` composes the Gopher
+    * bigram threshold (top-2-gram chars <= 20%) with a unigram cap.
+    *
+    * Shape per n: occurrence-preserving n-grams from the native codegen
+    * expression ([[graft.functions.WordShingles.wordNgrams]] — duplicates
+    * KEPT; a char share over a distinct set is meaningless), explode →
+    * per-(doc, gram) counts → per-doc max/total char mass. Two hash
+    * aggregations with map-side partials, integer percent output. MAX of
+    * c·len(gram) is value-based, so count ties cannot perturb it on any
+    * engine.
+    */
+  def topGramShare(spark: SparkSession, sfDir: String): DataFrame =
+    topGramShareOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[topGramShare]] over any (doc_id, text) DataFrame — lets the spec
+    * drive planted repetitive docs (the uniform fixture never trips the
+    * thresholds; a real boilerplate doc must).
+    */
+  def topGramShareOn(docTexts: DataFrame): DataFrame = {
+    def share(n: Int, outCol: String): DataFrame =
+      docTexts
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordNgrams(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c") * length(col("g"))).as("top_chars"),
+          sum(col("c") * length(col("g"))).as("tot_chars"))
+        .select(col("doc_id"),
+          expr("top_chars * 100 DIV tot_chars").as(outCol))
+    // sub-2-token docs have no bigrams: left join, share treated as 0
+    share(1, "top1_pct")
+      .join(share(2, "top2_pct"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top1_pct"),
+        coalesce(col("top2_pct"), lit(0L)).as("top2_pct"))
+      .withColumn("keep",
+        (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
+  }
 }

@@ -85,6 +85,28 @@ class MinHashSpec extends SparkSpec {
     assert(edgeDiffs === 0)
   }
 
+  test("word_ngrams keeps duplicates in position order; distinct view equals word_shingles") {
+    import graft.functions.WordShingles.{wordNgrams, wordShingles}
+    // the occurrence stream mirrors the HOF window spelling without the
+    // array_distinct, on real docs and edge shapes
+    val hof2 = when(size(split(col("text"), " ")) >= 2,
+      transform(sequence(lit(1), size(split(col("text"), " ")) - 1),
+        i => concat_ws(" ", slice(split(col("text"), " "), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("text"))
+      .union(Seq("", "a", "a b", "x x x x x", "a b c ", " a b c", "a  b").toDF("text"))
+    val diffs = docs
+      .select(wordNgrams(col("text"), 2).as("native"), hof2.as("hof"))
+      .filter(not(col("native") === col("hof"))).count()
+    assert(diffs === 0, "occurrence n-grams must mirror the HOF window spelling")
+    // first-occurrence-ordered distinct of the stream IS the shingle set
+    val dd = docs
+      .select(array_distinct(wordNgrams(col("text"), 3)).as("viaNgrams"),
+        wordShingles(col("text"), 3).as("shingles"))
+      .filter(not(col("viaNgrams") === col("shingles"))).count()
+    assert(dd === 0)
+  }
+
   test("empty set yields defined keys (all-minima sentinel), no crash") {
     val keys = Seq(Array.empty[String]).toDF("sh")
       .select(minhashBandKeys(col("sh"), 64, 16).as("keys")).as[Seq[Long]].head

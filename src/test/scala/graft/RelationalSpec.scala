@@ -53,6 +53,46 @@ class RelationalSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("skew-safe blockwise ntile equals the plain window spelling") {
+    val plain = Relational.ntileRevenuePlain(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // bandWidth small enough that every priority spans MANY value bands,
+    // so the offset/merge arithmetic is genuinely exercised
+    val banded = Relational.ntileRevenueSkewSafe(spark, sf, bandWidth = 5000)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(banded === plain)
+    // non-default k hits the uneven-bucket branch (cnt % k != 0 paths)
+    val plain7 = Relational.ntileRevenuePlain(spark, sf, k = 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val banded7 = Relational.ntileRevenueSkewSafe(spark, sf, k = 7, bandWidth = 5000)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(banded7 === plain7)
+  }
+
+  test("ntile buckets are count-balanced: sizes differ by at most one per priority") {
+    val rows = Relational.ntileRevenueSkewSafe(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (pri, qs) =>
+      assert(qs.length === 4, s"$pri must fill all 4 quartiles")
+      val sizes = qs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$pri sizes $sizes not balanced")
+    }
+  }
+
+  test("order gaps: per-customer invariants hold") {
+    val rows = Relational.orderGaps(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cust, nOrders, nGaps, maxGap, sumGap) =>
+      assert(nGaps === nOrders - 1, s"customer $cust: one gap per consecutive pair")
+      assert(maxGap >= 0 && sumGap >= maxGap * math.min(nGaps, 1),
+        s"customer $cust: gap aggregates inconsistent")
+    }
+    // totals line up with the orders table
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === totalOrders)
+  }
+
   test("orders_ranked plans a global sort: range partitioning, no top-k") {
     val df = Relational.ordersRanked(spark, sf)
     val rows = df.collect() // AQE finalizes the plan

@@ -379,6 +379,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("top-gram share: every doc covered, pcts in range, keep bit consistent") {
+    val rows = TextAnalysis.topGramShare(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === Tables.documents(spark, sf).count(),
+      "one verdict per document")
+    rows.foreach { case (id, top1, top2, keep) =>
+      assert(top1 >= 0 && top1 <= 100 && top2 >= 0 && top2 <= 100,
+        s"doc $id shares out of range: $top1/$top2")
+      // unigram mass is at least 1/n_types of the total: share > 0 for
+      // nonempty docs (fixture docs all have text)
+      assert(top1 > 0, s"doc $id has a zero top-unigram share")
+      assert(keep === (if (top1 <= 30 && top2 <= 20) 1L else 0L),
+        s"doc $id keep bit inconsistent with shares")
+    }
+    // the uniform fixture never trips the thresholds (max top1 share is
+    // ~30%); planted boilerplate MUST — drive the *On entry directly
+    val planted = Seq(
+      (1L, "spam spam spam spam spam spam"),             // one gram is everything
+      (2L, "buy now buy now buy now buy now"),           // dominant bigram
+      (3L, "alpha beta gamma delta epsilon zeta eta")    // all-distinct: keep
+    ).toDF("doc_id", "text")
+    val byId = TextAnalysis.topGramShareOn(planted)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 100L && byId(1L)._4 === 0L, "pure repetition must drop")
+    assert(byId(2L)._3 > 20L && byId(2L)._4 === 0L, "dominant bigram must drop")
+    assert(byId(3L)._2 <= 30L && byId(3L)._3 <= 20L && byId(3L)._4 === 1L)
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
