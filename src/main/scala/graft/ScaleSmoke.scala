@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOf, Dedup}
+import graft.operators.{AsOf, Dedup, Relational}
 
 /** Scale-sensitivity smoke over the SHIPPED operator entry points:
   * replicates the documents/events tables Nx in memory and times the
@@ -34,7 +34,11 @@ import graft.operators.{AsOf, Dedup}
   *     ~factor·1500× the median user's events — the power-law tail the
   *     salted two-phase spelling exists for;
   *   - banded vs plain as-of join over the same skewed events (orders
-  *     unreplicated: the skew lives on the probe side).
+  *     unreplicated: the skew lives on the probe side);
+  *   - banded vs plain exact ntile over orders replicated onto ONE
+  *     priority — the whole hot partition lands in a single window task
+  *     for the plain spelling, while the banded one keeps its per-band
+  *     task bound as the partition grows.
   *
   * Usage: `sbt 'runMain graft.ScaleSmoke [sfDir] [factors]'` — prints
   * one JSON line per factor with rows and seconds.
@@ -176,6 +180,20 @@ object ScaleSmoke {
         orders, col("o_custkey"), col("o_orderdate"),
         col("o_orderkey"), "o").count())
 
+      // ntile under priority skew: every replica collapses onto ONE
+      // priority, so the hot partition is factor × the orders table;
+      // orderkeys strided per replica keep the sort key a total order
+      val oBase = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val oStride = oBase.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      val hotOrders = (0 until factor).map { i =>
+        oBase.select(lit("1-HOT").as("o_orderpriority"),
+          col("o_totalprice"),
+          (col("o_orderkey") + lit(i * oStride)).as("o_orderkey"))
+      }.reduce(_ union _)
+      val (tNt, nNt) = timeIt(Relational.ntileRevenueSkewSafeOn(hotOrders).count())
+      val (tNtPlain, _) = timeIt(Relational.ntileRevenuePlainOn(hotOrders).count())
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
@@ -184,7 +202,8 @@ object ScaleSmoke {
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
-        s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof}""")
+        s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
+        s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")
     }
     spark.stop()
   }

@@ -390,11 +390,17 @@ object Relational {
     * o_orderpriority has ~5 distinct values, so this window serializes
     * each priority through one task — fine at test SF, wrong at 100 TB.
     */
-  def ntileRevenuePlain(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+  def ntileRevenuePlain(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame =
+    ntileRevenuePlainOn(Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")), k)
+
+  /** [[ntileRevenuePlain]] over any (o_orderpriority, o_totalprice,
+    * o_orderkey) frame — lets ScaleSmoke plant a hot priority.
+    */
+  def ntileRevenuePlainOn(rows: DataFrame, k: Int = 4): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    rows
       .withColumn("quartile", ntile(k).over(w).cast("long"))
       .groupBy(col("o_orderpriority"), col("quartile"))
       .agg(count(lit(1)).as("n_orders"),
@@ -421,8 +427,19 @@ object Relational {
     * (including a non-default k). The driver query runs THIS spelling.
     */
   def ntileRevenueSkewSafe(spark: SparkSession, sfDir: String, k: Int = 4,
-                           bandWidth: Int = 20000): DataFrame = {
-    val rows = Tables.orders(spark, sfDir)
+                           bandWidth: Int = 20000): DataFrame =
+    ntileRevenueSkewSafeOn(Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      k, bandWidth)
+
+  /** [[ntileRevenueSkewSafe]] over any (o_orderpriority, o_totalprice,
+    * o_orderkey) frame — the entry ScaleSmoke drives with a planted hot
+    * priority so the per-band task bound is demonstrated on the SHIPPED
+    * path.
+    */
+  def ntileRevenueSkewSafeOn(input: DataFrame, k: Int = 4,
+                             bandWidth: Int = 20000): DataFrame = {
+    val rows = input
       .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
         col("o_orderkey"))
       .withColumn("band", floor(col("o_totalprice") / bandWidth).cast("long"))
