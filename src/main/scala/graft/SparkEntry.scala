@@ -68,6 +68,8 @@ object SparkEntry {
     "q_train_eval_split" -> ((s, d) => operators.TextAnalysis.trainEvalSplit(s, d)),
     "q_train_eval_assign" -> ((s, d) =>
       operators.TextAnalysis.trainEvalAssign(s, d).select("doc_id", "split")),
+    // near-dup clusters share one split (leakage-safe under near-dup)
+    "q_split_cluster_safe" -> (operators.TextAnalysis.trainEvalAssignClusterSafe _),
     "q_token_quantiles" -> ((s, d) => operators.TextAnalysis.tokenQuantilesBySource(s, d)),
     // rows-only: GK-sketch internals are engine-specific; error bound vs
     // the exact rank-selection quantiles asserted in TextAnalysisSpec
@@ -550,6 +552,36 @@ object SparkEntry {
         UNION
         SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u""".stripMargin.trim),
+    // same recursive-CTE component labeling as q_dedup_clusters, keyed
+    // into the same md5-prefix threshold as q_train_eval_assign — the
+    // split key is the cluster REPRESENTATIVE's fingerprint
+    "q_split_cluster_safe" -> ("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                WHERE inter * 9 >= 4 * (sa.s + sb.s)),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, lab) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+      cl AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u),
+      fps AS (SELECT doc_id,
+                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+      rep AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+      SELECT rep.doc_id,
+             CASE WHEN f.fp < 'cc' THEN 'train' ELSE 'eval' END AS split
+      FROM rep JOIN fps f ON f.doc_id = rep.rep_id""".stripMargin.trim),
     // integer-scaled idf surrogate keeps score/rank exact cross-engine —
     // see TextAnalysis.tfidfTopTerms scaladoc
     "q_tfidf_terms" -> ("""

@@ -539,6 +539,36 @@ object TextAnalysis {
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
           .as("fingerprint"))
 
+  /** NEAR-DUP-SAFE train/eval assignment: the split key is the canonical
+    * fingerprint of each doc's near-dup CLUSTER REPRESENTATIVE (min
+    * doc_id in its >= 0.8-Jaccard component), so near-duplicates land in
+    * the same split by construction. [[trainEvalAssign]] is exact-dup
+    * leak-safe only — two non-identical near-dups of one document can
+    * straddle the train/eval boundary there, which is precisely the
+    * leakage a decontamination pass would later have to catch; keying the
+    * hash threshold on the cluster representative closes that hole at
+    * assignment time.
+    *
+    * Composition of shipped pieces: [[Dedup.minHashNearDupsOn]] (banded
+    * LSH + exact verify) → [[Dedup.clusterPairs]] (min-label components)
+    * → representative fingerprint join → prefix threshold. Singleton
+    * docs are their own representative, so their assignment is IDENTICAL
+    * to [[trainEvalAssign]] (asserted in the spec). Cache contract is
+    * minHashNearDupsOn's (caller clears).
+    */
+  def trainEvalAssignClusterSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashNearDupsOn(docs).select(col("doc_a"), col("doc_b"))
+    val rep = docs
+      .join(Dedup.clusterPairs(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    val repFp = docs.select(col("doc_id").as("rep_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+    rep.join(repFp, "rep_id")
+      .select(col("doc_id"),
+        when(col("fp") < lit("cc"), lit("train")).otherwise(lit("eval")).as("split"))
+  }
+
   /** Top n-gram CHARACTER share per doc — the remaining Gopher-style
     * repetition signals (Rae et al. 2021, public literature): the share
     * of a doc's n-gram characters taken by its single most frequent

@@ -407,6 +407,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L)._2 <= 30L && byId(3L)._3 <= 20L && byId(3L)._4 === 1L)
   }
 
+  test("cluster-safe split: near-dups never straddle the boundary; singletons match plain") {
+    val split = TextAnalysis.trainEvalAssignClusterSafe(spark, sf)
+      .as[(Long, String)].collect().toMap
+    spark.catalog.clearCache()
+    assert(split.size === Tables.documents(spark, sf).count(), "every doc assigned")
+    assert(split.values.toSet === Set("train", "eval"), "both splits occur")
+    // every verified near-dup pair lands on one side — the leak-safety
+    // contract the plain assignment cannot give
+    val pairs = graft.operators.Dedup.minHashNearDups(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs for this test to bite")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dups $a/$b straddle the split")
+    }
+    // docs in no pair are their own representative: identical to the
+    // per-doc assignment
+    val plain = TextAnalysis.trainEvalAssign(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.filterNot { case (id, _) => paired(id) }.foreach { case (id, s) =>
+      assert(plain(id) === s, s"singleton $id diverges from the plain assignment")
+    }
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
