@@ -23,13 +23,22 @@ object Bench {
     // is measured against another's (or the warm-up's) cache; called
     // OUTSIDE the timed region so cleanup isn't charged to the query
     def dropCaches(): Unit = spark.catalog.clearCache()
+    // Optional isolation filter for regression triage: run ONLY the named
+    // queries (comma-separated). Never set by the driver — the contract
+    // line's shape is unchanged, just over fewer queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // One full UNTIMED pass first: JIT/codegen compilation, parquet
     // footer caches, and shuffle machinery warm up on the queries
     // themselves. Round 2 charged ~33 s of first-query JVM warm-up to
     // two innocent queries (22.7 s recorded vs 0.34 s steady state) —
     // a token warm-up does not touch decimal-agg/window/wide-scan
     // codegen paths, so warm up with the real thing.
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn); dropCaches() }
+    queries.foreach { case (name, fn) => runOnce(name, fn); dropCaches() }
     // (name -> (seconds, error)); a failed query must NEVER pass for a
     // fast one — its error is logged and reported in the JSON line.
     // MEDIAN of `reps` timed repetitions per query: a single long-lived
@@ -39,8 +48,8 @@ object Bench {
     // one such spike per query where a single sample is not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results: Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+    val allSamples: Map[String, (Seq[Double], Option[String])] =
+      queries.map { case (name, fn) =>
         val samples = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           val err = runOnce(name, fn)
@@ -53,8 +62,11 @@ object Bench {
           System.gc()
           (sec, err)
         }
-        val median = samples.map(_._1).sorted.apply(reps / 2)
-        name -> ((median, samples.flatMap(_._2).headOption))
+        name -> ((samples.map(_._1), samples.flatMap(_._2).headOption))
+      }
+    val results: Map[String, (Double, Option[String])] =
+      allSamples.map { case (name, (secs, err)) =>
+        name -> ((secs.sorted.apply(reps / 2), err))
       }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // The driver captures only the LAST 2000 chars of merged output and
@@ -73,6 +85,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errsField = if (errs == "{}") "" else s""","query_errors":$errs"""
     val total = ms(results.values.map(_._1).sum)
+    // Per-query sample spread to a LOCAL file for regression triage (is a
+    // round-over-round delta noise or real?) — never stdout: the driver's
+    // 2000-char tail window must stay reserved for the contract line.
+    try {
+      val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, _)) =>
+        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(secs.sorted.apply(reps / 2))},"max":${ms(secs.max)}}"""
+      }.mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        s"""{"reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
     spark.stop()
     // Re-print the headline total LAST, after spark.stop(), so a

@@ -327,7 +327,9 @@ object SparkEntry {
     // occurrence-preserving n-grams (duplicates kept): unigrams via
     // unnest(split), bigrams via a positional list comprehension — MAX of
     // count*len is value-based so ties are harmless; aggregates cast to
-    // BIGINT before the integer division (SUM widens to HUGEINT)
+    // BIGINT before the integer division (SUM widens to HUGEINT). The
+    // tot_chars > 0 CASE mirrors the engine's zero-denominator guard:
+    // an empty doc yields one zero-length unigram → share 0 by convention
     "q_rep_topgram" -> ("""
       WITH t1 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
@@ -345,14 +347,20 @@ object SparkEntry {
       a2 AS (SELECT doc_id,
                     CAST(MAX(c * length(g)) AS BIGINT) AS top_chars,
                     CAST(SUM(c * length(g)) AS BIGINT) AS tot_chars
-             FROM c2 GROUP BY 1)
-      SELECT a1.doc_id,
-             a1.top_chars * 100 // a1.tot_chars AS top1_pct,
-             COALESCE(a2.top_chars * 100 // a2.tot_chars, 0) AS top2_pct,
-             CAST(CASE WHEN a1.top_chars * 100 // a1.tot_chars <= 30
-                        AND COALESCE(a2.top_chars * 100 // a2.tot_chars, 0) <= 20
+             FROM c2 GROUP BY 1),
+      p AS (SELECT a1.doc_id,
+              CASE WHEN a1.tot_chars > 0
+                   THEN a1.top_chars * 100 // a1.tot_chars
+                   ELSE CAST(0 AS BIGINT) END AS top1_pct,
+              COALESCE(CASE WHEN a2.tot_chars > 0
+                            THEN a2.top_chars * 100 // a2.tot_chars
+                            ELSE CAST(0 AS BIGINT) END,
+                       CAST(0 AS BIGINT)) AS top2_pct
+            FROM a1 LEFT JOIN a2 ON a1.doc_id = a2.doc_id)
+      SELECT doc_id, top1_pct, top2_pct,
+             CAST(CASE WHEN top1_pct <= 30 AND top2_pct <= 20
                   THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM a1 LEFT JOIN a2 ON a1.doc_id = a2.doc_id""".stripMargin.trim),
+      FROM p""".stripMargin.trim),
     "q_mm_asset_stats" -> ("""
       SELECT CASE CAST(doc_id % 3 AS INTEGER)
                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'

@@ -595,6 +595,10 @@ object TextAnalysis {
     * thresholds; a real boilerplate doc must).
     */
   def topGramShareOn(docTexts: DataFrame): DataFrame = {
+    // tot_chars = 0 is reachable: an empty/whitespace-only doc tokenizes
+    // to one zero-length unigram, and under ANSI mode the unguarded DIV
+    // would kill the whole job on one blank doc (routine in raw web
+    // text). Convention: no characters → share 0 (nothing repeats).
     def share(n: Int, outCol: String): DataFrame =
       docTexts
         .select(col("doc_id"),
@@ -605,7 +609,8 @@ object TextAnalysis {
         .agg(max(col("c") * length(col("g"))).as("top_chars"),
           sum(col("c") * length(col("g"))).as("tot_chars"))
         .select(col("doc_id"),
-          expr("top_chars * 100 DIV tot_chars").as(outCol))
+          when(col("tot_chars") > 0, expr("top_chars * 100 DIV tot_chars"))
+            .otherwise(lit(0L)).as(outCol))
     // sub-2-token docs have no bigrams: left join, share treated as 0
     share(1, "top1_pct")
       .join(share(2, "top2_pct"), Seq("doc_id"), "left")

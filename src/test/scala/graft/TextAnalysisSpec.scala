@@ -398,13 +398,21 @@ class TextAnalysisSpec extends SparkSpec {
     val planted = Seq(
       (1L, "spam spam spam spam spam spam"),             // one gram is everything
       (2L, "buy now buy now buy now buy now"),           // dominant bigram
-      (3L, "alpha beta gamma delta epsilon zeta eta")    // all-distinct: keep
+      (3L, "alpha beta gamma delta epsilon zeta eta"),   // all-distinct: keep
+      (4L, ""),                                          // blank: tot_chars = 0
+      (5L, "   ")                                        // whitespace-only ditto
     ).toDF("doc_id", "text")
     val byId = TextAnalysis.topGramShareOn(planted)
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(byId(1L)._2 === 100L && byId(1L)._4 === 0L, "pure repetition must drop")
     assert(byId(2L)._3 > 20L && byId(2L)._4 === 0L, "dominant bigram must drop")
     assert(byId(3L)._2 <= 30L && byId(3L)._3 <= 20L && byId(3L)._4 === 1L)
+    // zero-denominator guard: a blank doc's unigrams are all zero-length,
+    // so tot_chars = 0 — must yield share 0 (not ANSI DIVIDE_BY_ZERO).
+    // The whitespace doc's bigrams are lone spaces (length 1), so its
+    // top2 is legitimately 100 — only the unigram side divides by zero.
+    assert(byId(4L) === ((4L, 0L, 0L, 1L)), "empty doc: shares 0, kept")
+    assert(byId(5L) === ((5L, 0L, 100L, 0L)), "whitespace-only doc: unigram share 0")
   }
 
   test("cluster-safe split: near-dups never straddle the boundary; singletons match plain") {
