@@ -121,6 +121,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
+    "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
@@ -560,6 +561,31 @@ object SparkEntry {
         UNION
         SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
       SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u""".stripMargin.trim),
+    // verbatim k-gram runs: positional 3-gram occurrences (duplicates
+    // kept), occurrence-frequency cap mirrored from the engine (no-op on
+    // this fixture: max occ 8 « 1000), then gaps-and-islands per
+    // (pair, diagonal) — run of L consecutive shared shingles = L + 2
+    // shared tokens. DuckDB's 1-based positions vs Spark's 0-based are
+    // immaterial: diagonals and consecutiveness are shift-invariant.
+    "q_verbatim_runs" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g GROUP BY ng),
+      gc AS (SELECT g.doc_id, g.pos, g.ng FROM g JOIN f USING (ng) WHERE occ <= 1000),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM gc a JOIN gc b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, diag,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                              ORDER BY pos_a) AS grp
+            FROM m),
+      runs AS (SELECT doc_a, doc_b, COUNT(*) + 2 AS run_tokens
+               FROM r GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+      FROM runs GROUP BY doc_a, doc_b
+      HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint

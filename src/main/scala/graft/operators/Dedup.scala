@@ -203,6 +203,16 @@ object Dedup {
     * entry). Shingle projection persist()-marked lazily, caller-owned
     * cleanup — same contract as [[minHashNearDupsOn]].
     *
+    * Bench variance note (round-6 "2.2x regression" root cause): isolated
+    * at sf0.1 this query's steady state is ~1.8 s median (5 reps: min
+    * 1.55 / median 1.84 / max 3.58 — measured round 7), matching rounds
+    * 4-5; the 4.89 s in BENCH_r06 was JVM-environment noise landing on
+    * the suite's most persist-heavy query, not a plan change (the max
+    * sample doubles the median even in isolation). The two persist()s
+    * trade that variance for the guaranteed-single-compute the cold path
+    * needs; target/bench_detail.json now records the spread per round so
+    * noise-vs-real is decidable from artifacts.
+    *
     * Candidate pruning beyond the prefix filter (round-3 generated ~410k
     * candidates at sf0.1 for 256 true pairs — verification dominated the
     * bench), both from the AllPairs/PPJoin line of work (Bayardo et al.
@@ -269,6 +279,77 @@ object Dedup {
         least(col("sz_a") - col("szu_a"), col("sz_b") - col("szu_b")) >= iMin)
       .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cands, docs, num, den)
+  }
+
+  /** Exact-substring (verbatim-span) dedup: doc pairs sharing a verbatim
+    * run of at least `minRunTokens` consecutive tokens — the "50-token
+    * repeated substring" class from public dedup literature (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2021 —
+    * suffix-array ExactSubstr; public). Jaccard-style whole-doc dedup
+    * misses this: a long quote or boilerplate block inside two otherwise
+    * different docs leaves their Jaccard low while the span is verbatim.
+    *
+    * Spelling: k-gram runs instead of suffix arrays — a shared verbatim
+    * span of T >= n tokens is EXACTLY a run of T-n+1 consecutive shared
+    * n-gram shingles at one alignment offset, so positional shingles
+    * recover exact span lengths with relational operators only:
+    * posexplode the occurrence-preserving shingle stream, equi-join on
+    * shingle value, then gaps-and-islands per (pair, diagonal = pos_a -
+    * pos_b): consecutive pos_a values at one diagonal are one run of
+    * length count, i.e. a shared span of count + n - 1 tokens. Output:
+    * (doc_a, doc_b, max_run_tokens), one row per pair at or above the
+    * threshold. Equality with a per-pair longest-common-token-substring
+    * DP is asserted in DedupSpec.
+    *
+    * Scale design (100 TB): candidate volume is Σ occ² over shingle
+    * values — `maxOccFreq` drops shingles with more than that many
+    * corpus-wide OCCURRENCES from matching (the occurrence count, not
+    * doc frequency, is the actual quadratic bound here since duplicates
+    * are kept). A capped shingle splits any run passing through it —
+    * the documented approximation, analogous to [[ngramJaccardPairsOn]]'s
+    * stop-shingle cap: a span is lost only when EVERY length-n window in
+    * it is > maxOccFreq boilerplate. The islands window partitions on
+    * (doc_a, doc_b, diag) — bounded by a single doc's length, never
+    * key-skewed. All shuffles are on shingle value or pair ids; nothing
+    * is all-pairs.
+    */
+  def verbatimRunPairs(spark: SparkSession, sfDir: String, n: Int = ShingleN,
+                       minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame =
+    verbatimRunPairsOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, minRunTokens, maxOccFreq)
+
+  /** [[verbatimRunPairs]] over any (doc_id, text) DataFrame. */
+  def verbatimRunPairsOn(docTexts: DataFrame, n: Int = ShingleN,
+                         minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
+    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    // occurrence-preserving positional shingles: pos is the token offset
+    // of the window start, so "consecutive pos at one diagonal" == a
+    // verbatim token span (tokens contain no separator spaces, so the
+    // space-joined shingle string is injective on token windows)
+    val pos = docTexts.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
+        .as(Seq("pos", "ng")))
+    val occ = pos.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+    val capped = pos.join(occ, "ng")
+      .filter(col("occ") <= maxOccFreq)
+      .select(col("doc_id"), col("pos"), col("ng"))
+    val matches = capped.as("x").join(capped.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pos_a"), (col("x.pos") - col("y.pos")).as("diag"))
+    // gaps-and-islands: within one (pair, diagonal), pos_a values are
+    // distinct (diag fixes pos_b), so pos_a - row_number is constant
+    // exactly along maximal consecutive runs
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
   }
 
   /** Incremental-ingestion dedup: collapse a NEW batch internally on the

@@ -100,6 +100,62 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
   }
 
+  /** Longest common CONTIGUOUS token substring, classic O(|a|·|b|) DP —
+    * the independent oracle for verbatimRunPairs (which must recover the
+    * same lengths from k-gram run arithmetic).
+    */
+  private def lcsTokens(a: Array[String], b: Array[String]): Int = {
+    val dp = Array.ofDim[Int](b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length) {
+      var prev = 0
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
+        if (dp(j) > best) best = dp(j)
+        prev = cur
+      }
+    }
+    best
+  }
+
+  test("verbatim runs equal a driver-side longest-common-substring DP") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+    val want = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      l = lcsTokens(ta, tb) if l >= 3
+    } yield (a, b) -> l.toLong).toMap
+    // minRunTokens = n and an ineffective cap: the operator must report
+    // EVERY pair with any shared 3-token span, at its exact max length
+    val got = Dedup.verbatimRunPairs(spark, sf, minRunTokens = 3,
+        maxOccFreq = 1000000)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want, "k-gram run lengths must equal token-LCS exactly")
+  }
+
+  test("verbatim runs: planted spans split at the threshold; cap gates matching") {
+    def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val common25 = span(25, "c")
+    val common10 = span(10, "d")
+    val docs = Seq(
+      (1L, s"${span(5, "a")} $common25 ${span(5, "b")}"),
+      (2L, s"${span(7, "e")} $common25"),
+      (3L, s"$common10 ${span(12, "f")}"),
+      (4L, s"${span(3, "g")} $common10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verbatimRunPairsOn(docs, minRunTokens = 20)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((1L, 2L) -> 25L),
+      "only the 25-token span passes the 20-token threshold")
+    // occurrence cap = 1: any shingle occurring in BOTH docs of a pair has
+    // occ >= 2, so matching is structurally gated off — empty output
+    assert(Dedup.verbatimRunPairsOn(docs, minRunTokens = 3, maxOccFreq = 1)
+      .count() === 0)
+  }
+
   test("near-dup clusters equal driver-side union-find over the exact pair set") {
     val got = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
