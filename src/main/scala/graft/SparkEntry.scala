@@ -135,6 +135,10 @@ object SparkEntry {
     // rows-only: kmeans-seeded cells are engine-specific; recall vs
     // brute force asserted in SimilaritySpec
     "q_embed_ann_ivf" -> ((s, d) => operators.Similarity.annTopKIvf(s, d)),
+    // rows-only for the same reason (IVF-cell candidate generation);
+    // recall vs exact blocked all-pairs + representative invariants
+    // asserted in SimilaritySpec
+    "q_semantic_dedup" -> ((s, d) => operators.Similarity.semanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

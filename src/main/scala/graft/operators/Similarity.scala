@@ -210,16 +210,8 @@ object Similarity {
   def annTopKIvf(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
                  nlist: Int = 16, nprobe: Int = 12): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = quantizers.getOrElseUpdate((sfDir, nlist), {
-      // coarse quantizer: L2 k-means over unit-normalized vectors ranks
-      // cells identically to cosine (||q-c||² = 2 - 2·cos on unit vectors)
-      val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
-      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
-    })
+    val centroids = fitQuantizer(emb, sfDir, nlist)
     // codegen argmax assignment as ARRAY ops: a when-chain over
     // `greatest(sims)` would re-inline all 16 sims per branch (~270
     // copies — blows the JVM's 64KB method limit and falls back to
@@ -249,6 +241,98 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** Semantic (embedding-cluster) dedup: group vectors whose cosine
+    * similarity reaches `threshold` into connected components and emit a
+    * one-representative-per-cluster keep list — the embedding-space
+    * analogue of [[graft.operators.Dedup.nearDupClusters]], composed
+    * from the pieces already proven here: IVF cells as the candidate
+    * blocker ([[annTopKIvf]]'s coarse quantizer), exact cosine
+    * verification of every candidate (native codegen
+    * [[graft.functions.CosineSimilarity]]), and
+    * [[graft.operators.Dedup.clusterPairs]] for the components. Output:
+    * (vec_id, rep_id = component-min vec_id or self, is_rep bit) — one
+    * row per input vector; "keep is_rep = 1" is the dedup decision.
+    *
+    * Candidate generation assigns each vector to its `nassign` nearest
+    * cells and pairs vectors sharing ANY cell — multi-probe in index
+    * terms: a qualifying pair is missed only if the two vectors share
+    * none of their nassign nearest cells, increasingly unlikely as
+    * cosine → 1 (at threshold 0.45 on this near-isotropic fixture the
+    * spec measures recall and asserts ≥ 0.8; precision is exactly 1.0
+    * by construction since every surfaced pair is exact-verified).
+    *
+    * Scale design (100 TB): the cell assignment is pure codegen array
+    * arithmetic per row (argmax + masked re-argmax over centroid
+    * literals — the sims array is aliased to a column so the optimizer
+    * does not re-inline 16 cosine evaluations per reference, and no
+    * data-side explode+window shuffle is needed); candidate pairs come
+    * from a cell-id equi-join, quadratic only within a cell — at scale,
+    * pick nlist so cells hold ~sqrt-of-shard-sized populations, and AQE
+    * splits residual skew because it is a plain shuffled join. The
+    * fixture's kmeans-seeded cells make outputs engine-specific →
+    * rows-only driver check; all semantics spec-verified.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.45, nlist: Int = 16,
+                    nassign: Int = 4): DataFrame =
+    semanticDedupOn(spark, Tables.embeddings(spark, sfDir), sfDir,
+      threshold, nlist, nassign)
+
+  /** [[semanticDedup]] over any (vec_id, embedding) DataFrame. `qKey`
+    * keys the memoized quantizer (a data-identifying string).
+    */
+  def semanticDedupOn(spark: SparkSession, emb: DataFrame, qKey: String,
+                      threshold: Double = 0.45, nlist: Int = 16,
+                      nassign: Int = 4): DataFrame = {
+    require(nassign >= 1 && nassign <= nlist,
+      s"nassign=$nassign must be in [1, nlist=$nlist]")
+    val centroids = fitQuantizer(emb, qKey, nlist)
+    def simsArr(e: Column): Column =
+      array(centroids.map(c => cosineSim(e, typedlit(c))): _*)
+    // iterated argmax-with-exclusion, each stage reading the PREVIOUS
+    // aliased column: cell_k = argmax(sims masked at cells_1..k-1)
+    val assigned0 = emb.select(col("vec_id"), col("embedding"),
+      simsArr(col("embedding")).as("sims0"))
+    val assigned = (0 until nassign).foldLeft(assigned0) { (df, k) =>
+      val withCell = df.withColumn(s"c$k",
+        (array_position(col(s"sims$k"), array_max(col(s"sims$k"))) - 1).cast("int"))
+      if (k == nassign - 1) withCell
+      else withCell.withColumn(s"sims${k + 1}",
+        zip_with(col(s"sims$k"), sequence(lit(1), lit(nlist)),
+          (x, i) => when(i === array_position(col(s"sims$k"), array_max(col(s"sims$k"))),
+            lit(-2.0)).otherwise(x)))
+    }
+    val cells = assigned.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nassign).map(k => col(s"c$k")): _*)).as("cell"))
+    val pairs = cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
+      // ids only from here on: the pair may arrive via both shared cells —
+      // dedup AFTER dropping the two 256-byte vector payloads
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+      .distinct()
+    val labels = graft.operators.Dedup.clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+      .withColumn("is_rep", (col("vec_id") === col("rep_id")).cast("long"))
+  }
+
+  /** Memoized coarse-quantizer fit (see [[quantizers]]): L2 k-means over
+    * unit-normalized vectors ranks cells identically to cosine
+    * (||q-c||² = 2 - 2·cos on unit vectors); deterministic via fixed seed.
+    */
+  private def fitQuantizer(emb: DataFrame, key: String, nlist: Int): Seq[Seq[Double]] =
+    quantizers.getOrElseUpdate((key, nlist), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
+      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    })
 
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,

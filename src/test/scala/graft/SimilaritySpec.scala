@@ -28,6 +28,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("semantic dedup: exact-verified pairs, recall >= 0.8, representative invariants") {
+    val out = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // one verdict per vector; rep is the component MIN so rep_id <= vec_id;
+    // the is_rep bit is consistent; every named rep keeps itself
+    assert(out.length === vecs.size, "one row per input vector")
+    val repOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, rep, isRep) =>
+      assert(rep <= id, s"vec $id: rep $rep must be the component min")
+      assert(isRep === (if (rep == id) 1L else 0L))
+      assert(repOf(rep) === rep, s"rep $rep of $id must keep itself")
+    }
+    // cluster membership must respect the exact >= 0.45 pair graph:
+    // precision 1.0 by construction (candidates are exact-verified), so
+    // every non-singleton assignment traces back to a true pair; recall
+    // vs the exact blocked all-pairs ground truth is the approximate part
+    val truePairs = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b && cos(a, b) >= 0.45
+    } yield (a, b)).toSet
+    val clustered = out.filter(r => r._2 != r._1).map(_._1).toSet
+    val trueClustered = truePairs.flatMap(p => Seq(p._1, p._2))
+    assert(clustered.subsetOf(trueClustered),
+      "no vector may be merged without a true qualifying pair")
+    val found = truePairs.count { case (a, b) => repOf(a) == repOf(b) }
+    if (truePairs.nonEmpty) {
+      val recall = found.toDouble / truePairs.size
+      assert(recall >= 0.8, s"semantic dedup recall $recall < 0.8 " +
+        s"($found of ${truePairs.size} true pairs share a representative)")
+    }
+    // full assignment (nassign = nlist) degrades to exact: every true
+    // pair must then share a representative
+    val full = Similarity.semanticDedupOn(spark,
+        Tables.embeddings(spark, sf), sf, nassign = 16)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    truePairs.foreach { case (a, b) =>
+      assert(full(a) === full(b),
+        s"full-probe semantic dedup must merge true pair ($a,$b)")
+    }
+  }
+
   test("near-dup plan is a blocked equi-join: no cartesian/nested-loop operator") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
