@@ -116,7 +116,7 @@ object SparkEntry {
             .as("acctbal_cents"))),
     // -- dedup suite (north-star training-data ops) --
     "q_dedup_exact" -> (operators.Dedup.exact _),
-    "q_dedup_wordset" -> (operators.Dedup.wordset _),
+    "q_dedup_wordset" -> ((s, d) => operators.Dedup.wordset(s, d)),
     "q_dedup_minhash" -> ((s, d) => operators.Dedup.minHashNearDups(s, d)),
     "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
@@ -592,7 +592,16 @@ object SparkEntry {
       HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
-    // split key is the cluster REPRESENTATIVE's fingerprint
+    // split key is the cluster REPRESENTATIVE's fingerprint.
+    // RECALL COUPLING (sharper than q_dedup_minhash's): this exact-set
+    // oracle additionally relies on LSH recall because ONE missed >=0.8
+    // pair flips a representative and with it the split of every cluster
+    // member — a single probabilistic miss would become a many-row hash
+    // mismatch rather than one. Validity rests on the same
+    // minHashOracleGuard bound (miss prob < 1e-6 per pair at the
+    // fixture's J >= 0.9 planted pairs) plus the hot-bucket cap being a
+    // fixture no-op (max bucket « 10k, asserted in DedupSpec); if either
+    // ever degrades, downgrade THIS query to rows-only first.
     "q_split_cluster_safe" -> ("""
       WITH RECURSIVE
       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -47,20 +47,35 @@ object Dedup {
     * words"). Returns only groups with >1 member — actual near-identical
     * docs that exact dedup misses.
     *
-    * NOTE (100 TB): this spelling shuffles the full wordset STRING as the
-    * grouping key because the oracle-checked contract surfaces it. At
-    * scale, group on `xxhash64(wordset)` (8-byte shuffle key) and carry
-    * the string as a `first()` payload only if the output needs it —
-    * same result modulo a ~2^-64 collision, a fraction of the shuffle
-    * bytes. (Same reasoning as [[exact]], whose key the oracle also
-    * pins; [[incrementalNew]] already keys on the md5 fingerprint.)
+    * 100 TB path (`hashKey = true`): group on `xxhash64(wordset)` — an
+    * 8-byte grouping key instead of an arbitrarily long document-sized
+    * string, so the exchange hashes/compares fixed-width keys — and
+    * carry the string through as a `min` payload because the contract
+    * surfaces it (all members of a group share one wordset, so min is
+    * just "the value"; at scale you would drop the column entirely).
+    * Same result modulo a ~2^-64 hash collision; equality with the
+    * string-keyed spelling is asserted in DedupSpec. Default stays the
+    * string key: the DuckDB oracle groups on the string, and sf-scale
+    * fixtures gain nothing from the hash. (Same reasoning as [[exact]],
+    * whose key the oracle also pins; [[incrementalNew]] already keys on
+    * the md5 fingerprint.)
     */
-  def wordset(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .groupBy(array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " ")
-        .as("wordset"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
+  def wordset(spark: SparkSession, sfDir: String,
+              hashKey: Boolean = false): DataFrame = {
+    val ws = array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val grouped =
+      if (hashKey)
+        docs.select(xxhash64(ws).as("wk"), ws.as("ws"), col("doc_id"))
+          .groupBy(col("wk"))
+          .agg(min(col("ws")).as("wordset"),
+            min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+          .select(col("wordset"), col("doc_id"), col("n"))
+      else
+        docs.groupBy(ws.as("wordset"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+    grouped.filter(col("n") > 1)
+  }
 
   /** Shared: (doc_id, shingles, n_shingles) projection over any
     * (doc_id, text) input. Shingle arrays are SORTED ascending — the

@@ -199,13 +199,14 @@ object StreamingOps {
 
   /** Streaming NEAR-dup ingest via foreachBatch — the streaming front
     * door to [[graft.operators.Dedup.incrementalNearDup]]: each
-    * micro-batch is collapsed on the exact content fingerprint, then
-    * collapsed AGAIN on in-batch near-duplicate clusters (min-doc_id
-    * representative per cluster — two non-identical near-dups arriving
-    * together must not both enter the corpus), then probed against the
-    * corpus's MinHash band index; only docs that are neither exact nor
-    * >= 0.8-Jaccard near-duplicates of the corpus are
-    * appended. The near-dup probe alone would miss sub-n-token docs
+    * micro-batch is collapsed on the exact content fingerprint, probed
+    * against the corpus's MinHash band index, and finally collapsed on
+    * in-batch near-duplicate clusters AMONG THE CORPUS SURVIVORS
+    * (min-doc_id representative per cluster — two non-identical
+    * near-dups arriving together must not both enter the corpus, but a
+    * doc must not be lost just because a near-dup of it that is ALSO a
+    * corpus near-dup shared its micro-batch; see the ordering comment in
+    * the body). The near-dup probe alone would miss sub-n-token docs
     * (no shingles → trivially "new"), so the exact fingerprint anti-join
     * stays in the pipeline as the backstop — the append condition is
     * fingerprint-new AND near-dup-new.
@@ -234,40 +235,49 @@ object StreamingOps {
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
-      // IN-BATCH near-dup collapse: the corpus probe alone can't see two
-      // non-identical near-duplicates that arrive in the SAME micro-batch
-      // (neither is in the corpus yet), so both would be appended
-      // permanently — arrival batching would change corpus contents.
-      // Keep each in-batch near-dup cluster's min-doc_id representative
-      // (same canonicalization as [[graft.operators.Dedup.clusterPairs]]
-      // consumers) before any doc is allowed to probe the corpus.
-      val inBatchPairs = graft.operators.Dedup.minHashNearDupsOn(
-          exactDeduped.select(col("doc_id"), col("text")))
-        .select(col("doc_a"), col("doc_b"))
-      val inBatchLosers = graft.operators.Dedup.clusterPairs(inBatchPairs)
-        .filter(col("cluster_id") =!= col("doc_id"))
-        .select(col("doc_id"))
-      val deduped = exactDeduped
-        .join(inBatchLosers, Seq("doc_id"), "left_anti")
       val path = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-      val fresh =
+      // Corpus probe FIRST, in-batch collapse among corpus SURVIVORS
+      // second. Collapsing first would discard a cluster's losers even
+      // when their representative is itself rejected as a corpus
+      // near-dup — near-dup similarity is not transitive, so a loser can
+      // be corpus-new while its representative is not, and whether a doc
+      // entered the corpus would again depend on what shared its
+      // micro-batch. This ordering appends a doc iff (a) it is not an
+      // exact or >= 0.8 near-duplicate of the corpus and (b) it is not a
+      // near-dup loser to another doc that ALSO passed (a) — both
+      // conditions independent of arrival batching. Cost: the corpus is
+      // probed with the pre-collapse batch (bounded by delivery size).
+      val survivors =
         if (hasData) {
           val corpus = spark.read.parquet(corpusDir)
           val nearNewIds = graft.operators.Dedup.incrementalNearDup(
               corpus.select(col("doc_id"), col("text")),
-              deduped.select(col("doc_id"), col("text")))
+              exactDeduped.select(col("doc_id"), col("text")))
             .filter(col("is_new") === 1L)
             .select(col("doc_id"))
-          deduped
+          exactDeduped
             .join(nearNewIds, "doc_id")
             .join(corpus.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
-        } else deduped
-      fresh.select(col("fingerprint"), col("text"), col("doc_id"))
+        } else exactDeduped
+      // IN-BATCH near-dup collapse: the corpus probe alone can't see two
+      // non-identical near-duplicates that arrive in the SAME micro-batch
+      // (neither is in the corpus yet), so both would be appended
+      // permanently. Keep each surviving cluster's min-doc_id
+      // representative (same canonicalization as
+      // [[graft.operators.Dedup.clusterPairs]] consumers).
+      val inBatchPairs = graft.operators.Dedup.minHashNearDupsOn(
+          survivors.select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      val inBatchLosers = graft.operators.Dedup.clusterPairs(inBatchPairs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+      survivors.join(inBatchLosers, Seq("doc_id"), "left_anti")
+        .select(col("fingerprint"), col("text"), col("doc_id"))
         .write.mode("append").parquet(corpusDir)
       spark.catalog.clearCache() // drop incrementalNearDup's shingle caches
       ()

@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) > 1))
   }
 
+  test("wordset dedup: 8-byte hash grouping key equals the string-keyed spelling") {
+    val str = Dedup.wordset(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    val hashed = Dedup.wordset(spark, sf, hashKey = true)
+      .as[(String, Long, Long)].collect().toSet
+    assert(hashed === str)
+  }
+
   test("minhash LSH + exact verify equals brute-force Jaccard >= 0.8") {
     val got = Dedup.minHashNearDups(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -304,6 +304,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest: a loser to a corpus-rejected representative still lands") {
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft-ingest-loser").resolve("corpus").toString
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpus)
+    try {
+      // near-dup similarity is not transitive: A near-dups BOTH the
+      // corpus doc X and B, while B does not near-dup X.
+      //   J(A,X) = 9/11 (last token differs)      >= 0.8
+      //   J(A,B) = 9/11 (first token differs)     >= 0.8
+      //   J(B,X) = 8/12 (both tokens differ)      <  0.8
+      val x = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+      val a = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 aa"
+      val b = "b1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 aa"
+      ms.addData(x)
+      q.processAllAvailable()
+      // A and B share a micro-batch. doc_id(A) < doc_id(B) — asserted
+      // below — so a collapse-before-probe ordering would pick A as the
+      // in-batch representative, drop B, then reject A against the
+      // corpus: B (corpus-new!) would be silently lost, and its fate
+      // would have depended on what shared its delivery. The shipped
+      // probe-then-collapse ordering must append exactly B.
+      ms.addData(a, b)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(corpus)
+        .select("text", "doc_id").as[(String, Long)].collect().toMap
+      assert(rows.contains(x), "bootstrap doc present")
+      assert(!rows.contains(a), "A is a corpus near-dup and must be rejected")
+      assert(rows.contains(b),
+        "B is corpus-new and must survive its batchmate's rejection")
+      assert(rows.size === 2, s"exactly X and B, got ${rows.keySet}")
+      // regression-pin precondition: the old ordering only failed when
+      // the corpus-rejected doc was the cluster min — keep the fixture in
+      // that regime so this test guards the ordering, not luck
+      val ids = Seq(a, b).toDF("text")
+        .select(xxhash64(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))))
+        .as[Long].collect()
+      assert(ids(0) < ids(1),
+        "fixture drift: A must synthesize the smaller doc_id for this test to bite")
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
