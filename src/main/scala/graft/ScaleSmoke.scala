@@ -30,6 +30,10 @@ import graft.operators.{AsOf, Dedup, Relational}
   *     without the stop-shingle cap this one shingle alone contributes
   *     (500·factor)² candidate partials; bounded growth here is the
   *     cap doing its job;
+  *   - [[Dedup.verbatimRunPairsOn]] plain and under the same stamped
+  *     boilerplate with maxOccFreq below its occurrence count — the
+  *     preamble shingle alone would otherwise contribute (500·factor)²
+  *     position-pair rows to the run detector;
   *   - salted vs single-window sessionization with one hot user holding
   *     ~factor·1500× the median user's events — the power-law tail the
   *     salted two-phase spelling exists for;
@@ -133,6 +137,20 @@ object ScaleSmoke {
         Dedup.ngramJaccardPairsOn(adv, maxDocFreq = 100).count())
       spark.catalog.clearCache()
 
+      // verbatim k-gram runs: replicas share no shingles, so the matched
+      // position-pair volume (and pair output) scales linearly with the
+      // corpus — candidate work is Σ occ² over shingle values
+      val (tVr, nVr) = timeIt(Dedup.verbatimRunPairsOn(docs).count())
+      spark.catalog.clearCache()
+      // same boilerplate attack: the stamped preamble shingle reaches
+      // occ = 500·factor; maxOccFreq=100 drops it from matching, so
+      // runtime must stay near-linear instead of quadratic in that one
+      // bucket (the 3-token preamble is below minRunTokens anyway, so
+      // the cap changes no output here — only the work)
+      val (tVrAdv, nVrAdv) = timeIt(
+        Dedup.verbatimRunPairsOn(adv, maxOccFreq = 100).count())
+      spark.catalog.clearCache()
+
       // incremental ingest: corpus grows with the factor, the delivery
       // batch stays base-sized — time must track the corpus SCAN
       // (linear), with the anti-join shuffling only fingerprints. Half
@@ -201,6 +219,8 @@ object ScaleSmoke {
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
+        s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +
+        s""""verbatim_adv_sec":$tVrAdv,"verbatim_adv_pairs":$nVrAdv,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
         s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
         s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")

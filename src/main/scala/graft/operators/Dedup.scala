@@ -346,9 +346,15 @@ object Dedup {
       posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
         .as(Seq("pos", "ng")))
     val occ = pos.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+    // persisted: the capped positional index (explode + occ join) feeds
+    // BOTH self-join sides, and exchange reuse does not canonicalize
+    // across them under every join strategy — same caller-owned cache
+    // contract as [[ngramJaccardPairsOn]] (Bench/Verify clearCache()
+    // after consuming each result)
     val capped = pos.join(occ, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id"), col("pos"), col("ng"))
+      .persist()
     val matches = capped.as("x").join(capped.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
