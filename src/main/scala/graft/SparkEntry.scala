@@ -89,6 +89,10 @@ object SparkEntry {
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
     "q_rep_topgram" -> (operators.TextAnalysis.topGramShare _),
+    // the synthetic fixture contains no digits/'@' (verified), so this
+    // oracle certifies cross-engine regex parity on the identity path;
+    // planted-PII behavior is spec-verified (TextAnalysisSpec)
+    "q_pii_redact" -> (operators.TextAnalysis.redactPii _),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
     "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
     "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
@@ -122,6 +126,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
     "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
+    "q_verbatim_spans" -> ((s, d) => operators.Dedup.verbatimRunSpans(s, d)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
@@ -366,6 +371,29 @@ object SparkEntry {
              CAST(CASE WHEN top1_pct <= 30 AND top2_pct <= 20
                   THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM p""".stripMargin.trim),
+    // sequential category redaction mirroring TextAnalysis.PiiCategories
+    // verbatim: each stage counts+replaces on the previous stage's text
+    "q_pii_redact" -> ("""
+      WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+      s1 AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             FROM s0),
+      s2 AS (SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+               regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2
+             FROM s1),
+      s3 AS (SELECT doc_id, n_email, n_ip,
+               CAST(len(regexp_extract_all(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
+               regexp_replace(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t3
+             FROM s2),
+      s4 AS (SELECT doc_id, n_email, n_ip, n_phone,
+               CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_id,
+               regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4
+             FROM s3)
+      SELECT doc_id, t4 AS redacted, n_email, n_ip, n_phone, n_id,
+             n_email + n_ip + n_phone + n_id AS n_pii
+      FROM s4""".stripMargin.trim),
     "q_mm_asset_stats" -> ("""
       SELECT CASE CAST(doc_id % 3 AS INTEGER)
                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
@@ -590,6 +618,29 @@ object SparkEntry {
       SELECT doc_a, doc_b, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
       FROM runs GROUP BY doc_a, doc_b
       HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
+    // span coordinates: same islands, surfacing each maximal run with its
+    // 0-based start token offset on both sides (the `- 1` converts
+    // DuckDB's 1-based positions; b_start = a_start - diag)
+    "q_verbatim_spans" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g GROUP BY ng),
+      gc AS (SELECT g.doc_id, g.pos, g.ng FROM g JOIN f USING (ng) WHERE occ <= 1000),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM gc a JOIN gc b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, diag, pos_a,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                              ORDER BY pos_a) AS grp
+            FROM m)
+      SELECT doc_a, doc_b,
+             CAST(MIN(pos_a) - 1 AS BIGINT) AS a_start,
+             CAST(MIN(pos_a) - 1 - diag AS BIGINT) AS b_start,
+             COUNT(*) + 2 AS run_tokens
+      FROM r GROUP BY doc_a, doc_b, diag, grp
+      HAVING COUNT(*) + 2 >= 20""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint.

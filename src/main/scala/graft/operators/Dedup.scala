@@ -338,6 +338,48 @@ object Dedup {
   def verbatimRunPairsOn(docTexts: DataFrame, n: Int = ShingleN,
                          minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
     require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    runIslands(docTexts, n, maxOccFreq)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
+  /** Every maximal shared verbatim span at or above `minRunTokens`, WITH
+    * its exact 0-based token coordinates in both docs — the artifact an
+    * ExactSubstr-style REMOVAL pass consumes ("cut tokens
+    * [b_start, b_start + run_tokens) from the higher-id doc"), where
+    * [[verbatimRunPairs]] only flags the pair. One row per maximal run:
+    * (doc_a, doc_b, a_start, b_start, run_tokens); a pair sharing two
+    * disjoint long quotes yields two rows. Maximality is structural:
+    * islands are maximal consecutive shingle runs, so no output span is
+    * contained in or extendable to another at the same alignment.
+    */
+  def verbatimRunSpans(spark: SparkSession, sfDir: String, n: Int = ShingleN,
+                       minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame =
+    verbatimRunSpansOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, minRunTokens, maxOccFreq)
+
+  /** [[verbatimRunSpans]] over any (doc_id, text) DataFrame. */
+  def verbatimRunSpansOn(docTexts: DataFrame, n: Int = ShingleN,
+                         minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
+    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    runIslands(docTexts, n, maxOccFreq)
+      .filter(col("run_tokens") >= minRunTokens)
+      // BIGINT coordinates to match the oracle's generate_series math
+      .select(col("doc_a"), col("doc_b"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_start") - col("diag")).cast("long").as("b_start"),
+        col("run_tokens"))
+  }
+
+  /** Shared run detector for [[verbatimRunPairsOn]] / [[verbatimRunSpansOn]]:
+    * one row per MAXIMAL run of consecutive shared shingles —
+    * (doc_a, doc_b, diag, a_start = 0-based first shared token offset in
+    * doc_a, run_tokens = shared span length in tokens).
+    */
+  private def runIslands(docTexts: DataFrame, n: Int, maxOccFreq: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
     // occurrence-preserving positional shingles: pos is the token offset
     // of the window start, so "consecutive pos at one diagonal" == a
     // verbatim token span (tokens contain no separator spaces, so the
@@ -367,10 +409,8 @@ object Dedup {
     matches
       .withColumn("grp", col("pos_a") - row_number().over(wRun))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("run_tokens")).as("max_run_tokens"))
-      .filter(col("max_run_tokens") >= minRunTokens)
+      .agg(min(col("pos_a")).as("a_start"),
+        (count(lit(1)) + (n - 1)).as("run_tokens"))
   }
 
   /** Incremental-ingestion dedup: collapse a NEW batch internally on the

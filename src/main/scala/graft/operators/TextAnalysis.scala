@@ -569,6 +569,56 @@ object TextAnalysis {
         when(col("fp") < lit("cc"), lit("train")).otherwise(lit("eval")).as("split"))
   }
 
+  /** PII category patterns, applied IN ORDER — each category counts and
+    * redacts on the text as left by the previous one, and replacement
+    * tokens contain no digits or '@' so they can never feed a later
+    * pattern. The patterns are deliberately the portable greedy-class
+    * subset (no lookarounds, no backrefs), identical under Java regex
+    * (Spark) and RE2 (DuckDB oracle): order matters — IPs before the
+    * bare digit-run rule so "10.0.0.1" becomes one <IP>, not four <ID>
+    * fragments.
+    */
+  private val PiiCategories: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("id", "[0-9]{9,}", "<ID>"))
+
+  /** PII redaction — the scrub pass a training-data pipeline runs before
+    * anything else sees raw text: emails, IPv4 addresses, separator-form
+    * phone numbers, and 9+-digit ID-like runs are replaced with typed
+    * placeholder tokens, with an exact per-category count per doc (the
+    * audit artifact: "how much PII did this source carry"). Output:
+    * (doc_id, redacted, n_email, n_ip, n_phone, n_id, n_pii).
+    *
+    * Scale design (100 TB): a pure per-row projection — four codegen'd
+    * regex count/replace pairs, no shuffle at all; composes into the
+    * scan like [[qualityMetrics]]. Determinism across engines comes from
+    * the portable pattern subset and the fixed category order (see
+    * [[PiiCategories]]).
+    */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame =
+    redactPiiOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[redactPii]] over any (doc_id, text) DataFrame — the spec drives
+    * planted PII docs (the synthetic fixture contains no digits at all,
+    * so the driver oracle certifies cross-engine regex parity on the
+    * identity path; behavioral evidence lives in TextAnalysisSpec).
+    */
+  def redactPiiOn(docTexts: DataFrame): DataFrame = {
+    val start = docTexts.select(col("doc_id"), col("text").as("t0"))
+    val stepped = PiiCategories.zipWithIndex.foldLeft(start) {
+      case (df, ((name, pat, repl), i)) =>
+        df.withColumn(s"n_$name", regexp_count(col(s"t$i"), lit(pat)).cast("long"))
+          .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), pat, repl))
+    }
+    stepped.select(col("doc_id"),
+        col(s"t${PiiCategories.size}").as("redacted"),
+        col("n_email"), col("n_ip"), col("n_phone"), col("n_id"))
+      .withColumn("n_pii",
+        col("n_email") + col("n_ip") + col("n_phone") + col("n_id"))
+  }
+
   /** Top n-gram CHARACTER share per doc — the remaining Gopher-style
     * repetition signals (Rae et al. 2021, public literature): the share
     * of a doc's n-gram characters taken by its single most frequent

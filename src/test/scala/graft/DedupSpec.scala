@@ -164,6 +164,34 @@ class DedupSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("verbatim spans carry exact coordinates; per-pair max equals run pairs") {
+    def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    // doc1 token offsets: a=0..2, s1=3..24, b=25..28, s2=29..48
+    // doc2 token offsets: s1=0..21, c=22..27, s2=28..47, d=48..49
+    val s1 = span(22, "p")
+    val s2 = span(20, "q")
+    val docs = Seq(
+      (1L, s"${span(3, "a")} $s1 ${span(4, "b")} $s2"),
+      (2L, s"$s1 ${span(6, "c")} $s2 ${span(2, "d")}")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verbatimRunSpansOn(docs, minRunTokens = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L, 0L, 22L), (1L, 2L, 29L, 28L, 20L)),
+      "two disjoint shared spans, exact 0-based offsets both sides")
+    // fixture-wide consistency: the per-pair max over spans must equal
+    // verbatimRunPairs (same islands, different aggregation)
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val spans = Dedup.verbatimRunSpansOn(base, minRunTokens = 3,
+        maxOccFreq = 1000000)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val maxPerPair = spans.groupBy(s => (s._1, s._2))
+      .view.mapValues(_.map(_._5).max).toMap
+    val pairs = Dedup.verbatimRunPairsOn(base, minRunTokens = 3,
+        maxOccFreq = 1000000)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(maxPerPair === pairs)
+  }
+
   test("near-dup clusters equal driver-side union-find over the exact pair set") {
     val got = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap

@@ -415,6 +415,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(5L) === ((5L, 0L, 100L, 0L)), "whitespace-only doc: unigram share 0")
   }
 
+  test("PII redaction: planted categories redact exactly; clean text untouched") {
+    val docs = Seq(
+      (1L, "contact bob.smith+spam@mail.example.org or alice@ex.co today"),
+      (2L, "server 10.0.0.1 and 192.168.255.3 responded"),
+      (3L, "call 555-123-4567 or 555.987.6543 now"),
+      (4L, "account 123456789012 flagged"),
+      (5L, "mixed bob@x.io at 10.0.0.1 ref 987654321"),
+      (6L, "no sensitive content here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPiiOn(docs)
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === "contact <EMAIL> or <EMAIL> today")
+    assert(got(1L)._3 === 2L && got(1L)._7 === 2L)
+    assert(got(2L)._2 === "server <IP> and <IP> responded")
+    assert(got(2L)._4 === 2L)
+    assert(got(3L)._2 === "call <PHONE> or <PHONE> now")
+    assert(got(3L)._5 === 2L)
+    assert(got(4L)._2 === "account <ID> flagged")
+    assert(got(4L)._6 === 1L)
+    assert(got(5L)._2 === "mixed <EMAIL> at <IP> ref <ID>")
+    assert(got(5L)._7 === 3L)
+    assert(got(6L)._2 === "no sensitive content here at all")
+    assert(got(6L)._7 === 0L, "clean doc: zero counts, identity text")
+    // order guarantee: an IP must never be consumed as digit-run fragments
+    assert(got(2L)._6 === 0L && got(5L)._6 === 1L)
+  }
+
   test("cluster-safe split: near-dups never straddle the boundary; singletons match plain") {
     val split = TextAnalysis.trainEvalAssignClusterSafe(spark, sf)
       .as[(Long, String)].collect().toMap
