@@ -127,6 +127,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
     "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
     "q_verbatim_spans" -> ((s, d) => operators.Dedup.verbatimRunSpans(s, d)),
+    "q_verbatim_incr" -> (operators.Dedup.incrementalVerbatimRunsDocs _),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
@@ -641,6 +642,29 @@ object SparkEntry {
              COUNT(*) + 2 AS run_tokens
       FROM r GROUP BY doc_a, doc_b, diag, grp
       HAVING COUNT(*) + 2 >= 20""".stripMargin.trim),
+    // cross-split verbatim runs: corpus-side positional index with the
+    // corpus-computed occurrence cap, probed by batch positions — same
+    // islands arithmetic as q_verbatim_runs over (batch, corpus) pairs
+    "q_verbatim_incr" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g WHERE doc_id % 10 < 8 GROUP BY ng),
+      c AS (SELECT g.doc_id AS corpus_id, g.pos AS pos_c, g.ng
+            FROM g JOIN f USING (ng) WHERE g.doc_id % 10 < 8 AND occ <= 1000),
+      b AS (SELECT doc_id, pos, ng FROM g WHERE doc_id % 10 >= 8),
+      m AS (SELECT b.doc_id, c.corpus_id, b.pos AS pos_b, b.pos - c.pos_c AS diag
+            FROM b JOIN c USING (ng)),
+      r AS (SELECT doc_id, corpus_id, diag,
+                   pos_b - ROW_NUMBER() OVER (PARTITION BY doc_id, corpus_id, diag
+                                              ORDER BY pos_b) AS grp
+            FROM m),
+      runs AS (SELECT doc_id, corpus_id, COUNT(*) + 2 AS run_tokens
+               FROM r GROUP BY doc_id, corpus_id, diag, grp)
+      SELECT doc_id, corpus_id, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+      FROM runs GROUP BY doc_id, corpus_id
+      HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint.

@@ -373,6 +373,64 @@ object Dedup {
         col("run_tokens"))
   }
 
+  /** Incremental verbatim-run detection: for each NEW batch doc, the
+    * corpus docs it shares a verbatim run of at least `minRunTokens`
+    * tokens with — the per-delivery spelling of [[verbatimRunPairs]],
+    * composing its k-gram run detector with [[incrementalNearDup]]'s
+    * probe contract. Output: (doc_id = batch doc, corpus_id,
+    * max_run_tokens), one row per qualifying cross pair; a quote-heavy
+    * delivery doc surfaces once per corpus source it copies from.
+    *
+    * Scale design (100 TB corpus, daily batch): the corpus NEVER
+    * self-joins — batch positional shingles probe the corpus positional
+    * index, so matched position pairs are bounded by batch occupancy of
+    * corpus buckets, and the occurrence cap (computed corpus-side, where
+    * the mass is) bounds each bucket. In production the corpus
+    * (doc_id, pos, shingle) index and its occurrence table are
+    * MATERIALIZED at ingest — write once, probe per delivery — exactly
+    * like [[incrementalNearDup]]'s band index; here they derive inline.
+    * The islands window partitions on (batch doc, corpus doc, diagonal)
+    * — bounded by one doc's length, never key-skewed.
+    */
+  def incrementalVerbatimRuns(corpus: DataFrame, batch: DataFrame,
+                              n: Int = ShingleN, minRunTokens: Int = 20,
+                              maxOccFreq: Int = 1000): DataFrame = {
+    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    def posIdx(d: DataFrame) = d.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
+        .as(Seq("pos", "ng")))
+    val corpusIdx = posIdx(corpus)
+    val occ = corpusIdx.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+    val cappedCorpus = corpusIdx.join(occ, "ng")
+      .filter(col("occ") <= maxOccFreq)
+      .select(col("doc_id").as("corpus_id"), col("pos").as("pos_c"), col("ng"))
+    val matches = posIdx(batch)
+      .join(cappedCorpus, "ng")
+      .select(col("doc_id"), col("corpus_id"), col("pos").as("pos_b"),
+        (col("pos") - col("pos_c")).as("diag"))
+    // same gaps-and-islands argument as [[runIslands]]: within one
+    // (batch doc, corpus doc, diagonal), pos_b values are distinct
+    val w = Window.partitionBy(col("doc_id"), col("corpus_id"), col("diag"))
+      .orderBy(col("pos_b"))
+    matches
+      .withColumn("grp", col("pos_b") - row_number().over(w))
+      .groupBy(col("doc_id"), col("corpus_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
+  /** [[incrementalVerbatimRuns]] over the documents table with the same
+    * deterministic corpus/batch split as [[incrementalNewDocs]] — the
+    * driver-query harness (q_verbatim_incr).
+    */
+  def incrementalVerbatimRunsDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    incrementalVerbatimRuns(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** Shared run detector for [[verbatimRunPairsOn]] / [[verbatimRunSpansOn]]:
     * one row per MAXIMAL run of consecutive shared shingles —
     * (doc_a, doc_b, diag, a_start = 0-based first shared token offset in

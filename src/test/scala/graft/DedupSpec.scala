@@ -192,6 +192,31 @@ class DedupSpec extends SparkSpec {
     assert(maxPerPair === pairs)
   }
 
+  test("incremental verbatim runs equal the cross-split slice of the LCS DP") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+    val corpus = docs.filter(_._1 % 10 < 8)
+    val batch = docs.filter(_._1 % 10 >= 8)
+    val want = (for {
+      (b, tb) <- batch; (c, tc) <- corpus
+      l = lcsTokens(tb, tc) if l >= 3
+    } yield (b, c) -> l.toLong).toMap
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val got = Dedup.incrementalVerbatimRuns(
+        base.filter($"doc_id" % 10 < 8), base.filter($"doc_id" % 10 >= 8),
+        minRunTokens = 3, maxOccFreq = 1000000)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want, "cross-split k-gram runs must equal token-LCS exactly")
+    // corpus-side cap = 1: every probed shingle exists at least once in
+    // the corpus; any shared one with a cross match has occ >= 1, so a
+    // cap of 0 gates ALL matching (structural proof the cap is corpus-side)
+    assert(Dedup.incrementalVerbatimRuns(
+      base.filter($"doc_id" % 10 < 8), base.filter($"doc_id" % 10 >= 8),
+      minRunTokens = 3, maxOccFreq = 0).count() === 0)
+  }
+
   test("near-dup clusters equal driver-side union-find over the exact pair set") {
     val got = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap

@@ -190,6 +190,46 @@ class PropertySpec extends SparkSpec {
     check("ngramPrefixFilter", prop, n = 10)
   }
 
+  test("verbatim k-gram runs equal token-LCS on random corpora") {
+    import org.apache.spark.sql.functions.col
+    // longest common contiguous token substring, O(|a|·|b|) DP
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        var prev = 0
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
+          if (dp(j) > best) best = dp(j)
+          prev = cur
+        }
+      }
+      best
+    }
+    // tiny vocabulary makes shared spans (and repeated shingles WITHIN a
+    // doc — the multi-occurrence alignment case) common
+    val tok = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup
+        .verbatimRunPairsOn(docs.toDF("doc_id", "text"),
+          minRunTokens = 3, maxOccFreq = 1000000)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      spark.catalog.clearCache()
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+      val want = (for {
+        (a, ta) <- toks; (b, tb) <- toks if a < b
+        l = lcs(ta, tb) if l >= 3
+      } yield (a, b) -> l.toLong).toMap
+      got == want
+    }
+    check("verbatimRuns", prop, n = 10)
+  }
+
   test("connected components equal union-find on random graphs") {
     def unionFind(pairs: Set[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
