@@ -34,6 +34,9 @@ import graft.operators.{AsOf, Dedup, Relational}
   *     boilerplate with maxOccFreq below its occurrence count — the
   *     preamble shingle alone would otherwise contribute (500·factor)²
   *     position-pair rows to the run detector;
+  *   - [[Dedup.incrementalVerbatimRuns]] with a factor-sized corpus and
+  *     a base-sized delivery batch (time tracks the corpus positional
+  *     index build — linear, never corpus²);
   *   - salted vs single-window sessionization with one hot user holding
   *     ~factor·1500× the median user's events — the power-law tail the
   *     salted two-phase spelling exists for;
@@ -172,6 +175,13 @@ object ScaleSmoke {
         Dedup.incrementalNearDup(docs, batch).count())
       spark.catalog.clearCache()
 
+      // incremental verbatim runs: same factor-sized corpus, base-sized
+      // batch — the batch probes the corpus positional index, so time
+      // must track the corpus index build (linear), never corpus²
+      val (tIncV, nIncV) = timeIt(
+        Dedup.incrementalVerbatimRuns(docs, batch, minRunTokens = 3).count())
+      spark.catalog.clearCache()
+
       // decontamination: both sides grow with the factor, but the eval
       // side collapses to a distinct n-gram set before the join, so the
       // output (and time) must stay bounded by the train inverted index
@@ -216,6 +226,7 @@ object ScaleSmoke {
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
         s""""incr_near_sec":$tIncN,"incr_near_rows":$nIncN,""" +
+        s""""incr_verbatim_sec":$tIncV,"incr_verbatim_rows":$nIncV,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
