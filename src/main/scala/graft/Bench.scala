@@ -28,6 +28,13 @@ object Bench {
     // line's shape is unchanged, just over fewer queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly — a silent zero-query run reads as
+    // "query now instant" in regression triage
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names no such queries: ${unknown.mkString(", ")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -76,10 +83,15 @@ object Bench {
     // whole contract line inside the window: millisecond precision is
     // plenty for per-query diagnostics and keeps 61 queries ≈ 1.7 kB.
     def ms(sec: Double) = BigDecimal(sec).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // centisecond precision INSIDE the per-query map: at 73 queries the
+    // millisecond spelling is ~1.93 kB — one more round of query growth
+    // would push the map's head out of the window; bench_detail.json
+    // keeps full milliseconds for triage
+    def cs(sec: Double) = BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     // queries stays strictly {"name": seconds} for the driver; failures
     // are reported in a parallel "query_errors" object (omitted when
     // empty — every byte counts against the 2000-char tail window)
-    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":${ms(sec)}""" }
+    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":${cs(sec)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
@@ -90,7 +102,7 @@ object Bench {
     // 2000-char tail window must stay reserved for the contract line.
     try {
       val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, _)) =>
-        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(secs.sorted.apply(reps / 2))},"max":${ms(secs.max)}}"""
+        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)}}"""
       }.mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)

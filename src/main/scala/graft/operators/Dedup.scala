@@ -399,24 +399,23 @@ object Dedup {
     def posIdx(d: DataFrame) = d.select(col("doc_id"),
       posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
         .as(Seq("pos", "ng")))
-    val corpusIdx = posIdx(corpus)
+    // persisted: the corpus positional index feeds both the occurrence
+    // aggregation and the capped probe join, and the aggregate's
+    // map-side partials prevent exchange reuse between them — the
+    // corpus index build is this operator's dominant linear term, so
+    // compute it once (caller-owned cleanup, same contract as
+    // [[incrementalNearDup]]'s shingle frames)
+    val corpusIdx = posIdx(corpus).persist()
     val occ = corpusIdx.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
     val cappedCorpus = corpusIdx.join(occ, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id").as("corpus_id"), col("pos").as("pos_c"), col("ng"))
     val matches = posIdx(batch)
       .join(cappedCorpus, "ng")
-      .select(col("doc_id"), col("corpus_id"), col("pos").as("pos_b"),
-        (col("pos") - col("pos_c")).as("diag"))
-    // same gaps-and-islands argument as [[runIslands]]: within one
-    // (batch doc, corpus doc, diagonal), pos_b values are distinct
-    val w = Window.partitionBy(col("doc_id"), col("corpus_id"), col("diag"))
-      .orderBy(col("pos_b"))
-    matches
-      .withColumn("grp", col("pos_b") - row_number().over(w))
-      .groupBy(col("doc_id"), col("corpus_id"), col("diag"), col("grp"))
-      .agg((count(lit(1)) + (n - 1)).as("run_tokens"))
-      .groupBy(col("doc_id"), col("corpus_id"))
+      .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"),
+        col("pos").as("pos_a"), (col("pos") - col("pos_c")).as("diag"))
+    islandsOf(matches, n)
+      .groupBy(col("doc_a").as("doc_id"), col("doc_b").as("corpus_id"))
       .agg(max(col("run_tokens")).as("max_run_tokens"))
       .filter(col("max_run_tokens") >= minRunTokens)
   }
@@ -459,9 +458,19 @@ object Dedup {
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.pos").as("pos_a"), (col("x.pos") - col("y.pos")).as("diag"))
-    // gaps-and-islands: within one (pair, diagonal), pos_a values are
-    // distinct (diag fixes pos_b), so pos_a - row_number is constant
-    // exactly along maximal consecutive runs
+    islandsOf(matches, n)
+  }
+
+  /** Gaps-and-islands over matched shingle positions (doc_a, doc_b,
+    * pos_a, diag): within one (pair, diagonal), pos_a values are
+    * distinct (diag fixes the other side's position), so
+    * pos_a - row_number is constant exactly along maximal consecutive
+    * runs. One row per maximal run, carrying its first position and its
+    * token length (shingle count + n - 1). Shared by the self-join
+    * ([[runIslands]]) and corpus-probe ([[incrementalVerbatimRuns]])
+    * spellings so the run arithmetic cannot fork.
+    */
+  private def islandsOf(matches: DataFrame, n: Int): DataFrame = {
     val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
     matches

@@ -280,7 +280,12 @@ object Similarity {
       threshold, nlist, nassign)
 
   /** [[semanticDedup]] over any (vec_id, embedding) DataFrame. `qKey`
-    * keys the memoized quantizer (a data-identifying string).
+    * keys the process-wide memoized quantizer and MUST identify the
+    * data: passing a key already used for a different frame (e.g. the
+    * sfDir after filtering the table) silently reuses centroids fit on
+    * other data — cells degrade and recall drops with no error. Use a
+    * fresh key per distinct input; the memo exists because the fit is
+    * index BUILD, not query work.
     */
   def semanticDedupOn(spark: SparkSession, emb: DataFrame, qKey: String,
                       threshold: Double = 0.45, nlist: Int = 16,

@@ -108,24 +108,8 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
   }
 
-  /** Longest common CONTIGUOUS token substring, classic O(|a|·|b|) DP —
-    * the independent oracle for verbatimRunPairs (which must recover the
-    * same lengths from k-gram run arithmetic).
-    */
-  private def lcsTokens(a: Array[String], b: Array[String]): Int = {
-    val dp = Array.ofDim[Int](b.length + 1)
-    var best = 0
-    for (i <- 1 to a.length) {
-      var prev = 0
-      for (j <- 1 to b.length) {
-        val cur = dp(j)
-        dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
-        if (dp(j) > best) best = dp(j)
-        prev = cur
-      }
-    }
-    best
-  }
+  private def lcsTokens(a: Array[String], b: Array[String]): Int =
+    TestOracles.lcsTokens(a, b)
 
   test("verbatim runs equal a driver-side longest-common-substring DP") {
     val docs = Tables.documents(spark, sf)

@@ -192,21 +192,7 @@ class PropertySpec extends SparkSpec {
 
   test("verbatim k-gram runs equal token-LCS on random corpora") {
     import org.apache.spark.sql.functions.col
-    // longest common contiguous token substring, O(|a|·|b|) DP
-    def lcs(a: Array[String], b: Array[String]): Int = {
-      val dp = Array.ofDim[Int](b.length + 1)
-      var best = 0
-      for (i <- 1 to a.length) {
-        var prev = 0
-        for (j <- 1 to b.length) {
-          val cur = dp(j)
-          dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
-          if (dp(j) > best) best = dp(j)
-          prev = cur
-        }
-      }
-      best
-    }
+    def lcs(a: Array[String], b: Array[String]): Int = TestOracles.lcsTokens(a, b)
     // tiny vocabulary makes shared spans (and repeated shingles WITHIN a
     // doc — the multi-occurrence alignment case) common
     val tok = Gen.oneOf("a", "b", "c")
