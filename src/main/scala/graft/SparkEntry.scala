@@ -128,6 +128,10 @@ object SparkEntry {
     "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
     "q_verbatim_spans" -> ((s, d) => operators.Dedup.verbatimRunSpans(s, d)),
     "q_verbatim_incr" -> (operators.Dedup.incrementalVerbatimRunsDocs _),
+    // harness threshold 3 (= n): the uniform fixture's self-repeats top
+    // out at 5 tokens; real-threshold (>= 20) behavior is spec-driven
+    // with planted repeating docs
+    "q_self_repeats" -> ((s, d) => operators.Dedup.selfRepeats(s, d, minRepTokens = 3)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
@@ -665,6 +669,27 @@ object SparkEntry {
       SELECT doc_id, corpus_id, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
       FROM runs GROUP BY doc_id, corpus_id
       HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
+    // within-doc self-repeats: same islands arithmetic on a same-doc
+    // positive-offset self-join; threshold 3 matches the harness call
+    "q_self_repeats" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g GROUP BY ng),
+      gc AS (SELECT g.doc_id, g.pos, g.ng FROM g JOIN f USING (ng) WHERE occ <= 1000),
+      m AS (SELECT a.doc_id, a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM gc a JOIN gc b
+              ON a.ng = b.ng AND a.doc_id = b.doc_id AND a.pos > b.pos),
+      r AS (SELECT doc_id, diag,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                                              ORDER BY pos_a) AS grp
+            FROM m),
+      runs AS (SELECT doc_id, COUNT(*) + 2 AS run_tokens
+               FROM r GROUP BY doc_id, diag, grp)
+      SELECT doc_id, CAST(MAX(run_tokens) AS BIGINT) AS max_rep_tokens
+      FROM runs GROUP BY doc_id
+      HAVING MAX(run_tokens) >= 3""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint.

@@ -461,6 +461,54 @@ object Dedup {
     islandsOf(matches, n)
   }
 
+  /** Within-doc self-repetition: docs that repeat one of their own token
+    * spans of at least `minRepTokens` tokens — the single-doc analogue of
+    * [[verbatimRunPairs]] (boilerplate stutter, copy-pasted paragraphs,
+    * generation loops). Output: (doc_id, max_rep_tokens). Complements
+    * [[graft.operators.TextAnalysis.qualityFilter]]'s duplicated-3-gram
+    * RATIO with the exact longest repeated span: a doc can have a low
+    * duplicate-gram share yet one long verbatim self-copy, and vice
+    * versa. Same positional-shingle islands as [[runIslands]], with the
+    * self-join keyed on (shingle, SAME doc) at positive alignment offset
+    * (pos_a > pos_b; overlapping occurrences allowed, so periodic text
+    * reports its full repeated extent).
+    *
+    * Scale: per-doc self-pairs are quadratic only in a shingle's
+    * WITHIN-DOC occurrence count; the corpus-wide `maxOccFreq` cap
+    * bounds that too (a doc made of one shingle repeated beyond the cap
+    * is dropped from matching here — [[graft.operators.TextAnalysis
+    * .qualityFilter]]'s rep_pct already flags that degenerate class).
+    */
+  def selfRepeats(spark: SparkSession, sfDir: String, n: Int = ShingleN,
+                  minRepTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame =
+    selfRepeatsOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      n, minRepTokens, maxOccFreq)
+
+  /** [[selfRepeats]] over any (doc_id, text) DataFrame. */
+  def selfRepeatsOn(docTexts: DataFrame, n: Int = ShingleN,
+                    minRepTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
+    require(minRepTokens >= n, s"minRepTokens=$minRepTokens must be >= n=$n")
+    val pos = docTexts.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
+        .as(Seq("pos", "ng")))
+    val occ = pos.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+    val capped = pos.join(occ, "ng")
+      .filter(col("occ") <= maxOccFreq)
+      .select(col("doc_id"), col("pos"), col("ng"))
+    // doc_b = doc_id keeps the islandsOf contract; diag > 0 by pos_a >
+    // pos_b, so each unordered occurrence pair is seen once
+    val matches = capped.as("x").join(capped.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") === col("y.doc_id") &&
+          col("x.pos") > col("y.pos"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pos_a"), (col("x.pos") - col("y.pos")).as("diag"))
+    islandsOf(matches, n)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(col("run_tokens")).as("max_rep_tokens"))
+      .filter(col("max_rep_tokens") >= minRepTokens)
+  }
+
   /** Gaps-and-islands over matched shingle positions (doc_a, doc_b,
     * pos_a, diag): within one (pair, diagonal), pos_a values are
     * distinct (diag fixes the other side's position), so

@@ -176,6 +176,46 @@ class DedupSpec extends SparkSpec {
     assert(maxPerPair === pairs)
   }
 
+  test("self-repeats equal a driver-side longest-repeated-substring scan") {
+    // brute force: for every alignment offset d >= 1, the longest run of
+    // positions i with tokens(i) == tokens(i-d) is the longest repeated
+    // span at that offset (overlap allowed — periodic text reports its
+    // full extent); answer = max over d, counted only at >= n tokens
+    def longestSelfRepeat(t: Array[String]): Int = {
+      var best = 0
+      for (d <- 1 until t.length) {
+        var run = 0
+        for (i <- d until t.length) {
+          run = if (t(i) == t(i - d)) run + 1 else 0
+          if (run > best) best = run
+        }
+      }
+      best
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+    val want = docs.map { case (id, t) => id -> longestSelfRepeat(t).toLong }
+      .filter(_._2 >= 3).toMap
+    val got = Dedup.selfRepeatsOn(
+        Tables.documents(spark, sf).select($"doc_id", $"text"),
+        minRepTokens = 3, maxOccFreq = 1000000)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // planted: a doc repeating a 25-token block, a periodic doc, and a
+    // clean doc — the real (>= 20) threshold keeps only the repeater
+    def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val block = span(25, "r")
+    val planted = Seq(
+      (1L, s"$block ${span(4, "mid")} $block"),
+      (2L, Seq.fill(30)("x").mkString(" ")),  // period-1: repeat extent 29
+      (3L, span(40, "clean"))
+    ).toDF("doc_id", "text")
+    val p20 = Dedup.selfRepeatsOn(planted).as[(Long, Long)].collect().toMap
+    assert(p20 === Map(1L -> 25L, 2L -> 29L),
+      "block repeat exact at 25; periodic doc reports full extent; clean absent")
+  }
+
   test("incremental verbatim runs equal the cross-split slice of the LCS DP") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect()
