@@ -46,6 +46,11 @@ object Bench {
     // a token warm-up does not touch decimal-agg/window/wide-scan
     // codegen paths, so warm up with the real thing.
     queries.foreach { case (name, fn) => runOnce(name, fn); dropCaches() }
+    // the warm-up pass leaves a heap full of 74 queries' garbage; collect
+    // it OUTSIDE the timed region so the first timed query doesn't pay
+    // for it (r7 charged ~2 s of post-warm-up GC to q_verbatim_spans,
+    // the first map entry, every rep — see Dedup.verbatimRunSpans)
+    System.gc()
     // (name -> (seconds, error)); a failed query must NEVER pass for a
     // fast one — its error is logged and reported in the JSON line.
     // MEDIAN of `reps` timed repetitions per query: a single long-lived
@@ -55,8 +60,19 @@ object Bench {
     // one such spike per query where a single sample is not.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // Noisy-query override: queries whose r7 bench_detail max/min spread
+    // exceeded ~3x (persist-heavy plans that eat whatever GC/JIT stall
+    // lands on them) get 5 reps so the reported median settles — ~2 min
+    // of extra bench time for decisively quieter round-over-round diffs.
+    // SPARK_GRAFT_BENCH_REPS above the override wins (triage runs).
+    val noisyReps = Set("q_ngram_jaccard", "q_verbatim_spans",
+      "q_verbatim_runs", "q_embed_ann_lsh", "q_lineitem_rollup",
+      "q_semantic_dedup")
+    def repsFor(name: String): Int =
+      if (noisyReps(name)) math.max(reps, 5) else reps
     val allSamples: Map[String, (Seq[Double], Option[String])] =
       queries.map { case (name, fn) =>
+        val reps = repsFor(name)
         val samples = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           val err = runOnce(name, fn)
@@ -73,7 +89,7 @@ object Bench {
       }
     val results: Map[String, (Double, Option[String])] =
       allSamples.map { case (name, (secs, err)) =>
-        name -> ((secs.sorted.apply(reps / 2), err))
+        name -> ((secs.sorted.apply(secs.size / 2), err))
       }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // The driver captures only the LAST 2000 chars of merged output and
@@ -104,10 +120,16 @@ object Bench {
       val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, _)) =>
         s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)}}"""
       }.mkString("{", ",", "}")
+      val payload =
+        s"""{"reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        s"""{"reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(p, payload)
+      // ALSO to a git-tracked path: the driver captures only the 2000-char
+      // stdout tail, so the per-query spread would otherwise never leave
+      // the machine — committing BENCH_DETAIL.json each round keeps
+      // fast-query regressions diffable round-over-round (judge request)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
     spark.stop()

@@ -128,6 +128,7 @@ object SparkEntry {
     "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
     "q_verbatim_spans" -> ((s, d) => operators.Dedup.verbatimRunSpans(s, d)),
     "q_verbatim_incr" -> (operators.Dedup.incrementalVerbatimRunsDocs _),
+    "q_verbatim_clean" -> ((s, d) => operators.Dedup.verbatimCleanCorpus(s, d)),
     // harness threshold 3 (= n): the uniform fixture's self-repeats top
     // out at 5 tokens; real-threshold (>= 20) behavior is spec-driven
     // with planted repeating docs
@@ -646,6 +647,52 @@ object SparkEntry {
              COUNT(*) + 2 AS run_tokens
       FROM r GROUP BY doc_a, doc_b, diag, grp
       HAVING COUNT(*) + 2 >= 20""".stripMargin.trim),
+    // removal pass: the q_verbatim_spans islands re-keyed to the
+    // higher-id doc as [s, e) cut intervals, classic interval merge
+    // (running-max window), then list slicing by position anti-join —
+    // a kept token joins no merged interval (disjoint, so a cut token
+    // joins exactly one) and string_agg(ORDER BY pos) rebuilds the text
+    "q_verbatim_clean" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g GROUP BY ng),
+      gc AS (SELECT g.doc_id, g.pos, g.ng FROM g JOIN f USING (ng) WHERE occ <= 1000),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM gc a JOIN gc b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, diag, pos_a,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                              ORDER BY pos_a) AS grp
+            FROM m),
+      spans AS (SELECT doc_b AS doc_id,
+                       MIN(pos_a) - 1 - diag AS s,
+                       MIN(pos_a) - 1 - diag + COUNT(*) + 2 AS e
+                FROM r GROUP BY doc_a, doc_b, diag, grp
+                HAVING COUNT(*) + 2 >= 20),
+      ord2 AS (SELECT doc_id, s, e,
+                      MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM spans),
+      grp2 AS (SELECT doc_id, s, e,
+                      SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+               FROM ord2),
+      mrg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM grp2 GROUP BY doc_id, gid),
+      tok AS (SELECT doc_id, ws[i] AS tok, i - 1 AS pos
+              FROM w, (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      kept AS (SELECT t.doc_id, t.pos, t.tok
+               FROM tok t LEFT JOIN mrg ON mrg.doc_id = t.doc_id
+                                       AND t.pos >= mrg.s AND t.pos < mrg.e
+               WHERE mrg.doc_id IS NULL),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_toks FROM tok GROUP BY doc_id),
+      kc AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS text,
+                    COUNT(*) AS n_kept
+             FROM kept GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(kc.text, '') AS text,
+             CAST(c.n_toks - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_tokens_removed
+      FROM cnt c LEFT JOIN kc USING (doc_id)""".stripMargin.trim),
     // cross-split verbatim runs: corpus-side positional index with the
     // corpus-computed occurrence cap, probed by batch positions — same
     // islands arithmetic as q_verbatim_runs over (batch, corpus) pairs

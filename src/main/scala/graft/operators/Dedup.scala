@@ -353,6 +353,21 @@ object Dedup {
     * disjoint long quotes yields two rows. Maximality is structural:
     * islands are maximal consecutive shingle runs, so no output span is
     * contained in or extendable to another at the same alignment.
+    *
+    * PERF NOTE (round-8 root cause of the round-7 "2x gap" vs
+    * [[verbatimRunPairs]]): in-suite medians showed 7.07 s here vs
+    * 3.36 s for the pairs spelling on the SAME runIslands pipeline.
+    * Isolated re-measure (SPARK_GRAFT_BENCH_ONLY, 5 reps, sf0.1):
+    * spans min 2.30 / median 2.33 / max 2.79 s vs runs 2.53 / 2.65 /
+    * 2.74 s — this query is marginally FASTER than its twin once both
+    * run in a quiet JVM, exactly as the shared plan predicts. The
+    * in-suite inflation (min 5.2 s — every rep, not one spike) is the
+    * documented [[ngramJaccardPairsOn]] measurement class: by the time
+    * the timed loop reaches this first-in-map entry the JVM has run 74
+    * warm-up queries, and persist-heavy plans pay the accumulated
+    * code-cache/GC pressure. Plan is shared with the twin and clean;
+    * the bench now times this query at 5 reps (noisy-query override)
+    * and forces a GC between the warm-up pass and the timed loop.
     */
   def verbatimRunSpans(spark: SparkSession, sfDir: String, n: Int = ShingleN,
                        minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame =
@@ -371,6 +386,62 @@ object Dedup {
         col("a_start").cast("long").as("a_start"),
         (col("a_start") - col("diag")).cast("long").as("b_start"),
         col("run_tokens"))
+  }
+
+  /** The verbatim-dedup REMOVAL pass: the cleaned corpus after cutting
+    * every [[verbatimRunSpansOn]] span from its HIGHER-id doc — the
+    * ExactSubstr policy (Lee et al. 2021: keep one copy, cut the rest),
+    * composing [[verbatimRunSpans]] with [[applyVerbatimCuts]]. Output:
+    * one row per input doc — (doc_id, text = cleaned text,
+    * n_tokens_removed); untouched docs pass through verbatim with 0.
+    */
+  def verbatimCleanCorpus(spark: SparkSession, sfDir: String, n: Int = ShingleN,
+                          minRunTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    applyVerbatimCuts(docs, verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq))
+  }
+
+  /** Cut [[verbatimRunSpansOn]] spans out of their higher-id docs and
+    * emit the cleaned corpus. Each span row claims tokens
+    * [b_start, b_start + run_tokens) of doc_b; one doc's spans can
+    * overlap (two different sources quoting overlapping regions), so
+    * intervals are MERGED per doc before cutting — n_tokens_removed is
+    * the measure of the merged union, never double-counted.
+    *
+    * Scale design: the interval merge is a gaps-and-islands window
+    * partitioned by doc_id — bounded by one doc's span count, never
+    * key-skewed. The cut itself is a pure per-row projection: merged
+    * intervals are collected to a per-doc array (bounded: disjoint
+    * intervals on one doc ≤ doc length), left-joined to the corpus on
+    * doc_id, and applied with codegen'd higher-order functions
+    * (`filter` over the token array with an `exists` interval probe) —
+    * no explode of the corpus tokens, no shuffle of text bytes beyond
+    * the one doc_id join.
+    */
+  def applyVerbatimCuts(docTexts: DataFrame, spans: DataFrame): DataFrame = {
+    val iv = spans.select(col("doc_b").as("doc_id"),
+      col("b_start").as("s"), (col("b_start") + col("run_tokens")).as("e"))
+    // classic interval merge: a span opens a new merged group iff it
+    // starts after everything before it (in (s, e) order) has ended
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("prev_max",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("gid", sum(col("fresh")).over(byDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    docTexts.join(merged, Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("kept", when(col("cuts").isNull, col("toks")).otherwise(
+        filter(col("toks"), (_, i) =>
+          !exists(col("cuts"), c => i >= c("s") && i < c("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 
   /** Incremental verbatim-run detection: for each NEW batch doc, the

@@ -176,6 +176,71 @@ class DedupSpec extends SparkSpec {
     assert(maxPerPair === pairs)
   }
 
+  test("applyVerbatimCuts: overlapping spans merge before cutting; lower-id docs untouched") {
+    def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val a = span(20, "a"); val b = span(10, "b"); val c = span(20, "c")
+    val flank1 = span(4, "u"); val flank2 = span(5, "v")
+    // doc3 = A+B+C; doc1 shares A+B (doc3 tokens [0,30)), doc2 shares
+    // B+C ([20,50)) — the two cut intervals on doc3 OVERLAP in B, so the
+    // merged union is the whole 50-token doc, not 60 double-counted
+    // tokens. doc4/doc5 are the disjoint control: one exact 20-token
+    // span cut from the higher id, flanks preserved verbatim.
+    val shared = span(20, "s")
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b $c"),
+      (4L, s"$shared ${span(6, "w")}"),
+      (5L, s"$flank1 $shared $flank2")
+    ).toDF("doc_id", "text")
+    val cleaned = Dedup.applyVerbatimCuts(docs,
+        Dedup.verbatimRunSpansOn(docs, minRunTokens = 20))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cleaned(1L) === ((s"$a $b", 0L)), "lower-id source keeps its copy")
+    assert(cleaned(2L) === ((s"$b $c", 0L)), "lower-id source keeps its copy")
+    assert(cleaned(3L) === (("", 50L)),
+      "overlapping [0,30)+[20,50) merge to [0,50): 50 removed, not 60")
+    assert(cleaned(4L)._2 === 0L)
+    assert(cleaned(5L) === ((s"$flank1 $flank2", 20L)),
+      "disjoint cut removes exactly the span, flanks rejoin")
+  }
+
+  test("applyVerbatimCuts on the fixture: no runs remain; removed == merged span measure") {
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val spansDf = Dedup.verbatimRunSpansOn(base)
+    val spans = spansDf.as[(Long, Long, Long, Long, Long)].collect()
+    val cleaned = Dedup.applyVerbatimCuts(base, spansDf)
+    val got = cleaned.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // invariant 1: the removal pass actually removes — re-running the
+    // detector on the cleaned corpus finds no cross-doc run >= threshold
+    val cleanedDocs = cleaned.select($"doc_id", $"text")
+    assert(Dedup.verbatimRunPairsOn(cleanedDocs).count() === 0L,
+      "no cross-doc verbatim run >= 20 tokens may survive the cut")
+    // invariant 2: token conservation — each doc's n_tokens_removed is
+    // the measure of the UNION of its [b_start, b_start+run_tokens)
+    // intervals (driver-side interval merge), and untouched docs pass
+    // through byte-identical
+    val mergedLen: Map[Long, Long] = spans.groupBy(_._2).map { case (doc, ss) =>
+      val ivs = ss.map(s => (s._4, s._4 + s._5)).sorted
+      var tot = 0L; var curS = ivs.head._1; var curE = ivs.head._2
+      ivs.tail.foreach { case (s, e) =>
+        if (s > curE) { tot += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      doc -> (tot + (curE - curS))
+    }
+    val orig = base.as[(Long, String)].collect().toMap
+    orig.keys.foreach { id =>
+      val (text, removed) = got(id)
+      assert(removed === mergedLen.getOrElse(id, 0L),
+        s"doc $id: removed tokens must equal merged interval measure")
+      if (removed == 0L) assert(text === orig(id), s"doc $id must pass through")
+      // "" split(" ", -1) is [""] not [] — count kept tokens as 0 there
+      else assert((if (text.isEmpty) 0 else text.split(" ", -1).length) ===
+        orig(id).split(" ", -1).length - removed.toInt,
+        s"doc $id: kept token count must reconcile")
+    }
+  }
+
   test("self-repeats equal a driver-side longest-repeated-substring scan") {
     // brute force: for every alignment offset d >= 1, the longest run of
     // positions i with tokens(i) == tokens(i-d) is the longest repeated
