@@ -135,6 +135,10 @@ object SparkEntry {
     "q_self_repeats" -> ((s, d) => operators.Dedup.selfRepeats(s, d, minRepTokens = 3)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
+    // same contracts probing the MATERIALIZED (parquet) corpus indexes —
+    // a green row certifies the write-once/probe-per-delivery round-trip
+    "q_dedup_incr_near_idx" -> (sources.DedupIndexes.nearDupProbeDocs _),
+    "q_verbatim_incr_idx" -> (sources.DedupIndexes.verbatimProbeDocs _),
     "q_decontaminate" -> ((s, d) => operators.TextAnalysis.contamination(s, d)),
     "q_decontaminate_cov" -> ((s, d) => operators.TextAnalysis.contaminationCoverage(s, d)),
     "q_decontaminate_eval_cov" -> ((s, d) => operators.TextAnalysis.evalContaminationCoverage(s, d)),
@@ -155,7 +159,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the stored-index probes answer the SAME question as their inline
+    // twins — identical oracle by definition; a green row here certifies
+    // the parquet round-trip of the materialized indexes end to end
+    "q_dedup_incr_near_idx" -> "q_dedup_incr_near",
+    "q_verbatim_incr_idx" -> "q_verbatim_incr"
+  ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_grep_freq" ->
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%spark%' GROUP BY text",
     "q_grep_regex" ->

@@ -466,22 +466,55 @@ object Dedup {
   def incrementalVerbatimRuns(corpus: DataFrame, batch: DataFrame,
                               n: Int = ShingleN, minRunTokens: Int = 20,
                               maxOccFreq: Int = 1000): DataFrame = {
-    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
-    def posIdx(d: DataFrame) = d.select(col("doc_id"),
-      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
-        .as(Seq("pos", "ng")))
     // persisted: the corpus positional index feeds both the occurrence
     // aggregation and the capped probe join, and the aggregate's
     // map-side partials prevent exchange reuse between them — the
     // corpus index build is this operator's dominant linear term, so
     // compute it once (caller-owned cleanup, same contract as
     // [[incrementalNearDup]]'s shingle frames)
-    val corpusIdx = posIdx(corpus).persist()
-    val occ = corpusIdx.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
-    val cappedCorpus = corpusIdx.join(occ, "ng")
+    val (corpusIdx, occ) = verbatimIndexFrames(corpus, n)
+    incrementalVerbatimRunsFromIndex(corpusIdx.persist(), occ, batch,
+      n, minRunTokens, maxOccFreq)
+  }
+
+  /** The two corpus artifacts [[incrementalVerbatimRuns]] probes — the
+    * occurrence-preserving positional shingle index (doc_id, pos, ng)
+    * and its corpus-wide occurrence table (ng, occ) — ready to be
+    * written ONCE at ingest ([[graft.sources.DedupIndexes]]) and probed
+    * per delivery via [[incrementalVerbatimRunsFromIndex]]. The
+    * occurrence table is materialized alongside the index (not derived
+    * at probe time) so the per-delivery probe never re-aggregates the
+    * 100 TB corpus.
+    */
+  def verbatimIndexFrames(corpus: DataFrame,
+                          n: Int = ShingleN): (DataFrame, DataFrame) = {
+    val pos = posIdxOf(corpus, n)
+    (pos, pos.groupBy(col("ng")).agg(count(lit(1)).as("occ")))
+  }
+
+  private def posIdxOf(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
+        .as(Seq("pos", "ng")))
+
+  /** [[incrementalVerbatimRuns]] probing a PREBUILT corpus positional
+    * index + occurrence table — the production path where both were
+    * materialized at ingest. The occurrence cap stays probe-side (a
+    * probe parameter, not an index property); islands arithmetic is the
+    * shared [[islandsOf]], so the run lengths cannot fork from the
+    * inline spelling.
+    */
+  def incrementalVerbatimRunsFromIndex(corpusPosIndex: DataFrame,
+                                       corpusOcc: DataFrame,
+                                       batch: DataFrame,
+                                       n: Int = ShingleN,
+                                       minRunTokens: Int = 20,
+                                       maxOccFreq: Int = 1000): DataFrame = {
+    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    val cappedCorpus = corpusPosIndex.join(corpusOcc, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id").as("corpus_id"), col("pos").as("pos_c"), col("ng"))
-    val matches = posIdx(batch)
+    val matches = posIdxOf(batch, n)
       .join(cappedCorpus, "ng")
       .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"),
         col("pos").as("pos_a"), (col("pos") - col("pos_c")).as("diag"))
@@ -512,9 +545,7 @@ object Dedup {
     // of the window start, so "consecutive pos at one diagonal" == a
     // verbatim token span (tokens contain no separator spaces, so the
     // space-joined shingle string is injective on token windows)
-    val pos = docTexts.select(col("doc_id"),
-      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
-        .as(Seq("pos", "ng")))
+    val pos = posIdxOf(docTexts, n)
     val occ = pos.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
     // persisted: the capped positional index (explode + occ join) feeds
     // BOTH self-join sides, and exchange reuse does not canonicalize
@@ -663,17 +694,58 @@ object Dedup {
                          bands: Int = MinHashBands,
                          num: Int = 4, den: Int = 5,
                          maxBucket: Int = 10000): DataFrame = {
-    def bandKeys(sh: DataFrame) = sh.select(col("doc_id"),
+    val (corpusSh, corpusIdx) = nearDupIndexFrames(corpus, n, k, bands)
+    incrementalNearDupFromIndex(corpusSh.persist(), corpusIdx, batch,
+      n, k, bands, num, den, maxBucket)
+  }
+
+  /** The two corpus artifacts [[incrementalNearDup]] probes — the sorted
+    * shingle frame (doc_id, sh, sz) and the banded LSH index
+    * (doc_id, band, key) — as DataFrames ready to be written ONCE at
+    * ingest ([[graft.sources.DedupIndexes]] is the parquet spelling) and
+    * probed per delivery via [[incrementalNearDupFromIndex]].
+    */
+  def nearDupIndexFrames(corpus: DataFrame, n: Int = ShingleN,
+                         k: Int = MinHashK,
+                         bands: Int = MinHashBands): (DataFrame, DataFrame) = {
+    val sh = docShingles(corpus, n)
+    (sh, bandIndexOf(sh, k, bands))
+  }
+
+  /** The banded LSH index derived from an EXISTING shingle frame
+    * (doc_id, sh, sz) — lets an index build reuse a stored/persisted
+    * shingle frame instead of re-shingling text.
+    */
+  def bandIndexOf(sh: DataFrame, k: Int = MinHashK,
+                  bands: Int = MinHashBands): DataFrame =
+    sh.select(col("doc_id"),
       posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
         .as(Seq("band", "key")))
-    val corpusSh = docShingles(corpus, n).persist()
+
+  /** [[incrementalNearDup]] probing a PREBUILT corpus index — the
+    * production path where `corpusShingles` (doc_id, sh, sz) and
+    * `corpusBandIndex` (doc_id, band, key) were materialized at ingest
+    * (write once, probe per delivery) instead of derived inline. The
+    * bucket cap stays probe-side: it is a tuning parameter of the probe,
+    * not of the stored index, so one index serves every cap. Results are
+    * identical to the inline derivation by construction AND by spec
+    * (DedupIndexSpec round-trips both indexes through parquet).
+    */
+  def incrementalNearDupFromIndex(corpusShingles: DataFrame,
+                                  corpusBandIndex: DataFrame,
+                                  batch: DataFrame,
+                                  n: Int = ShingleN, k: Int = MinHashK,
+                                  bands: Int = MinHashBands,
+                                  num: Int = 4, den: Int = 5,
+                                  maxBucket: Int = 10000): DataFrame = {
+    val corpusSh = corpusShingles
     val batchSh = docShingles(batch, n).persist()
-    val corpusIdx = bandKeys(corpusSh)
+    val corpusIdx = corpusBandIndex
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("key"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val cands = bandKeys(batchSh)
+    val cands = bandIndexOf(batchSh, k, bands)
       .join(corpusIdx.withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
       .select(col("doc_id"), col("corpus_id"))
       .distinct()
