@@ -283,6 +283,88 @@ object StreamingOps {
       ()
     }.start()
 
+  /** Streaming VERBATIM-quote ingest via foreachBatch — the streaming
+    * front door to [[graft.operators.Dedup.incrementalVerbatimRuns]] and
+    * the last piece of the ingest family ([[ingestNewDocs]] = exact,
+    * [[ingestNewDocsNearDup]] = near-dup, this = verbatim): each
+    * micro-batch is collapsed on the exact content fingerprint,
+    * fingerprint-new docs PROBE the corpus positional index for shared
+    * verbatim runs of at least `minRunTokens` tokens, and every
+    * quote-heavy arrival is FLAGGED to `flagsDir` with its corpus
+    * sources — (doc_id, corpus_id, max_run_tokens) — before the batch
+    * is appended to `corpusDir`. Flagging, not dropping: a long shared
+    * span is a removal decision for a downstream
+    * [[graft.operators.Dedup.applyVerbatimCuts]] pass, not grounds to
+    * lose the rest of the document at the door.
+    *
+    * Idempotent under failure replay at every crash point: a
+    * re-delivered doc is fingerprint-caught (already in the corpus), so
+    * it neither re-appends nor re-probes; a crash BETWEEN the flag write
+    * and the corpus append re-derives the same flags on replay, and the
+    * (doc_id, corpus_id) anti-join against the flags already on disk
+    * drops them — flags and corpus rows each land exactly once.
+    *
+    * Within-batch quote pairs (two docs arriving together, one quoting
+    * the other) are out of scope by design — neither is in the corpus
+    * when the batch probes, and the compaction-time
+    * [[graft.operators.Dedup.verbatimRunPairs]] pass over the corpus is
+    * the operator that owns same-delivery pairs. Scale contract matches
+    * [[ingestNewDocsNearDup]]: the corpus NEVER self-joins; in
+    * production the positional index + occurrence table are MATERIALIZED
+    * ([[graft.sources.DedupIndexes]]) and probed via
+    * [[graft.operators.Dedup.incrementalVerbatimRunsFromIndex]]; here
+    * each batch derives them from the corpus read. Assumes it owns the
+    * session cache (clearCache per batch), like the other ingest sinks.
+    */
+  def ingestFlagVerbatim(lines: DataFrame, corpusDir: String, flagsDir: String,
+                         textCol: String = "value",
+                         minRunTokens: Int = 20,
+                         maxOccFreq: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val spark = batch.sparkSession
+      val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      val exactDeduped = batch
+        .select(fp.as("fingerprint"), col(textCol).as("text"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("text")).as("text"))
+        .withColumn("doc_id", xxhash64(col("fingerprint")))
+      def hasData(dir: String): Boolean = {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(path) && fs.listStatus(path).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+      val fresh =
+        if (hasData(corpusDir))
+          exactDeduped.join(
+            spark.read.parquet(corpusDir).select("fingerprint"),
+            Seq("fingerprint"), "left_anti").persist()
+        else exactDeduped.persist()
+      if (hasData(corpusDir)) {
+        val flags = graft.operators.Dedup.incrementalVerbatimRuns(
+          spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
+          fresh.select(col("doc_id"), col("text")),
+          minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
+        // flags BEFORE corpus append + anti-join against flags already
+        // written: exactly-once for both artifacts whichever side a
+        // crash lands on (see scaladoc)
+        val freshFlags =
+          if (hasData(flagsDir))
+            flags.join(spark.read.parquet(flagsDir)
+                .select(col("doc_id"), col("corpus_id")),
+              Seq("doc_id", "corpus_id"), "left_anti")
+          else flags
+        freshFlags.write.mode("append").parquet(flagsDir)
+      }
+      fresh.select(col("fingerprint"), col("text"), col("doc_id"))
+        .write.mode("append").parquet(corpusDir)
+      fresh.unpersist()
+      spark.catalog.clearCache() // drop incrementalVerbatimRuns' index cache
+      ()
+    }.start()
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

@@ -346,6 +346,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verbatim ingest flags a cross-batch quote with its corpus source; replay-idempotent") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-verbatim")
+    val corpusDir = base.resolve("corpus").toString
+    val flagsDir = base.resolve("flags").toString
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestFlagVerbatim(ms.toDF(), corpusDir, flagsDir)
+    try {
+      def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+      // seed: the future quote source (25-token quotable core) + an
+      // unrelated doc; nothing to flag at bootstrap
+      val source = s"${span(4, "h")} ${span(25, "q")} ${span(3, "t")}"
+      val clean1 = span(15, "w")
+      ms.addData(source, clean1)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).count() === 2)
+      assert(!new java.io.File(flagsDir).exists(),
+        "bootstrap batch probes nothing and writes no flags")
+      // batch 2: a doc quoting the 25-token core verbatim (different
+      // flanks) + a clean doc — exactly ONE flag row, naming the source
+      val quoter = s"${span(5, "x")} ${span(25, "q")} ${span(2, "y")}"
+      val clean2 = span(12, "z")
+      ms.addData(quoter, clean2)
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusDir)
+        .select("text", "doc_id").as[(String, Long)].collect().toMap
+      assert(ids.keySet === Set(source, clean1, quoter, clean2),
+        "flagging must not block the append — all four docs land")
+      val flags = spark.read.parquet(flagsDir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(flags === Set((ids(quoter), ids(source), 25L)),
+        "one flag: the quoter, its corpus source, the exact run length")
+      // failure replay: the same delivery again — fingerprint-caught, so
+      // no new corpus rows AND no duplicate flag rows
+      ms.addData(quoter, clean2)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).count() === 4)
+      assert(spark.read.parquet(flagsDir).count() === 1)
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
