@@ -93,6 +93,17 @@ object SparkEntry {
     // oracle certifies cross-engine regex parity on the identity path;
     // planted-PII behavior is spec-verified (TextAnalysisSpec)
     "q_pii_redact" -> (operators.TextAnalysis.redactPii _),
+    // redaction over docs with DETERMINISTIC planted PII (same construction
+    // as the oracle's PiiPlantedT0, byte for byte) — certifies Java/RE2
+    // regex parity on real matches, not just the identity path
+    "q_pii_redact_planted" -> ((s, d) => operators.TextAnalysis.redactPiiOn(
+      Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-4242 ref 90000"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      ).as("text")))),
     // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
     "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
     "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
@@ -390,28 +401,11 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM p""".stripMargin.trim),
     // sequential category redaction mirroring TextAnalysis.PiiCategories
-    // verbatim: each stage counts+replaces on the previous stage's text
-    "q_pii_redact" -> ("""
-      WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
-      s1 AS (SELECT doc_id,
-               CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-               regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-             FROM s0),
-      s2 AS (SELECT doc_id, n_email,
-               CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
-               regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2
-             FROM s1),
-      s3 AS (SELECT doc_id, n_email, n_ip,
-               CAST(len(regexp_extract_all(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
-               regexp_replace(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t3
-             FROM s2),
-      s4 AS (SELECT doc_id, n_email, n_ip, n_phone,
-               CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_id,
-               regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4
-             FROM s3)
-      SELECT doc_id, t4 AS redacted, n_email, n_ip, n_phone, n_id,
-             n_email + n_ip + n_phone + n_id AS n_pii
-      FROM s4""".stripMargin.trim),
+    // verbatim: each stage counts+replaces on the previous stage's text.
+    // The fixture is digit-free, so this row certifies the identity
+    // path; q_pii_redact_planted below certifies actual matches.
+    "q_pii_redact" -> piiRedactOracle("SELECT doc_id, text AS t0 FROM documents"),
+    "q_pii_redact_planted" -> piiRedactOracle(PiiPlantedT0),
     "q_mm_asset_stats" -> ("""
       SELECT CASE CAST(doc_id % 3 AS INTEGER)
                WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
@@ -942,6 +936,47 @@ object SparkEntry {
     require(Dedup.ShingleN == 3,
       s"ngramJaccardOracle SQL hard-codes 3-gram shingles but Dedup.ShingleN=${Dedup.ShingleN}")
   }
+
+  /** Planted-PII t0 construction for q_pii_redact_planted: deterministic
+    * synthetic email/IP/phone/9-digit-ID appended to every doc's
+    * (digit-free) text, derived only from doc_id so the Spark side can
+    * build the byte-identical string. This makes the DuckDB oracle
+    * certify Java-regex vs RE2 parity on ACTUAL matches and
+    * replacements — the round-7 advisor gap: q_pii_redact alone only
+    * certified the identity path.
+    */
+  private val PiiPlantedT0 =
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || " +
+      "'-4242 ref 90000' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "AS t0 FROM documents"
+
+  /** The q_pii_redact oracle body over any (doc_id, t0) source select —
+    * shared by the identity-path and planted-PII rows so the category
+    * patterns/order cannot fork between them.
+    */
+  private def piiRedactOracle(t0Select: String): String = s"""
+    WITH s0 AS ($t0Select),
+    s1 AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM s0),
+    s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+             regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ip,
+             CAST(len(regexp_extract_all(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phone,
+             regexp_replace(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ip, n_phone,
+             CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_id,
+             regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4
+           FROM s3)
+    SELECT doc_id, t4 AS redacted, n_email, n_ip, n_phone, n_id,
+           n_email + n_ip + n_phone + n_id AS n_pii
+    FROM s4""".stripMargin.trim
 
   /** Exact word-3-gram Jaccard pairs at threshold num/den, in DuckDB SQL.
     * Integer-threshold arithmetic: j >= num/den ⇔ (den+num)*inter >=

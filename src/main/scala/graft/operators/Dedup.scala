@@ -591,13 +591,16 @@ object Dedup {
   def selfRepeatsOn(docTexts: DataFrame, n: Int = ShingleN,
                     minRepTokens: Int = 20, maxOccFreq: Int = 1000): DataFrame = {
     require(minRepTokens >= n, s"minRepTokens=$minRepTokens must be >= n=$n")
-    val pos = docTexts.select(col("doc_id"),
-      posexplode(graft.functions.WordShingles.wordNgrams(col("text"), n))
-        .as(Seq("pos", "ng")))
+    val pos = posIdxOf(docTexts, n)
     val occ = pos.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+    // persisted: the capped positional index feeds BOTH self-join sides
+    // and exchange reuse is not guaranteed across them — same
+    // caller-owned clearCache() contract as [[runIslands]] (the explode
+    // + occurrence join would otherwise run twice)
     val capped = pos.join(occ, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id"), col("pos"), col("ng"))
+      .persist()
     // doc_b = doc_id keeps the islandsOf contract; diag > 0 by pos_a >
     // pos_b, so each unordered occurrence pair is seen once
     val matches = capped.as("x").join(capped.as("y"),

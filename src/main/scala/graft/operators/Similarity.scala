@@ -201,11 +201,20 @@ object Similarity {
   /** Memoized coarse quantizers: the k-means fit is INDEX BUILD, not
     * query work — in production the quantizer is trained once (on a
     * sample) and shipped to every query, exactly like a table isn't
-    * re-bucketed per join. Keyed by (data dir, nlist); deterministic
-    * (seeded), so the cache never changes a result.
+    * re-bucketed per join. Keyed by (caller key, nlist, DATA
+    * FINGERPRINT): the fingerprint — row count + order-insensitive
+    * xxhash64 sum over vec_id, one ids-only aggregate per fit request —
+    * means a caller reusing a key for a DIFFERENT frame gets a fresh
+    * fit instead of silently degraded cells (round-7 advisor item; the
+    * old contract only warned in the scaladoc). Deterministic (seeded),
+    * so the cache never changes a result. Memo lifetime is the process:
+    * a long-lived service re-fits at most once per (key, nlist,
+    * fingerprint) and entries are never evicted — bounded in practice
+    * by the handful of distinct corpora a process serves; restart (or a
+    * changed fingerprint) is the invalidation story.
     */
   private val quantizers =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long, Long), Seq[Seq[Double]]]
 
   def annTopKIvf(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
@@ -280,12 +289,11 @@ object Similarity {
       threshold, nlist, nassign)
 
   /** [[semanticDedup]] over any (vec_id, embedding) DataFrame. `qKey`
-    * keys the process-wide memoized quantizer and MUST identify the
-    * data: passing a key already used for a different frame (e.g. the
-    * sfDir after filtering the table) silently reuses centroids fit on
-    * other data — cells degrade and recall drops with no error. Use a
-    * fresh key per distinct input; the memo exists because the fit is
-    * index BUILD, not query work.
+    * labels the process-wide memoized quantizer; since round 8 the memo
+    * key also folds in a data fingerprint (count + vec_id hash XOR), so
+    * reusing a label for a different frame re-fits instead of silently
+    * degrading recall on stale centroids (SimilaritySpec asserts it).
+    * The memo exists because the fit is index BUILD, not query work.
     */
   def semanticDedupOn(spark: SparkSession, emb: DataFrame, qKey: String,
                       threshold: Double = 0.45, nlist: Int = 16,
@@ -328,16 +336,25 @@ object Similarity {
 
   /** Memoized coarse-quantizer fit (see [[quantizers]]): L2 k-means over
     * unit-normalized vectors ranks cells identically to cosine
-    * (||q-c||² = 2 - 2·cos on unit vectors); deterministic via fixed seed.
+    * (||q-c||² = 2 - 2·cos on unit vectors); deterministic via fixed
+    * seed. The ids-only fingerprint aggregate runs per request — a scan
+    * of one column, orders of magnitude cheaper than the k-means fit it
+    * guards against reusing on the wrong data.
     */
-  private def fitQuantizer(emb: DataFrame, key: String, nlist: Int): Seq[Seq[Double]] =
-    quantizers.getOrElseUpdate((key, nlist), {
+  private def fitQuantizer(emb: DataFrame, key: String, nlist: Int): Seq[Seq[Double]] = {
+    // bit_xor, not sum: order-insensitive like sum but cannot overflow
+    // (ANSI mode would throw on a long sum of 64-bit hashes)
+    val fpRow = emb.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("h")).head()
+    quantizers.getOrElseUpdate((key, nlist, fpRow.getLong(0), fpRow.getLong(1)), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
       val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
       model.clusterCenters.map(_.toArray.toSeq).toSeq
     })
+  }
 
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,

@@ -601,9 +601,11 @@ object TextAnalysis {
     redactPiiOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
   /** [[redactPii]] over any (doc_id, text) DataFrame — the spec drives
-    * planted PII docs (the synthetic fixture contains no digits at all,
-    * so the driver oracle certifies cross-engine regex parity on the
-    * identity path; behavioral evidence lives in TextAnalysisSpec).
+    * planted PII docs, and the q_pii_redact_planted driver query appends
+    * deterministic synthetic PII to every fixture doc so the DuckDB
+    * oracle certifies Java-vs-RE2 parity on actual matches and
+    * replacements (q_pii_redact alone, over the digit-free fixture,
+    * certifies the identity path).
     */
   def redactPiiOn(docTexts: DataFrame): DataFrame = {
     val start = docTexts.select(col("doc_id"), col("text").as("t0"))

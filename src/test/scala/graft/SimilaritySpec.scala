@@ -68,6 +68,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizer memo refits when a reused key carries different data") {
+    // half the table under a label, then the FULL table under the SAME
+    // label: before the fingerprinted memo key (round-8) the second call
+    // silently reused centroids fit on the half — now it must behave
+    // exactly like a fresh label on the full table
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter($"vec_id" % 2 === 0)
+    Similarity.semanticDedupOn(spark, half, "memo-reuse-spec")
+      .collect() // populate the memo under the label with HALF's data
+    val reused = Similarity.semanticDedupOn(spark, emb, "memo-reuse-spec")
+      .as[(Long, Long, Long)].collect().toSet
+    val fresh = Similarity.semanticDedupOn(spark, emb, "memo-reuse-spec-fresh")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reused === fresh,
+      "a reused label with different data must refit, not serve stale cells")
+  }
+
   test("near-dup plan is a blocked equi-join: no cartesian/nested-loop operator") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
