@@ -99,11 +99,12 @@ object Bench {
     // whole contract line inside the window: millisecond precision is
     // plenty for per-query diagnostics and keeps 61 queries ≈ 1.7 kB.
     def ms(sec: Double) = BigDecimal(sec).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    // centisecond precision INSIDE the per-query map: at 73 queries the
-    // millisecond spelling is ~1.93 kB — one more round of query growth
-    // would push the map's head out of the window; bench_detail.json
-    // keeps full milliseconds for triage
-    def cs(sec: Double) = BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // DECIsecond precision INSIDE the per-query map: at 78 queries the
+    // centisecond spelling hit 1976 chars, which plus the trailing
+    // total-only line overflows the 2000-char tail window and the map
+    // stops parsing driver-side; one decimal keeps map+total ≈ 1.97 kB.
+    // Tracked BENCH_DETAIL.json keeps full milliseconds for triage.
+    def cs(sec: Double) = BigDecimal(sec).setScale(1, BigDecimal.RoundingMode.HALF_UP)
     // queries stays strictly {"name": seconds} for the driver; failures
     // are reported in a parallel "query_errors" object (omitted when
     // empty — every byte counts against the 2000-char tail window)
@@ -131,7 +132,9 @@ object Bench {
       // fast-query regressions diffable round-over-round (judge request)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
+    // no "sf" on the map line — every byte counts against the tail
+    // window and the trailing total-only line carries it
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField}""")
     spark.stop()
     // Re-print the headline total LAST, after spark.stop(), so a
     // last-JSON-line parser finds it even if future query growth pushes

@@ -34,6 +34,9 @@ import graft.operators.{AsOf, Dedup, Relational}
   *     boilerplate with maxOccFreq below its occurrence count — the
   *     preamble shingle alone would otherwise contribute (500·factor)²
   *     position-pair rows to the run detector;
+  *   - [[Dedup.applyVerbatimCuts]] end to end (detector + interval merge
+  *     + per-row cut) — the removal pass must track the detector's
+  *     linear growth, never add a super-linear term of its own
   *   - [[Dedup.incrementalVerbatimRuns]] with a factor-sized corpus and
   *     a base-sized delivery batch (time tracks the corpus positional
   *     index build — linear, never corpus²);
@@ -154,6 +157,15 @@ object ScaleSmoke {
         Dedup.verbatimRunPairsOn(adv, maxOccFreq = 100).count())
       spark.catalog.clearCache()
 
+      // span-removal pass end to end: detector + interval merge + cut.
+      // Replicas share no shingles, so spans (and cut work) scale
+      // linearly; the cut itself is a per-row projection over a per-doc
+      // window — nothing in the pass can exceed the detector's growth
+      val (tVc, nVc) = timeIt(Dedup.applyVerbatimCuts(docs,
+        Dedup.verbatimRunSpansOn(docs, minRunTokens = 3))
+        .filter(col("n_tokens_removed") > 0).count())
+      spark.catalog.clearCache()
+
       // incremental ingest: corpus grows with the factor, the delivery
       // batch stays base-sized — time must track the corpus SCAN
       // (linear), with the anti-join shuffling only fingerprints. Half
@@ -232,6 +244,7 @@ object ScaleSmoke {
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +
         s""""verbatim_adv_sec":$tVrAdv,"verbatim_adv_pairs":$nVrAdv,""" +
+        s""""verbatim_clean_sec":$tVc,"verbatim_clean_docs":$nVc,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
         s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
         s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")
