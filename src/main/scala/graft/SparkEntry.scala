@@ -144,6 +144,14 @@ object SparkEntry {
     // out at 5 tokens; real-threshold (>= 20) behavior is spec-driven
     // with planted repeating docs
     "q_self_repeats" -> ((s, d) => operators.Dedup.selfRepeats(s, d, minRepTokens = 3)),
+    // self-repeats at the REAL threshold (default 20): every doc's text
+    // doubled on BOTH engines, so each >=20-token doc carries a genuine
+    // >=20-token self-copy and the oracle certifies the islands
+    // arithmetic where the operator actually runs (the r7 verdict's
+    // "artificially low threshold" caveat)
+    "q_self_repeats_planted" -> ((s, d) => operators.Dedup.selfRepeatsOn(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     // same contracts probing the MATERIALIZED (parquet) corpus indexes —
@@ -743,6 +751,29 @@ object SparkEntry {
       SELECT doc_id, CAST(MAX(run_tokens) AS BIGINT) AS max_rep_tokens
       FROM runs GROUP BY doc_id
       HAVING MAX(run_tokens) >= 3""".stripMargin.trim),
+    // the planted twin at the real threshold: text doubled (t0 = text
+    // || ' ' || text), so the >= 20 HAVING bites — validated: exactly
+    // the 457 docs with >= 20 tokens qualify at sf0.01, runs 20..99
+    "q_self_repeats_planted" -> ("""
+      WITH d AS (SELECT doc_id, text || ' ' || text AS t0 FROM documents),
+      w AS (SELECT doc_id, string_split(t0, ' ') AS ws FROM d),
+      g AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      f AS (SELECT ng, COUNT(*) AS occ FROM g GROUP BY ng),
+      gc AS (SELECT g.doc_id, g.pos, g.ng FROM g JOIN f USING (ng) WHERE occ <= 1000),
+      m AS (SELECT a.doc_id, a.pos AS pos_a, a.pos - b.pos AS diag
+            FROM gc a JOIN gc b
+              ON a.ng = b.ng AND a.doc_id = b.doc_id AND a.pos > b.pos),
+      r AS (SELECT doc_id, diag,
+                   pos_a - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                                              ORDER BY pos_a) AS grp
+            FROM m),
+      runs AS (SELECT doc_id, COUNT(*) + 2 AS run_tokens
+               FROM r GROUP BY doc_id, diag, grp)
+      SELECT doc_id, CAST(MAX(run_tokens) AS BIGINT) AS max_rep_tokens
+      FROM runs GROUP BY doc_id
+      HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint.
