@@ -418,6 +418,48 @@ object Dedup {
     * no explode of the corpus tokens, no shuffle of text bytes beyond
     * the one doc_id join.
     */
+  /** [[applyVerbatimCuts]] iterated to a FIXPOINT. A single pass can
+    * leave detectable runs behind: cutting butt-joins a span's flanks,
+    * and the spliced text can coincidentally equal a span of some third
+    * doc (planted in DedupSpec: "p q X Y Z r s" loses "X Y Z" and the
+    * remaining "p q r s" now matches another doc verbatim). One pass is
+    * the production default — natural text makes seam rematches rare
+    * (the fixture has zero) and ExactSubstr-style pipelines accept the
+    * tail; this spelling is the compaction-job variant for corpora
+    * where the tail matters. Terminates: every cutting round removes at
+    * least `minRunTokens` tokens from at least one doc, and `maxRounds`
+    * guards adversarial corpora. The per-round isEmpty probe and the
+    * round counter are control plane (one boolean per round — the data
+    * path stays distributed); lineage is truncated per round via
+    * localCheckpoint exactly like [[clusterPairs]]' propagation loop.
+    * Caller owns cache cleanup after it returns (the per-round detector
+    * persists its capped index — same contract as [[verbatimRunSpansOn]]).
+    */
+  def verbatimCleanFixpoint(docTexts: DataFrame, n: Int = ShingleN,
+                            minRunTokens: Int = 20, maxOccFreq: Int = 1000,
+                            maxRounds: Int = 8): DataFrame = {
+    var cur = docTexts.select(col("doc_id"), col("text"),
+      lit(0L).as("n_tokens_removed"))
+    var round = 0
+    var clean = false
+    while (!clean && round < maxRounds) {
+      val docs = cur.select(col("doc_id"), col("text"))
+      val spans = verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq)
+      if (spans.isEmpty) clean = true
+      else {
+        val cut = applyVerbatimCuts(docs, spans)
+        cur = cut.as("c")
+          .join(cur.select(col("doc_id"), col("n_tokens_removed").as("prev")),
+            "doc_id")
+          .select(col("doc_id"), col("c.text").as("text"),
+            (col("prev") + col("c.n_tokens_removed")).as("n_tokens_removed"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    cur
+  }
+
   def applyVerbatimCuts(docTexts: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans.select(col("doc_b").as("doc_id"),
       col("b_start").as("s"), (col("b_start") + col("run_tokens")).as("e"))

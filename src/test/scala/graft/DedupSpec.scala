@@ -241,6 +241,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verbatimCleanFixpoint clears a planted seam rematch one pass leaves behind") {
+    // cutting "X Y Z" out of doc2 butt-joins its flanks into "p q r s" —
+    // which coincidentally equals doc0, a run one pass cannot see
+    // because it only exists AFTER the cut
+    val docs = Seq(
+      (0L, "p q r s"), (1L, "X Y Z"), (2L, "p q X Y Z r s")
+    ).toDF("doc_id", "text")
+    val onePass = Dedup.applyVerbatimCuts(docs,
+      Dedup.verbatimRunSpansOn(docs, minRunTokens = 3))
+    assert(Dedup.verbatimRunPairsOn(onePass.select($"doc_id", $"text"),
+        minRunTokens = 3).count() === 1L,
+      "one pass must leave the seam-created (0,2) run — the fixpoint's raison d'etre")
+    val fixed = Dedup.verbatimCleanFixpoint(docs, minRunTokens = 3)
+    val got = fixed.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) === (("p q r s", 0L)) && got(1L) === (("X Y Z", 0L)),
+      "lower-id sources stay untouched through every round")
+    assert(got(2L) === (("", 7L)),
+      "doc2 loses the quote (3) then the seam rematch (4): 7 total")
+    assert(Dedup.verbatimRunPairsOn(fixed.select($"doc_id", $"text"),
+        minRunTokens = 3).count() === 0L,
+      "fixpoint output must re-detect clean")
+  }
+
   test("self-repeats equal a driver-side longest-repeated-substring scan") {
     // brute force: for every alignment offset d >= 1, the longest run of
     // positions i with tokens(i) == tokens(i-d) is the longest repeated

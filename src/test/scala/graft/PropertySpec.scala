@@ -216,6 +216,65 @@ class PropertySpec extends SparkSpec {
     check("verbatimRuns", prop, n = 10)
   }
 
+  test("applyVerbatimCuts equals a driver-side splice on random corpora") {
+    import org.apache.spark.sql.functions.col
+    // tiny vocabulary: overlapping spans on one doc and multi-span pairs
+    // are common, exercising the interval merge where it matters. The
+    // reference implementation recomputes spans from first principles
+    // (token-window scan), merges [s, e) intervals, and splices.
+    val tok = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .applyVerbatimCuts(df, graft.operators.Dedup
+          .verbatimRunSpansOn(df, minRunTokens = 3, maxOccFreq = 1000000))
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      spark.catalog.clearCache()
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      // spans from first principles: for every (a < b) and alignment, the
+      // maximal equal token runs >= 3, as [s, e) on the HIGHER-id doc
+      val ivs = (for {
+        (a, ta) <- toks.toSeq; (b, tb) <- toks.toSeq if a < b
+        off <- -(tb.length - 1) to (ta.length - 1)
+        run <- {
+          val pairs = (math.max(0, off) until math.min(ta.length, tb.length + off))
+            .map(i => (i, ta(i) == tb(i - off)))
+          // maximal true-runs along this alignment
+          val runs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          var st = -1
+          pairs.foreach { case (i, eq) =>
+            if (eq && st < 0) st = i
+            if (!eq && st >= 0) { runs += ((st, i)); st = -1 }
+          }
+          if (st >= 0) runs += ((st, pairs.last._1 + 1))
+          runs.toSeq
+        }
+        if run._2 - run._1 >= 3
+      } yield b -> ((run._1 - off, run._2 - off))) // b-side coordinates
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      docs.forall { case (id, _) =>
+        val t = toks(id)
+        val merged = ivs.get(id).map { spans =>
+          val sorted = spans.sortBy(x => (x._1, x._2))
+          sorted.tail.foldLeft(List(sorted.head)) { case (acc, (s, e)) =>
+            if (s <= acc.head._2) (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+            else (s, e) :: acc
+          }.reverse
+        }.getOrElse(Nil)
+        val kept = t.zipWithIndex.collect {
+          case (w, i) if !merged.exists(iv => i >= iv._1 && i < iv._2) => w
+        }
+        val removed = t.length - kept.length
+        got(id) == ((kept.mkString(" "), removed.toLong))
+      }
+    }
+    check("applyVerbatimCuts", prop, n = 10)
+  }
+
   test("connected components equal union-find on random graphs") {
     def unionFind(pairs: Set[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
