@@ -132,9 +132,12 @@ object Bench {
       // fast-query regressions diffable round-over-round (judge request)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    // no "sf" on the map line — every byte counts against the tail
-    // window and the trailing total-only line carries it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errsField}""")
+    // no "sf"/"unit" on the map line — every byte counts against the
+    // 2000-char tail window (80 queries ≈ 1.93 kB + the 76-char total
+    // line) and the trailing total-only line carries the full schema;
+    // if a schema-strict parser skips this line it still lands on the
+    // total-only line below
+    println(s"""{"metric":"total","value":$total,"queries":$qs$errsField}""")
     spark.stop()
     // Re-print the headline total LAST, after spark.stop(), so a
     // last-JSON-line parser finds it even if future query growth pushes

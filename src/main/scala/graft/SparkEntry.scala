@@ -152,6 +152,15 @@ object SparkEntry {
     "q_self_repeats_planted" -> ((s, d) => operators.Dedup.selfRepeatsOn(
       Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text")))),
+    // CCNet-style boilerplate-line removal over deterministic planted
+    // 3-line docs (constant header + own text + doc_id%5 footer, same
+    // construction in the oracle): header df=500 and footer df~100 are
+    // struck at minDocFreq=50, each doc's own line survives
+    "q_line_dedup" -> ((s, d) => operators.Dedup.stripCommonLines(
+      Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("shared header boilerplate\n"), col("text"),
+        lit("\nfooter group "), (col("doc_id") % 5).cast("string")
+      ).as("text")), minDocFreq = 50)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     // same contracts probing the MATERIALIZED (parquet) corpus indexes —
@@ -774,6 +783,23 @@ object SparkEntry {
       SELECT doc_id, CAST(MAX(run_tokens) AS BIGINT) AS max_rep_tokens
       FROM runs GROUP BY doc_id
       HAVING MAX(run_tokens) >= 20""".stripMargin.trim),
+    // line doc-frequency strike: planted 3-line docs, lines with
+    // COUNT(DISTINCT doc_id) >= 50 struck, kept lines rejoined in order
+    "q_line_dedup" -> ("""
+      WITH d AS (SELECT doc_id, 'shared header boilerplate' || chr(10) || text ||
+                        chr(10) || 'footer group ' || CAST(doc_id % 5 AS VARCHAR) AS t0
+                 FROM documents),
+      w AS (SELECT doc_id, string_split(t0, chr(10)) AS ls FROM d),
+      l AS (SELECT doc_id, i AS pos, ls[i] AS line
+            FROM w, (SELECT unnest(generate_series(1, len(ls))) AS i)),
+      f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line),
+      k AS (SELECT doc_id, pos, l.line FROM l JOIN f USING (line) WHERE df < 50),
+      kc AS (SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+                    COUNT(*) AS n_kept FROM k GROUP BY doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(kc.text, '') AS text,
+             CAST(c.n - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_lines_removed
+      FROM cnt c LEFT JOIN kc USING (doc_id)""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the
     // split key is the cluster REPRESENTATIVE's fingerprint.

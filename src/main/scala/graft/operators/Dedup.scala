@@ -388,6 +388,47 @@ object Dedup {
         col("run_tokens"))
   }
 
+  /** CCNet/RefinedWeb-style boilerplate LINE removal: strike every line
+    * that occurs in at least `minDocFreq` DISTINCT docs (site headers,
+    * navigation, cookie banners — text duplicated across a source at a
+    * granularity neither doc-level dedup nor span-level
+    * [[applyVerbatimCuts]] targets), and re-emit each doc from its kept
+    * lines in original order. Output: (doc_id, text = kept lines joined
+    * by newline, n_lines_removed), one row per input doc. Lines compare
+    * RAW — compose with lower/trim normalization upstream if the source
+    * needs it; doc frequency is per-doc (a line repeated within one doc
+    * counts once toward the threshold and is kept or struck as a unit).
+    *
+    * Scale design (100 TB): explode to (doc, pos, line) — linear; ONE
+    * hash aggregation for line doc-frequencies and one equi-join back on
+    * the line string (at scale, key both on xxhash64(line) — the same
+    * 8-byte-key trade [[wordset]] documents; string keys here keep the
+    * oracle exact); reassembly is a per-doc aggregation whose
+    * collect_list is bounded by a single doc's line count. No window
+    * over anything wider than one doc, no self-join.
+    */
+  def stripCommonLines(docTexts: DataFrame, minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq=$minDocFreq must be >= 2")
+    val lines = docTexts.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = lines.join(lineDf, "line")
+      .filter(col("df") < minDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("text"))
+    docTexts.select(col("doc_id"),
+        size(split(col("text"), "\n")).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_lines_removed"))
+  }
+
   /** The verbatim-dedup REMOVAL pass: the cleaned corpus after cutting
     * every [[verbatimRunSpansOn]] span from its HIGHER-id doc — the
     * ExactSubstr policy (Lee et al. 2021: keep one copy, cut the rest),

@@ -241,6 +241,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripCommonLines strikes boilerplate lines at the doc-frequency threshold") {
+    val docs = Seq(
+      (1L, "H\na b\nF1"), (2L, "H\nc d\nF1"), (3L, "H\ne f\nF2"),
+      (4L, "X\nX\ng h")
+    ).toDF("doc_id", "text")
+    def run(k: Int) = Dedup.stripCommonLines(docs, minDocFreq = k)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // k=3: only H (df=3) is struck; F1 (df=2), F2 (df=1) survive
+    assert(run(3) === Map(
+      1L -> (("a b\nF1", 1L)), 2L -> (("c d\nF1", 1L)),
+      3L -> (("e f\nF2", 1L)), 4L -> (("X\nX\ng h", 0L))),
+      "df counts DISTINCT docs: doc4's repeated X (df=1) must survive")
+    // k=2: F1 struck too; a line repeated within ONE doc still has df=1
+    assert(run(2) === Map(
+      1L -> (("a b", 2L)), 2L -> (("c d", 2L)),
+      3L -> (("e f\nF2", 1L)), 4L -> (("X\nX\ng h", 0L))))
+    // a doc that is ALL boilerplate empties out but stays in the corpus
+    val allBoiler = (docs.as[(Long, String)].collect().toSeq :+
+      ((5L, "H\nF1"))).toDF("doc_id", "text")
+    val got = Dedup.stripCommonLines(allBoiler, minDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(5L) === (("", 2L)), "fully-boilerplate doc empties, row kept")
+  }
+
   test("verbatimCleanFixpoint clears a planted seam rematch one pass leaves behind") {
     // cutting "X Y Z" out of doc2 butt-joins its flanks into "p q r s" —
     // which coincidentally equals doc0, a run one pass cannot see
