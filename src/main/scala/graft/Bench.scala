@@ -118,19 +118,25 @@ object Bench {
     // round-over-round delta noise or real?) — never stdout: the driver's
     // 2000-char tail window must stay reserved for the contract line.
     try {
+      // per-entry "reps": the noisy-query override means sample counts
+      // differ per query — the spread is only judgeable next to its own
+      // sample size, so the top-level field records the BASE count only
       val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, _)) =>
-        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)}}"""
+        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}}"""
       }.mkString("{", ",", "}")
       val payload =
-        s"""{"reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8")
+        s"""{"base_reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, payload)
       // ALSO to a git-tracked path: the driver captures only the 2000-char
       // stdout tail, so the per-query spread would otherwise never leave
       // the machine — committing BENCH_DETAIL.json each round keeps
-      // fast-query regressions diffable round-over-round (judge request)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
+      // fast-query regressions diffable round-over-round (judge request).
+      // NEVER from a SPARK_GRAFT_BENCH_ONLY triage run: a filtered map
+      // would clobber the tracked full-suite detail with a partial one.
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // no "sf"/"unit" on the map line — every byte counts against the
     // 2000-char tail window (80 queries ≈ 1.93 kB + the 76-char total

@@ -398,6 +398,11 @@ object Dedup {
     * RAW — compose with lower/trim normalization upstream if the source
     * needs it; doc frequency is per-doc (a line repeated within one doc
     * counts once toward the threshold and is kept or struck as a unit).
+    * BLANK lines (empty or whitespace-only) are exempt from striking:
+    * they are paragraph STRUCTURE, not boilerplate content — a corpus
+    * where 50+ docs use blank-line paragraph breaks must not have its
+    * paragraphs collapsed corpus-wide (CCNet exempts short lines for the
+    * same reason; stricter short-line policies compose upstream).
     *
     * Scale design (100 TB): explode to (doc, pos, line) — linear; ONE
     * hash aggregation for line doc-frequencies and one equi-join back on
@@ -414,7 +419,7 @@ object Dedup {
     val lineDf = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val kept = lines.join(lineDf, "line")
-      .filter(col("df") < minDocFreq)
+      .filter(col("df") < minDocFreq || trim(col("line")) === "")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -473,19 +478,27 @@ object Dedup {
     * round counter are control plane (one boolean per round — the data
     * path stays distributed); lineage is truncated per round via
     * localCheckpoint exactly like [[clusterPairs]]' propagation loop.
-    * Caller owns cache cleanup after it returns (the per-round detector
-    * persists its capped index — same contract as [[verbatimRunSpansOn]]).
+    * Each round's spans are persisted for the isEmpty-probe + cut pair
+    * and dropped with the WHOLE session cache once the round's output
+    * is checkpointed — so, like the streaming ingest sinks, this
+    * compaction-job spelling assumes it owns its session's cache
+    * (otherwise up to maxRounds corpus-scale capped indexes would stay
+    * pinned simultaneously).
     */
   def verbatimCleanFixpoint(docTexts: DataFrame, n: Int = ShingleN,
                             minRunTokens: Int = 20, maxOccFreq: Int = 1000,
                             maxRounds: Int = 8): DataFrame = {
+    val spark = docTexts.sparkSession
     var cur = docTexts.select(col("doc_id"), col("text"),
       lit(0L).as("n_tokens_removed"))
     var round = 0
     var clean = false
     while (!clean && round < maxRounds) {
       val docs = cur.select(col("doc_id"), col("text"))
+      // persisted: the isEmpty probe and the cut below both consume it —
+      // without the mark the detector pipeline would run twice per round
       val spans = verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq)
+        .persist()
       if (spans.isEmpty) clean = true
       else {
         val cut = applyVerbatimCuts(docs, spans)
@@ -496,6 +509,9 @@ object Dedup {
             (col("prev") + col("c.n_tokens_removed")).as("n_tokens_removed"))
           .localCheckpoint()
       }
+      // the round's output is materialized (or empty) — drop the round's
+      // spans AND the detector's internal capped-index persist
+      spark.catalog.clearCache()
       round += 1
     }
     cur

@@ -203,10 +203,16 @@ object Similarity {
     * sample) and shipped to every query, exactly like a table isn't
     * re-bucketed per join. Keyed by (caller key, nlist, DATA
     * FINGERPRINT): the fingerprint — row count + order-insensitive
-    * xxhash64 sum over vec_id, one ids-only aggregate per fit request —
-    * means a caller reusing a key for a DIFFERENT frame gets a fresh
-    * fit instead of silently degraded cells (round-7 advisor item; the
-    * old contract only warned in the scaladoc). Deterministic (seeded),
+    * bit_xor of xxhash64(vec_id, embedding), one aggregate per fit
+    * request — means a caller reusing a key for a DIFFERENT frame
+    * (different rows OR the same ids re-embedded with a new model) gets
+    * a fresh fit instead of silently degraded cells (round-7 advisor
+    * item; the old contract only warned in the scaladoc). XOR can in
+    * principle cancel across PAIRS of identical whole rows, but two
+    * frames colliding on (count, xor) while differing in content
+    * requires duplicate-row choreography no real corpus performs — and
+    * the failure mode is a stale fit, not a wrong result (candidates
+    * are exact-verified downstream). Deterministic (seeded),
     * so the cache never changes a result. Memo lifetime is the process:
     * a long-lived service re-fits at most once per (key, nlist,
     * fingerprint) and entries are never evicted — bounded in practice
@@ -343,10 +349,11 @@ object Similarity {
     */
   private def fitQuantizer(emb: DataFrame, key: String, nlist: Int): Seq[Seq[Double]] = {
     // bit_xor, not sum: order-insensitive like sum but cannot overflow
-    // (ANSI mode would throw on a long sum of 64-bit hashes)
+    // (ANSI mode would throw on a long sum of 64-bit hashes). The hash
+    // covers ids AND embedding values — same ids re-embedded must miss
     val fpRow = emb.agg(
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("h")).head()
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
     quantizers.getOrElseUpdate((key, nlist, fpRow.getLong(0), fpRow.getLong(1)), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector

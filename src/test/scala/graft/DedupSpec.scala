@@ -264,6 +264,15 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.stripCommonLines(allBoiler, minDocFreq = 2)
       .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(5L) === (("", 2L)), "fully-boilerplate doc empties, row kept")
+    // blank lines are paragraph STRUCTURE, not boilerplate: a blank
+    // separator present in every doc (df over threshold) must survive
+    val para = Seq((1L, "H\n\na"), (2L, "H\n\nb"), (3L, "H\n\nc"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.stripCommonLines(para, minDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(kept === Map(1L -> (("\na", 1L)), 2L -> (("\nb", 1L)),
+      3L -> (("\nc", 1L))),
+      "header struck, blank separator exempt from striking")
   }
 
   test("verbatimCleanFixpoint clears a planted seam rematch one pass leaves behind") {
