@@ -68,6 +68,11 @@ object Bench {
     val noisyReps = Set("q_ngram_jaccard", "q_verbatim_spans",
       "q_verbatim_runs", "q_embed_ann_lsh", "q_lineitem_rollup",
       "q_semantic_dedup")
+    // a renamed/removed query must fail loudly here too — otherwise the
+    // 5-rep override silently stops applying and the noisy tail's median
+    // quietly degrades back to 3 samples (mirrors the BENCH_ONLY guard)
+    require((noisyReps -- SparkEntry.queries.keySet).isEmpty,
+      s"noisyReps names unknown queries: ${(noisyReps -- SparkEntry.queries.keySet).mkString(", ")}")
     def repsFor(name: String): Int =
       if (noisyReps(name)) math.max(reps, 5) else reps
     val allSamples: Map[String, (Seq[Double], Option[String])] =
@@ -138,18 +143,49 @@ object Bench {
       if (only.isEmpty)
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    // no "sf"/"unit" on the map line — every byte counts against the
-    // 2000-char tail window (80 queries ≈ 1.93 kB + the 76-char total
-    // line) and the trailing total-only line carries the full schema;
-    // if a schema-strict parser skips this line it still lands on the
-    // total-only line below
-    println(s"""{"metric":"total","value":$total,"queries":$qs$errsField}""")
+    val lines = BenchContract.lines(total.toString, qs, errsField, sfDir)
+    lines.init.foreach(println)
     spark.stop()
-    // Re-print the headline total LAST, after spark.stop(), so a
+    // The headline total prints LAST, after spark.stop(), so a
     // last-JSON-line parser finds it even if future query growth pushes
     // the long line's head back out of the tail window. Same metric
     // name on purpose: the driver records ONE parsed object, so either
     // line parsing yields the same total (no summing consumer exists).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(lines.last)
+  }
+}
+
+/** The stdout contract-line assembly, factored out so its one hard
+  * invariant is unit-testable without a SparkSession: the driver
+  * captures only the LAST `TailWindow` chars of merged output and
+  * line-scans them for JSON, so EVERYTHING printed must fit that window
+  * REGARDLESS of how many queries the suite grows to. At 80 queries the
+  * per-query map line sits at ~1.93 kB — one more query would push the
+  * window past 2000 and the driver's tail parse would truncate
+  * mid-line. The formatter therefore keeps the per-query map only while
+  * it provably fits next to the total-only line; past that it drops the
+  * map from STDOUT entirely (BENCH_DETAIL.json is the tracked per-query
+  * artifact — stdout never was the triage surface) rather than letting
+  * growth silently break the parse.
+  */
+object BenchContract {
+  /** The driver's documented stdout-tail capture size. */
+  val TailWindow = 2000
+
+  /** The lines to print, in order; the LAST line is always the compact
+    * full-schema total (the canonical parse target) and the total of
+    * all line lengths + newlines is <= [[TailWindow]] by construction.
+    */
+  def lines(total: String, queriesJson: String, errsField: String,
+            sfDir: String): Seq[String] = {
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    // no "sf"/"unit" on the map line — every byte counts against the
+    // tail window and the trailing total-only line carries the full
+    // schema; a schema-strict parser that skips the map line still
+    // lands on the total-only line
+    val mapLine = s"""{"metric":"total","value":$total,"queries":$queriesJson$errsField}"""
+    if (mapLine.length + 1 + totalLine.length + 1 <= TailWindow)
+      Seq(mapLine, totalLine)
+    else Seq(totalLine)
   }
 }

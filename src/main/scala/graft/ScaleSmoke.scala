@@ -37,6 +37,10 @@ import graft.operators.{AsOf, Dedup, Relational}
   *   - [[Dedup.applyVerbatimCuts]] end to end (detector + interval merge
   *     + per-row cut) — the removal pass must track the detector's
   *     linear growth, never add a super-linear term of its own
+  *   - [[Dedup.stripCommonLines]] (hashKey spelling) under planted
+  *     header/footer boilerplate whose doc frequency grows with the
+  *     factor — one agg + one join, so hot lines cost one aggregate row
+  *     each, never a blow-up;
   *   - [[Dedup.incrementalVerbatimRuns]] with a factor-sized corpus and
   *     a base-sized delivery batch (time tracks the corpus positional
   *     index build — linear, never corpus²);
@@ -166,6 +170,21 @@ object ScaleSmoke {
         .filter(col("n_tokens_removed") > 0).count())
       spark.catalog.clearCache()
 
+      // boilerplate LINE removal (hashKey = the 100 TB spelling): a
+      // constant header (df = 500·factor) and a 5-way footer
+      // (df ≈ 100·factor) stamped onto every doc, both past the
+      // threshold at every factor — the strike work is ONE line-frequency
+      // agg + one equi-join back, so growth must stay near-linear no
+      // matter how hot the boilerplate lines get (their frequency rows
+      // are one aggregate row each, not a join blow-up)
+      val lined = docs.select(col("doc_id"),
+        concat(lit("shared header boilerplate\n"), col("text"),
+          lit("\nfooter group "), (col("doc_id") % 5).cast("string")).as("text"))
+      val (tLd, nLd) = timeIt(
+        Dedup.stripCommonLines(lined, minDocFreq = 50, hashKey = true)
+          .filter(col("n_lines_removed") > 0).count())
+      spark.catalog.clearCache()
+
       // incremental ingest: corpus grows with the factor, the delivery
       // batch stays base-sized — time must track the corpus SCAN
       // (linear), with the anti-join shuffling only fingerprints. Half
@@ -245,6 +264,7 @@ object ScaleSmoke {
         s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +
         s""""verbatim_adv_sec":$tVrAdv,"verbatim_adv_pairs":$nVrAdv,""" +
         s""""verbatim_clean_sec":$tVc,"verbatim_clean_docs":$nVc,""" +
+        s""""line_dedup_sec":$tLd,"line_dedup_docs":$nLd,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
         s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
         s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")

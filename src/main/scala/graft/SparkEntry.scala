@@ -161,6 +161,13 @@ object SparkEntry {
         lit("shared header boilerplate\n"), col("text"),
         lit("\nfooter group "), (col("doc_id") % 5).cast("string")
       ).as("text")), minDocFreq = 50)),
+    // the 100 TB spelling (xxhash64 line keys) against the SAME oracle —
+    // a green row certifies the 8-byte-key trade changes nothing
+    "q_line_dedup_hash" -> ((s, d) => operators.Dedup.stripCommonLines(
+      Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("shared header boilerplate\n"), col("text"),
+        lit("\nfooter group "), (col("doc_id") % 5).cast("string")
+      ).as("text")), minDocFreq = 50, hashKey = true)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     // same contracts probing the MATERIALIZED (parquet) corpus indexes —
@@ -192,7 +199,10 @@ object SparkEntry {
     // twins — identical oracle by definition; a green row here certifies
     // the parquet round-trip of the materialized indexes end to end
     "q_dedup_incr_near_idx" -> "q_dedup_incr_near",
-    "q_verbatim_incr_idx" -> "q_verbatim_incr"
+    "q_verbatim_incr_idx" -> "q_verbatim_incr",
+    // the hashKey spelling answers the SAME question as the string-keyed
+    // q_line_dedup — identical oracle certifies the 8-byte-key trade
+    "q_line_dedup_hash" -> "q_line_dedup"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -793,7 +803,8 @@ object SparkEntry {
       l AS (SELECT doc_id, i AS pos, ls[i] AS line
             FROM w, (SELECT unnest(generate_series(1, len(ls))) AS i)),
       f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line),
-      k AS (SELECT doc_id, pos, l.line FROM l JOIN f USING (line) WHERE df < 50),
+      k AS (SELECT doc_id, pos, l.line FROM l JOIN f USING (line)
+            WHERE df < 50 OR trim(line) = ''),
       kc AS (SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
                     COUNT(*) AS n_kept FROM k GROUP BY doc_id),
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id)

@@ -406,19 +406,32 @@ object Dedup {
     *
     * Scale design (100 TB): explode to (doc, pos, line) — linear; ONE
     * hash aggregation for line doc-frequencies and one equi-join back on
-    * the line string (at scale, key both on xxhash64(line) — the same
-    * 8-byte-key trade [[wordset]] documents; string keys here keep the
-    * oracle exact); reassembly is a per-doc aggregation whose
+    * the line key; reassembly is a per-doc aggregation whose
     * collect_list is bounded by a single doc's line count. No window
     * over anything wider than one doc, no self-join.
+    *
+    * 100 TB path (`hashKey = true`): the frequency aggregation AND the
+    * join back key on `xxhash64(line)` — an 8-byte fixed-width key
+    * instead of an arbitrarily long line string, so the two exchanges
+    * hash/compare 8 bytes per row while the line string rides through as
+    * payload only where reassembly needs it. Same result modulo a
+    * ~2^-64 hash collision; equality with the string-keyed spelling is
+    * asserted in DedupSpec and the 64× sweep lives in ScaleSmoke.
+    * Default stays the string key: the DuckDB oracle joins on the
+    * string (same trade as [[wordset]]).
     */
-  def stripCommonLines(docTexts: DataFrame, minDocFreq: Int = 2): DataFrame = {
+  def stripCommonLines(docTexts: DataFrame, minDocFreq: Int = 2,
+                       hashKey: Boolean = false): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq=$minDocFreq must be >= 2")
     val lines = docTexts.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val lineDf = lines.groupBy(col("line"))
+    // the aggregation + join key: the raw string (oracle-exact default)
+    // or its 8-byte hash; either way the line string itself rides the
+    // lines side ONCE (reassembly needs it)
+    val key = if (hashKey) xxhash64(col("line")) else col("line")
+    val lineDf = lines.groupBy(key.as("lk"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val kept = lines.join(lineDf, "line")
+    val kept = lines.join(lineDf, key === col("lk")).drop("lk")
       .filter(col("df") < minDocFreq || trim(col("line")) === "")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -447,23 +460,6 @@ object Dedup {
     applyVerbatimCuts(docs, verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq))
   }
 
-  /** Cut [[verbatimRunSpansOn]] spans out of their higher-id docs and
-    * emit the cleaned corpus. Each span row claims tokens
-    * [b_start, b_start + run_tokens) of doc_b; one doc's spans can
-    * overlap (two different sources quoting overlapping regions), so
-    * intervals are MERGED per doc before cutting — n_tokens_removed is
-    * the measure of the merged union, never double-counted.
-    *
-    * Scale design: the interval merge is a gaps-and-islands window
-    * partitioned by doc_id — bounded by one doc's span count, never
-    * key-skewed. The cut itself is a pure per-row projection: merged
-    * intervals are collected to a per-doc array (bounded: disjoint
-    * intervals on one doc ≤ doc length), left-joined to the corpus on
-    * doc_id, and applied with codegen'd higher-order functions
-    * (`filter` over the token array with an `exists` interval probe) —
-    * no explode of the corpus tokens, no shuffle of text bytes beyond
-    * the one doc_id join.
-    */
   /** [[applyVerbatimCuts]] iterated to a FIXPOINT. A single pass can
     * leave detectable runs behind: cutting butt-joins a span's flanks,
     * and the spliced text can coincidentally equal a span of some third
@@ -517,6 +513,23 @@ object Dedup {
     cur
   }
 
+  /** Cut [[verbatimRunSpansOn]] spans out of their higher-id docs and
+    * emit the cleaned corpus. Each span row claims tokens
+    * [b_start, b_start + run_tokens) of doc_b; one doc's spans can
+    * overlap (two different sources quoting overlapping regions), so
+    * intervals are MERGED per doc before cutting — n_tokens_removed is
+    * the measure of the merged union, never double-counted.
+    *
+    * Scale design: the interval merge is a gaps-and-islands window
+    * partitioned by doc_id — bounded by one doc's span count, never
+    * key-skewed. The cut itself is a pure per-row projection: merged
+    * intervals are collected to a per-doc array (bounded: disjoint
+    * intervals on one doc ≤ doc length), left-joined to the corpus on
+    * doc_id, and applied with codegen'd higher-order functions
+    * (`filter` over the token array with an `exists` interval probe) —
+    * no explode of the corpus tokens, no shuffle of text bytes beyond
+    * the one doc_id join.
+    */
   def applyVerbatimCuts(docTexts: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans.select(col("doc_b").as("doc_id"),
       col("b_start").as("s"), (col("b_start") + col("run_tokens")).as("e"))

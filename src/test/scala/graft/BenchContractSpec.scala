@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout contract: everything printed must fit the driver's
+  * 2000-char tail window REGARDLESS of query count (round-8 verdict: the
+  * 80-query map line sat at 1,913 chars — the 81st would have broken the
+  * driver's tail parse). Pure string logic — no SparkSession.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private def fakeMap(n: Int): String =
+    (1 to n).map(i => s""""q_fake_query_name_$i":1.2""").mkString("{", ",", "}")
+
+  test("small suites keep the per-query map line plus the total line") {
+    val lines = BenchContract.lines("12.345", fakeMap(10), "", "/root/testdata/sf0.1")
+    assert(lines.size === 2)
+    assert(lines.head.contains("\"queries\":{"), "map line first")
+    assert(lines.last ===
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1"}""")
+  }
+
+  test("oversized suites drop the map line, never the canonical total line") {
+    val lines = BenchContract.lines("99.9", fakeMap(200), "", "/root/testdata/sf0.1")
+    assert(lines.size === 1)
+    assert(lines.head.contains("\"unit\":\"sec\""), "the survivor is the full-schema total")
+  }
+
+  test("printed bytes stay inside the tail window at EVERY query count") {
+    for (n <- Seq(0, 1, 50, 80, 81, 100, 500, 2000)) {
+      val lines = BenchContract.lines("123.456", fakeMap(n),
+        s""","query_errors":{"q_fake_query_name_1":"IllegalStateException"}""",
+        "/root/testdata/sf0.1")
+      val printed = lines.map(_.length + 1).sum // + newline per println
+      assert(printed <= BenchContract.TailWindow,
+        s"at $n queries the contract output is $printed chars — overflows the tail window")
+      assert(lines.last.startsWith("""{"metric":"total","value":123.456,"unit":"sec""""),
+        "the last line is always the canonical full-schema total")
+    }
+  }
+}

@@ -275,6 +275,25 @@ class DedupSpec extends SparkSpec {
       "header struck, blank separator exempt from striking")
   }
 
+  test("stripCommonLines hashKey spelling equals the string-keyed default") {
+    // the documents fixture under the SAME planted header/footer
+    // construction as q_line_dedup — real corpus, over-threshold
+    // boilerplate, plus a blank-line doc so the exemption path is
+    // exercised under both keys
+    val docs = Tables.documents(spark, sf).select($"doc_id",
+      concat(lit("shared header boilerplate\n"), $"text",
+        lit("\nfooter group "), ($"doc_id" % 5).cast("string")).as("text"))
+      .union(Seq((900001L, "shared header boilerplate\n\nunique tail"),
+        (900002L, "shared header boilerplate\n\nother tail")).toDF("doc_id", "text"))
+    def run(hashKey: Boolean) =
+      Dedup.stripCommonLines(docs, minDocFreq = 50, hashKey = hashKey)
+        .as[(Long, String, Long)].collect().toSet
+    val stringKeyed = run(false)
+    assert(stringKeyed.exists(_._3 > 0), "fixture must actually strike lines")
+    assert(run(true) === stringKeyed,
+      "xxhash64 line keys must not change the result (modulo 2^-64 collisions)")
+  }
+
   test("verbatimCleanFixpoint clears a planted seam rematch one pass leaves behind") {
     // cutting "X Y Z" out of doc2 butt-joins its flanks into "p q r s" —
     // which coincidentally equals doc0, a run one pass cannot see
