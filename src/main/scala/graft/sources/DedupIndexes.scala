@@ -1,72 +1,206 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
 
 /** Materialized dedup indexes: the write-once-at-ingest, probe-per-
-  * delivery storage layout behind [[graft.operators.Dedup
-  * .incrementalNearDupFromIndex]] and
+  * delivery, APPEND-per-accepted-batch storage layout behind
+  * [[graft.operators.Dedup.incrementalNearDupFromIndex]] and
   * [[Dedup.incrementalVerbatimRunsFromIndex]].
   *
   * At 100 TB the incremental operators' scale story is that the corpus
   * NEVER re-derives its index per delivery: the banded MinHash index,
   * the sorted shingle frame, the positional k-gram index, and its
-  * occurrence table are built once when docs are ingested and probed
-  * from storage by every subsequent batch. This object is that claim as
-  * code — plain parquet (columnar, predicate-pushdown-able), with the
-  * band index PARTITIONED BY band so a band-restricted probe or a
-  * per-band compaction touches 1/bands of the files (the layout
-  * assertion lives in DedupIndexSpec).
+  * occurrence table are built once when docs are ingested, probed from
+  * storage by every subsequent batch, and EXTENDED (not rebuilt) as
+  * batches are accepted. This object is that claim as code — plain
+  * parquet (columnar, predicate-pushdown-able), laid out for both
+  * maintenance modes:
+  *
+  *   - every component carries an `ingest=<label>` directory level, one
+  *     per append. An append OVERWRITES its own label's directories, so
+  *     a failure-replayed append is idempotent by directory ownership —
+  *     the replay rewrites the same rows instead of duplicating them
+  *     (the same determinism contract foreachBatch gives batchIds);
+  *   - the band index is additionally PARTITIONED BY band inside each
+  *     ingest, so a band-restricted probe or per-band compaction touches
+  *     1/bands of the files (layout + pruning asserted in
+  *     DedupIndexSpec);
+  *   - a `manifest/ingest=<label>` table of bare doc_ids (written LAST,
+  *     after the index rows) records which docs each append indexed —
+  *     the cheap authoritative "already indexed" set that ingest
+  *     maintenance anti-joins against (O(docs) ids, not O(tokens) index
+  *     rows), including docs too short to produce any shingle/position
+  *     rows;
+  *   - the verbatim occurrence table is MERGE-ON-READ: each append
+  *     writes its batch's (ng, occ) delta, and [[readVerbatimIndex]]
+  *     reconciles with one sum over the OCC TABLE (distinct-n-gram
+  *     scale — never a re-aggregation of the corpus index). A full
+  *     rebuild ([[writeVerbatimIndex]]) is the compaction story when
+  *     delta count grows.
   */
 object DedupIndexes {
 
-  /** Write the [[Dedup.incrementalNearDup]] corpus artifacts:
-    * `path/shingles` = (doc_id, sh, sz), `path/bands` = (doc_id, band,
-    * key) partitioned by band.
+  /** The label the full-build writers use for their single ingest. */
+  val BaseLabel = "base"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Does `dir` exist with any non-hidden entry (file OR ingest=
+    * subdirectory)? Nested layouts put files below label dirs, so a
+    * bare top-level file check would read a populated index as empty.
+    */
+  def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  private def delete(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Write the [[Dedup.incrementalNearDup]] corpus artifacts from
+    * scratch: `path/shingles` = (doc_id, sh, sz), `path/bands` =
+    * (doc_id, band, key) partitioned by band, `path/manifest` =
+    * (doc_id), all under `ingest=base`. Any previous index at `path`
+    * is removed — this is the full-(re)build, which doubles as the
+    * compaction story for a long-appended index.
     */
   def writeNearDupIndex(corpus: DataFrame, path: String,
                         n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
                         bands: Int = Dedup.MinHashBands): Unit = {
-    val (sh, _) = Dedup.nearDupIndexFrames(corpus, n, k, bands)
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    delete(corpus.sparkSession, path)
+    val sh = Dedup.nearDupIndexFrames(corpus, n, k, bands)._1
+    sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=$BaseLabel")
     // the band index derives from the shingle frame JUST WRITTEN rather
     // than re-shingling text — the same single-derivation economy the
     // inline path gets from persist()
-    val stored = corpus.sparkSession.read.parquet(s"$path/shingles")
+    val stored = corpus.sparkSession.read
+      .parquet(s"$path/shingles/ingest=$BaseLabel")
     Dedup.bandIndexOf(stored, k, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands/ingest=$BaseLabel")
+    writeManifest(corpus, s"$path/manifest/ingest=$BaseLabel")
   }
 
-  /** Read back what [[writeNearDupIndex]] wrote. `band` returns as its
-    * partition-column string spelling (type inference is off in
-    * Sessions); cast restores the probe's integer key.
+  /** APPEND an accepted batch's rows to a stored near-dup index: the
+    * batch's shingle frame and band keys land under `ingest=<label>`
+    * with OVERWRITE semantics on that label — re-running the same
+    * (batch, label) append (a failure replay) rewrites identical
+    * directories instead of duplicating index rows. The manifest row
+    * set is written LAST so a crash mid-append leaves the doc "not yet
+    * indexed" for reconciliation, never half-claimed.
+    *
+    * The caller owns WHICH docs to append (typically: this delivery's
+    * docs that entered the corpus and are absent from
+    * [[indexedDocIds]]); this method is pure storage.
+    */
+  def appendNearDup(batch: DataFrame, path: String, label: String,
+                    n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
+                    bands: Int = Dedup.MinHashBands): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val (sh, bandIdx) = Dedup.nearDupIndexFrames(batch, n, k, bands)
+    // batch-scale: persist so the band derivation reuses the shingle
+    // explode instead of re-shingling (the full build gets the same
+    // economy from its just-written parquet)
+    val shP = sh.persist()
+    shP.write.mode("overwrite").parquet(s"$path/shingles/ingest=$label")
+    bandIdx.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands/ingest=$label")
+    shP.unpersist()
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Read back a stored near-dup index (any number of ingests). `band`
+    * returns as its partition-column string spelling (type inference is
+    * off in Sessions); cast restores the probe's integer key; the
+    * ingest label is maintenance metadata, not probe input.
     */
   def readNearDupIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/shingles"),
+    (spark.read.parquet(s"$path/shingles").drop("ingest"),
       spark.read.parquet(s"$path/bands")
-        .withColumn("band", col("band").cast("int")))
+        .withColumn("band", col("band").cast("int")).drop("ingest"))
 
-  /** Write the [[Dedup.incrementalVerbatimRuns]] corpus artifacts:
-    * `path/positions` = (doc_id, pos, ng), `path/occ` = (ng, occ). The
-    * occurrence table derives from the just-written positions file, not
-    * a second text scan.
+  /** Write the [[Dedup.incrementalVerbatimRuns]] corpus artifacts from
+    * scratch: `path/positions` = (doc_id, pos, ng), `path/occ` =
+    * (ng, occ), `path/manifest` = (doc_id), under `ingest=base`; any
+    * previous index is removed (full rebuild = occ-delta compaction).
+    * The occurrence table derives from the just-written positions file,
+    * not a second text scan.
     */
   def writeVerbatimIndex(corpus: DataFrame, path: String,
                          n: Int = Dedup.ShingleN): Unit = {
-    val (pos, _) = Dedup.verbatimIndexFrames(corpus, n)
-    pos.write.mode("overwrite").parquet(s"$path/positions")
+    delete(corpus.sparkSession, path)
+    val pos = Dedup.verbatimIndexFrames(corpus, n)._1
+    pos.write.mode("overwrite").parquet(s"$path/positions/ingest=$BaseLabel")
     val spark = corpus.sparkSession
-    spark.read.parquet(s"$path/positions")
+    spark.read.parquet(s"$path/positions/ingest=$BaseLabel")
       .groupBy(col("ng")).agg(count(lit(1)).as("occ"))
-      .write.mode("overwrite").parquet(s"$path/occ")
+      .write.mode("overwrite").parquet(s"$path/occ/ingest=$BaseLabel")
+    writeManifest(corpus, s"$path/manifest/ingest=$BaseLabel")
   }
 
-  /** Read back what [[writeVerbatimIndex]] wrote. */
+  /** APPEND an accepted batch to a stored verbatim index: positional
+    * rows plus the batch's (ng, occ) DELTA under `ingest=<label>`,
+    * overwrite-on-own-label for replay idempotence, manifest last —
+    * same contract as [[appendNearDup]]. The occ delta makes the
+    * stored occ table merge-on-read; [[readVerbatimIndex]] reconciles.
+    */
+  def appendVerbatim(batch: DataFrame, path: String, label: String,
+                     n: Int = Dedup.ShingleN): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val pos = Dedup.verbatimIndexFrames(batch, n)._1
+    val posP = pos.persist()
+    posP.write.mode("overwrite").parquet(s"$path/positions/ingest=$label")
+    posP.groupBy(col("ng")).agg(count(lit(1)).as("occ"))
+      .write.mode("overwrite").parquet(s"$path/occ/ingest=$label")
+    posP.unpersist()
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Read back a stored verbatim index. The occurrence table is the
+    * MERGE-ON-READ reconciliation of the per-ingest deltas — one sum
+    * over the occ table itself (distinct n-grams × ingests), never a
+    * re-aggregation of the positional index.
+    */
   def readVerbatimIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/positions"),
-      spark.read.parquet(s"$path/occ"))
+    (spark.read.parquet(s"$path/positions").drop("ingest"),
+      spark.read.parquet(s"$path/occ")
+        .groupBy(col("ng")).agg(sum(col("occ")).as("occ")))
+
+  /** Every doc_id any ingest of the index at `path` has claimed,
+    * `excludeLabel`'s ingest left out. Ingest maintenance anti-joins
+    * its delivery against this (excluding its OWN label) so the delta
+    * it writes is stable across failure replays: docs indexed by
+    * EARLIER batches drop out, while the current label's own (possibly
+    * half-written) claim is ignored — the overwrite re-asserts it.
+    * Missing manifest (virgin index) reads as empty.
+    */
+  def indexedDocIds(spark: SparkSession, path: String,
+                    excludeLabel: Option[String] = None): DataFrame = {
+    if (!hasData(spark, s"$path/manifest"))
+      spark.range(0).select(col("id").as("doc_id"))
+    else {
+      val m = spark.read.parquet(s"$path/manifest")
+      excludeLabel.fold(m)(l => m.filter(col("ingest") =!= l))
+        .select(col("doc_id"))
+    }
+  }
+
+  private def writeManifest(docs: DataFrame, dir: String): Unit =
+    docs.select(col("doc_id")).write.mode("overwrite").parquet(dir)
 
   // -- driver-query harnesses: same deterministic corpus/batch split as
   // Dedup.incrementalNewDocs, probing the STORED index so the green

@@ -218,16 +218,37 @@ object StreamingOps {
     *
     * doc ids are synthesized as xxhash64(fingerprint) — stable across
     * batches and engines, so the corpus table needs no id column and
-    * re-deliveries map to the same id. In production the corpus band
-    * index is MATERIALIZED and maintained incrementally (see
-    * [[graft.operators.Dedup.incrementalNearDup]]'s scaladoc); here each
-    * batch derives it from the corpus read, and the operator's internal
-    * persist()s are dropped per batch via clearCache — this sink assumes
-    * it owns its session's cache (run ingest as a dedicated job).
+    * re-deliveries map to the same id.
+    *
+    * `indexDir = Some(dir)` is the production spelling: the batch
+    * probes the corpus's STORED band index
+    * ([[graft.sources.DedupIndexes]]) instead of re-deriving it from
+    * the corpus text per batch, and after the corpus append the sink
+    * MAINTAINS the index — the delivery's accepted docs are appended
+    * under `ingest=<batchId>`. The index delta is derived
+    * replay-stably as (batch docs ⋉ corpus ids) ⋉̸ (docs other ingests
+    * already indexed), so every crash point heals: a crash between the
+    * corpus append and the index append replays into the same delta
+    * (the docs ARE in the corpus, and the current batchId's own
+    * half-written ingest is excluded from the "already indexed" set and
+    * simply overwritten). The corpus text is NEVER scanned for index
+    * maintenance — only its doc_id column (the same per-batch id-column
+    * economy as the fingerprint anti-join). When pointing the sink at a
+    * PRE-EXISTING corpus, bootstrap the index first
+    * ([[graft.sources.DedupIndexes.writeNearDupIndex]]) — the sink
+    * maintains the index forward from its own deliveries, it does not
+    * backfill. `indexDir = None` keeps the derive-inline-per-batch
+    * spelling for corpora small enough that the index build is cheaper
+    * than the bookkeeping.
+    *
+    * Either way the operator-internal persist()s are dropped per batch
+    * via clearCache — this sink assumes it owns its session's cache
+    * (run ingest as a dedicated job).
     */
   def ingestNewDocsNearDup(lines: DataFrame, corpusDir: String,
-                           textCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
-    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                           textCol: String = "value",
+                           indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
       val exactDeduped = batch
@@ -235,12 +256,7 @@ object StreamingOps {
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
-      val path = new org.apache.hadoop.fs.Path(corpusDir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      val hasData = flatDirHasData(spark, corpusDir)
       // Corpus probe FIRST, in-batch collapse among corpus SURVIVORS
       // second. Collapsing first would discard a cluster's losers even
       // when their representative is itself rejected as a corpus
@@ -255,11 +271,29 @@ object StreamingOps {
       val survivors =
         if (hasData) {
           val corpus = spark.read.parquet(corpusDir)
-          val nearNewIds = graft.operators.Dedup.incrementalNearDup(
-              corpus.select(col("doc_id"), col("text")),
-              exactDeduped.select(col("doc_id"), col("text")))
-            .filter(col("is_new") === 1L)
-            .select(col("doc_id"))
+          val nearNewIds = indexDir match {
+            case Some(dir) if graft.sources.DedupIndexes.hasData(spark, s"$dir/shingles") =>
+              // production probe: the stored index IS the corpus's
+              // near-dup identity — no text re-shingle, no re-banding
+              val (sh, idx) = graft.sources.DedupIndexes.readNearDupIndex(spark, dir)
+              graft.operators.Dedup.incrementalNearDupFromIndex(sh, idx,
+                exactDeduped.select(col("doc_id"), col("text")))
+                .filter(col("is_new") === 1L)
+                .select(col("doc_id"))
+            case Some(_) =>
+              // corpus has data but the index does not: only reachable
+              // while THIS batch replays a crash that landed between its
+              // own bootstrap corpus append and index append — every doc
+              // here is fingerprint-caught below, so an empty probe
+              // cannot let a near-dup slip
+              exactDeduped.select(col("doc_id"))
+            case None =>
+              graft.operators.Dedup.incrementalNearDup(
+                  corpus.select(col("doc_id"), col("text")),
+                  exactDeduped.select(col("doc_id"), col("text")))
+                .filter(col("is_new") === 1L)
+                .select(col("doc_id"))
+          }
           exactDeduped
             .join(nearNewIds, "doc_id")
             .join(corpus.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
@@ -279,9 +313,48 @@ object StreamingOps {
       survivors.join(inBatchLosers, Seq("doc_id"), "left_anti")
         .select(col("fingerprint"), col("text"), col("doc_id"))
         .write.mode("append").parquet(corpusDir)
+      indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
+        graft.sources.DedupIndexes.appendNearDup(_, _, _)))
       spark.catalog.clearCache() // drop incrementalNearDup's shingle caches
       ()
     }.start()
+
+  /** Shared flat-layout data check for the corpus/flags directories
+    * (this op's own appends): a failed first write or an empty batch can
+    * leave a directory holding only _SUCCESS/_temporary, and
+    * read.parquet on that would wedge every subsequent batch. Hadoop FS
+    * API keeps it store-agnostic.
+    */
+  private def flatDirHasData(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Stored-index maintenance step shared by the ingest sinks: append
+    * to `indexDir`, under `ingest=<batchId>`, exactly the delivery docs
+    * that (a) ARE in the corpus — accepted now, or by a crashed earlier
+    * attempt of this same batch — and (b) no OTHER ingest has indexed
+    * (re-delivered content that a previous batch already indexed drops
+    * out; this batchId's own possibly-half-written ingest is excluded
+    * from the check and overwritten whole). Both reads are id-columns
+    * only; `append` owns the storage layout.
+    */
+  private def maintainIndex(spark: SparkSession, delivery: DataFrame,
+                            corpusDir: String, indexDir: String, batchId: Long,
+                            append: (DataFrame, String, String) => Unit): Unit = {
+    val label = s"b$batchId"
+    val toIndex = delivery
+      .join(spark.read.parquet(corpusDir).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir, Some(label)),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    append(toIndex, indexDir, label)
+  }
 
   /** Streaming VERBATIM-quote ingest via foreachBatch — the streaming
     * front door to [[graft.operators.Dedup.incrementalVerbatimRuns]] and
@@ -309,18 +382,27 @@ object StreamingOps {
     * when the batch probes, and the compaction-time
     * [[graft.operators.Dedup.verbatimRunPairs]] pass over the corpus is
     * the operator that owns same-delivery pairs. Scale contract matches
-    * [[ingestNewDocsNearDup]]: the corpus NEVER self-joins; in
-    * production the positional index + occurrence table are MATERIALIZED
-    * ([[graft.sources.DedupIndexes]]) and probed via
-    * [[graft.operators.Dedup.incrementalVerbatimRunsFromIndex]]; here
-    * each batch derives them from the corpus read. Assumes it owns the
-    * session cache (clearCache per batch), like the other ingest sinks.
+    * [[ingestNewDocsNearDup]]: the corpus NEVER self-joins, and
+    * `indexDir = Some(dir)` is the production spelling — the batch
+    * probes the STORED positional index + merge-on-read occurrence
+    * table ([[graft.sources.DedupIndexes.readVerbatimIndex]]) and, after
+    * the corpus append, appends its accepted docs to the index under
+    * `ingest=<batchId>` with the same replay-stable delta derivation as
+    * the near-dup sink (corpus-id semi-join + other-ingest manifest
+    * anti-join; own-label overwrite). When pointing the sink at a
+    * PRE-EXISTING corpus, bootstrap the index first
+    * ([[graft.sources.DedupIndexes.writeVerbatimIndex]]) — the sink
+    * maintains the index forward from its own deliveries, it does not
+    * backfill. `indexDir = None` derives the corpus index inline per
+    * batch (small-corpus spelling). Assumes it owns the session cache
+    * (clearCache per batch), like the other ingest sinks.
     */
   def ingestFlagVerbatim(lines: DataFrame, corpusDir: String, flagsDir: String,
                          textCol: String = "value",
                          minRunTokens: Int = 20,
-                         maxOccFreq: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
-    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+                         maxOccFreq: Int = 1000,
+                         indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
       val exactDeduped = batch
@@ -328,30 +410,38 @@ object StreamingOps {
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
-      def hasData(dir: String): Boolean = {
-        val path = new org.apache.hadoop.fs.Path(dir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(path) && fs.listStatus(path).exists { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-      }
       val fresh =
-        if (hasData(corpusDir))
+        if (flatDirHasData(spark, corpusDir))
           exactDeduped.join(
             spark.read.parquet(corpusDir).select("fingerprint"),
             Seq("fingerprint"), "left_anti").persist()
         else exactDeduped.persist()
-      if (hasData(corpusDir)) {
-        val flags = graft.operators.Dedup.incrementalVerbatimRuns(
-          spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
-          fresh.select(col("doc_id"), col("text")),
-          minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
+      if (flatDirHasData(spark, corpusDir)) {
+        val flags = indexDir match {
+          case Some(dir) if graft.sources.DedupIndexes.hasData(spark, s"$dir/positions") =>
+            // production probe: stored positional index + reconciled occ
+            // table — the corpus text is never re-tokenized per batch
+            val (pos, occ) = graft.sources.DedupIndexes.readVerbatimIndex(spark, dir)
+            graft.operators.Dedup.incrementalVerbatimRunsFromIndex(pos, occ,
+              fresh.select(col("doc_id"), col("text")),
+              minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
+          case Some(_) =>
+            // corpus nonempty but index absent: only this batch's own
+            // bootstrap-crash replay — every fresh doc is fingerprint-
+            // caught, so there is nothing to probe or flag
+            spark.range(0).select(col("id").as("doc_id"),
+              col("id").as("corpus_id"), col("id").as("max_run_tokens"))
+          case None =>
+            graft.operators.Dedup.incrementalVerbatimRuns(
+              spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
+              fresh.select(col("doc_id"), col("text")),
+              minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
+        }
         // flags BEFORE corpus append + anti-join against flags already
         // written: exactly-once for both artifacts whichever side a
         // crash lands on (see scaladoc)
         val freshFlags =
-          if (hasData(flagsDir))
+          if (flatDirHasData(spark, flagsDir))
             flags.join(spark.read.parquet(flagsDir)
                 .select(col("doc_id"), col("corpus_id")),
               Seq("doc_id", "corpus_id"), "left_anti")
@@ -361,6 +451,8 @@ object StreamingOps {
       fresh.select(col("fingerprint"), col("text"), col("doc_id"))
         .write.mode("append").parquet(corpusDir)
       fresh.unpersist()
+      indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
+        graft.sources.DedupIndexes.appendVerbatim(_, _, _)))
       spark.catalog.clearCache() // drop incrementalVerbatimRuns' index cache
       ()
     }.start()

@@ -4,6 +4,7 @@ import java.io.File
 
 import graft.operators.Dedup
 import graft.sources.DedupIndexes
+import org.apache.spark.sql.functions.{col, count, lit}
 
 class DedupIndexSpec extends SparkSpec {
   import spark.implicits._
@@ -30,10 +31,88 @@ class DedupIndexSpec extends SparkSpec {
   test("near-dup band index lands partitioned by band on disk") {
     val path = "target/dedup_index_spec/neardup"
     DedupIndexes.writeNearDupIndex(corpus, path)
-    val dirs = new File(s"$path/bands").listFiles()
+    val dirs = new File(s"$path/bands/ingest=${DedupIndexes.BaseLabel}").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("band=")).sorted
     assert(dirs.length === Dedup.MinHashBands,
       s"expected ${Dedup.MinHashBands} band= partition dirs, got ${dirs.mkString(",")}")
+  }
+
+  test("a band-restricted probe of the stored band index prunes to 1/bands of the files") {
+    val path = "target/dedup_index_spec/neardup"
+    DedupIndexes.writeNearDupIndex(corpus, path)
+    val oneBand = spark.read.parquet(s"$path/bands").filter(col("band") === "3")
+    // the band predicate must land in PartitionFilters (file-level
+    // elision at planning time), not a post-scan Filter
+    val plan = oneBand.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"plan:\n$plan")
+    assert(plan.replaceAll("#\\d+", "").contains("(band = 3)"),
+      s"band predicate must reach partition pruning, plan:\n$plan")
+    // and the actually-scanned files are exactly the band=3 directory
+    val scan = oneBand.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val files = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+    assert(files.nonEmpty, "band 3 must hold data")
+    assert(files.forall(_.contains("/band=3/")),
+      s"scan must touch only band=3 files, got ${files.take(3).mkString(",")}")
+  }
+
+  test("appending a batch yields a near-dup index equal to a fresh full build") {
+    val appended = "target/dedup_index_spec/neardup_append"
+    val fresh = "target/dedup_index_spec/neardup_fresh"
+    DedupIndexes.writeNearDupIndex(corpus, appended)
+    DedupIndexes.appendNearDup(batch, appended, "b1")
+    DedupIndexes.writeNearDupIndex(corpus.union(batch), fresh)
+    val (shA, idxA) = DedupIndexes.readNearDupIndex(spark, appended)
+    val (shF, idxF) = DedupIndexes.readNearDupIndex(spark, fresh)
+    assert(shA.as[(Long, Seq[String], Int)].collect().toSet ===
+      shF.as[(Long, Seq[String], Int)].collect().toSet,
+      "appended shingle frame must equal the full rebuild's")
+    assert(idxA.as[(Long, Long, Int)].collect().toSet ===
+      idxF.as[(Long, Long, Int)].collect().toSet,
+      "appended band index must equal the full rebuild's")
+    // a REPLAYED append (same label) overwrites its own ingest rather
+    // than duplicating rows — exactly-once by directory ownership
+    DedupIndexes.appendNearDup(batch, appended, "b1")
+    val (shR, _) = DedupIndexes.readNearDupIndex(spark, appended)
+    assert(shR.count() === shF.count(), "replayed append must not duplicate index rows")
+  }
+
+  test("appending a batch yields a verbatim index equal to a fresh full build") {
+    val appended = "target/dedup_index_spec/verbatim_append"
+    val fresh = "target/dedup_index_spec/verbatim_fresh"
+    DedupIndexes.writeVerbatimIndex(corpus, appended)
+    DedupIndexes.appendVerbatim(batch, appended, "b1")
+    DedupIndexes.writeVerbatimIndex(corpus.union(batch), fresh)
+    val (posA, occA) = DedupIndexes.readVerbatimIndex(spark, appended)
+    val (posF, occF) = DedupIndexes.readVerbatimIndex(spark, fresh)
+    assert(posA.as[(Long, Int, String)].collect().toSet ===
+      posF.as[(Long, Int, String)].collect().toSet,
+      "appended positional index must equal the full rebuild's")
+    assert(occA.as[(String, Long)].collect().toMap ===
+      occF.as[(String, Long)].collect().toMap,
+      "merge-on-read occ reconciliation must equal the rebuilt occ table")
+    // replayed append: merge-on-read must NOT double-count the delta
+    DedupIndexes.appendVerbatim(batch, appended, "b1")
+    val (_, occR) = DedupIndexes.readVerbatimIndex(spark, appended)
+    assert(occR.as[(String, Long)].collect().toMap ===
+      occF.as[(String, Long)].collect().toMap,
+      "own-label overwrite keeps occ deltas exactly-once")
+  }
+
+  test("manifest tracks indexed docs across ingests; exclusion skips one label") {
+    val path = "target/dedup_index_spec/manifest"
+    DedupIndexes.writeNearDupIndex(corpus, path)
+    DedupIndexes.appendNearDup(batch, path, "b7")
+    val all = DedupIndexes.indexedDocIds(spark, path).as[Long].collect().toSet
+    val expected = corpus.union(batch).select($"doc_id").as[Long].collect().toSet
+    assert(all === expected,
+      "manifest must claim every ingested doc — including shingle-free ones")
+    val without = DedupIndexes.indexedDocIds(spark, path, Some("b7"))
+      .as[Long].collect().toSet
+    assert(without === corpus.select($"doc_id").as[Long].collect().toSet,
+      "excluding a label must hide exactly that ingest's claims")
   }
 
   test("stored verbatim index probe equals the inline derivation") {
@@ -56,9 +135,7 @@ class DedupIndexSpec extends SparkSpec {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)
     val (pos, occ) = DedupIndexes.readVerbatimIndex(spark, path)
-    val fresh = pos.groupBy($"ng").agg(
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("occ"))
+    val fresh = pos.groupBy($"ng").agg(count(lit(1)).as("occ"))
     assert(occ.as[(String, Long)].collect().toMap ===
       fresh.as[(String, Long)].collect().toMap,
       "materialized occ table must stay consistent with its index")

@@ -387,6 +387,124 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stored-index near-dup ingest: later batches probe an index holding earlier batches' docs") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-near-idx")
+    val corpusIdx = base.resolve("corpus_idx").toString
+    val corpusInline = base.resolve("corpus_inline").toString
+    val indexDir = base.resolve("index").toString
+    val msIdx = MemoryStream[String]
+    val msInline = MemoryStream[String]
+    val qIdx = StreamingOps.ingestNewDocsNearDup(msIdx.toDF(), corpusIdx,
+      indexDir = Some(indexDir))
+    val qInline = StreamingOps.ingestNewDocsNearDup(msInline.toDF(), corpusInline)
+    try {
+      def deliver(docs: String*): Unit = {
+        msIdx.addData(docs); qIdx.processAllAvailable()
+        msInline.addData(docs); qInline.processAllAvailable()
+      }
+      def corpora = (
+        spark.read.parquet(corpusIdx).as[(String, String, Long)].collect().toSet,
+        spark.read.parquet(corpusInline).as[(String, String, Long)].collect().toSet)
+      val seed = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+      deliver(seed, "unrelated words entirely")
+      // batch 2 introduces doc X — accepted, and APPENDED to the index
+      val x = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12"
+      deliver(x)
+      val xId = spark.read.parquet(corpusIdx).filter($"text" === x)
+        .select("doc_id").as[Long].head()
+      assert(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir)
+        .as[Long].collect().toSet.contains(xId),
+        "batch 2's accepted doc must be in the stored index before batch 3 runs")
+      // batch 3: a near-dup of X (J = 9/11 >= 0.8) — rejecting it
+      // REQUIRES the stored index to contain X, which arrived after the
+      // index bootstrap; plus a genuinely new doc that must land
+      val xNear = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 zz"
+      deliver(xNear, "fresh tokens nothing shares")
+      val (viaIdx, viaInline) = corpora
+      assert(!viaIdx.exists(_._2 == xNear),
+        "the stored-index probe must reject a near-dup of a post-bootstrap doc")
+      assert(viaIdx === viaInline,
+        "stored-index and inline spellings must produce identical corpora")
+      // failure replay: redeliver batch 3's content — nothing changes
+      deliver(xNear, "fresh tokens nothing shares")
+      val (replayIdx, replayInline) = corpora
+      assert(replayIdx === viaIdx && replayInline === viaInline,
+        "replay must be idempotent for both corpus and index spellings")
+      // the maintained index stays equal to a fresh full build over the
+      // final corpus — the DedupIndexSpec invariant, here driven by the
+      // streaming maintenance path end to end
+      val rebuilt = base.resolve("rebuilt").toString
+      graft.sources.DedupIndexes.writeNearDupIndex(
+        spark.read.parquet(corpusIdx).select($"doc_id", $"text"), rebuilt)
+      val (shM, idxM) = graft.sources.DedupIndexes.readNearDupIndex(spark, indexDir)
+      val (shR, idxR) = graft.sources.DedupIndexes.readNearDupIndex(spark, rebuilt)
+      assert(shM.as[(Long, Seq[String], Int)].collect().toSet ===
+        shR.as[(Long, Seq[String], Int)].collect().toSet,
+        "streaming-maintained shingle frame == fresh rebuild over the corpus")
+      assert(idxM.as[(Long, Long, Int)].collect().toSet ===
+        idxR.as[(Long, Long, Int)].collect().toSet,
+        "streaming-maintained band index == fresh rebuild over the corpus")
+    } finally { qIdx.stop(); qInline.stop() }
+  }
+
+  test("stored-index verbatim ingest: flags derive from the maintained index across batches") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-verbatim-idx")
+    val corpusDir = base.resolve("corpus").toString
+    val flagsDir = base.resolve("flags").toString
+    val indexDir = base.resolve("index").toString
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestFlagVerbatim(ms.toDF(), corpusDir, flagsDir,
+      indexDir = Some(indexDir))
+    try {
+      def span(k: Int, tag: String) = (1 to k).map(i => s"$tag$i").mkString(" ")
+      // batch 1 (bootstrap): the first quote source
+      val source1 = s"${span(3, "h")} ${span(22, "q")} ${span(2, "t")}"
+      ms.addData(source1, span(10, "w"))
+      q.processAllAvailable()
+      assert(!new java.io.File(flagsDir).exists(), "nothing to flag at bootstrap")
+      // batch 2: quotes source1 (probes the index batch 1 built) AND is
+      // itself the source a batch-3 doc will quote — so batch 3's flag
+      // existing proves the index GREW with batch 2's append
+      val source2 = s"${span(4, "x")} ${span(22, "q")} ${span(21, "r")}"
+      ms.addData(source2)
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusDir)
+        .select("text", "doc_id").as[(String, Long)].collect().toMap
+      val flags1 = spark.read.parquet(flagsDir).as[(Long, Long, Long)].collect().toSet
+      assert(flags1 === Set((ids(source2), ids(source1), 22L)),
+        "batch 2 must be flagged against the batch-1 source via the stored index")
+      // batch 3: quotes source2's unique 21-token tail — only the
+      // maintained index can know it
+      val quoter3 = s"${span(2, "y")} ${span(21, "r")} ${span(3, "z")}"
+      ms.addData(quoter3)
+      q.processAllAvailable()
+      val ids3 = spark.read.parquet(corpusDir)
+        .select("text", "doc_id").as[(String, Long)].collect().toMap
+      val flags2 = spark.read.parquet(flagsDir).as[(Long, Long, Long)].collect().toSet
+      assert(flags2.contains((ids3(quoter3), ids(source2), 21L)),
+        "batch 3's flag must name the batch-2 doc — the index grew per batch")
+      // replay: same delivery adds no corpus rows and no duplicate flags
+      ms.addData(quoter3)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).count() === ids3.size)
+      assert(spark.read.parquet(flagsDir).count() === flags2.size)
+      // maintained index == fresh rebuild over the final corpus
+      val rebuilt = base.resolve("rebuilt").toString
+      graft.sources.DedupIndexes.writeVerbatimIndex(
+        spark.read.parquet(corpusDir).select($"doc_id", $"text"), rebuilt)
+      val (posM, occM) = graft.sources.DedupIndexes.readVerbatimIndex(spark, indexDir)
+      val (posR, occR) = graft.sources.DedupIndexes.readVerbatimIndex(spark, rebuilt)
+      assert(posM.as[(Long, Int, String)].collect().toSet ===
+        posR.as[(Long, Int, String)].collect().toSet,
+        "streaming-maintained positional index == fresh rebuild")
+      assert(occM.as[(String, Long)].collect().toMap ===
+        occR.as[(String, Long)].collect().toMap,
+        "merge-on-read occ == rebuilt occ after streaming maintenance")
+    } finally q.stop()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
