@@ -185,6 +185,10 @@ object SparkEntry {
     // rows-only: kmeans-seeded cells are engine-specific; recall vs
     // brute force asserted in SimilaritySpec
     "q_embed_ann_ivf" -> ((s, d) => operators.Similarity.annTopKIvf(s, d)),
+    // same probe against the MATERIALIZED (parquet) IVF index — the
+    // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
+    // the same reason, stored == inline asserted in SimilaritySpec
+    "q_embed_ann_ivf_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfProbeDocs(s, d)),
     // rows-only for the same reason (IVF-cell candidate generation);
     // recall vs exact blocked all-pairs + representative invariants
     // asserted in SimilaritySpec

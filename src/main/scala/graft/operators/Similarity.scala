@@ -224,37 +224,92 @@ object Similarity {
 
   def annTopKIvf(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
-                 nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+                 nlist: Int = 16, nprobe: Int = 12,
+                 trustKey: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = fitQuantizer(emb, sfDir, nlist)
-    // codegen argmax assignment as ARRAY ops: a when-chain over
-    // `greatest(sims)` would re-inline all 16 sims per branch (~270
-    // copies — blows the JVM's 64KB method limit and falls back to
-    // interpreted); array_position(sims, array_max(sims)) references
-    // the sims array twice total
-    def simsArr(emb: Column): Column =
-      array(centroids.map(c => cosineSim(emb, typedlit(c))): _*)
-    val data = emb.select(col("vec_id"), col("embedding"),
-      (array_position(simsArr(col("embedding")),
-        array_max(simsArr(col("embedding")))) - 1).cast("int").as("cell"))
-    // each query probes its nprobe nearest cells (tiny side: explode)
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
-        posexplode(array(centroids.map(c => cosineSim(col("embedding"), typedlit(c))): _*))
-          .as(Seq("cell", "csim")))
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val data = assignCells(emb, centroids, nassign = 1)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    ivfProbe(centroids, data, queries, k, nprobe)
+  }
+
+  /** [[annTopKIvf]] probing a PREBUILT cell table — the production path
+    * where the quantizer was fit and the corpus assigned ONCE at ingest
+    * ([[graft.sources.SimilarityIndexes]] is the parquet spelling) and
+    * every query session reads (centroids, cells) from storage instead
+    * of re-fitting per process. `queries` = (query_id, eq); the probe
+    * arithmetic is the shared [[ivfProbe]], so stored and inline
+    * results cannot fork.
+    */
+  def annTopKIvfFromIndex(centroids: Seq[Seq[Double]], cells: DataFrame,
+                          queries: DataFrame, k: Int = 5,
+                          nprobe: Int = 12): DataFrame =
+    ivfProbe(centroids, cells, queries, k, nprobe)
+
+  /** The IVF probe shared by [[annTopKIvf]] and [[annTopKIvfFromIndex]]:
+    * each query ranks the centroids, fans out to its `nprobe` nearest
+    * cells (tiny side: queries × nprobe rows), and re-scores exactly the
+    * vectors in those cells via one equi-join on cell id. Candidate
+    * dedup keys on (query_id, neighbor_id) AFTER scoring — a cell table
+    * written with nassign > 1 (shared with [[semanticDedupOn]]'s
+    * blocker) surfaces a candidate once per shared cell, and the
+    * max-agg collapses it without ever grouping on the ~0.5 KB vector
+    * payloads (same rationale as [[annTopKLshOn]]).
+    */
+  private def ivfProbe(centroids: Seq[Seq[Double]], cells: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.select(col("query_id"), col("eq"),
+      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+        .as(Seq("cell", "csim")))
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
     val probeCells = probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("eq"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    data.join(probeCells, Seq("cell"))
+    cells.join(probeCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("eq"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Cell assignment shared by the IVF family: each vector exploded to
+    * its `nassign` nearest cells — (vec_id, embedding, cell), one row
+    * per assignment. nassign = 1 is the plain codegen argmax
+    * ([[annTopKIvf]]'s data side); higher values are
+    * [[semanticDedupOn]]'s multi-probe blocker. Codegen argmax as ARRAY
+    * ops: a when-chain over `greatest(sims)` would re-inline all nlist
+    * sims per branch (~270 copies — blows the JVM's 64KB method limit
+    * and falls back to interpreted); array_position(sims,
+    * array_max(sims)) references the aliased sims column twice total,
+    * and each exclusion stage reads the PREVIOUS aliased column.
+    */
+  private[graft] def assignCells(emb: DataFrame, centroids: Seq[Seq[Double]],
+                                 nassign: Int): DataFrame = {
+    val nlist = centroids.size
+    require(nassign >= 1 && nassign <= nlist,
+      s"nassign=$nassign must be in [1, nlist=$nlist]")
+    def simsArr(e: Column): Column =
+      array(centroids.map(c => cosineSim(e, typedlit(c))): _*)
+    val assigned0 = emb.select(col("vec_id"), col("embedding"),
+      simsArr(col("embedding")).as("sims0"))
+    val assigned = (0 until nassign).foldLeft(assigned0) { (df, k) =>
+      val withCell = df.withColumn(s"c$k",
+        (array_position(col(s"sims$k"), array_max(col(s"sims$k"))) - 1).cast("int"))
+      if (k == nassign - 1) withCell
+      else withCell.withColumn(s"sims${k + 1}",
+        zip_with(col(s"sims$k"), sequence(lit(1), lit(nlist)),
+          (x, i) => when(i === array_position(col(s"sims$k"), array_max(col(s"sims$k"))),
+            lit(-2.0)).otherwise(x)))
+    }
+    assigned.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nassign).map(k => col(s"c$k")): _*)).as("cell"))
   }
 
   /** Semantic (embedding-cluster) dedup: group vectors whose cosine
@@ -303,64 +358,93 @@ object Similarity {
     */
   def semanticDedupOn(spark: SparkSession, emb: DataFrame, qKey: String,
                       threshold: Double = 0.45, nlist: Int = 16,
-                      nassign: Int = 4): DataFrame = {
-    require(nassign >= 1 && nassign <= nlist,
-      s"nassign=$nassign must be in [1, nlist=$nlist]")
-    val centroids = fitQuantizer(emb, qKey, nlist)
-    def simsArr(e: Column): Column =
-      array(centroids.map(c => cosineSim(e, typedlit(c))): _*)
-    // iterated argmax-with-exclusion, each stage reading the PREVIOUS
-    // aliased column: cell_k = argmax(sims masked at cells_1..k-1)
-    val assigned0 = emb.select(col("vec_id"), col("embedding"),
-      simsArr(col("embedding")).as("sims0"))
-    val assigned = (0 until nassign).foldLeft(assigned0) { (df, k) =>
-      val withCell = df.withColumn(s"c$k",
-        (array_position(col(s"sims$k"), array_max(col(s"sims$k"))) - 1).cast("int"))
-      if (k == nassign - 1) withCell
-      else withCell.withColumn(s"sims${k + 1}",
-        zip_with(col(s"sims$k"), sequence(lit(1), lit(nlist)),
-          (x, i) => when(i === array_position(col(s"sims$k"), array_max(col(s"sims$k"))),
-            lit(-2.0)).otherwise(x)))
-    }
-    val cells = assigned.select(col("vec_id"), col("embedding"),
-      explode(array((0 until nassign).map(k => col(s"c$k")): _*)).as("cell"))
+                      nassign: Int = 4, trustKey: Boolean = false): DataFrame = {
+    val centroids = fitQuantizer(emb, qKey, nlist, trustKey)
+    dedupFromCells(assignCells(emb, centroids, nassign),
+      emb.select(col("vec_id")), threshold)
+  }
+
+  /** [[semanticDedupOn]] over a PREBUILT cell table — the production
+    * path where the multi-assign cells were materialized at ingest
+    * ([[graft.sources.SimilarityIndexes]], written with nassign > 1).
+    * The vector universe is the distinct ids of the cell table (every
+    * vector holds >= 1 assignment by construction); pair generation and
+    * component labeling are the shared [[dedupFromCells]], so stored
+    * and inline results cannot fork.
+    */
+  def semanticDedupFromIndex(cells: DataFrame,
+                             threshold: Double = 0.45): DataFrame =
+    dedupFromCells(cells, cells.select(col("vec_id")).distinct(), threshold)
+
+  /** Candidate pairing + component labeling shared by [[semanticDedupOn]]
+    * and [[semanticDedupFromIndex]]: vectors sharing ANY cell are paired
+    * via a cell-id equi-join (quadratic only within a cell), every
+    * candidate is exact-verified with the fused codegen cosine, ids-only
+    * from there (pair dedup AFTER dropping the two ~256-byte vector
+    * payloads), then [[graft.operators.Dedup.clusterPairs]] labels
+    * components and `universeIds` pins one output row per input vector.
+    */
+  private def dedupFromCells(cells: DataFrame, universeIds: DataFrame,
+                             threshold: Double): DataFrame = {
     val pairs = cells.as("x").join(cells.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .filter(cosineSim(col("x.embedding"), col("y.embedding")) >= threshold)
-      // ids only from here on: the pair may arrive via both shared cells —
-      // dedup AFTER dropping the two 256-byte vector payloads
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
       .distinct()
     val labels = graft.operators.Dedup.clusterPairs(pairs)
       .withColumnRenamed("doc_id", "vec_id")
-    emb.select(col("vec_id"))
+    universeIds
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
       .withColumn("is_rep", (col("vec_id") === col("rep_id")).cast("long"))
   }
 
+  /** The fingerprint of the last fit per (key, nlist) — what the
+    * `trustKey` fast path resolves through without touching the data.
+    */
+  private val lastFit =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long)]
+
   /** Memoized coarse-quantizer fit (see [[quantizers]]): L2 k-means over
     * unit-normalized vectors ranks cells identically to cosine
     * (||q-c||² = 2 - 2·cos on unit vectors); deterministic via fixed
-    * seed. The ids-only fingerprint aggregate runs per request — a scan
-    * of one column, orders of magnitude cheaper than the k-means fit it
-    * guards against reusing on the wrong data.
+    * seed. The fingerprint aggregate runs per request — a scan of the
+    * id + embedding columns, orders of magnitude cheaper than the
+    * k-means fit it guards against reusing on the wrong data — UNLESS
+    * the caller passes `trustKey = true`: a hot serving path that KNOWS
+    * its key↔data binding is stable (e.g. an immutable snapshot dir)
+    * can skip even that scan and reuse the last fit recorded under
+    * (key, nlist); the first call under a key always fits (and pays the
+    * fingerprint), so trust only ever short-circuits a repeat. The
+    * storage-backed answer to the same problem is
+    * [[graft.sources.SimilarityIndexes]] — stored centroids never
+    * re-fit at all.
     */
-  private def fitQuantizer(emb: DataFrame, key: String, nlist: Int): Seq[Seq[Double]] = {
-    // bit_xor, not sum: order-insensitive like sum but cannot overflow
-    // (ANSI mode would throw on a long sum of 64-bit hashes). The hash
-    // covers ids AND embedding values — same ids re-embedded must miss
-    val fpRow = emb.agg(
-      count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
-    quantizers.getOrElseUpdate((key, nlist, fpRow.getLong(0), fpRow.getLong(1)), {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
-      val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
-    })
+  private[graft] def fitQuantizer(emb: DataFrame, key: String, nlist: Int,
+                                  trustKey: Boolean = false): Seq[Seq[Double]] = {
+    val trusted =
+      if (trustKey) lastFit.get((key, nlist))
+        .flatMap(fp => quantizers.get((key, nlist, fp._1, fp._2)))
+      else None
+    trusted.getOrElse {
+      // bit_xor, not sum: order-insensitive like sum but cannot overflow
+      // (ANSI mode would throw on a long sum of 64-bit hashes). The hash
+      // covers ids AND embedding values — same ids re-embedded must miss
+      val fpRow = emb.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
+      val fp = (fpRow.getLong(0), fpRow.getLong(1))
+      val centroids = quantizers.getOrElseUpdate((key, nlist, fp._1, fp._2), {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
+        val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
+        model.clusterCenters.map(_.toArray.toSeq).toSeq
+      })
+      lastFit.put((key, nlist), fp)
+      centroids
+    }
   }
 
   def annTopKLsh(spark: SparkSession, sfDir: String,

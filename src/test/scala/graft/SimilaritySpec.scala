@@ -85,6 +85,59 @@ class SimilaritySpec extends SparkSpec {
       "a reused label with different data must refit, not serve stale cells")
   }
 
+  test("stored IVF index probe equals the inline quantizer path; recall bound holds") {
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val inline = Similarity.annTopKIvf(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val stored = graft.sources.SimilarityIndexes.annIvfProbeDocs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline,
+      "probing the parquet-materialized IVF index must equal the inline path " +
+        "(same seeded quantizer, shared probe arithmetic)")
+    val recall = (stored.map(r => (r._1, r._2)) & brute).size.toDouble / brute.size
+    info(f"stored IVF ANN recall = $recall%.2f")
+    assert(recall >= 0.85, f"stored-probe recall $recall%.2f below bound")
+  }
+
+  test("stored multi-assign cells drive semantic dedup identically to inline") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/similarity_index_spec/dedup_cells"
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb, path, sf, nassign = 4)
+    val (_, cells) = graft.sources.SimilarityIndexes.readIvfIndex(spark, path)
+    val stored = Similarity.semanticDedupFromIndex(cells)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.semanticDedupOn(spark, emb, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline,
+      "dedup over stored cells must equal the inline assignment path")
+  }
+
+  test("trustKey skips the fingerprint scan; first use under a key still fits") {
+    import org.apache.spark.sql.functions.{col, lit, raise_error}
+    val emb = Tables.embeddings(spark, sf)
+    // a frame that EXPLODES if any job ever touches it: trust must
+    // resolve entirely through the memo
+    val poison = spark.range(5).select(col("id").as("vec_id"),
+      raise_error(lit("trustKey must not scan the data"))
+        .cast("array<float>").as("embedding"))
+    // first use under a fresh key: trust has nothing to resolve through,
+    // so the call must FIT (and hence scan) — here the scan detonates,
+    // proving trust never serves a fit that doesn't exist
+    intercept[Exception] {
+      Similarity.fitQuantizer(poison, "trust-spec", 16, trustKey = true)
+    }
+    val fit = Similarity.fitQuantizer(emb, "trust-spec", 16)
+    val trusted = Similarity.fitQuantizer(poison, "trust-spec", 16, trustKey = true)
+    assert(trusted === fit,
+      "trusted repeat must serve the recorded fit without touching the frame")
+    // untrusted calls keep the fingerprint guard: the poisoned frame is
+    // scanned and detonates
+    intercept[Exception] {
+      Similarity.fitQuantizer(poison, "trust-spec", 16)
+    }
+  }
+
   test("near-dup plan is a blocked equi-join: no cartesian/nested-loop operator") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
