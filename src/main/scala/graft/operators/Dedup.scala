@@ -159,7 +159,7 @@ object Dedup {
   def minHashNearDupsOn(docTexts: DataFrame, n: Int = ShingleN,
                         k: Int = MinHashK, bands: Int = MinHashBands,
                         maxBucket: Int = 10000): DataFrame = {
-    val docs = docShingles(docTexts, n).persist()
+    val docs = graft.CacheScope.track(docShingles(docTexts, n).persist())
     val banded = docs
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.minhashBandKeys(col("sh"), k, bands))
@@ -253,7 +253,7 @@ object Dedup {
   def ngramJaccardPairsOn(docTexts: DataFrame, n: Int = ShingleN,
                           maxDocFreq: Int = 1000): DataFrame = {
     val (num, den) = (1, 2) // threshold t = num/den, shared with verify
-    val docs = docShingles(docTexts, n).persist()
+    val docs = graft.CacheScope.track(docShingles(docTexts, n).persist())
     val inv = docs.select(col("doc_id"), col("sz"), explode(col("sh")).as("ng"))
     val dfreq = inv.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     // canonical rarest-first order; row_number over doc_id is a doc-sized
@@ -276,7 +276,7 @@ object Dedup {
     // exchange reuse does not always canonicalize across them — caching
     // guarantees one compute under any join strategy (measured ~2x on
     // the cold path without it). Same caller-owned cleanup as `docs`.
-    val pre = prefixInv.persist()
+    val pre = graft.CacheScope.track(prefixInv.persist())
     val iMin = expr(s"($num * (sz_a + sz_b) + ${num + den - 1}) DIV ${num + den}")
     val cands = pre.as("x").join(pre.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id") &&
@@ -474,40 +474,40 @@ object Dedup {
     * round counter are control plane (one boolean per round — the data
     * path stays distributed); lineage is truncated per round via
     * localCheckpoint exactly like [[clusterPairs]]' propagation loop.
-    * Each round's spans are persisted for the isEmpty-probe + cut pair
-    * and dropped with the WHOLE session cache once the round's output
-    * is checkpointed — so, like the streaming ingest sinks, this
-    * compaction-job spelling assumes it owns its session's cache
-    * (otherwise up to maxRounds corpus-scale capped indexes would stay
-    * pinned simultaneously).
+    * Each round runs inside a [[graft.CacheScope]]: the round's spans
+    * persist for the isEmpty-probe + cut pair, the detector's internal
+    * capped-index persist registers with the scope, and BOTH are
+    * unpersisted — targeted, never `clearCache()` — once the round's
+    * output is checkpointed. A caller's own persisted frames therefore
+    * survive the fixpoint (round-9 contract, asserted in DedupSpec),
+    * and at most one round's corpus-scale index is ever pinned.
     */
   def verbatimCleanFixpoint(docTexts: DataFrame, n: Int = ShingleN,
                             minRunTokens: Int = 20, maxOccFreq: Int = 1000,
                             maxRounds: Int = 8): DataFrame = {
-    val spark = docTexts.sparkSession
     var cur = docTexts.select(col("doc_id"), col("text"),
       lit(0L).as("n_tokens_removed"))
     var round = 0
     var clean = false
     while (!clean && round < maxRounds) {
-      val docs = cur.select(col("doc_id"), col("text"))
-      // persisted: the isEmpty probe and the cut below both consume it —
-      // without the mark the detector pipeline would run twice per round
-      val spans = verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq)
-        .persist()
-      if (spans.isEmpty) clean = true
-      else {
-        val cut = applyVerbatimCuts(docs, spans)
-        cur = cut.as("c")
-          .join(cur.select(col("doc_id"), col("n_tokens_removed").as("prev")),
-            "doc_id")
-          .select(col("doc_id"), col("c.text").as("text"),
-            (col("prev") + col("c.n_tokens_removed")).as("n_tokens_removed"))
-          .localCheckpoint()
+      graft.CacheScope.scoped {
+        val docs = cur.select(col("doc_id"), col("text"))
+        // persisted: the isEmpty probe and the cut below both consume
+        // it — without the mark the detector pipeline would run twice
+        // per round; tracked so the scope drops it with the round
+        val spans = graft.CacheScope.track(
+          verbatimRunSpansOn(docs, n, minRunTokens, maxOccFreq).persist())
+        if (spans.isEmpty) clean = true
+        else {
+          val cut = applyVerbatimCuts(docs, spans)
+          cur = cut.as("c")
+            .join(cur.select(col("doc_id"), col("n_tokens_removed").as("prev")),
+              "doc_id")
+            .select(col("doc_id"), col("c.text").as("text"),
+              (col("prev") + col("c.n_tokens_removed")).as("n_tokens_removed"))
+            .localCheckpoint()
+        }
       }
-      // the round's output is materialized (or empty) — drop the round's
-      // spans AND the detector's internal capped-index persist
-      spark.catalog.clearCache()
       round += 1
     }
     cur
@@ -585,7 +585,7 @@ object Dedup {
     // compute it once (caller-owned cleanup, same contract as
     // [[incrementalNearDup]]'s shingle frames)
     val (corpusIdx, occ) = verbatimIndexFrames(corpus, n)
-    incrementalVerbatimRunsFromIndex(corpusIdx.persist(), occ, batch,
+    incrementalVerbatimRunsFromIndex(graft.CacheScope.track(corpusIdx.persist()), occ, batch,
       n, minRunTokens, maxOccFreq)
   }
 
@@ -663,11 +663,12 @@ object Dedup {
     // BOTH self-join sides, and exchange reuse does not canonicalize
     // across them under every join strategy — same caller-owned cache
     // contract as [[ngramJaccardPairsOn]] (Bench/Verify clearCache()
-    // after consuming each result)
-    val capped = pos.join(occ, "ng")
+    // after consuming each result); CacheScope-tracked so composing
+    // pipelines (fixpoint, ingest sinks) clean up ONLY this handle
+    val capped = graft.CacheScope.track(pos.join(occ, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id"), col("pos"), col("ng"))
-      .persist()
+      .persist())
     val matches = capped.as("x").join(capped.as("y"),
         col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -709,10 +710,10 @@ object Dedup {
     // and exchange reuse is not guaranteed across them — same
     // caller-owned clearCache() contract as [[runIslands]] (the explode
     // + occurrence join would otherwise run twice)
-    val capped = pos.join(occ, "ng")
+    val capped = graft.CacheScope.track(pos.join(occ, "ng")
       .filter(col("occ") <= maxOccFreq)
       .select(col("doc_id"), col("pos"), col("ng"))
-      .persist()
+      .persist())
     // doc_b = doc_id keeps the islandsOf contract; diag > 0 by pos_a >
     // pos_b, so each unordered occurrence pair is seen once
     val matches = capped.as("x").join(capped.as("y"),
@@ -810,7 +811,7 @@ object Dedup {
                          num: Int = 4, den: Int = 5,
                          maxBucket: Int = 10000): DataFrame = {
     val (corpusSh, corpusIdx) = nearDupIndexFrames(corpus, n, k, bands)
-    incrementalNearDupFromIndex(corpusSh.persist(), corpusIdx, batch,
+    incrementalNearDupFromIndex(graft.CacheScope.track(corpusSh.persist()), corpusIdx, batch,
       n, k, bands, num, den, maxBucket)
   }
 
@@ -854,7 +855,7 @@ object Dedup {
                                   num: Int = 4, den: Int = 5,
                                   maxBucket: Int = 10000): DataFrame = {
     val corpusSh = corpusShingles
-    val batchSh = docShingles(batch, n).persist()
+    val batchSh = graft.CacheScope.track(docShingles(batch, n).persist())
     val corpusIdx = corpusBandIndex
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("key"))))

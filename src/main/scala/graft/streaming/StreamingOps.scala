@@ -241,14 +241,17 @@ object StreamingOps {
     * spelling for corpora small enough that the index build is cheaper
     * than the bookkeeping.
     *
-    * Either way the operator-internal persist()s are dropped per batch
-    * via clearCache — this sink assumes it owns its session's cache
-    * (run ingest as a dedicated job).
+    * Either way each batch body runs inside a [[graft.CacheScope]]:
+    * the operator-internal persist()s register with the scope and are
+    * unpersisted — targeted, never `clearCache()` — once the batch's
+    * writes land, so frames a co-resident caller persisted survive the
+    * ingest (round-9 contract, asserted in StreamingSpec).
     */
   def ingestNewDocsNearDup(lines: DataFrame, corpusDir: String,
                            textCol: String = "value",
                            indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
       val exactDeduped = batch
@@ -315,7 +318,7 @@ object StreamingOps {
         .write.mode("append").parquet(corpusDir)
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
         graft.sources.DedupIndexes.appendNearDup(_, _, _)))
-      spark.catalog.clearCache() // drop incrementalNearDup's shingle caches
+      }
       ()
     }.start()
 
@@ -394,8 +397,11 @@ object StreamingOps {
     * ([[graft.sources.DedupIndexes.writeVerbatimIndex]]) — the sink
     * maintains the index forward from its own deliveries, it does not
     * backfill. `indexDir = None` derives the corpus index inline per
-    * batch (small-corpus spelling). Assumes it owns the session cache
-    * (clearCache per batch), like the other ingest sinks.
+    * batch (small-corpus spelling). Each batch body runs inside a
+    * [[graft.CacheScope]] — targeted unpersists of the detector's own
+    * handles, never `clearCache()`, so a co-resident caller's persisted
+    * frames survive the ingest (round-9 contract, asserted in
+    * StreamingSpec).
     */
   def ingestFlagVerbatim(lines: DataFrame, corpusDir: String, flagsDir: String,
                          textCol: String = "value",
@@ -403,6 +409,7 @@ object StreamingOps {
                          maxOccFreq: Int = 1000,
                          indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
       val exactDeduped = batch
@@ -453,7 +460,7 @@ object StreamingOps {
       fresh.unpersist()
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
         graft.sources.DedupIndexes.appendVerbatim(_, _, _)))
-      spark.catalog.clearCache() // drop incrementalVerbatimRuns' index cache
+      }
       ()
     }.start()
 

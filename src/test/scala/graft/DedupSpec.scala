@@ -318,6 +318,21 @@ class DedupSpec extends SparkSpec {
       "fixpoint output must re-detect clean")
   }
 
+  test("a caller's persisted frame survives a fixpoint run (scoped cleanup)") {
+    // the round-8 nit: fixpoint dropped its per-round detector caches
+    // with clearCache(), evicting the CALLER's frames too. Now each
+    // round unpersists only its own tracked handles.
+    val callerFrame = Tables.documents(spark, sf).select($"doc_id").persist()
+    callerFrame.count() // materialize the cache before the fixpoint runs
+    val docs = Seq(
+      (0L, "p q r s"), (1L, "X Y Z"), (2L, "p q X Y Z r s")
+    ).toDF("doc_id", "text")
+    Dedup.verbatimCleanFixpoint(docs, minRunTokens = 3).collect()
+    assert(callerFrame.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "fixpoint must unpersist only detector-owned frames, not the caller's")
+    callerFrame.unpersist()
+  }
+
   test("self-repeats equal a driver-side longest-repeated-substring scan") {
     // brute force: for every alignment offset d >= 1, the longest run of
     // positions i with tokens(i) == tokens(i-d) is the longest repeated

@@ -505,6 +505,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a caller's persisted frame survives ingest batches (scoped cleanup)") {
+    import java.nio.file.Files
+    // the round-8 nit: the ingest sinks cleared the WHOLE session cache
+    // per batch; a co-resident job's persisted frames died with it
+    val callerFrame = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id").persist()
+    callerFrame.count()
+    val base = Files.createTempDirectory("graft-ingest-scoped")
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestFlagVerbatim(ms.toDF(),
+      base.resolve("corpus").toString, base.resolve("flags").toString,
+      indexDir = Some(base.resolve("index").toString))
+    try {
+      val span = (1 to 25).map(i => s"q$i").mkString(" ")
+      ms.addData(s"h1 h2 $span t1", "unrelated doc")
+      q.processAllAvailable()
+      // a second batch that actually probes (and flags) — the full
+      // detector pipeline with its internal persists runs here
+      ms.addData(s"x1 x2 $span y1")
+      q.processAllAvailable()
+      assert(spark.read.parquet(base.resolve("flags").toString).count() === 1)
+      assert(callerFrame.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "ingest batches must unpersist only detector-owned frames")
+    } finally q.stop()
+    callerFrame.unpersist()
+  }
+
   test("expiring profiles: state evicted once the watermark passes last activity + TTL") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ms = MemoryStream[UserEvent]
