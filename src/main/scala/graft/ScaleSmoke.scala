@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOf, Dedup, Relational}
+import graft.sources.DedupIndexes
 
 /** Scale-sensitivity smoke over the SHIPPED operator entry points:
   * replicates the documents/events tables Nx in memory and times the
@@ -44,6 +45,15 @@ import graft.operators.{AsOf, Dedup, Relational}
   *   - [[Dedup.incrementalVerbatimRuns]] with a factor-sized corpus and
   *     a base-sized delivery batch (time tracks the corpus positional
   *     index build — linear, never corpus²);
+  *   - the STORED-index spellings of both incremental probes
+  *     ([[graft.sources.DedupIndexes]]): the factor-sized corpus's index
+  *     is written once UNTIMED (the ingest-time cost the layout
+  *     amortizes), then the base-sized batch probes it from parquet —
+  *     probe time has the stored-index scan as its linear ceiling and
+  *     must sit at or below the inline spelling that re-derives the same
+  *     index from text, with identical row counts; the APPEND of the
+  *     base-sized batch is timed too and must stay ~flat across factors
+  *     (append is pure batch work — corpus size never enters it);
   *   - salted vs single-window sessionization with one hot user holding
   *     ~factor·1500× the median user's events — the power-law tail the
   *     salted two-phase spelling exists for;
@@ -213,6 +223,37 @@ object ScaleSmoke {
         Dedup.incrementalVerbatimRuns(docs, batch, minRunTokens = 3).count())
       spark.catalog.clearCache()
 
+      // stored-index probes: the factor-sized corpus's index is written
+      // once per factor (untimed fixture — the ingest-time cost), then
+      // the SAME base-sized batch probes it from parquet. Rows must
+      // equal the inline spellings' exactly (shared arithmetic, spec-
+      // certified); time must track the stored-index SCAN at worst —
+      // at or below the inline probe, which re-derives the index from
+      // text per delivery. The appends are timed and must stay ~flat
+      // across factors: an append shingles only the batch and writes
+      // under its own ingest label — corpus size never enters it.
+      val idxRoot = s"target/scale_smoke_idx/f$factor"
+      DedupIndexes.writeNearDupIndex(docs, s"$idxRoot/neardup")
+      val (shS, bandS) = DedupIndexes.readNearDupIndex(spark, s"$idxRoot/neardup")
+      val (tIdxN, nIdxN) = timeIt(
+        Dedup.incrementalNearDupFromIndex(shS, bandS, batch).count())
+      spark.catalog.clearCache()
+      val (tAppN, _) = timeIt {
+        DedupIndexes.appendNearDup(batch, s"$idxRoot/neardup", "smoke"); 0L
+      }
+      spark.catalog.clearCache()
+
+      DedupIndexes.writeVerbatimIndex(docs, s"$idxRoot/verbatim")
+      val (posS, occS) = DedupIndexes.readVerbatimIndex(spark, s"$idxRoot/verbatim")
+      val (tIdxV, nIdxV) = timeIt(
+        Dedup.incrementalVerbatimRunsFromIndex(posS, occS, batch,
+          minRunTokens = 3).count())
+      spark.catalog.clearCache()
+      val (tAppV, _) = timeIt {
+        DedupIndexes.appendVerbatim(batch, s"$idxRoot/verbatim", "smoke"); 0L
+      }
+      spark.catalog.clearCache()
+
       // decontamination: both sides grow with the factor, but the eval
       // side collapses to a distinct n-gram set before the join, so the
       // output (and time) must stay bounded by the train inverted index
@@ -258,6 +299,10 @@ object ScaleSmoke {
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
         s""""incr_near_sec":$tIncN,"incr_near_rows":$nIncN,""" +
         s""""incr_verbatim_sec":$tIncV,"incr_verbatim_rows":$nIncV,""" +
+        s""""idx_near_probe_sec":$tIdxN,"idx_near_probe_rows":$nIdxN,""" +
+        s""""idx_near_append_sec":$tAppN,""" +
+        s""""idx_verbatim_probe_sec":$tIdxV,"idx_verbatim_probe_rows":$nIdxV,""" +
+        s""""idx_verbatim_append_sec":$tAppV,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +

@@ -38,9 +38,9 @@ import graft.operators.Dedup
   *   - the verbatim occurrence table is MERGE-ON-READ: each append
   *     writes its batch's (ng, occ) delta, and [[readVerbatimIndex]]
   *     reconciles with one sum over the OCC TABLE (distinct-n-gram
-  *     scale — never a re-aggregation of the corpus index). A full
-  *     rebuild ([[writeVerbatimIndex]]) is the compaction story when
-  *     delta count grows.
+  *     scale — never a re-aggregation of the corpus index). When delta
+  *     count grows, [[compactVerbatimTo]] collapses them — reading only
+  *     the stored index, never the corpus text.
   */
 object DedupIndexes {
 
@@ -63,7 +63,7 @@ object DedupIndexes {
     }
   }
 
-  private def delete(spark: SparkSession, dir: String): Unit = {
+  private[sources] def delete(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val f = fs(spark, dir)
     if (f.exists(p)) { f.delete(p, true); () }
@@ -73,8 +73,9 @@ object DedupIndexes {
     * scratch: `path/shingles` = (doc_id, sh, sz), `path/bands` =
     * (doc_id, band, key) partitioned by band, `path/manifest` =
     * (doc_id), all under `ingest=base`. Any previous index at `path`
-    * is removed — this is the full-(re)build, which doubles as the
-    * compaction story for a long-appended index.
+    * is removed — this is the full-(re)build from text; for merging a
+    * long-appended index without re-reading the corpus, use
+    * [[compactNearDupTo]].
     */
   def writeNearDupIndex(corpus: DataFrame, path: String,
                         n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
@@ -135,7 +136,9 @@ object DedupIndexes {
   /** Write the [[Dedup.incrementalVerbatimRuns]] corpus artifacts from
     * scratch: `path/positions` = (doc_id, pos, ng), `path/occ` =
     * (ng, occ), `path/manifest` = (doc_id), under `ingest=base`; any
-    * previous index is removed (full rebuild = occ-delta compaction).
+    * previous index is removed. This is the full rebuild from text;
+    * [[compactVerbatimTo]] merges occ deltas without re-reading the
+    * corpus.
     * The occurrence table derives from the just-written positions file,
     * not a second text scan.
     */
@@ -179,6 +182,57 @@ object DedupIndexes {
     (spark.read.parquet(s"$path/positions").drop("ingest"),
       spark.read.parquet(s"$path/occ")
         .groupBy(col("ng")).agg(sum(col("occ")).as("occ")))
+
+  /** Compact a long-appended near-dup index: rewrite every ingest's
+    * rows into a single `ingest=base` at `dst`, reading ONLY the stored
+    * index — columnar, index-sized I/O; the corpus text is never
+    * re-read and nothing is re-shingled, which is the point of
+    * compacting at 100 TB (the alternative, [[writeNearDupIndex]],
+    * re-derives the index from text). Results are row-identical by
+    * construction: compaction only moves rows between ingest labels,
+    * and the probes drop the label on read (equality spec-certified in
+    * DedupIndexSpec).
+    *
+    * Crash safety by destination atomicity: `dst` is deleted first and
+    * the manifest is written LAST, so `dst` is either a complete index
+    * or visibly unfinished — never a half-merged one double-counting
+    * rows (the in-place alternative, deleting source ingest dirs after
+    * writing their union alongside them, has exactly that window). The
+    * caller owns the `src`→`dst` pointer flip — at scale that's a
+    * catalog/metastore location swap, the same contract every
+    * rewrite-based table compaction (e.g. snapshot-pointer table
+    * formats) uses.
+    */
+  def compactNearDupTo(spark: SparkSession, src: String, dst: String): Unit = {
+    require(new Path(src).toUri != new Path(dst).toUri,
+      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    delete(spark, dst)
+    val (sh, bands) = readNearDupIndex(spark, src)
+    sh.write.mode("overwrite").parquet(s"$dst/shingles/ingest=$BaseLabel")
+    bands.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dst/bands/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
+
+  /** Compact a long-appended verbatim index into `dst` — same contract
+    * as [[compactNearDupTo]] (index-sized I/O, complete-or-absent dst,
+    * caller flips the pointer). The merge-on-read occ deltas COLLAPSE:
+    * the reconciled sum ([[readVerbatimIndex]]'s spelling) is written
+    * as the single stored table, one row per distinct n-gram, so
+    * post-compaction probes skip the per-read reconciliation until
+    * appends accumulate again.
+    */
+  def compactVerbatimTo(spark: SparkSession, src: String, dst: String): Unit = {
+    require(new Path(src).toUri != new Path(dst).toUri,
+      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    delete(spark, dst)
+    val (pos, occ) = readVerbatimIndex(spark, src)
+    pos.write.mode("overwrite").parquet(s"$dst/positions/ingest=$BaseLabel")
+    occ.write.mode("overwrite").parquet(s"$dst/occ/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
 
   /** Every doc_id any ingest of the index at `path` has claimed,
     * `excludeLabel`'s ingest left out. Ingest maintenance anti-joins

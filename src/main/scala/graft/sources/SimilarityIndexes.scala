@@ -15,52 +15,155 @@ import graft.operators.Similarity
   *   - `path/centroids` = (cell, centroid) — nlist rows, control-plane
   *     sized, collected to the driver at read exactly like the in-memory
   *     quantizer ships its centroid literals into codegen;
-  *   - `path/cells` = (vec_id, embedding, cell) PARTITIONED BY cell —
-  *     the FAISS-style inverted lists: each cell's vectors are
-  *     co-located files, so a probe restricted to nprobe cells touches
-  *     nprobe/nlist of the data (and at scale dynamic partition pruning
-  *     can elide files for the cell-id equi-join). The embedding rides
-  *     IN the index — probes re-score candidates without ever joining
-  *     back to the source table.
+  *   - `path/meta` = one row (nassign) — the index's assignment fanout,
+  *     stored so appends cannot fork from the build's layout;
+  *   - `path/cells/ingest=<label>` = (vec_id, embedding, cell)
+  *     PARTITIONED BY cell — the FAISS-style inverted lists: each cell's
+  *     vectors are co-located files, so a probe restricted to nprobe
+  *     cells touches nprobe/nlist of the data (and at scale dynamic
+  *     partition pruning can elide files for the cell-id equi-join). The
+  *     embedding rides IN the index — probes re-score candidates without
+  *     ever joining back to the source table;
+  *   - `path/manifest/ingest=<label>` = (vec_id), written LAST per
+  *     ingest — the cheap authoritative "already indexed" set, same
+  *     maintenance contract as [[DedupIndexes]].
   *
-  * The index is written for a fixed (nlist, nassign): nassign = 1 is
-  * the ANN layout ([[Similarity.annTopKIvfFromIndex]]); nassign > 1 is
-  * the multi-probe dedup blocker ([[Similarity.semanticDedupFromIndex]]).
-  * Rebuild to change either — the quantizer fit is deterministic
-  * (seeded), so a rebuild over unchanged data reproduces the index
-  * byte-for-byte modulo file layout.
+  * Maintenance follows the quantizer's production lifecycle — FIT ONCE,
+  * ASSIGN FOREVER, RE-FIT AT COMPACTION:
+  *   - [[appendIvf]] assigns a batch with the STORED centroids and lands
+  *     it under its own ingest label (overwrite-on-own-label, so a
+  *     failure-replayed append rewrites instead of duplicating);
+  *     centroids never move on append — cell membership of already-
+  *     indexed vectors is immutable between re-fits, which is what keeps
+  *     appends O(batch);
+  *   - [[compactIvfTo]] merges the ingest labels into one, reading only
+  *     the stored index (no re-fit, no corpus read);
+  *   - [[writeIvfIndex]] is the re-fit: rebuild when drift between the
+  *     centroids and the appended distribution degrades recall. The fit
+  *     is deterministic (seeded), so a rebuild over unchanged data
+  *     reproduces the index modulo file layout.
+  *
+  * nassign = 1 is the ANN layout ([[Similarity.annTopKIvfFromIndex]]);
+  * nassign > 1 is the multi-probe dedup blocker
+  * ([[Similarity.semanticDedupFromIndex]]).
   */
 object SimilarityIndexes {
 
+  /** The label the full build writes its single ingest under. */
+  val BaseLabel: String = DedupIndexes.BaseLabel
+
   /** Fit the quantizer on `emb` (memoized — index build IS the one
-    * place the fit belongs) and write centroids + cell assignments.
+    * place the fit belongs) and write centroids + meta + cell
+    * assignments + manifest. Any previous index at `path` (including
+    * stale append labels) is removed.
     */
   def writeIvfIndex(emb: DataFrame, path: String, qKey: String,
                     nlist: Int = 16, nassign: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    DedupIndexes.delete(spark, path)
     val centroids = Similarity.fitQuantizer(emb, qKey, nlist)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq(nassign).toDF("nassign")
+      .write.mode("overwrite").parquet(s"$path/meta")
     Similarity.assignCells(emb, centroids, nassign)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
   }
 
-  /** Read back (centroids, cells). Centroids collect to the driver —
-    * nlist rows of control plane, the same shape every probe embeds as
-    * codegen literals; `cell` returns as its partition-column string
-    * spelling and is cast back to the probe's integer key.
+  /** APPEND a batch's cell assignments to a stored IVF index: the batch
+    * is assigned with the STORED centroids at the index's stored
+    * nassign and lands under `ingest=<label>` with overwrite semantics
+    * on that label — a failure-replayed append rewrites its own
+    * directories instead of duplicating rows; the manifest row set is
+    * written LAST so a crash mid-append leaves the batch "not yet
+    * indexed", never half-claimed. Centroids are untouched: appends are
+    * pure batch work (one scan of the batch, nlist codegen literals),
+    * and re-fitting is [[writeIvfIndex]]'s job, at compaction cadence.
+    *
+    * The caller owns WHICH vectors to append (typically: this
+    * delivery's vectors absent from [[indexedVecIds]]); this method is
+    * pure storage.
     */
-  def readIvfIndex(spark: SparkSession, path: String): (Seq[Seq[Double]], DataFrame) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+  def appendIvf(batch: DataFrame, path: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    val centroids = readCentroids(spark, path)
+    val nassign = spark.read.parquet(s"$path/meta").head.getAs[Int]("nassign")
+    Similarity.assignCells(batch, centroids, nassign)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Compact a long-appended IVF index into `dst`: centroids and meta
+    * carried over verbatim, every ingest's cell rows rewritten under a
+    * single `ingest=base`, manifest merged — reading ONLY the stored
+    * index (no quantizer re-fit, no corpus read; re-fitting is a
+    * [[writeIvfIndex]] rebuild). Same crash contract as
+    * [[DedupIndexes.compactNearDupTo]]: `dst` is complete or visibly
+    * unfinished (manifest last), and the caller owns the `src`→`dst`
+    * pointer flip.
+    */
+  def compactIvfTo(spark: SparkSession, src: String, dst: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(src).toUri !=
+        new org.apache.hadoop.fs.Path(dst).toUri,
+      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/centroids")
+      .write.mode("overwrite").parquet(s"$dst/centroids")
+    spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    readCells(spark, src)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dst/cells/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
+
+  /** Read back (centroids, cells) across every ingest. Centroids
+    * collect to the driver — nlist rows of control plane, the same
+    * shape every probe embeds as codegen literals; `cell` returns as
+    * its partition-column string spelling and is cast back to the
+    * probe's integer key; the ingest label is maintenance metadata, not
+    * probe input.
+    */
+  def readIvfIndex(spark: SparkSession, path: String): (Seq[Seq[Double]], DataFrame) =
+    (readCentroids(spark, path), readCells(spark, path))
+
+  private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell"))
       .select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val cells = spark.read.parquet(s"$path/cells")
-      .withColumn("cell", col("cell").cast("int"))
-    (centroids, cells)
+
+  private def readCells(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("int")).drop("ingest")
+
+  /** Every vec_id any ingest of the index at `path` has claimed,
+    * `excludeLabel`'s ingest left out — the anti-join set for ingest
+    * maintenance, same replay-stability contract as
+    * [[DedupIndexes.indexedDocIds]]. Missing manifest (virgin index)
+    * reads as empty.
+    */
+  def indexedVecIds(spark: SparkSession, path: String,
+                    excludeLabel: Option[String] = None): DataFrame = {
+    if (!DedupIndexes.hasData(spark, s"$path/manifest"))
+      spark.range(0).select(col("id").as("vec_id"))
+    else {
+      val m = spark.read.parquet(s"$path/manifest")
+      excludeLabel.fold(m)(l => m.filter(col("ingest") =!= l))
+        .select(col("vec_id"))
+    }
   }
+
+  private def writeManifest(emb: DataFrame, dir: String): Unit =
+    emb.select(col("vec_id")).write.mode("overwrite").parquet(dir)
 
   // -- driver-query harness: the q_embed_ann_ivf stored-probe twin.
   // Index build is fixture work (write once at "ingest"), memoized per

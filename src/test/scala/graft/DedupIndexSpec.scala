@@ -115,6 +115,76 @@ class DedupIndexSpec extends SparkSpec {
       "excluding a label must hide exactly that ingest's claims")
   }
 
+  test("compaction merges a multi-ingest near-dup index from the index alone") {
+    val src = "target/dedup_index_spec/neardup_compact_src"
+    val dst = "target/dedup_index_spec/neardup_compact_dst"
+    val half = corpus.filter($"doc_id" % 2 === 0)
+    val rest = corpus.filter($"doc_id" % 2 === 1)
+    DedupIndexes.writeNearDupIndex(half, src)
+    DedupIndexes.appendNearDup(rest, src, "b1")
+    DedupIndexes.compactNearDupTo(spark, src, dst)
+    // every component collapses to the single base ingest, and the
+    // band partitioning (the probe's file-pruning lever) is preserved
+    for (comp <- Seq("shingles", "bands", "manifest")) {
+      val ingests = new File(s"$dst/$comp").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(ingests === Seq(s"ingest=${DedupIndexes.BaseLabel}"),
+        s"$comp must hold exactly the compacted base ingest, got $ingests")
+    }
+    val bandDirs = new File(s"$dst/bands/ingest=${DedupIndexes.BaseLabel}")
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("band="))
+    assert(bandDirs.length === Dedup.MinHashBands,
+      "compaction must preserve the band partitioning")
+    // probes and the manifest cannot tell src and dst apart
+    val (shS, idxS) = DedupIndexes.readNearDupIndex(spark, src)
+    val (shD, idxD) = DedupIndexes.readNearDupIndex(spark, dst)
+    val probeS = Dedup.incrementalNearDupFromIndex(shS, idxS, batch)
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    val probeD = Dedup.incrementalNearDupFromIndex(shD, idxD, batch)
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(probeS.nonEmpty, "fixture batch must produce verdicts")
+    assert(probeD === probeS,
+      "probing the compacted index must equal probing the appended one")
+    assert(DedupIndexes.indexedDocIds(spark, dst).as[Long].collect().toSet ===
+      DedupIndexes.indexedDocIds(spark, src).as[Long].collect().toSet,
+      "compaction must carry every manifest claim over")
+    // in-place compaction would read and delete the same files — refused
+    intercept[IllegalArgumentException](
+      DedupIndexes.compactNearDupTo(spark, src, src))
+  }
+
+  test("compaction collapses verbatim occ deltas to one stored row per n-gram") {
+    val src = "target/dedup_index_spec/verbatim_compact_src"
+    val dst = "target/dedup_index_spec/verbatim_compact_dst"
+    val half = corpus.filter($"doc_id" % 2 === 0)
+    val rest = corpus.filter($"doc_id" % 2 === 1)
+    DedupIndexes.writeVerbatimIndex(half, src)
+    DedupIndexes.appendVerbatim(rest, src, "b1")
+    DedupIndexes.compactVerbatimTo(spark, src, dst)
+    // the stored occ table is the RECONCILED sum after compaction: one
+    // ingest, one row per distinct n-gram — probes skip the
+    // merge-on-read work until appends accumulate again
+    val rawOcc = spark.read.parquet(s"$dst/occ")
+    assert(rawOcc.select($"ingest").distinct().as[String].collect().toSeq ===
+      Seq(DedupIndexes.BaseLabel))
+    assert(rawOcc.count() === rawOcc.select($"ng").distinct().count(),
+      "occ deltas must merge to exactly one stored row per n-gram")
+    val (posS, occS) = DedupIndexes.readVerbatimIndex(spark, src)
+    val (posD, occD) = DedupIndexes.readVerbatimIndex(spark, dst)
+    assert(occD.as[(String, Long)].collect().toMap ===
+      occS.as[(String, Long)].collect().toMap,
+      "compacted occ table must equal the merge-on-read reconciliation")
+    val probeS = Dedup.incrementalVerbatimRunsFromIndex(posS, occS, batch,
+        minRunTokens = 3).as[(Long, Long, Long)].collect().toSet
+    val probeD = Dedup.incrementalVerbatimRunsFromIndex(posD, occD, batch,
+        minRunTokens = 3).as[(Long, Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(probeS.nonEmpty, "fixture batch must share spans with the corpus")
+    assert(probeD === probeS,
+      "probing the compacted index must equal probing the appended one")
+  }
+
   test("stored verbatim index probe equals the inline derivation") {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)

@@ -113,6 +113,91 @@ class SimilaritySpec extends SparkSpec {
       "dedup over stored cells must equal the inline assignment path")
   }
 
+  test("IVF append assigns with the STORED centroids and is replay-idempotent") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 < 8)
+    val batch = emb.filter($"vec_id" % 10 >= 8)
+    val path = "target/similarity_index_spec/ivf_append"
+    graft.sources.SimilarityIndexes.writeIvfIndex(corpus, path, "ivf-append-spec")
+    val (cent0, cells0) = graft.sources.SimilarityIndexes.readIvfIndex(spark, path)
+    val nCorpus = cells0.count()
+    graft.sources.SimilarityIndexes.appendIvf(batch, path, "b1")
+    val (cent1, cells1) = graft.sources.SimilarityIndexes.readIvfIndex(spark, path)
+    // fit once, assign forever: the append must not move centroids, and
+    // the appended rows must equal assigning the batch with the STORED
+    // centroids (cell membership of indexed vectors is immutable
+    // between re-fits)
+    assert(cent1 === cent0, "append must not touch the centroids")
+    assert(cells1.count() === nCorpus + batch.count(),
+      "nassign = 1: exactly one cell row per appended vector")
+    val expect = Similarity.assignCells(batch, cent0, nassign = 1)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val got = cells1.join(batch.select($"vec_id"), "vec_id")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(got === expect,
+      "appended assignments must come from the stored centroids")
+    // probing the appended index == one-shot assignment of the full
+    // table under the same centroids, and the appended vectors are
+    // actually retrievable as neighbors
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val probed = Similarity.annTopKIvfFromIndex(cent1, cells1, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Similarity.annTopKIvfFromIndex(cent0,
+        Similarity.assignCells(emb, cent0, nassign = 1), queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed === oneShot,
+      "probe over the appended index must equal the one-shot assignment")
+    val batchIds = batch.select($"vec_id").as[Long].collect().toSet
+    assert(probed.exists(r => batchIds(r._2)),
+      "appended vectors must surface as neighbors")
+    // replayed append (same label) overwrites its own ingest
+    graft.sources.SimilarityIndexes.appendIvf(batch, path, "b1")
+    assert(spark.read.parquet(s"$path/cells").count() === nCorpus + batch.count(),
+      "replayed append must not duplicate cell rows")
+    // manifest claims every ingested vector; excluding the append label
+    // hides exactly that ingest
+    assert(graft.sources.SimilarityIndexes.indexedVecIds(spark, path)
+      .as[Long].collect().toSet ===
+      emb.select($"vec_id").as[Long].collect().toSet)
+    assert(graft.sources.SimilarityIndexes.indexedVecIds(spark, path, Some("b1"))
+      .as[Long].collect().toSet ===
+      corpus.select($"vec_id").as[Long].collect().toSet)
+  }
+
+  test("IVF compaction merges ingests from the index alone, probe-identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter($"vec_id" % 10 < 8)
+    val batch = emb.filter($"vec_id" % 10 >= 8)
+    val src = "target/similarity_index_spec/ivf_compact_src"
+    val dst = "target/similarity_index_spec/ivf_compact_dst"
+    graft.sources.SimilarityIndexes.writeIvfIndex(corpus, src, "ivf-compact-spec")
+    graft.sources.SimilarityIndexes.appendIvf(batch, src, "b1")
+    graft.sources.SimilarityIndexes.compactIvfTo(spark, src, dst)
+    val ingests = new java.io.File(s"$dst/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
+      s"cells must collapse to the single base ingest, got $ingests")
+    val (centS, cellsS) = graft.sources.SimilarityIndexes.readIvfIndex(spark, src)
+    val (centD, cellsD) = graft.sources.SimilarityIndexes.readIvfIndex(spark, dst)
+    assert(centD === centS, "compaction must carry centroids over verbatim")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val probeS = Similarity.annTopKIvfFromIndex(centS, cellsS, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val probeD = Similarity.annTopKIvfFromIndex(centD, cellsD, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probeD === probeS,
+      "probing the compacted index must equal probing the appended one")
+    assert(graft.sources.SimilarityIndexes.indexedVecIds(spark, dst)
+      .as[Long].collect().toSet ===
+      graft.sources.SimilarityIndexes.indexedVecIds(spark, src)
+      .as[Long].collect().toSet,
+      "compaction must carry every manifest claim over")
+    intercept[IllegalArgumentException](
+      graft.sources.SimilarityIndexes.compactIvfTo(spark, src, src))
+  }
+
   test("trustKey skips the fingerprint scan; first use under a key still fits") {
     import org.apache.spark.sql.functions.{col, lit, raise_error}
     val emb = Tables.embeddings(spark, sf)
