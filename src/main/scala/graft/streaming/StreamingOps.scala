@@ -464,6 +464,82 @@ object StreamingOps {
       ()
     }.start()
 
+  /** Streaming EMBEDDING ingest via foreachBatch — the vector-side
+    * member of the ingest family, completing the symmetry: every
+    * materialized index ([[graft.sources.DedupIndexes]] near-dup +
+    * verbatim, [[graft.sources.SimilarityIndexes]] IVF) is now both
+    * PROBED and MAINTAINED by a streaming sink. Each micro-batch is
+    * collapsed to one embedding per vec_id (deterministic min-by-hash,
+    * so replays and cross-partition duplicates pick the same row),
+    * anti-joined against the corpus id column, appended to the
+    * embeddings table, and the IVF index is maintained:
+    *
+    *   - virgin index (no manifest): the sink BOOTSTRAPS the full build
+    *     from the corpus ([[graft.sources.SimilarityIndexes.writeIvfIndex]]
+    *     — fit + assign + manifest-last). Gating on the MANIFEST, which
+    *     every build writes last, makes the bootstrap crash-healing: a
+    *     build that died half-written left no manifest and is simply
+    *     re-run from scratch on replay. This is also the documented
+    *     story for pointing the sink at a pre-existing corpus — the
+    *     first batch pays one corpus scan (the unavoidable initial
+    *     build), then maintenance is forward-only;
+    *   - established index: the delivery's vectors that ARE in the
+    *     corpus and that no OTHER ingest has indexed are assigned with
+    *     the STORED centroids and appended under `ingest=<batchId>`
+    *     ([[graft.sources.SimilarityIndexes.appendIvf]] — fit once,
+    *     assign forever; both reads are id-columns only). Own-label
+    *     exclusion + overwrite makes every crash point replay-stable,
+    *     exactly the near-dup/verbatim sinks' delta derivation.
+    *
+    * A re-delivered vec_id is dropped by the corpus anti-join — first
+    * write wins. Re-EMBEDDING an existing id (same vec_id, new vector)
+    * is deliberately NOT an update: vector identity is the id, and
+    * replacing embeddings under a fitted quantizer is a rebuild
+    * decision ([[graft.sources.SimilarityIndexes.writeIvfIndex]] at
+    * re-fit cadence), not an append — same reasoning as the quantizer
+    * memo's data-fingerprint key (Similarity.scala).
+    *
+    * Centroid drift is the operational caveat: appends assign against
+    * the bootstrap-time centroids, so recall on appended vectors
+    * degrades as the arriving distribution drifts from the fitted one.
+    * That is inherent to IVF serving (the FAISS production posture);
+    * the re-fit rebuild at compaction cadence is the cure, and
+    * [[graft.sources.SimilarityIndexes.compactIvfTo]] covers the
+    * no-drift merge case.
+    */
+  def ingestEmbeddings(vectors: DataFrame, corpusDir: String, indexDir: String,
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       nlist: Int = 16, nassign: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
+      val spark = batch.sparkSession
+      val deduped = batch
+        .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("embedding"), xxhash64(col("embedding"))).as("embedding"))
+      val fresh =
+        if (flatDirHasData(spark, corpusDir))
+          deduped.join(spark.read.parquet(corpusDir).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+        else deduped
+      fresh.write.mode("append").parquet(corpusDir)
+      if (!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest")) {
+        graft.sources.SimilarityIndexes.writeIvfIndex(
+          spark.read.parquet(corpusDir), indexDir, qKey = indexDir,
+          nlist = nlist, nassign = nassign)
+      } else {
+        val label = s"b$batchId"
+        val toIndex = deduped
+          .join(spark.read.parquet(corpusDir).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, indexDir, Some(label)),
+            Seq("vec_id"), "left_anti")
+        graft.sources.SimilarityIndexes.appendIvf(toIndex, indexDir, label)
+      }
+      }
+      ()
+    }.start()
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

@@ -505,6 +505,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding ingest: bootstrap fit, stored-centroid appends, replay-idempotent") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-emb")
+    val corpusDir = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    val all = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val seed = all.filter(_._1 % 10 < 8)
+    val rest = all.filter(_._1 % 10 >= 8)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ingestEmbeddings(
+      ms.toDF().toDF("vec_id", "embedding"), corpusDir, indexDir)
+    try {
+      // batch 1 (virgin index): the sink bootstraps the FULL build —
+      // fit + assign + manifest — over the first delivery
+      ms.addData(seed.toSeq)
+      q.processAllAvailable()
+      val cent0 = graft.sources.SimilarityIndexes.readIvfIndex(spark, indexDir)._1
+      assert(cent0.nonEmpty, "bootstrap must fit and store centroids")
+      assert(graft.sources.SimilarityIndexes.indexedVecIds(spark, indexDir)
+        .as[Long].collect().toSet === seed.map(_._1).toSet,
+        "bootstrap manifest must claim the first delivery")
+      // batch 2: new vectors plus a RE-EMBEDDED existing id — the
+      // tampered row must be ignored (first write wins; replacing
+      // vectors under a fitted quantizer is a rebuild decision)
+      val tampered = (seed.head._1, seed.head._2.map(x => -x))
+      ms.addData(rest.toSeq :+ tampered)
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusDir)
+        .as[(Long, Seq[Float])].collect()
+      assert(corpus.length === all.length, "each vec_id lands exactly once")
+      assert(corpus.toMap.apply(seed.head._1) === seed.head._2,
+        "a re-embedded id must not overwrite the stored vector")
+      val (cent1, cells1) = graft.sources.SimilarityIndexes.readIvfIndex(spark, indexDir)
+      assert(cent1 === cent0, "appends must never move the centroids")
+      // the maintained cells equal a one-shot assignment of the final
+      // corpus under the BOOTSTRAP centroids — fit once, assign
+      // forever, certified through the streaming path end to end
+      val expect = graft.operators.Similarity.assignCells(
+          spark.read.parquet(corpusDir), cent0, nassign = 1)
+        .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+      assert(cells1.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+        === expect,
+        "streaming-maintained cells == one-shot stored-centroid assignment")
+      // re-delivery: no corpus rows, no cell rows, no manifest claims
+      ms.addData(rest.toSeq :+ tampered)
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).count() === all.length)
+      assert(graft.sources.SimilarityIndexes.readIvfIndex(spark, indexDir)
+        ._2.count() === all.length)
+      assert(graft.sources.SimilarityIndexes.indexedVecIds(spark, indexDir)
+        .as[Long].collect().toSet === all.map(_._1).toSet)
+    } finally q.stop()
+  }
+
   test("a caller's persisted frame survives ingest batches (scoped cleanup)") {
     import java.nio.file.Files
     // the round-8 nit: the ingest sinks cleared the WHOLE session cache
