@@ -189,6 +189,10 @@ object SparkEntry {
     // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
     // the same reason, stored == inline asserted in SimilaritySpec
     "q_embed_ann_ivf_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfProbeDocs(s, d)),
+    // same probe against the MATERIALIZED sketch index ((vec_id, key)
+    // rows + a vectors table — no payload on sketch rows); rows-only
+    // like its inline twin, stored == inline asserted in SimilaritySpec
+    "q_embed_ann_lsh_idx" -> ((s, d) => sources.SimilarityIndexes.annLshProbeDocs(s, d)),
     // rows-only for the same reason (IVF-cell candidate generation);
     // recall vs exact blocked all-pairs + representative invariants
     // asserted in SimilaritySpec

@@ -145,37 +145,6 @@ object Similarity {
       (bits + lit(t * 65536)).cast("long")
     }: _*)
 
-  /** ANN top-k via random-hyperplane LSH: candidates = vectors sharing at
-    * least one sketch key with the query (bucket join, no cross join),
-    * re-scored exactly, per-query top-k.
-    *
-    * Parameter choice ((nTables, bitsPerTable) = (16, 2)): this fixture's
-    * true top-5 neighbors sit at cosine ≈ 0.27–0.39 (hyperplane collision
-    * prob 0.585–0.628 — measured), so the worst-pair miss probability is
-    * (1 − 0.585²)¹⁶ ≈ 1e-3 → expected recall ≈ 0.999; SimilaritySpec
-    * asserts ≥ 0.9. On isotropic vectors like these the candidate sets
-    * are near-full (no free lunch at cosine 0.3); on real clustered
-    * embedding corpora the same bucketing prunes hard.
-    *
-    * Hot-bucket cap (mirrors [[Dedup.minHashNearDupsOn]]'s `maxBucket`):
-    * a viral near-duplicate embedding cluster puts its whole population
-    * on ONE (table, pattern) key, making that join group quadratic at
-    * scale. Data-side keys whose bucket exceeds `maxBucket` are dropped
-    * from candidate generation via a count window over the SAME key
-    * partitioning the join shuffles on (one reused exchange). A true
-    * neighbor is lost only if EVERY key it shares with the query is
-    * over-capped — i.e. it sits in a > maxBucket near-identical cluster
-    * on all tables, which exact dedup collapses upstream in a real
-    * pipeline. Queries keep their UNCAPPED probe keys (the query side is
-    * nQueries rows — never the hot side). Recall on this fixture is
-    * unchanged (asserted); cap behavior itself is unit-tested with a
-    * planted all-identical cluster and a tiny cap.
-    *
-    * Candidate dedup happens on (query_id, neighbor_id) AFTER scoring —
-    * never `.distinct()` over rows carrying the two float arrays, which
-    * would shuffle ~0.5 KB of grouping key per row; the duplicate scores
-    * collapse in the same aggregation that drops the vectors.
-    */
   /** ANN top-k via IVF (inverted-file index): a k-means coarse quantizer
     * partitions the vector space into `nlist` cells; each vector is
     * assigned to its nearest centroid, and a query re-scores only the
@@ -447,6 +416,37 @@ object Similarity {
     }
   }
 
+  /** ANN top-k via random-hyperplane LSH: candidates = vectors sharing at
+    * least one sketch key with the query (bucket join, no cross join),
+    * re-scored exactly, per-query top-k.
+    *
+    * Parameter choice ((nTables, bitsPerTable) = (16, 2)): this fixture's
+    * true top-5 neighbors sit at cosine ≈ 0.27–0.39 (hyperplane collision
+    * prob 0.585–0.628 — measured), so the worst-pair miss probability is
+    * (1 − 0.585²)¹⁶ ≈ 1e-3 → expected recall ≈ 0.999; SimilaritySpec
+    * asserts ≥ 0.9. On isotropic vectors like these the candidate sets
+    * are near-full (no free lunch at cosine 0.3); on real clustered
+    * embedding corpora the same bucketing prunes hard.
+    *
+    * Hot-bucket cap (mirrors [[Dedup.minHashNearDupsOn]]'s `maxBucket`):
+    * a viral near-duplicate embedding cluster puts its whole population
+    * on ONE (table, pattern) key, making that join group quadratic at
+    * scale. Data-side keys whose bucket exceeds `maxBucket` are dropped
+    * from candidate generation via a count window over the SAME key
+    * partitioning the join shuffles on (one reused exchange). A true
+    * neighbor is lost only if EVERY key it shares with the query is
+    * over-capped — i.e. it sits in a > maxBucket near-identical cluster
+    * on all tables, which exact dedup collapses upstream in a real
+    * pipeline. Queries keep their UNCAPPED probe keys (the query side is
+    * nQueries rows — never the hot side). Recall on this fixture is
+    * unchanged (asserted); cap behavior itself is unit-tested with a
+    * planted all-identical cluster and a tiny cap.
+    *
+    * Candidate dedup happens on bare (query_id, vec_id) ids — never
+    * `.distinct()` over rows carrying the two float arrays, which would
+    * shuffle ~0.5 KB of grouping key per row; the payload joins in only
+    * after the pair set is deduped (see [[annTopKLshFromIndex]]).
+    */
   def annTopKLsh(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
                  nTables: Int = 16, bitsPerTable: Int = 2,
@@ -456,32 +456,78 @@ object Similarity {
 
   /** [[annTopKLsh]] over any (vec_id, embedding) DataFrame — the entry
     * the hot-bucket spec drives so cap evidence covers the SHIPPED path.
+    * Delegates to the shared [[annTopKLshFromIndex]] probe over an
+    * inline-derived sketch frame, so the inline and stored spellings
+    * cannot fork — and the inline plan inherits the stored layout's
+    * shuffle economy (see the probe's scaladoc).
     */
   def annTopKLshOn(emb: DataFrame,
                    nQueries: Int = 10, k: Int = 5,
                    nTables: Int = 16, bitsPerTable: Int = 2,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000): DataFrame =
+    annTopKLshFromIndex(
+      lshSketchFrames(emb, nTables, bitsPerTable),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nTables, bitsPerTable, maxBucket)
+
+  /** The LSH index artifact: (vec_id, key), one row per (vector, table)
+    * — two longs, NO embedding payload. 16 tables × ~0.5 KB vector
+    * would 8× the corpus if the payload rode on every sketch row
+    * (contrast the IVF cell table, where each vector appears nassign ≈
+    * 1 times and carrying it is free); instead candidates re-score
+    * through ONE vec_id equi-join to the vectors table.
+    * [[graft.sources.SimilarityIndexes.writeLshIndex]] is the parquet
+    * spelling.
+    */
+  private[graft] def lshSketchFrames(emb: DataFrame, nTables: Int,
+                                     bitsPerTable: Int): DataFrame =
+    emb.select(col("vec_id"),
+      explode(sketchKeys(col("embedding"), planes(nTables, bitsPerTable, 64)))
+        .as("key"))
+
+  /** [[annTopKLsh]] probing a PREBUILT sketch frame — the production
+    * path where `sketches` (vec_id, key) and `vectors` (vec_id,
+    * embedding) were materialized at ingest. The planes are
+    * seed-deterministic, so query keys re-derived here match the keys
+    * any build derived (same nTables/bitsPerTable — stored in the index
+    * meta so configs cannot fork).
+    *
+    * Shuffle economy: the bucket join moves two-long rows; candidate
+    * (query_id, vec_id) pairs are deduped BEFORE any payload appears
+    * (the stored-layout analogue of the inline spelling's
+    * score-then-max-agg collapse — same pair set, fewer cosine
+    * evaluations), then re-score through one vec_id join against the
+    * vectors table with the tiny query side broadcast. The hot-bucket
+    * cap stays probe-side (a probe parameter, not an index property —
+    * one index serves every cap), counted over the same key
+    * partitioning the join shuffles on.
+    */
+  def annTopKLshFromIndex(sketches: DataFrame, vectors: DataFrame,
+                          queries: DataFrame, k: Int = 5,
+                          nTables: Int = 16, bitsPerTable: Int = 2,
+                          maxBucket: Int = 10000): DataFrame = {
     val pl = planes(nTables, bitsPerTable, 64)
-    val v = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(sketchKeys(col("embedding"), pl)).as("key"))
-    // query probes stay uncapped — the query side is nQueries rows, so a
-    // query sitting in a hot bucket still probes it; only the DATA side
-    // of that bucket is bounded
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("key"))
-    val capped = v
+    // query probes stay uncapped — the query side is tiny by contract,
+    // so a query sitting in a hot bucket still probes it; only the DATA
+    // side of that bucket is bounded
+    val qKeys = queries.select(col("query_id"),
+      explode(sketchKeys(col("eq"), pl)).as("key"))
+    val capped = sketches
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
+    val candIds = capped.join(qKeys, Seq("key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    capped.join(q, Seq("key"))
-      .filter(col("vec_id") =!= col("query_id"))
+    candIds.join(vectors, "vec_id")
+      .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("eq"), col("embedding")).as("sim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
 
-/** Materialized IVF index for the similarity family — the embedding-side
-  * counterpart of [[DedupIndexes]]: the coarse quantizer's centroids and
-  * the corpus's cell assignments written to parquet at ingest, so query
-  * sessions probe storage instead of re-fitting a process-lifetime
-  * quantizer memo ([[Similarity.fitQuantizer]]'s documented limitation).
+/** Materialized similarity indexes — the embedding-side counterpart of
+  * [[DedupIndexes]]: the IVF index (coarse quantizer centroids + cell
+  * assignments) and the LSH sketch index written to parquet at ingest,
+  * so query sessions probe storage instead of re-fitting a
+  * process-lifetime quantizer memo ([[Similarity.fitQuantizer]]'s
+  * documented limitation) or re-sketching the corpus per session.
   *
-  * Layout:
+  * IVF layout:
   *   - `path/centroids` = (cell, centroid) — nlist rows, control-plane
   *     sized, collected to the driver at read exactly like the in-memory
   *     quantizer ships its centroid literals into codegen;
@@ -145,6 +146,87 @@ object SimilarityIndexes {
     spark.read.parquet(s"$path/cells")
       .withColumn("cell", col("cell").cast("int")).drop("ingest")
 
+  // -- LSH sketch index: the third similarity artifact. Layout departs
+  // from the IVF cell table deliberately: sketch rows are (vec_id, key)
+  // — two longs, one row per (vector, table) — because carrying the
+  // ~0.5 KB embedding on every one of nTables sketch rows would 8× the
+  // corpus; probes re-score through ONE vec_id equi-join to the
+  // `vectors` component instead. The hyperplanes are seed-deterministic
+  // (never stored): any session re-derives the exact planes from
+  // (nTables, bitsPerTable), which live in `path/meta` so appends
+  // cannot fork the config. --
+
+  /** Write the LSH sketch index from scratch: `path/sketches` =
+    * (vec_id, key), `path/vectors` = (vec_id, embedding), `path/meta` =
+    * (ntables, bits), `path/manifest` = (vec_id) — ingest-labeled,
+    * manifest last, any previous index removed; same contract as
+    * [[writeIvfIndex]].
+    */
+  def writeLshIndex(emb: DataFrame, path: String,
+                    nTables: Int = 16, bitsPerTable: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    DedupIndexes.delete(spark, path)
+    Seq((nTables, bitsPerTable)).toDF("ntables", "bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    Similarity.lshSketchFrames(emb, nTables, bitsPerTable)
+      .write.mode("overwrite").parquet(s"$path/sketches/ingest=$BaseLabel")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a batch to a stored LSH index: sketch keys derived at the
+    * index's stored config land under `ingest=<label>` with the usual
+    * overwrite-on-own-label replay idempotence + manifest-last crash
+    * contract. Unlike IVF there is nothing fitted to drift from — the
+    * planes are functions of the seed — so append-forever needs no
+    * re-fit cadence; compaction ([[compactLshTo]]) is purely a
+    * file-count story.
+    */
+  def appendLsh(batch: DataFrame, path: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    val (nTables, bits) = readLshMeta(spark, path)
+    Similarity.lshSketchFrames(batch, nTables, bits)
+      .write.mode("overwrite").parquet(s"$path/sketches/ingest=$label")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Compact a long-appended LSH index into `dst` — same contract as
+    * [[compactIvfTo]]: index-only reads, complete-or-absent dst, caller
+    * flips the pointer.
+    */
+  def compactLshTo(spark: SparkSession, src: String, dst: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(src).toUri !=
+        new org.apache.hadoop.fs.Path(dst).toUri,
+      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    val (sketches, vectors, _) = readLshIndex(spark, src)
+    sketches.write.mode("overwrite").parquet(s"$dst/sketches/ingest=$BaseLabel")
+    vectors.write.mode("overwrite").parquet(s"$dst/vectors/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
+
+  /** Read back (sketches, vectors, (nTables, bitsPerTable)) across
+    * every ingest; the label is maintenance metadata, not probe input.
+    */
+  def readLshIndex(spark: SparkSession, path: String): (DataFrame, DataFrame, (Int, Int)) =
+    (spark.read.parquet(s"$path/sketches").drop("ingest"),
+      spark.read.parquet(s"$path/vectors").drop("ingest"),
+      readLshMeta(spark, path))
+
+  private def readLshMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val row = spark.read.parquet(s"$path/meta").head
+    (row.getAs[Int]("ntables"), row.getAs[Int]("bits"))
+  }
+
   /** Every vec_id any ingest of the index at `path` has claimed,
     * `excludeLabel`'s ingest left out — the anti-join set for ingest
     * maintenance, same replay-stability contract as
@@ -175,9 +257,9 @@ object SimilarityIndexes {
 
   private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  private def scratch(sfDir: String): String = {
+  private def scratch(kind: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"target/similarity_index/ivf/$tag"
+    s"target/similarity_index/$kind/$tag"
   }
 
   /** [[Similarity.annTopKIvf]] probing the materialized IVF index. */
@@ -185,12 +267,29 @@ object SimilarityIndexes {
                       nQueries: Int = 10, k: Int = 5,
                       nprobe: Int = 12): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val path = scratch(sfDir)
+    val path = scratch("ivf", sfDir)
     written.getOrElseUpdate(path, writeIvfIndex(emb, path, sfDir))
     val (centroids, cells) = readIvfIndex(spark, path)
     Similarity.annTopKIvfFromIndex(centroids, cells,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nprobe)
+  }
+
+  /** [[Similarity.annTopKLsh]] probing the materialized sketch index —
+    * the q_embed_ann_lsh stored-probe twin (rows-only driver check for
+    * the same reason; SimilaritySpec asserts stored == inline, which
+    * carries the inline query's recall bound over).
+    */
+  def annLshProbeDocs(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("lsh", sfDir)
+    written.getOrElseUpdate(path, writeLshIndex(emb, path))
+    val (sketches, vectors, (nTables, bits)) = readLshIndex(spark, path)
+    Similarity.annTopKLshFromIndex(sketches, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nTables, bits)
   }
 }

@@ -113,6 +113,70 @@ class SimilaritySpec extends SparkSpec {
       "dedup over stored cells must equal the inline assignment path")
   }
 
+  test("stored LSH sketch index: probe == inline, append == fresh build, compaction probe-identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/similarity_index_spec/lsh"
+    graft.sources.SimilarityIndexes.writeLshIndex(emb, path)
+    val (sk, vecs, (nT, bits)) = graft.sources.SimilarityIndexes.readLshIndex(spark, path)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKLshFromIndex(sk, vecs, queries,
+        nTables = nT, bitsPerTable = bits)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKLsh(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline,
+      "probing the parquet-materialized sketch index must equal the inline " +
+        "spelling (seed-deterministic planes, shared probe arithmetic)")
+    assert(graft.sources.SimilarityIndexes.annLshProbeDocs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet === inline,
+      "the driver-query harness must agree with both")
+    // sketch rows carry NO payload — the 100 TB layout claim
+    assert(sk.columns.toSeq.sorted === Seq("key", "vec_id"),
+      "sketch component must hold only (vec_id, key)")
+    // append == fresh full build over the union
+    val corpus = emb.filter($"vec_id" % 10 < 8)
+    val batch = emb.filter($"vec_id" % 10 >= 8)
+    val appended = "target/similarity_index_spec/lsh_append"
+    val fresh = "target/similarity_index_spec/lsh_fresh"
+    graft.sources.SimilarityIndexes.writeLshIndex(corpus, appended)
+    graft.sources.SimilarityIndexes.appendLsh(batch, appended, "b1")
+    graft.sources.SimilarityIndexes.writeLshIndex(emb, fresh)
+    val (skA, vA, _) = graft.sources.SimilarityIndexes.readLshIndex(spark, appended)
+    val (skF, vF, _) = graft.sources.SimilarityIndexes.readLshIndex(spark, fresh)
+    assert(skA.as[(Long, Long)].collect().toSet ===
+      skF.as[(Long, Long)].collect().toSet,
+      "appended sketch rows must equal the full rebuild's")
+    assert(vA.as[(Long, Seq[Float])].collect().toSet ===
+      vF.as[(Long, Seq[Float])].collect().toSet,
+      "appended vectors must equal the full rebuild's")
+    // replayed append rewrites its own ingest rather than duplicating
+    graft.sources.SimilarityIndexes.appendLsh(batch, appended, "b1")
+    assert(spark.read.parquet(s"$appended/sketches").count() === skF.count(),
+      "replayed append must not duplicate sketch rows")
+    // compaction: single base ingest, probe-identical
+    val dst = "target/similarity_index_spec/lsh_compact"
+    graft.sources.SimilarityIndexes.compactLshTo(spark, appended, dst)
+    for (comp <- Seq("sketches", "vectors", "manifest")) {
+      val ingests = new java.io.File(s"$dst/$comp").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
+        s"$comp must collapse to the single base ingest, got $ingests")
+    }
+    val (skC, vC, (nTc, bitsC)) = graft.sources.SimilarityIndexes.readLshIndex(spark, dst)
+    // re-read: the replayed append rewrote ingest=b1's files, so the
+    // pre-replay frames' captured file listing is stale
+    val (skA2, vA2, _) = graft.sources.SimilarityIndexes.readLshIndex(spark, appended)
+    val probeA = Similarity.annTopKLshFromIndex(skA2, vA2, queries,
+        nTables = nT, bitsPerTable = bits)
+      .as[(Long, Long, Long)].collect().toSet
+    val probeC = Similarity.annTopKLshFromIndex(skC, vC, queries,
+        nTables = nTc, bitsPerTable = bitsC)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probeC === probeA,
+      "probing the compacted index must equal probing the appended one")
+  }
+
   test("IVF append assigns with the STORED centroids and is replay-idempotent") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter($"vec_id" % 10 < 8)
