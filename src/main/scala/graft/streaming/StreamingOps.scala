@@ -513,10 +513,13 @@ object StreamingOps {
     vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
-      val deduped = batch
+      // persisted: feeds both the corpus append and the index delta;
+      // scope-tracked so the batch body's exit unpersists it
+      val deduped = graft.CacheScope.track(batch
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
         .groupBy(col("vec_id"))
         .agg(min_by(col("embedding"), xxhash64(col("embedding"))).as("embedding"))
+        .persist())
       val fresh =
         if (flatDirHasData(spark, corpusDir))
           deduped.join(spark.read.parquet(corpusDir).select(col("vec_id")),
