@@ -54,6 +54,12 @@ import graft.sources.DedupIndexes
   *     index from text, with identical row counts; the APPEND of the
   *     base-sized batch is timed too and must stay ~flat across factors
   *     (append is pure batch work — corpus size never enters it);
+  *   - the stored ANN probes ([[graft.sources.SimilarityIndexes]]):
+  *     LSH sketch index and IVF index written once per factor over a
+  *     replicated embedding corpus (circularly shifted copies — same
+  *     isotropic geometry, no planted clusters), probed by a base-sized
+  *     query set — probe time's linear ceiling is bucket/cell occupancy
+  *     growth, never corpus²;
   *   - salted vs single-window sessionization with one hot user holding
   *     ~factor·1500× the median user's events — the power-law tail the
   *     salted two-phase spelling exists for;
@@ -83,6 +89,30 @@ object ScaleSmoke {
       base.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** embeddings replicated `factor`x: fresh vec_ids per copy (strided),
+    * each copy's vectors circularly SHIFTED by its copy index — same
+    * norm and distribution, different hyperplane signs and cell
+    * assignments, so replicas neither collapse onto each other's LSH
+    * buckets / IVF cells nor introduce planted near-identical clusters
+    * (that pathology has its own capped unit tests); the corpus scales
+    * Nx with the base's isotropic geometry. Valid for factor <= 64
+    * (distinct shifts on 64-dim vectors).
+    */
+  private def replicatedEmbeddings(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    require(factor <= 64, s"factor=$factor: shifts repeat past the 64-dim width")
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val stride = base.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      val shift = i % 64
+      val shifted =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      base.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+        shifted.as("embedding"))
     }.reduce(_ union _)
   }
 
@@ -261,6 +291,31 @@ object ScaleSmoke {
         operators.TextAnalysis.contaminationOn(docs).count())
       spark.catalog.clearCache()
 
+      // stored ANN probes over a factor-sized EMBEDDING corpus, base-
+      // sized query set (the serving shape): index written once untimed,
+      // probe time has the stored-index scan as its linear ceiling —
+      // LSH buckets and IVF cells each hold ~1/buckets resp. ~1/nlist
+      // of the corpus, so candidate re-scoring grows linearly with
+      // occupancy, never corpus x corpus
+      val embN = replicatedEmbeddings(spark, sfDir, factor)
+      val queries = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val annRoot = s"target/scale_smoke_idx/f$factor"
+      sources.SimilarityIndexes.writeLshIndex(embN, s"$annRoot/lsh")
+      val (skN, vecN, (nT, bits)) =
+        sources.SimilarityIndexes.readLshIndex(spark, s"$annRoot/lsh")
+      val (tLsh, nLsh) = timeIt(operators.Similarity.annTopKLshFromIndex(
+        skN, vecN, queries, nTables = nT, bitsPerTable = bits).count())
+      spark.catalog.clearCache()
+      sources.SimilarityIndexes.writeIvfIndex(embN, s"$annRoot/ivf",
+        qKey = s"smoke-f$factor")
+      val (centN, cellsN) =
+        sources.SimilarityIndexes.readIvfIndex(spark, s"$annRoot/ivf")
+      val (tIvf, nIvf) = timeIt(operators.Similarity.annTopKIvfFromIndex(
+        centN, cellsN, queries).count())
+      spark.catalog.clearCache()
+
       val events = replicatedEvents(spark, sfDir, factor)
       val (tSes, nSes) = timeIt(AsOf.sessionizeSaltedEvents(events).count())
       val (tSesPlain, _) = timeIt(AsOf.sessionizeEvents(events).count())
@@ -303,6 +358,8 @@ object ScaleSmoke {
         s""""idx_near_append_sec":$tAppN,""" +
         s""""idx_verbatim_probe_sec":$tIdxV,"idx_verbatim_probe_rows":$nIdxV,""" +
         s""""idx_verbatim_append_sec":$tAppV,""" +
+        s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
+        s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
