@@ -197,6 +197,11 @@ object SparkEntry {
     // recall vs exact blocked all-pairs + representative invariants
     // asserted in SimilaritySpec
     "q_semantic_dedup" -> ((s, d) => operators.Similarity.semanticDedup(s, d)),
+    // same dedup blocking on the MATERIALIZED multi-assign cell table —
+    // completes the stored-twin symmetry (dedup, ANN, semantic dedup);
+    // rows-only like the inline twin, stored cells == inline asserted
+    // in SimilaritySpec
+    "q_semantic_dedup_idx" -> ((s, d) => sources.SimilarityIndexes.semanticDedupProbeDocs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

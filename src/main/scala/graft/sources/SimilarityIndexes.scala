@@ -292,4 +292,20 @@ object SimilarityIndexes {
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nTables, bits)
   }
+
+  /** [[Similarity.semanticDedup]] blocking on the materialized
+    * multi-assign (nassign = 4) cell table — the q_semantic_dedup
+    * stored-probe twin, completing the stored-index symmetry across
+    * the driver surface (dedup, ANN, and now semantic dedup each have
+    * an inline query and a stored twin). Rows-only like the inline
+    * query; SimilaritySpec asserts stored cells drive dedup identically
+    * to the inline assignment path.
+    */
+  def semanticDedupProbeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivf4", sfDir)
+    written.getOrElseUpdate(path, writeIvfIndex(emb, path, s"$sfDir-dedup", nassign = 4))
+    val (_, cells) = readIvfIndex(spark, path)
+    Similarity.semanticDedupFromIndex(cells)
+  }
 }

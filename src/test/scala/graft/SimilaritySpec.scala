@@ -111,6 +111,9 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(stored === inline,
       "dedup over stored cells must equal the inline assignment path")
+    assert(graft.sources.SimilarityIndexes.semanticDedupProbeDocs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet === inline,
+      "the q_semantic_dedup_idx harness must agree with both")
   }
 
   test("stored LSH sketch index: probe == inline, append == fresh build, compaction probe-identical") {
