@@ -40,7 +40,11 @@ import graft.operators.Dedup
   *     reconciles with one sum over the OCC TABLE (distinct-n-gram
   *     scale — never a re-aggregation of the corpus index). When delta
   *     count grows, [[compactVerbatimTo]] collapses them — reading only
-  *     the stored index, never the corpus text.
+  *     the stored index, never the corpus text;
+  *   - a one-row `meta` table pins the shingling config the index was
+  *     built with; appends and the streaming sinks' probes derive
+  *     theirs from it, so an index built at non-default (n, k, bands)
+  *     can never be probed or extended under a different scheme.
   */
 object DedupIndexes {
 
@@ -50,16 +54,34 @@ object DedupIndexes {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Does `dir` exist with any non-hidden entry (file OR ingest=
-    * subdirectory)? Nested layouts put files below label dirs, so a
-    * bare top-level file check would read a populated index as empty.
+  /** Does `dir` hold at least one actual DATA FILE — a non-hidden file
+    * whose every path component below `dir` is non-hidden? Nested
+    * layouts put files below ingest= label dirs, so a bare top-level
+    * file check would read a populated index as empty; and a crash
+    * mid-write can leave a label dir holding only `_temporary` — an
+    * entry-existence check would read that as data, wedging every
+    * replay on an unreadable parquet path instead of letting the
+    * overwrite heal it (the crash-healing contract the streaming sinks
+    * document).
     */
   def hasData(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
     val f = fs(spark, dir)
-    f.exists(p) && f.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+    val root = f.makeQualified(new Path(dir))
+    f.exists(root) && {
+      val it = f.listFiles(root, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        var ok = st.isFile && !hidden(st.getPath.getName)
+        var pp = st.getPath.getParent
+        while (ok && pp != null && pp.toUri.getPath != root.toUri.getPath) {
+          if (hidden(pp.getName)) ok = false
+          pp = pp.getParent
+        }
+        found = ok
+      }
+      found
     }
   }
 
@@ -81,6 +103,7 @@ object DedupIndexes {
                         n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
                         bands: Int = Dedup.MinHashBands): Unit = {
     delete(corpus.sparkSession, path)
+    writeNearDupMeta(corpus.sparkSession, path, n, k, bands)
     val sh = Dedup.nearDupIndexFrames(corpus, n, k, bands)._1
     sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=$BaseLabel")
     // the band index derives from the shingle frame JUST WRITTEN rather
@@ -100,17 +123,18 @@ object DedupIndexes {
     * (batch, label) append (a failure replay) rewrites identical
     * directories instead of duplicating index rows. The manifest row
     * set is written LAST so a crash mid-append leaves the doc "not yet
-    * indexed" for reconciliation, never half-claimed.
+    * indexed" for reconciliation, never half-claimed. The shingling
+    * config comes from the index's own meta — an append can never fork
+    * (n, k, bands) from what the index was built with.
     *
     * The caller owns WHICH docs to append (typically: this delivery's
     * docs that entered the corpus and are absent from
     * [[indexedDocIds]]); this method is pure storage.
     */
-  def appendNearDup(batch: DataFrame, path: String, label: String,
-                    n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
-                    bands: Int = Dedup.MinHashBands): Unit = {
+  def appendNearDup(batch: DataFrame, path: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
+    val (n, k, bands) = readNearDupMeta(batch.sparkSession, path)
     val (sh, bandIdx) = Dedup.nearDupIndexFrames(batch, n, k, bands)
     // batch-scale: persist so the band derivation reuses the shingle
     // explode instead of re-shingling (the full build gets the same
@@ -145,6 +169,7 @@ object DedupIndexes {
   def writeVerbatimIndex(corpus: DataFrame, path: String,
                          n: Int = Dedup.ShingleN): Unit = {
     delete(corpus.sparkSession, path)
+    writeVerbatimMeta(corpus.sparkSession, path, n)
     val pos = Dedup.verbatimIndexFrames(corpus, n)._1
     pos.write.mode("overwrite").parquet(s"$path/positions/ingest=$BaseLabel")
     val spark = corpus.sparkSession
@@ -160,10 +185,10 @@ object DedupIndexes {
     * same contract as [[appendNearDup]]. The occ delta makes the
     * stored occ table merge-on-read; [[readVerbatimIndex]] reconciles.
     */
-  def appendVerbatim(batch: DataFrame, path: String, label: String,
-                     n: Int = Dedup.ShingleN): Unit = {
+  def appendVerbatim(batch: DataFrame, path: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
+    val n = readVerbatimMeta(batch.sparkSession, path)
     val pos = Dedup.verbatimIndexFrames(batch, n)._1
     val posP = pos.persist()
     posP.write.mode("overwrite").parquet(s"$path/positions/ingest=$label")
@@ -204,9 +229,11 @@ object DedupIndexes {
     * formats) uses.
     */
   def compactNearDupTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(new Path(src).toUri != new Path(dst).toUri,
+    require(!samePath(spark, src, dst),
       "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
     delete(spark, dst)
+    val (n, k, bands0) = readNearDupMeta(spark, src)
+    writeNearDupMeta(spark, dst, n, k, bands0)
     val (sh, bands) = readNearDupIndex(spark, src)
     sh.write.mode("overwrite").parquet(s"$dst/shingles/ingest=$BaseLabel")
     bands.write.mode("overwrite").partitionBy("band")
@@ -224,9 +251,10 @@ object DedupIndexes {
     * appends accumulate again.
     */
   def compactVerbatimTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(new Path(src).toUri != new Path(dst).toUri,
+    require(!samePath(spark, src, dst),
       "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
     delete(spark, dst)
+    writeVerbatimMeta(spark, dst, readVerbatimMeta(spark, src))
     val (pos, occ) = readVerbatimIndex(spark, src)
     pos.write.mode("overwrite").parquet(s"$dst/positions/ingest=$BaseLabel")
     occ.write.mode("overwrite").parquet(s"$dst/occ/ingest=$BaseLabel")
@@ -256,30 +284,74 @@ object DedupIndexes {
   private def writeManifest(docs: DataFrame, dir: String): Unit =
     docs.select(col("doc_id")).write.mode("overwrite").parquet(dir)
 
+  // -- config meta: every index pins the shingling parameters it was
+  // built with, and appends/probes derive THEIRS from it — a sink
+  // attached to an index built at non-default (n, k, bands) can neither
+  // probe under a different scheme (silently admitting every near-dup:
+  // mismatched band keys never collide) nor mix differently-shingled
+  // rows into one index. Same fork-prevention [[SimilarityIndexes]]'
+  // meta gives the IVF/LSH families. --
+
+  private def writeNearDupMeta(spark: SparkSession, path: String,
+                               n: Int, k: Int, bands: Int): Unit = {
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The (n, k, bands) a stored near-dup index was built with. */
+  def readNearDupMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val row = spark.read.parquet(s"$path/meta").head
+    (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"))
+  }
+
+  private def writeVerbatimMeta(spark: SparkSession, path: String, n: Int): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shingle width `n` a stored verbatim index was built with. */
+  def readVerbatimMeta(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head.getAs[Int]("n")
+
+  /** Compaction's in-place guard: FILESYSTEM-QUALIFIED path equality,
+    * so a relative and an absolute spelling of one directory (or a
+    * path reaching it through `..`) cannot slip past the check and
+    * have `delete(dst)` destroy the source before it is read.
+    */
+  private[sources] def samePath(spark: SparkSession, a: String, b: String): Boolean =
+    fs(spark, a).makeQualified(new Path(a)).toUri.normalize() ==
+      fs(spark, b).makeQualified(new Path(b)).toUri.normalize()
+
   // -- driver-query harnesses: same deterministic corpus/batch split as
   // Dedup.incrementalNewDocs, probing the STORED index so the green
   // CORRECTNESS row certifies the parquet round-trip end to end (the
   // oracles are shared with the inline q_dedup_incr_near /
   // q_verbatim_incr queries — identical results is the contract) --
 
-  private def scratch(kind: String, sfDir: String): String = {
+  /** Scratch path for a driver-query harness's fixture index — shared
+    * with [[SimilarityIndexes]] so the tag sanitization cannot drift
+    * between the families.
+    */
+  private[sources] def scratch(root: String, kind: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"target/dedup_index/$kind/$tag"
+    s"$root/$kind/$tag"
   }
 
   /** Index build is fixture work (write once at "ingest"), not probe
     * work — memoized per JVM like [[Roundtrip]]'s format bounces so the
-    * bench charges queries only for the probe.
+    * bench charges queries only for the probe. Shared with
+    * [[SimilarityIndexes]]' harnesses.
     */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  private def writeOnce(path: String)(write: => Unit): Unit =
+  private[sources] def writeOnce(path: String)(write: => Unit): Unit =
     written.getOrElseUpdate(path, write)
 
   /** [[Dedup.incrementalNearDupDocs]] probing the materialized index. */
   def nearDupProbeDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val path = scratch("neardup", sfDir)
+    val path = scratch("target/dedup_index", "neardup", sfDir)
     writeOnce(path)(writeNearDupIndex(docs.filter(col("doc_id") % 10 < 8), path))
     val (sh, idx) = readNearDupIndex(spark, path)
     Dedup.incrementalNearDupFromIndex(sh, idx,
@@ -291,7 +363,7 @@ object DedupIndexes {
     */
   def verbatimProbeDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val path = scratch("verbatim", sfDir)
+    val path = scratch("target/dedup_index", "verbatim", sfDir)
     writeOnce(path)(writeVerbatimIndex(docs.filter(col("doc_id") % 10 < 8), path))
     val (pos, occ) = readVerbatimIndex(spark, path)
     Dedup.incrementalVerbatimRunsFromIndex(pos, occ,

@@ -111,8 +111,7 @@ object SimilarityIndexes {
     * pointer flip.
     */
   def compactIvfTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(new org.apache.hadoop.fs.Path(src).toUri !=
-        new org.apache.hadoop.fs.Path(dst).toUri,
+    require(!DedupIndexes.samePath(spark, src, dst),
       "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
     DedupIndexes.delete(spark, dst)
     spark.read.parquet(s"$src/centroids")
@@ -201,8 +200,7 @@ object SimilarityIndexes {
     * flips the pointer.
     */
   def compactLshTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(new org.apache.hadoop.fs.Path(src).toUri !=
-        new org.apache.hadoop.fs.Path(dst).toUri,
+    require(!DedupIndexes.samePath(spark, src, dst),
       "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
     DedupIndexes.delete(spark, dst)
     spark.read.parquet(s"$src/meta")
@@ -255,12 +253,8 @@ object SimilarityIndexes {
   // specific); SimilaritySpec asserts stored == inline and the recall
   // bound. --
 
-  private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
-
-  private def scratch(kind: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"target/similarity_index/$kind/$tag"
-  }
+  private def scratch(kind: String, sfDir: String): String =
+    DedupIndexes.scratch("target/similarity_index", kind, sfDir)
 
   /** [[Similarity.annTopKIvf]] probing the materialized IVF index. */
   def annIvfProbeDocs(spark: SparkSession, sfDir: String,
@@ -268,7 +262,7 @@ object SimilarityIndexes {
                       nprobe: Int = 12): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivf", sfDir)
-    written.getOrElseUpdate(path, writeIvfIndex(emb, path, sfDir))
+    DedupIndexes.writeOnce(path)(writeIvfIndex(emb, path, sfDir))
     val (centroids, cells) = readIvfIndex(spark, path)
     Similarity.annTopKIvfFromIndex(centroids, cells,
       emb.filter(col("vec_id") < nQueries)
@@ -285,7 +279,7 @@ object SimilarityIndexes {
                       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("lsh", sfDir)
-    written.getOrElseUpdate(path, writeLshIndex(emb, path))
+    DedupIndexes.writeOnce(path)(writeLshIndex(emb, path))
     val (sketches, vectors, (nTables, bits)) = readLshIndex(spark, path)
     Similarity.annTopKLshFromIndex(sketches, vectors,
       emb.filter(col("vec_id") < nQueries)
@@ -304,7 +298,7 @@ object SimilarityIndexes {
   def semanticDedupProbeDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivf4", sfDir)
-    written.getOrElseUpdate(path, writeIvfIndex(emb, path, s"$sfDir-dedup", nassign = 4))
+    DedupIndexes.writeOnce(path)(writeIvfIndex(emb, path, s"$sfDir-dedup", nassign = 4))
     val (_, cells) = readIvfIndex(spark, path)
     Similarity.semanticDedupFromIndex(cells)
   }

@@ -223,23 +223,26 @@ object StreamingOps {
     * `indexDir = Some(dir)` is the production spelling: the batch
     * probes the corpus's STORED band index
     * ([[graft.sources.DedupIndexes]]) instead of re-deriving it from
-    * the corpus text per batch, and after the corpus append the sink
-    * MAINTAINS the index — the delivery's accepted docs are appended
-    * under `ingest=<batchId>`. The index delta is derived
-    * replay-stably as (batch docs ⋉ corpus ids) ⋉̸ (docs other ingests
-    * already indexed), so every crash point heals: a crash between the
-    * corpus append and the index append replays into the same delta
-    * (the docs ARE in the corpus, and the current batchId's own
-    * half-written ingest is excluded from the "already indexed" set and
-    * simply overwritten). The corpus text is NEVER scanned for index
-    * maintenance — only its doc_id column (the same per-batch id-column
-    * economy as the fingerprint anti-join). When pointing the sink at a
-    * PRE-EXISTING corpus, bootstrap the index first
-    * ([[graft.sources.DedupIndexes.writeNearDupIndex]]) — the sink
-    * maintains the index forward from its own deliveries, it does not
-    * backfill. `indexDir = None` keeps the derive-inline-per-batch
-    * spelling for corpora small enough that the index build is cheaper
-    * than the bookkeeping.
+    * the corpus text per batch — under the index's OWN meta config, so
+    * a sink attached to a non-default (n, k, bands) index cannot fork
+    * the scheme — and after the corpus append the sink MAINTAINS the
+    * index: the delivery's accepted docs are appended under
+    * `ingest=<batchId>`. The index delta is derived replay-stably as
+    * (batch docs ⋉ corpus ids) ⋉̸ (docs other ingests already
+    * indexed), so every crash point heals: a crash between the corpus
+    * append and the index append replays into the same delta (the docs
+    * ARE in the corpus, and the current batchId's own half-written
+    * ingest is excluded from the "already indexed" set and simply
+    * overwritten). Per-delivery maintenance never scans corpus text —
+    * only its doc_id column (the same per-batch id-column economy as
+    * the fingerprint anti-join). With NO complete index at `dir`
+    * (manifest absent — a virgin index, a build that crashed
+    * half-written, or a sink pointed at a pre-existing corpus), the
+    * sink SELF-BOOTSTRAPS the full build from the corpus before
+    * probing: the one unavoidable corpus scan, after which maintenance
+    * is forward-only. `indexDir = None` keeps the
+    * derive-inline-per-batch spelling for corpora small enough that
+    * the index build is cheaper than the bookkeeping.
     *
     * Either way each batch body runs inside a [[graft.CacheScope]]:
     * the operator-internal persist()s register with the scope and are
@@ -254,11 +257,15 @@ object StreamingOps {
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-      val exactDeduped = batch
+      // persisted: feeds the probe, the survivors join, the in-batch
+      // collapse, and the index-maintenance delta — scope-tracked so
+      // the batch body's exit unpersists it
+      val exactDeduped = graft.CacheScope.track(batch
         .select(fp.as("fingerprint"), col(textCol).as("text"))
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
+        .persist())
       val hasData = flatDirHasData(spark, corpusDir)
       // Corpus probe FIRST, in-batch collapse among corpus SURVIVORS
       // second. Collapsing first would discard a cluster's losers even
@@ -275,21 +282,28 @@ object StreamingOps {
         if (hasData) {
           val corpus = spark.read.parquet(corpusDir)
           val nearNewIds = indexDir match {
-            case Some(dir) if graft.sources.DedupIndexes.hasData(spark, s"$dir/shingles") =>
+            case Some(dir) =>
+              // the manifest is written LAST by every build and append,
+              // so its absence means no COMPLETE index exists — whether
+              // because this batch's own bootstrap crashed mid-write or
+              // because the sink was pointed at a pre-existing corpus
+              // without one. Either way the self-heal is the same: build
+              // the full index from the corpus (the unavoidable initial
+              // build, one corpus scan), then probe it. Silently probing
+              // nothing here would admit every near-dup of the corpus.
+              if (!graft.sources.DedupIndexes.hasData(spark, s"$dir/manifest"))
+                graft.sources.DedupIndexes.writeNearDupIndex(
+                  corpus.select(col("doc_id"), col("text")), dir)
               // production probe: the stored index IS the corpus's
-              // near-dup identity — no text re-shingle, no re-banding
+              // near-dup identity — no text re-shingle, no re-banding;
+              // config from the index's own meta, so a sink attached to
+              // a non-default index probes under the index's scheme
+              val (n, k, bands) = graft.sources.DedupIndexes.readNearDupMeta(spark, dir)
               val (sh, idx) = graft.sources.DedupIndexes.readNearDupIndex(spark, dir)
               graft.operators.Dedup.incrementalNearDupFromIndex(sh, idx,
-                exactDeduped.select(col("doc_id"), col("text")))
+                exactDeduped.select(col("doc_id"), col("text")), n, k, bands)
                 .filter(col("is_new") === 1L)
                 .select(col("doc_id"))
-            case Some(_) =>
-              // corpus has data but the index does not: only reachable
-              // while THIS batch replays a crash that landed between its
-              // own bootstrap corpus append and index append — every doc
-              // here is fingerprint-caught below, so an empty probe
-              // cannot let a near-dup slip
-              exactDeduped.select(col("doc_id"))
             case None =>
               graft.operators.Dedup.incrementalNearDup(
                   corpus.select(col("doc_id"), col("text")),
@@ -317,7 +331,8 @@ object StreamingOps {
         .select(col("fingerprint"), col("text"), col("doc_id"))
         .write.mode("append").parquet(corpusDir)
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
-        graft.sources.DedupIndexes.appendNearDup(_, _, _)))
+        graft.sources.DedupIndexes.appendNearDup(_, _, _),
+        graft.sources.DedupIndexes.writeNearDupIndex(_, _)))
       }
       ()
     }.start()
@@ -337,26 +352,41 @@ object StreamingOps {
     }
   }
 
-  /** Stored-index maintenance step shared by the ingest sinks: append
-    * to `indexDir`, under `ingest=<batchId>`, exactly the delivery docs
-    * that (a) ARE in the corpus — accepted now, or by a crashed earlier
-    * attempt of this same batch — and (b) no OTHER ingest has indexed
-    * (re-delivered content that a previous batch already indexed drops
-    * out; this batchId's own possibly-half-written ingest is excluded
-    * from the check and overwritten whole). Both reads are id-columns
-    * only; `append` owns the storage layout.
+  /** Stored-index maintenance step shared by the ingest sinks. With no
+    * COMPLETE index at `indexDir` (manifest absent — every build and
+    * append writes it last, and [[graft.sources.DedupIndexes.hasData]]
+    * sees through `_temporary`-only wreckage), run `writeFull` over the
+    * corpus: that is batch 0 creating the index for the corpus it just
+    * created, the self-heal for a build that crashed half-written, and
+    * the bootstrap for a sink pointed at a pre-existing corpus. An
+    * append on a virgin index would have no meta to derive its config
+    * from — the full build is what pins it.
+    *
+    * Otherwise append under `ingest=<batchId>` exactly the delivery
+    * docs that (a) ARE in the corpus — accepted now, or by a crashed
+    * earlier attempt of this same batch — and (b) no OTHER ingest has
+    * indexed (re-delivered content that a previous batch already
+    * indexed drops out; this batchId's own possibly-half-written ingest
+    * is excluded from the check and overwritten whole). Both reads are
+    * id-columns only; `append` owns the storage layout.
     */
   private def maintainIndex(spark: SparkSession, delivery: DataFrame,
                             corpusDir: String, indexDir: String, batchId: Long,
-                            append: (DataFrame, String, String) => Unit): Unit = {
-    val label = s"b$batchId"
-    val toIndex = delivery
-      .join(spark.read.parquet(corpusDir).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .join(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir, Some(label)),
-        Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("text"))
-    append(toIndex, indexDir, label)
+                            append: (DataFrame, String, String) => Unit,
+                            writeFull: (DataFrame, String) => Unit): Unit = {
+    if (!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest")) {
+      writeFull(spark.read.parquet(corpusDir)
+        .select(col("doc_id"), col("text")), indexDir)
+    } else {
+      val label = s"b$batchId"
+      val toIndex = delivery
+        .join(spark.read.parquet(corpusDir).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .join(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir, Some(label)),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"))
+      append(toIndex, indexDir, label)
+    }
   }
 
   /** Streaming VERBATIM-quote ingest via foreachBatch — the streaming
@@ -388,16 +418,17 @@ object StreamingOps {
     * [[ingestNewDocsNearDup]]: the corpus NEVER self-joins, and
     * `indexDir = Some(dir)` is the production spelling — the batch
     * probes the STORED positional index + merge-on-read occurrence
-    * table ([[graft.sources.DedupIndexes.readVerbatimIndex]]) and, after
-    * the corpus append, appends its accepted docs to the index under
-    * `ingest=<batchId>` with the same replay-stable delta derivation as
-    * the near-dup sink (corpus-id semi-join + other-ingest manifest
-    * anti-join; own-label overwrite). When pointing the sink at a
-    * PRE-EXISTING corpus, bootstrap the index first
-    * ([[graft.sources.DedupIndexes.writeVerbatimIndex]]) — the sink
-    * maintains the index forward from its own deliveries, it does not
-    * backfill. `indexDir = None` derives the corpus index inline per
-    * batch (small-corpus spelling). Each batch body runs inside a
+    * table ([[graft.sources.DedupIndexes.readVerbatimIndex]]) at the
+    * index's own stored shingle width and, after the corpus append,
+    * appends its accepted docs to the index under `ingest=<batchId>`
+    * with the same replay-stable delta derivation as the near-dup sink
+    * (corpus-id semi-join + other-ingest manifest anti-join; own-label
+    * overwrite). With NO complete index at `dir` (manifest absent) the
+    * sink SELF-BOOTSTRAPS the full build from the corpus before
+    * probing — covering the virgin index, the half-written crashed
+    * build, and the pre-existing-corpus attach in one contract.
+    * `indexDir = None` derives the corpus index inline per batch
+    * (small-corpus spelling). Each batch body runs inside a
     * [[graft.CacheScope]] — targeted unpersists of the detector's own
     * handles, never `clearCache()`, so a co-resident caller's persisted
     * frames survive the ingest (round-9 contract, asserted in
@@ -412,11 +443,14 @@ object StreamingOps {
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
       val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-      val exactDeduped = batch
+      // persisted: feeds the fresh derivation and the index-maintenance
+      // delta — scope-tracked like the near-dup sink's
+      val exactDeduped = graft.CacheScope.track(batch
         .select(fp.as("fingerprint"), col(textCol).as("text"))
         .groupBy(col("fingerprint"))
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
+        .persist())
       val fresh =
         if (flatDirHasData(spark, corpusDir))
           exactDeduped.join(
@@ -425,19 +459,23 @@ object StreamingOps {
         else exactDeduped.persist()
       if (flatDirHasData(spark, corpusDir)) {
         val flags = indexDir match {
-          case Some(dir) if graft.sources.DedupIndexes.hasData(spark, s"$dir/positions") =>
-            // production probe: stored positional index + reconciled occ
-            // table — the corpus text is never re-tokenized per batch
+          case Some(dir) =>
+            // manifest absent ⇒ no COMPLETE index (this batch's own
+            // bootstrap crashed, or the sink was pointed at a
+            // pre-existing corpus without one) — self-heal with the
+            // full build from the corpus, then probe it; silently
+            // probing nothing would skip every flag against the
+            // existing corpus. Probe params (minRunTokens, maxOccFreq)
+            // stay caller-owned; the shingle width comes from the
+            // index's meta.
+            if (!graft.sources.DedupIndexes.hasData(spark, s"$dir/manifest"))
+              graft.sources.DedupIndexes.writeVerbatimIndex(
+                spark.read.parquet(corpusDir).select(col("doc_id"), col("text")), dir)
+            val n = graft.sources.DedupIndexes.readVerbatimMeta(spark, dir)
             val (pos, occ) = graft.sources.DedupIndexes.readVerbatimIndex(spark, dir)
             graft.operators.Dedup.incrementalVerbatimRunsFromIndex(pos, occ,
-              fresh.select(col("doc_id"), col("text")),
+              fresh.select(col("doc_id"), col("text")), n,
               minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
-          case Some(_) =>
-            // corpus nonempty but index absent: only this batch's own
-            // bootstrap-crash replay — every fresh doc is fingerprint-
-            // caught, so there is nothing to probe or flag
-            spark.range(0).select(col("id").as("doc_id"),
-              col("id").as("corpus_id"), col("id").as("max_run_tokens"))
           case None =>
             graft.operators.Dedup.incrementalVerbatimRuns(
               spark.read.parquet(corpusDir).select(col("doc_id"), col("text")),
@@ -459,7 +497,8 @@ object StreamingOps {
         .write.mode("append").parquet(corpusDir)
       fresh.unpersist()
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
-        graft.sources.DedupIndexes.appendVerbatim(_, _, _)))
+        graft.sources.DedupIndexes.appendVerbatim(_, _, _),
+        graft.sources.DedupIndexes.writeVerbatimIndex(_, _)))
       }
       ()
     }.start()
@@ -527,10 +566,31 @@ object StreamingOps {
         else deduped
       fresh.write.mode("append").parquet(corpusDir)
       if (!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest")) {
-        graft.sources.SimilarityIndexes.writeIvfIndex(
-          spark.read.parquet(corpusDir), indexDir, qKey = indexDir,
-          nlist = nlist, nassign = nassign)
+        // no COMPLETE index (manifest is written last): bootstrap the
+        // full build — but only once the corpus actually holds vectors.
+        // An empty first micro-batch (recovery replay of a no-op batch)
+        // must not hand zero rows to the k-means fit: that throws, the
+        // batch fails, and the SAME empty batch replays forever — the
+        // stream could never reach a batch that has data
+        if (flatDirHasData(spark, corpusDir) &&
+            !spark.read.parquet(corpusDir).isEmpty) {
+          graft.sources.SimilarityIndexes.writeIvfIndex(
+            spark.read.parquet(corpusDir), indexDir, qKey = indexDir,
+            nlist = nlist, nassign = nassign)
+        }
       } else {
+        // established index: the sink's params must MATCH the stored
+        // config — appends always assign under the index's own meta, so
+        // silently accepting different params here would let a caller
+        // believe they changed the layout when nothing did. Changing
+        // (nlist, nassign) is a rebuild (writeIvfIndex), not a restart.
+        val storedNassign = spark.read.parquet(s"$indexDir/meta")
+          .head.getAs[Int]("nassign")
+        val storedNlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+        require(storedNassign == nassign && storedNlist == nlist,
+          s"index at $indexDir was built with (nlist=$storedNlist, nassign=$storedNassign) " +
+            s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +
+            "rebuild the index to change its layout")
         val label = s"b$batchId"
         val toIndex = deduped
           .join(spark.read.parquet(corpusDir).select(col("vec_id")),

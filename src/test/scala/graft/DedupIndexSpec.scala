@@ -185,6 +185,66 @@ class DedupIndexSpec extends SparkSpec {
       "probing the compacted index must equal probing the appended one")
   }
 
+  test("hasData sees through _temporary-only wreckage; a real nested data file flips it") {
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val root = new File("target/dedup_index_spec/hasdata")
+    rm(root)
+    // a crash mid-first-write leaves only _temporary below the label dir
+    val tmp = new File(root, "shingles/ingest=b0/_temporary/0")
+    assert(tmp.mkdirs())
+    assert(new File(tmp, "part-000").createNewFile())
+    assert(!DedupIndexes.hasData(spark, s"${root.getPath}/shingles"),
+      "_temporary-only wreckage must read as NO data — an existence check " +
+        "here wedges every replay on an unreadable parquet path")
+    // hidden top-level markers don't count either
+    assert(new File(root, "shingles/ingest=b0/_SUCCESS").createNewFile())
+    assert(!DedupIndexes.hasData(spark, s"${root.getPath}/shingles"))
+    // one committed data file below the label flips it
+    assert(new File(root, "shingles/ingest=b0/part-0000.parquet").createNewFile())
+    assert(DedupIndexes.hasData(spark, s"${root.getPath}/shingles"))
+  }
+
+  test("appends derive the index's stored (n, k, bands) — configs cannot fork") {
+    val path = "target/dedup_index_spec/neardup_custom"
+    val fresh = "target/dedup_index_spec/neardup_custom_fresh"
+    DedupIndexes.writeNearDupIndex(corpus, path, n = 4, k = 32, bands = 8)
+    assert(DedupIndexes.readNearDupMeta(spark, path) === ((4, 32, 8)))
+    // the append takes NO config — it must pick up (4, 32, 8) from meta
+    DedupIndexes.appendNearDup(batch, path, "b1")
+    DedupIndexes.writeNearDupIndex(corpus.union(batch), fresh, n = 4, k = 32, bands = 8)
+    val (shA, idxA) = DedupIndexes.readNearDupIndex(spark, path)
+    val (shF, idxF) = DedupIndexes.readNearDupIndex(spark, fresh)
+    assert(shA.as[(Long, Seq[String], Int)].collect().toSet ===
+      shF.as[(Long, Seq[String], Int)].collect().toSet,
+      "meta-derived append must equal a full rebuild at the same custom config")
+    assert(idxA.as[(Long, Long, Int)].collect().toSet ===
+      idxF.as[(Long, Long, Int)].collect().toSet)
+    val bandDirs = new File(s"$path/bands/ingest=b1").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("band="))
+    assert(bandDirs.length === 8,
+      "appended band fanout must follow the stored config, not the default")
+    // compaction carries the config over
+    val dst = "target/dedup_index_spec/neardup_custom_compact"
+    DedupIndexes.compactNearDupTo(spark, path, dst)
+    assert(DedupIndexes.readNearDupMeta(spark, dst) === ((4, 32, 8)))
+  }
+
+  test("compact-in-place is refused across path spellings of one directory") {
+    val path = "target/dedup_index_spec/guard"
+    DedupIndexes.writeNearDupIndex(corpus, path)
+    val abs = new File(path).getAbsolutePath
+    intercept[IllegalArgumentException](
+      DedupIndexes.compactNearDupTo(spark, path, abs))
+    intercept[IllegalArgumentException](
+      DedupIndexes.compactNearDupTo(spark, path,
+        "target/dedup_index_spec/../dedup_index_spec/guard"))
+    // the index survived both refusals
+    assert(DedupIndexes.hasData(spark, s"$path/shingles"))
+  }
+
   test("stored verbatim index probe equals the inline derivation") {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)

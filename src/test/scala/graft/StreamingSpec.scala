@@ -505,6 +505,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup sink attached to a PRE-EXISTING corpus bootstraps the stored index") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-preexisting")
+    val corpusDir = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    // a corpus this sink did NOT write (the attach scenario) — same
+    // fingerprint/doc_id spelling the sink uses
+    val seedText = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    Seq(seedText).toDF("text")
+      .select(md5(regexp_replace(trim(lower($"text")), "\\s+", " ")).as("fingerprint"),
+        $"text")
+      .withColumn("doc_id", xxhash64($"fingerprint"))
+      .write.parquet(corpusDir)
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpusDir,
+      indexDir = Some(indexDir))
+    try {
+      // batch 1 delivers a NEAR-dup (J = 9/11 >= 0.8) of the
+      // pre-existing doc plus a genuinely new one. Rejecting the
+      // near-dup REQUIRES the sink to have built the index from the
+      // corpus — before the self-bootstrap, the index-absent branch
+      // probed nothing and silently admitted it
+      val near = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 zz"
+      ms.addData(near, "fresh tokens entirely new here")
+      q.processAllAvailable()
+      val texts = spark.read.parquet(corpusDir)
+        .select("text").as[String].collect().toSet
+      assert(!texts.contains(near),
+        "a near-dup of a pre-existing corpus doc must be rejected via the bootstrapped index")
+      assert(texts.exists(_.startsWith("fresh tokens")), "the new doc must land")
+      // the bootstrapped+maintained index claims the WHOLE corpus
+      assert(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir)
+        .as[Long].collect().toSet ===
+        spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet,
+        "index must cover the pre-existing docs and the accepted delivery")
+    } finally q.stop()
+  }
+
   test("embedding ingest: bootstrap fit, stored-centroid appends, replay-idempotent") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-ingest-emb")
@@ -518,8 +556,15 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.ingestEmbeddings(
       ms.toDF().toDF("vec_id", "embedding"), corpusDir, indexDir)
     try {
-      // batch 1 (virgin index): the sink bootstraps the FULL build —
-      // fit + assign + manifest — over the first delivery
+      // an EMPTY first delivery must not wedge the stream: zero rows
+      // reaching the k-means fit would throw and replay the same empty
+      // batch forever — the bootstrap waits for data instead
+      ms.addData(Seq.empty[(Long, Seq[Float])])
+      q.processAllAvailable()
+      assert(!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest"),
+        "an empty delivery must not bootstrap (and must not crash)")
+      // batch with data (virgin index): the sink bootstraps the FULL
+      // build — fit + assign + manifest — over the corpus
       ms.addData(seed.toSeq)
       q.processAllAvailable()
       val cent0 = graft.sources.SimilarityIndexes.readIvfIndex(spark, indexDir)._1
