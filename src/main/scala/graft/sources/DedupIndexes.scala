@@ -229,8 +229,8 @@ object DedupIndexes {
     * formats) uses.
     */
   def compactNearDupTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(!samePath(spark, src, dst),
-      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    require(!pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     delete(spark, dst)
     val (n, k, bands0) = readNearDupMeta(spark, src)
     writeNearDupMeta(spark, dst, n, k, bands0)
@@ -251,8 +251,8 @@ object DedupIndexes {
     * appends accumulate again.
     */
   def compactVerbatimTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(!samePath(spark, src, dst),
-      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    require(!pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     delete(spark, dst)
     writeVerbatimMeta(spark, dst, readVerbatimMeta(spark, src))
     val (pos, occ) = readVerbatimIndex(spark, src)
@@ -301,6 +301,9 @@ object DedupIndexes {
 
   /** The (n, k, bands) a stored near-dup index was built with. */
   def readNearDupMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    require(hasData(spark, s"$path/meta"),
+      s"index at $path has no meta table pinning its (n, k, bands) — " +
+        "rebuild it with writeNearDupIndex to make it probe/append-safe")
     val row = spark.read.parquet(s"$path/meta").head
     (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"))
   }
@@ -311,17 +314,30 @@ object DedupIndexes {
   }
 
   /** The shingle width `n` a stored verbatim index was built with. */
-  def readVerbatimMeta(spark: SparkSession, path: String): Int =
+  def readVerbatimMeta(spark: SparkSession, path: String): Int = {
+    require(hasData(spark, s"$path/meta"),
+      s"index at $path has no meta table pinning its shingle width — " +
+        "rebuild it with writeVerbatimIndex to make it probe/append-safe")
     spark.read.parquet(s"$path/meta").head.getAs[Int]("n")
+  }
 
-  /** Compaction's in-place guard: FILESYSTEM-QUALIFIED path equality,
-    * so a relative and an absolute spelling of one directory (or a
-    * path reaching it through `..`) cannot slip past the check and
-    * have `delete(dst)` destroy the source before it is read.
+  /** Compaction's in-place guard: the paths OVERLAP when their
+    * filesystem-qualified, normalized spellings are equal OR one is an
+    * ancestor of the other — a relative vs absolute spelling, a `..`
+    * route, or a dst that CONTAINS the src would each let
+    * `delete(dst)` destroy the source before it is read.
     */
-  private[sources] def samePath(spark: SparkSession, a: String, b: String): Boolean =
-    fs(spark, a).makeQualified(new Path(a)).toUri.normalize() ==
-      fs(spark, b).makeQualified(new Path(b)).toUri.normalize()
+  private[sources] def pathsOverlap(spark: SparkSession, a: String, b: String): Boolean = {
+    // compare the normalized PATH component: qualified URIs of one
+    // directory can differ only in authority spelling (file:/x vs
+    // file:///x), and a cross-filesystem false positive merely refuses
+    // a compaction harmlessly
+    def q(s: String) =
+      fs(spark, s).makeQualified(new Path(s)).toUri.normalize().getPath
+        .stripSuffix("/")
+    val (qa, qb) = (q(a), q(b))
+    qa == qb || qa.startsWith(qb + "/") || qb.startsWith(qa + "/")
+  }
 
   // -- driver-query harnesses: same deterministic corpus/batch split as
   // Dedup.incrementalNewDocs, probing the STORED index so the green

@@ -16,8 +16,10 @@ import graft.operators.Similarity
   *   - `path/centroids` = (cell, centroid) — nlist rows, control-plane
   *     sized, collected to the driver at read exactly like the in-memory
   *     quantizer ships its centroid literals into codegen;
-  *   - `path/meta` = one row (nassign) — the index's assignment fanout,
-  *     stored so appends cannot fork from the build's layout;
+  *   - `path/meta` = one row (nlist, nassign) — the index's REQUESTED
+  *     layout, stored so appends and restarted sinks cannot fork from
+  *     the build's config (the fitted centroid count can be smaller
+  *     than nlist on a degenerate corpus — validation keys on meta);
   *   - `path/cells/ingest=<label>` = (vec_id, embedding, cell)
   *     PARTITIONED BY cell — the FAISS-style inverted lists: each cell's
   *     vectors are co-located files, so a probe restricted to nprobe
@@ -67,7 +69,11 @@ object SimilarityIndexes {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Seq(nassign).toDF("nassign")
+    // meta pins the REQUESTED nlist, not the fitted centroid count:
+    // k-means can return fewer than k centers on a small/degenerate
+    // corpus, and validating a restart against the centroid count
+    // would then wedge a sink whose params never changed
+    Seq((nlist, nassign)).toDF("nlist", "nassign")
       .write.mode("overwrite").parquet(s"$path/meta")
     Similarity.assignCells(emb, centroids, nassign)
       .write.mode("overwrite").partitionBy("cell")
@@ -111,8 +117,8 @@ object SimilarityIndexes {
     * pointer flip.
     */
   def compactIvfTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(!DedupIndexes.samePath(spark, src, dst),
-      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     DedupIndexes.delete(spark, dst)
     spark.read.parquet(s"$src/centroids")
       .write.mode("overwrite").parquet(s"$dst/centroids")
@@ -200,8 +206,8 @@ object SimilarityIndexes {
     * flips the pointer.
     */
   def compactLshTo(spark: SparkSession, src: String, dst: String): Unit = {
-    require(!DedupIndexes.samePath(spark, src, dst),
-      "compaction rewrites into a NEW path; compact-in-place would read and delete the same files")
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     DedupIndexes.delete(spark, dst)
     spark.read.parquet(s"$src/meta")
       .write.mode("overwrite").parquet(s"$dst/meta")

@@ -451,12 +451,15 @@ object StreamingOps {
         .agg(min(col("text")).as("text"))
         .withColumn("doc_id", xxhash64(col("fingerprint")))
         .persist())
+      // scope-tracked like exactDeduped: a batch-body exception must not
+      // leak the cache entry (a manual unpersist after the writes would
+      // be skipped on every failing replay, accumulating leaked copies)
       val fresh =
         if (flatDirHasData(spark, corpusDir))
-          exactDeduped.join(
+          graft.CacheScope.track(exactDeduped.join(
             spark.read.parquet(corpusDir).select("fingerprint"),
-            Seq("fingerprint"), "left_anti").persist()
-        else exactDeduped.persist()
+            Seq("fingerprint"), "left_anti").persist())
+        else exactDeduped // already persisted and tracked
       if (flatDirHasData(spark, corpusDir)) {
         val flags = indexDir match {
           case Some(dir) =>
@@ -472,6 +475,10 @@ object StreamingOps {
               graft.sources.DedupIndexes.writeVerbatimIndex(
                 spark.read.parquet(corpusDir).select(col("doc_id"), col("text")), dir)
             val n = graft.sources.DedupIndexes.readVerbatimMeta(spark, dir)
+            require(minRunTokens >= n,
+              s"sink minRunTokens=$minRunTokens is below the stored index's " +
+                s"shingle width n=$n at $dir — raise minRunTokens, or rebuild " +
+                "the index at a narrower n")
             val (pos, occ) = graft.sources.DedupIndexes.readVerbatimIndex(spark, dir)
             graft.operators.Dedup.incrementalVerbatimRunsFromIndex(pos, occ,
               fresh.select(col("doc_id"), col("text")), n,
@@ -495,7 +502,6 @@ object StreamingOps {
       }
       fresh.select(col("fingerprint"), col("text"), col("doc_id"))
         .write.mode("append").parquet(corpusDir)
-      fresh.unpersist()
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
         graft.sources.DedupIndexes.appendVerbatim(_, _, _),
         graft.sources.DedupIndexes.writeVerbatimIndex(_, _)))
@@ -584,9 +590,12 @@ object StreamingOps {
         // silently accepting different params here would let a caller
         // believe they changed the layout when nothing did. Changing
         // (nlist, nassign) is a rebuild (writeIvfIndex), not a restart.
-        val storedNassign = spark.read.parquet(s"$indexDir/meta")
-          .head.getAs[Int]("nassign")
-        val storedNlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+        // Validated against the REQUESTED nlist pinned in meta — the
+        // fitted centroid count can legitimately be smaller (k-means on
+        // a small corpus) and must not wedge an unchanged sink.
+        val meta = spark.read.parquet(s"$indexDir/meta").head
+        val (storedNlist, storedNassign) =
+          (meta.getAs[Int]("nlist"), meta.getAs[Int]("nassign"))
         require(storedNassign == nassign && storedNlist == nlist,
           s"index at $indexDir was built with (nlist=$storedNlist, nassign=$storedNassign) " +
             s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +

@@ -235,14 +235,19 @@ class DedupIndexSpec extends SparkSpec {
   test("compact-in-place is refused across path spellings of one directory") {
     val path = "target/dedup_index_spec/guard"
     DedupIndexes.writeNearDupIndex(corpus, path)
-    val abs = new File(path).getAbsolutePath
-    intercept[IllegalArgumentException](
-      DedupIndexes.compactNearDupTo(spark, path, abs))
-    intercept[IllegalArgumentException](
-      DedupIndexes.compactNearDupTo(spark, path,
-        "target/dedup_index_spec/../dedup_index_spec/guard"))
-    // the index survived both refusals
-    assert(DedupIndexes.hasData(spark, s"$path/shingles"))
+    // every refusal must fire BEFORE delete(dst) — assert survival
+    // after each one, since a post-delete failure would also throw
+    def refused(src: String, dst: String): Unit = {
+      intercept[IllegalArgumentException](
+        DedupIndexes.compactNearDupTo(spark, src, dst))
+      assert(DedupIndexes.hasData(spark, s"$path/shingles"),
+        s"guard for src=$src dst=$dst must refuse before touching disk")
+    }
+    refused(path, new File(path).getAbsolutePath)
+    refused(path, "target/dedup_index_spec/../dedup_index_spec/guard")
+    // nesting in either direction would also delete-before-read
+    refused(path, s"$path/nested")
+    refused(s"$path/shingles", path)
   }
 
   test("stored verbatim index probe equals the inline derivation") {
