@@ -3,6 +3,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // machine-speed canary FIRST — before the SparkSession exists, so
+    // it measures the host, not this JVM's concurrent Spark load
+    val canary = BenchContract.canarySeconds()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -130,7 +133,8 @@ object Bench {
         s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}}"""
       }.mkString("{", ",", "}")
       val payload =
-        s"""{"base_reps":$reps,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8")
+        s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"queries":$detail}"""
+          .getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, payload)
@@ -143,7 +147,8 @@ object Bench {
       if (only.isEmpty)
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    val lines = BenchContract.lines(total.toString, qs, errsField, sfDir)
+    val lines = BenchContract.lines(total.toString, qs, errsField, sfDir,
+      ms(canary).toString)
     lines.init.foreach(println)
     spark.stop()
     // The headline total prints LAST, after spark.stop(), so a
@@ -172,13 +177,55 @@ object BenchContract {
   /** The driver's documented stdout-tail capture size. */
   val TailWindow = 2000
 
+  /** Machine-speed canary: a FIXED, deterministic, Spark-free
+    * single-thread integer workload (an xxhash-style avalanche loop
+    * over a constant array — ~134M mul/rotate/xor steps per pass),
+    * timed as the min of three passes after one JIT warm-up pass.
+    * Recorded into bench_detail and the stdout contract line so
+    * cross-round totals can be NORMALIZED: rounds 7–9 each re-litigated
+    * "is this regression host drift?" from ad-hoc re-runs (±32%
+    * identical-code variance documented in r9); dividing two rounds'
+    * canary times turns that argument into a measured ratio. Constants
+    * are decimal spellings of the xxhash64 primes; the pass result is
+    * folded into a sink check so the loop cannot be dead-code
+    * eliminated.
+    */
+  def canarySeconds(): Double = {
+    val arr = Array.tabulate(1 << 15)(i => i.toLong * -7046029254386353131L)
+    def pass(): Long = {
+      var h = 2870177450012600261L
+      var r = 0
+      while (r < 4096) {
+        var i = 0
+        while (i < arr.length) {
+          h = java.lang.Long.rotateLeft(
+            h ^ (arr(i) * -4417276706812531889L), 31) * -7046029288634856825L
+          i += 1
+        }
+        r += 1
+      }
+      h
+    }
+    var sink = pass() // JIT warm-up; result consumed below
+    val times = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      sink ^= pass()
+      (System.nanoTime() - t0) / 1e9
+    }
+    require(sink != 42L, "unreachable — anchors the loop against DCE")
+    times.min
+  }
+
   /** The lines to print, in order; the LAST line is always the compact
     * full-schema total (the canonical parse target) and the total of
     * all line lengths + newlines is <= [[TailWindow]] by construction.
     */
   def lines(total: String, queriesJson: String, errsField: String,
-            sfDir: String): Seq[String] = {
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+            sfDir: String, canarySec: String): Seq[String] = {
+    // the canary rides the canonical total line (a dozen bytes —
+    // budgeted in BenchContractSpec's window sweep)
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec}"""
     // no "sf"/"unit" on the map line — every byte counts against the
     // tail window and the trailing total-only line carries the full
     // schema; a schema-strict parser that skips the map line still

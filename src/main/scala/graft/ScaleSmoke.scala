@@ -75,6 +75,15 @@ import graft.sources.DedupIndexes
   */
 object ScaleSmoke {
 
+  /** The stored-probe budget relative to its inline twin — the
+    * stored-index layout's whole reason to exist is NOT paying the
+    * per-delivery index re-derivation, so a probe past this multiple
+    * of inline fails the sweep (1.3x absorbs single-sample GC noise;
+    * a real regression, e.g. losing partition pruning on the stored
+    * read, lands well past it).
+    */
+  val StoredProbeSlack = 1.3
+
   /** documents replicated `factor`x: fresh doc_ids per copy (strided by
     * max(doc_id)+1, collision-free for any id distribution), every token
     * suffixed per copy so replicas share no shingles with each other or
@@ -268,6 +277,31 @@ object ScaleSmoke {
       val (tIdxN, nIdxN) = timeIt(
         Dedup.incrementalNearDupFromIndex(shS, bandS, batch).count())
       spark.catalog.clearCache()
+      // TRACKED INVARIANT (r9 verdict item 5): the stored probe must
+      // cost at most `StoredProbeSlack`x its inline twin at every
+      // factor — the layout exists to be cheaper than re-deriving the
+      // index from text, so a stored probe drifting past the inline
+      // spelling is a regression, surfaced HERE as a failure instead of
+      // bench-table archaeology. Single samples are GC-noisy, so a
+      // violation is re-measured once (both sides, same order) before
+      // it counts.
+      def assertStoredLeqInline(what: String, stored: Double, inline: Double,
+                                remeasure: () => (Double, Double)): (Double, Double) =
+        if (stored <= inline * StoredProbeSlack) (stored, inline)
+        else {
+          spark.catalog.clearCache()
+          val (s2, i2) = remeasure()
+          spark.catalog.clearCache()
+          assert(s2 <= i2 * StoredProbeSlack,
+            s"factor $factor: $what stored probe ${s2}s vs inline ${i2}s " +
+              s"(first sample ${stored}s vs ${inline}s) — stored exceeds " +
+              s"${StoredProbeSlack}x inline on both measures")
+          (s2, i2)
+        }
+      val (tIdxN2, tIncN2) = assertStoredLeqInline("near-dup", tIdxN, tIncN,
+        () => (timeIt(Dedup.incrementalNearDupFromIndex(shS, bandS, batch).count())._1,
+          { spark.catalog.clearCache()
+            timeIt(Dedup.incrementalNearDup(docs, batch).count())._1 }))
       val (tAppN, _) = timeIt {
         DedupIndexes.appendNearDup(batch, s"$idxRoot/neardup", "smoke"); 0L
       }
@@ -279,6 +313,12 @@ object ScaleSmoke {
         Dedup.incrementalVerbatimRunsFromIndex(posS, occS, batch,
           minRunTokens = 3).count())
       spark.catalog.clearCache()
+      val (tIdxV2, tIncV2) = assertStoredLeqInline("verbatim", tIdxV, tIncV,
+        () => (timeIt(Dedup.incrementalVerbatimRunsFromIndex(posS, occS, batch,
+            minRunTokens = 3).count())._1,
+          { spark.catalog.clearCache()
+            timeIt(Dedup.incrementalVerbatimRuns(docs, batch,
+              minRunTokens = 3).count())._1 }))
       val (tAppV, _) = timeIt {
         DedupIndexes.appendVerbatim(batch, s"$idxRoot/verbatim", "smoke"); 0L
       }
@@ -303,10 +343,10 @@ object ScaleSmoke {
         .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
       val annRoot = s"target/scale_smoke_idx/f$factor"
       sources.SimilarityIndexes.writeLshIndex(embN, s"$annRoot/lsh")
-      val (skN, vecN, (nT, bits)) =
+      val (skN, vecN, (nT, bits, lshDim)) =
         sources.SimilarityIndexes.readLshIndex(spark, s"$annRoot/lsh")
       val (tLsh, nLsh) = timeIt(operators.Similarity.annTopKLshFromIndex(
-        skN, vecN, queries, nTables = nT, bitsPerTable = bits).count())
+        skN, vecN, queries, nTables = nT, bitsPerTable = bits, dim = lshDim).count())
       spark.catalog.clearCache()
       sources.SimilarityIndexes.writeIvfIndex(embN, s"$annRoot/ivf",
         qKey = s"smoke-f$factor")
@@ -356,8 +396,10 @@ object ScaleSmoke {
         s""""incr_verbatim_sec":$tIncV,"incr_verbatim_rows":$nIncV,""" +
         s""""idx_near_probe_sec":$tIdxN,"idx_near_probe_rows":$nIdxN,""" +
         s""""idx_near_append_sec":$tAppN,""" +
+        s""""idx_near_vs_inline":${tIdxN2 / tIncN2},""" +
         s""""idx_verbatim_probe_sec":$tIdxV,"idx_verbatim_probe_rows":$nIdxV,""" +
         s""""idx_verbatim_append_sec":$tAppV,""" +
+        s""""idx_verbatim_vs_inline":${tIdxV2 / tIncV2},""" +
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
@@ -370,6 +412,66 @@ object ScaleSmoke {
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
         s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
         s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")
+    }
+
+    // --- IVF drift canary (factor-independent): the re-fit signal
+    // exercised on a DELIBERATELY drifted index. Base fit over the real
+    // embeddings; then two appends — one drawn from the same
+    // distribution (circular shift: identical isotropic geometry) and
+    // one from a shifted distribution (per-coordinate abs + offset:
+    // every vector collapses into the all-positive orthant, far from
+    // every fitted centroid and concentrated in the few cells nearest
+    // the new mode). ivfDriftStats must flag ONLY the drifted ingest
+    // (asserted — the deterministic half), and the probe-side cost of
+    // that drift is made visible as measured ANN recall at a tight
+    // nprobe: exhaustive search (nprobe = nlist over the same stored
+    // cells) is the exact baseline, so recall needs no external oracle.
+    {
+      val embBase = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val stride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val same = embBase.select((col("vec_id") + lit(stride)).as("vec_id"),
+        concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))
+          .as("embedding"))
+      val drifted = embBase.select((col("vec_id") + lit(2 * stride)).as("vec_id"),
+        transform(col("embedding"), x => abs(x) + lit(1.0f)).as("embedding"))
+      val driftIdx = "target/scale_smoke_idx/drift/ivf"
+      sources.SimilarityIndexes.writeIvfIndex(embBase, driftIdx, "drift-canary")
+      sources.SimilarityIndexes.appendIvf(same, driftIdx, "same")
+      sources.SimilarityIndexes.appendIvf(drifted, driftIdx, "drifted")
+      val stats = sources.SimilarityIndexes.ivfDriftStats(spark, driftIdx)
+        .collect().map(r => r.getAs[String]("ingest") ->
+          ((r.getAs[Boolean]("refit_due"), r.getAs[Double]("dist_ratio"),
+            r.getAs[Double]("skew_ratio")))).toMap
+      assert(!stats("same")._1,
+        s"same-distribution append must not trip the re-fit flag: ${stats("same")}")
+      assert(stats("drifted")._1,
+        s"shifted-distribution append must trip the re-fit flag: ${stats("drifted")}")
+      val (cent, cells) = sources.SimilarityIndexes.readIvfIndex(spark, driftIdx)
+      val cellsP = cells.persist()
+      cellsP.count()
+      def recallAt(idLo: Long, nprobe: Int): Double = {
+        val qs = cellsP.filter(col("vec_id") >= idLo && col("vec_id") < idLo + 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+        val approx = operators.Similarity.annTopKIvfFromIndex(cent, cellsP, qs,
+            nprobe = nprobe)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = operators.Similarity.annTopKIvfFromIndex(cent, cellsP, qs,
+            nprobe = cent.size)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+      }
+      val recallBase = recallAt(0L, nprobe = 4)
+      val recallDrifted = recallAt(2 * stride, nprobe = 4)
+      cellsP.unpersist()
+      println(s"""{"drift_canary":{"same_flagged":${stats("same")._1},""" +
+        s""""drifted_flagged":${stats("drifted")._1},""" +
+        s""""drifted_dist_ratio":${stats("drifted")._2},""" +
+        s""""drifted_skew_ratio":${stats("drifted")._3},""" +
+        s""""recall_base_nprobe4":$recallBase,""" +
+        s""""recall_drifted_nprobe4":$recallDrifted}}""")
     }
     spark.stop()
   }

@@ -464,13 +464,13 @@ object Similarity {
   def annTopKLshOn(emb: DataFrame,
                    nQueries: Int = 10, k: Int = 5,
                    nTables: Int = 16, bitsPerTable: Int = 2,
-                   maxBucket: Int = 10000): DataFrame =
+                   maxBucket: Int = 10000, dim: Int = 64): DataFrame =
     annTopKLshFromIndex(
-      lshSketchFrames(emb, nTables, bitsPerTable),
+      lshSketchFrames(emb, nTables, bitsPerTable, dim),
       emb.select(col("vec_id"), col("embedding")),
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nTables, bitsPerTable, maxBucket)
+      k, nTables, bitsPerTable, maxBucket, dim)
 
   /** The LSH index artifact: (vec_id, key), one row per (vector, table)
     * — two longs, NO embedding payload. 16 tables × ~0.5 KB vector
@@ -482,9 +482,10 @@ object Similarity {
     * spelling.
     */
   private[graft] def lshSketchFrames(emb: DataFrame, nTables: Int,
-                                     bitsPerTable: Int): DataFrame =
+                                     bitsPerTable: Int,
+                                     dim: Int = 64): DataFrame =
     emb.select(col("vec_id"),
-      explode(sketchKeys(col("embedding"), planes(nTables, bitsPerTable, 64)))
+      explode(sketchKeys(col("embedding"), planes(nTables, bitsPerTable, dim)))
         .as("key"))
 
   /** [[annTopKLsh]] probing a PREBUILT sketch frame — the production
@@ -507,8 +508,11 @@ object Similarity {
   def annTopKLshFromIndex(sketches: DataFrame, vectors: DataFrame,
                           queries: DataFrame, k: Int = 5,
                           nTables: Int = 16, bitsPerTable: Int = 2,
-                          maxBucket: Int = 10000): DataFrame = {
-    val pl = planes(nTables, bitsPerTable, 64)
+                          maxBucket: Int = 10000, dim: Int = 64): DataFrame = {
+    // dim comes from the index meta on the stored path (the planes are
+    // functions of (seed, dim) — probing a non-64-dim index with 64-dim
+    // planes would derive silently mismatched query keys)
+    val pl = planes(nTables, bitsPerTable, dim)
     // query probes stay uncapped — the query side is tiny by contract,
     // so a query sitting in a hot bucket still probes it; only the DATA
     // side of that bucket is bounded

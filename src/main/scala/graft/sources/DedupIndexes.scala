@@ -51,6 +51,12 @@ object DedupIndexes {
   /** The label the full-build writers use for their single ingest. */
   val BaseLabel = "base"
 
+  /** The generation-pointer file name a pointered index root carries —
+    * see [[flipPointer]]/[[resolveIndex]]. Underscore-prefixed so Spark
+    * file listings (and [[hasData]]) treat it as hidden metadata.
+    */
+  val PointerFile = "_current"
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -91,6 +97,102 @@ object DedupIndexes {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
+  /** Guard a full index (re)build against deleting its own input: the
+    * build's first act is `delete(target)`, and its source frame is
+    * LAZY — if any of the frame's input files sit at, under, or above
+    * `target` (a misconfigured sink whose indexDir equals or contains
+    * its corpusDir, relative-vs-absolute spellings included), the
+    * delete would destroy the data before the build reads it. Checked
+    * over the DISTINCT PARENT DIRECTORIES of the frame's input files
+    * (driver-side strings, a handful of partition dirs — never a
+    * per-file filesystem walk); an in-memory frame has no input files
+    * and passes vacuously.
+    */
+  private[graft] def assertTargetNotOverInputs(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val parents = df.inputFiles.map(f => new Path(f).getParent.toString).distinct
+    parents.find(p => pathsOverlap(spark, p, target)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"index build at $target would delete its own input data under $p " +
+          "before reading it — the index path must not equal, contain, or " +
+          "sit inside the source data directory")
+    }
+  }
+
+  // -- generation pointer: the compaction contract says "the caller
+  // owns the src→dst pointer flip" — this is that flip as a first-class
+  // helper, so callers stop reinventing the atomic-swap step the design
+  // depends on. A POINTERED index root holds generation directories
+  // (e.g. root/gen-0, root/gen-1) plus a one-line `_current` file naming
+  // the live one; probes address the ROOT and [[resolveIndex]] follows
+  // the pointer. The flip is temp-write + atomic rename, so a reader
+  // sees the old target or the new one, never a torn pointer — and
+  // [[flipPointer]] REFUSES to name a dst without a manifest (every
+  // build/compact writes it last), so a crashed compaction can never be
+  // pointed at: the old generation keeps serving until a COMPLETE new
+  // one exists. An unpointered path resolves to itself, so the flat
+  // single-directory layout keeps working unchanged. --
+
+  /** Atomically point the index root's `_current` file at `target`
+    * (an absolute path, or a name relative to `root`). Refuses a
+    * target with no complete manifest — the pointer must never name a
+    * half-written generation.
+    */
+  def flipPointer(spark: SparkSession, root: String, target: String): Unit = {
+    val abs = resolveChild(root, target)
+    require(hasData(spark, s"$abs/manifest"),
+      s"refusing to point $root at $abs: no complete index there (the " +
+        "manifest is written last — an absent one means the build or " +
+        "compaction has not finished)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(root, s"$PointerFile.tmp")
+    val dst = new Path(root, PointerFile)
+    val f = fs(spark, root)
+    val out = f.create(tmp, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+    // FileContext rename carries OVERWRITE semantics (plain
+    // FileSystem.rename refuses an existing dst) — the atomic commit
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.makeQualified(dst).toUri, conf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Follow `path`'s `_current` pointer if one exists, else `path`
+    * itself. One level only — a generation directory is a plain index,
+    * not another pointered root. Every read/probe/append entry point
+    * in this object and [[SimilarityIndexes]] resolves through this,
+    * so callers address the stable root and compactions swap
+    * generations underneath them.
+    */
+  def resolveIndex(spark: SparkSession, path: String): String = {
+    val ptr = new Path(path, PointerFile)
+    val f = fs(spark, path)
+    if (!f.exists(ptr)) path
+    else {
+      val in = f.open(ptr)
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(raw.nonEmpty, s"$ptr is empty — the pointer names no generation")
+      resolveChild(path, raw)
+    }
+  }
+
+  /** `target` as an absolute path: returned verbatim when already
+    * absolute/qualified, else joined under `root`.
+    */
+  private def resolveChild(root: String, target: String): String =
+    if (target.startsWith("/") || target.contains("://")) target
+    else s"$root/$target"
+
+  /** Does a COMPLETE index live at `path` (pointer-resolved)? Keyed on
+    * the manifest, which every build and append writes LAST — the
+    * bootstrap gate the streaming sinks use.
+    */
+  def hasCompleteIndex(spark: SparkSession, path: String): Boolean =
+    hasData(spark, s"${resolveIndex(spark, path)}/manifest")
+
   /** Write the [[Dedup.incrementalNearDup]] corpus artifacts from
     * scratch: `path/shingles` = (doc_id, sh, sz), `path/bands` =
     * (doc_id, band, key) partitioned by band, `path/manifest` =
@@ -102,6 +204,7 @@ object DedupIndexes {
   def writeNearDupIndex(corpus: DataFrame, path: String,
                         n: Int = Dedup.ShingleN, k: Int = Dedup.MinHashK,
                         bands: Int = Dedup.MinHashBands): Unit = {
+    assertTargetNotOverInputs(corpus, path)
     delete(corpus.sparkSession, path)
     writeNearDupMeta(corpus.sparkSession, path, n, k, bands)
     val sh = Dedup.nearDupIndexFrames(corpus, n, k, bands)._1
@@ -131,9 +234,10 @@ object DedupIndexes {
     * docs that entered the corpus and are absent from
     * [[indexedDocIds]]); this method is pure storage.
     */
-  def appendNearDup(batch: DataFrame, path: String, label: String): Unit = {
+  def appendNearDup(batch: DataFrame, path0: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
+    val path = resolveIndex(batch.sparkSession, path0)
     val (n, k, bands) = readNearDupMeta(batch.sparkSession, path)
     val (sh, bandIdx) = Dedup.nearDupIndexFrames(batch, n, k, bands)
     // batch-scale: persist so the band derivation reuses the shingle
@@ -152,10 +256,12 @@ object DedupIndexes {
     * off in Sessions); cast restores the probe's integer key; the
     * ingest label is maintenance metadata, not probe input.
     */
-  def readNearDupIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+  def readNearDupIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame) = {
+    val path = resolveIndex(spark, path0)
     (spark.read.parquet(s"$path/shingles").drop("ingest"),
       spark.read.parquet(s"$path/bands")
         .withColumn("band", col("band").cast("int")).drop("ingest"))
+  }
 
   /** Write the [[Dedup.incrementalVerbatimRuns]] corpus artifacts from
     * scratch: `path/positions` = (doc_id, pos, ng), `path/occ` =
@@ -168,6 +274,7 @@ object DedupIndexes {
     */
   def writeVerbatimIndex(corpus: DataFrame, path: String,
                          n: Int = Dedup.ShingleN): Unit = {
+    assertTargetNotOverInputs(corpus, path)
     delete(corpus.sparkSession, path)
     writeVerbatimMeta(corpus.sparkSession, path, n)
     val pos = Dedup.verbatimIndexFrames(corpus, n)._1
@@ -185,9 +292,10 @@ object DedupIndexes {
     * same contract as [[appendNearDup]]. The occ delta makes the
     * stored occ table merge-on-read; [[readVerbatimIndex]] reconciles.
     */
-  def appendVerbatim(batch: DataFrame, path: String, label: String): Unit = {
+  def appendVerbatim(batch: DataFrame, path0: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
+    val path = resolveIndex(batch.sparkSession, path0)
     val n = readVerbatimMeta(batch.sparkSession, path)
     val pos = Dedup.verbatimIndexFrames(batch, n)._1
     val posP = pos.persist()
@@ -203,10 +311,12 @@ object DedupIndexes {
     * over the occ table itself (distinct n-grams × ingests), never a
     * re-aggregation of the positional index.
     */
-  def readVerbatimIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+  def readVerbatimIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame) = {
+    val path = resolveIndex(spark, path0)
     (spark.read.parquet(s"$path/positions").drop("ingest"),
       spark.read.parquet(s"$path/occ")
         .groupBy(col("ng")).agg(sum(col("occ")).as("occ")))
+  }
 
   /** Compact a long-appended near-dup index: rewrite every ingest's
     * rows into a single `ingest=base` at `dst`, reading ONLY the stored
@@ -228,7 +338,8 @@ object DedupIndexes {
     * rewrite-based table compaction (e.g. snapshot-pointer table
     * formats) uses.
     */
-  def compactNearDupTo(spark: SparkSession, src: String, dst: String): Unit = {
+  def compactNearDupTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = resolveIndex(spark, src0)
     require(!pathsOverlap(spark, src, dst),
       "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     delete(spark, dst)
@@ -250,7 +361,8 @@ object DedupIndexes {
     * post-compaction probes skip the per-read reconciliation until
     * appends accumulate again.
     */
-  def compactVerbatimTo(spark: SparkSession, src: String, dst: String): Unit = {
+  def compactVerbatimTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = resolveIndex(spark, src0)
     require(!pathsOverlap(spark, src, dst),
       "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     delete(spark, dst)
@@ -270,8 +382,9 @@ object DedupIndexes {
     * half-written) claim is ignored — the overwrite re-asserts it.
     * Missing manifest (virgin index) reads as empty.
     */
-  def indexedDocIds(spark: SparkSession, path: String,
+  def indexedDocIds(spark: SparkSession, path0: String,
                     excludeLabel: Option[String] = None): DataFrame = {
+    val path = resolveIndex(spark, path0)
     if (!hasData(spark, s"$path/manifest"))
       spark.range(0).select(col("id").as("doc_id"))
     else {
@@ -300,7 +413,8 @@ object DedupIndexes {
   }
 
   /** The (n, k, bands) a stored near-dup index was built with. */
-  def readNearDupMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+  def readNearDupMeta(spark: SparkSession, path0: String): (Int, Int, Int) = {
+    val path = resolveIndex(spark, path0)
     require(hasData(spark, s"$path/meta"),
       s"index at $path has no meta table pinning its (n, k, bands) — " +
         "rebuild it with writeNearDupIndex to make it probe/append-safe")
@@ -314,11 +428,41 @@ object DedupIndexes {
   }
 
   /** The shingle width `n` a stored verbatim index was built with. */
-  def readVerbatimMeta(spark: SparkSession, path: String): Int = {
+  def readVerbatimMeta(spark: SparkSession, path0: String): Int = {
+    val path = resolveIndex(spark, path0)
     require(hasData(spark, s"$path/meta"),
       s"index at $path has no meta table pinning its shingle width — " +
         "rebuild it with writeVerbatimIndex to make it probe/append-safe")
     spark.read.parquet(s"$path/meta").head.getAs[Int]("n")
+  }
+
+  /** Full rebuild that HONORS a surviving meta table: a build that
+    * crashed between its meta write and its manifest (meta present,
+    * manifest absent) left the operator's intended (n, k, bands) pinned
+    * on disk — the streaming sinks' self-heal bootstrap goes through
+    * here so that rebuild reproduces the pinned scheme instead of
+    * silently reverting a custom-config index to defaults (the config
+    * the meta table exists to protect). A truly virgin path (no meta)
+    * builds at the defaults.
+    */
+  def rebuildNearDupIndex(corpus: DataFrame, path0: String): Unit = {
+    val spark = corpus.sparkSession
+    val path = resolveIndex(spark, path0)
+    if (hasData(spark, s"$path/meta")) {
+      val (n, k, bands) = readNearDupMeta(spark, path)
+      writeNearDupIndex(corpus, path, n, k, bands)
+    } else writeNearDupIndex(corpus, path)
+  }
+
+  /** [[rebuildNearDupIndex]]'s verbatim-index twin: a surviving meta
+    * pins the shingle width the rebuild must reproduce.
+    */
+  def rebuildVerbatimIndex(corpus: DataFrame, path0: String): Unit = {
+    val spark = corpus.sparkSession
+    val path = resolveIndex(spark, path0)
+    if (hasData(spark, s"$path/meta"))
+      writeVerbatimIndex(corpus, path, readVerbatimMeta(spark, path))
+    else writeVerbatimIndex(corpus, path)
   }
 
   /** Compaction's in-place guard: the paths OVERLAP when their
@@ -327,7 +471,7 @@ object DedupIndexes {
     * route, or a dst that CONTAINS the src would each let
     * `delete(dst)` destroy the source before it is read.
     */
-  private[sources] def pathsOverlap(spark: SparkSession, a: String, b: String): Boolean = {
+  private[graft] def pathsOverlap(spark: SparkSession, a: String, b: String): Boolean = {
     // compare the normalized PATH component: qualified URIs of one
     // directory can differ only in authority spelling (file:/x vs
     // file:///x), and a cross-filesystem false positive merely refuses

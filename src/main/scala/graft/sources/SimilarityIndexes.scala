@@ -42,9 +42,13 @@ import graft.operators.Similarity
   *   - [[compactIvfTo]] merges the ingest labels into one, reading only
   *     the stored index (no re-fit, no corpus read);
   *   - [[writeIvfIndex]] is the re-fit: rebuild when drift between the
-  *     centroids and the appended distribution degrades recall. The fit
-  *     is deterministic (seeded), so a rebuild over unchanged data
-  *     reproduces the index modulo file layout.
+  *     centroids and the appended distribution degrades recall — and
+  *     "when" is a queryable fact, not a judgment call:
+  *     [[ivfDriftStats]] measures each appended ingest's
+  *     distance-to-assigned-centroid and cell-size skew against the
+  *     base ingest, and [[ivfRefitDue]] is the one-boolean re-fit
+  *     signal. The fit is deterministic (seeded), so a rebuild over
+  *     unchanged data reproduces the index modulo file layout.
   *
   * nassign = 1 is the ANN layout ([[Similarity.annTopKIvfFromIndex]]);
   * nassign > 1 is the multi-probe dedup blocker
@@ -64,6 +68,7 @@ object SimilarityIndexes {
                     nlist: Int = 16, nassign: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
     DedupIndexes.delete(spark, path)
     val centroids = Similarity.fitQuantizer(emb, qKey, nlist)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -95,12 +100,13 @@ object SimilarityIndexes {
     * delivery's vectors absent from [[indexedVecIds]]); this method is
     * pure storage.
     */
-  def appendIvf(batch: DataFrame, path: String, label: String): Unit = {
+  def appendIvf(batch: DataFrame, path0: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
     val spark = batch.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
     val centroids = readCentroids(spark, path)
-    val nassign = spark.read.parquet(s"$path/meta").head.getAs[Int]("nassign")
+    val nassign = readIvfMeta(spark, path)._2
     Similarity.assignCells(batch, centroids, nassign)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells/ingest=$label")
@@ -116,7 +122,8 @@ object SimilarityIndexes {
     * unfinished (manifest last), and the caller owns the `src`→`dst`
     * pointer flip.
     */
-  def compactIvfTo(spark: SparkSession, src: String, dst: String): Unit = {
+  def compactIvfTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = DedupIndexes.resolveIndex(spark, src0)
     require(!DedupIndexes.pathsOverlap(spark, src, dst),
       "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     DedupIndexes.delete(spark, dst)
@@ -138,8 +145,19 @@ object SimilarityIndexes {
     * probe's integer key; the ingest label is maintenance metadata, not
     * probe input.
     */
-  def readIvfIndex(spark: SparkSession, path: String): (Seq[Seq[Double]], DataFrame) =
+  def readIvfIndex(spark: SparkSession, path0: String): (Seq[Seq[Double]], DataFrame) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
     (readCentroids(spark, path), readCells(spark, path))
+  }
+
+  /** The (nlist, nassign) a stored IVF index was built with — the
+    * REQUESTED layout its meta pins (pointer-resolved).
+    */
+  def readIvfMeta(spark: SparkSession, path0: String): (Int, Int) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val row = spark.read.parquet(s"$path/meta").head
+    (row.getAs[Int]("nlist"), row.getAs[Int]("nassign"))
+  }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
@@ -150,6 +168,94 @@ object SimilarityIndexes {
   private def readCells(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cells")
       .withColumn("cell", col("cell").cast("int")).drop("ingest")
+
+  /** The IVF lifecycle's missing half made queryable: "re-fit when
+    * drift degrades recall" is only operable if drift is a measured
+    * number, so this compares every APPENDED ingest's fit against the
+    * BASE ingest the centroids were actually fitted on. Two signals,
+    * both pure index reads (cells + centroids — the corpus is never
+    * touched):
+    *
+    *   - `mean_dist`: mean cosine distance (1 − cos) from each vector
+    *     to its best assigned centroid. Appends drawn from the fitted
+    *     distribution land ≈ the base mean; a drifted distribution sits
+    *     systematically farther from every centroid — the direct
+    *     geometric driver of IVF recall loss (true neighbors fall
+    *     outside the probed cells);
+    *   - `cell_skew`: the ingest's max cell population over the
+    *     UNIFORM expectation n/ncells — measured against the index's
+    *     whole fitted-cell universe, NOT the ingest's occupied cells
+    *     (an append collapsing entirely into one cell would score a
+    *     perfect 1.0 on max/avg-of-occupied — the worst case reading
+    *     as the best). A drifted batch CONCENTRATES into the few cells
+    *     nearest its new mode, degrading the "probe touches
+    *     ~nprobe/nlist of the data" economics even when distances move
+    *     less.
+    *
+    * `refit_due` flags an appended ingest whose `dist_ratio` (vs base)
+    * exceeds `distRatioMax` or whose `skew_ratio` exceeds
+    * `skewRatioMax`. Defaults (1.2, 3.0): same-distribution appends
+    * measure within a few percent of base on both ratios (asserted in
+    * SimilaritySpec), so 20% excess mean distance is far outside
+    * sampling noise, and 3× the base's own skew tolerates small-batch
+    * granularity while catching single-mode concentration. One flagged
+    * ingest means the fitted centroids no longer describe what is
+    * arriving — schedule the [[writeIvfIndex]] re-fit (the rebuild at
+    * compaction cadence the lifecycle doc prescribes).
+    *
+    * Output: (ingest, n_vectors, mean_dist, cell_skew, dist_ratio,
+    * skew_ratio, refit_due) — one row per ingest, base included with
+    * ratios 1.0 for context. Driver-sized (rows = ingests), but the
+    * aggregation underneath is one scan of the stored cells.
+    */
+  def ivfDriftStats(spark: SparkSession, path0: String,
+                    distRatioMax: Double = 1.2,
+                    skewRatioMax: Double = 3.0): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val centroids = readCentroids(spark, path)
+    import spark.implicits._
+    val centDf = broadcast(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid"))
+    // best assignment per (ingest, vec_id): multi-assign rows collapse
+    // to the nearest of their assigned cells before any statistic
+    val perVec = spark.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("int"))
+      .join(centDf, "cell")
+      .select(col("ingest"), col("vec_id"), col("cell"),
+        (lit(1.0) - cosineSim(col("embedding"), col("centroid"))).as("dist"))
+      .groupBy(col("ingest"), col("vec_id"))
+      .agg(min_by(col("cell"), col("dist")).as("cell"),
+        min(col("dist")).as("dist"))
+    val skew = perVec.groupBy(col("ingest"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("ingest"))
+      .agg((max(col("c")) * lit(centroids.size) / sum(col("c"))).as("cell_skew"))
+    val stats = perVec.groupBy(col("ingest"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("dist")).as("mean_dist"))
+      .join(skew, "ingest")
+    // one-row control frame: the base ingest's own numbers
+    val base = broadcast(stats.filter(col("ingest") === BaseLabel)
+      .select(col("mean_dist").as("base_dist"), col("cell_skew").as("base_skew")))
+    stats.crossJoin(base)
+      .select(col("ingest"), col("n_vectors"), col("mean_dist"), col("cell_skew"),
+        (col("mean_dist") / col("base_dist")).as("dist_ratio"),
+        (col("cell_skew") / col("base_skew")).as("skew_ratio"))
+      .withColumn("refit_due",
+        col("ingest") =!= BaseLabel &&
+          (col("dist_ratio") > distRatioMax || col("skew_ratio") > skewRatioMax))
+  }
+
+  /** True when any appended ingest of the index at `path` trips
+    * [[ivfDriftStats]]' re-fit thresholds — the one-boolean spelling
+    * for maintenance schedulers.
+    */
+  def ivfRefitDue(spark: SparkSession, path: String,
+                  distRatioMax: Double = 1.2,
+                  skewRatioMax: Double = 3.0): Boolean =
+    !ivfDriftStats(spark, path, distRatioMax, skewRatioMax)
+      .filter(col("refit_due")).isEmpty
 
   // -- LSH sketch index: the third similarity artifact. Layout departs
   // from the IVF cell table deliberately: sketch rows are (vec_id, key)
@@ -163,23 +269,38 @@ object SimilarityIndexes {
 
   /** Write the LSH sketch index from scratch: `path/sketches` =
     * (vec_id, key), `path/vectors` = (vec_id, embedding), `path/meta` =
-    * (ntables, bits), `path/manifest` = (vec_id) — ingest-labeled,
+    * (ntables, bits, dim), `path/manifest` = (vec_id) — ingest-labeled,
     * manifest last, any previous index removed; same contract as
-    * [[writeIvfIndex]].
+    * [[writeIvfIndex]]. The EMBEDDING DIMENSION is measured from the
+    * corpus and pinned in meta alongside (ntables, bits): the
+    * hyperplanes are functions of (seed, dim), so a probe or append
+    * deriving planes at a different width would produce silently
+    * mismatched sketch keys — exactly the config fork the meta table
+    * exists to prevent.
     */
   def writeLshIndex(emb: DataFrame, path: String,
                     nTables: Int = 16, bitsPerTable: Int = 2): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
+    val dim = embeddingDim(emb).getOrElse(throw new IllegalArgumentException(
+      "cannot build an LSH index over an empty corpus: the embedding " +
+        "dimension (which the meta table pins) is unmeasurable"))
     DedupIndexes.delete(spark, path)
-    Seq((nTables, bitsPerTable)).toDF("ntables", "bits")
+    Seq((nTables, bitsPerTable, dim)).toDF("ntables", "bits", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
-    Similarity.lshSketchFrames(emb, nTables, bitsPerTable)
+    Similarity.lshSketchFrames(emb, nTables, bitsPerTable, dim)
       .write.mode("overwrite").parquet(s"$path/sketches/ingest=$BaseLabel")
     emb.select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
     writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
   }
+
+  /** The width of `emb`'s embedding column, from one sampled row —
+    * None when the frame is empty.
+    */
+  private def embeddingDim(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding")).as("d")).take(1).headOption.map(_.getInt(0))
 
   /** APPEND a batch to a stored LSH index: sketch keys derived at the
     * index's stored config land under `ingest=<label>` with the usual
@@ -189,12 +310,19 @@ object SimilarityIndexes {
     * re-fit cadence; compaction ([[compactLshTo]]) is purely a
     * file-count story.
     */
-  def appendLsh(batch: DataFrame, path: String, label: String): Unit = {
+  def appendLsh(batch: DataFrame, path0: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
       s"append label must not collide with the full-build label '$BaseLabel'")
     val spark = batch.sparkSession
-    val (nTables, bits) = readLshMeta(spark, path)
-    Similarity.lshSketchFrames(batch, nTables, bits)
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val (nTables, bits, dim) = readLshMeta(spark, path)
+    // a batch of a different width would sketch against planes the
+    // stored rows never saw — refuse rather than fork the key space
+    embeddingDim(batch).foreach(d => require(d == dim,
+      s"index at $path was built over $dim-dim embeddings but the " +
+        s"appended batch is $d-dim; re-embedding at a new width is a " +
+        "rebuild (writeLshIndex), not an append"))
+    Similarity.lshSketchFrames(batch, nTables, bits, dim)
       .write.mode("overwrite").parquet(s"$path/sketches/ingest=$label")
     batch.select(col("vec_id"), col("embedding"))
       .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
@@ -205,7 +333,8 @@ object SimilarityIndexes {
     * [[compactIvfTo]]: index-only reads, complete-or-absent dst, caller
     * flips the pointer.
     */
-  def compactLshTo(spark: SparkSession, src: String, dst: String): Unit = {
+  def compactLshTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = DedupIndexes.resolveIndex(spark, src0)
     require(!DedupIndexes.pathsOverlap(spark, src, dst),
       "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
     DedupIndexes.delete(spark, dst)
@@ -218,17 +347,26 @@ object SimilarityIndexes {
       .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
   }
 
-  /** Read back (sketches, vectors, (nTables, bitsPerTable)) across
+  /** Read back (sketches, vectors, (nTables, bitsPerTable, dim)) across
     * every ingest; the label is maintenance metadata, not probe input.
     */
-  def readLshIndex(spark: SparkSession, path: String): (DataFrame, DataFrame, (Int, Int)) =
+  def readLshIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame, (Int, Int, Int)) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
     (spark.read.parquet(s"$path/sketches").drop("ingest"),
       spark.read.parquet(s"$path/vectors").drop("ingest"),
       readLshMeta(spark, path))
+  }
 
-  private def readLshMeta(spark: SparkSession, path: String): (Int, Int) = {
+  /** The (ntables, bits, dim) a stored LSH index was built with
+    * (pointer-resolved). An index written before the meta carried the
+    * dimension was by construction built from 64-dim planes — read as
+    * 64 rather than refusing a probe whose keys are in fact valid.
+    */
+  def readLshMeta(spark: SparkSession, path0: String): (Int, Int, Int) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
     val row = spark.read.parquet(s"$path/meta").head
-    (row.getAs[Int]("ntables"), row.getAs[Int]("bits"))
+    val dim = if (row.schema.fieldNames.contains("dim")) row.getAs[Int]("dim") else 64
+    (row.getAs[Int]("ntables"), row.getAs[Int]("bits"), dim)
   }
 
   /** Every vec_id any ingest of the index at `path` has claimed,
@@ -237,8 +375,9 @@ object SimilarityIndexes {
     * [[DedupIndexes.indexedDocIds]]. Missing manifest (virgin index)
     * reads as empty.
     */
-  def indexedVecIds(spark: SparkSession, path: String,
+  def indexedVecIds(spark: SparkSession, path0: String,
                     excludeLabel: Option[String] = None): DataFrame = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
     if (!DedupIndexes.hasData(spark, s"$path/manifest"))
       spark.range(0).select(col("id").as("vec_id"))
     else {
@@ -286,11 +425,11 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("lsh", sfDir)
     DedupIndexes.writeOnce(path)(writeLshIndex(emb, path))
-    val (sketches, vectors, (nTables, bits)) = readLshIndex(spark, path)
+    val (sketches, vectors, (nTables, bits, dim)) = readLshIndex(spark, path)
     Similarity.annTopKLshFromIndex(sketches, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nTables, bits)
+      k, nTables, bits, dim = dim)
   }
 
   /** [[Similarity.semanticDedup]] blocking on the materialized

@@ -252,7 +252,8 @@ object StreamingOps {
     */
   def ingestNewDocsNearDup(lines: DataFrame, corpusDir: String,
                            textCol: String = "value",
-                           indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                           indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    indexDir.foreach(assertIndexDisjointFromCorpus(lines.sparkSession, corpusDir, _))
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
@@ -291,8 +292,12 @@ object StreamingOps {
               // the full index from the corpus (the unavoidable initial
               // build, one corpus scan), then probe it. Silently probing
               // nothing here would admit every near-dup of the corpus.
-              if (!graft.sources.DedupIndexes.hasData(spark, s"$dir/manifest"))
-                graft.sources.DedupIndexes.writeNearDupIndex(
+              if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir))
+                // rebuild, not write: a crashed custom-(n, k, bands)
+                // build leaves its meta behind (meta before manifest),
+                // and the self-heal must reproduce that pinned scheme,
+                // not silently revert the index to defaults
+                graft.sources.DedupIndexes.rebuildNearDupIndex(
                   corpus.select(col("doc_id"), col("text")), dir)
               // production probe: the stored index IS the corpus's
               // near-dup identity — no text re-shingle, no re-banding;
@@ -332,10 +337,27 @@ object StreamingOps {
         .write.mode("append").parquet(corpusDir)
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
         graft.sources.DedupIndexes.appendNearDup(_, _, _),
-        graft.sources.DedupIndexes.writeNearDupIndex(_, _)))
+        graft.sources.DedupIndexes.rebuildNearDupIndex(_, _)))
       }
       ()
     }.start()
+  }
+
+  /** The sinks' misconfiguration guard: an `indexDir` that equals,
+    * contains, or sits inside `corpusDir` (relative-vs-absolute
+    * spellings included) would hand the index builders' destructive
+    * `delete(indexDir)` the corpus itself — the self-heal bootstrap
+    * reads the corpus LAZILY, so the delete wins. Checked once at sink
+    * construction, before any stream starts.
+    */
+  private def assertIndexDisjointFromCorpus(spark: SparkSession,
+                                            corpusDir: String,
+                                            indexDir: String): Unit =
+    require(!graft.sources.DedupIndexes.pathsOverlap(spark, corpusDir, indexDir),
+      s"indexDir=$indexDir overlaps corpusDir=$corpusDir — the index " +
+        "build deletes its target before lazily reading the corpus, so " +
+        "an overlapping spelling would destroy corpus data; point the " +
+        "index at a disjoint directory")
 
   /** Shared flat-layout data check for the corpus/flags directories
     * (this op's own appends): a failed first write or an empty batch can
@@ -374,18 +396,26 @@ object StreamingOps {
                             corpusDir: String, indexDir: String, batchId: Long,
                             append: (DataFrame, String, String) => Unit,
                             writeFull: (DataFrame, String) => Unit): Unit = {
-    if (!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest")) {
+    if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
       writeFull(spark.read.parquet(corpusDir)
         .select(col("doc_id"), col("text")), indexDir)
     } else {
       val label = s"b$batchId"
-      val toIndex = delivery
+      // scope-tracked persist: the delta feeds an emptiness probe and
+      // (when non-empty) two index writes — derived once either way
+      val toIndex = graft.CacheScope.track(delivery
         .join(spark.read.parquet(corpusDir).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
         .join(graft.sources.DedupIndexes.indexedDocIds(spark, indexDir, Some(label)),
           Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"))
-      append(toIndex, indexDir, label)
+        .persist())
+      // a pure re-delivery batch derives an EMPTY delta — skip the
+      // append entirely rather than accumulate one vacant ingest label
+      // per steady-state batch until compaction. Replay idempotence is
+      // unaffected: a replayed batch re-derives the same delta (own
+      // label excluded), so a non-empty original can never replay empty
+      if (!toIndex.isEmpty) append(toIndex, indexDir, label)
     }
   }
 
@@ -438,7 +468,8 @@ object StreamingOps {
                          textCol: String = "value",
                          minRunTokens: Int = 20,
                          maxOccFreq: Int = 1000,
-                         indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                         indexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    indexDir.foreach(assertIndexDisjointFromCorpus(lines.sparkSession, corpusDir, _))
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
@@ -471,8 +502,10 @@ object StreamingOps {
             // existing corpus. Probe params (minRunTokens, maxOccFreq)
             // stay caller-owned; the shingle width comes from the
             // index's meta.
-            if (!graft.sources.DedupIndexes.hasData(spark, s"$dir/manifest"))
-              graft.sources.DedupIndexes.writeVerbatimIndex(
+            if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir))
+              // rebuild: honors a crashed custom build's pinned shingle
+              // width (see the near-dup sink's bootstrap comment)
+              graft.sources.DedupIndexes.rebuildVerbatimIndex(
                 spark.read.parquet(corpusDir).select(col("doc_id"), col("text")), dir)
             val n = graft.sources.DedupIndexes.readVerbatimMeta(spark, dir)
             require(minRunTokens >= n,
@@ -504,10 +537,11 @@ object StreamingOps {
         .write.mode("append").parquet(corpusDir)
       indexDir.foreach(maintainIndex(spark, exactDeduped, corpusDir, _, batchId,
         graft.sources.DedupIndexes.appendVerbatim(_, _, _),
-        graft.sources.DedupIndexes.writeVerbatimIndex(_, _)))
+        graft.sources.DedupIndexes.rebuildVerbatimIndex(_, _)))
       }
       ()
     }.start()
+  }
 
   /** Streaming EMBEDDING ingest via foreachBatch — the vector-side
     * member of the ingest family, completing the symmetry: every
@@ -554,7 +588,8 @@ object StreamingOps {
     */
   def ingestEmbeddings(vectors: DataFrame, corpusDir: String, indexDir: String,
                        idCol: String = "vec_id", embCol: String = "embedding",
-                       nlist: Int = 16, nassign: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+                       nlist: Int = 16, nassign: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, indexDir)
     vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
@@ -571,13 +606,29 @@ object StreamingOps {
             Seq("vec_id"), "left_anti")
         else deduped
       fresh.write.mode("append").parquet(corpusDir)
-      if (!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest")) {
-        // no COMPLETE index (manifest is written last): bootstrap the
-        // full build — but only once the corpus actually holds vectors.
-        // An empty first micro-batch (recovery replay of a no-op batch)
-        // must not hand zero rows to the k-means fit: that throws, the
-        // batch fails, and the SAME empty batch replays forever — the
-        // stream could never reach a batch that has data
+      if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
+        // no COMPLETE index (manifest is written last). A SURVIVING meta
+        // means a build crashed between its meta write and its manifest
+        // — that meta pins the crashed build's intended layout, and a
+        // sink restarted with different params must not silently bury
+        // it under its own: refuse, exactly like the established-index
+        // branch below (changing the layout is a writeIvfIndex rebuild,
+        // not a sink restart).
+        if (graft.sources.DedupIndexes.hasData(spark, s"$indexDir/meta")) {
+          val (mNlist, mNassign) =
+            graft.sources.SimilarityIndexes.readIvfMeta(spark, indexDir)
+          require(mNlist == nlist && mNassign == nassign,
+            s"a crashed build at $indexDir pinned (nlist=$mNlist, nassign=$mNassign) " +
+              s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +
+              "restart the sink at the pinned params, or rebuild with " +
+              "writeIvfIndex to change the layout")
+        }
+        // bootstrap the full build — but only once the corpus actually
+        // holds vectors. An empty first micro-batch (recovery replay of
+        // a no-op batch) must not hand zero rows to the k-means fit:
+        // that throws, the batch fails, and the SAME empty batch
+        // replays forever — the stream could never reach a batch that
+        // has data
         if (flatDirHasData(spark, corpusDir) &&
             !spark.read.parquet(corpusDir).isEmpty) {
           graft.sources.SimilarityIndexes.writeIvfIndex(
@@ -593,24 +644,30 @@ object StreamingOps {
         // Validated against the REQUESTED nlist pinned in meta — the
         // fitted centroid count can legitimately be smaller (k-means on
         // a small corpus) and must not wedge an unchanged sink.
-        val meta = spark.read.parquet(s"$indexDir/meta").head
         val (storedNlist, storedNassign) =
-          (meta.getAs[Int]("nlist"), meta.getAs[Int]("nassign"))
+          graft.sources.SimilarityIndexes.readIvfMeta(spark, indexDir)
         require(storedNassign == nassign && storedNlist == nlist,
           s"index at $indexDir was built with (nlist=$storedNlist, nassign=$storedNassign) " +
             s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +
             "rebuild the index to change its layout")
         val label = s"b$batchId"
-        val toIndex = deduped
+        // scope-tracked persist: emptiness probe + (when non-empty) the
+        // append's cells and manifest writes share one derivation
+        val toIndex = graft.CacheScope.track(deduped
           .join(spark.read.parquet(corpusDir).select(col("vec_id")),
             Seq("vec_id"), "left_semi")
           .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, indexDir, Some(label)),
             Seq("vec_id"), "left_anti")
-        graft.sources.SimilarityIndexes.appendIvf(toIndex, indexDir, label)
+          .persist())
+        // pure re-delivery ⇒ empty delta ⇒ no vacant ingest=b<N> label
+        // accumulating per steady-state batch (see maintainIndex)
+        if (!toIndex.isEmpty)
+          graft.sources.SimilarityIndexes.appendIvf(toIndex, indexDir, label)
       }
       }
       ()
     }.start()
+  }
 
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —

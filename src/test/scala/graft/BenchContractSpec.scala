@@ -13,29 +13,40 @@ class BenchContractSpec extends AnyFunSuite {
     (1 to n).map(i => s""""q_fake_query_name_$i":1.2""").mkString("{", ",", "}")
 
   test("small suites keep the per-query map line plus the total line") {
-    val lines = BenchContract.lines("12.345", fakeMap(10), "", "/root/testdata/sf0.1")
+    val lines = BenchContract.lines("12.345", fakeMap(10), "", "/root/testdata/sf0.1", "0.321")
     assert(lines.size === 2)
     assert(lines.head.contains("\"queries\":{"), "map line first")
     assert(lines.last ===
-      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1"}""")
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321}""")
   }
 
   test("oversized suites drop the map line, never the canonical total line") {
-    val lines = BenchContract.lines("99.9", fakeMap(200), "", "/root/testdata/sf0.1")
+    val lines = BenchContract.lines("99.9", fakeMap(200), "", "/root/testdata/sf0.1", "0.321")
     assert(lines.size === 1)
     assert(lines.head.contains("\"unit\":\"sec\""), "the survivor is the full-schema total")
+    assert(lines.head.contains("\"canary_sec\":0.321"),
+      "the canary must survive the map-line drop — it rides the canonical line")
   }
 
   test("printed bytes stay inside the tail window at EVERY query count") {
     for (n <- Seq(0, 1, 50, 80, 81, 100, 500, 2000)) {
       val lines = BenchContract.lines("123.456", fakeMap(n),
         s""","query_errors":{"q_fake_query_name_1":"IllegalStateException"}""",
-        "/root/testdata/sf0.1")
+        "/root/testdata/sf0.1", "12.345")
       val printed = lines.map(_.length + 1).sum // + newline per println
       assert(printed <= BenchContract.TailWindow,
         s"at $n queries the contract output is $printed chars — overflows the tail window")
       assert(lines.last.startsWith("""{"metric":"total","value":123.456,"unit":"sec""""),
         "the last line is always the canonical full-schema total")
+      assert(lines.last.contains("\"canary_sec\":12.345"),
+        "every contract line carries the machine-speed canary")
     }
+  }
+
+  test("the machine-speed canary is deterministic work at a plausible cost") {
+    val a = BenchContract.canarySeconds()
+    assert(a > 0.005 && a < 30.0,
+      s"canary measured $a s — outside any plausible machine-speed band, " +
+        "the workload constant has drifted")
   }
 }

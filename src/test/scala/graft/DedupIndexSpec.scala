@@ -266,6 +266,99 @@ class DedupIndexSpec extends SparkSpec {
       "probing the parquet-materialized index must equal deriving it inline")
   }
 
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  test("an index build refuses a target that would delete its own input") {
+    val dataDir = "target/dedup_index_spec/selfguard/data"
+    corpus.write.mode("overwrite").parquet(dataDir)
+    val stored = spark.read.parquet(dataDir)
+    // target == the input dir
+    intercept[IllegalArgumentException](
+      DedupIndexes.writeNearDupIndex(stored, dataDir))
+    // target CONTAINS the input dir — the misconfigured-sink spelling
+    // (indexDir above corpusDir) the r9 advice flagged
+    intercept[IllegalArgumentException](
+      DedupIndexes.writeNearDupIndex(stored, "target/dedup_index_spec/selfguard"))
+    // relative-vs-absolute spellings of the same dir must not slip by
+    intercept[IllegalArgumentException](
+      DedupIndexes.writeVerbatimIndex(stored, new File(dataDir).getAbsolutePath))
+    assert(spark.read.parquet(dataDir).count() === corpus.count(),
+      "every refusal must fire BEFORE the destructive delete")
+    // a disjoint sibling target still builds
+    DedupIndexes.writeNearDupIndex(stored, "target/dedup_index_spec/selfguard_ok")
+    assert(DedupIndexes.hasData(spark, "target/dedup_index_spec/selfguard_ok/manifest"))
+  }
+
+  test("self-heal rebuild honors a crashed build's pinned config (meta present, manifest absent)") {
+    val path = "target/dedup_index_spec/rebuild_meta"
+    DedupIndexes.writeNearDupIndex(corpus, path, n = 4, k = 32, bands = 8)
+    // the crash window the advice named: meta lands first, manifest last
+    rmTree(new File(s"$path/manifest"))
+    assert(!DedupIndexes.hasCompleteIndex(spark, path))
+    DedupIndexes.rebuildNearDupIndex(corpus, path)
+    assert(DedupIndexes.readNearDupMeta(spark, path) === ((4, 32, 8)),
+      "the rebuild must reproduce the pinned scheme, not revert to defaults")
+    assert(DedupIndexes.hasCompleteIndex(spark, path))
+    val bandDirs = new File(s"$path/bands/ingest=${DedupIndexes.BaseLabel}")
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("band="))
+    assert(bandDirs.length === 8, "rebuilt band fanout must follow the pinned config")
+    // verbatim twin honors its pinned shingle width the same way
+    val vp = "target/dedup_index_spec/rebuild_meta_v"
+    DedupIndexes.writeVerbatimIndex(corpus, vp, n = 5)
+    rmTree(new File(s"$vp/manifest"))
+    DedupIndexes.rebuildVerbatimIndex(corpus, vp)
+    assert(DedupIndexes.readVerbatimMeta(spark, vp) === 5)
+    // a truly virgin path (no meta) rebuilds at the defaults
+    val virgin = "target/dedup_index_spec/rebuild_virgin"
+    rmTree(new File(virgin))
+    DedupIndexes.rebuildVerbatimIndex(corpus, virgin)
+    assert(DedupIndexes.readVerbatimMeta(spark, virgin) === Dedup.ShingleN)
+  }
+
+  test("generation pointer: probes follow the flip; an incomplete dst can never be pointed at") {
+    val root = "target/dedup_index_spec/pointered"
+    rmTree(new File(root))
+    DedupIndexes.writeNearDupIndex(corpus, s"$root/gen-0")
+    // no pointer yet: the root resolves to itself (flat layout intact)
+    assert(DedupIndexes.resolveIndex(spark, root) === root)
+    DedupIndexes.flipPointer(spark, root, "gen-0")
+    assert(DedupIndexes.resolveIndex(spark, root) === s"$root/gen-0")
+    assert(DedupIndexes.hasCompleteIndex(spark, root))
+    // reads AND appends addressed at the root land in the live generation
+    DedupIndexes.appendNearDup(batch, root, "b1")
+    assert(new File(s"$root/gen-0/shingles/ingest=b1").exists(),
+      "an append addressed at the root must land in the pointed generation")
+    val shinglesBefore = DedupIndexes.readNearDupIndex(spark, root)._1
+      .as[(Long, Seq[String], Int)].collect().toSet
+    // compact the pointered root into gen-1: until the FLIP, the root
+    // keeps serving the appended gen-0 (old index serves until a
+    // complete new one exists)
+    DedupIndexes.compactNearDupTo(spark, root, s"$root/gen-1")
+    assert(DedupIndexes.resolveIndex(spark, root) === s"$root/gen-0",
+      "compaction alone must not move the pointer")
+    DedupIndexes.flipPointer(spark, root, "gen-1")
+    assert(DedupIndexes.resolveIndex(spark, root) === s"$root/gen-1")
+    val shinglesAfter = DedupIndexes.readNearDupIndex(spark, root)._1
+      .as[(Long, Seq[String], Int)].collect().toSet
+    assert(shinglesAfter === shinglesBefore,
+      "the flipped-to compacted generation serves the same index")
+    assert(spark.read.parquet(s"$root/gen-1/shingles")
+      .select($"ingest").distinct().as[String].collect().toSeq ===
+      Seq(DedupIndexes.BaseLabel),
+      "the root now serves the single-ingest compacted generation")
+    // an interrupted compaction leaves no manifest — the flip refuses
+    // and the pointer stays where it was
+    DedupIndexes.compactNearDupTo(spark, root, s"$root/gen-2")
+    rmTree(new File(s"$root/gen-2/manifest"))
+    intercept[IllegalArgumentException](
+      DedupIndexes.flipPointer(spark, root, "gen-2"))
+    assert(DedupIndexes.resolveIndex(spark, root) === s"$root/gen-1",
+      "a refused flip must leave the pointer untouched")
+  }
+
   test("stored occurrence table equals a fresh aggregation of the stored positions") {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)

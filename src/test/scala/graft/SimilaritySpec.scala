@@ -120,7 +120,8 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val path = "target/similarity_index_spec/lsh"
     graft.sources.SimilarityIndexes.writeLshIndex(emb, path)
-    val (sk, vecs, (nT, bits)) = graft.sources.SimilarityIndexes.readLshIndex(spark, path)
+    val (sk, vecs, (nT, bits, dimStored)) = graft.sources.SimilarityIndexes.readLshIndex(spark, path)
+    assert(dimStored === 64, "meta must pin the measured embedding dimension")
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("eq"))
     val stored = Similarity.annTopKLshFromIndex(sk, vecs, queries,
@@ -166,7 +167,7 @@ class SimilaritySpec extends SparkSpec {
       assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
         s"$comp must collapse to the single base ingest, got $ingests")
     }
-    val (skC, vC, (nTc, bitsC)) = graft.sources.SimilarityIndexes.readLshIndex(spark, dst)
+    val (skC, vC, (nTc, bitsC, _)) = graft.sources.SimilarityIndexes.readLshIndex(spark, dst)
     // re-read: the replayed append rewrote ingest=b1's files, so the
     // pre-replay frames' captured file listing is stale
     val (skA2, vA2, _) = graft.sources.SimilarityIndexes.readLshIndex(spark, appended)
@@ -178,6 +179,71 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(probeC === probeA,
       "probing the compacted index must equal probing the appended one")
+  }
+
+  test("ivfDriftStats: shifted-distribution appends trip the re-fit flag, same-distribution don't") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val stride = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    // same distribution: circular shift — identical isotropic geometry,
+    // fresh ids; shifted distribution: per-coordinate abs + offset —
+    // every vector collapses toward the all-positive orthant, far from
+    // every fitted centroid and concentrated in the cells nearest the
+    // new mode
+    val same = emb.select(($"vec_id" + stride).as("vec_id"),
+      concat(slice($"embedding", 2, 63), slice($"embedding", 1, 1)).as("embedding"))
+    val drifted = emb.select(($"vec_id" + 2 * stride).as("vec_id"),
+      transform($"embedding", x => abs(x) + lit(1.0f)).as("embedding"))
+    val path = "target/similarity_index_spec/drift"
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb, path, "drift-spec")
+    graft.sources.SimilarityIndexes.appendIvf(same, path, "same")
+    graft.sources.SimilarityIndexes.appendIvf(drifted, path, "drifted")
+    val byIngest = graft.sources.SimilarityIndexes.ivfDriftStats(spark, path)
+      .collect().map(r => r.getAs[String]("ingest") -> r).toMap
+    assert(byIngest.keySet === Set("base", "same", "drifted"))
+    assert(!byIngest("base").getAs[Boolean]("refit_due"),
+      "the base ingest is its own reference — never flagged")
+    assert(!byIngest("same").getAs[Boolean]("refit_due"),
+      s"a same-distribution append must not flag: ${byIngest("same")}")
+    assert(byIngest("drifted").getAs[Boolean]("refit_due"),
+      s"a shifted-distribution append must flag re-fit due: ${byIngest("drifted")}")
+    assert(byIngest("drifted").getAs[Double]("dist_ratio") >
+      byIngest("same").getAs[Double]("dist_ratio"),
+      "drift must measurably raise the distance-to-centroid ratio")
+    assert(graft.sources.SimilarityIndexes.ivfRefitDue(spark, path),
+      "the one-boolean signal must reflect the flagged ingest")
+    // without the drifted ingest the signal stays quiet
+    val quiet = "target/similarity_index_spec/drift_quiet"
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb, quiet, "drift-spec-quiet")
+    graft.sources.SimilarityIndexes.appendIvf(same, quiet, "same")
+    assert(!graft.sources.SimilarityIndexes.ivfRefitDue(spark, quiet),
+      "an undrifted index must not demand a re-fit")
+  }
+
+  test("LSH meta pins the embedding dimension; probes derive it, appends validate it") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    // a NON-64-dim corpus: the first 32 coordinates — the case the
+    // hardcoded plane width silently mis-keyed before the meta pinned it
+    val emb32 = emb.select($"vec_id", slice($"embedding", 1, 32).as("embedding"))
+    val path = "target/similarity_index_spec/lsh32"
+    graft.sources.SimilarityIndexes.writeLshIndex(emb32, path)
+    val (sk, vecs32, (nT, bits, dim)) =
+      graft.sources.SimilarityIndexes.readLshIndex(spark, path)
+    assert(dim === 32, "meta must pin the measured dimension")
+    val queries = emb32.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKLshFromIndex(sk, vecs32, queries,
+        nTables = nT, bitsPerTable = bits, dim = dim)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKLshOn(emb32, dim = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline,
+      "stored-index probe at the meta-pinned dim must equal the inline spelling")
+    // appending a different-width batch forks the key space — refused
+    val batch64 = emb.filter($"vec_id" >= 490)
+    intercept[IllegalArgumentException](
+      graft.sources.SimilarityIndexes.appendLsh(batch64, path, "b1"))
   }
 
   test("IVF append assigns with the STORED centroids and is replay-idempotent") {

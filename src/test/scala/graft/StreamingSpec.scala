@@ -605,6 +605,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink construction refuses an indexDir that overlaps corpusDir") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-overlap")
+    val corpusDir = base.resolve("corpus").toString
+    val ms = MemoryStream[String]
+    // equal dirs: the index build's delete(indexDir) would destroy the
+    // corpus before its lazy read ran
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpusDir,
+        indexDir = Some(corpusDir)))
+    // index nested INSIDE the corpus (corrupts corpus reads too)
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpusDir,
+        indexDir = Some(s"$corpusDir/index")))
+    // relative-vs-absolute / dot-dot spellings of the same dir
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestFlagVerbatim(ms.toDF(), corpusDir,
+        base.resolve("flags").toString,
+        indexDir = Some(s"$corpusDir/../corpus")))
+    val msE = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestEmbeddings(msE.toDF().toDF("vec_id", "embedding"),
+        corpusDir, corpusDir))
+    // disjoint sibling passes construction
+    StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpusDir,
+      indexDir = Some(base.resolve("index").toString)).stop()
+  }
+
+  test("a pure re-delivery batch appends no vacant ingest label to the stored index") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-empty-delta")
+    val corpusDir = base.resolve("corpus").toString
+    val indexDir = base.resolve("index").toString
+    def labels = {
+      val f = new java.io.File(s"$indexDir/shingles")
+      if (!f.exists()) Seq.empty[String]
+      else f.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("ingest=")).toSeq.sorted
+    }
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestNewDocsNearDup(ms.toDF(), corpusDir,
+      indexDir = Some(indexDir))
+    try {
+      val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+      ms.addData(d1, "unrelated words entirely")
+      q.processAllAvailable()
+      val after1 = labels
+      assert(after1 === Seq(s"ingest=${graft.sources.DedupIndexes.BaseLabel}"),
+        "the bootstrap build owns the base ingest")
+      // pure re-delivery: the maintenance delta is EMPTY — steady-state
+      // streams must not accumulate one vacant label per batch
+      ms.addData(d1)
+      q.processAllAvailable()
+      assert(labels === after1,
+        "an empty delta must skip the append, not write a vacant ingest label")
+      // a batch with genuinely new content still appends under its label
+      ms.addData("fresh tokens nothing here shares at all now")
+      q.processAllAvailable()
+      assert(labels.size === 2,
+        s"a non-empty delta must append under its own ingest label, got $labels")
+    } finally q.stop()
+  }
+
   test("a caller's persisted frame survives ingest batches (scoped cleanup)") {
     import java.nio.file.Files
     // the round-8 nit: the ingest sinks cleared the WHOLE session cache
