@@ -422,10 +422,15 @@ object ScaleSmoke {
     // every vector collapses into the all-positive orthant, far from
     // every fitted centroid and concentrated in the few cells nearest
     // the new mode). ivfDriftStats must flag ONLY the drifted ingest
-    // (asserted — the deterministic half), and the probe-side cost of
-    // that drift is made visible as measured ANN recall at a tight
-    // nprobe: exhaustive search (nprobe = nlist over the same stored
-    // cells) is the exact baseline, so recall needs no external oracle.
+    // (asserted — the deterministic half). Recall at a tight nprobe is
+    // measured against exhaustive search (nprobe = nlist over the same
+    // stored cells — the exact baseline, no external oracle) for both a
+    // base-mode and a drifted-mode query set, and the two numbers READ
+    // TOGETHER are the lesson: drifted queries often keep high recall
+    // (their whole mode shares a few cells) while the skew ratio is
+    // what explodes — those few cells hold the entire appended mass, so
+    // each "cheap" probe scans corpus-scale cells. That is why the
+    // re-fit signal keys on distance + skew, not on a recall probe.
     {
       val embBase = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))

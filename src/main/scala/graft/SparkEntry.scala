@@ -168,6 +168,15 @@ object SparkEntry {
         lit("shared header boilerplate\n"), col("text"),
         lit("\nfooter group "), (col("doc_id") % 5).cast("string")
       ).as("text")), minDocFreq = 50, hashKey = true)),
+    // paragraph-granularity strike (the CCNet trio's middle member) over
+    // deterministic planted 3-paragraph docs: constant preamble (df=500)
+    // and doc_id%5 footer paragraph (df~100) struck at minDocFreq=50,
+    // each doc's own text paragraph survives
+    "q_para_dedup" -> ((s, d) => operators.Dedup.stripCommonParagraphs(
+      Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("shared preamble paragraph\n\n"), col("text"),
+        lit("\n\nfooter para "), (col("doc_id") % 5).cast("string")
+      ).as("text")), minDocFreq = 50)),
     "q_dedup_incremental" -> (operators.Dedup.incrementalNewDocs _),
     "q_dedup_incr_near" -> (operators.Dedup.incrementalNearDupDocs _),
     // same contracts probing the MATERIALIZED (parquet) corpus indexes —
@@ -823,6 +832,25 @@ object SparkEntry {
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id)
       SELECT c.doc_id, COALESCE(kc.text, '') AS text,
              CAST(c.n - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_lines_removed
+      FROM cnt c LEFT JOIN kc USING (doc_id)""".stripMargin.trim),
+    // paragraph doc-frequency strike: same shape as q_line_dedup one
+    // granularity up — split on blank-line runs, strike df >= 50
+    // paragraphs, kept paragraphs rejoin under the canonical blank line
+    "q_para_dedup" -> ("""
+      WITH d AS (SELECT doc_id, 'shared preamble paragraph' || chr(10) || chr(10) || text ||
+                        chr(10) || chr(10) || 'footer para ' || CAST(doc_id % 5 AS VARCHAR) AS t0
+                 FROM documents),
+      w AS (SELECT doc_id, regexp_split_to_array(t0, '\n{2,}') AS ps FROM d),
+      l AS (SELECT doc_id, i AS pos, ps[i] AS para
+            FROM w, (SELECT unnest(generate_series(1, len(ps))) AS i)),
+      f AS (SELECT para, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY para),
+      k AS (SELECT doc_id, pos, l.para FROM l JOIN f USING (para)
+            WHERE df < 50 OR trim(para) = ''),
+      kc AS (SELECT doc_id, COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos), '') AS text,
+                    COUNT(*) AS n_kept FROM k GROUP BY doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(kc.text, '') AS text,
+             CAST(c.n - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_paras_removed
       FROM cnt c LEFT JOIN kc USING (doc_id)""".stripMargin.trim),
     // same recursive-CTE component labeling as q_dedup_clusters, keyed
     // into the same md5-prefix threshold as q_train_eval_assign — the

@@ -447,6 +447,49 @@ object Dedup {
           .as("n_lines_removed"))
   }
 
+  /** [[stripCommonLines]] at PARAGRAPH granularity — the CCNet trio's
+    * middle member (page-level dedup, paragraph strike, line strike):
+    * strike every paragraph occurring in at least `minDocFreq` DISTINCT
+    * docs (shared preambles, license blocks, templated intros — units
+    * too long for line-level df to catch as one piece and too short for
+    * doc-level dedup). Paragraph = a maximal run of non-blank lines;
+    * the split key is one-or-more blank lines (`\n{2,}`), and kept
+    * paragraphs re-join under the CANONICAL `\n\n` separator — original
+    * multi-blank runs normalize to one blank line, the standard
+    * paragraph-strike trade. Output: (doc_id, text, n_paras_removed),
+    * one row per input doc. Empty/whitespace-only paragraphs (text
+    * boundary artifacts of the split) are exempt like blank lines.
+    *
+    * Same scale shape as the line spelling — explode, ONE df hash
+    * aggregation, one equi-join back, per-doc bounded reassembly; and
+    * the same `hashKey` 100 TB path (8-byte xxhash64 paragraph keys on
+    * both exchanges, string payload rides once; equality asserted in
+    * DedupSpec).
+    */
+  def stripCommonParagraphs(docTexts: DataFrame, minDocFreq: Int = 2,
+                            hashKey: Boolean = false): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq=$minDocFreq must be >= 2")
+    val paras = docTexts.select(col("doc_id"),
+      posexplode(split(col("text"), "\n{2,}")).as(Seq("pos", "para")))
+    val key = if (hashKey) xxhash64(col("para")) else col("para")
+    val paraDf = paras.groupBy(key.as("pk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = paras.join(paraDf, key === col("pk")).drop("pk")
+      .filter(col("df") < minDocFreq || trim(col("para")) === "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para")), "\n\n").as("text"))
+    docTexts.select(col("doc_id"),
+        size(split(col("text"), "\n{2,}")).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_paras_removed"))
+  }
+
   /** The verbatim-dedup REMOVAL pass: the cleaned corpus after cutting
     * every [[verbatimRunSpansOn]] span from its HIGHER-id doc — the
     * ExactSubstr policy (Lee et al. 2021: keep one copy, cut the rest),

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity}
+
+/** SQL front door for the stored-index probes: one registration call
+  * per probe binds an index path (pointer-resolved) and a SQL-visible
+  * input table into a temp view, after which a `spark.sql` user (JDBC,
+  * notebook SQL cell, thrift server) reaches the index with plain
+  * `SELECT` — no Scala at query time. The views hold the SAME lazy
+  * plans the Scala entry points build ([[DedupIndexes]],
+  * [[SimilarityIndexes]], the `FromIndex` probe cores), so SQL and
+  * Scala callers cannot fork semantics; each probe derives its config
+  * from the index's own meta exactly like the Scala spelling.
+  *
+  * Registration snapshots the index's FILE LISTING (a Spark read): a
+  * maintenance append or compaction pointer flip after registration is
+  * picked up by RE-REGISTERING the view — the same re-resolve cadence
+  * any long-lived reader of a rewritten table needs.
+  */
+object IndexSql {
+
+  /** `SELECT * FROM <viewName>` = the near-dup verdict frame of
+    * probing the stored index at `indexPath` with the docs in
+    * `batchTable` (needs doc_id, text) — the SQL spelling of
+    * [[Dedup.incrementalNearDupFromIndex]] at the index's pinned
+    * (n, k, bands).
+    */
+  def registerNearDupProbe(spark: SparkSession, viewName: String,
+                           indexPath: String, batchTable: String): Unit = {
+    val (n, k, bands) = DedupIndexes.readNearDupMeta(spark, indexPath)
+    val (sh, idx) = DedupIndexes.readNearDupIndex(spark, indexPath)
+    Dedup.incrementalNearDupFromIndex(sh, idx,
+        spark.table(batchTable).select("doc_id", "text"), n, k, bands)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = the shared-verbatim-run flags of
+    * probing the stored positional index with `batchTable`'s docs —
+    * the SQL spelling of [[Dedup.incrementalVerbatimRunsFromIndex]] at
+    * the index's pinned shingle width.
+    */
+  def registerVerbatimProbe(spark: SparkSession, viewName: String,
+                            indexPath: String, batchTable: String,
+                            minRunTokens: Int = 20,
+                            maxOccFreq: Int = 1000): Unit = {
+    val n = DedupIndexes.readVerbatimMeta(spark, indexPath)
+    val (pos, occ) = DedupIndexes.readVerbatimIndex(spark, indexPath)
+    Dedup.incrementalVerbatimRunsFromIndex(pos, occ,
+        spark.table(batchTable).select("doc_id", "text"), n,
+        minRunTokens = minRunTokens, maxOccFreq = maxOccFreq)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = (query_id, neighbor_id, rank) top-k
+    * over the stored IVF index for the queries in `queriesTable`
+    * (needs query_id, eq) — [[Similarity.annTopKIvfFromIndex]].
+    */
+  def registerIvfAnn(spark: SparkSession, viewName: String,
+                     indexPath: String, queriesTable: String,
+                     k: Int = 5, nprobe: Int = 12): Unit = {
+    val (centroids, cells) = SimilarityIndexes.readIvfIndex(spark, indexPath)
+    Similarity.annTopKIvfFromIndex(centroids, cells,
+        spark.table(queriesTable).select("query_id", "eq"), k, nprobe)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = (query_id, neighbor_id, rank) top-k
+    * over the stored LSH sketch index — [[Similarity.annTopKLshFromIndex]]
+    * at the index's pinned (ntables, bits, dim).
+    */
+  def registerLshAnn(spark: SparkSession, viewName: String,
+                     indexPath: String, queriesTable: String,
+                     k: Int = 5, maxBucket: Int = 10000): Unit = {
+    val (sketches, vectors, (nTables, bits, dim)) =
+      SimilarityIndexes.readLshIndex(spark, indexPath)
+    Similarity.annTopKLshFromIndex(sketches, vectors,
+        spark.table(queriesTable).select("query_id", "eq"),
+        k, nTables, bits, maxBucket, dim)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = (vec_id, rep_id, is_rep) semantic
+    * dedup verdicts over the stored multi-assign cell table —
+    * [[Similarity.semanticDedupFromIndex]].
+    */
+  def registerSemanticDedup(spark: SparkSession, viewName: String,
+                            indexPath: String,
+                            threshold: Double = 0.45): Unit = {
+    val (_, cells) = SimilarityIndexes.readIvfIndex(spark, indexPath)
+    Similarity.semanticDedupFromIndex(cells, threshold)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = [[SimilarityIndexes.ivfDriftStats]] —
+    * the re-fit signal as a SQL-queryable table (maintenance dashboards
+    * poll `WHERE refit_due`).
+    */
+  def registerIvfDriftStats(spark: SparkSession, viewName: String,
+                            indexPath: String): Unit =
+    SimilarityIndexes.ivfDriftStats(spark, indexPath)
+      .createOrReplaceTempView(viewName)
+}

@@ -359,6 +359,34 @@ class DedupIndexSpec extends SparkSpec {
       "a refused flip must leave the pointer untouched")
   }
 
+  test("SQL front door: registered probe views equal the Scala stored-probe spellings") {
+    val path = "target/dedup_index_spec/sqlfront"
+    DedupIndexes.writeNearDupIndex(corpus, path)
+    batch.createOrReplaceTempView("sqlfront_batch")
+    graft.sources.IndexSql.registerNearDupProbe(spark, "sqlfront_neardup",
+      path, "sqlfront_batch")
+    val viaSql = spark.sql("SELECT * FROM sqlfront_neardup")
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    val (sh, idx) = DedupIndexes.readNearDupIndex(spark, path)
+    val viaScala = Dedup.incrementalNearDupFromIndex(sh, idx, batch)
+      .as[(Long, Option[Long], Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(viaSql.nonEmpty && viaSql === viaScala,
+      "a spark.sql user must see exactly the Scala probe's verdicts")
+    val vp = "target/dedup_index_spec/sqlfront_v"
+    DedupIndexes.writeVerbatimIndex(corpus, vp)
+    graft.sources.IndexSql.registerVerbatimProbe(spark, "sqlfront_verbatim",
+      vp, "sqlfront_batch", minRunTokens = 3)
+    val sqlV = spark.sql("SELECT * FROM sqlfront_verbatim")
+      .as[(Long, Long, Long)].collect().toSet
+    val (pos, occ) = DedupIndexes.readVerbatimIndex(spark, vp)
+    val scalaV = Dedup.incrementalVerbatimRunsFromIndex(pos, occ, batch,
+        minRunTokens = 3).as[(Long, Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(sqlV.nonEmpty && sqlV === scalaV,
+      "the verbatim view must equal the Scala probe at the same params")
+  }
+
   test("stored occurrence table equals a fresh aggregation of the stored positions") {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)

@@ -294,6 +294,43 @@ class DedupSpec extends SparkSpec {
       "xxhash64 line keys must not change the result (modulo 2^-64 collisions)")
   }
 
+  test("stripCommonParagraphs strikes shared paragraphs; blank-run split normalizes to one separator") {
+    val docs = Seq(
+      (1L, "PRE\n\na b\n\nF1"), (2L, "PRE\n\nc d\n\nF1"),
+      (3L, "PRE\n\ne f\n\nF2"),
+      // multi-line paragraph: its two lines strike or survive as a UNIT
+      // (the granularity the line spelling cannot see), and a 3-newline
+      // separator still reads as one paragraph break
+      (4L, "PRE\n\nmulti line\npara here\n\n\nF2")
+    ).toDF("doc_id", "text")
+    def run(k: Int) = Dedup.stripCommonParagraphs(docs, minDocFreq = k)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // k=4: only PRE (df=4) struck; F1 (df=2), F2 (df=2) survive
+    assert(run(4) === Map(
+      1L -> (("a b\n\nF1", 1L)), 2L -> (("c d\n\nF1", 1L)),
+      3L -> (("e f\n\nF2", 1L)),
+      4L -> (("multi line\npara here\n\nF2", 1L))),
+      "PRE struck as a unit; the \\n{3} separator normalizes to \\n\\n")
+    // k=2: the footers strike too; the multi-line paragraph (df=1) stays
+    assert(run(2) === Map(
+      1L -> (("a b", 2L)), 2L -> (("c d", 2L)), 3L -> (("e f", 2L)),
+      4L -> (("multi line\npara here", 2L))))
+  }
+
+  test("stripCommonParagraphs hashKey spelling equals the string-keyed default") {
+    val docs = Tables.documents(spark, sf).select($"doc_id",
+      concat(lit("shared preamble paragraph\n\n"), $"text",
+        lit("\n\nfooter para "), ($"doc_id" % 5).cast("string")).as("text"))
+    def run(hashKey: Boolean) =
+      Dedup.stripCommonParagraphs(docs, minDocFreq = 50, hashKey = hashKey)
+        .as[(Long, String, Long)].collect().toSet
+    val stringKeyed = run(false)
+    assert(stringKeyed.exists(_._3 > 0), "fixture must actually strike paragraphs")
+    assert(run(true) === stringKeyed,
+      "xxhash64 paragraph keys must not change the result")
+  }
+
   test("verbatimCleanFixpoint clears a planted seam rematch one pass leaves behind") {
     // cutting "X Y Z" out of doc2 butt-joins its flanks into "p q r s" —
     // which coincidentally equals doc0, a run one pass cannot see

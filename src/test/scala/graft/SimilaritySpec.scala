@@ -246,6 +246,40 @@ class SimilaritySpec extends SparkSpec {
       graft.sources.SimilarityIndexes.appendLsh(batch64, path, "b1"))
   }
 
+  test("SQL front door: ANN and drift views equal the Scala spellings") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivfPath = "target/similarity_index_spec/sqlfront_ivf"
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb, ivfPath, "sqlfront")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    queries.createOrReplaceTempView("sqlfront_queries")
+    graft.sources.IndexSql.registerIvfAnn(spark, "sqlfront_ann_ivf",
+      ivfPath, "sqlfront_queries")
+    val (cent, cells) = graft.sources.SimilarityIndexes.readIvfIndex(spark, ivfPath)
+    val scalaIvf = Similarity.annTopKIvfFromIndex(cent, cells, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spark.sql("SELECT * FROM sqlfront_ann_ivf")
+      .as[(Long, Long, Long)].collect().toSet === scalaIvf,
+      "the SQL IVF view must equal the Scala stored probe")
+    val lshPath = "target/similarity_index_spec/sqlfront_lsh"
+    graft.sources.SimilarityIndexes.writeLshIndex(emb, lshPath)
+    graft.sources.IndexSql.registerLshAnn(spark, "sqlfront_ann_lsh",
+      lshPath, "sqlfront_queries")
+    val (skL, vL, (nT, bits, dim)) =
+      graft.sources.SimilarityIndexes.readLshIndex(spark, lshPath)
+    val scalaLsh = Similarity.annTopKLshFromIndex(skL, vL, queries,
+        nTables = nT, bitsPerTable = bits, dim = dim)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spark.sql("SELECT * FROM sqlfront_ann_lsh")
+      .as[(Long, Long, Long)].collect().toSet === scalaLsh,
+      "the SQL LSH view must equal the Scala stored probe")
+    // drift stats as a SQL-queryable maintenance table
+    graft.sources.IndexSql.registerIvfDriftStats(spark, "sqlfront_drift", ivfPath)
+    assert(spark.sql("SELECT count(*) FROM sqlfront_drift WHERE refit_due")
+      .as[Long].head() === 0L,
+      "a base-only index polls clean through the SQL drift view")
+  }
+
   test("IVF append assigns with the STORED centroids and is replay-idempotent") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter($"vec_id" % 10 < 8)
