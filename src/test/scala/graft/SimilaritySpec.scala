@@ -280,6 +280,39 @@ class SimilaritySpec extends SparkSpec {
       "a base-only index polls clean through the SQL drift view")
   }
 
+  test("generation pointer works for the embedding indexes: probes at the root follow the flip") {
+    val emb = Tables.embeddings(spark, sf)
+    val root = "target/similarity_index_spec/pointered"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    graft.sources.SimilarityIndexes.writeIvfIndex(
+      emb.filter($"vec_id" % 10 < 8), s"$root/gen-0", "ptr-spec")
+    graft.sources.DedupIndexes.flipPointer(spark, root, "gen-0")
+    // append addressed at the ROOT lands in the live generation
+    graft.sources.SimilarityIndexes.appendIvf(
+      emb.filter($"vec_id" % 10 >= 8), root, "b1")
+    assert(new java.io.File(s"$root/gen-0/cells/ingest=b1").exists(),
+      "root-addressed append must land in the pointed generation")
+    val (cent0, cells0) = graft.sources.SimilarityIndexes.readIvfIndex(spark, root)
+    val before = cells0.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    // compact to gen-1; the root serves gen-0 until the flip
+    graft.sources.SimilarityIndexes.compactIvfTo(spark, root, s"$root/gen-1")
+    assert(graft.sources.DedupIndexes.resolveIndex(spark, root) === s"$root/gen-0")
+    graft.sources.DedupIndexes.flipPointer(spark, root, "gen-1")
+    val (cent1, cells1) = graft.sources.SimilarityIndexes.readIvfIndex(spark, root)
+    assert(cent1 === cent0, "compaction carries centroids verbatim through the flip")
+    assert(cells1.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet === before,
+      "the flipped-to generation serves the same assignments")
+    // drift stats resolve through the root too (one ingest post-compaction)
+    val ingests = graft.sources.SimilarityIndexes.ivfDriftStats(spark, root)
+      .select($"ingest").as[String].collect().toSeq
+    assert(ingests === Seq(graft.sources.SimilarityIndexes.BaseLabel),
+      "drift stats through the pointered root see the compacted single ingest")
+  }
+
   test("IVF append assigns with the STORED centroids and is replay-idempotent") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.filter($"vec_id" % 10 < 8)
