@@ -226,7 +226,12 @@ object Dedup {
     * sample doubles the median even in isolation). The two persist()s
     * trade that variance for the guaranteed-single-compute the cold path
     * needs; target/bench_detail.json now records the spread per round so
-    * noise-vs-real is decidable from artifacts.
+    * noise-vs-real is decidable from artifacts. (Round-10 follow-up: the
+    * absolute isolated steady state drifted to ~2.7 s median — measured
+    * at BOTH the r9 and r10 commits minutes apart, ≤6% between them, so
+    * host era not plan; the same-host code A/B protocol and numbers live
+    * in BENCH_ISOLATION.md, and the bench canary_sec pins machine speed
+    * for future cross-round normalization.)
     *
     * Candidate pruning beyond the prefix filter (round-3 generated ~410k
     * candidates at sf0.1 for 256 true pairs — verification dominated the
