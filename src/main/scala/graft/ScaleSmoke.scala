@@ -72,6 +72,18 @@ import graft.sources.DedupIndexes
   *
   * Usage: `sbt 'runMain graft.ScaleSmoke [sfDir] [factors]'` — prints
   * one JSON line per factor with rows and seconds.
+  *
+  * READING THE NUMBERS: all factors of one invocation share a JVM, so
+  * the last factor's absolute seconds carry the earlier factors'
+  * accumulated old-gen/JIT state — measured r10: factor 16 inside a
+  * `1,4,16` run read 3-5x the SAME code's fresh-JVM `16`-alone numbers
+  * (line_dedup 21.3 s vs 4.1 s, verbatim_clean 17.6 s vs 6.7 s), while
+  * the ratio-based assertions (stored-vs-inline, which compare two
+  * timings from the SAME JVM state) stayed stable across both shapes.
+  * Judge growth (the linear-scaling claims) only across same-shape
+  * invocations — factor N alone vs factor 4N alone; the multi-factor
+  * spelling is for the ratio assertions and the drift canary in one
+  * pass, not for cross-factor absolute comparisons.
   */
 object ScaleSmoke {
 
