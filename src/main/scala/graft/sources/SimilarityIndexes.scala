@@ -106,6 +106,15 @@ object SimilarityIndexes {
     val spark = batch.sparkSession
     val path = DedupIndexes.resolveIndex(spark, path0)
     val centroids = readCentroids(spark, path)
+    // same up-front refusal as appendLsh's: a wrong-width batch would
+    // only fail later, deep inside assignCells' cosine tasks (cosine_sim
+    // raises on length mismatch — never silent), with a half-written
+    // ingest dir to clean up; the centroid width IS the index's
+    // dimension, so check it here where the message can say what to do
+    embeddingDim(batch).foreach(d => require(d == centroids.head.size,
+      s"index at $path holds ${centroids.head.size}-dim centroids but " +
+        s"the appended batch is $d-dim; re-embedding at a new width is " +
+        "a rebuild (writeIvfIndex), not an append"))
     val nassign = readIvfMeta(spark, path)._2
     Similarity.assignCells(batch, centroids, nassign)
       .write.mode("overwrite").partitionBy("cell")

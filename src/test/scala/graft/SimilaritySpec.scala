@@ -244,6 +244,12 @@ class SimilaritySpec extends SparkSpec {
     val batch64 = emb.filter($"vec_id" >= 490)
     intercept[IllegalArgumentException](
       graft.sources.SimilarityIndexes.appendLsh(batch64, path, "b1"))
+    // the IVF twin: a wrong-width batch against stored centroids is
+    // refused up front (not deep in assignCells' cosine tasks)
+    val ivfPath = "target/similarity_index_spec/ivf32"
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb32, ivfPath, "dim-spec")
+    intercept[IllegalArgumentException](
+      graft.sources.SimilarityIndexes.appendIvf(batch64, ivfPath, "b1"))
   }
 
   test("SQL front door: ANN and drift views equal the Scala spellings") {
