@@ -54,6 +54,9 @@ import graft.sources.DedupIndexes
   *     index from text, with identical row counts; the APPEND of the
   *     base-sized batch is timed too and must stay ~flat across factors
   *     (append is pure batch work — corpus size never enters it);
+  *   - the stored trigram grep probe ([[graft.sources.TextIndexes]])
+  *     vs the inline corpus-scan grep, row-count-identical by
+  *     assertion and under the stored-probe budget at every factor;
   *   - the stored ANN probes ([[graft.sources.SimilarityIndexes]]):
   *     LSH sketch index and IVF index written once per factor over a
   *     replicated embedding corpus (circularly shifted copies — same
@@ -110,6 +113,22 @@ object ScaleSmoke {
       base.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** documents replicated `factor`x VERBATIM — fresh doc_ids, identical
+    * text — the duplication-dominant shape of a real ingest stream,
+    * used ONLY by entries that are pair-safe under exact duplication
+    * (grep: no pairwise work). The dedup/verbatim entries use the
+    * token-suffixed [[replicatedDocs]] precisely to avoid this shape's
+    * factor-sized duplicate cliques.
+    */
+  private def verbatimReplicatedDocs(spark: SparkSession, sfDir: String,
+                                     factor: Int): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      base.select((col("doc_id") + lit(i * stride)).as("doc_id"), col("text"))
     }.reduce(_ union _)
   }
 
@@ -336,6 +355,44 @@ object ScaleSmoke {
       }
       spark.catalog.clearCache()
 
+      // stored trigram grep probe vs the inline corpus scan, over a
+      // DUPLICATION-shaped corpus: the base docs replicated VERBATIM
+      // with fresh ids (safe for grep — no pair blowup; the suffixed
+      // `docs` corpus used elsewhere deliberately DEFEATS dedup and
+      // would grow the index's distinct-content tables linearly,
+      // measuring a different index than the one a training-data
+      // pipeline stores). Here the corpus grows factor-x while the
+      // index's lines/postings tables stay base-sized — freq deltas
+      // absorb the duplication — so the inline scan grows linearly
+      // while the probe stays ~flat: the whole economics of paying the
+      // scan once at ingest. Probed with the selective 'dup' (~5% of
+      // fixture lines). Row counts (distinct matching lines) must be
+      // IDENTICAL at every factor — trigram pruning is recall-free and
+      // the stored freq deltas must reconcile to the corpus's counts.
+      // The cost budget is asserted from factor 16 up: below that the
+      // toy corpus scan is a single sub-second job and the probe's
+      // fixed two-job floor (driver gramdf read + candidate join)
+      // dominates — the crossover, not the asymptote.
+      val dupDocs = verbatimReplicatedDocs(spark, sfDir, factor)
+      graft.sources.TextIndexes.writeGrepIndex(dupDocs, "text", s"$idxRoot/grep")
+      val (tGrepInl, nGrepInl) = timeIt(
+        graft.engine.GrepEngine.grepFreq(dupDocs, "text", "dup").count())
+      spark.catalog.clearCache()
+      val (gLines, gPost, gGram) =
+        graft.sources.TextIndexes.readGrepIndex(spark, s"$idxRoot/grep")
+      val (tGrepIdx, nGrepIdx) = timeIt(graft.engine.GrepEngine
+        .grepFreqFromIndex(gLines, gPost, gGram, "dup").count())
+      spark.catalog.clearCache()
+      assert(nGrepIdx == nGrepInl,
+        s"factor $factor: stored grep returned $nGrepIdx rows vs inline $nGrepInl")
+      val (tGrepIdx2, tGrepInl2) =
+        if (factor < 16) (tGrepIdx, tGrepInl)
+        else assertStoredLeqInline("grep", tGrepIdx, tGrepInl,
+          () => (timeIt(graft.engine.GrepEngine
+              .grepFreqFromIndex(gLines, gPost, gGram, "dup").count())._1,
+            { spark.catalog.clearCache()
+              timeIt(graft.engine.GrepEngine.grepFreq(dupDocs, "text", "dup").count())._1 }))
+
       // decontamination: both sides grow with the factor, but the eval
       // side collapses to a distinct n-gram set before the join, so the
       // output (and time) must stay bounded by the train inverted index
@@ -412,6 +469,8 @@ object ScaleSmoke {
         s""""idx_verbatim_probe_sec":$tIdxV,"idx_verbatim_probe_rows":$nIdxV,""" +
         s""""idx_verbatim_append_sec":$tAppV,""" +
         s""""idx_verbatim_vs_inline":${tIdxV2 / tIncV2},""" +
+        s""""grep_inline_sec":$tGrepInl,"grep_idx_sec":$tGrepIdx,""" +
+        s""""grep_idx_vs_inline":${tGrepIdx2 / tGrepInl2},"grep_rows":$nGrepInl,""" +
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +

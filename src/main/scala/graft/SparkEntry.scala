@@ -36,6 +36,16 @@ object SparkEntry {
       GrepEngine.multiGrep(Tables.documents(s, d), "text", Seq("vector", "stream"))),
     "q_grep_topk" -> ((s, d) =>
       GrepEngine.grepTopK(Tables.documents(s, d), "text", "spark", 10)),
+    // same grep questions probing the MATERIALIZED trigram index
+    // (sources.TextIndexes) instead of scanning the corpus — a green
+    // row certifies the postings round-trip AND that trigram candidate
+    // pruning + exact verify reproduces scan semantics bit-for-bit
+    "q_grep_freq_idx" -> ((s, d) =>
+      sources.TextIndexes.grepProbeDocs(s, d, "spark")),
+    "q_grep_ci_idx" -> ((s, d) =>
+      sources.TextIndexes.grepProbeDocs(s, d, "SPARK", SubstringIgnoreCase)),
+    "q_grep_multi_idx" -> ((s, d) =>
+      sources.TextIndexes.multiGrepProbeDocs(s, d, Seq("vector", "stream"))),
     // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
     "q_pricing_summary" -> (operators.Relational.pricingSummary _),
     "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
@@ -224,7 +234,13 @@ object SparkEntry {
     "q_verbatim_incr_idx" -> "q_verbatim_incr",
     // the hashKey spelling answers the SAME question as the string-keyed
     // q_line_dedup — identical oracle certifies the 8-byte-key trade
-    "q_line_dedup_hash" -> "q_line_dedup"
+    "q_line_dedup_hash" -> "q_line_dedup",
+    // the trigram-index probes answer the SAME grep questions as the
+    // scan spellings (candidate pruning is recall-free, the verify
+    // restores precision) — identical oracles certify it
+    "q_grep_freq_idx" -> "q_grep_freq",
+    "q_grep_ci_idx" -> "q_grep_ci",
+    "q_grep_multi_idx" -> "q_grep_multi"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

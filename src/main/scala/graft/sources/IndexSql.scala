@@ -100,4 +100,26 @@ object IndexSql {
                             indexPath: String): Unit =
     SimilarityIndexes.ivfDriftStats(spark, indexPath)
       .createOrReplaceTempView(viewName)
+
+  /** `SELECT * FROM <viewName>` = the (line, freq) grep result of
+    * probing the stored trigram index at `indexPath` for `pattern` —
+    * the SQL spelling of [[graft.engine.GrepEngine.grepFreqFromIndex]].
+    * `mode`: "substring" (default), "ci", or "regex" (distinct-lines
+    * scan — no trigram algebra for a regex).
+    */
+  def registerGrepProbe(spark: SparkSession, viewName: String,
+                        indexPath: String, pattern: String,
+                        mode: String = "substring"): Unit = {
+    import graft.engine.GrepEngine
+    val m: GrepEngine.Mode = mode match {
+      case "substring" => GrepEngine.Substring
+      case "ci"        => GrepEngine.SubstringIgnoreCase
+      case "regex"     => GrepEngine.Regex
+      case other => throw new IllegalArgumentException(
+        s"unknown grep mode '$other' (substring | ci | regex)")
+    }
+    val (lines, postings, gramdf) = TextIndexes.readGrepIndex(spark, indexPath)
+    GrepEngine.grepFreqFromIndex(lines, postings, gramdf, pattern, m)
+      .createOrReplaceTempView(viewName)
+  }
 }
