@@ -669,6 +669,53 @@ object StreamingOps {
     }.start()
   }
 
+  /** Streaming LINE ingest into a stored trigram grep index
+    * ([[graft.sources.TextIndexes]]) — the text-QUERY member of the
+    * ingest family, completing the symmetry: every stored index family
+    * (dedup, embedding, grep) is maintained by a streaming sink. Here
+    * the INDEX IS THE STORE: grep frequency counts every occurrence, so
+    * nothing is deduped or rejected — the lines table holds each
+    * distinct line once with merge-on-read freq deltas, which is the
+    * corpus deduplicated plus its query structure; probe any time with
+    * [[graft.engine.GrepEngine.grepFreqFromIndex]] over
+    * [[graft.sources.TextIndexes.readGrepIndex]].
+    *
+    * Exactly-once story — DIFFERENT from the dedup sinks, which heal
+    * replays through content identity: line OCCURRENCES have no
+    * identity (a re-delivered batch is indistinguishable from genuine
+    * duplicate lines by content), so idempotence comes entirely from
+    * the ingest-label machinery. The base build is a deterministic
+    * EMPTY index (schema only), and EVERY delivered line lives in its
+    * batch's overwrite-on-own-label append — a data-carrying base
+    * would double count its own batch when that batch replays after
+    * the bootstrap. Crash windows: a bootstrap that dies before any
+    * append is rebuilt (empty, cheap) next batch; an append that dies
+    * mid-write is overwritten by its replay; a surviving meta from a
+    * crashed build pins nbuckets and is honored over the sink's own
+    * parameter, like the sibling sinks' self-heal.
+    */
+  def ingestLinesGrepIndex(lines: DataFrame, indexDir: String,
+                           textCol: String = "value",
+                           nbuckets: Int = graft.sources.TextIndexes.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
+      val spark = batch.sparkSession
+      val b = batch.select(col(textCol).as("line"))
+      if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
+        val nb =
+          if (graft.sources.DedupIndexes.hasData(spark, s"$indexDir/meta"))
+            graft.sources.TextIndexes.readGrepMeta(spark, indexDir)
+          else nbuckets
+        graft.sources.TextIndexes.writeGrepIndex(b.limit(0), "line", indexDir, nb)
+      }
+      // an empty recovery replay appends no vacant ingest label (the
+      // same steady-state contract as maintainIndex's delta skip)
+      if (!b.isEmpty)
+        graft.sources.TextIndexes.appendGrep(b, "line", indexDir, s"b$batchId")
+      }
+      ()
+    }.start()
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

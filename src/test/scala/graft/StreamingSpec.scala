@@ -668,6 +668,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("grep-index ingest: every occurrence counts, freq deltas reconcile, replay-idempotent") {
+    import java.nio.file.Files
+    import graft.engine.GrepEngine
+    import graft.sources.TextIndexes
+    val dir = Files.createTempDirectory("graft-ingest-grep").resolve("idx").toString
+    def probe(pattern: String): Set[(String, Long)] = {
+      // re-read after every append: overwritten parquet invalidates
+      // previously-derived frames (stale file listings)
+      val (l, p, g) = TextIndexes.readGrepIndex(spark, dir)
+      GrepEngine.grepFreqFromIndex(l, p, g, pattern)
+        .as[(String, Long)].collect().toSet
+    }
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestLinesGrepIndex(ms.toDF(), dir)
+    try {
+      // batch 0: an in-batch duplicate — both occurrences must count
+      ms.addData("the spark line", "the spark line", "other content")
+      q.processAllAvailable()
+      assert(probe("spark") === Set(("the spark line", 2L)),
+        "in-batch duplicates count per occurrence")
+      // batch 1: a GENUINE re-delivery of known content (must increment
+      // freq, not dedup) + a novel matching line
+      ms.addData("the spark line", "sparkling new")
+      q.processAllAvailable()
+      assert(probe("spark") ===
+        Set(("the spark line", 3L), ("sparkling new", 1L)),
+        "known content increments freq; novel content lands")
+      // novel-only postings: the known line's trigram rows did not
+      // duplicate across the two batches that carried it
+      val hash = Seq("the spark line").toDF("line")
+        .select(xxhash64($"line")).head.getLong(0)
+      val perGram = spark.read.parquet(s"$dir/postings")
+        .filter($"line_hash" === hash)
+        .groupBy($"gram").count().select($"count").as[Long].collect()
+      assert(perGram.nonEmpty && perGram.forall(_ === 1L),
+        "a line's postings must exist exactly once no matter how often it arrives")
+      // failure replay of batch 1: same label, same content — the
+      // overwrite-on-own-label contract keeps every count unchanged
+      TextIndexes.appendGrep(
+        Seq("the spark line", "sparkling new").toDF("line"), "line", dir, "b1")
+      assert(probe("spark") ===
+        Set(("the spark line", 3L), ("sparkling new", 1L)),
+        "a replayed append must change nothing")
+    } finally q.stop()
+  }
+
   test("a caller's persisted frame survives ingest batches (scoped cleanup)") {
     import java.nio.file.Files
     // the round-8 nit: the ingest sinks cleared the WHOLE session cache
