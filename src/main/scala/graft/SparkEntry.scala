@@ -46,6 +46,10 @@ object SparkEntry {
       sources.TextIndexes.grepProbeDocs(s, d, "SPARK", SubstringIgnoreCase)),
     "q_grep_multi_idx" -> ((s, d) =>
       sources.TextIndexes.multiGrepProbeDocs(s, d, Seq("vector", "stream"))),
+    "q_grep_regex_idx" -> ((s, d) =>
+      sources.TextIndexes.grepProbeDocs(s, d, "ve[ck]tor", Regex)),
+    "q_grep_topk_idx" -> ((s, d) =>
+      sources.TextIndexes.grepTopKProbeDocs(s, d, "spark", 10)),
     // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
     "q_pricing_summary" -> (operators.Relational.pricingSummary _),
     "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
@@ -240,7 +244,9 @@ object SparkEntry {
     // restores precision) — identical oracles certify it
     "q_grep_freq_idx" -> "q_grep_freq",
     "q_grep_ci_idx" -> "q_grep_ci",
-    "q_grep_multi_idx" -> "q_grep_multi"
+    "q_grep_multi_idx" -> "q_grep_multi",
+    "q_grep_regex_idx" -> "q_grep_regex",
+    "q_grep_topk_idx" -> "q_grep_topk"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -214,6 +214,17 @@ object GrepEngine {
       .orderBy(desc("freq"), asc("line"))
       .limit(k)
 
+  /** [[grepTopK]] over the stored index — the same TakeOrderedAndProject
+    * on top of the probe, so the top-k never materializes more than k
+    * rows per partition either.
+    */
+  def grepTopKFromIndex(linesRaw: DataFrame, postings: DataFrame,
+                        gramdf: DataFrame, pattern: String, k: Int,
+                        mode: Mode = Substring): DataFrame =
+    grepFreqFromIndex(linesRaw, postings, gramdf, pattern, mode)
+      .orderBy(desc("freq"), asc("line"))
+      .limit(k)
+
   /** Highlight modes of the reference client (client/client.go:17-21):
     * classic = ANSI bold red, asterisks, none. Presentation-layer only —
     * applied after collect(), exactly like the reference applies it

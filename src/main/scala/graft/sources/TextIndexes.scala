@@ -247,4 +247,16 @@ object TextIndexes {
     val (lines, postings, gramdf) = readGrepIndex(spark, path)
     GrepEngine.multiGrepFromIndex(lines, postings, gramdf, patterns)
   }
+
+  /** [[GrepEngine.grepTopK]] probing the stored index — the q_grep_topk
+    * stored twin.
+    */
+  def grepTopKProbeDocs(spark: SparkSession, sfDir: String, pattern: String,
+                        k: Int): DataFrame = {
+    val path = scratch(sfDir)
+    DedupIndexes.writeOnce(path)(
+      writeGrepIndex(graft.Tables.documents(spark, sfDir), "text", path))
+    val (lines, postings, gramdf) = readGrepIndex(spark, path)
+    GrepEngine.grepTopKFromIndex(lines, postings, gramdf, pattern, k)
+  }
 }

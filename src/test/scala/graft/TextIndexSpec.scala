@@ -59,6 +59,12 @@ class TextIndexSpec extends SparkSpec {
         Seq("vector", "stream"))) ===
       freqSet(GrepEngine.multiGrep(docs, "text", Seq("vector", "stream"))),
       "multi-pattern OR probe must equal the scan")
+    // top-k rides the probe with the same deterministic tie-break
+    assert(GrepEngine.grepTopKFromIndex(lines, postings, gramdf, "spark", 10)
+        .as[(String, Long)].collect().toSeq ===
+      GrepEngine.grepTopK(docs, "text", "spark", 10)
+        .as[(String, Long)].collect().toSeq,
+      "stored top-k must equal the scan top-k, order included")
     spark.catalog.clearCache()
   }
 
