@@ -23,6 +23,13 @@ themselves; per-query spreads in a full-suite run are wide (see
 BENCH_ISOLATION.md r10: a 5x median spike on a 0.2 s query reproduced at
 1.0x in isolation).
 
+Queries whose OLD basis time is under --floor seconds (default 0.5) are
+ratio-reported but never flagged: BENCH_ISOLATION.md's r10 cross-round
+triage showed sub-0.5 s queries drift 1.2-1.6x with multi-thread host era
+at EQUAL canary (their code bit-identical across rounds), and their
+isolated runs pay cold-pool floors the full suite amortizes -- min-basis
+ratios on them carry no plan signal. Set --floor 0 to flag everything.
+
 Exit code is 0 always -- this is a triage report, not a gate; the gates
 are sbt test and oracle_check.py.
 
@@ -43,6 +50,10 @@ def main():
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--floor", type=float, default=0.5,
+                    help="old-basis seconds below which a query is never "
+                         "flagged (sub-second ratios carry no plan signal; "
+                         "see BENCH_ISOLATION.md)")
     ap.add_argument("--basis", choices=("min", "median"), default="min")
     args = ap.parse_args()
 
@@ -68,8 +79,11 @@ def main():
         norm = raw / speed
         mark = ""
         if norm > args.threshold:
-            mark = "CHECK"
-            flagged.append(q)
+            if ov >= args.floor:
+                mark = "CHECK"
+                flagged.append(q)
+            else:
+                mark = "(sub-floor)"
         rows.append((q, ov, nv, raw, norm, mark))
 
     w = max(len(q) for q in shared) if shared else 8
