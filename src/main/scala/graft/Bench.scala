@@ -113,15 +113,22 @@ object Bench {
     // stops parsing driver-side; one decimal keeps map+total ≈ 1.97 kB.
     // Tracked BENCH_DETAIL.json keeps full milliseconds for triage.
     def cs(sec: Double) = BigDecimal(sec).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-    // queries stays strictly {"name": seconds} for the driver; failures
-    // are reported in a parallel "query_errors" object (omitted when
-    // empty — every byte counts against the 2000-char tail window)
-    val qs = results.map { case (k, (sec, _)) => s""""${esc(k)}":${cs(sec)}""" }
+    // queries stays strictly {"name": seconds} for the driver — and holds
+    // ONLY queries that ran to completion: a failed query's sample is
+    // time-to-exception, not runtime, and recording it presented round
+    // 10's nine AnalysisException queries as ~10x "speedups". Failures
+    // live in "query_errors" (map line) and "failed_queries" (canonical
+    // total line, see BenchContract.lines) so a failing round can never
+    // read as green from either parse target.
+    val qs = results.collect { case (k, (sec, None)) => s""""${esc(k)}":${cs(sec)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val errsField = if (errs == "{}") "" else s""","query_errors":$errs"""
-    val total = ms(results.values.map(_._1).sum)
+    val failedNames = results.collect { case (k, (_, Some(_))) => k }.toSeq.sorted
+    // the total likewise sums SUCCEEDED queries only — a round with
+    // failures reports the honest cost of what actually ran, flagged
+    val total = ms(results.collect { case (_, (sec, None)) => sec }.sum)
     // Per-query sample spread to a LOCAL file for regression triage (is a
     // round-over-round delta noise or real?) — never stdout: the driver's
     // 2000-char tail window must stay reserved for the contract line.
@@ -129,8 +136,16 @@ object Bench {
       // per-entry "reps": the noisy-query override means sample counts
       // differ per query — the spread is only judgeable next to its own
       // sample size, so the top-level field records the BASE count only
-      val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, _)) =>
-        s""""${esc(name)}":{"min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}}"""
+      val detail = allSamples.toSeq.sortBy(_._1).map { case (name, (secs, err)) =>
+        // a failed query's entry carries its error CLASS and no timings:
+        // its samples are time-to-exception (round 10 recorded nine
+        // AnalysisException queries as ~10x faster) — flag, don't time
+        val body = err match {
+          case Some(e) => s""""err":"${esc(e)}","reps":${secs.size}"""
+          case None =>
+            s""""min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}"""
+        }
+        s""""${esc(name)}":{$body}"""
       }.mkString("{", ",", "}")
       val payload =
         s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"queries":$detail}"""
@@ -148,7 +163,7 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val lines = BenchContract.lines(total.toString, qs, errsField, sfDir,
-      ms(canary).toString)
+      ms(canary).toString, failedNames)
     lines.init.foreach(println)
     spark.stop()
     // The headline total prints LAST, after spark.stop(), so a
@@ -221,11 +236,25 @@ object BenchContract {
     * all line lengths + newlines is <= [[TailWindow]] by construction.
     */
   def lines(total: String, queriesJson: String, errsField: String,
-            sfDir: String, canarySec: String): Seq[String] = {
-    // the canary rides the canonical total line (a dozen bytes —
-    // budgeted in BenchContractSpec's window sweep)
+            sfDir: String, canarySec: String,
+            failedNames: Seq[String] = Nil): Seq[String] = {
+    // Failures ride the CANONICAL total line — the one parse the driver
+    // is guaranteed to record — so a failing round cannot read as green
+    // (round 10's summary showed rc=0 / total=63.1s while nine queries
+    // threw AnalysisException, visible only in the raw tail). The count
+    // always fits; the name list is included only while the line stays
+    // inside the tail window (names are also in query_errors on the map
+    // line and in BENCH_DETAIL.json).
+    def totalWith(failedField: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec$failedField}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec}"""
+      if (failedNames.isEmpty) totalWith("")
+      else {
+        val withList = totalWith(
+          s""","failed":${failedNames.size},"failed_queries":[${failedNames.map(n => s""""$n"""").mkString(",")}]""")
+        if (withList.length + 1 <= TailWindow) withList
+        else totalWith(s""","failed":${failedNames.size}""")
+      }
     // no "sf"/"unit" on the map line — every byte counts against the
     // tail window and the trailing total-only line carries the full
     // schema; a schema-strict parser that skips the map line still

@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Parquet table loaders for the driver testdata
   * (/root/repo/TESTDATA.md, schemas in /root/repo/FIXTURES.md).
   *
-  * NOTE on `events.ts`: the parquet stores TIMESTAMP(NANOS) which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). All graft sessions
-  * set `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), so
-  * the raw column arrives as LongType nanos and [[events]] converts it to
-  * a proper microsecond timestamp column.
+  * NOTE on `events.ts`: the stored physical type has CHANGED across driver
+  * regenerations — TIMESTAMP(NANOS) originally (arriving as LongType nanos
+  * under `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions]]),
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 10 (arriving as
+  * TIMESTAMP_NTZ). [[events]] therefore branches on the LOADED schema and
+  * normalizes every spelling to the same TimestampType (microsecond, UTC
+  * session) column, so downstream operators and the DuckDB oracle see one
+  * stable type regardless of which generation of the parquet is on disk.
+  * Round 10 hard-coded the nanos branch and every events-reading query
+  * threw DATATYPE_MISMATCH — the schema branch is the fix.
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -25,12 +30,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events with `ts` converted from raw nanos (LongType) to TimestampType
-    * (microsecond precision — Spark's native resolution).
+  /** events with `ts` normalized to TimestampType (microsecond precision —
+    * Spark's native resolution) whatever the parquet's physical spelling:
+    *   - LongType: raw nanos via the nanosAsLong legacy read → micros
+    *   - TIMESTAMP_NTZ: wall-clock micros → UTC instant (session tz is
+    *     pinned to UTC in [[Sessions]], so the cast is value-preserving
+    *     and matches DuckDB's naive read of the same file)
+    *   - TimestampType: already the target type, pass through
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend Tables.events")
+    }
+  }
 }
 
 /** One place for session construction so every entry point (Verify, Bench,

@@ -10,10 +10,17 @@ object Verify {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a RECORD, not a hole: round 10's
+    // nine events-family failures produced no output dir, the driver's
+    // correctness artifact silently shrank 84→81, and a regression read
+    // as a smaller-but-green round. Collected here and written as
+    // verify_errors.json next to oracle_sql.json.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup-suite queries persist() shared projections with
@@ -35,6 +42,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object on a clean run) so "no failures" is an
+    // asserted fact in the artifact, not an absence to be inferred
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -43,6 +43,36 @@ class BenchContractSpec extends AnyFunSuite {
     }
   }
 
+  test("failed queries ride the canonical total line, never silently green") {
+    val lines = BenchContract.lines("12.345", fakeMap(10),
+      ""","query_errors":{"q_events_daily":"AnalysisException"}""",
+      "/root/testdata/sf0.1", "0.321", Seq("q_events_daily", "q_cust_activity_full"))
+    assert(lines.last.contains(""""failed":2"""),
+      "the failure count must be on the canonical (last) line — the one " +
+        "parse the driver is guaranteed to record")
+    assert(lines.last.contains(""""failed_queries":["q_events_daily","q_cust_activity_full"]"""))
+    assert(lines.head.contains("query_errors"), "map line keeps the error classes")
+  }
+
+  test("a huge failure list degrades to the count, never overflows the window") {
+    val many = (1 to 200).map(i => s"q_fake_query_name_$i")
+    val lines = BenchContract.lines("99.9", fakeMap(200), "",
+      "/root/testdata/sf0.1", "0.321", many)
+    val printed = lines.map(_.length + 1).sum
+    assert(printed <= BenchContract.TailWindow,
+      s"failure reporting overflowed the tail window ($printed chars)")
+    assert(lines.last.contains(""""failed":200"""), "the count always survives")
+    assert(!lines.last.contains("failed_queries"),
+      "the name list is dropped when it cannot fit")
+  }
+
+  test("zero failures leave the canonical line byte-identical to before") {
+    val lines = BenchContract.lines("12.345", fakeMap(10), "",
+      "/root/testdata/sf0.1", "0.321", Nil)
+    assert(lines.last ===
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321}""")
+  }
+
   test("the machine-speed canary is deterministic work at a plausible cost") {
     val a = BenchContract.canarySeconds()
     assert(a > 0.005 && a < 30.0,
