@@ -64,4 +64,71 @@ class TablesSpec extends SparkSpec {
     assert(out.schema("ts").dataType === TimestampType)
     assert(out.count() > 0)
   }
+
+  // ---- regeneration sentinel over ALL driver tables -----------------------
+  //
+  // The driver regenerates /root/testdata between rounds and has already
+  // changed physical types twice (events.ts nanos→NTZ-micros broke nine
+  // queries in round 10; o_orderdate/l_shipdate silently moved ms→us the
+  // same round). This sentinel turns the NEXT such change into one red
+  // test that names the table and column, instead of AnalysisExceptions
+  // scattered across the query surface. Time-like columns assert only the
+  // time-like FAMILY (Date/Timestamp/TimestampNTZ all compare correctly
+  // against the date literals the queries use — respellings within the
+  // family are benign); everything else asserts its exact type.
+
+  private val timeLike: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
+
+  private val expected: Map[String, Seq[(String, Either[DataType, String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Left(IntegerType), "r_name" -> Left(StringType)),
+    "nation" -> Seq("n_nationkey" -> Left(IntegerType), "n_name" -> Left(StringType),
+      "n_regionkey" -> Left(IntegerType)),
+    "customer" -> Seq("c_custkey" -> Left(LongType), "c_name" -> Left(StringType),
+      "c_nationkey" -> Left(IntegerType), "c_acctbal" -> Left(DoubleType),
+      "c_mktsegment" -> Left(StringType)),
+    "supplier" -> Seq("s_suppkey" -> Left(LongType), "s_name" -> Left(StringType),
+      "s_nationkey" -> Left(IntegerType), "s_acctbal" -> Left(DoubleType)),
+    "part" -> Seq("p_partkey" -> Left(LongType), "p_name" -> Left(StringType),
+      "p_brand" -> Left(StringType), "p_type" -> Left(StringType),
+      "p_size" -> Left(IntegerType), "p_retailprice" -> Left(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> Left(LongType), "o_custkey" -> Left(LongType),
+      "o_orderstatus" -> Left(StringType), "o_totalprice" -> Left(DoubleType),
+      "o_orderdate" -> Right("time-like"), "o_orderpriority" -> Left(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> Left(LongType), "l_partkey" -> Left(LongType),
+      "l_suppkey" -> Left(LongType), "l_linenumber" -> Left(IntegerType),
+      "l_quantity" -> Left(DoubleType), "l_extendedprice" -> Left(DoubleType),
+      "l_discount" -> Left(DoubleType), "l_tax" -> Left(DoubleType),
+      "l_returnflag" -> Left(StringType), "l_linestatus" -> Left(StringType),
+      "l_shipdate" -> Right("time-like")),
+    "documents" -> Seq("doc_id" -> Left(LongType), "text" -> Left(StringType),
+      "lang" -> Left(StringType), "source" -> Left(StringType),
+      "n_chars" -> Left(LongType)),
+    "embeddings" -> Seq("vec_id" -> Left(LongType),
+      "embedding" -> Left(ArrayType(FloatType)), "label" -> Left(IntegerType))
+  )
+
+  test("driver-testdata regeneration sentinel: every table/column type is accounted for") {
+    val problems = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val df = Tables.load(spark, TestSpark.sf0001, table)
+      val actual = df.schema.map(f => f.name -> f.dataType).toMap
+      val missing = cols.collect { case (n, _) if !actual.contains(n) =>
+        s"$table.$n: column MISSING (driver regenerated testdata?)" }
+      val wrong = cols.collect {
+        case (n, Left(t)) if actual.get(n).exists(_ != t) =>
+          s"$table.$n: expected $t, got ${actual(n)}"
+        case (n, Right(_)) if actual.get(n).exists(dt =>
+            !timeLike.contains(dt) && dt != LongType) =>
+          // LongType tolerated for time-like: the nanosAsLong legacy read
+          // surfaces TIMESTAMP(NANOS) as raw longs (the original events
+          // generation) — loaders that consume these columns must branch,
+          // as Tables.events does
+          s"$table.$n: expected a time-like type, got ${actual(n)}"
+      }
+      missing ++ wrong
+    }
+    assert(problems.isEmpty,
+      "testdata schema drift detected — review the Tables loaders and every " +
+        "query reading the named columns before trusting the round:\n  " +
+        problems.mkString("\n  "))
+  }
 }
