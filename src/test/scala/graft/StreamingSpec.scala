@@ -769,6 +769,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window spelling equals the oracle-checked batch sessionizer " +
+      "on the real events table") {
+    // The streaming path sessionizes with Spark's native session_window;
+    // the batch path (q_event_sessions, DuckDB-oracle-green) uses the
+    // hand-salted two-phase sessionizer. Same gap rule, so on the same
+    // input they must produce the SAME sessions — this ties the streaming
+    // spelling to the oracle without putting streaming in the oracle set.
+    // Boundary nuance: session_window extends a session while the next
+    // event is STRICTLY closer than the gap; the batch rule uses <=. The
+    // guard below proves no adjacent pair in the data sits exactly at the
+    // gap, so the two rules cannot diverge on this input.
+    val gapSec = 600L
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    val exactGapPairs = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").asc)
+      ev.withColumn("delta", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("delta") === gapSec * 1000000L).count()
+    }
+    assert(exactGapPairs === 0L,
+      "data has an adjacent pair exactly at the gap — the <= vs < boundary " +
+        "semantics difference would make this equivalence ill-posed; pick another gap")
+    // the streaming transform, applied in batch mode (session_window works
+    // in both; batch mode needs no watermark)
+    val viaWindow = ev
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        // session_window end = last event + gap; normalize to last-event us
+        (unix_micros(col("session_window.end")) - gapSec * 1000000L).as("end_us"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaSalted = graft.operators.AsOf
+      .sessionizeSaltedEvents(ev.select(col("event_id"), col("user_id"), col("us")), gapSec)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaWindow === viaSalted,
+      "native session_window and the salted sessionizer disagree on identical input")
+    assert(viaWindow.nonEmpty, "vacuous equivalence — no sessions formed")
+  }
+
   test("same transform runs in batch mode over the events table") {
     val batch = StreamingOps.windowedEventCounts(
       Tables.events(spark, TestSpark.sf0001), windowLen = "1 day")
