@@ -201,6 +201,10 @@ object SparkEntry {
     "q_decontaminate_cov" -> ((s, d) => operators.TextAnalysis.contaminationCoverage(s, d)),
     "q_decontaminate_eval_cov" -> ((s, d) => operators.TextAnalysis.evalContaminationCoverage(s, d)),
     "q_tfidf_terms" -> ((s, d) => operators.TextAnalysis.tfidfTopTerms(s, d)),
+    // flagship composition: lang → quality → canonical dedup → split →
+    // decontamination as ONE per-doc audit ledger (Pipeline.curate);
+    // planted exact dups guarantee the dedup stage fires
+    "q_pipeline_curate" -> ((s, d) => operators.Pipeline.curate(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -964,6 +968,75 @@ object SparkEntry {
              CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
       FROM documents d LEFT JOIN m USING (doc_id)
       WHERE d.doc_id % 10 >= 8""".stripMargin.trim),
+    // the end-to-end curation ledger (Pipeline.curate): composes the
+    // PROVEN oracle spellings of q_lang_hist (lang CASE), q_quality_filter
+    // (metric CTEs + rule), q_train_eval_assign (md5 canonical split), and
+    // q_decontaminate (distinct-3-gram join); the planted union mirrors
+    // Pipeline.curate's plantDups
+    "q_pipeline_curate" -> ("""
+      WITH d AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      m AS (SELECT doc_id, text,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','les','de','et'], x))) AS h_fr,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','las','y','es'], x))) AS h_es,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_len,
+        CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_grams
+        FROM d),
+      gg AS (SELECT doc_id,
+              CAST(COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS BIGINT) AS ndg
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d) w,
+                 (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3 GROUP BY doc_id),
+      r AS (SELECT m.doc_id, m.text, m.fp,
+              CASE
+                WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN n_stop = greatest(n_stop, h_fr, h_de, h_es) AND n_stop > 0 THEN 'en'
+                WHEN h_fr = greatest(n_stop, h_fr, h_de, h_es) AND h_fr > 0 THEN 'fr'
+                WHEN h_de = greatest(n_stop, h_fr, h_de, h_es) AND h_de > 0 THEN 'de'
+                WHEN h_es = greatest(n_stop, h_fr, h_de, h_es) AND h_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+              n_tokens,
+              n_types * 100 // n_tokens AS ttr_pct,
+              n_stop * 100 // n_tokens AS stop_pct,
+              char_len * 100 // n_tokens AS mean_tok_len_x100,
+              CASE WHEN n_grams > 0
+                   THEN (n_grams - COALESCE(ndg, 0)) * 100 // n_grams
+                   ELSE CAST(0 AS BIGINT) END AS rep_pct
+            FROM m LEFT JOIN gg ON m.doc_id = gg.doc_id),
+      s AS (SELECT *,
+              (lang_guess = 'en') AS lang_ok,
+              (n_tokens >= 20 AND mean_tok_len_x100 BETWEEN 300 AND 1000
+                AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2) AS quality_ok
+            FROM r),
+      k AS (SELECT *,
+              MIN(CASE WHEN lang_ok AND quality_ok THEN doc_id END)
+                OVER (PARTITION BY fp) AS keeper_id
+            FROM s),
+      sv AS (SELECT doc_id, fp, text,
+               CASE WHEN fp < 'cc' THEN 'train' ELSE 'eval' END AS split
+             FROM k WHERE lang_ok AND quality_ok AND doc_id = keeper_id),
+      sg AS (SELECT DISTINCT doc_id, split, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sv) w,
+                  (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+             WHERE len(ws) >= 3),
+      ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),
+      ct AS (SELECT DISTINCT doc_id FROM sg JOIN ev USING (ng) WHERE split = 'train')
+      SELECT k.doc_id,
+             CASE WHEN NOT lang_ok THEN 'dropped_lang'
+                  WHEN NOT quality_ok THEN 'dropped_quality'
+                  WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'
+                  WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                  WHEN fp < 'cc' THEN 'train'
+                  ELSE 'eval' END AS outcome
+      FROM k LEFT JOIN ct ON k.doc_id = ct.doc_id""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

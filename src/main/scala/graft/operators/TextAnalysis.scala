@@ -103,7 +103,7 @@ object TextAnalysis {
     * [[qualityFilter]] — ONE spelling of the counts so the two queries
     * (and their oracles, which mirror it verbatim) cannot drift.
     */
-  private def rawQualityCounts: Seq[org.apache.spark.sql.Column] = {
+  private[operators] def rawQualityCounts: Seq[org.apache.spark.sql.Column] = {
     val toks = TextOps.tokens(col("text"))
     Seq(
       col("doc_id"),
@@ -117,10 +117,34 @@ object TextAnalysis {
     * positive longs truncates identically in Spark and DuckDB — ratios
     * stay exact and hash-stable.
     */
-  private val qualityPcts = Seq(
+  private[operators] val qualityPcts = Seq(
     expr("n_types * 100 DIV n_tokens").as("ttr_pct"),
     expr("n_stop * 100 DIV n_tokens").as("stop_pct"),
     expr("char_len * 100 DIV n_tokens").as("mean_tok_len_x100"))
+
+  /** 3-gram slot/distinct counts feeding rep_pct — factored so
+    * [[qualityFilter]] and [[Pipeline.curate]] share ONE spelling. */
+  private[operators] def qualityGramCounts: Seq[org.apache.spark.sql.Column] = {
+    val toks = TextOps.tokens(col("text"))
+    Seq(
+      greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
+      size(TextOps.shingles(col("text"), 3)).cast("long").as("n_distinct_grams"))
+  }
+
+  /** Duplicated-3-gram share ×100 over the gram-count columns. */
+  private[operators] val qualityRepPct: Column =
+    when(col("n_grams") > 0,
+      expr("(n_grams - n_distinct_grams) * 100 DIV n_grams"))
+      .otherwise(lit(0L)).as("rep_pct")
+
+  /** The keep/drop RULE over the metric columns — one spelling so the
+    * filter query and the pipeline cannot drift on thresholds. */
+  private[operators] val qualityKeepRule: Column =
+    col("n_tokens") >= 20 &&
+      col("mean_tok_len_x100").between(300, 1000) &&
+      col("stop_pct") >= 3 &&
+      col("ttr_pct") >= 40 &&
+      col("rep_pct") <= 2
 
   def qualityMetrics(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -145,23 +169,11 @@ object TextAnalysis {
     * pipeline can audit WHY a doc dropped — the filter composes as a
     * plain predicate that pushes into the scan.
     */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(rawQualityCounts ++ Seq(
-        greatest(size(toks) - 2, lit(0)).cast("long").as("n_grams"),
-        size(TextOps.shingles(col("text"), 3)).cast("long").as("n_distinct_grams")): _*)
-      .select(col("doc_id") +: col("n_tokens") +: qualityPcts :+
-        when(col("n_grams") > 0,
-          expr("(n_grams - n_distinct_grams) * 100 DIV n_grams"))
-          .otherwise(lit(0L)).as("rep_pct"): _*)
-      .withColumn("keep",
-        (col("n_tokens") >= 20 &&
-          col("mean_tok_len_x100").between(300, 1000) &&
-          col("stop_pct") >= 3 &&
-          col("ttr_pct") >= 40 &&
-          col("rep_pct") <= 2).cast("long"))
-  }
+      .select(rawQualityCounts ++ qualityGramCounts: _*)
+      .select(col("doc_id") +: col("n_tokens") +: qualityPcts :+ qualityRepPct: _*)
+      .withColumn("keep", qualityKeepRule.cast("long"))
 
   /** Token-count statistics per source: docs, total tokens, and total
     * distinct-per-doc types — the per-slice profiling a pipeline uses to

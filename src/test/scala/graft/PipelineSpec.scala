@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation ledger (q_pipeline_curate): stage attribution,
+  * consistency with the individually-oracle-verified component operators,
+  * and the planted-duplicate guarantee. The full-ledger values are
+  * hash-checked against DuckDB by the driver; this suite asserts the
+  * CROSS-OPERATOR invariants the oracle can't see.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ledger =
+    Pipeline.curate(spark, TestSpark.sf0001).cache()
+  private lazy val byOutcome: Map[String, Long] =
+    ledger.groupBy("outcome").count().as[(String, Long)].collect().toMap
+
+  test("every stage of the pipeline fires non-vacuously on the fixture") {
+    val classes = Set("dropped_lang", "dropped_quality", "dropped_duplicate",
+      "dropped_contaminated", "train", "eval")
+    assert(byOutcome.keySet === classes,
+      s"expected all six outcome classes, got ${byOutcome.keySet}")
+    assert(byOutcome.values.forall(_ > 0))
+  }
+
+  test("dropped_quality agrees with the oracle-verified quality filter") {
+    // every non-planted doc the ledger drops for quality must be keep=0
+    // in qualityFilter, and vice versa among lang-passing docs
+    val droppedQ = ledger
+      .filter(col("outcome") === "dropped_quality" && col("doc_id") < 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val langPass = docs
+      .filter(TextAnalysis.langGuess(col("text")) === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val keepZero = TextAnalysis.qualityFilter(spark, TestSpark.sf0001)
+      .filter(col("keep") === 0L).select("doc_id").as[Long].collect().toSet
+    assert(droppedQ === (langPass intersect keepZero),
+      "pipeline quality stage diverged from the standalone quality filter")
+  }
+
+  test("planted duplicates always lose the keeper race, originals never do") {
+    val outcomes = ledger.as[(Long, String)].collect().toMap
+    val planted = outcomes.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { pid =>
+      val orig = outcomes(pid - 1000000L)
+      val p = outcomes(pid)
+      if (orig == "dropped_lang" || orig == "dropped_quality")
+        // identical text ⇒ identical verdicts at stages 1–2
+        assert(p === orig, s"planted $pid diverged from original at lang/quality: $p vs $orig")
+      else
+        assert(p === "dropped_duplicate",
+          s"planted $pid should lose the min-doc_id keeper race, got $p")
+    }
+    // and no original is ever displaced by its (higher-id) plant: the
+    // fixture has no NATURAL canonical dups (q_dedup_exact is 1:1), so
+    // every dropped_duplicate must be a planted id
+    val origDupDrops = outcomes.collect {
+      case (id, "dropped_duplicate") if id < 1000000L => id }
+    assert(origDupDrops.isEmpty,
+      s"originals displaced by planted copies (keeper must be min doc_id): $origDupDrops")
+  }
+
+  test("curateStats is exactly the ledger rolled up") {
+    val stats = Pipeline.curateStats(spark, TestSpark.sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(stats === byOutcome)
+  }
+
+  test("the ledger covers every input doc exactly once") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val nBase = docs.count()
+    val nPlanted = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(ledger.count() === nBase + nPlanted)
+    assert(ledger.select("doc_id").distinct().count() === nBase + nPlanted)
+  }
+
+  test("the plan is scan-fused and never corpus-quadratic") {
+    val plan = Pipeline.curate(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pipeline plan contains a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "pipeline plan contains a nested-loop join")
+  }
+}
