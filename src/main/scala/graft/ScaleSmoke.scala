@@ -24,6 +24,13 @@ import graft.sources.DedupIndexes
   *   - [[graft.operators.TextAnalysis.contaminationOn]] (eval side
   *     collapses to a distinct n-gram set ⇒ bounded by the train
   *     inverted index);
+  *   - [[graft.operators.Pipeline.curateOn]] over the VERBATIM-replicated
+  *     (duplication-shaped) corpus: dedup collapses each factor-sized
+  *     clique to one keeper, so the survivor-side outcome counts are
+  *     asserted IDENTICAL across factors and dropped_duplicate must
+  *     equal (factor-1) x keepers — the pipeline's expensive tail
+  *     (split + decontamination) is constant while only the scan-fused
+  *     projections and fp exchange grow;
   *   - [[Dedup.ngramJaccardPairsOn]] — the CAPPED production path, not
   *     the raw inverted index;
   *   - the same path under an ADVERSARIAL boilerplate shingle stamped
@@ -192,6 +199,10 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // curation-ledger collapse invariant: survivor-side outcome counts
+    // must be IDENTICAL at every factor (filled at the first factor)
+    var curSurvivorCounts: Option[Map[String, Long]] = None
 
     for (factor <- factors) {
       val docs = replicatedDocs(spark, sfDir, factor)
@@ -400,6 +411,39 @@ object ScaleSmoke {
         operators.TextAnalysis.contaminationOn(docs).count())
       spark.catalog.clearCache()
 
+      // end-to-end curation ledger over the DUPLICATION-shaped corpus
+      // (dupDocs: base docs replicated VERBATIM with fresh ids — the
+      // real ingest-stream shape): the dedup stage collapses each
+      // factor-sized clique to its min-id keeper, so the SURVIVOR set —
+      // and with it the split and decontamination work, the pipeline's
+      // expensive tail — is CONSTANT across factors; only the scan-fused
+      // stage-1/2 projections and the fp exchange grow (linearly). Both
+      // halves asserted: survivor-side outcome counts (train/eval/
+      // dropped_contaminated) must be IDENTICAL at every factor, and
+      // dropped_duplicate must absorb exactly the (factor-1) extra
+      // copies of every surviving-or-contaminated keeper.
+      val (tCur, curCounts) = {
+        val t0 = System.nanoTime()
+        val counts = operators.Pipeline.curateOn(dupDocs)
+          .groupBy(col("outcome")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        ((System.nanoTime() - t0) / 1e9, counts)
+      }
+      spark.catalog.clearCache()
+      val survivorSide = curCounts.filter { case (k, _) =>
+        k == "train" || k == "eval" || k == "dropped_contaminated" }
+      curSurvivorCounts match {
+        case None => curSurvivorCounts = Some(survivorSide)
+        case Some(base) => assert(survivorSide == base,
+          s"factor $factor: curation survivor counts $survivorSide != " +
+            s"first-factor $base — dedup failed to collapse the cliques")
+      }
+      val nSurvivorDocs = survivorSide.values.sum
+      val expectedDups = (factor - 1).toLong * nSurvivorDocs
+      assert(curCounts.getOrElse("dropped_duplicate", 0L) == expectedDups,
+        s"factor $factor: dropped_duplicate ${curCounts.get("dropped_duplicate")} " +
+          s"!= expected $expectedDups ((factor-1) x $nSurvivorDocs keepers)")
+
       // stored ANN probes over a factor-sized EMBEDDING corpus, base-
       // sized query set (the serving shape): index written once untimed,
       // probe time has the stored-index scan as its linear ceiling —
@@ -474,6 +518,9 @@ object ScaleSmoke {
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
+        s""""curate_sec":$tCur,"curate_survivors":${curCounts.filter { case (k, _) =>
+          k == "train" || k == "eval" || k == "dropped_contaminated" }.values.sum},""" +
+        s""""curate_dup_drops":${curCounts.getOrElse("dropped_duplicate", 0L)},""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +

@@ -64,8 +64,17 @@ object Pipeline {
              lang: String = "en",
              splitThreshold: String = "cc",
              contamN: Int = 3,
-             plantDups: Boolean = true): DataFrame = {
-    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+             plantDups: Boolean = true): DataFrame =
+    curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      lang, splitThreshold, contamN, plantDups)
+
+  /** [[curate]] over any (doc_id, text) frame — the library entry point
+    * (and the ScaleSmoke sweep surface). */
+  def curateOn(base: DataFrame,
+               lang: String = "en",
+               splitThreshold: String = "cc",
+               contamN: Int = 3,
+               plantDups: Boolean = false): DataFrame = {
     val docs =
       if (!plantDups) base
       else base.unionByName(
