@@ -41,7 +41,11 @@ import org.apache.spark.sql.functions._
   * benchmark suite the eval set is broadcast and the join is
   * shuffle-free. Nothing in the pipeline is corpus-quadratic and no
   * stage re-reads the corpus — the ledger is produced in one pass plus
-  * key-bounded exchanges.
+  * key-bounded exchanges. Plan audit (formatted explain, sf0.001):
+  * scans prune to struct&lt;doc_id,text&gt;, ONE Window exchange on fp
+  * reused by all three consumers, the eval n-gram set and the
+  * contaminated-id set both arrive as BroadcastExchange — no sort-merge
+  * join, no cartesian, nothing shuffles the corpus text twice.
   *
   * `plantDups`: re-appends every doc_id % 7 == 0 document under doc_id +
   * 1_000_000 (exact text copy). Identical text ⇒ identical lang/quality
