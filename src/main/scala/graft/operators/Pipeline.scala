@@ -64,6 +64,25 @@ object Pipeline {
   private def canonicalFp(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** The pipeline's GATE projection over a (doc_id, text) frame:
+    * (doc_id, text, fp, lang_ok, quality_ok) — stages 1–2 plus the
+    * canonical fingerprint, fused into one scan-side select. Public so
+    * the streaming curation ingest applies the IDENTICAL gate per
+    * micro-batch (same spellings ⇒ batch and streaming curation cannot
+    * disagree on which docs pass). Pure per-row projection: no shuffle.
+    */
+  def stageBits(docs: DataFrame, lang: String = "en"): DataFrame =
+    docs
+      .select(TextAnalysis.rawQualityCounts ++ TextAnalysis.qualityGramCounts ++ Seq(
+        col("text"),
+        (TextAnalysis.langGuess(col("text")) === lit(lang)).cast("long").as("lang_ok"),
+        canonicalFp(col("text")).as("fp")): _*)
+      .select(Seq(col("doc_id"), col("text"), col("fp"), col("lang_ok"),
+        col("n_tokens")) ++ TextAnalysis.qualityPcts :+ TextAnalysis.qualityRepPct: _*)
+      .withColumn("quality_ok", TextAnalysis.qualityKeepRule.cast("long"))
+      .select(col("doc_id"), col("text"), col("fp"),
+        col("lang_ok"), col("quality_ok"))
+
   def curate(spark: SparkSession, sfDir: String,
              lang: String = "en",
              splitThreshold: String = "cc",
@@ -86,14 +105,7 @@ object Pipeline {
           .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
 
     // stages 1–2 + fingerprint: one fused projection over the scan
-    val staged = docs
-      .select(TextAnalysis.rawQualityCounts ++ TextAnalysis.qualityGramCounts ++ Seq(
-        col("text"),
-        (TextAnalysis.langGuess(col("text")) === lit(lang)).cast("long").as("lang_ok"),
-        canonicalFp(col("text")).as("fp")): _*)
-      .select(Seq(col("doc_id"), col("text"), col("fp"), col("lang_ok"),
-        col("n_tokens")) ++ TextAnalysis.qualityPcts :+ TextAnalysis.qualityRepPct: _*)
-      .withColumn("quality_ok", TextAnalysis.qualityKeepRule.cast("long"))
+    val staged = stageBits(docs, lang)
       .withColumn("survives_lq", col("lang_ok") === 1L && col("quality_ok") === 1L)
 
     // stage 3: keeper = min doc_id among lang+quality survivors per

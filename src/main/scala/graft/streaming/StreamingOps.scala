@@ -197,6 +197,103 @@ object StreamingOps {
       ()
     }.start()
 
+  /** Streaming CURATION ingest via foreachBatch — the streaming front
+    * door to [[graft.operators.Pipeline]]: each micro-batch passes the
+    * batch-pipeline's EXACT gate ([[graft.operators.Pipeline.stageBits]]
+    * — same lang-ID, quality-rule, and canonical-fingerprint spellings,
+    * so batch and streaming curation cannot disagree on which docs
+    * pass), is exact-deduped against the corpus, and lands in TWO
+    * sinks: accepted docs append to the corpus, and EVERY input doc
+    * gets a per-batch LEDGER row recording its outcome
+    * (`dropped_lang` / `dropped_quality` / `dropped_duplicate` /
+    * `ingested`) — the streaming counterpart of the batch audit ledger
+    * (q_pipeline_curate), so "why did the corpus not grow?" is a query
+    * over the ledger, not a log dive.
+    *
+    * Replay idempotence is LABEL-BASED, stronger than
+    * [[ingestNewDocs]]'s anti-join-only contract, because the ledger
+    * forces it: corpus rows and ledger rows both land under their
+    * batch's own `ingest=<batchId>` partition with overwrite-on-own-
+    * label, and the duplicate check reads the corpus EXCLUDING the
+    * current label. A crashed-and-replayed batch therefore recomputes
+    * the SAME outcomes (its own half-written append is invisible to
+    * the dup check) and overwrites its own partitions — outcomes can
+    * never flip to `dropped_duplicate` against the batch's own prior
+    * attempt, and nothing lands twice.
+    *
+    * Scale notes: the gate is a pure per-row projection; the dup check
+    * reads only the corpus `fingerprint` column (parquet pruning); the
+    * in-batch exact collapse is the same fingerprint groupBy every
+    * ingest sink starts with. Near-dup/verbatim admission stays the
+    * job of the sibling sinks — this one owns the quality gate and the
+    * audit trail.
+    */
+  def ingestCuratedDocs(lines: DataFrame, corpusDir: String,
+                        ledgerDir: String,
+                        textCol: String = "value",
+                        lang: String = "en"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!corpusDir.startsWith(ledgerDir) && !ledgerDir.startsWith(corpusDir),
+      s"corpusDir and ledgerDir must be disjoint: $corpusDir vs $ledgerDir")
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
+        textCol, lang)
+    }.start()
+  }
+
+  /** One curation-ingest delivery — [[ingestCuratedDocs]]'s batch body,
+    * factored so the same-label crash-replay contract is directly
+    * spec-drivable (StreamingSpec re-runs a label and asserts identical
+    * outcomes and no growth).
+    */
+  private[graft] def curateBatch(batch: DataFrame, corpusDir: String,
+                                 ledgerDir: String, label: String,
+                                 textCol: String = "value",
+                                 lang: String = "en"): Unit =
+    graft.CacheScope.scoped {
+      val spark = batch.sparkSession
+      // in-batch exact collapse on the canonical fingerprint (the
+      // same groupBy every ingest sink starts with); doc ids are
+      // xxhash64(fingerprint) — stable across batches and replays
+      val fp = md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      val collapsed = batch
+        .select(fp.as("fingerprint"), col(textCol).as("text"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("text")).as("text"))
+        .withColumn("doc_id", xxhash64(col("fingerprint")))
+      // the batch pipeline's gate, verbatim (fp recomputed by
+      // stageBits == the collapse fingerprint: same spelling)
+      val gated = graft.CacheScope.track(
+        graft.operators.Pipeline.stageBits(
+          collapsed.select(col("doc_id"), col("text")), lang)
+          .persist())
+      // duplicate check against every OTHER ingest's corpus rows —
+      // excluding the current label so a failure replay recomputes
+      // identical outcomes instead of flagging its own prior attempt
+      val known =
+        if (graft.sources.DedupIndexes.hasData(spark, corpusDir))
+          spark.read.parquet(corpusDir)
+            .filter(col("ingest") =!= label)
+            .select(col("fp")).distinct()
+            .withColumn("is_known", lit(1L))
+        else spark.range(0)
+          .select(lit("").as("fp"), lit(1L).as("is_known"))
+      val judged = gated
+        .join(known, Seq("fp"), "left")
+        .withColumn("outcome",
+          when(col("lang_ok") === 0L, lit("dropped_lang"))
+            .when(col("quality_ok") === 0L, lit("dropped_quality"))
+            .when(col("is_known") === 1L, lit("dropped_duplicate"))
+            .otherwise(lit("ingested")))
+      // own-label overwrite on both sinks: replay heals every crash
+      // point (ledger-then-crash, corpus-then-crash, both-then-crash)
+      judged.filter(col("outcome") === "ingested")
+        .select(col("doc_id"), col("fp"), col("text"))
+        .write.mode("overwrite").parquet(s"$corpusDir/ingest=$label")
+      judged.select(col("doc_id"), col("outcome"))
+        .write.mode("overwrite").parquet(s"$ledgerDir/ingest=$label")
+      ()
+    }
+
   /** Streaming NEAR-dup ingest via foreachBatch — the streaming front
     * door to [[graft.operators.Dedup.incrementalNearDup]]: each
     * micro-batch is collapsed on the exact content fingerprint, probed

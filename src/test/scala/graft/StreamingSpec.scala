@@ -769,6 +769,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation ingest gates, dedupes, and ledgers every doc; " +
+      "re-delivery and same-label replay are idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-ingest").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    // passes the gate: English, 25+ mostly-distinct tokens, stopwords
+    val good1 = "the quick brown fox jumps over a lazy dog while many other " +
+      "animals watch from distant green hills and the wind carries soft " +
+      "autumn leaves across quiet village roads"
+    val good2 = "a calm morning light spreads over the old harbor and small " +
+      "boats drift past the stone pier while children wave from the wooden " +
+      "bridge near open market stalls"
+    // passes lang (all 'the' → en) but fails ttr → dropped_quality
+    val badQuality = Seq.fill(25)("the").mkString(" ")
+    // French stopword profile wins → dropped_lang
+    val french = "le chat et la porte de la maison et le jardin entre les arbres"
+    def ledgerByBatch: Map[(String, String), Long] =
+      spark.read.parquet(ledgerDir)
+        .groupBy(col("ingest"), col("outcome")).count()
+        .as[(String, String, Long)].collect()
+        .map { case (i, o, n) => (i, o) -> n }.toMap
+    def corpusTexts: Set[String] =
+      spark.read.parquet(corpusDir).select("text").as[String].collect().toSet
+
+    val ms = MemoryStream[String]
+    val q = StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir, ledgerDir)
+    try {
+      // good1 sent TWICE: in-batch exact collapse → one ledger row
+      ms.addData(good1, good1, badQuality, french)
+      q.processAllAvailable()
+      assert(ledgerByBatch === Map(
+        ("0", "ingested") -> 1L, ("0", "dropped_quality") -> 1L,
+        ("0", "dropped_lang") -> 1L))
+      assert(corpusTexts === Set(good1))
+      // re-DELIVERY in a new batch: good1 is now a corpus duplicate
+      ms.addData(good1, good2)
+      q.processAllAvailable()
+      assert(ledgerByBatch === Map(
+        ("0", "ingested") -> 1L, ("0", "dropped_quality") -> 1L,
+        ("0", "dropped_lang") -> 1L,
+        ("1", "ingested") -> 1L, ("1", "dropped_duplicate") -> 1L))
+      assert(corpusTexts === Set(good1, good2))
+    } finally q.stop()
+    // same-LABEL crash replay: re-run batch 1's body verbatim — the dup
+    // check excludes the current label, so good2 must re-judge as
+    // ingested (not flip to a duplicate of its own prior attempt) and
+    // the own-label overwrite must leave corpus and ledger unchanged
+    StreamingOps.curateBatch(Seq(good1, good2).toDF("value"),
+      corpusDir, ledgerDir, "1")
+    assert(ledgerByBatch === Map(
+      ("0", "ingested") -> 1L, ("0", "dropped_quality") -> 1L,
+      ("0", "dropped_lang") -> 1L,
+      ("1", "ingested") -> 1L, ("1", "dropped_duplicate") -> 1L))
+    assert(corpusTexts === Set(good1, good2))
+    assert(spark.read.parquet(corpusDir).count() === 2L,
+      "replay must not duplicate corpus rows")
+    // the streaming gate IS the batch pipeline's gate: outcomes for the
+    // same four docs under Pipeline.stageBits agree
+    val bits = graft.operators.Pipeline.stageBits(
+      Seq((1L, good1), (2L, good2), (3L, badQuality), (4L, french))
+        .toDF("doc_id", "text"))
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, l, qk) => id -> ((l, qk)) }.toMap
+    assert(bits(1L) === ((1L, 1L)) && bits(2L) === ((1L, 1L)))
+    assert(bits(3L) === ((1L, 0L)), "badQuality passes lang, fails quality")
+    assert(bits(4L)._1 === 0L, "french fails lang")
+  }
+
   test("session_window spelling equals the oracle-checked batch sessionizer " +
       "on the real events table") {
     // The streaming path sessionizes with Spark's native session_window;
