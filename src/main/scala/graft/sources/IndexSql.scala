@@ -122,4 +122,20 @@ object IndexSql {
     GrepEngine.grepFreqFromIndex(lines, postings, gramdf, pattern, m)
       .createOrReplaceTempView(viewName)
   }
+
+  /** `SELECT * FROM <viewName>` = the end-to-end curation audit ledger
+    * (doc_id, outcome) over the docs in `docsTable` (needs doc_id,
+    * text) — the SQL spelling of
+    * [[graft.operators.Pipeline.curateOn]]. Not an index probe, but
+    * the same front-door contract: the view holds the SAME lazy plan
+    * the Scala entry point builds, so SQL and Scala callers cannot
+    * fork on gate thresholds or stage order.
+    */
+  def registerCurationLedger(spark: SparkSession, viewName: String,
+                             docsTable: String, lang: String = "en",
+                             splitThreshold: String = "cc"): Unit =
+    graft.operators.Pipeline.curateOn(
+        spark.table(docsTable).select("doc_id", "text"),
+        lang, splitThreshold)
+      .createOrReplaceTempView(viewName)
 }

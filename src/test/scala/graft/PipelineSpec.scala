@@ -78,6 +78,21 @@ class PipelineSpec extends SparkSpec {
     assert(ledger.select("doc_id").distinct().count() === nBase + nPlanted)
   }
 
+  test("the SQL front-door view equals the Scala ledger") {
+    Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("sqlfront_docs")
+    graft.sources.IndexSql.registerCurationLedger(
+      spark, "sqlfront_curation", "sqlfront_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, outcome FROM sqlfront_curation")
+      .as[(Long, String)].collect().toMap
+    val viaScala = graft.operators.Pipeline.curateOn(
+        Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(viaSql === viaScala)
+  }
+
   test("the plan is scan-fused and never corpus-quadratic") {
     val plan = Pipeline.curate(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
