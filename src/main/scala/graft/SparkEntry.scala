@@ -205,6 +205,10 @@ object SparkEntry {
     // decontamination as ONE per-doc audit ledger (Pipeline.curate);
     // planted exact dups guarantee the dedup stage fires
     "q_pipeline_curate" -> ((s, d) => operators.Pipeline.curate(s, d)),
+    // the ledger rolled up per outcome with doc AND token totals — the
+    // stage-loss summary (token-weighted, the number that actually
+    // matters when long docs die to a length rule)
+    "q_pipeline_stats" -> ((s, d) => operators.Pipeline.curateStats(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -234,7 +238,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+  def oracleSql: Map[String, String] = oracleSqlBase.updated(
+    // the stats oracle wraps the LEDGER oracle as a derived table, so the
+    // two cannot drift on any stage spelling
+    "q_pipeline_stats",
+    "SELECT outcome, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM (" +
+      oracleSqlBase("q_pipeline_curate") + ") GROUP BY outcome"
+  ) ++ Map(
     // the stored-index probes answer the SAME question as their inline
     // twins — identical oracle by definition; a green row here certifies
     // the parquet round-trip of the materialized indexes end to end
@@ -1029,7 +1039,7 @@ object SparkEntry {
              WHERE len(ws) >= 3),
       ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),
       ct AS (SELECT DISTINCT doc_id FROM sg JOIN ev USING (ng) WHERE split = 'train')
-      SELECT k.doc_id,
+      SELECT k.doc_id, k.n_tokens,
              CASE WHEN NOT lang_ok THEN 'dropped_lang'
                   WHEN NOT quality_ok THEN 'dropped_quality'
                   WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'
@@ -1037,6 +1047,9 @@ object SparkEntry {
                   WHEN fp < 'cc' THEN 'train'
                   ELSE 'eval' END AS outcome
       FROM k LEFT JOIN ct ON k.doc_id = ct.doc_id""".stripMargin.trim),
+    // the same ledger, aggregated — reuses the q_pipeline_curate CTE as a
+    // derived table so the two oracles cannot drift (built right below)
+    "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

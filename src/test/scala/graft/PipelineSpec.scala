@@ -42,7 +42,8 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("planted duplicates always lose the keeper race, originals never do") {
-    val outcomes = ledger.as[(Long, String)].collect().toMap
+    val outcomes = ledger.select(col("doc_id"), col("outcome"))
+      .as[(Long, String)].collect().toMap
     val planted = outcomes.keys.filter(_ >= 1000000L)
     assert(planted.nonEmpty)
     planted.foreach { pid =>
@@ -64,10 +65,15 @@ class PipelineSpec extends SparkSpec {
       s"originals displaced by planted copies (keeper must be min doc_id): $origDupDrops")
   }
 
-  test("curateStats is exactly the ledger rolled up") {
+  test("curateStats is exactly the ledger rolled up, docs and tokens") {
     val stats = Pipeline.curateStats(spark, TestSpark.sf0001)
-      .as[(String, Long)].collect().toMap
-    assert(stats === byOutcome)
+      .as[(String, Long, Long)].collect()
+      .map { case (o, d, t) => o -> ((d, t)) }.toMap
+    assert(stats.view.mapValues(_._1).toMap === byOutcome)
+    val tokensByOutcome = ledger.groupBy("outcome")
+      .agg(sum("n_tokens").as("t")).as[(String, Long)].collect().toMap
+    assert(stats.view.mapValues(_._2).toMap === tokensByOutcome)
+    assert(tokensByOutcome.values.sum > 0)
   }
 
   test("the ledger covers every input doc exactly once") {
@@ -89,6 +95,7 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     val viaScala = graft.operators.Pipeline.curateOn(
         Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("outcome"))
       .as[(Long, String)].collect().toMap
     assert(viaSql === viaScala)
   }
