@@ -329,6 +329,83 @@ class PropertySpec extends SparkSpec {
     check("tokenShards", prop, n = 6)
   }
 
+  test("curation ledger == first-principles reimplementation on random corpora") {
+    // The entire pipeline — lang-ID argmax w/ tie order, integer quality
+    // rules, canonical-md5 dedup keeper race, split threshold, 3-gram
+    // decontamination, stage precedence — reimplemented in plain Scala
+    // and compared doc for doc. Row order and partitioning are the
+    // randomized degrees of freedom; duplicate texts are forced by
+    // sampling docs from a small text pool.
+    import graft.operators.TextAnalysis.langProfiles
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def fpOf(text: String): String =
+      md5hex(text.trim.toLowerCase.replaceAll("\\s+", " "))
+    def langOf(toks: Seq[String]): String = {
+      val hs = langProfiles.map { case (l, p) => l -> toks.count(p.contains).toLong }
+      val best = hs.map(_._2).max
+      hs.find { case (_, h) => h == best && best > 0 }.map(_._1).getOrElse("und")
+    }
+    def qualityOf(toks: Seq[String]): Boolean = {
+      val nt = toks.size.toLong
+      val ttr = toks.distinct.size.toLong * 100 / nt
+      val stopPct = toks.count(langProfiles.head._2.contains).toLong * 100 / nt
+      val mtl = toks.map(_.length).sum.toLong * 100 / nt
+      val nGrams = math.max(nt - 2, 0L)
+      val ndg = if (toks.size >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSet.size.toLong else 0L
+      val rep = if (nGrams > 0) (nGrams - ndg) * 100 / nGrams else 0L
+      nt >= 20 && mtl >= 300 && mtl <= 1000 && stopPct >= 3 && ttr >= 40 && rep <= 2
+    }
+    def gramsOf(toks: Seq[String]): Set[String] =
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    def ledgerOf(docs: Seq[(Long, String)]): Map[Long, (Long, String)] = {
+      val bits = docs.map { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        (id, toks, langOf(toks), qualityOf(toks), fpOf(text))
+      }
+      val keeper = bits.filter(b => b._3 == "en" && b._4)
+        .groupBy(_._5).map { case (fp, xs) => fp -> xs.map(_._1).min }
+      val survivors = bits.filter(b =>
+        b._3 == "en" && b._4 && keeper(b._5) == b._1)
+      val evalGrams = survivors.filter(_._5 >= "cc").flatMap(b => gramsOf(b._2)).toSet
+      val contaminated = survivors
+        .filter(b => b._5 < "cc" && gramsOf(b._2).exists(evalGrams)).map(_._1).toSet
+      bits.map { case (id, toks, lang, qual, fp) =>
+        val outcome =
+          if (lang != "en") "dropped_lang"
+          else if (!qual) "dropped_quality"
+          else if (keeper(fp) != id) "dropped_duplicate"
+          else if (contaminated(id)) "dropped_contaminated"
+          else if (fp < "cc") "train" else "eval"
+        id -> ((toks.size.toLong, outcome))
+      }.toMap
+    }
+    val stopW = Gen.oneOf("the", "a", "of", "and", "is", "le", "la", "et", "und", "y")
+    val contentW = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega", "sigma",
+      "kappa", "lambda", "zeta", "theta", "mira", "vela")
+    val docText = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(3 -> stopW, 7 -> contentW)))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(1, 8)
+      .flatMap(k => Gen.listOfN(k, docText))
+      .flatMap(pool => Gen.chooseNum(1, 16)
+        .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool))))
+      .map(_.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+    val prop = Prop.forAll(corpusGen, Gen.chooseNum(1, 7), Gen.chooseNum(0L, 99L)) {
+      (docs, parts, seed) =>
+        val shuffled = new scala.util.Random(seed).shuffle(docs)
+        val got = graft.operators.Pipeline.curateOn(
+            shuffled.toDF("doc_id", "text").repartition(parts))
+          .as[(Long, Long, String)].collect()
+          .map { case (id, nt, o) => id -> ((nt, o)) }.toMap
+        spark.catalog.clearCache()
+        got == ledgerOf(docs)
+    }
+    check("curationLedger", prop, n = 10)
+  }
+
   test("wordset dedup key is permutation-invariant over token order") {
     val prop = Prop.forAll(bagGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
       (bag, seed) =>
