@@ -102,46 +102,75 @@ object GrepEngine {
         i => substring(l, i, lit(3))))
   }
 
+  /** Distinct lowercased trigrams of a pattern, driver-side — the probe
+    * key set; empty for under-3-char patterns. */
+  private def patternGrams(pattern: String): Seq[String] =
+    pattern.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+
+  /** ONE driver-side read of the tiny `gramdf` stats rows for `grams` —
+    * ≤ Σ|pattern| rows filtered BEFORE collect, control-plane like an
+    * IVF centroid read. The bucket rides gramdf precisely so the probe
+    * never recomputes the layout's hash, which could fork, and never
+    * spends a second job deriving it. Shared by the single- and
+    * multi-pattern probes so the multi probe reads gramdf ONCE for all
+    * patterns instead of once per pattern.
+    */
+  private def gramStats(gramdf: DataFrame,
+                        grams: Seq[String]): Map[String, (Long, Int)] =
+    if (grams.isEmpty) Map.empty
+    else gramdf.filter(col("gram").isin(grams: _*))
+      .select(col("gram"), col("df"), col("bucket")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+
+  /** Driver-side probe decision for one pattern given the collected
+    * gram stats: `NoTrigrams` (under 3 chars — nothing to prune, the
+    * caller scans the distinct-lines table), `Impossible` (a pattern
+    * trigram absent from gramdf proves NO indexed line contains the
+    * pattern — in either case mode, since grams are stored lowercased),
+    * or the rarest `probeGrams` trigrams with their buckets.
+    */
+  private sealed trait ProbePlan
+  private case object NoTrigrams extends ProbePlan
+  private case object Impossible extends ProbePlan
+  private case class Probe(chosen: Seq[(String, Int)]) extends ProbePlan
+
+  private def planProbe(stats: Map[String, (Long, Int)], pattern: String,
+                        probeGrams: Int): ProbePlan = {
+    val grams = patternGrams(pattern)
+    if (grams.isEmpty) NoTrigrams
+    else if (grams.exists(g => !stats.contains(g))) Impossible
+    else Probe(grams.sortBy(g => stats(g)._1).take(math.max(1, probeGrams))
+      .map(g => (g, stats(g)._2)))
+  }
+
   /** The candidate line_hash set for one pattern: lines whose trigram
     * postings contain every one of the `probeGrams` RAREST pattern
-    * trigrams (rarity AND partition bucket from the stored `gramdf`
-    * table — ONE driver-side read of ≤|pattern| rows, control-plane
-    * like an IVF centroid read; the bucket rides gramdf precisely so
-    * the probe never recomputes the layout's hash, which could fork,
-    * and never spends a second job deriving it). None = the pattern has
-    * no trigram (under 3 chars) and prunes nothing: the caller scans
-    * the distinct-lines table. A pattern trigram ABSENT from gramdf
-    * proves no indexed line contains it — the probe short-circuits to
-    * empty without touching postings.
+    * trigrams. None = the pattern has no trigram (under 3 chars) and
+    * prunes nothing: the caller scans the distinct-lines table. An
+    * `Impossible` pattern short-circuits to empty without touching
+    * postings.
     */
   private def trigramCandidates(postings: DataFrame, gramdf: DataFrame,
                                 pattern: String,
-                                probeGrams: Int): Option[DataFrame] = {
-    val grams = pattern.toLowerCase.sliding(3).filter(_.length == 3)
-      .toSeq.distinct
-    if (grams.isEmpty) None
-    else {
-      val stats = gramdf.filter(col("gram").isin(grams: _*))
-        .select(col("gram"), col("df"), col("bucket")).collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-      if (grams.exists(g => !stats.contains(g)))
+                                probeGrams: Int): Option[DataFrame] =
+    planProbe(gramStats(gramdf, patternGrams(pattern)), pattern, probeGrams) match {
+      case NoTrigrams => None
+      case Impossible =>
         // an absent trigram means zero indexed lines contain it
         Some(postings.filter(lit(false)).select(col("line_hash")))
-      else {
-        val chosen = grams.sortBy(g => stats(g)._1).take(math.max(1, probeGrams))
-        val buckets = chosen.map(g => stats(g)._2).distinct
+      case Probe(chosen) =>
+        val buckets = chosen.map(_._2).distinct
+        val grams = chosen.map(_._1)
         // bucket predicate prunes partitions; gram predicate prunes
         // rows inside the surviving files; a line qualifies only when
         // it holds ALL chosen trigrams (AND of containments)
         Some(postings
-          .filter(col("bucket").isin(buckets: _*) && col("gram").isin(chosen: _*))
+          .filter(col("bucket").isin(buckets: _*) && col("gram").isin(grams: _*))
           .groupBy(col("line_hash"))
           .agg(countDistinct(col("gram")).as("ng"))
           .filter(col("ng") === chosen.size)
           .select(col("line_hash")))
-      }
     }
-  }
 
   /** The distinct-lines view of the raw stored `lines` frame: one row
     * per distinct line with its TOTAL occurrence count across ingests
@@ -179,27 +208,77 @@ object GrepEngine {
       .select(col("line"), col("freq"))
   }
 
-  /** [[multiGrep]] (match ANY pattern) over the stored index: per-
-    * pattern candidate sets union BEFORE the single payload join, then
-    * one disjunctive verify — one aggregation, one join, exactly like
-    * the inline spelling stays one scan. Any pattern without trigram
-    * pruning (under 3 chars, or `Regex` mode) degrades the whole probe
-    * to the distinct-lines scan, since its matches can hide anywhere.
+  /** [[multiGrep]] (match ANY pattern) over the stored index. The probe
+    * is ONE postings aggregation REGARDLESS of pattern count: each
+    * pattern's chosen (gram, need-count) probe rows ship as a broadcast
+    * local relation, postings join it on the gram, and a single groupBy
+    * on (line_hash, pattern-id) keeps the lines holding ALL of a
+    * pattern's chosen trigrams — collapsing the k+1 jobs of the
+    * per-pattern union spelling into one job plus the payload join.
+    *
+    * Patterns degrade INDIVIDUALLY, never the whole probe:
+    *   - an `Impossible` pattern (an index-absent trigram) matches no
+    *     indexed line and drops out of both probe and verify;
+    *   - an under-3-char pattern has no trigram algebra: its matches
+    *     come from the distinct-lines table with its verify pushed
+    *     BELOW the merge aggregation, so that exchange carries only its
+    *     matching lines — while prunable patterns keep their trigram
+    *     pruning. The two sides are made disjoint by predicate (the
+    *     pruned side excludes short-pattern matches), so their union
+    *     never double-counts a line. Pushing the verify below
+    *     [[mergeLines]] is sound because `line` is functionally
+    *     determined by the group key `line_hash` (the index's
+    *     injectivity assumption — a collision would already corrupt
+    *     freq sums).
+    * `Regex` mode has no trigram algebra at all and verifies over the
+    * distinct-lines table, corpus-scan-free like the single-pattern
+    * probe.
     */
   def multiGrepFromIndex(linesRaw: DataFrame, postings: DataFrame,
                          gramdf: DataFrame,
                          patterns: Seq[String], mode: Mode = Substring,
                          probeGrams: Int = 3): DataFrame = {
     require(patterns.nonEmpty, "multiGrepFromIndex needs at least one pattern")
-    val pred = patterns.map(matchPredicate(col("line"), _, mode)).reduce(_ || _)
-    val candSets =
-      if (mode == Regex) Seq(None)
-      else patterns.map(trigramCandidates(postings, gramdf, _, probeGrams))
-    val verified =
-      if (candSets.exists(_.isEmpty)) mergeLines(linesRaw)
-      else mergeLines(linesRaw.join(
-        candSets.flatten.reduce(_ union _).distinct(), "line_hash"))
-    verified.filter(pred).select(col("line"), col("freq"))
+    if (mode == Regex) {
+      val pred = patterns.map(matchPredicate(col("line"), _, mode)).reduce(_ || _)
+      mergeLines(linesRaw).filter(pred).select(col("line"), col("freq"))
+    } else {
+      val stats = gramStats(gramdf, patterns.flatMap(patternGrams).distinct)
+      val planned = patterns.map(p => p -> planProbe(stats, p, probeGrams))
+      val probed = planned.collect { case (p, Probe(chosen)) => (p, chosen) }
+      val scanned = planned.collect { case (p, NoTrigrams) => p }
+      val scannedPred = scanned.map(matchPredicate(col("line"), _, mode))
+        .reduceOption(_ || _)
+      val scannedSide = scannedPred.map(sp => mergeLines(linesRaw.filter(sp)))
+      val prunedSide = probed.map { case (p, _) =>
+        matchPredicate(col("line"), p, mode)
+      }.reduceOption(_ || _).map { pp =>
+        val spark = postings.sparkSession
+        import spark.implicits._
+        val probeRows = probed.zipWithIndex.flatMap { case ((_, chosen), pid) =>
+          chosen.map { case (g, b) => (pid, g, b, chosen.size) }
+        }
+        val probeDf = probeRows.toDF("pid", "gram", "bucket", "need")
+        val cands = postings
+          .filter(col("bucket").isin(probeRows.map(_._3).distinct: _*) &&
+            col("gram").isin(probeRows.map(_._2).distinct: _*))
+          .join(broadcast(probeDf.select(col("gram"), col("pid"), col("need"))),
+            Seq("gram"))
+          .groupBy(col("line_hash"), col("pid"), col("need"))
+          .agg(countDistinct(col("gram")).as("ng"))
+          .filter(col("ng") === col("need"))
+          .select(col("line_hash")).distinct()
+        val keep = scannedPred.fold(pp)(sp => pp && !sp)
+        mergeLines(linesRaw.join(cands, "line_hash").filter(keep))
+      }
+      (scannedSide, prunedSide) match {
+        case (Some(s), Some(p)) => s.unionByName(p)
+        case (Some(s), None)    => s
+        case (None, Some(p))    => p
+        // every pattern Impossible: provably empty without a probe
+        case (None, None)       => mergeLines(linesRaw.filter(lit(false)))
+      }
+    }.select(col("line"), col("freq"))
   }
 
   /** Top-k most-duplicated matching lines, deterministically tie-broken by

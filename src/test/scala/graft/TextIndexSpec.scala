@@ -59,6 +59,29 @@ class TextIndexSpec extends SparkSpec {
         Seq("vector", "stream"))) ===
       freqSet(GrepEngine.multiGrep(docs, "text", Seq("vector", "stream"))),
       "multi-pattern OR probe must equal the scan")
+    // PARTIAL degradation: a short pattern must not cost the prunable
+    // ones their trigram pruning — and the disjoint union must not
+    // double-count lines matching both sides
+    val mixed = Seq("vector", "ql", "stream")
+    assert(freqSet(GrepEngine.multiGrepFromIndex(lines, postings, gramdf, mixed)) ===
+      freqSet(GrepEngine.multiGrep(docs, "text", mixed)),
+      "mixed short+prunable pattern set: stored must equal the scan")
+    // an impossible pattern (absent trigrams) drops out without
+    // disturbing the others
+    val withImpossible = Seq("vector", "zzqzzqzz", "ql")
+    assert(freqSet(GrepEngine.multiGrepFromIndex(lines, postings, gramdf,
+        withImpossible)) ===
+      freqSet(GrepEngine.multiGrep(docs, "text", withImpossible)),
+      "an impossible pattern must not perturb the rest of the probe")
+    assert(freqSet(GrepEngine.multiGrepFromIndex(lines, postings, gramdf,
+        Seq("zzqzzqzz", "qqzyx"))).isEmpty,
+      "all-impossible multi probe must be provably empty")
+    // multi CI mode rides the same lowercased index
+    assert(freqSet(GrepEngine.multiGrepFromIndex(lines, postings, gramdf,
+        Seq("VECTOR", "ql"), GrepEngine.SubstringIgnoreCase)) ===
+      freqSet(GrepEngine.multiGrep(docs, "text", Seq("VECTOR", "ql"),
+        GrepEngine.SubstringIgnoreCase)),
+      "multi CI probe must equal the CI scan")
     // top-k rides the probe with the same deterministic tie-break
     assert(GrepEngine.grepTopKFromIndex(lines, postings, gramdf, "spark", 10)
         .as[(String, Long)].collect().toSeq ===
