@@ -205,10 +205,23 @@ object SparkEntry {
     // decontamination as ONE per-doc audit ledger (Pipeline.curate);
     // planted exact dups guarantee the dedup stage fires
     "q_pipeline_curate" -> ((s, d) => operators.Pipeline.curate(s, d)),
+    // the full production-recipe composition: the MinHash near-dedup
+    // stage (exact-verified LSH candidates → connected components →
+    // min-representative keeper) runs between exact dedup and split;
+    // planted near-copies (one appended token, J=(n-2)/(n-1) >= 0.8)
+    // guarantee dropped_near_duplicate fires
+    "q_pipeline_curate_fuzzy" -> ((s, d) => operators.Pipeline.curateFuzzy(s, d)),
+    // coverage-threshold decontamination: a train doc drops only when
+    // shared n-grams cover >= 40% of its distinct n-grams
+    // (contaminationCoverage's thresholdable contract inside the ledger)
+    "q_pipeline_curate_cov" -> ((s, d) => operators.Pipeline.curateCov(s, d)),
     // the ledger rolled up per outcome with doc AND token totals — the
     // stage-loss summary (token-weighted, the number that actually
-    // matters when long docs die to a length rule)
-    "q_pipeline_stats" -> ((s, d) => operators.Pipeline.curateStats(s, d)),
+    // matters when long docs die to a length rule); rolls up the STORED
+    // ledger artifact (writeOnce) so stats cost a ledger scan + one
+    // groupBy, not a second pipeline pass — and the green row certifies
+    // the ledger's parquet round-trip
+    "q_pipeline_stats" -> ((s, d) => operators.Pipeline.curateStatsDocs(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -262,6 +275,134 @@ object SparkEntry {
     "q_grep_regex_idx" -> "q_grep_regex",
     "q_grep_topk_idx" -> "q_grep_topk"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
+
+  /** Builds the curation-ledger oracle variants from ONE spelling of the
+    * shared stages (plants → metrics → lang/quality → keeper window),
+    * mirroring [[graft.operators.Pipeline.curateOn]]'s flags:
+    * `nearPlants` mirrors plantNearDups (one appended token at
+    * doc_id + 2_000_000), `fuzzy` inserts the near-dedup stage (the
+    * q_split_cluster_safe recursive-component spelling over exact-dedup
+    * survivors), `covPct` switches decontamination to the
+    * q_decontaminate_cov coverage arithmetic at that threshold.
+    */
+  private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
+                             covPct: Option[Int]): String = {
+    val nearPlantSql =
+      if (!nearPlants) ""
+      else """
+                 UNION ALL
+                 SELECT doc_id + 2000000 AS doc_id, text || ' plantedneardup' AS text
+                 FROM documents WHERE doc_id % 11 = 3"""
+    val shared = s"""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0$nearPlantSql),
+      m AS (SELECT doc_id, text,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','les','de','et'], x))) AS h_fr,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','las','y','es'], x))) AS h_es,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_len,
+        CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_grams
+        FROM d),
+      gg AS (SELECT doc_id,
+              CAST(COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS BIGINT) AS ndg
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d) w,
+                 (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3 GROUP BY doc_id),
+      r AS (SELECT m.doc_id, m.text, m.fp,
+              CASE
+                WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+                WHEN regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') THEN 'ko'
+                WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN n_stop = greatest(n_stop, h_fr, h_de, h_es) AND n_stop > 0 THEN 'en'
+                WHEN h_fr = greatest(n_stop, h_fr, h_de, h_es) AND h_fr > 0 THEN 'fr'
+                WHEN h_de = greatest(n_stop, h_fr, h_de, h_es) AND h_de > 0 THEN 'de'
+                WHEN h_es = greatest(n_stop, h_fr, h_de, h_es) AND h_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+              n_tokens,
+              n_types * 100 // n_tokens AS ttr_pct,
+              n_stop * 100 // n_tokens AS stop_pct,
+              char_len * 100 // n_tokens AS mean_tok_len_x100,
+              CASE WHEN n_grams > 0
+                   THEN (n_grams - COALESCE(ndg, 0)) * 100 // n_grams
+                   ELSE CAST(0 AS BIGINT) END AS rep_pct
+            FROM m LEFT JOIN gg ON m.doc_id = gg.doc_id),
+      s AS (SELECT *,
+              (lang_guess = 'en') AS lang_ok,
+              (n_tokens >= 20 AND mean_tok_len_x100 BETWEEN 300 AND 1000
+                AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2) AS quality_ok
+            FROM r),
+      k AS (SELECT *,
+              MIN(CASE WHEN lang_ok AND quality_ok THEN doc_id END)
+                OVER (PARTITION BY fp) AS keeper_id
+            FROM s)"""
+    // survivor set entering stages 4-5: exact-dedup survivors, minus the
+    // near-dup cluster losers when the fuzzy stage is on
+    val (survivorSql, nearJoin, nearCase) =
+      if (!fuzzy)
+        ("""
+      sv AS (SELECT doc_id, fp, text,
+               CASE WHEN fp < 'cc' THEN 'train' ELSE 'eval' END AS split
+             FROM k WHERE lang_ok AND quality_ok AND doc_id = keeper_id)""",
+          "", "")
+      else
+        ("""
+      es AS (SELECT doc_id, fp, text FROM k
+             WHERE lang_ok AND quality_ok AND doc_id = keeper_id),
+      w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM es),
+      g2 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w2, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz2 AS (SELECT doc_id, COUNT(*) AS sz FROM g2 GROUP BY doc_id),
+      i2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM g2 a JOIN g2 b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pr AS (SELECT doc_a, doc_b
+                FROM i2 JOIN sz2 sa ON sa.doc_id = doc_a JOIN sz2 sb ON sb.doc_id = doc_b
+                WHERE inter * 9 >= 4 * (sa.sz + sb.sz)),
+      ed AS (SELECT doc_a AS u, doc_b AS v FROM pr
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pr),
+      reach(u, lab) AS (
+        SELECT u, u FROM ed
+        UNION
+        SELECT e.u, rr.lab FROM ed e JOIN reach rr ON rr.u = e.v),
+      nd AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(lab) <> u),
+      sv AS (SELECT es.doc_id, es.fp, es.text,
+               CASE WHEN es.fp < 'cc' THEN 'train' ELSE 'eval' END AS split
+             FROM es LEFT JOIN nd ON nd.doc_id = es.doc_id
+             WHERE nd.doc_id IS NULL)""",
+          " LEFT JOIN nd nd2 ON k.doc_id = nd2.doc_id",
+          """
+                  WHEN nd2.doc_id IS NOT NULL THEN 'dropped_near_duplicate'""")
+    val contamSql = covPct match {
+      case None => """
+      ct AS (SELECT DISTINCT doc_id FROM sg JOIN ev USING (ng) WHERE split = 'train')"""
+      case Some(pct) => s"""
+      szd AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sg WHERE split = 'train' GROUP BY doc_id),
+      hit AS (SELECT sg.doc_id, COUNT(*) AS n_shared
+              FROM sg JOIN ev USING (ng) WHERE split = 'train' GROUP BY sg.doc_id),
+      ct AS (SELECT hit.doc_id FROM hit JOIN szd USING (doc_id)
+             WHERE n_shared * 100 // n_ngrams >= $pct)"""
+    }
+    (shared + "," + survivorSql + "," + """
+      sg AS (SELECT DISTINCT doc_id, split, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sv) w,
+                  (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+             WHERE len(ws) >= 3),
+      ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),""" + contamSql + s"""
+      SELECT k.doc_id, k.n_tokens,
+             CASE WHEN NOT lang_ok THEN 'dropped_lang'
+                  WHEN NOT quality_ok THEN 'dropped_quality'
+                  WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'$nearCase
+                  WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                  WHEN fp < 'cc' THEN 'train'
+                  ELSE 'eval' END AS outcome
+      FROM k$nearJoin LEFT JOIN ct ON k.doc_id = ct.doc_id""").stripMargin.trim
+  }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_grep_freq" ->
@@ -982,73 +1123,29 @@ object SparkEntry {
     // PROVEN oracle spellings of q_lang_hist (lang CASE), q_quality_filter
     // (metric CTEs + rule), q_train_eval_assign (md5 canonical split), and
     // q_decontaminate (distinct-3-gram join); the planted union mirrors
-    // Pipeline.curate's plantDups
-    "q_pipeline_curate" -> ("""
-      WITH d AS (SELECT doc_id, text FROM documents
-                 UNION ALL
-                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
-      m AS (SELECT doc_id, text,
-        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-        CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
-        len(list_filter(string_split(text, ' '), x -> list_contains(['le','la','les','de','et'], x))) AS h_fr,
-        len(list_filter(string_split(text, ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
-        len(list_filter(string_split(text, ' '), x -> list_contains(['el','los','las','y','es'], x))) AS h_es,
-        CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_len,
-        CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_grams
-        FROM d),
-      gg AS (SELECT doc_id,
-              CAST(COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS BIGINT) AS ndg
-            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d) w,
-                 (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
-            WHERE len(ws) >= 3 GROUP BY doc_id),
-      r AS (SELECT m.doc_id, m.text, m.fp,
-              CASE
-                WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
-                WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
-                WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                WHEN n_stop = greatest(n_stop, h_fr, h_de, h_es) AND n_stop > 0 THEN 'en'
-                WHEN h_fr = greatest(n_stop, h_fr, h_de, h_es) AND h_fr > 0 THEN 'fr'
-                WHEN h_de = greatest(n_stop, h_fr, h_de, h_es) AND h_de > 0 THEN 'de'
-                WHEN h_es = greatest(n_stop, h_fr, h_de, h_es) AND h_es > 0 THEN 'es'
-                ELSE 'und' END AS lang_guess,
-              n_tokens,
-              n_types * 100 // n_tokens AS ttr_pct,
-              n_stop * 100 // n_tokens AS stop_pct,
-              char_len * 100 // n_tokens AS mean_tok_len_x100,
-              CASE WHEN n_grams > 0
-                   THEN (n_grams - COALESCE(ndg, 0)) * 100 // n_grams
-                   ELSE CAST(0 AS BIGINT) END AS rep_pct
-            FROM m LEFT JOIN gg ON m.doc_id = gg.doc_id),
-      s AS (SELECT *,
-              (lang_guess = 'en') AS lang_ok,
-              (n_tokens >= 20 AND mean_tok_len_x100 BETWEEN 300 AND 1000
-                AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2) AS quality_ok
-            FROM r),
-      k AS (SELECT *,
-              MIN(CASE WHEN lang_ok AND quality_ok THEN doc_id END)
-                OVER (PARTITION BY fp) AS keeper_id
-            FROM s),
-      sv AS (SELECT doc_id, fp, text,
-               CASE WHEN fp < 'cc' THEN 'train' ELSE 'eval' END AS split
-             FROM k WHERE lang_ok AND quality_ok AND doc_id = keeper_id),
-      sg AS (SELECT DISTINCT doc_id, split, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
-             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sv) w,
-                  (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
-             WHERE len(ws) >= 3),
-      ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),
-      ct AS (SELECT DISTINCT doc_id FROM sg JOIN ev USING (ng) WHERE split = 'train')
-      SELECT k.doc_id, k.n_tokens,
-             CASE WHEN NOT lang_ok THEN 'dropped_lang'
-                  WHEN NOT quality_ok THEN 'dropped_quality'
-                  WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'
-                  WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
-                  WHEN fp < 'cc' THEN 'train'
-                  ELSE 'eval' END AS outcome
-      FROM k LEFT JOIN ct ON k.doc_id = ct.doc_id""".stripMargin.trim),
-    // the same ledger, aggregated — reuses the q_pipeline_curate CTE as a
-    // derived table so the two oracles cannot drift (built right below)
+    // Pipeline.curate's plantDups. All three ledger variants are built by
+    // [[pipelineOracle]] from ONE spelling of the shared stages, so the
+    // fuzzy/coverage variants cannot drift from the base ledger.
+    "q_pipeline_curate" -> pipelineOracle(
+      nearPlants = false, fuzzy = false, covPct = None),
+    // adds the near-dedup stage between exact dedup and split: the
+    // q_split_cluster_safe recursive-CTE component spelling (exact
+    // >=0.8-Jaccard pairs, min-label components) over the exact-dedup
+    // survivors; near plants mirrored. RECALL COUPLING: like
+    // q_split_cluster_safe, this exact-set oracle relies on LSH recall —
+    // one missed pair flips a representative and many ledger rows; valid
+    // under the same minHashOracleGuard bound (planted pairs sit at
+    // J=(n-2)/(n-1) >= 0.94 for quality-passing docs), and if that ever
+    // degrades, downgrade THIS query to rows-only first.
+    "q_pipeline_curate_fuzzy" -> pipelineOracle(
+      nearPlants = true, fuzzy = true, covPct = None),
+    // coverage-threshold decontamination (contaminationCoverage's
+    // arithmetic inside the ledger): drop at >= 40% distinct-n-gram
+    // coverage instead of >= 1 shared n-gram
+    "q_pipeline_curate_cov" -> pipelineOracle(
+      nearPlants = false, fuzzy = false, covPct = Some(40)),
+    // the same ledger, aggregated — built from the q_pipeline_curate CTE
+    // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""

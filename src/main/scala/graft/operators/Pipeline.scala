@@ -8,37 +8,56 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data CURATION PIPELINE — the flagship composition
   * query: every stage is an operator this engine already ships and
   * oracle-verifies individually (lang-ID, Gopher-style quality rules,
-  * canonical exact dedup, train/eval split, benchmark decontamination),
-  * chained in the order a production corpus build runs them (the CCNet /
-  * Gopher / Pile curation recipe from the public literature). The output
-  * is a per-document AUDIT LEDGER: one row per input doc with the stage
-  * that dropped it, or its final split — the artifact a data engineer
-  * actually inspects when a corpus shrinks unexpectedly.
+  * canonical exact dedup, MinHash near-dedup, train/eval split, benchmark
+  * decontamination), chained in the order a production corpus build runs
+  * them (the CCNet / Gopher / Pile / RefinedWeb curation recipe from the
+  * public literature). The output is a per-document AUDIT LEDGER: one row
+  * per input doc with the stage that dropped it, or its final split — the
+  * artifact a data engineer actually inspects when a corpus shrinks
+  * unexpectedly.
   *
   * Stage order and attribution (first failing stage wins):
-  *   1. lang      — [[TextAnalysis.langGuess]] != target → `dropped_lang`
-  *   2. quality   — [[TextAnalysis.qualityKeepRule]] fails → `dropped_quality`
-  *   3. dedup     — canonical-fingerprint duplicate of a lower-doc_id
-  *                  survivor → `dropped_duplicate` (same md5-of-
-  *                  canonicalized-text spelling as
-  *                  [[TextAnalysis.trainEvalAssign]], so dedup and split
-  *                  agree on what "the same text" means — an exact dup
-  *                  can never land in both splits)
-  *   4. split     — fingerprint < threshold → `train` else `eval`
-  *   5. decontam  — train doc sharing ≥1 word 3-gram with any eval doc →
-  *                  `dropped_contaminated` (eval docs are never dropped:
-  *                  the benchmark stays, the leaking training doc goes —
-  *                  same rule as [[TextAnalysis.contamination]])
+  *   1.  lang      — [[TextAnalysis.langGuess]] != target → `dropped_lang`
+  *   2.  quality   — [[TextAnalysis.qualityKeepRule]] fails → `dropped_quality`
+  *   3.  dedup     — canonical-fingerprint duplicate of a lower-doc_id
+  *                   survivor → `dropped_duplicate` (same md5-of-
+  *                   canonicalized-text spelling as
+  *                   [[TextAnalysis.trainEvalAssign]], so dedup and split
+  *                   agree on what "the same text" means — an exact dup
+  *                   can never land in both splits)
+  *   3b. near-dup  — (`nearDedup = true`) MinHash+LSH >= 0.8-Jaccard
+  *                   clusters over the exact-dedup survivors
+  *                   ([[Dedup.minHashNearDupsOn]] → [[Dedup.clusterPairs]]);
+  *                   every cluster member except the min-doc_id
+  *                   representative → `dropped_near_duplicate` — the
+  *                   fuzzy stage the production recipes run between
+  *                   exact dedup and split
+  *   4.  split     — fingerprint < threshold → `train` else `eval`
+  *   5.  decontam  — train doc sharing eval word `contamN`-grams →
+  *                   `dropped_contaminated` (eval docs are never dropped:
+  *                   the benchmark stays, the leaking training doc goes —
+  *                   same rule as [[TextAnalysis.contamination]]).
+  *                   `contamMinPct = 0` (default) drops on ANY shared
+  *                   n-gram; `> 0` drops only when the shared n-grams
+  *                   cover at least that integer percent of the doc's
+  *                   distinct n-grams — [[TextAnalysis.contaminationCoverage]]'s
+  *                   thresholdable contract (a 10-token quote in a
+  *                   100k-token doc is fine; the same quote being 80% of
+  *                   a short doc is leakage)
   *
   * 100 TB design: stages 1–2 and 4 are pure per-row projections fused
   * into the scan (no shuffle). Stage 3 is ONE exchange keyed on the
   * 32-char fingerprint — the doc text rides it once; at production scale
   * key it on xxhash64(fp) to shrink shuffle keys to 8 bytes (the
-  * [[Dedup.exact]] hash-key flag precedent). Stage 5 collapses the eval
-  * side to a DISTINCT n-gram set before the join, so matches are bounded
-  * by the train inverted index, never train×eval quadratic
-  * ([[TextAnalysis.contamination]]'s proven shape); with a fixed
-  * benchmark suite the eval set is broadcast and the join is
+  * [[Dedup.exact]] hash-key flag precedent). Stage 3b inherits
+  * [[Dedup.minHashNearDupsOn]]'s scale story wholesale (banded bucket
+  * join, hot-bucket cap, exact verification on candidates only) and
+  * [[Dedup.clusterPairs]] runs over the pair list — the SMALL
+  * post-verification artifact — with an O(log n) star fallback. Stage 5
+  * collapses the eval side to a DISTINCT n-gram set before the join, so
+  * matches are bounded by the train inverted index, never train×eval
+  * quadratic ([[TextAnalysis.contamination]]'s proven shape); with a
+  * fixed benchmark suite the eval set is broadcast and the join is
   * shuffle-free. Nothing in the pipeline is corpus-quadratic and no
   * stage re-reads the corpus — the ledger is produced in one pass plus
   * key-bounded exchanges. Plan audit (formatted explain, sf0.001):
@@ -47,6 +66,14 @@ import org.apache.spark.sql.functions._
   * contaminated-id set both arrive as BroadcastExchange — no sort-merge
   * join, no cartesian, nothing shuffles the corpus text twice.
   *
+  * The fingerprint-keyed frame is consumed by multiple branches; by
+  * default it persists in executor memory, and `checkpointDir = Some(dir)`
+  * swaps the in-memory persist for a parquet checkpoint — the 100 TB
+  * spelling (the frame carries the corpus text; at that scale it belongs
+  * on disk, and the write doubles as the restart point of a corpus
+  * build). Ledger and plan shape are identical either side of the swap
+  * (PipelineSpec asserts it).
+  *
   * `plantDups`: re-appends every doc_id % 7 == 0 document under doc_id +
   * 1_000_000 (exact text copy). Identical text ⇒ identical lang/quality
   * verdicts ⇒ the copy reaches the dedup stage whenever the original
@@ -54,6 +81,16 @@ import org.apache.spark.sql.functions._
   * `dropped_duplicate` class is exercised non-vacuously even on a
   * fixture with no natural exact dups (the q_line_dedup /
   * q_pii_redact_planted precedent; the DuckDB oracle mirrors the plant).
+  * `plantNearDups`: likewise appends every doc_id % 11 == 3 document
+  * under doc_id + 2_000_000 with ONE token appended — a distinct
+  * fingerprint (survives exact dedup) at word-3-gram Jaccard
+  * (n-2)/(n-1) >= 0.8 for any quality-passing doc (n_tokens >= 20), so
+  * the `dropped_near_duplicate` class fires non-vacuously and always
+  * loses the min-representative race to its original. Both planted id
+  * ranges are guarded: any base doc_id >= 1_000_000 fails LOUDLY at
+  * plant time (assert_true), because a silent collision would break the
+  * ledger's one-row-per-doc invariant while the plant-mirroring oracle
+  * stayed green over it.
   */
 object Pipeline {
 
@@ -91,18 +128,57 @@ object Pipeline {
     curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       lang, splitThreshold, contamN, plantDups)
 
+  /** [[curate]] with the fuzzy near-dedup stage switched on (and its
+    * planted class exercised) — the full production-recipe composition;
+    * the q_pipeline_curate_fuzzy driver query.
+    */
+  def curateFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      plantDups = true, nearDedup = true, plantNearDups = true)
+
+  /** [[curate]] with coverage-threshold decontamination — a train doc is
+    * dropped only when shared n-grams cover >= `minPct`% of its distinct
+    * n-grams; the q_pipeline_curate_cov driver query.
+    */
+  def curateCov(spark: SparkSession, sfDir: String,
+                minPct: Long = 40L): DataFrame =
+    curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      plantDups = true, contamMinPct = minPct)
+
   /** [[curate]] over any (doc_id, text) frame — the library entry point
     * (and the ScaleSmoke sweep surface). */
   def curateOn(base: DataFrame,
                lang: String = "en",
                splitThreshold: String = "cc",
                contamN: Int = 3,
-               plantDups: Boolean = false): DataFrame = {
-    val docs =
-      if (!plantDups) base
-      else base.unionByName(
-        base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+               plantDups: Boolean = false,
+               nearDedup: Boolean = false,
+               plantNearDups: Boolean = false,
+               contamMinPct: Long = 0L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    // planted copies live at doc_id + 1_000_000 (exact) / + 2_000_000
+    // (near); if a regenerated fixture ever ships base ids >= 1_000_000
+    // the planted ids would collide with real docs AND the DuckDB oracle
+    // (mirroring the same plant) would stay green over the broken
+    // one-row-per-doc ledger — so the collision must fail LOUDLY here,
+    // not compare clean. assert_true returns null per row when the bound
+    // holds and throws on the first violation (r11 ADVICE).
+    val guarded =
+      if (!plantDups && !plantNearDups) base
+      else base.filter(assert_true(col("doc_id") < lit(1000000L),
+        concat(lit("plantDups doc_id collision: base doc_id "),
+          col("doc_id"), lit(" >= 1000000 overlaps the planted-id range")))
+        .isNull)
+    val docs = Seq(
+      Some(guarded),
+      if (!plantDups) None
+      else Some(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))),
+      if (!plantNearDups) None
+      else Some(base.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(col("text"), lit(" plantedneardup")).as("text")))
+    ).flatten.reduce(_ unionByName _)
 
     // stages 1–2 + fingerprint: one fused projection over the scan
     val staged = stageBits(docs, lang)
@@ -110,48 +186,116 @@ object Pipeline {
 
     // stage 3: keeper = min doc_id among lang+quality survivors per
     // fingerprint — one exchange on fp; text rides it once. The frame is
-    // consumed TWICE (the survivor branch and the final ledger join), so
-    // it persists — caller-owned cleanup (Bench/Verify clearCache between
-    // queries), CacheScope-tracked for composing pipelines. At 100 TB
-    // swap the in-memory persist for a checkpoint to parquet (the frame
-    // carries the corpus text); the plan shape is unchanged.
-    val withKeeper = graft.CacheScope.track(
-      staged.withColumn("keeper_id",
-        min(when(col("survives_lq"), col("doc_id")))
-          .over(Window.partitionBy(col("fp"))))
-        .persist())
+    // consumed TWICE (the survivor branch and the final ledger join):
+    // in-memory persist by default (caller-owned cleanup — Bench/Verify
+    // clearCache between queries, CacheScope-tracked for composing
+    // pipelines), or a parquet checkpoint when `checkpointDir` is given
+    // (the 100 TB spelling — the frame carries the corpus text).
+    val withKeeperPlan = staged.withColumn("keeper_id",
+      min(when(col("survives_lq"), col("doc_id")))
+        .over(Window.partitionBy(col("fp"))))
+    val withKeeper = checkpointDir match {
+      case None => graft.CacheScope.track(withKeeperPlan.persist())
+      case Some(dir) =>
+        withKeeperPlan.write.mode("overwrite").parquet(dir)
+        base.sparkSession.read.parquet(dir)
+    }
 
-    // stages 4–5 over the deduped survivor set
-    val survivors = withKeeper
+    val exactSurvivors = withKeeper
       .filter(col("survives_lq") && col("doc_id") === col("keeper_id"))
+
+    // stage 3b (optional): near-dup clusters over the exact survivors —
+    // the SAME operators the standalone q_dedup_minhash /
+    // q_split_cluster_safe queries oracle-verify, composed: LSH-banded
+    // candidates, exact-Jaccard verification, min-label components.
+    // Every cluster member except its min-doc_id representative drops.
+    val nearLosers: Option[DataFrame] =
+      if (!nearDedup) None
+      else Some(Dedup.clusterPairs(
+          Dedup.minHashNearDupsOn(exactSurvivors.select(col("doc_id"), col("text")))
+            .select(col("doc_a"), col("doc_b")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+        .withColumn("is_near_dup", lit(1L)))
+
+    // stages 4–5 over the remaining survivor set
+    val survivors = nearLosers
+      .fold(exactSurvivors)(nl =>
+        exactSurvivors.join(nl.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .withColumn("split",
         when(col("fp") < lit(splitThreshold), lit("train")).otherwise(lit("eval")))
-    val grams = survivors.select(col("doc_id"), col("split"),
-      explode(TextOps.shingles(col("text"), contamN)).as("ng"))
+    // materialize the shingle array in its own projection: size() and
+    // explode() in ONE select would inline the shingle expression twice
+    // per row (no CSE across a Project/Generate boundary —
+    // contaminationCoverageOn's documented shape); the size column is
+    // pruned away entirely on the contamMinPct=0 path
+    val grams = survivors
+      .select(col("doc_id"), col("split"),
+        TextOps.shingles(col("text"), contamN).as("ngs"))
+      .select(col("doc_id"), col("split"),
+        size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
     val evalSet = grams.filter(col("split") === "eval").select(col("ng")).distinct()
-    val contaminated = grams.filter(col("split") === "train")
-      .join(evalSet, "ng")
-      .select(col("doc_id")).distinct()
+    val trainHits = grams.filter(col("split") === "train").join(evalSet, "ng")
+    val contaminated = (
+      if (contamMinPct <= 0L) trainHits.select(col("doc_id")).distinct()
+      else trainHits
+        // shingles are distinct per doc and evalSet is distinct, so the
+        // join hit count IS the distinct shared-n-gram count — same
+        // arithmetic as [[TextAnalysis.contaminationCoverageOn]]
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"), max(col("n_ngrams")).as("n_ngrams"))
+        .filter(expr("n_shared * 100 DIV n_ngrams") >= contamMinPct)
+        .select(col("doc_id")))
       .withColumn("is_contaminated", lit(1L))
 
-    withKeeper
+    val outcome = {
+      val pre = when(col("lang_ok") === 0L, lit("dropped_lang"))
+        .when(col("quality_ok") === 0L, lit("dropped_quality"))
+        .when(col("doc_id") =!= col("keeper_id"), lit("dropped_duplicate"))
+      val mid =
+        if (nearDedup) pre.when(col("is_near_dup") === 1L, lit("dropped_near_duplicate"))
+        else pre
+      mid.when(col("is_contaminated") === 1L, lit("dropped_contaminated"))
+        .when(col("fp") < lit(splitThreshold), lit("train"))
+        .otherwise(lit("eval")).as("outcome")
+    }
+    nearLosers.fold(withKeeper)(nl => withKeeper.join(nl, Seq("doc_id"), "left"))
       .join(contaminated, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("lang_ok") === 0L, lit("dropped_lang"))
-          .when(col("quality_ok") === 0L, lit("dropped_quality"))
-          .when(col("doc_id") =!= col("keeper_id"), lit("dropped_duplicate"))
-          .when(col("is_contaminated") === 1L, lit("dropped_contaminated"))
-          .when(col("fp") < lit(splitThreshold), lit("train"))
-          .otherwise(lit("eval")).as("outcome"))
+      .select(col("doc_id"), col("n_tokens"), outcome)
   }
 
-  /** [[curate]] ledger rolled up per outcome with DOC and TOKEN totals —
-    * the one-line health summary of a corpus build. Token-weighting is
-    * the number corpus engineers actually watch: a stage that drops 5%
-    * of docs but 40% of tokens (long docs dying to a length rule) reads
-    * completely differently from the doc count alone. */
-  def curateStats(spark: SparkSession, sfDir: String): DataFrame =
-    curate(spark, sfDir)
+  /** The [[curate]] ledger rolled up per outcome with DOC and TOKEN
+    * totals — the one-line health summary of a corpus build.
+    * Token-weighting is the number corpus engineers actually watch: a
+    * stage that drops 5% of docs but 40% of tokens (long docs dying to a
+    * length rule) reads completely differently from the doc count alone.
+    * Takes the ledger FRAME so an already-computed (or stored) ledger is
+    * never recomputed — `curateStats` composes it for the one-call
+    * spelling; pass a `spark.read.parquet(ledgerDir)` frame to roll up a
+    * materialized ledger artifact.
+    */
+  def curateStatsOn(ledger: DataFrame): DataFrame =
+    ledger
       .groupBy(col("outcome"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** One-call spelling: curate then roll up — ONE pipeline pass. */
+  def curateStats(spark: SparkSession, sfDir: String): DataFrame =
+    curateStatsOn(curate(spark, sfDir))
+
+  /** The q_pipeline_stats driver harness: rolls up the STORED ledger
+    * artifact, materialized once per JVM at a scratch path (the
+    * writeOnce discipline of the index harnesses) — the way a real
+    * corpus build consumes stats: the ledger is produced once by the
+    * build, and every stats read afterwards costs a ledger scan plus one
+    * groupBy, not a second full corpus pass. The green CORRECTNESS row
+    * additionally certifies the ledger's parquet round-trip.
+    */
+  def curateStatsDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.DedupIndexes.scratch(
+      "target/pipeline_ledger", "curate", sfDir)
+    graft.sources.DedupIndexes.writeOnce(path)(
+      curate(spark, sfDir).write.mode("overwrite").parquet(path))
+    curateStatsOn(spark.read.parquet(path))
+  }
 }

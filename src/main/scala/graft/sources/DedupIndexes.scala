@@ -493,7 +493,7 @@ object DedupIndexes {
     * with [[SimilarityIndexes]] so the tag sanitization cannot drift
     * between the families.
     */
-  private[sources] def scratch(root: String, kind: String, sfDir: String): String = {
+  private[graft] def scratch(root: String, kind: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     s"$root/$kind/$tag"
   }
@@ -505,7 +505,7 @@ object DedupIndexes {
     */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  private[sources] def writeOnce(path: String)(write: => Unit): Unit =
+  private[graft] def writeOnce(path: String)(write: => Unit): Unit =
     written.getOrElseUpdate(path, write)
 
   /** [[Dedup.incrementalNearDupDocs]] probing the materialized index. */

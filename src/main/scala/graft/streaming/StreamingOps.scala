@@ -232,7 +232,12 @@ object StreamingOps {
                         ledgerDir: String,
                         textCol: String = "value",
                         lang: String = "en"): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(!corpusDir.startsWith(ledgerDir) && !ledgerDir.startsWith(corpusDir),
+    // qualified-path overlap, not raw startsWith: sibling dirs sharing a
+    // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
+    // trailing-slash/relative/`..` respellings of the SAME dir are not —
+    // the DedupIndexes.pathsOverlap idiom (r11 ADVICE)
+    require(!graft.sources.DedupIndexes.pathsOverlap(
+        lines.sparkSession, corpusDir, ledgerDir),
       s"corpusDir and ledgerDir must be disjoint: $corpusDir vs $ledgerDir")
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,

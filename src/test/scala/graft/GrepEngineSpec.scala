@@ -150,7 +150,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_embed_ann_ivf_idx", "q_embed_ann_lsh_idx",
       "q_semantic_dedup", "q_semantic_dedup_idx",
       "q_mm_asset_stats", "q_mm_frame_stats",
-      "q_pipeline_curate", "q_pipeline_stats")
+      "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
+      "q_pipeline_stats")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

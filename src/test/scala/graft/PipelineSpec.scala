@@ -108,4 +108,104 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "pipeline plan contains a nested-loop join")
   }
+
+  test("fuzzy stage equals standalone minHashNearDups + clusterPairs on the same survivor set") {
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val fuzzy = Pipeline.curateOn(base, plantDups = true,
+      nearDedup = true, plantNearDups = true).cache()
+    val exact = Pipeline.curateOn(base, plantDups = true,
+      plantNearDups = true)
+    // the survivor set entering the fuzzy stage = exact-dedup survivors,
+    // read off the NON-fuzzy ledger of the same planted input
+    val survivorIds = exact
+      .filter(col("outcome").isin("dropped_contaminated", "train", "eval"))
+      .select("doc_id").as[Long].collect().toSet
+    // rebuild the planted frame the same way curateOn does, restricted
+    // to the survivors, and run the standalone stage
+    val planted = base
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(col("text"), lit(" plantedneardup")).as("text")))
+    val survivorTexts = planted.filter(col("doc_id").isInCollection(survivorIds))
+    val expectedLosers = graft.operators.Dedup.clusterPairs(
+        graft.operators.Dedup.minHashNearDupsOn(survivorTexts)
+          .select(col("doc_a"), col("doc_b")))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val gotLosers = fuzzy.filter(col("outcome") === "dropped_near_duplicate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotLosers === expectedLosers,
+      "pipeline fuzzy stage diverged from the standalone near-dedup operators")
+    // the planted near-dup class is non-vacuous and plants always lose
+    // the min-representative race to their original
+    val plantedLosers = gotLosers.filter(_ >= 2000000L)
+    assert(plantedLosers.nonEmpty, "no planted near-dup was dropped")
+    val outcomes = fuzzy.select(col("doc_id"), col("outcome"))
+      .as[(Long, String)].collect().toMap
+    // a planted copy can never displace its original: min-representative
+    // keeps the smaller id, and the copy is edge-connected to its
+    // original — so a copy surviving to train/eval while the original
+    // dropped as a near-dup would mean the stage broke transitivity
+    outcomes.foreach { case (pid, o) =>
+      if (pid >= 2000000L && (o == "train" || o == "eval"))
+        assert(outcomes(pid - 2000000L) !== "dropped_near_duplicate",
+          s"planted copy $pid survived while its original dropped as near-dup")
+    }
+    // and every non-fuzzy outcome class is unchanged in spirit: the
+    // fuzzy ledger still covers every input exactly once
+    assert(fuzzy.count() === planted.count())
+    assert(fuzzy.select("doc_id").distinct().count() === planted.count())
+    fuzzy.unpersist()
+  }
+
+  test("checkpointDir spelling yields the identical ledger to the in-memory persist") {
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("pipeline-ckpt").toString
+    val viaCkpt = Pipeline.curateOn(base, plantDups = true,
+        checkpointDir = Some(s"$dir/keeper"))
+      .select(col("doc_id"), col("n_tokens"), col("outcome"))
+      .as[(Long, Long, String)].collect().toSet
+    val viaPersist = Pipeline.curateOn(base, plantDups = true)
+      .select(col("doc_id"), col("n_tokens"), col("outcome"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaCkpt === viaPersist,
+      "parquet-checkpointed pipeline diverged from the persisted one")
+  }
+
+  test("contamMinPct: low-coverage contaminated docs survive at a threshold, none gain drops") {
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    def dropsAt(pct: Long): Set[Long] =
+      Pipeline.curateOn(base, plantDups = true, contamMinPct = pct)
+        .filter(col("outcome") === "dropped_contaminated")
+        .select("doc_id").as[Long].collect().toSet
+    val blunt = dropsAt(0L)
+    val thresholded = dropsAt(40L)
+    assert(thresholded.subsetOf(blunt),
+      "coverage thresholding can only RELAX the blunt any-shared-n-gram rule")
+    assert((blunt -- thresholded).nonEmpty,
+      "no low-coverage doc survived at pct<threshold — the planted case is vacuous")
+    // survivors-by-threshold land back in train (they were train docs
+    // by construction of the contamination stage)
+    val survived = blunt -- thresholded
+    val covLedger = Pipeline.curateOn(base, plantDups = true, contamMinPct = 40L)
+      .filter(col("doc_id").isInCollection(survived))
+      .select("outcome").distinct().as[String].collect().toSet
+    assert(covLedger === Set("train"))
+  }
+
+  test("plantDups fails loudly when base doc_ids collide with the planted range") {
+    val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Pipeline.curateOn(bad, plantDups = true).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("collision")
+        || e.getCause != null && e.getCause.getMessage.toLowerCase.contains("collision"),
+      s"expected the plant-collision guard to fire, got: ${e.getMessage}")
+  }
 }

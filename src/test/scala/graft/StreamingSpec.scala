@@ -769,6 +769,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation ingest dir guard: same-dir respellings rejected, prefix-sharing siblings allowed") {
+    val base = java.nio.file.Files.createTempDirectory("curate-guard")
+    val corpusDir = base.resolve("corpus").toString
+    val ms = MemoryStream[String]
+    // same dir, trailing-slash and dot-dot respellings: all rejected
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir, corpusDir))
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir, s"$corpusDir/"))
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir,
+        base.resolve("x").resolve("..").resolve("corpus").toString))
+    // ledger nested inside the corpus: rejected
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir, s"$corpusDir/ledger"))
+    // a SIBLING sharing a raw name prefix must pass (the r11 ADVICE
+    // false-rejection: /x/corpus vs /x/corpus-ledger)
+    StreamingOps.ingestCuratedDocs(ms.toDF(), corpusDir,
+      s"$corpusDir-ledger").stop()
+  }
+
   test("curation ingest gates, dedupes, and ledgers every doc; " +
       "re-delivery and same-label replay are idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("curate-ingest").toString

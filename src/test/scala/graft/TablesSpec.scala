@@ -76,6 +76,13 @@ class TablesSpec extends SparkSpec {
   // time-like FAMILY (Date/Timestamp/TimestampNTZ all compare correctly
   // against the date literals the queries use — respellings within the
   // family are benign); everything else asserts its exact type.
+  //
+  // LongType is tolerated ONLY for events.ts — the one column whose
+  // loader branches on it (TIMESTAMP(NANOS) under the nanosAsLong legacy
+  // read). Tables.orders/lineitem pass their date columns through RAW,
+  // so a driver regeneration to TIMESTAMP(NANOS) there would surface as
+  // LongType and break every date-comparing query; the sentinel must go
+  // red for those, not tolerate them (r11 ADVICE).
 
   private val timeLike: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
 
@@ -104,7 +111,11 @@ class TablesSpec extends SparkSpec {
       "lang" -> Left(StringType), "source" -> Left(StringType),
       "n_chars" -> Left(LongType)),
     "embeddings" -> Seq("vec_id" -> Left(LongType),
-      "embedding" -> Left(ArrayType(FloatType)), "label" -> Left(IntegerType))
+      "embedding" -> Left(ArrayType(FloatType)), "label" -> Left(IntegerType)),
+    "events" -> Seq("event_id" -> Left(LongType),
+      "ts" -> Right("time-like-or-long"), "user_id" -> Left(LongType),
+      "event_type" -> Left(StringType), "value" -> Left(DoubleType),
+      "props" -> Left(StringType))
   )
 
   test("driver-testdata regeneration sentinel: every table/column type is accounted for") {
@@ -116,13 +127,19 @@ class TablesSpec extends SparkSpec {
       val wrong = cols.collect {
         case (n, Left(t)) if actual.get(n).exists(_ != t) =>
           s"$table.$n: expected $t, got ${actual(n)}"
-        case (n, Right(_)) if actual.get(n).exists(dt =>
+        case (n, Right("time-like")) if actual.get(n).exists(dt =>
+            !timeLike.contains(dt)) =>
+          // strict: this column's loader does NOT normalize LongType, so
+          // a TIMESTAMP(NANOS) regeneration (read as raw longs under the
+          // nanosAsLong legacy flag) must go red here, not surface as
+          // AnalysisExceptions across the query set
+          s"$table.$n: expected a time-like type, got ${actual(n)} " +
+            "(if this is TIMESTAMP(NANOS)-as-long, the loader needs a " +
+            "normalizing branch like Tables.events)"
+        case (n, Right("time-like-or-long")) if actual.get(n).exists(dt =>
             !timeLike.contains(dt) && dt != LongType) =>
-          // LongType tolerated for time-like: the nanosAsLong legacy read
-          // surfaces TIMESTAMP(NANOS) as raw longs (the original events
-          // generation) — loaders that consume these columns must branch,
-          // as Tables.events does
-          s"$table.$n: expected a time-like type, got ${actual(n)}"
+          // events.ts only: its loader branches on LongType nanos
+          s"$table.$n: expected a time-like (or long-nanos) type, got ${actual(n)}"
       }
       missing ++ wrong
     }

@@ -69,7 +69,22 @@ def main():
               "(canary_sec ships since round 10)", file=sys.stderr)
 
     oq, nq = old["queries"], new["queries"]
-    shared = sorted(set(oq) & set(nq))
+    # A failed query's entry carries "err" and no timings — its sample is
+    # time-to-exception. Rounds with failures have NON-COMPARABLE totals
+    # (the headline sums succeeded queries only, so a failing round reads
+    # as a speedup to any consumer that skips the failed flag — r11
+    # ADVICE). Enforce that here rather than hoping readers check.
+    ofail = sorted(q for q, v in oq.items() if "err" in v)
+    nfail = sorted(q for q, v in nq.items() if "err" in v)
+    if ofail or nfail:
+        print("!! FAILED QUERIES PRESENT -- totals below are NOT comparable "
+              "round-over-round (each side sums only its succeeded queries):",
+              file=sys.stderr)
+        if ofail:
+            print(f"!!   old: {', '.join(ofail)}", file=sys.stderr)
+        if nfail:
+            print(f"!!   new: {', '.join(nfail)}", file=sys.stderr)
+    shared = sorted((set(oq) - set(ofail)) & (set(nq) - set(nfail)))
     only_old, only_new = sorted(set(oq) - set(nq)), sorted(set(nq) - set(oq))
     b = args.basis
     rows, flagged = [], []
@@ -94,8 +109,10 @@ def main():
 
     to, tn = (sum(oq[q][b] for q in shared), sum(nq[q][b] for q in shared))
     raw_t = tn / to if to else float("inf")
+    comparable = "" if not (ofail or nfail) else "  [NOT COMPARABLE: failures]"
     print(f"\nshared-{len(shared)}-query total ({b}): old {to:.1f} s, "
-          f"new {tn:.1f} s, raw {raw_t:.2f}x, norm {raw_t / speed:.2f}x")
+          f"new {tn:.1f} s, raw {raw_t:.2f}x, norm {raw_t / speed:.2f}x"
+          f"{comparable}")
     if only_old:
         print(f"dropped queries (old only): {', '.join(only_old)}")
     if only_new:
