@@ -107,6 +107,14 @@ class PipelineSpec extends SparkSpec {
       "pipeline plan contains a cartesian product")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "pipeline plan contains a nested-loop join")
+    // the fuzzy ledger assembly (near-loser + contamination joins on top
+    // of the keeper frame) must stay key-joined too
+    val fuzzyPlan = Pipeline.curateFuzzy(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!fuzzyPlan.contains("CartesianProduct"),
+      "fuzzy pipeline plan contains a cartesian product")
+    assert(!fuzzyPlan.contains("BroadcastNestedLoopJoin"),
+      "fuzzy pipeline plan contains a nested-loop join")
   }
 
   test("fuzzy stage equals standalone minHashNearDups + clusterPairs on the same survivor set") {
