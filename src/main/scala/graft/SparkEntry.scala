@@ -222,6 +222,27 @@ object SparkEntry {
     // groupBy, not a second pipeline pass — and the green row certifies
     // the ledger's parquet round-trip
     "q_pipeline_stats" -> ((s, d) => operators.Pipeline.curateStatsDocs(s, d)),
+    // -- training-mix construction (post-curation tail) --
+    // GPT-style concat-and-chunk packing: deterministic fingerprint
+    // shuffle → global token prefix sum (blockwise) → fixed 512-token
+    // sequences; one row per (doc, sequence) incl. boundary straddles
+    "q_pack_sequences" -> ((s, d) => operators.Mixture.packSequences(s, d)),
+    // per-source doc/token counts + the sqrt-temperature quota — the
+    // mixture plan a corpus build signs off on
+    "q_mixture_plan" -> ((s, d) => operators.Mixture.mixturePlan(s, d)),
+    // the sampling pass itself: first `quota` docs per source in
+    // fingerprint order, rank surfaced so the oracle checks the
+    // blockwise rank arithmetic, not just membership
+    "q_mixture_sample" -> ((s, d) => operators.Mixture.temperatureSample(s, d)),
+    // DSIR-style hashed-feature importance weights toward source=src0
+    // (integer-exact ppm ratio spelling of the likelihood-ratio score)
+    "q_dsir_weights" -> ((s, d) => operators.Mixture.importanceWeights(s, d)),
+    // exact top-quartile selection by avg_ppm via the score histogram +
+    // boundary-value tie-break — no corpus-wide rank window
+    "q_dsir_resample" -> ((s, d) => operators.Mixture.importanceResample(s, d)),
+    // composed corpus-build tail: curation ledger's train docs →
+    // temperature-balanced mixture
+    "q_mixture_curated" -> ((s, d) => operators.Mixture.mixtureCurated(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -285,6 +306,26 @@ object SparkEntry {
     * survivors), `covPct` switches decontamination to the
     * q_decontaminate_cov coverage arithmetic at that threshold.
     */
+  /** Shared WITH-prefix of the two DSIR oracles: token → 4096 md5-prefix
+    * buckets, add-one-smoothed target/reference ppm ratio per bucket,
+    * per-doc occurrence-weighted score — ONE spelling so the weights and
+    * resample oracles cannot drift on the scoring arithmetic (mirrors
+    * [[graft.operators.Mixture.importanceWeightsOn]]). Ends inside the
+    * WITH clause (no trailing comma) so callers append their tail.
+    */
+  private val dsirScoreSql: String = """
+      WITH tok AS (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      b AS (SELECT doc_id, source, substr(md5(tok), 1, 3) AS bkt FROM tok),
+      w AS (SELECT bkt,
+              CAST((COUNT(CASE WHEN source = 'src0' THEN 1 END) + 1) * 1000000
+                // (COUNT(*) + 1) AS BIGINT) AS w_ppm
+            FROM b GROUP BY bkt),
+      s AS (SELECT doc_id, CAST(SUM(w_ppm) AS BIGINT) AS score_ppm,
+                   COUNT(*) AS n_tokens
+            FROM b JOIN w USING (bkt) GROUP BY doc_id)"""
+
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
                              covPct: Option[Int]): String = {
     val nearPlantSql =
@@ -1147,6 +1188,104 @@ object SparkEntry {
     // the same ledger, aggregated — built from the q_pipeline_curate CTE
     // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",
+    // direct single-window spelling of the concat-and-chunk packing —
+    // the engine computes the same prefix blockwise (Mixture
+    // .packSequencesOn; equality asserted in MixtureSpec). The md5
+    // fingerprint is the deterministic shuffle-order key; unnest(range)
+    // mirrors Spark's explode(sequence) over the straddled chunk ids
+    "q_pack_sequences" -> ("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS key
+                 FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+              COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                CAST(0 AS BIGINT)) AS strt
+            FROM t),
+      e AS (SELECT doc_id, n_tokens, strt,
+              unnest(range(strt // 512, (strt + n_tokens - 1) // 512 + 1)) AS seq_id
+            FROM r)
+      SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+             CAST(LEAST((seq_id + 1) * 512, strt + n_tokens)
+                - GREATEST(seq_id * 512, strt) AS BIGINT) AS tok_in_seq
+      FROM e""".stripMargin.trim),
+    // quota = min(n, 4*floor(sqrt(n))): sqrt is IEEE correctly rounded,
+    // so the floor is bit-identical across engines (pow's 1-ulp license
+    // is exactly why the alpha=0.5 temperature is spelled via sqrt)
+    "q_mixture_plan" -> ("""
+      WITH t AS (SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                 FROM documents)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 4) AS quota
+      FROM t GROUP BY source""".stripMargin.trim),
+    // direct per-source rank spelling — the engine ranks blockwise
+    // within (source, fp-prefix) + offsets (equality via the shared rk
+    // column: a wrong offset breaks the hash, not just membership)
+    "q_mixture_sample" -> ("""
+      WITH t AS (SELECT doc_id, source,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS key
+                 FROM documents),
+      q AS (SELECT source,
+              LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 4) AS quota
+            FROM t GROUP BY source),
+      r AS (SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY key, doc_id) AS BIGINT) AS rk
+            FROM t)
+      SELECT r.doc_id, r.source, r.rk
+      FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin.trim),
+    // hashed-feature buckets are md5-prefix STRINGS (4096 of them) so
+    // both engines spell the hash identically; weights in integer ppm
+    "q_dsir_weights" -> (dsirScoreSql + """
+      SELECT doc_id, n_tokens, score_ppm,
+             CAST(score_ppm // n_tokens AS BIGINT) AS avg_ppm
+      FROM s""".stripMargin.trim),
+    // top-quartile selection from the avg_ppm histogram: values whose
+    // running count fits the quota keep every doc, the crossing value
+    // tie-breaks by doc_id — same arithmetic as Mixture.importanceResampleOn
+    "q_dsir_resample" -> (dsirScoreSql + """,
+      sc AS (SELECT doc_id, CAST(score_ppm // n_tokens AS BIGINT) AS avg_ppm FROM s),
+      h AS (SELECT avg_ppm, COUNT(*) AS cnt FROM sc GROUP BY avg_ppm),
+      c AS (SELECT avg_ppm, cnt,
+              COALESCE(CAST(SUM(cnt) OVER (ORDER BY avg_ppm DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                CAST(0 AS BIGINT)) AS cum_before
+            FROM h),
+      n AS (SELECT CAST(SUM(cnt) // 4 AS BIGINT) AS quota FROM h),
+      m AS (SELECT avg_ppm,
+              (cum_before + cnt <= quota) AS whole,
+              (quota - cum_before) AS room
+            FROM c CROSS JOIN n WHERE cum_before < quota),
+      rr AS (SELECT sc.doc_id, sc.avg_ppm, m.whole, m.room,
+              CAST(ROW_NUMBER() OVER (PARTITION BY sc.avg_ppm
+                ORDER BY sc.doc_id) AS BIGINT) AS rin
+             FROM sc JOIN m USING (avg_ppm))
+      SELECT doc_id, avg_ppm FROM rr WHERE whole OR rin <= room""".stripMargin.trim),
+    // composed tail: the q_pipeline_curate ledger (as a derived table,
+    // the q_pipeline_stats wrapping precedent — the two oracles cannot
+    // drift) keeps outcome='train', re-attaches source from documents,
+    // then the q_mixture_sample rank/quota arithmetic runs over the
+    // survivors. Planted ledger rows never reach 'train' (they always
+    // lose the keeper race), so the join back to documents is total.
+    "q_mixture_curated" -> ("""
+      WITH t AS (SELECT d.doc_id, d.source,
+                   md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS key
+                 FROM documents d
+                 JOIN (""" + pipelineOracle(
+                   nearPlants = false, fuzzy = false, covPct = None) + """) led
+                   ON led.doc_id = d.doc_id
+                 WHERE led.outcome = 'train'),
+      q AS (SELECT source,
+              LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 4) AS quota
+            FROM t GROUP BY source),
+      r AS (SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY key, doc_id) AS BIGINT) AS rk
+            FROM t)
+      SELECT r.doc_id, r.source, r.rk
+      FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-MIX construction operators — the stage of a corpus build that
+  * runs AFTER curation ([[Pipeline]]) and turns a cleaned document set
+  * into what a trainer actually consumes: a deterministic global
+  * shuffle, fixed-length packed sequences, a temperature-balanced domain
+  * mixture, and DSIR-style importance-weighted selection toward a target
+  * domain (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", public literature; the hashed-feature trick
+  * is theirs, the arithmetic here is integer-exact so every output
+  * column oracle-checks).
+  *
+  * House rules applied throughout:
+  *   - every surfaced column is integer or string (driver-hash type
+  *     stability — no floats; the ONE float op used, `sqrt`, is
+  *     IEEE-754 correctly rounded, so `floor(sqrt(bigint))` is
+  *     bit-identical across engines, unlike `pow`/`log`);
+  *   - ordering keys are the canonical md5 fingerprint (the
+  *     [[TextAnalysis.fingerprints]] spelling) — a deterministic,
+  *     engine-portable pseudorandom shuffle order, so "shuffle the
+  *     corpus" reproduces bit-for-bit across runs and engines, and
+  *     exact dups sort adjacently (tie-broken by doc_id);
+  *   - every global prefix sum / rank is computed BLOCKWISE (the
+  *     [[TextAnalysis.tokenShards]] precedent): per-block partials, a
+  *     window over the small block-summary frame, broadcast offsets
+  *     back — no single-partition `Window.orderBy` over the corpus.
+  *     Blocks are the first two hex chars of the order key (256
+  *     data-independent ranges; lexicographic fp order == (blk, fp)
+  *     order because blk is a prefix of fp).
+  */
+object Mixture {
+
+  /** Canonical content fingerprint — the shared md5-of-canonicalized-text
+    * spelling ([[TextAnalysis.fingerprints]] / Pipeline's dedup key).
+    * Here it doubles as the deterministic shuffle-order key.
+    */
+  private def orderKey(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** First two hex chars of the order key: 256 data-independent range
+    * blocks for blockwise prefix sums (no sampled bounds, unlike
+    * repartitionByRange). Widen to 3 chars (4096 blocks) per ~10^9 docs
+    * so per-block windows stay memory-bounded.
+    */
+  private def blkOf(key: Column): Column = substring(key, 1, 2)
+
+  /** GPT-style sequence PACKING: the corpus is deterministically
+    * shuffled (order by fingerprint, doc_id), token streams are
+    * concatenated, and the stream is chunked into fixed `seqLen`-token
+    * training sequences. Emitted per (doc, sequence) pair:
+    * `tok_in_seq` tokens of `doc_id` land in `seq_id` — the
+    * doc-to-training-example assignment map, including docs that
+    * straddle a chunk boundary (the concat-and-chunk semantics of
+    * GPT-3/Pile-lineage pretraining, not greedy bin packing — no doc is
+    * ever padded or dropped, Σ tok_in_seq == n_tokens per doc).
+    *
+    * 100 TB shape: one scan-fused projection (doc_id, n_tokens, key,
+    * blk — the text never leaves the scan), one 256-row block-sum
+    * aggregate, a window over THAT, broadcast offsets back, and a
+    * per-block window bounded by block size. The explode fans out only
+    * boundary docs (a doc spans ⌈n_tokens/seqLen⌉+1 sequences at most).
+    * The direct single-window spelling is the DuckDB oracle; equality
+    * with this blockwise plan is asserted in MixtureSpec.
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    seqLen: Long = 512L): DataFrame =
+    packSequencesOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), seqLen)
+
+  /** [[packSequences]] over any (doc_id, text) frame. */
+  def packSequencesOn(docTexts: DataFrame, seqLen: Long = 512L): DataFrame = {
+    require(seqLen > 0, s"packSequencesOn needs a positive seqLen, got $seqLen")
+    // tiny next to the text it derives from; feeds the block-sum agg AND
+    // the final assignment — persist so the corpus isn't scanned twice
+    // (caller-owned cleanup; scoped pipelines use CacheScope)
+    val base = graft.CacheScope.track(docTexts
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        orderKey(col("text")).as("key"))
+      .withColumn("blk", blkOf(col("key")))
+      .persist())
+    val offsets = base.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(
+        sum(col("bsum")).over(Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "blk")
+      .withColumn("start",
+        col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      // n_tokens >= 1 always (split of "" is [""]), so last >= first and
+      // Spark's sequence() never flips into a descending range
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start DIV $seqLen"),
+          expr(s"(start + n_tokens - 1) DIV $seqLen"))))
+      .select(col("doc_id"), col("seq_id"), col("n_tokens"),
+        (least((col("seq_id") + 1) * seqLen, col("start") + col("n_tokens"))
+          - greatest(col("seq_id") * seqLen, col("start"))).as("tok_in_seq"))
+  }
+
+  /** The per-source MIXTURE PLAN of [[temperatureSample]]: doc and token
+    * counts plus the sqrt-temperature quota each source gets — the
+    * one-screen artifact a data engineer signs off on before the
+    * sampling pass runs. quota = min(n_docs, scale·⌊√n_docs⌋): the
+    * α = 0.5 point of the `p^α` temperature family (the multilingual-
+    * pretraining rebalancing idiom — GPT-3 / mBERT-lineage mixtures),
+    * spelled through `sqrt` because IEEE requires it correctly rounded —
+    * `pow(x, 0.5)` carries a 1-ulp license that could flip the floor.
+    */
+  def mixturePlan(spark: SparkSession, sfDir: String,
+                  scale: Long = 4L): DataFrame =
+    mixturePlanOn(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")), scale)
+
+  private def quotaOf(nDocs: Column, scale: Long): Column =
+    least(nDocs, floor(sqrt(nDocs.cast("double"))).cast("long") * scale)
+
+  /** [[mixturePlan]] over any (doc_id, text, source) frame. */
+  def mixturePlanOn(docs: DataFrame, scale: Long = 4L): DataFrame = {
+    require(scale > 0, s"mixturePlanOn needs a positive scale, got $scale")
+    docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("quota", quotaOf(col("n_docs"), scale))
+  }
+
+  /** Temperature-balanced DOMAIN MIXTURE sampling: each source keeps its
+    * first `quota` documents in deterministic shuffle order (fingerprint,
+    * doc_id), where quota = min(count, scale·⌊√count⌋) — sqrt-temperature
+    * flattening: over-represented sources are downsampled ∝ √count while
+    * small sources survive whole, which is exactly the α = 0.5
+    * temperature mixture without a cross-source normalizing sum (a float
+    * Σ count^α would be summation-order-dependent and could flip a quota
+    * at the floor boundary; per-source arithmetic has one spelling).
+    *
+    * 100 TB shape: the quota table is one tiny aggregate (broadcast
+    * back); the per-source rank is blockwise — rank within (source, blk)
+    * plus per-(source, blk) offsets from a small counts frame — so no
+    * window partition exceeds a fingerprint block even when one source
+    * dominates the corpus (the skew case temperature sampling exists
+    * for). Emits (doc_id, source, rk) with rk the 1-based position in
+    * the source's shuffle order — surfaced so the oracle checks the
+    * rank arithmetic itself, not just set membership.
+    */
+  def temperatureSample(spark: SparkSession, sfDir: String,
+                        scale: Long = 4L): DataFrame =
+    temperatureSampleOn(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")), scale)
+
+  /** [[temperatureSample]] over any (doc_id, text, source) frame. */
+  def temperatureSampleOn(docs: DataFrame, scale: Long = 4L): DataFrame = {
+    require(scale > 0, s"temperatureSampleOn needs a positive scale, got $scale")
+    val base = graft.CacheScope.track(docs
+      .select(col("doc_id"), col("source"), orderKey(col("text")).as("key"))
+      .withColumn("blk", blkOf(col("key")))
+      .persist())
+    val quotas = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota", quotaOf(col("n_docs"), scale))
+      .select(col("source"), col("quota"))
+    // per-(source, blk) counts → running offset per source over its
+    // ≤256-row block frame; global (fp, doc_id) order per source equals
+    // (blk, fp, doc_id) order because blk prefixes fp
+    val offsets = base.groupBy(col("source"), col("blk"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boff", coalesce(
+        sum(col("bcnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("blk"), col("boff"))
+    base
+      .withColumn("rin", row_number().over(
+        Window.partitionBy(col("source"), col("blk"))
+          .orderBy(col("key"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("source", "blk"))
+      .withColumn("rk", col("boff") + col("rin"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Hash-bucketed feature id of one token: the first 3 hex chars of its
+    * md5 — 4096 buckets as STRING keys, both engines spelling the hash
+    * identically (DSIR's hashed n-gram features; string keys sidestep
+    * the hex→int conversion DuckDB and Spark would disagree on).
+    */
+  private def bucketOf(tok: Column): Column = substring(md5(tok), 1, 3)
+
+  /** DSIR-style IMPORTANCE WEIGHTS toward a target domain: every token
+    * maps to one of 4096 hashed feature buckets; the weight of a bucket
+    * is the add-one-smoothed target/reference frequency ratio in parts
+    * per million, `w_ppm = (tgt+1)·1e6 div (ref+1)`; a document's score
+    * is the sum of its token occurrences' bucket weights. Monotone in
+    * the same direction as the log-likelihood-ratio score of the DSIR
+    * paper but integer-exact end to end — `log` is not correctly
+    * rounded and a float Σ is summation-order-dependent, either of
+    * which would make the result engine-dependent (the repo-wide
+    * integer-minor-units rule). The unnormalized ratio differs from the
+    * normalized `p_tgt/p_ref` by one constant factor corpus-wide, so
+    * ranking — the thing resampling consumes — is unchanged.
+    *
+    * 100 TB shape: the weight table is AT MOST 4096 rows regardless of
+    * corpus size (the entire point of hashed features) — built by two
+    * token-occurrence aggregates and broadcast back; per-doc scoring is
+    * one hash aggregate keyed on doc_id. Nothing is corpus-quadratic
+    * and the vocabulary never materializes.
+    *
+    * Emits (doc_id, n_tokens, score_ppm, avg_ppm = score div n_tokens);
+    * `avg_ppm` is the length-normalized score resampling ranks on.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String,
+                        targetSource: String = "src0"): DataFrame =
+    importanceWeightsOn(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")), targetSource)
+
+  /** [[importanceWeights]] over any (doc_id, text, source) frame. */
+  def importanceWeightsOn(docs: DataFrame,
+                          targetSource: String = "src0"): DataFrame = {
+    val toks = graft.CacheScope.track(docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"), bucketOf(col("tok")).as("bkt"))
+      .persist())
+    val weights = toks.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("ref_cnt"),
+        count(when(col("source") === targetSource, 1)).as("tgt_cnt"))
+      .select(col("bkt"),
+        expr("(tgt_cnt + 1) * 1000000 DIV (ref_cnt + 1)").as("w_ppm"))
+    toks.join(broadcast(weights), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("score_ppm"),
+        expr("score_ppm DIV n_tokens").as("avg_ppm"))
+  }
+
+  /** IMPORTANCE RESAMPLING: keep the top `1/denom` fraction of documents
+    * by [[importanceWeights]]'s length-normalized score — exact top-k
+    * WITHOUT a global rank window. A corpus-wide
+    * `row_number() over (order by score)` collapses to one partition;
+    * instead the selection threshold comes from the score HISTOGRAM
+    * (avg_ppm is a bounded-cardinality integer): per-value counts, a
+    * running sum over the small distinct-value frame, every value
+    * strictly above the crossing value kept whole, and the tie at the
+    * crossing value broken by doc_id rank WITHIN that one value — the
+    * only window in the plan, partitioned on a single score value. The
+    * kept set is exactly ⌊n/denom⌋ docs, bit-deterministic.
+    *
+    * Emits (doc_id, avg_ppm) for the kept set.
+    */
+  def importanceResample(spark: SparkSession, sfDir: String,
+                         targetSource: String = "src0",
+                         denom: Long = 4L): DataFrame =
+    importanceResampleOn(importanceWeights(spark, sfDir, targetSource), denom)
+
+  /** [[importanceResample]] over any frame carrying (doc_id, avg_ppm). */
+  def importanceResampleOn(scores: DataFrame, denom: Long = 4L): DataFrame = {
+    require(denom > 0, s"importanceResampleOn needs a positive denom, got $denom")
+    val base = graft.CacheScope.track(
+      scores.select(col("doc_id"), col("avg_ppm")).persist())
+    // histogram in score-descending order: cum_before = docs strictly
+    // above this value; quota = ⌊n/denom⌋ overall
+    val hist = base.groupBy(col("avg_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("avg_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val quota = hist.agg(expr(s"sum(cnt) DIV $denom").as("quota"))
+    // 1-row broadcast — the deliberate-crossJoin precedent
+    // (TextAnalysis.topGramShareOn)
+    val marked = hist.crossJoin(broadcast(quota))
+      .select(col("avg_ppm"),
+        (col("cum_before") + col("cnt") <= col("quota")).as("whole"),
+        (col("cum_before") < col("quota") &&
+          col("cum_before") + col("cnt") > col("quota")).as("boundary"),
+        (col("quota") - col("cum_before")).as("room"))
+      .filter(col("whole") || col("boundary"))
+    base.join(broadcast(marked), "avg_ppm")
+      .withColumn("rin", row_number().over(
+        Window.partitionBy(col("avg_ppm")).orderBy(col("doc_id"))).cast("long"))
+      .filter(col("whole") || col("rin") <= col("room"))
+      .select(col("doc_id"), col("avg_ppm"))
+  }
+
+  /** The composed corpus-build tail: [[Pipeline.curate]]'s ledger keeps
+    * the `train` docs, and [[temperatureSampleOn]] balances the
+    * surviving mixture — curation and mix construction chained the way
+    * a production build runs them. Planted dedup copies can never reach
+    * `train` (they always lose the keeper race), so the sampled set is
+    * plant-free by construction; the join back to `documents` re-attaches
+    * the source column the ledger intentionally drops.
+    */
+  def mixtureCurated(spark: SparkSession, sfDir: String,
+                     scale: Long = 4L): DataFrame = {
+    val train = Pipeline.curate(spark, sfDir)
+      .filter(col("outcome") === "train")
+      .select(col("doc_id"))
+    temperatureSampleOn(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+        .join(train, "doc_id"), scale)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Mixture, Pipeline, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction (q_pack_sequences / q_mixture_* /
+  * q_dsir_*): the full output values are hash-checked against DuckDB by
+  * the driver; this suite asserts the invariants the oracle can't see —
+  * token conservation, exact sequence fill, blockwise == direct-window
+  * equality, quota monotonicity, score-direction sanity, and exact
+  * top-k cardinality.
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = TestSpark.sf0001
+  private lazy val docs = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("text"))
+  private lazy val packed = Mixture.packSequences(spark, sf).cache()
+
+  test("packing conserves every token: per-doc tok_in_seq sums to n_tokens") {
+    val bad = packed.groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("tok_in_seq")).as("packed"))
+      .filter(col("n_tokens") =!= col("packed"))
+    assert(bad.isEmpty, "a doc lost or gained tokens in packing")
+    // and every input doc appears (no doc dropped by the chunker)
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("every sequence except the last is filled to exactly seqLen tokens") {
+    val fills = packed.groupBy("seq_id").agg(sum(col("tok_in_seq")).as("fill"))
+    val lastSeq = fills.agg(max(col("seq_id"))).as[Long].head()
+    val bad = fills.filter(col("seq_id") =!= lastSeq && col("fill") =!= 512L)
+    assert(bad.isEmpty, "an interior training sequence is not exactly full")
+    // seq ids are dense from 0 — chunking leaves no holes
+    assert(fills.count() === lastSeq + 1)
+  }
+
+  test("a doc's sequences are consecutive (it straddles, never scatters)") {
+    val bad = packed.groupBy("doc_id")
+      .agg(min(col("seq_id")).as("lo"), max(col("seq_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("hi") - col("lo") + 1 =!= col("n"))
+    assert(bad.isEmpty, "non-consecutive seq ids for one doc")
+  }
+
+  test("blockwise packing equals the direct single-window spelling") {
+    // the oracle checks the direct spelling; this closes the loop on the
+    // blockwise plan being the SAME function (tokenShards precedent)
+    val key = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val direct = docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        key.as("key"))
+      .withColumn("strt", coalesce(
+        sum(col("n_tokens")).over(Window.orderBy(col("key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(expr("strt DIV 512"),
+          expr("(strt + n_tokens - 1) DIV 512"))))
+      .select(col("doc_id"), col("seq_id"), col("n_tokens"),
+        (least((col("seq_id") + 1) * 512L, col("strt") + col("n_tokens"))
+          - greatest(col("seq_id") * 512L, col("strt"))).as("tok_in_seq"))
+    assert(packed.except(direct).isEmpty && direct.except(packed).isEmpty,
+      "blockwise packing diverged from the direct prefix-sum spelling")
+  }
+
+  test("temperature sample honors its quota exactly, with dense ranks") {
+    val sampled = Mixture.temperatureSample(spark, sf).cache()
+    val plan = Mixture.mixturePlan(spark, sf)
+      .select(col("source"), col("n_docs"), col("quota"))
+    val got = sampled.groupBy("source")
+      .agg(count(lit(1)).as("kept"), max(col("rk")).as("max_rk"))
+    val bad = got.join(plan, "source")
+      .filter(col("kept") =!= col("quota") || col("max_rk") =!= col("quota") ||
+        col("quota") =!= least(col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double"))).cast("long") * 4))
+    assert(bad.isEmpty, "per-source kept count / max rank != sqrt-temperature quota")
+    // ranks are dense 1..quota per source: count == max == quota and
+    // distinct — no rank skipped or duplicated by the blockwise offsets
+    val dup = sampled.groupBy("source", "rk").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "duplicate rank within a source")
+    sampled.unpersist()
+  }
+
+  test("temperature sample is monotone in scale (smaller scale ⊂ larger)") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val s2 = Mixture.temperatureSampleOn(base, scale = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    val s4 = Mixture.temperatureSampleOn(base, scale = 4L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2.subsetOf(s4), "scale-2 sample is not a prefix of scale-4")
+    assert(s2.size < s4.size, "larger scale kept nothing extra (vacuous)")
+  }
+
+  test("importance weights point toward the target domain") {
+    // synthetic corpus: docs made ONLY of a target-exclusive token score
+    // strictly above docs made only of a non-target token, with the real
+    // fixture vocabulary absent from both
+    val synth = Seq(
+      (1L, "aurorax aurorax aurorax", "src0"),
+      (2L, "aurorax aurorax aurorax", "src1"),
+      (3L, "borealz borealz borealz", "src1"),
+      (4L, "borealz borealz borealz", "src2"))
+      .toDF("doc_id", "text", "source")
+    val w = Mixture.importanceWeightsOn(synth, targetSource = "src0")
+      .select(col("doc_id"), col("avg_ppm")).as[(Long, Long)].collect().toMap
+    // 'aurorax' occurs 3× in target of 6 total ⇒ w = 4*1e6/7; 'borealz'
+    // never in target ⇒ w = 1e6/7; identical length cancels
+    assert(w(1L) === w(2L), "same text must score identically regardless of source")
+    assert(w(1L) > w(4L), "target-exclusive vocabulary must outscore absent vocabulary")
+  }
+
+  test("importance resample keeps exactly floor(n/denom) docs — the top slice") {
+    val scores = Mixture.importanceWeights(spark, sf).cache()
+    val n = scores.count()
+    val kept = Mixture.importanceResampleOn(scores, denom = 4L).cache()
+    assert(kept.count() === n / 4, "kept cardinality != floor(n/4)")
+    // equals the brute-force global rank spelling (the thing the
+    // histogram + boundary tie-break exists to avoid at scale)
+    val brute = scores
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("avg_ppm").desc, col("doc_id"))))
+      .filter(col("rk") <= n / 4)
+      .select(col("doc_id"), col("avg_ppm"))
+    assert(kept.except(brute).isEmpty && brute.except(kept).isEmpty,
+      "histogram top-k diverged from the global-rank spelling")
+    scores.unpersist(); kept.unpersist()
+  }
+
+  test("curated mixture samples only ledger-train docs, with train-set quotas") {
+    val ledger = Pipeline.curate(spark, sf).cache()
+    val train = ledger.filter(col("outcome") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val sampled = Mixture.mixtureCurated(spark, sf).cache()
+    val ids = sampled.select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(train), "sampled a non-train doc")
+    // quotas are computed over the TRAIN subset, not the full corpus
+    val trainDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id").isInCollection(train))
+    val direct = Mixture.temperatureSampleOn(trainDocs)
+    assert(sampled.except(direct).isEmpty && direct.except(sampled).isEmpty,
+      "composed mixture diverged from temperatureSample over the train set")
+    ledger.unpersist(); sampled.unpersist()
+  }
+
+  test("dsir weight table never exceeds its 4096 hashed buckets") {
+    // the whole scale story: the broadcast side is fixed-size no matter
+    // the corpus — verify the bucket id really is a 3-hex-char key
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(substring(md5(col("tok")), 1, 3).as("bkt")).distinct()
+    val n = toks.count()
+    assert(n <= 4096, s"bucket space exceeded 4096: $n")
+    assert(toks.filter(length(col("bkt")) =!= 3).isEmpty)
+  }
+}

@@ -13,7 +13,11 @@ class PlanInvariantsSpec extends SparkSpec {
     * constant-size is linear, not quadratic, and IS the intended plan.
     * Everything else must stay equi-join shaped.
     */
-  private val intendedBnlj = Set("q_embed_ann", "q_tfidf_terms")
+  private val intendedBnlj = Set("q_embed_ann", "q_tfidf_terms",
+    // importance resampling crossJoins a broadcast 1-ROW quota frame
+    // into the score histogram (Mixture.importanceResampleOn) — same
+    // constant-build-side shape as tf-idf's corpus count
+    "q_dsir_resample")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -57,7 +61,12 @@ class PlanInvariantsSpec extends SparkSpec {
     * corpus. Every other window must carry a partition key, or one task
     * serializes the whole dataset at scale.
     */
-  private val intendedGlobalWindow = Set("q_token_shards")
+  private val intendedGlobalWindow = Set("q_token_shards",
+    // packSequences' block-offset window runs over the ≤256-row
+    // fp-prefix block sums (Mixture.packSequencesOn — the tokenShards
+    // pattern); dsir_resample's runs over the bounded-cardinality
+    // avg_ppm histogram, never the corpus
+    "q_pack_sequences", "q_dsir_resample")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
