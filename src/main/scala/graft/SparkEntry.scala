@@ -243,6 +243,27 @@ object SparkEntry {
     // composed corpus-build tail: curation ledger's train docs →
     // temperature-balanced mixture
     "q_mixture_curated" -> ((s, d) => operators.Mixture.mixtureCurated(s, d)),
+    // -- CCNet-style LM perplexity filtering --
+    // per-doc cross-entropy in whole bits under the en-reference unigram
+    // LM (bitlen staircase — integer-exact across engines); vocab capped
+    // at 16 so the cap AND out-of-vocabulary paths are both non-vacuous
+    // on the 31-token fixture vocabulary
+    "q_lm_score" -> ((s, d) => operators.Lm.lmScore(s, d, "en", 16)),
+    // head/middle/tail perplexity tertiles from the score histogram;
+    // only boundary-straddling score values pay a per-doc tie-break
+    "q_lm_buckets" -> ((s, d) => operators.Lm.lmBuckets(s, d, "en", 16)),
+    // perplexity-curriculum ordering: global easy-to-hard position
+    // (grade = LM bits_per_100, fingerprint shuffle within a grade),
+    // ranked blockwise — the window runs over the (grade, fp-prefix)
+    // counts frame, never the corpus
+    "q_curriculum" -> ((s, d) => operators.Mixture.curriculumOrder(s, d)),
+    // -- corpus packaging / audit --
+    // sliding-window passage chunking (RAG / fixed-context prep):
+    // 32-token chunks at stride 24 — pure explode projection, no shuffle
+    "q_chunk_passages" -> ((s, d) => operators.Chunking.chunkPassages(s, d)),
+    // content-level generation diff: added/removed/retained fingerprints
+    // per source between two deterministic snapshot carvings
+    "q_snapshot_diff" -> ((s, d) => operators.Snapshot.snapshotDiff(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -325,6 +346,26 @@ object SparkEntry {
       s AS (SELECT doc_id, CAST(SUM(w_ppm) AS BIGINT) AS score_ppm,
                    COUNT(*) AS n_tokens
             FROM b JOIN w USING (bkt) GROUP BY doc_id)"""
+
+  /** Shared per-doc LM cross-entropy CTE (q_lm_score / q_lm_buckets) —
+    * the integer bitlen staircase of Lm.lmScoreOn: bitlen via
+    * length(bin(x)), vocab capped at 16 by (cnt desc, tok), Laplace +1
+    * on the (possibly OOV) count. Ends with `s(doc_id, n_tokens, bits)`.
+    */
+  private val lmScoreSql: String = """
+      WITH ref AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents WHERE lang = 'en'),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM ref),
+      v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ref
+            GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+      s AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CAST(length(bin(n.ntot)) AS BIGINT)
+                 - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT))
+                AS BIGINT) AS bits
+            FROM t LEFT JOIN v USING (tok) CROSS JOIN n
+            GROUP BY t.doc_id)"""
 
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
                              covPct: Option[Int]): String = {
@@ -1286,6 +1327,79 @@ object SparkEntry {
             FROM t)
       SELECT r.doc_id, r.source, r.rk
       FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin.trim),
+    // CCNet-style cross-entropy in whole bits: the bitlen staircase is
+    // integer-exact in both engines (log/ln carry a 1-ulp license;
+    // length(bin(x)) has one spelling)
+    "q_lm_score" -> (lmScoreSql + """
+      SELECT doc_id, n_tokens, bits,
+             CAST(bits * 100 // n_tokens AS BIGINT) AS bits_per_100
+      FROM s""".stripMargin.trim),
+    // direct global-rank tertile spelling — the engine assigns buckets
+    // per score VALUE from the histogram and tie-breaks only the
+    // boundary-straddling values (equality certified by this oracle:
+    // a wrong straddle split breaks the hash)
+    "q_lm_buckets" -> (lmScoreSql + """,
+      sc AS (SELECT doc_id, CAST(bits * 100 // n_tokens AS BIGINT) AS bits_per_100
+             FROM s),
+      r2 AS (SELECT doc_id, bits_per_100,
+              CAST(ROW_NUMBER() OVER (ORDER BY bits_per_100, doc_id) AS BIGINT) AS rk,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n
+             FROM sc)
+      SELECT doc_id, bits_per_100,
+             CASE WHEN rk <= n // 3 THEN 'head'
+                  WHEN rk <= n * 2 // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r2""".stripMargin.trim),
+    // direct global-rank spelling of the curriculum position — the
+    // engine computes the same rank blockwise (Mixture.curriculumOrderOn;
+    // equality asserted in MixtureSpec)
+    "q_curriculum" -> (lmScoreSql + """,
+      g AS (SELECT doc_id, CAST(bits * 100 // n_tokens AS BIGINT) AS grade
+            FROM s)
+      SELECT d.doc_id, g.grade,
+             CAST(ROW_NUMBER() OVER (ORDER BY g.grade,
+               md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')),
+               d.doc_id) AS BIGINT) AS pos
+      FROM documents d JOIN g ON g.doc_id = d.doc_id""".stripMargin.trim),
+    // pure per-row chunk arithmetic — range/unnest mirrors Spark's
+    // explode(sequence); DuckDB's 1-based inclusive list slice mirrors
+    // Spark's slice(toks, start, len)
+    "q_chunk_passages" -> ("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, toks, n,
+              unnest(range(0, CASE WHEN n <= 32 THEN 1
+                ELSE (n - 32 + 24 - 1) // 24 + 1 END)) AS cid
+            FROM t)
+      SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+             CAST(cid * 24 + 1 AS BIGINT) AS start_tok,
+             CAST(LEAST(32, n - cid * 24) AS BIGINT) AS n_tok,
+             array_to_string(toks[(cid*24+1):(cid*24 + LEAST(32, n - cid*24))],
+               ' ') AS chunk_text
+      FROM c""".stripMargin.trim),
+    // same fingerprint spelling as the dedup/mixture family; min(source)
+    // attribution avoids any min_by/ordering license
+    "q_snapshot_diff" -> ("""
+      WITH o AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                   MIN(source) AS src, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+                 FROM documents WHERE doc_id % 20 <> 3 GROUP BY fp),
+      nw AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                   MIN(source) AS src, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+                 FROM documents WHERE doc_id % 20 <> 7 GROUP BY fp),
+      j AS (SELECT COALESCE(nw.src, o.src) AS source,
+              CASE WHEN o.fp IS NULL THEN 'added'
+                   WHEN nw.fp IS NULL THEN 'removed' ELSE 'retained' END AS status,
+              CASE WHEN o.fp IS NULL OR nw.fp IS NOT NULL THEN nw.n_docs
+                   ELSE o.n_docs END AS nd,
+              CASE WHEN o.fp IS NULL OR nw.fp IS NOT NULL THEN nw.n_toks
+                   ELSE o.n_toks END AS nt
+            FROM o FULL OUTER JOIN nw USING (fp))
+      SELECT source, status, COUNT(*) AS n_fps, CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM j GROUP BY source, status""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

@@ -308,4 +308,51 @@ object Mixture {
         .select(col("doc_id"), col("text"), col("source"))
         .join(train, "doc_id"), scale)
   }
+
+  /** PERPLEXITY-CURRICULUM ordering — the easy-to-hard training
+    * schedule: every doc gets its 1-based global position in
+    * (grade asc, fingerprint, doc_id) order, where `grade` is any
+    * integer difficulty signal (the driver spelling uses the
+    * [[Lm]] cross-entropy `bits_per_100`, i.e. cleanest text first —
+    * the curriculum-learning idiom of Bengio et al., public
+    * literature). Within a grade the fingerprint shuffle order
+    * decorrelates position from ingest order, so a grade is a
+    * well-mixed band, not a sorted-by-source run.
+    *
+    * 100 TB shape: the global rank is blockwise (the [[packSequencesOn]]
+    * pattern with a composite (grade, fp-prefix) block): per-block
+    * counts, ONE window over the counts frame (|grades|·256 rows —
+    * bounded by score cardinality, never corpus-sized), broadcast
+    * offsets back, per-block `row_number` bounded by block size.
+    */
+  def curriculumOrder(spark: SparkSession, sfDir: String,
+                      refLang: String = "en", vocabSize: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grades = Lm.lmScore(spark, sfDir, refLang, vocabSize)
+      .select(col("doc_id"), col("bits_per_100").as("grade"))
+    curriculumOrderOn(
+      docs.select(col("doc_id"), col("text")).join(grades, "doc_id"))
+  }
+
+  /** [[curriculumOrder]] over any (doc_id, text, grade) frame. */
+  def curriculumOrderOn(graded: DataFrame): DataFrame = {
+    val base = graft.CacheScope.track(graded
+      .select(col("doc_id"), col("grade"), orderKey(col("text")).as("key"))
+      .withColumn("blk", blkOf(col("key")))
+      .persist())
+    // (grade, blk) running offsets: global (grade, key, doc_id) order
+    // equals (grade, blk, key, doc_id) order because blk prefixes key
+    val offsets = base.groupBy(col("grade"), col("blk"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boff", coalesce(
+        sum(col("bcnt")).over(Window.orderBy(col("grade"), col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grade"), col("blk"), col("boff"))
+    base
+      .withColumn("rin", row_number().over(
+        Window.partitionBy(col("grade"), col("blk"))
+          .orderBy(col("key"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("grade", "blk"))
+      .select(col("doc_id"), col("grade"), (col("boff") + col("rin")).as("pos"))
+  }
 }

@@ -153,7 +153,9 @@ class GrepEngineSpec extends SparkSpec {
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
       "q_pipeline_stats",
       "q_pack_sequences", "q_mixture_plan", "q_mixture_sample",
-      "q_dsir_weights", "q_dsir_resample", "q_mixture_curated")
+      "q_dsir_weights", "q_dsir_resample", "q_mixture_curated",
+      "q_lm_score", "q_lm_buckets", "q_chunk_passages", "q_snapshot_diff",
+      "q_curriculum")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

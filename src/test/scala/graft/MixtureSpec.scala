@@ -149,6 +149,32 @@ class MixtureSpec extends SparkSpec {
     ledger.unpersist(); sampled.unpersist()
   }
 
+  test("curriculum position is a permutation, grade-monotone, and equals the direct window") {
+    val cur = Mixture.curriculumOrder(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    // 1..n with no holes or repeats
+    assert(cur.count() === n)
+    assert(cur.agg(min(col("pos")), max(col("pos")), countDistinct(col("pos")))
+      .as[(Long, Long, Long)].head() === ((1L, n, n)))
+    // easy-to-hard: grade never decreases along the schedule
+    val byPos = cur.orderBy("pos").select("grade").as[Long].collect()
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+      "grade decreased along the curriculum")
+    // blockwise rank == the direct single-window spelling (the oracle)
+    val key = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val grades = operators.Lm.lmScore(spark, sf, "en", 16)
+      .select(col("doc_id"), col("bits_per_100").as("grade"))
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), key.as("key")).join(grades, "doc_id")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("grade"), col("key"), col("doc_id"))).cast("long"))
+      .select("doc_id", "grade", "pos")
+    assert(cur.exceptAll(direct).isEmpty && direct.exceptAll(cur).isEmpty,
+      "blockwise curriculum rank diverged from the direct window")
+    cur.unpersist()
+  }
+
   test("dsir weight table never exceeds its 4096 hashed buckets") {
     // the whole scale story: the broadcast side is fixed-size no matter
     // the corpus — verify the bucket id really is a 3-hex-char key

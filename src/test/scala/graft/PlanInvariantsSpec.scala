@@ -17,7 +17,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // importance resampling crossJoins a broadcast 1-ROW quota frame
     // into the score histogram (Mixture.importanceResampleOn) — same
     // constant-build-side shape as tf-idf's corpus count
-    "q_dsir_resample")
+    "q_dsir_resample",
+    // the LM scorer crossJoins the broadcast 1-ROW reference token
+    // total N into the scoring join (Lm.lmScoreOn); buckets and the
+    // curriculum compose it — and lm_buckets additionally crossJoins
+    // the 1-ROW tertile-bounds frame into the score histogram
+    "q_lm_score", "q_lm_buckets", "q_curriculum")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -66,7 +71,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // fp-prefix block sums (Mixture.packSequencesOn — the tokenShards
     // pattern); dsir_resample's runs over the bounded-cardinality
     // avg_ppm histogram, never the corpus
-    "q_pack_sequences", "q_dsir_resample")
+    // lm_buckets' tertile-boundary window (score-value histogram) and
+    // curriculum's block-offset window ((grade, fp-prefix) counts) run
+    // over bounded side frames, never the per-doc corpus
+    "q_pack_sequences", "q_dsir_resample", "q_lm_buckets", "q_curriculum")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

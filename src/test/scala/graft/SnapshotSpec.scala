@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff (q_snapshot_diff): the rollup values are hash-checked
+  * against DuckDB by the driver; this suite asserts the semantics the
+  * rollup can't show — content keying (doc_id churn is not corpus
+  * churn), side-of-record counting, and conservation against the raw
+  * snapshots.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = TestSpark.sf0001
+
+  test("hand-built diff: added / removed / retained each counted on the deciding side") {
+    val old = Seq((1L, "doc a", "s1"), (2L, "doc b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((7L, "doc b", "s1"), (8L, "doc b", "s1"),
+      (9L, "doc c c", "s2")).toDF("doc_id", "text", "source")
+    val got = Snapshot.snapshotDiffOn(old, nw)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // "doc a" removed (old-side counts), "doc b" retained with NEW-side
+    // doc count 2 (doc_id churn 2->7 is invisible; re-crawl dup counted
+    // as docs, once as fp), "doc c c" added with its 3 tokens
+    assert(got === Map(
+      ("s1", "removed") -> (1L, 1L, 2L),
+      ("s1", "retained") -> (1L, 2L, 4L),
+      ("s2", "added") -> (1L, 1L, 3L)))
+  }
+
+  test("pure doc_id reshuffle of identical content is 100% retained") {
+    val old = Seq((1L, "x y", "s1"), (2L, "z", "s2")).toDF("doc_id", "text", "source")
+    val nw = Seq((10L, "x y", "s1"), (20L, "z", "s2")).toDF("doc_id", "text", "source")
+    val got = Snapshot.snapshotDiffOn(old, nw)
+      .groupBy("status").agg(sum(col("n_fps")).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("retained" -> 2L))
+  }
+
+  test("canonicalization: whitespace/case variants are the same content") {
+    val old = Seq((1L, "Hello  World", "s1")).toDF("doc_id", "text", "source")
+    val nw = Seq((2L, "hello world", "s1")).toDF("doc_id", "text", "source")
+    val got = Snapshot.snapshotDiffOn(old, nw).select("status")
+      .as[String].collect()
+    assert(got.toSeq === Seq("retained"))
+  }
+
+  test("driver spelling conserves fingerprints against the raw snapshots") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val oldFps = docs.filter(col("doc_id") % 20 =!= 3).select(fp.as("fp"))
+      .distinct().count()
+    val newFps = docs.filter(col("doc_id") % 20 =!= 7).select(fp.as("fp"))
+      .distinct().count()
+    val d = Snapshot.snapshotDiff(spark, sf)
+      .groupBy("status").agg(sum(col("n_fps")).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(d.keySet === Set("added", "removed", "retained"),
+      "a diff status went vacuous on the fixture carving")
+    assert(d("added") + d("retained") === newFps)
+    assert(d("removed") + d("retained") === oldFps)
+  }
+}
