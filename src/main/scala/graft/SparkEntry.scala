@@ -264,6 +264,33 @@ object SparkEntry {
     // content-level generation diff: added/removed/retained fingerprints
     // per source between two deterministic snapshot carvings
     "q_snapshot_diff" -> ((s, d) => operators.Snapshot.snapshotDiff(s, d)),
+    // -- corpus profiling / governance --
+    // per-source data card: volumes + language-mix headline; the only
+    // window runs over the (source × lang) catalog frame
+    "q_corpus_card" -> ((s, d) => operators.Profile.corpusCard(s, d)),
+    // ANALYZE-style per-column profile of orders (one formatter branch
+    // per storage class: long, double→DECIMAL string, timestamp, string)
+    "q_profile_orders" -> ((s, d) => operators.Profile.ordersProfile(s, d)),
+    // C4-style blocklist verdict via explode → broadcast term join;
+    // "spamword" never matches, keeping the miss path non-vacuous
+    "q_blocklist" -> ((s, d) => operators.Profile.blocklistVerdict(s, d)),
+    // pairwise source content overlap (containment of the smaller
+    // side); cross-source duplicates planted per the plantDups pattern
+    "q_source_overlap" -> ((s, d) => operators.Snapshot.sourceOverlap(s, d)),
+    // bigram LM with stupid backoff — same bitlen staircase as
+    // q_lm_score; caps 16/64 keep all three scoring paths non-vacuous
+    "q_lm_bigram" -> ((s, d) => operators.Lm.bigramScore(s, d, "en", 16, 64)),
+    // -- tokenizer induction (BPE) --
+    // first-iteration adjacent-char pair table: the exact frame the
+    // first merge decision reads, hash-checked against DuckDB
+    "q_bpe_pairs" -> ((s, d) => operators.Bpe.bpePairs(s, d)),
+    // 8 learned merges; rows-only (iterative, not SQL-expressible) —
+    // BpeSpec asserts == a first-principles reimplementation
+    "q_bpe_merges" -> ((s, d) => operators.Bpe.bpeMerges(s, d)),
+    // per-doc share of corpus-unique 3-grams (novelty-weighted
+    // sampling signal); equi-join df spelling so AQE can split a
+    // boilerplate gram's skewed partition
+    "q_novelty" -> ((s, d) => operators.TextAnalysis.novelty(s, d)),
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
@@ -1400,6 +1427,153 @@ object SparkEntry {
       SELECT source, status, COUNT(*) AS n_fps, CAST(SUM(nd) AS BIGINT) AS n_docs,
              CAST(SUM(nt) AS BIGINT) AS n_tokens
       FROM j GROUP BY source, status""".stripMargin.trim),
+    // per-source data card; avg and ppm via integer DIV (// here), top
+    // language by (docs desc, lang asc) — same tie-break both engines
+    "q_corpus_card" -> ("""
+      WITH b AS (SELECT source, lang, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                 FROM documents),
+      sl AS (SELECT source, lang, COUNT(*) AS docs,
+               CAST(SUM(n_toks) AS BIGINT) AS toks,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               MIN(n_chars) AS mn, MAX(n_chars) AS mx
+             FROM b GROUP BY source, lang),
+      s AS (SELECT source, CAST(SUM(docs) AS BIGINT) AS n_docs,
+              CAST(SUM(toks) AS BIGINT) AS n_tokens,
+              MIN(mn) AS min_chars, MAX(mx) AS max_chars,
+              CAST(SUM(chars) AS BIGINT) AS sum_chars,
+              CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM sl GROUP BY source),
+      t AS (SELECT source, lang AS top_lang, docs AS tl_docs,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY docs DESC, lang) AS rn
+            FROM sl)
+      SELECT s.source, s.n_docs, s.n_tokens, s.min_chars, s.max_chars,
+             CAST(s.sum_chars // s.n_docs AS BIGINT) AS avg_chars,
+             s.n_langs, t.top_lang,
+             CAST(t.tl_docs * 1000000 // s.n_docs AS BIGINT) AS top_lang_ppm
+      FROM s JOIN t ON t.source = s.source AND t.rn = 1""".stripMargin.trim),
+    // one UNION ALL branch per profiled column; doubles render through
+    // DECIMAL(18,2) — the one string spelling both engines share
+    "q_profile_orders" -> (Seq(
+        ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        ("o_orderstatus", "CAST(o_orderstatus AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+        ("o_orderpriority", "CAST(o_orderpriority AS VARCHAR)"))
+      .map { case (c, fmt) =>
+        s"""SELECT '$c' AS col_name,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             MIN($fmt) AS min_value, MAX($fmt) AS max_value
+           FROM orders"""
+      }.mkString("\nUNION ALL\n")),
+    // whole-token case-insensitive blocklist hits under the corpus'
+    // single-space tokenization; kept = zero hits
+    "q_blocklist" -> ("""
+      WITH h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents) t
+                 WHERE tok IN ('dup', 'spamword')
+                 GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(h.n, 0) AS n_hits,
+             h.doc_id IS NULL AS kept
+      FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""".stripMargin.trim),
+    // same fingerprint + plant spellings as the Scala side; containment
+    // is ppm of the SMALLER side's distinct-content size
+    "q_source_overlap" -> ("""
+      WITH d AS (SELECT text, source FROM documents
+                 UNION ALL
+                 SELECT text,
+                   'src' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) AS source
+                 FROM documents WHERE doc_id % 9 = 1),
+      f AS (SELECT DISTINCT source,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            FROM d),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM f GROUP BY source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS shared_fps
+            FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source)
+      SELECT p.src_a, p.src_b, p.shared_fps, ta.n AS n_a, tb.n AS n_b,
+             CAST(p.shared_fps * 1000000 // LEAST(ta.n, tb.n) AS BIGINT)
+               AS containment_ppm
+      FROM p JOIN tot ta ON ta.source = p.src_a
+             JOIN tot tb ON tb.source = p.src_b""".stripMargin.trim),
+    // adjacent-char pairs via 1-based substr sliding over the distinct
+    // word table, weighted by corpus word frequency; top 20 by
+    // (cnt desc, lsym, rsym) — the first-merge tie-break rule
+    "q_bpe_pairs" -> ("""
+      WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents) w
+                  GROUP BY word),
+      p AS (SELECT substr(word, i, 1) AS lsym, substr(word, i + 1, 1) AS rsym,
+              freq
+            FROM wf, (SELECT unnest(generate_series(1, length(word) - 1)) AS i)
+            WHERE length(word) >= 2)
+      SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM p GROUP BY lsym, rsym
+      ORDER BY cnt DESC, lsym, rsym LIMIT 20""".stripMargin.trim),
+    // same distinct-shingle spelling as the decontamination oracles;
+    // sub-3-token docs surface 0 grams and a NULL ppm
+    "q_novelty" -> ("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      df AS (SELECT ng, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY ng),
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g,
+                CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u
+              FROM g JOIN df USING (ng) GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.g, 0) AS n_grams,
+             COALESCE(p.u, 0) AS n_unique,
+             CAST(CASE WHEN p.g > 0 THEN p.u * 1000000 // p.g END AS BIGINT)
+               AS novelty_ppm
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin.trim),
+    // bigram stupid-backoff staircase: pos-1 unigram bits, known bigram
+    // max(0, bitlen(c_uni(prev)+1) - bitlen(c_bi+1)), else 2 + unigram
+    // bits — caps and tie-breaks identical to the Scala side
+    "q_lm_bigram" -> ("""
+      WITH refdocs AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents WHERE lang = 'en'),
+      ref AS (SELECT unnest(ws) AS tok FROM refdocs),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM ref),
+      v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ref
+            GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16),
+      bg AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS bcnt
+             FROM (SELECT ws[i] AS prev, ws[i + 1] AS tok
+                   FROM refdocs,
+                     (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                   WHERE len(ws) >= 2) pairs
+             GROUP BY prev, tok ORDER BY bcnt DESC, prev, tok LIMIT 64),
+      t AS (SELECT doc_id, ws[i] AS tok,
+              CASE WHEN i > 1 THEN ws[i - 1] END AS prev
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents) dd,
+              (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      sc AS (SELECT t.doc_id,
+               CASE WHEN t.prev IS NULL
+                 THEN CAST(length(bin(n.ntot)) AS BIGINT)
+                   - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
+               WHEN bg.bcnt IS NOT NULL
+                 THEN GREATEST(0,
+                   CAST(length(bin(COALESCE(vp.cnt, 0) + 1)) AS BIGINT)
+                     - CAST(length(bin(bg.bcnt + 1)) AS BIGINT))
+               ELSE 2 + CAST(length(bin(n.ntot)) AS BIGINT)
+                 - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
+               END AS surprise
+             FROM t LEFT JOIN v USING (tok)
+                    LEFT JOIN v vp ON vp.tok = t.prev
+                    LEFT JOIN bg ON bg.prev = t.prev AND bg.tok = t.tok
+                    CROSS JOIN n)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(surprise) AS BIGINT) AS bits,
+             CAST(SUM(surprise) * 100 // COUNT(*) AS BIGINT) AS bits_per_100
+      FROM sc GROUP BY doc_id""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE TOKENIZER INDUCTION (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units") — learning the merge
+  * table is a corpus-scale counting job and belongs in the engine next
+  * to the BPE-ish token *counter* ([[TextAnalysis]]): every training
+  * run starts by inducing its vocabulary from the curated corpus.
+  *
+  * The classic algorithm: segment every word into character symbols,
+  * repeatedly count adjacent symbol pairs (weighted by word frequency)
+  * and merge the most frequent pair, k times. Ties break
+  * deterministically by (count desc, left asc, right asc) so the merge
+  * table is reproducible across engines and runs.
+  *
+  * 100 TB shape: the CORPUS is touched exactly once — the word-frequency
+  * aggregate (one shuffle, map-side combined). Every merge iteration
+  * after that runs on the distinct-WORD frame (vocabulary-sized:
+  * bounded by Heaps' law at ~10⁷ rows even at web scale, ~10⁵ per
+  * Zipf for common text), each iteration one tiny aggregate + a
+  * 1-row `TakeOrdered` collect of the winning pair — the per-step
+  * driver decision is control-plane by construction, exactly the
+  * [[graft.engine.GrepEngine]] rarest-trigram precedent. The segment
+  * recompute chain is re-planned from the persisted word table each
+  * step, so lineage stays O(steps) on a vocab-sized frame.
+  */
+object Bpe {
+
+  /** (word, freq) over the corpus — the single corpus-sized pass. */
+  def wordFreqOn(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Character-symbol segmentation of the word column (no end-of-word
+    * marker: the fixture tokenization is already word-bounded; a
+    * production caller appends one before calling).
+    */
+  private def charSyms(word: Column): Column = split(word, "")
+
+  /** Adjacent-symbol pair counts over a (syms, freq) segmentation
+    * frame, weighted by word frequency. Pair structs are built
+    * pre-explode so the symbol array never rides the exploded rows.
+    */
+  def pairCountsOn(seg: DataFrame): DataFrame =
+    seg.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("lsym"),
+          element_at(col("syms"), i + 1).as("rsym")))).as("p"))
+      .groupBy(col("p.lsym"), col("p.rsym"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One BPE merge applied to a symbol array: every leftmost-first
+    * adjacent (l, r) becomes the fused symbol — the standard greedy
+    * left-to-right application, spelled as a codegen'd `aggregate`
+    * fold (an "aa"+merge(a,a) run becomes [aa, a], matching the
+    * reference algorithm).
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => {
+        val lastSym = when(size(acc) > 0, element_at(acc, -1)).otherwise(lit(""))
+        when(lastSym === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))
+      })
+
+  /** Learn `k` merges from a (doc_id, text) frame. Returns
+    * (step, lsym, rsym, cnt) — the merge table in learned order. Stops
+    * early when no pair remains (fully merged vocabulary).
+    */
+  def learnMergesOn(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"learnMergesOn needs a positive merge count, got $k")
+    val spark = docs.sparkSession
+    val words = graft.CacheScope.track(wordFreqOn(docs).persist())
+    var seg = words.select(charSyms(col("word")).as("syms"), col("freq"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      // 1-row TakeOrdered: the winning pair is a control-plane scalar
+      val top = pairCountsOn(seg)
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, l, r, c))
+        seg = seg.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "lsym", "rsym", "cnt")
+  }
+
+  /** Segment a (word) column with an already-learned merge table,
+    * applying merges in learned order — the apply-side of the
+    * tokenizer, usable on any corpus once the table exists.
+    */
+  def segmentWith(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSyms(word)) { case (syms, (l, r)) =>
+      applyMerge(syms, l, r)
+    }
+
+  /** Driver spelling of the first-iteration pair table: top 20 adjacent
+    * character pairs by (weighted count desc, lsym, rsym) — the exact
+    * frame the first merge decision reads, hash-checked against DuckDB.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wordFreqOn(Tables.documents(spark, sfDir).select(col("text")))
+    pairCountsOn(words.select(charSyms(col("word")).as("syms"), col("freq")))
+      .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+      .limit(20)
+  }
+
+  /** Driver spelling of the learned merge table: 8 merges over the
+    * documents corpus. Rows-only at the driver (the iteration is not
+    * SQL-expressible); BpeSpec asserts equality with a first-principles
+    * single-machine reimplementation.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    learnMergesOn(Tables.documents(spark, sfDir).select(col("text")), 8)
+}

@@ -154,4 +154,95 @@ object Lm {
           .otherwise(lit("tail")).as("bucket"))
     whole.unionByName(straddle)
   }
+
+  /** Top `bigramSize` reference BIGRAMS by (count desc, prev asc, tok
+    * asc) — the conditional table of the bigram LM, capped like
+    * [[vocabOn]] so it broadcasts at any corpus size.
+    */
+  def bigramVocabOn(refTexts: DataFrame, bigramSize: Int): DataFrame = {
+    require(bigramSize > 0, s"bigramVocabOn needs a positive bigramSize, got $bigramSize")
+    refTexts
+      .select(TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("prev"),
+          element_at(col("ws"), i + 1).as("tok")))).as("p"))
+      .select(col("p.prev"), col("p.tok"))
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("prev"), col("tok"))
+      .limit(bigramSize)
+  }
+
+  /** BIGRAM cross-entropy with STUPID BACKOFF (Brants et al., "Large
+    * Language Models in Machine Translation" — the backoff rule
+    * production-scale n-gram LMs actually use, because it needs no
+    * discount mass bookkeeping): per token position,
+    *
+    *   pos 1                    : unigram surprise (the [[lmScoreOn]] bits)
+    *   bigram (prev,tok) known  : max(0, bitlen(c_uni(prev)+1) − bitlen(c_bi+1))
+    *   bigram unknown (backoff) : penaltyBits + unigram surprise
+    *
+    * — all in whole bits via the same bitlen staircase, so the score is
+    * integer-exact across engines. `penaltyBits = 2` is the staircase
+    * spelling of stupid backoff's α = 0.4 (−log2 0.4 ≈ 1.3, rounded up
+    * to the next whole bit). The max(0, ·) guards the one case the caps
+    * admit: a surviving bigram whose `prev` fell below the unigram cap.
+    *
+    * Emits (doc_id, n_tokens, bits, bits_per_100) — the [[lmScoreOn]]
+    * shape, so tertile bucketing and curriculum ordering compose
+    * unchanged.
+    *
+    * 100 TB shape: both model tables are capped → BroadcastExchange;
+    * scoring is one explode of positional (pos, tok, prev) structs
+    * (built pre-explode, so the token array never rides along the
+    * exploded rows) through three broadcast left joins + the 1-row
+    * total crossJoin, then ONE doc-keyed partial aggregate — the same
+    * single corpus-shuffle contract as the unigram scorer.
+    */
+  def bigramScoreOn(docs: DataFrame, refTexts: DataFrame,
+                    vocabSize: Int = 4096, bigramSize: Int = 65536,
+                    penaltyBits: Int = 2): DataFrame = {
+    val uni = vocabOn(refTexts, vocabSize)
+    val bi = bigramVocabOn(refTexts, bigramSize)
+    val ntot = refTexts.select(
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("ntot"))
+    val positions = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ws"))),
+          i => struct(element_at(col("ws"), i).as("tok"),
+            when(i > 1, element_at(col("ws"), i - 1)).as("prev")))).as("p"))
+      .select(col("doc_id"), col("p.tok"), col("p.prev"))
+    val uniSurprise =
+      bitlen(col("ntot")) - bitlen(coalesce(col("cnt"), lit(0L)) + 1)
+    positions
+      .join(broadcast(uni), Seq("tok"), "left")
+      .join(broadcast(uni.select(col("tok").as("prev"),
+        col("cnt").as("pcnt"))), Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(ntot)) // 1-row broadcast (house precedent)
+      .withColumn("surprise",
+        when(col("prev").isNull, uniSurprise)
+          .when(col("bcnt").isNotNull,
+            greatest(lit(0L), bitlen(coalesce(col("pcnt"), lit(0L)) + 1)
+              - bitlen(col("bcnt") + 1)))
+          .otherwise(lit(penaltyBits.toLong) + uniSurprise))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surprise")).as("bits"))
+      .withColumn("bits_per_100", expr("bits * 100 DIV n_tokens"))
+  }
+
+  /** Driver spelling of [[bigramScoreOn]]: en-reference, vocab 16 /
+    * bigrams 64 — small enough on the fixture vocabulary that the OOV
+    * unigram, OOV bigram (backoff), and known-bigram paths are all
+    * non-vacuous.
+    */
+  def bigramScore(spark: SparkSession, sfDir: String,
+                  refLang: String = "en", vocabSize: Int = 16,
+                  bigramSize: Int = 64): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    bigramScoreOn(docs.select(col("doc_id"), col("text")),
+      docs.filter(col("lang") === refLang).select(col("text")),
+      vocabSize, bigramSize)
+  }
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, StringType}
+
+/** Corpus / table PROFILING — the "data card" stage every production
+  * corpus build ships alongside the data (datasheets-for-datasets,
+  * Gebru et al.; the per-source composition tables in the LLaMA / Pile
+  * / RefinedWeb papers are exactly this shape), plus a generic
+  * ANALYZE-style per-column profiler and the C4-style blocklist filter
+  * (Raffel et al. drop any document containing a term from a bad-words
+  * list before all other curation).
+  *
+  * House rules as everywhere in this repo: integer arithmetic only in
+  * surfaced columns (ratios as ppm via `DIV`, doubles rendered through
+  * DECIMAL(18,2) so both engines print one spelling), deterministic
+  * tie-breaks, and no corpus-sized window — the only window here runs
+  * over the (source × lang) frame, which is bounded by catalog size,
+  * not corpus size.
+  */
+object Profile {
+
+  /** Per-source corpus data card: document/token/char volumes plus the
+    * language mix headline (distinct languages and the dominant
+    * language's share in ppm). Top language tie-breaks deterministically
+    * by (docs desc, lang asc).
+    *
+    * 100 TB shape: ONE corpus pass — a scan-fused projection to
+    * (source, lang, n_chars, n_toks) feeding a (source, lang) partial
+    * aggregate that map-side combines to |sources|×|langs| rows; the
+    * per-source rollup and the top-language window both run over that
+    * catalog-sized frame, never the corpus.
+    */
+  def corpusCard(spark: SparkSession, sfDir: String): DataFrame =
+    corpusCardOn(Tables.documents(spark, sfDir))
+
+  def corpusCardOn(docs: DataFrame): DataFrame = {
+    val byLang = docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_toks")).as("toks"),
+        sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val perSource = byLang.groupBy(col("source"))
+      .agg(sum(col("docs")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("mn")).as("min_chars"),
+        max(col("mx")).as("max_chars"),
+        sum(col("chars")).as("sum_chars"),
+        count(lit(1)).cast("long").as("n_langs"))
+    val topLang = byLang
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("docs").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("docs").as("tl_docs"))
+    perSource.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("min_chars"), col("max_chars"),
+        expr("sum_chars DIV n_docs").as("avg_chars"),
+        col("n_langs"),
+        col("top_lang"),
+        expr("tl_docs * 1000000 DIV n_docs").as("top_lang_ppm"))
+  }
+
+  /** ANALYZE-style per-column profile of an arbitrary table: null
+    * count, exact distinct count, and min/max rendered as strings (one
+    * row per column). Doubles go through DECIMAL(18,2) before the
+    * string cast — DECIMAL has one printed spelling in Spark and
+    * DuckDB, where raw double formatting carries engine licenses.
+    *
+    * 100 TB shape: ONE aggregate pass over the table (Spark plans the
+    * multi-column exact `count(DISTINCT)`s via a single Expand +
+    * two-phase aggregate — one shuffle); the per-column reshape then
+    * explodes a literal-sized 1-row frame, so everything after the agg
+    * is control-plane. For very wide tables swap `countDistinct` for
+    * `approx_count_distinct` — same plan shape, sketch-sized state.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def asStr(c: String): Column = df.schema(c).dataType match {
+      case DoubleType => col(c).cast("decimal(18,2)").cast("string")
+      case _          => col(c).cast("string")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(asStr(c)).as(s"${c}__min"),
+        max(asStr(c)).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+  }
+
+  /** Driver spelling: profile the orders table's key/measure/date/text
+    * columns (long, double, date, string — one of each storage class,
+    * so every formatter branch is exercised).
+    */
+  def ordersProfile(spark: SparkSession, sfDir: String): DataFrame =
+    profileColumns(Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  /** C4-style blocklist verdict: per document, how many token
+    * occurrences hit the blocklist (case-insensitive whole-token match,
+    * exactly C4's word-boundary rule under this corpus' single-space
+    * tokenization) and whether the document is kept.
+    *
+    * 100 TB shape: the real blocklists are large (C4's is ~400 terms;
+    * enterprise opt-out lists run to millions of URLs/terms), so the
+    * scale spelling is explode → BROADCAST semi-equi-join on the term —
+    * never a per-row `isin` over a giant literal, never a regex union.
+    * The hit counts aggregate doc-keyed with map-side combine; docs
+    * without hits re-enter via a left join from the (already
+    * projection-pruned) corpus frame.
+    */
+  def blocklistVerdictOn(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .join(broadcast(terms.select(lower(col("term")).as("tok")).distinct()),
+        "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        col("hits").isNull.as("kept"))
+  }
+
+  /** Small-list spelling of the same verdict — a per-row
+    * `arrays_overlap` against a literal array, no join at all. Correct
+    * only while the blocklist fits in a codegen'd literal; kept as the
+    * equivalence baseline (ProfileSpec asserts it matches the join
+    * spelling hit-for-hit on the `kept` bit).
+    */
+  def blocklistVerdictSmallOn(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      arrays_overlap(TextOps.tokens(lower(col("text"))),
+        array(terms.map(t => lit(t.toLowerCase)): _*)).unary_!.as("kept"))
+
+  /** Driver blocklist: "dup" hits a real slice of the fixture corpus;
+    * "spamword" hits nothing — the miss path stays non-vacuous. */
+  val driverBlocklist: Seq[String] = Seq("dup", "spamword")
+
+  def blocklistVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    blocklistVerdictOn(Tables.documents(spark, sfDir),
+      driverBlocklist.toDF("term"))
+  }
+}

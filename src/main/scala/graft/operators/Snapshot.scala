@@ -75,4 +75,61 @@ object Snapshot {
       .agg(count(lit(1)).as("n_fps"),
         sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"))
   }
+
+  /** PAIRWISE SOURCE CONTENT OVERLAP — the cross-leakage audit a
+    * multi-source corpus build runs before mixing: for every ordered
+    * pair of sources (src_a < src_b), how many distinct canonical
+    * fingerprints they share, each side's distinct-content size, and
+    * the overlap as ppm of the SMALLER side (containment — the measure
+    * that catches a small source being a subset of a big one, which
+    * plain Jaccard dilutes away).
+    *
+    * 100 TB shape: the corpus collapses to the distinct (source, fp)
+    * frame at the scan (text dropped immediately); the pair counts come
+    * from ONE fp-keyed self-equi-join of that fp-sized frame — the same
+    * "fp-sized inputs only" contract as [[snapshotDiffOn]]. No pair of
+    * sources is enumerated against the corpus; a fingerprint carried by
+    * k sources contributes exactly k·(k−1)/2 pair rows, and k is
+    * bounded by the source catalog, not the corpus.
+    */
+  /** Driver spelling: the fixture has no natural cross-source
+    * duplicate content, so — per the [[Pipeline]] plantDups house
+    * pattern — a deterministic slice (doc_id ≡ 1 mod 9) is re-planted
+    * under a rotated source label, mirrored verbatim in the oracle, so
+    * the overlap rows are non-vacuous.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val planted = docs.filter(col("doc_id") % 9 === 1)
+      .select(col("text"),
+        concat(lit("src"), ((col("doc_id") % 20 + 1) % 20).cast("string"))
+          .as("source"))
+    sourceOverlapOn(docs.select(col("text"), col("source"))
+      .unionByName(planted))
+  }
+
+  /** [[sourceOverlap]] over any (text, source) frame. Emits
+    * (src_a, src_b, shared_fps, n_a, n_b, containment_ppm).
+    */
+  def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("source"), fpOf(col("text")).as("fp"))
+      .distinct()
+    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = fps.select(col("source").as("src_a"), col("fp"))
+      .join(fps.select(col("source").as("src_b"), col("fp")), "fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_fps"),
+        col("n_a"), col("n_b"),
+        expr("shared_fps * 1000000 DIV least(n_a, n_b)")
+          .as("containment_ppm"))
+  }
 }

@@ -46,6 +46,38 @@ object TextAnalysis {
       .orderBy(desc("df"), asc("ng"))
       .limit(k)
 
+  /** Per-document n-gram NOVELTY: the share (ppm) of a doc's distinct
+    * n-grams that appear in NO other document — the dedup-aware quality
+    * signal behind novelty-weighted sampling (a doc whose content is
+    * mostly corpus-unique carries more information than one assembled
+    * from boilerplate). Docs too short to carry an n-gram surface with
+    * zero grams and a NULL ppm.
+    *
+    * 100 TB shape: distinct (doc_id, ng) at the scan, ONE gram-keyed
+    * aggregate for df, then a gram-keyed equi-join back and a doc-keyed
+    * rollup. The join is deliberately an equi-join rather than a
+    * `count over (partition by ng)` window: a boilerplate gram's
+    * billion-row partition would serialize a window task, while AQE
+    * splits a skewed JOIN partition for free.
+    */
+  def novelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    noveltyOn(Tables.documents(spark, sfDir), n)
+
+  def noveltyOn(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), n)).as("ng"))
+    val df = grams.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val per = grams.join(df, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("g"), lit(0L)).as("n_grams"),
+        coalesce(col("u"), lit(0L)).as("n_unique"),
+        when(col("g") > 0, expr("u * 1000000 DIV g")).as("novelty_ppm"))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic.
     * Deliberately tiny so the same logic stays expressible in ANSI-ish
     * oracle SQL; extend per deployment. Order = tie-break precedence.

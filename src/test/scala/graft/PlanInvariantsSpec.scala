@@ -22,7 +22,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // total N into the scoring join (Lm.lmScoreOn); buckets and the
     // curriculum compose it — and lm_buckets additionally crossJoins
     // the 1-ROW tertile-bounds frame into the score histogram
-    "q_lm_score", "q_lm_buckets", "q_curriculum")
+    "q_lm_score", "q_lm_buckets", "q_curriculum",
+    // the bigram scorer crossJoins the same broadcast 1-ROW reference
+    // token total (Lm.bigramScoreOn)
+    "q_lm_bigram")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -36,12 +39,19 @@ class PlanInvariantsSpec extends SparkSpec {
       s"quadratic join operators in: ${offenders.mkString(", ")}")
   }
 
+  /** q_bpe_merges RETURNS the learned merge table — a control-plane
+    * LocalRelation assembled from k 1-row TakeOrdered decisions; the
+    * distributed work (word-freq pass + per-step pair aggregates) runs
+    * inside Bpe.learnMergesOn with codegen, before the table exists.
+    */
+  private val controlPlaneResult = Set("q_bpe_merges")
+
   test("every query participates in whole-stage codegen somewhere") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect() // AQE only materializes codegen stages in the FINAL plan
       val plan = df.queryExecution.executedPlan.toString
-      if (plan.contains("*(")) None else Some(name)
+      if (plan.contains("*(") || controlPlaneResult(name)) None else Some(name)
     }
     assert(offenders.isEmpty, s"no codegen stage in: ${offenders.mkString(", ")}")
   }

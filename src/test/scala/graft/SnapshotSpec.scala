@@ -64,4 +64,33 @@ class SnapshotSpec extends SparkSpec {
     assert(d("added") + d("retained") === newFps)
     assert(d("removed") + d("retained") === oldFps)
   }
+
+  test("source overlap: containment keyed to the smaller side, content-level") {
+    // s1 = {A, B, C}; s2 = {B, C} (via a re-crawl dup and a case
+    // variant — content keying); shared 2, containment = 2/2 of s2
+    val docs = Seq(
+      ("doc a", "s1"), ("doc b", "s1"), ("doc c", "s1"),
+      ("doc b", "s2"), ("Doc  B", "s2"), ("doc c", "s2"))
+      .toDF("text", "source")
+    val got = Snapshot.sourceOverlapOn(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("s1", "s2", 2L, 3L, 2L, 1000000L)))
+  }
+
+  test("source overlap: disjoint sources produce no row") {
+    val docs = Seq(("x", "s1"), ("y", "s2")).toDF("text", "source")
+    assert(Snapshot.sourceOverlapOn(docs).isEmpty)
+  }
+
+  test("source overlap: a fp carried by k sources yields k(k-1)/2 pair rows") {
+    val docs = Seq(("x", "s1"), ("x", "s2"), ("x", "s3")).toDF("text", "source")
+    val rows = Snapshot.sourceOverlapOn(docs)
+      .select("src_a", "src_b").as[(String, String)].collect().toSet
+    assert(rows === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+  }
+
+  test("driver overlap spelling is non-vacuous (planted cross-source dups)") {
+    val n = Snapshot.sourceOverlap(spark, sf).count()
+    assert(n > 0, "planted cross-source duplicates produced no overlap row")
+  }
 }

@@ -468,6 +468,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("novelty: unique-gram share per doc, short docs NULL, dup docs zero") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams "a b c" (shared with doc 2), "b c d" (unique)
+      (2L, "a b c"),   // one gram, shared -> novelty 0
+      (3L, "x y"),     // too short: 0 grams, NULL ppm
+      (4L, "p q r s")) // fully unique
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyOn(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, Some(500000L))),
+      2L -> ((1L, 0L, Some(0L))),
+      3L -> ((0L, 0L, None)),
+      4L -> ((2L, 2L, Some(1000000L)))))
+  }
+
+  test("novelty: within-doc gram repetition counts once (distinct shingles)") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "z z z")).toDF("doc_id", "text")
+    // doc 1 distinct grams: "a b c","b c a","c a b" — all df=1 despite repeats
+    val r = TextAnalysis.noveltyOn(docs).filter(col("doc_id") === 1).head()
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 3L)))
+  }
+
   test("csv and json round-trips preserve row counts and values") {
     val orig = Tables.nation(spark, sf)
     val viaCsv = graft.sources.Roundtrip.csv(spark, sf, "nation")
