@@ -37,8 +37,19 @@ object Profile {
   def corpusCard(spark: SparkSession, sfDir: String): DataFrame =
     corpusCardOn(Tables.documents(spark, sfDir))
 
-  def corpusCardOn(docs: DataFrame): DataFrame = {
-    val byLang = docs
+  def corpusCardOn(docs: DataFrame): DataFrame =
+    cardFromLangStats(langStatsOn(docs))
+
+  /** The (source, lang) partial-stats frame the card rolls up from —
+    * factored out so the STREAMING ingest
+    * ([[graft.streaming.StreamingOps]] corpus-stats sink) writes the
+    * same shape per micro-batch and the batch card / stored-stats card
+    * cannot drift. All five measures are decomposable aggregates
+    * (sum/sum/sum/min/max), which is what makes the per-ingest
+    * partials mergeable on read.
+    */
+  private[graft] def langStatsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("lang"), col("n_chars"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy(col("source"), col("lang"))
@@ -47,6 +58,11 @@ object Profile {
         sum(col("n_chars")).as("chars"),
         min(col("n_chars")).as("mn"),
         max(col("n_chars")).as("mx"))
+
+  /** Card rollup over a (source, lang, docs, toks, chars, mn, mx)
+    * frame (catalog-sized — the window below never sees the corpus).
+    */
+  private[graft] def cardFromLangStats(byLang: DataFrame): DataFrame = {
     val perSource = byLang.groupBy(col("source"))
       .agg(sum(col("docs")).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
@@ -69,6 +85,23 @@ object Profile {
         col("top_lang"),
         expr("tl_docs * 1000000 DIV n_docs").as("top_lang_ppm"))
   }
+
+  /** The data card read from a STORED stats directory maintained by the
+    * streaming corpus-stats ingest: per-ingest (source, lang) partials
+    * merge on read — sums add, min/max fold — then the same rollup as
+    * the batch card. Merge-on-read is the trigram-index freq-delta
+    * pattern: the card stays current without any ingest ever rewriting
+    * another ingest's rows.
+    */
+  def corpusCardFromStats(spark: SparkSession, statsDir: String): DataFrame =
+    cardFromLangStats(
+      spark.read.parquet(statsDir)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("docs")).as("docs"),
+          sum(col("toks")).as("toks"),
+          sum(col("chars")).as("chars"),
+          min(col("mn")).as("mn"),
+          max(col("mx")).as("mx")))
 
   /** ANALYZE-style per-column profile of an arbitrary table: null
     * count, exact distinct count, and min/max rendered as strings (one

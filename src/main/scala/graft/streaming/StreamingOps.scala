@@ -818,6 +818,38 @@ object StreamingOps {
       ()
     }.start()
 
+  /** Streaming CORPUS-STATS maintenance — the incremental twin of the
+    * batch data card ([[graft.operators.Profile.corpusCardOn]]): each
+    * micro-batch of (text, lang, source, n_chars) docs writes its
+    * (source, lang) partial stats under its own `ingest=b<batchId>`
+    * partition; [[graft.operators.Profile.corpusCardFromStats]] merges
+    * the partials on read (sums add, min/max fold — every card measure
+    * is a decomposable aggregate, which is the whole design). The card
+    * over a growing corpus is thereby O(batch) per trigger and never
+    * re-reads earlier text — the trigram-index freq-delta pattern
+    * applied to governance stats.
+    *
+    * Replay idempotence: overwrite-on-own-label (a crashed-and-replayed
+    * batch replaces its own partition, so nothing double-counts); an
+    * empty recovery replay appends no vacant label, matching the
+    * sibling ingests' steady-state contract.
+    */
+  def ingestCorpusStats(docs: DataFrame, statsDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      corpusStatsBatch(batch.toDF(), statsDir, s"b$batchId")
+    }.start()
+
+  /** One stats delivery — [[ingestCorpusStats]]'s batch body, factored
+    * so the same-label crash-replay contract is directly spec-drivable.
+    */
+  private[graft] def corpusStatsBatch(batch: DataFrame, statsDir: String,
+                                      label: String): Unit = {
+    if (!batch.isEmpty)
+      graft.operators.Profile.langStatsOn(batch)
+        .write.mode("overwrite").parquet(s"$statsDir/ingest=$label")
+    ()
+  }
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

@@ -903,6 +903,43 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow.nonEmpty, "vacuous equivalence — no sessions formed")
   }
 
+  test("streaming corpus stats: stored-partials card == batch card, replay-idempotent") {
+    import java.nio.file.Files
+    import graft.operators.Profile
+    val statsDir = Files.createTempDirectory("graft-stats").resolve("stats").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val rows = docs.as[(Long, String, String, String, Long)].collect()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamingOps.ingestCorpusStats(
+      ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"), statsDir)
+    try {
+      // three uneven micro-batches covering the whole fixture
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stored = Profile.corpusCardFromStats(spark, statsDir)
+      .orderBy("source").collect().map(_.toString)
+    val batch = Profile.corpusCardOn(docs)
+      .orderBy("source").collect().map(_.toString)
+    assert(stored === batch,
+      "merged per-ingest partials diverge from the one-pass batch card")
+    // same-label crash replay: re-delivering batch 0's slice under its
+    // own label overwrites, never double-counts
+    StreamingOps.corpusStatsBatch(
+      rows.take(math.max(1, rows.length / 3 + 1)).toSeq
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), statsDir, "b0")
+    val replayed = Profile.corpusCardFromStats(spark, statsDir)
+      .orderBy("source").collect().map(_.toString)
+    assert(replayed === batch, "replayed own-label delivery changed the card")
+    // empty recovery replay appends no vacant label
+    StreamingOps.corpusStatsBatch(
+      docs.filter(lit(false)), statsDir, "b99")
+    assert(!spark.read.parquet(statsDir).select("ingest")
+      .as[String].collect().contains("b99"))
+  }
+
   test("same transform runs in batch mode over the events table") {
     val batch = StreamingOps.windowedEventCounts(
       Tables.events(spark, TestSpark.sf0001), windowLen = "1 day")
