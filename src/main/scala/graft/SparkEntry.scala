@@ -280,6 +280,9 @@ object SparkEntry {
     // bigram LM with stupid backoff — same bitlen staircase as
     // q_lm_score; caps 16/64 keep all three scoring paths non-vacuous
     "q_lm_bigram" -> ((s, d) => operators.Lm.bigramScore(s, d, "en", 16, 64)),
+    // bigram perplexity tertiles through the SHARED bucketsFromScores
+    // spelling — the unigram/bigram bucket paths cannot drift
+    "q_lm_bigram_buckets" -> ((s, d) => operators.Lm.bigramBuckets(s, d, "en", 16, 64)),
     // -- tokenizer induction (BPE) --
     // first-iteration adjacent-char pair table: the exact frame the
     // first merge decision reads, hash-checked against DuckDB
@@ -393,6 +396,49 @@ object SparkEntry {
                 AS BIGINT) AS bits
             FROM t LEFT JOIN v USING (tok) CROSS JOIN n
             GROUP BY t.doc_id)"""
+
+  /** Shared bigram stupid-backoff CTE (q_lm_bigram /
+    * q_lm_bigram_buckets) — the SQL mirror of Lm.bigramScoreOn at the
+    * driver caps (16/64). Ends with `bs(doc_id, n_tokens, bits,
+    * bits_per_100)`.
+    */
+  private val lmBigramSql: String = """
+      WITH refdocs AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents WHERE lang = 'en'),
+      ref AS (SELECT unnest(ws) AS tok FROM refdocs),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM ref),
+      v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ref
+            GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16),
+      bg AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS bcnt
+             FROM (SELECT ws[i] AS prev, ws[i + 1] AS tok
+                   FROM refdocs,
+                     (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+                   WHERE len(ws) >= 2) pairs
+             GROUP BY prev, tok ORDER BY bcnt DESC, prev, tok LIMIT 64),
+      t AS (SELECT doc_id, ws[i] AS tok,
+              CASE WHEN i > 1 THEN ws[i - 1] END AS prev
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents) dd,
+              (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      sc0 AS (SELECT t.doc_id,
+               CASE WHEN t.prev IS NULL
+                 THEN CAST(length(bin(n.ntot)) AS BIGINT)
+                   - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
+               WHEN bg.bcnt IS NOT NULL
+                 THEN GREATEST(0,
+                   CAST(length(bin(COALESCE(vp.cnt, 0) + 1)) AS BIGINT)
+                     - CAST(length(bin(bg.bcnt + 1)) AS BIGINT))
+               ELSE 2 + CAST(length(bin(n.ntot)) AS BIGINT)
+                 - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
+               END AS surprise
+             FROM t LEFT JOIN v USING (tok)
+                    LEFT JOIN v vp ON vp.tok = t.prev
+                    LEFT JOIN bg ON bg.prev = t.prev AND bg.tok = t.tok
+                    CROSS JOIN n),
+      bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(surprise) AS BIGINT) AS bits,
+               CAST(SUM(surprise) * 100 // COUNT(*) AS BIGINT) AS bits_per_100
+             FROM sc0 GROUP BY doc_id)"""
 
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
                              covPct: Option[Int]): String = {
@@ -1537,43 +1583,20 @@ object SparkEntry {
     // bigram stupid-backoff staircase: pos-1 unigram bits, known bigram
     // max(0, bitlen(c_uni(prev)+1) - bitlen(c_bi+1)), else 2 + unigram
     // bits — caps and tie-breaks identical to the Scala side
-    "q_lm_bigram" -> ("""
-      WITH refdocs AS (SELECT string_split(text, ' ') AS ws
-                       FROM documents WHERE lang = 'en'),
-      ref AS (SELECT unnest(ws) AS tok FROM refdocs),
-      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM ref),
-      v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ref
-            GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16),
-      bg AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS bcnt
-             FROM (SELECT ws[i] AS prev, ws[i + 1] AS tok
-                   FROM refdocs,
-                     (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
-                   WHERE len(ws) >= 2) pairs
-             GROUP BY prev, tok ORDER BY bcnt DESC, prev, tok LIMIT 64),
-      t AS (SELECT doc_id, ws[i] AS tok,
-              CASE WHEN i > 1 THEN ws[i - 1] END AS prev
-            FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                  FROM documents) dd,
-              (SELECT unnest(generate_series(1, len(ws))) AS i)),
-      sc AS (SELECT t.doc_id,
-               CASE WHEN t.prev IS NULL
-                 THEN CAST(length(bin(n.ntot)) AS BIGINT)
-                   - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
-               WHEN bg.bcnt IS NOT NULL
-                 THEN GREATEST(0,
-                   CAST(length(bin(COALESCE(vp.cnt, 0) + 1)) AS BIGINT)
-                     - CAST(length(bin(bg.bcnt + 1)) AS BIGINT))
-               ELSE 2 + CAST(length(bin(n.ntot)) AS BIGINT)
-                 - CAST(length(bin(COALESCE(v.cnt, 0) + 1)) AS BIGINT)
-               END AS surprise
-             FROM t LEFT JOIN v USING (tok)
-                    LEFT JOIN v vp ON vp.tok = t.prev
-                    LEFT JOIN bg ON bg.prev = t.prev AND bg.tok = t.tok
-                    CROSS JOIN n)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(surprise) AS BIGINT) AS bits,
-             CAST(SUM(surprise) * 100 // COUNT(*) AS BIGINT) AS bits_per_100
-      FROM sc GROUP BY doc_id""".stripMargin.trim),
+    "q_lm_bigram" -> (lmBigramSql + """
+      SELECT doc_id, n_tokens, bits, bits_per_100 FROM bs""".stripMargin.trim),
+    // the q_lm_buckets direct global-rank spelling over the BIGRAM
+    // scores — certifying the shared histogram split composes
+    "q_lm_bigram_buckets" -> (lmBigramSql + """,
+      r2 AS (SELECT doc_id, bits_per_100,
+              CAST(ROW_NUMBER() OVER (ORDER BY bits_per_100, doc_id) AS BIGINT) AS rk,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n
+             FROM bs)
+      SELECT doc_id, bits_per_100,
+             CASE WHEN rk <= n // 3 THEN 'head'
+                  WHEN rk <= n * 2 // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r2""".stripMargin.trim),
     // same shingle + split spellings as ngramJaccardOracle / q_train_eval_assign
     "q_decontaminate" -> ("""
       WITH w AS (SELECT doc_id,

@@ -119,10 +119,19 @@ object Lm {
 
   /** [[lmBuckets]] over any (doc_id, text) frame. */
   def lmBucketsOn(docs: DataFrame, refTexts: DataFrame,
-                  vocabSize: Int = 4096): DataFrame = {
+                  vocabSize: Int = 4096): DataFrame =
+    bucketsFromScores(lmScoreOn(docs, refTexts, vocabSize)
+      .select(col("doc_id"), col("bits_per_100")))
+
+  /** Head/middle/tail tertiles over ANY (doc_id, bits_per_100) score
+    * frame — factored out so every scorer with the [[lmScoreOn]] shape
+    * (unigram, bigram stupid-backoff, a future trigram) buckets through
+    * ONE spelling. Same histogram + boundary-straddle mechanics as
+    * documented on [[lmBuckets]].
+    */
+  def bucketsFromScores(scores: DataFrame): DataFrame = {
     val sc = graft.CacheScope.track(
-      lmScoreOn(docs, refTexts, vocabSize)
-        .select(col("doc_id"), col("bits_per_100")).persist())
+      scores.select(col("doc_id"), col("bits_per_100")).persist())
     // histogram of score values: tiny next to the corpus; the window
     // below runs over THIS frame, never the per-doc one
     val h = sc.groupBy(col("bits_per_100")).agg(count(lit(1)).as("cnt"))
@@ -245,4 +254,12 @@ object Lm {
       docs.filter(col("lang") === refLang).select(col("text")),
       vocabSize, bigramSize)
   }
+
+  /** CCNet tertiles under the BIGRAM model — [[bigramScore]] composed
+    * through the shared [[bucketsFromScores]] spelling.
+    */
+  def bigramBuckets(spark: SparkSession, sfDir: String,
+                    refLang: String = "en", vocabSize: Int = 16,
+                    bigramSize: Int = 64): DataFrame =
+    bucketsFromScores(bigramScore(spark, sfDir, refLang, vocabSize, bigramSize))
 }

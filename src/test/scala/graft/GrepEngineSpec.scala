@@ -157,8 +157,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_lm_score", "q_lm_buckets", "q_chunk_passages", "q_snapshot_diff",
       "q_curriculum",
       "q_corpus_card", "q_profile_orders", "q_blocklist",
-      "q_source_overlap", "q_lm_bigram", "q_bpe_pairs", "q_bpe_merges",
-      "q_novelty")
+      "q_source_overlap", "q_lm_bigram", "q_lm_bigram_buckets",
+      "q_bpe_pairs", "q_bpe_merges", "q_novelty")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

@@ -72,6 +72,20 @@ class LmBigramSpec extends SparkSpec {
       s"vacuous scoring path at driver caps: $tagged")
   }
 
+  test("bigram buckets: exact tertile sizes, monotone along (score, doc_id)") {
+    val b = Lm.bigramBuckets(spark, TestSpark.sf0001, "en", 16, 64)
+      .as[(Long, Long, String)].collect()
+    val n = b.length
+    val sizes = b.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes("head") === n / 3 && sizes("middle") === n * 2 / 3 - n / 3 &&
+      sizes("tail") === n - n * 2 / 3)
+    // global (score, doc_id) order never goes back from a later bucket
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val ordered = b.sortBy(r => (r._2, r._1)).map(r => rank(r._3))
+    assert(ordered.sameElements(ordered.sorted),
+      "bucket membership not monotone in global score order")
+  }
+
   test("bigram vocab cap is deterministic: (count desc, prev asc, tok asc)") {
     // four bigrams all with count 1 -> the cap of 2 must keep the two
     // lexicographically smallest

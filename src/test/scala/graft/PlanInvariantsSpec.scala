@@ -24,8 +24,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // the 1-ROW tertile-bounds frame into the score histogram
     "q_lm_score", "q_lm_buckets", "q_curriculum",
     // the bigram scorer crossJoins the same broadcast 1-ROW reference
-    // token total (Lm.bigramScoreOn)
-    "q_lm_bigram")
+    // token total (Lm.bigramScoreOn); its buckets composition adds the
+    // 1-ROW tertile-bounds crossJoin (Lm.bucketsFromScores)
+    "q_lm_bigram", "q_lm_bigram_buckets")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -84,7 +85,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // lm_buckets' tertile-boundary window (score-value histogram) and
     // curriculum's block-offset window ((grade, fp-prefix) counts) run
     // over bounded side frames, never the per-doc corpus
-    "q_pack_sequences", "q_dsir_resample", "q_lm_buckets", "q_curriculum")
+    "q_pack_sequences", "q_dsir_resample", "q_lm_buckets", "q_curriculum",
+    // bigram buckets inherit lm_buckets' bounded histogram window
+    // through the shared bucketsFromScores spelling
+    "q_lm_bigram_buckets")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
