@@ -215,6 +215,9 @@ object SparkEntry {
     // shared n-grams cover >= 40% of its distinct n-grams
     // (contaminationCoverage's thresholdable contract inside the ledger)
     "q_pipeline_curate_cov" -> ((s, d) => operators.Pipeline.curateCov(s, d)),
+    // ledger with the C4-style bad-words stage on (q_blocklist terms);
+    // blocked en docs attribute as dropped_blocklist before quality
+    "q_pipeline_curate_block" -> ((s, d) => operators.Pipeline.curateBlock(s, d)),
     // the ledger rolled up per outcome with doc AND token totals — the
     // stage-loss summary (token-weighted, the number that actually
     // matters when long docs die to a length rule); rolls up the STORED
@@ -441,7 +444,18 @@ object SparkEntry {
              FROM sc0 GROUP BY doc_id)"""
 
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
-                             covPct: Option[Int]): String = {
+                             covPct: Option[Int],
+                             blockTerms: Option[Seq[String]] = None): String = {
+    // stage 1b: whole-token case-insensitive blocklist — list_has_any
+    // over the lowered token list is DuckDB's spelling of Spark's
+    // arrays_overlap (equivalence of the two engine spellings is
+    // additionally certified by q_blocklist)
+    val blockOkSql = blockTerms match {
+      case None => "TRUE AS block_ok"
+      case Some(terms) =>
+        val lst = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+        s"(NOT list_has_any(string_split(lower(text), ' '), [$lst])) AS block_ok"
+    }
     val nearPlantSql =
       if (!nearPlants) ""
       else """
@@ -489,11 +503,12 @@ object SparkEntry {
             FROM m LEFT JOIN gg ON m.doc_id = gg.doc_id),
       s AS (SELECT *,
               (lang_guess = 'en') AS lang_ok,
+              $blockOkSql,
               (n_tokens >= 20 AND mean_tok_len_x100 BETWEEN 300 AND 1000
                 AND stop_pct >= 3 AND ttr_pct >= 40 AND rep_pct <= 2) AS quality_ok
             FROM r),
       k AS (SELECT *,
-              MIN(CASE WHEN lang_ok AND quality_ok THEN doc_id END)
+              MIN(CASE WHEN lang_ok AND block_ok AND quality_ok THEN doc_id END)
                 OVER (PARTITION BY fp) AS keeper_id
             FROM s)"""
     // survivor set entering stages 4-5: exact-dedup survivors, minus the
@@ -503,12 +518,12 @@ object SparkEntry {
         ("""
       sv AS (SELECT doc_id, fp, text,
                CASE WHEN fp < 'cc' THEN 'train' ELSE 'eval' END AS split
-             FROM k WHERE lang_ok AND quality_ok AND doc_id = keeper_id)""",
+             FROM k WHERE lang_ok AND block_ok AND quality_ok AND doc_id = keeper_id)""",
           "", "")
       else
         ("""
       es AS (SELECT doc_id, fp, text FROM k
-             WHERE lang_ok AND quality_ok AND doc_id = keeper_id),
+             WHERE lang_ok AND block_ok AND quality_ok AND doc_id = keeper_id),
       w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM es),
       g2 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
             FROM w2, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
@@ -551,6 +566,7 @@ object SparkEntry {
       ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),""" + contamSql + s"""
       SELECT k.doc_id, k.n_tokens,
              CASE WHEN NOT lang_ok THEN 'dropped_lang'
+                  WHEN NOT block_ok THEN 'dropped_blocklist'
                   WHEN NOT quality_ok THEN 'dropped_quality'
                   WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'$nearCase
                   WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
@@ -1299,6 +1315,12 @@ object SparkEntry {
     // coverage instead of >= 1 shared n-gram
     "q_pipeline_curate_cov" -> pipelineOracle(
       nearPlants = false, fuzzy = false, covPct = Some(40)),
+    // adds the C4-style bad-words stage between lang-ID and quality
+    // (the q_blocklist terms); same shared-CTE spelling, so the
+    // blocklist variant cannot drift from the base ledger
+    "q_pipeline_curate_block" -> pipelineOracle(
+      nearPlants = false, fuzzy = false, covPct = None,
+      blockTerms = Some(operators.Profile.driverBlocklist)),
     // the same ledger, aggregated — built from the q_pipeline_curate CTE
     // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",

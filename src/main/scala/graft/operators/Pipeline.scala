@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Stage order and attribution (first failing stage wins):
   *   1.  lang      — [[TextAnalysis.langGuess]] != target → `dropped_lang`
+  *   1b. blocklist — (`blocklist` non-empty) C4-style bad-words rule:
+  *                   any whole-token case-insensitive blocklist hit →
+  *                   `dropped_blocklist` (C4 runs this between language
+  *                   ID and the heuristic quality rules)
   *   2.  quality   — [[TextAnalysis.qualityKeepRule]] fails → `dropped_quality`
   *   3.  dedup     — canonical-fingerprint duplicate of a lower-doc_id
   *                   survivor → `dropped_duplicate` (same md5-of-
@@ -136,6 +140,15 @@ object Pipeline {
     curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       plantDups = true, nearDedup = true, plantNearDups = true)
 
+  /** [[curate]] with the C4-style blocklist stage switched on (the
+    * [[Profile.driverBlocklist]] terms — "dup" hits a real fixture
+    * slice, "spamword" keeps the miss path non-vacuous); the
+    * q_pipeline_curate_block driver query.
+    */
+  def curateBlock(spark: SparkSession, sfDir: String): DataFrame =
+    curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      plantDups = true, blocklist = Profile.driverBlocklist)
+
   /** [[curate]] with coverage-threshold decontamination — a train doc is
     * dropped only when shared n-grams cover >= `minPct`% of its distinct
     * n-grams; the q_pipeline_curate_cov driver query.
@@ -155,7 +168,8 @@ object Pipeline {
                nearDedup: Boolean = false,
                plantNearDups: Boolean = false,
                contamMinPct: Long = 0L,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               blocklist: Seq[String] = Seq.empty): DataFrame = {
     // planted copies live at doc_id + 1_000_000 (exact) / + 2_000_000
     // (near); if a regenerated fixture ever ships base ids >= 1_000_000
     // the planted ids would collide with real docs AND the DuckDB oracle
@@ -180,9 +194,21 @@ object Pipeline {
           concat(col("text"), lit(" plantedneardup")).as("text")))
     ).flatten.reduce(_ unionByName _)
 
-    // stages 1–2 + fingerprint: one fused projection over the scan
+    // stages 1–2 + fingerprint: one fused projection over the scan.
+    // Stage 1b (optional): C4-style bad-words blocklist between lang-ID
+    // and quality — the small-list arrays_overlap spelling (a per-row
+    // codegen'd literal test; ProfileSpec certifies it == the
+    // explode → broadcast-join spelling of
+    // [[Profile.blocklistVerdictOn]], which is the swap-in for
+    // production-sized blocklists).
+    val blockOk: Column =
+      if (blocklist.isEmpty) lit(1L)
+      else (!arrays_overlap(TextOps.tokens(lower(col("text"))),
+        array(blocklist.map(t => lit(t.toLowerCase)): _*))).cast("long")
     val staged = stageBits(docs, lang)
-      .withColumn("survives_lq", col("lang_ok") === 1L && col("quality_ok") === 1L)
+      .withColumn("block_ok", blockOk)
+      .withColumn("survives_lq", col("lang_ok") === 1L &&
+        col("block_ok") === 1L && col("quality_ok") === 1L)
 
     // stage 3: keeper = min doc_id among lang+quality survivors per
     // fingerprint — one exchange on fp; text rides it once. The frame is
@@ -250,6 +276,7 @@ object Pipeline {
 
     val outcome = {
       val pre = when(col("lang_ok") === 0L, lit("dropped_lang"))
+        .when(col("block_ok") === 0L, lit("dropped_blocklist"))
         .when(col("quality_ok") === 0L, lit("dropped_quality"))
         .when(col("doc_id") =!= col("keeper_id"), lit("dropped_duplicate"))
       val mid =

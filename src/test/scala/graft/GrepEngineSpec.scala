@@ -151,7 +151,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_semantic_dedup", "q_semantic_dedup_idx",
       "q_mm_asset_stats", "q_mm_frame_stats",
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
-      "q_pipeline_stats",
+      "q_pipeline_curate_block", "q_pipeline_stats",
       "q_pack_sequences", "q_mixture_plan", "q_mixture_sample",
       "q_dsir_weights", "q_dsir_resample", "q_mixture_curated",
       "q_lm_score", "q_lm_buckets", "q_chunk_passages", "q_snapshot_diff",

@@ -206,6 +206,36 @@ class PipelineSpec extends SparkSpec {
     assert(covLedger === Set("train"))
   }
 
+  test("blocklist stage: attribution between lang and quality, default off is identical") {
+    import graft.operators.{Profile, TextAnalysis, TextOps}
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val blocked = Pipeline.curateOn(base, plantDups = true,
+      blocklist = Profile.driverBlocklist)
+      .select("doc_id", "outcome").as[(Long, String)].collect().toMap
+    // expected dropped_blocklist set: exactly the target-lang docs (incl.
+    // planted copies) holding a blocklist token — quality never consulted
+    val planted = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val expected = planted
+      .filter(TextAnalysis.langGuess(col("text")) === "en")
+      .filter(arrays_overlap(TextOps.tokens(lower(col("text"))),
+        array(Profile.driverBlocklist.map(t => lit(t)): _*)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "vacuous: no en doc hits the driver blocklist")
+    assert(blocked.filter(_._2 == "dropped_blocklist").keySet === expected)
+    // empty blocklist is byte-identical to the base ledger
+    val off = Pipeline.curateOn(base, plantDups = true)
+      .select("doc_id", "outcome").as[(Long, String)].collect().toMap
+    val offDefault = Pipeline.curateOn(base, plantDups = true,
+      blocklist = Seq.empty)
+      .select("doc_id", "outcome").as[(Long, String)].collect().toMap
+    assert(off === offDefault)
+    // switching the stage on never changes a non-blocked doc's LANG
+    // attribution (stage 1 precedes 1b)
+    assert(blocked.filter(_._2 == "dropped_lang") === off.filter(_._2 == "dropped_lang"))
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")
