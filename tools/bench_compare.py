@@ -58,6 +58,14 @@ def main():
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
+    # a 10x data-scale change reads as a uniform ~2x "regression" --
+    # refuse mismatched sf the way failed-query totals are refused
+    # (BENCH_ISOLATION.md round 12)
+    so, sn = old.get("sf"), new.get("sf")
+    if so and sn and so != sn:
+        sys.exit(f"refusing to compare artifacts at different scale "
+                 f"factors: old sf={so}, new sf={sn} -- ratios would "
+                 f"reflect the data-size change, not the code")
     co, cn = old.get("canary_sec"), new.get("canary_sec")
     if co and cn:
         speed = cn / co  # >1: new host slower per the canary
