@@ -74,6 +74,15 @@ object SparkEntry {
     "q_orders_ntile" -> ((s, d) => operators.Relational.ntileRevenueSkewSafe(s, d)),
     "q_events_daily" -> (operators.Relational.eventsDaily _),
     "q_events_pivot" -> (operators.Relational.eventsDailyPivot _),
+    // dense per-(user, day) purchase matrix, missing days at zero over
+    // the corpus-wide span — the crossJoin with the broadcast day axis
+    // IS the gap-fill contract
+    "q_events_gapfill" -> ((s, d) => operators.EventAnalytics.dailyGapFill(s, d)),
+    // strict-order view → click → purchase funnel stage per user
+    "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
+    // first-activity cohorts × integer week offsets (day-diff DIV 7 —
+    // no calendar-week license)
+    "q_event_retention" -> ((s, d) => operators.EventAnalytics.retention(s, d)),
     "q_events_props" -> (operators.Relational.eventsPropsAgg _),
     "q_events_asof_order" -> (operators.AsOf.eventsAsOfOrders _),
     "q_event_session_pairs" -> ((s, d) => operators.AsOf.eventPairsWithin(s, d)),
@@ -859,6 +868,48 @@ object SparkEntry {
     "q_events_props" -> ("""
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
       FROM events GROUP BY 1""".stripMargin.trim),
+    // dense users × days matrix over the corpus-wide span; DuckDB
+    // generate_series mirrors Spark's date sequence (both inclusive)
+    "q_events_gapfill" -> ("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+      days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM span),
+      u AS (SELECT DISTINCT user_id FROM e),
+      c AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n
+            FROM e WHERE event_type = 'purchase' GROUP BY user_id, day)
+      SELECT u.user_id, days.day, COALESCE(c.n, 0) AS n_events
+      FROM u CROSS JOIN days
+      LEFT JOIN c ON c.user_id = u.user_id AND c.day = days.day""".stripMargin.trim),
+    // strict-order funnel: each stage's reach time gates the next
+    "q_event_funnel" -> ("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+      SELECT u.user_id,
+             CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_stage
+      FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             LEFT JOIN s2 ON s2.user_id = u.user_id
+             LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin.trim),
+    // cohorts anchored to first activity; week = day-offset DIV 7
+    "q_event_retention" -> ("""
+      WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id),
+      w AS (SELECT DISTINCT a.user_id, c.cohort_day,
+              CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) // 7 AS week_k
+            FROM a JOIN c ON c.user_id = a.user_id)
+      SELECT cohort_day, CAST(week_k AS BIGINT) AS week_k,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM w GROUP BY cohort_day, week_k""".stripMargin.trim),
     // as-of semantics spelled as a correlated top-1 (latest order at or
     // before the event, ties to the largest orderkey) — mirrors the
     // union+window engine implementation exactly

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics staples over the events stream — gap-filled
+  * activity matrices, funnel progression, and retention cohorts. These
+  * are the dashboard queries of any event pipeline; each is spelled so
+  * the DuckDB oracle is bit-identical (dates via `to_date`/CAST AS
+  * DATE, the q_events_daily precedent; week buckets as integer
+  * day-offsets `DIV 7` — pure arithmetic, no engine week-start
+  * license).
+  *
+  * 100 TB shape: everything is keyed aggregation on user_id/day — the
+  * natural event-table partitioning — with map-side combine; the only
+  * non-equi construct is gap-fill's dense frame, which is the OUTPUT of
+  * that operator by definition (users × days), built from a broadcast
+  * 1-row span crossJoin, never an event-by-event product.
+  */
+object EventAnalytics {
+
+  /** Per-user DAILY activity matrix for one event type with missing
+    * days filled at zero over the corpus-wide [min-day, max-day] span —
+    * the dense input retention/engagement models train on (a missing
+    * row and a zero row are different facts, and downstream models
+    * only see rows).
+    *
+    * Plan: one 1-row (min, max) aggregate → `sequence` explode to the
+    * day axis (span-sized, broadcast) → crossJoin with the distinct
+    * user axis → left join of the sparse per-(user, day) counts. The
+    * crossJoin IS the contract: the output is the dense matrix; its
+    * size is users × days regardless of spelling.
+    */
+  def dailyGapFill(spark: SparkSession, sfDir: String,
+                   eventType: String = "purchase"): DataFrame =
+    dailyGapFillOn(Tables.events(spark, sfDir), eventType)
+
+  def dailyGapFillOn(events: DataFrame, eventType: String): DataFrame = {
+    val withDay = events.select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"))
+    val span = withDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = span.select(explode(
+      sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val users = withDay.select(col("user_id")).distinct()
+    val counts = withDay.filter(col("event_type") === eventType)
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    users.crossJoin(broadcast(days))
+      .join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Ordered FUNNEL progression per user: stage 1 = earliest `view`,
+    * stage 2 = earliest `click` strictly after it, stage 3 = earliest
+    * `purchase` strictly after that. Emits (user_id, funnel_stage
+    * 0..3) for every user in the events table — the strict-ordering
+    * semantics (a purchase before the first click does not count) that
+    * separates a funnel from three independent counts.
+    *
+    * Plan: three filtered per-user min-aggregates chained by user-keyed
+    * equi-joins — each stage's input is one event-type slice, each
+    * aggregate map-side combines, and the join key is the table's
+    * natural user partitioning. No windows, no self-join on time.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOn(Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
+
+  def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelOn needs at least one stage")
+    val users = events.select(col("user_id")).distinct()
+    // fold: frame of (user_id, reach_ts) for users reaching each stage
+    val reached: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(List.empty[DataFrame]) { case (acc, (stage, i)) =>
+        val slice = events.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts"))
+        val gated = acc.headOption match {
+          case None => slice
+          case Some(prev) =>
+            slice.join(prev.select(col("user_id"),
+              col("reach_ts").as("prev_ts")), "user_id")
+              .filter(col("ts") > col("prev_ts"))
+              .select(col("user_id"), col("ts"))
+        }
+        gated.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("reach_ts")) :: acc
+      }.reverse
+    reached.zipWithIndex.foldLeft(
+      users.withColumn("funnel_stage", lit(0L))) { case (acc, (r, i)) =>
+      acc.join(r.select(col("user_id"), lit(1L).as(s"s$i")), Seq("user_id"), "left")
+        .withColumn("funnel_stage",
+          when(col(s"s$i") === 1L, lit(i + 1L)).otherwise(col("funnel_stage")))
+        .drop(s"s$i")
+    }.select(col("user_id"), col("funnel_stage"))
+  }
+
+  /** RETENTION cohorts: users grouped by their first-activity day, and
+    * for each week offset k = (day − cohort_day) DIV 7, how many cohort
+    * members were active in that week. Week buckets are integer
+    * day-offset arithmetic — no calendar-week license (DuckDB and Spark
+    * agree on `date_trunc('week')` today, but an integer DIV cannot
+    * drift, and product retention is anchored to signup anyway, not to
+    * Mondays).
+    *
+    * Plan: per-user first-day aggregate (user-keyed), distinct
+    * (user, day) activity, one user-keyed equi-join, then the
+    * (cohort_day, week_k) rollup — all map-side-combining aggregates on
+    * natural keys.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame =
+    retentionOn(Tables.events(spark, sfDir))
+
+  def retentionOn(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        expr("CAST(datediff(day, cohort_day) AS BIGINT) DIV 7").as("week_k"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("week_k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Event analytics (q_events_gapfill / q_event_funnel /
+  * q_event_retention): values are hash-checked against DuckDB by the
+  * driver; this suite pins the semantics the rollups can't show —
+  * zero-fill coverage, strict funnel ordering, and cohort anchoring.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("gap-fill: every (user, day) cell exists over the global span, zeros included") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "purchase"),
+      (1L, "2024-01-03 10:00:00", "purchase"),
+      (2L, "2024-01-02 10:00:00", "view")) // defines span but no purchase
+    val got = EventAnalytics.dailyGapFillOn(events, "purchase")
+      .select(col("user_id"), col("day").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "2024-01-01", 1L), (1L, "2024-01-02", 0L), (1L, "2024-01-03", 1L),
+      (2L, "2024-01-01", 0L), (2L, "2024-01-02", 0L), (2L, "2024-01-03", 0L)))
+  }
+
+  test("gap-fill: two same-day events count 2, span from ALL event types") {
+    val events = ev(
+      (1L, "2024-01-05 01:00:00", "purchase"),
+      (1L, "2024-01-05 02:00:00", "purchase"),
+      (1L, "2024-01-07 03:00:00", "error"))
+    val got = EventAnalytics.dailyGapFillOn(events, "purchase")
+      .select(col("day").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("2024-01-05" -> 2L, "2024-01-06" -> 0L,
+      "2024-01-07" -> 0L))
+  }
+
+  test("funnel: strict ordering — a purchase before the first click doesn't count") {
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // user 2: purchase BEFORE the click -> stops at stage 2
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:30:00", "purchase"),
+      (2L, "2024-01-01 11:00:00", "click"),
+      // user 3: click with no prior view -> stage 0
+      (3L, "2024-01-01 10:00:00", "click"),
+      // user 4: view only
+      (4L, "2024-01-01 10:00:00", "view"))
+    val got = EventAnalytics.funnelOn(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("funnel: equal timestamps do not advance (strictly-after gate)") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"))
+    val got = EventAnalytics.funnelOn(events, Seq("view", "click"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L))
+  }
+
+  test("retention: cohorts anchor to first activity, week = day-offset DIV 7") {
+    val events = ev(
+      // user 1: first day Jan 1, active again day 6 (week 0) and day 8 (week 1)
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-07 10:00:00", "click"),
+      (1L, "2024-01-09 10:00:00", "view"),
+      // user 2: first day Jan 2, never again
+      (2L, "2024-01-02 10:00:00", "view"))
+    val got = EventAnalytics.retentionOn(events)
+      .select(col("cohort_day").cast("string"), col("week_k"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("retention: multiple same-week actives count the user once per week") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-03 10:00:00", "view"))
+    val got = EventAnalytics.retentionOn(events)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(got.length === 1 && got(0)._2 === 0L && got(0)._3 === 1L)
+  }
+
+  test("driver spellings: funnel stages and retention weeks non-vacuous on the fixture") {
+    val f = EventAnalytics.funnel(spark, TestSpark.sf0001)
+      .groupBy("funnel_stage").count().as[(Long, Long)].collect().toMap
+    assert(f.keySet.contains(3L), "no user completes the funnel on the fixture")
+    val r = EventAnalytics.retention(spark, TestSpark.sf0001)
+      .select("week_k").distinct().as[Long].collect().toSet
+    assert(r.size > 1, "single retention week — gap semantics unexercised")
+    val g = EventAnalytics.dailyGapFill(spark, TestSpark.sf0001)
+    val zeros = g.filter(col("n_events") === 0L).count()
+    assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
+  }
+}

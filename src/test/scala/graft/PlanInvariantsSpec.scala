@@ -26,7 +26,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // the bigram scorer crossJoins the same broadcast 1-ROW reference
     // token total (Lm.bigramScoreOn); its buckets composition adds the
     // 1-ROW tertile-bounds crossJoin (Lm.bucketsFromScores)
-    "q_lm_bigram", "q_lm_bigram_buckets")
+    "q_lm_bigram", "q_lm_bigram_buckets",
+    // gap-fill crossJoins the broadcast span-sized day axis into the
+    // user axis — the dense users × days matrix IS the operator's
+    // output contract (EventAnalytics.dailyGapFillOn)
+    "q_events_gapfill")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
