@@ -502,6 +502,45 @@ object ScaleSmoke {
       val (tNt, nNt) = timeIt(Relational.ntileRevenueSkewSafeOn(hotOrders).count())
       val (tNtPlain, _) = timeIt(Relational.ntileRevenuePlainOn(hotOrders).count())
 
+      // novelty: gram df via equi-join (AQE-splittable) — replicas share
+      // no grams (token suffixes), so both the distinct-gram frame and
+      // the join grow linearly with the factor
+      val (tNov, nNov) = timeIt(
+        graft.operators.TextAnalysis.noveltyOn(docs).count())
+      spark.catalog.clearCache()
+
+      // BPE: the corpus is touched once (word-freq pass); every merge
+      // iteration runs on the vocabulary frame. Suffixed replicas grow
+      // the vocab linearly, so runtime must stay near-linear — a
+      // corpus-sized per-iteration term would show as factor × merges
+      val (tBpe, nBpe) = timeIt(
+        graft.operators.Bpe.learnMergesOn(docs.select(col("text")), 4).count())
+      spark.catalog.clearCache()
+
+      // event analytics on a TYPED events replica (strided users,
+      // event_type preserved): all three are keyed aggregates + user
+      // equi-joins, linear in events; gap-fill's output itself grows
+      // users × days (days constant here), the operator's contract
+      val teBase = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val teStride = teBase.agg(max(col("event_id"))).head.getLong(0) + 1
+      val tuStride = teBase.agg(max(col("user_id"))).head.getLong(0) + 1
+      val typedEv = (0 until factor).map { i =>
+        teBase.select(
+          (col("event_id") + lit(i * teStride)).as("event_id"),
+          (col("user_id") + lit(i * tuStride)).as("user_id"),
+          col("event_type"),
+          expr("timestamp_micros(us)").as("ts"))
+      }.reduce(_ union _)
+      val (tFun, nFun) = timeIt(graft.operators.EventAnalytics
+        .funnelOn(typedEv, Seq("view", "click", "purchase")).count())
+      val (tRet, nRet) = timeIt(
+        graft.operators.EventAnalytics.retentionOn(typedEv).count())
+      val (tGap, nGap) = timeIt(
+        graft.operators.EventAnalytics.dailyGapFillOn(typedEv, "purchase").count())
+      spark.catalog.clearCache()
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
@@ -529,7 +568,12 @@ object ScaleSmoke {
         s""""line_dedup_sec":$tLd,"line_dedup_docs":$nLd,""" +
         s""""session_salted_sec":$tSes,"session_plain_sec":$tSesPlain,"sessions":$nSes,""" +
         s""""asof_banded_sec":$tAsof,"asof_plain_sec":$tAsofPlain,"asof_rows":$nAsof,""" +
-        s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt}""")
+        s""""ntile_banded_sec":$tNt,"ntile_plain_sec":$tNtPlain,"ntile_rows":$nNt,""" +
+        s""""novelty_sec":$tNov,"novelty_docs":$nNov,""" +
+        s""""bpe_sec":$tBpe,"bpe_merges":$nBpe,""" +
+        s""""funnel_sec":$tFun,"funnel_users":$nFun,""" +
+        s""""retention_sec":$tRet,"retention_rows":$nRet,""" +
+        s""""gapfill_sec":$tGap,"gapfill_cells":$nGap}""")
     }
 
     // --- IVF drift canary (factor-independent): the re-fit signal

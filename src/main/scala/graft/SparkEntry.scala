@@ -255,6 +255,10 @@ object SparkEntry {
     // composed corpus-build tail: curation ledger's train docs →
     // temperature-balanced mixture
     "q_mixture_curated" -> ((s, d) => operators.Mixture.mixtureCurated(s, d)),
+    // the FULL corpus-build tail: curate -> train -> temperature
+    // mixture -> packed 512-token sequences, raw docs in / (doc, seq,
+    // span) out — each stage the oracle-verified standalone operator
+    "q_corpus_build" -> ((s, d) => operators.Mixture.corpusBuild(s, d)),
     // -- CCNet-style LM perplexity filtering --
     // per-doc cross-entropy in whole bits under the en-reference unigram
     // LM (bitlen staircase — integer-exact across engines); vocab capped
@@ -451,6 +455,28 @@ object SparkEntry {
                CAST(SUM(surprise) AS BIGINT) AS bits,
                CAST(SUM(surprise) * 100 // COUNT(*) AS BIGINT) AS bits_per_100
              FROM sc0 GROUP BY doc_id)"""
+
+  /** The q_mixture_curated oracle, shared verbatim with q_corpus_build
+    * (which wraps it as a derived table before the packing window) so
+    * the composed tail cannot drift from the standalone mixture.
+    */
+  private lazy val mixtureCuratedSql: String = ("""
+      WITH t AS (SELECT d.doc_id, d.source,
+                   md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS key
+                 FROM documents d
+                 JOIN (""" + pipelineOracle(
+                   nearPlants = false, fuzzy = false, covPct = None) + """) led
+                   ON led.doc_id = d.doc_id
+                 WHERE led.outcome = 'train'),
+      q AS (SELECT source,
+              LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 4) AS quota
+            FROM t GROUP BY source),
+      r AS (SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY key, doc_id) AS BIGINT) AS rk
+            FROM t)
+      SELECT r.doc_id, r.source, r.rk
+      FROM r JOIN q USING (source) WHERE r.rk <= q.quota""").stripMargin.trim
 
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
                              covPct: Option[Int],
@@ -1456,23 +1482,30 @@ object SparkEntry {
     // then the q_mixture_sample rank/quota arithmetic runs over the
     // survivors. Planted ledger rows never reach 'train' (they always
     // lose the keeper race), so the join back to documents is total.
-    "q_mixture_curated" -> ("""
-      WITH t AS (SELECT d.doc_id, d.source,
+    "q_mixture_curated" -> mixtureCuratedSql,
+    // the full tail: mixture-picked docs (the q_mixture_curated query
+    // as a derived table) fed through the q_pack_sequences direct
+    // single-window spelling — curation, mixture, and packing oracles
+    // composed, so none of the three can drift from its standalone twin
+    "q_corpus_build" -> ("""
+      WITH t AS (SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
                    md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS key
                  FROM documents d
-                 JOIN (""" + pipelineOracle(
-                   nearPlants = false, fuzzy = false, covPct = None) + """) led
-                   ON led.doc_id = d.doc_id
-                 WHERE led.outcome = 'train'),
-      q AS (SELECT source,
-              LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 4) AS quota
-            FROM t GROUP BY source),
-      r AS (SELECT doc_id, source,
-              CAST(ROW_NUMBER() OVER (PARTITION BY source
-                ORDER BY key, doc_id) AS BIGINT) AS rk
-            FROM t)
-      SELECT r.doc_id, r.source, r.rk
-      FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin.trim),
+                 JOIN (""" + mixtureCuratedSql + """) pk
+                   ON pk.doc_id = d.doc_id),
+      r AS (SELECT doc_id, n_tokens,
+              COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                CAST(0 AS BIGINT)) AS strt
+            FROM t),
+      e AS (SELECT doc_id, n_tokens, strt,
+              unnest(range(strt // 512, (strt + n_tokens - 1) // 512 + 1)) AS seq_id
+            FROM r)
+      SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+             CAST(LEAST((seq_id + 1) * 512, strt + n_tokens)
+                - GREATEST(seq_id * 512, strt) AS BIGINT) AS tok_in_seq
+      FROM e""".stripMargin.trim),
     // CCNet-style cross-entropy in whole bits: the bitlen staircase is
     // integer-exact in both engines (log/ln carry a 1-ulp license;
     // length(bin(x)) has one spelling)

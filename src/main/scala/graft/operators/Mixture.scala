@@ -309,6 +309,24 @@ object Mixture {
         .join(train, "doc_id"), scale)
   }
 
+  /** The FULL corpus-build tail in one query: curation ledger → train
+    * docs → temperature-balanced mixture → GPT-style packed training
+    * sequences — raw documents in, (doc, sequence, token-span)
+    * assignments out. Every stage is the individually-oracle-verified
+    * operator ([[graft.operators.Pipeline.curate]] →
+    * [[temperatureSampleOn]] → [[packSequencesOn]]) composed in
+    * production order; the packing runs over exactly the mixture-picked
+    * doc set, so the sequence axis reflects the corpus a trainer would
+    * actually see.
+    */
+  def corpusBuild(spark: SparkSession, sfDir: String,
+                  scale: Long = 4L, seqLen: Long = 512L): DataFrame = {
+    val picked = mixtureCurated(spark, sfDir, scale).select(col("doc_id"))
+    packSequencesOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .join(picked, "doc_id"), seqLen)
+  }
+
   /** PERPLEXITY-CURRICULUM ordering — the easy-to-hard training
     * schedule: every doc gets its 1-based global position in
     * (grade asc, fingerprint, doc_id) order, where `grade` is any

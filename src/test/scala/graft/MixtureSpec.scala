@@ -175,6 +175,28 @@ class MixtureSpec extends SparkSpec {
     cur.unpersist()
   }
 
+  test("corpus build == packSequences over exactly the mixture-picked docs") {
+    val picked = Mixture.mixtureCurated(spark, sf).select("doc_id")
+    val direct = Mixture.packSequencesOn(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .join(picked, "doc_id"))
+    val composed = Mixture.corpusBuild(spark, sf)
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "corpusBuild diverges from its definitional composition")
+    // token conservation: packed spans sum to the picked docs' tokens
+    val pickedToks = Tables.documents(spark, sf)
+      .join(picked, "doc_id")
+      .agg(sum(size(split(col("text"), " ")))).as[Long].head()
+    val packedToks = composed.agg(sum(col("tok_in_seq"))).as[Long].head()
+    assert(packedToks === pickedToks, "packing lost or invented tokens")
+    // every interior sequence is exactly full
+    val maxSeq = composed.agg(max(col("seq_id"))).as[Long].head()
+    val bad = composed.filter(col("seq_id") < maxSeq)
+      .groupBy("seq_id").agg(sum(col("tok_in_seq")).as("t"))
+      .filter(col("t") =!= 512L).count()
+    assert(bad === 0L, "an interior sequence is not exactly 512 tokens")
+  }
+
   test("dsir weight table never exceeds its 4096 hashed buckets") {
     // the whole scale story: the broadcast side is fixed-size no matter
     // the corpus — verify the bucket id really is a 3-hex-char key

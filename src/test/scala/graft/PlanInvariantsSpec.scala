@@ -92,7 +92,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_pack_sequences", "q_dsir_resample", "q_lm_buckets", "q_curriculum",
     // bigram buckets inherit lm_buckets' bounded histogram window
     // through the shared bucketsFromScores spelling
-    "q_lm_bigram_buckets")
+    "q_lm_bigram_buckets",
+    // the corpus-build tail composes packSequences' block-offset window
+    // (bounded block-sum frame, never the corpus)
+    "q_corpus_build")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
