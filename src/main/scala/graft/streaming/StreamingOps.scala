@@ -21,6 +21,14 @@ case class UserEventTs(user_id: Long, event_id: Long, us: Long,
   */
 case class UserProfile(user_id: Long, n_events: Long, last_us: Long)
 
+/** Typed event row for the streaming funnel (event_type carried). */
+case class TypedEvent(user_id: Long, event_type: String, us: Long)
+
+/** Running funnel state: the stage reached so far and the event time
+  * that reached it.
+  */
+case class FunnelState(user_id: Long, funnel_stage: Long, reach_us: Long)
+
 /** Structured Streaming counterparts of the batch operators (SURVEY.md
   * §7.2 M3). The transforms are the SAME declarative plans as the batch
   * versions — on a streaming DataFrame Spark plans them as incremental
@@ -875,6 +883,52 @@ object StreamingOps {
           var last = prev.last_us
           evs.foreach { e => n += 1; if (e.us > last) last = e.us }
           val next = UserProfile(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** STREAMING FUNNEL — the incremental twin of
+    * [[graft.operators.EventAnalytics.funnelOn]]: one fixed-size state
+    * row per user (stage reached + the event time that reached it),
+    * advanced per micro-batch by scanning the user's events in event-
+    * time order and stepping the stage whenever the NEXT stage's event
+    * type arrives strictly after the current reach time — the same
+    * strictly-after gate as the batch operator, so an out-of-order
+    * purchase cannot advance past a later click.
+    *
+    * EQUALITY CONTRACT: greedy first-qualifying-event advancement
+    * equals the batch min-reach-time chain whenever each user's events
+    * are delivered in event-time order ACROSS micro-batches (the
+    * at-ingest common case; within a batch, arrival order is irrelevant
+    * — events are sorted here). Cross-batch REGRESSIONS (a late view
+    * older than the recorded one) can only under-advance, never
+    * mis-advance; the healing path is the batch recompute, exactly the
+    * streaming-ingest house contract.
+    *
+    * 100 TB shape: state is one fixed-size row per user partitioned by
+    * the grouping key; each trigger touches only the batch's users.
+    */
+  def streamingFunnel(events: Dataset[TypedEvent],
+                      stages: Seq[String]): Dataset[FunnelState] = {
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    import events.sparkSession.implicits._
+    val stageArr = stages.toArray
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(uid, 0L, Long.MinValue))
+          var stage = prev.funnel_stage
+          var reach = prev.reach_us
+          evs.toArray.sortBy(_.us).foreach { e =>
+            if (stage < stageArr.length &&
+                e.event_type == stageArr(stage.toInt) && e.us > reach) {
+              stage += 1
+              reach = e.us
+            }
+          }
+          val next = FunnelState(uid, stage, reach)
           state.update(next)
           next
       }
