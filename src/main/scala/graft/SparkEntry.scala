@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.GrepEngine
-import graft.engine.GrepEngine.{Regex, Substring, SubstringIgnoreCase}
+import graft.engine.GrepEngine.{Regex, Substring, SubstringIgnoreCase, WholeWord}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,24 @@ object SparkEntry {
       GrepEngine.multiGrep(Tables.documents(s, d), "text", Seq("vector", "stream"))),
     "q_grep_topk" -> ((s, d) =>
       GrepEngine.grepTopK(Tables.documents(s, d), "text", "spark", 10)),
+    // the classic grep FLAG family (-w/-v/-o/-c/-l/-C) over the same
+    // corpus view: each doc a line, `source` the file, doc_id the line
+    // number. Patterns chosen non-vacuously: word-'a' diverges from
+    // substring-'a' (which hits hash/batch/table/...), 'spark' repeats
+    // within lines (occ > freq), 'dup' is rare (files/context stay
+    // selective and zero-match files exercise the -c zero row).
+    "q_grep_word" -> ((s, d) =>
+      GrepEngine.grepFreq(Tables.documents(s, d), "text", "a", WholeWord)),
+    "q_grep_invert" -> ((s, d) =>
+      GrepEngine.grepInvert(Tables.documents(s, d), "text", "spark")),
+    "q_grep_occ" -> ((s, d) =>
+      GrepEngine.grepOccurrences(Tables.documents(s, d), "text", "spark")),
+    "q_grep_counts" -> ((s, d) =>
+      GrepEngine.grepFileCounts(Tables.documents(s, d), "source", "text", "vector")),
+    "q_grep_files" -> ((s, d) =>
+      GrepEngine.grepFilesWithMatches(Tables.documents(s, d), "source", "text", "dup")),
+    "q_grep_context" -> ((s, d) =>
+      GrepEngine.contextGrep(Tables.documents(s, d), "source", "doc_id", "text", "dup", 1)),
     // same grep questions probing the MATERIALIZED trigram index
     // (sources.TextIndexes) instead of scanning the corpus — a green
     // row certifies the postings round-trip AND that trigram candidate
@@ -50,6 +68,10 @@ object SparkEntry {
       sources.TextIndexes.grepProbeDocs(s, d, "ve[ck]tor", Regex)),
     "q_grep_topk_idx" -> ((s, d) =>
       sources.TextIndexes.grepTopKProbeDocs(s, d, "spark", 10)),
+    // word mode through the stored probe: 'a' has no trigram, so this
+    // certifies the index's distinct-lines fallback under the new mode
+    "q_grep_word_idx" -> ((s, d) =>
+      sources.TextIndexes.grepProbeDocs(s, d, "a", WholeWord)),
     // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
     "q_pricing_summary" -> (operators.Relational.pricingSummary _),
     "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
@@ -325,6 +347,11 @@ object SparkEntry {
     // rows + a vectors table — no payload on sketch rows); rows-only
     // like its inline twin, stored == inline asserted in SimilaritySpec
     "q_embed_ann_lsh_idx" -> ((s, d) => sources.SimilarityIndexes.annLshProbeDocs(s, d)),
+    // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
+    // prototypicality selection) — rows-only: kmeans-seeded cells, the
+    // IVF precedent; semantics pinned in ClusteringSpec
+    "q_embed_cluster_profile" -> ((s, d) => operators.Clustering.clusterProfile(s, d)),
+    "q_embed_cluster_prune" -> ((s, d) => operators.Clustering.clusterPrune(s, d)),
     // rows-only for the same reason (IVF-cell candidate generation);
     // recall vs exact blocked all-pairs + representative invariants
     // asserted in SimilaritySpec
@@ -361,7 +388,8 @@ object SparkEntry {
     "q_grep_ci_idx" -> "q_grep_ci",
     "q_grep_multi_idx" -> "q_grep_multi",
     "q_grep_regex_idx" -> "q_grep_regex",
-    "q_grep_topk_idx" -> "q_grep_topk"
+    "q_grep_topk_idx" -> "q_grep_topk",
+    "q_grep_word_idx" -> "q_grep_word"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   /** Builds the curation-ledger oracle variants from ONE spelling of the
@@ -621,6 +649,31 @@ object SparkEntry {
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%vector%' OR text LIKE '%stream%' GROUP BY text",
     "q_grep_topk" ->
       "SELECT text AS line, count(*) AS freq FROM documents WHERE text LIKE '%spark%' GROUP BY text ORDER BY freq DESC, line ASC LIMIT 10",
+    "q_grep_word" ->
+      """SELECT text AS line, count(*) AS freq FROM documents WHERE regexp_matches(text, '\ba\b') GROUP BY text""",
+    "q_grep_invert" ->
+      "SELECT text AS line, count(*) AS freq FROM documents WHERE text NOT LIKE '%spark%' GROUP BY text",
+    // per-occurrence counting: same length arithmetic both engines
+    // (non-overlapping replace, integer division — exact, |pattern|
+    // always divides the length delta)
+    "q_grep_occ" -> ("""
+      SELECT text AS line, count(*) AS freq,
+             (length(text) - length(replace(text, 'spark', ''))) // 5 AS occ,
+             ((length(text) - length(replace(text, 'spark', ''))) // 5) * count(*) AS total_occ
+      FROM documents WHERE contains(text, 'spark') GROUP BY text""".stripMargin.trim),
+    "q_grep_counts" ->
+      "SELECT source AS file, count(*) FILTER (WHERE text LIKE '%vector%') AS n_match FROM documents GROUP BY source",
+    "q_grep_files" ->
+      "SELECT DISTINCT source AS file FROM documents WHERE text LIKE '%dup%'",
+    "q_grep_context" -> ("""
+      SELECT file, line_no, line, is_match FROM (
+        SELECT source AS file, doc_id AS line_no, text AS line,
+               CAST(CASE WHEN text LIKE '%dup%' THEN 1 ELSE 0 END AS BIGINT) AS is_match,
+               max(CASE WHEN text LIKE '%dup%' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctx
+        FROM documents)
+      WHERE ctx = 1""".stripMargin.trim),
     // Money/quantity sums surface as integer minor units (BIGINT): decimal
     // internally for exact associative math, *100 (or *10000) cast to
     // BIGINT at the boundary — integer outputs are representation-stable

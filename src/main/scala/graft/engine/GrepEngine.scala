@@ -37,12 +37,24 @@ object GrepEngine {
   case object Regex extends Mode
   case object SubstringIgnoreCase extends Mode
 
+  /** `grep -w`: the pattern matches only at word boundaries (gnu grep's
+    * --word-regexp). Spelled as a `\b`-anchored regex over the QUOTED
+    * pattern (`\Q…\E`), so the pattern itself stays a literal — this is
+    * word-anchored SUBSTRING search, not a regex mode. A word match
+    * implies substring containment, so the trigram index's candidate
+    * pruning stays recall-free for this mode and the stored probes
+    * accept it unchanged (the exact verify restores word semantics).
+    */
+  case object WholeWord extends Mode
+
   /** Predicate for one pattern in the given mode, applied to `line`. */
   def matchPredicate(line: Column, pattern: String, mode: Mode): Column =
     mode match {
       case Substring           => line.contains(lit(pattern))
       case Regex               => line.rlike(pattern)
       case SubstringIgnoreCase => lower(line).contains(lit(pattern.toLowerCase))
+      case WholeWord =>
+        line.rlike("\\b" + java.util.regex.Pattern.quote(pattern) + "\\b")
     }
 
   /** Frequency of each distinct matching line among `lines`.
@@ -303,6 +315,105 @@ object GrepEngine {
     grepFreqFromIndex(linesRaw, postings, gramdf, pattern, mode)
       .orderBy(desc("freq"), asc("line"))
       .limit(k)
+
+  // -- the classic grep FLAG family over a (file, line_no, line) corpus
+  // view. The reference exposes exactly one question (-substr: matching
+  // lines with frequencies, client/client.go:26); real grep users live
+  // on -v/-w/-c/-l/-o/-C, so the engine completes the surface. Corpus
+  // model: the `documents` table IS the multi-file corpus — each doc a
+  // line, `source` the file, `doc_id` the line number (TESTDATA.md:
+  // single-line synthetic texts). Every spelling below is one scan plus
+  // at most one key-bounded exchange — nothing corpus-quadratic. --
+
+  /** `grep -v`: frequency of each distinct NON-matching line — the
+    * complement bag of [[grepFreq]] (together they partition the
+    * distinct lines; GrepEngineSpec asserts it). Complements have no
+    * trigram algebra (an index probe can prove presence, not absence),
+    * so the stored spelling scans the distinct-lines table.
+    */
+  def grepInvert(lines: DataFrame, lineCol: String, pattern: String,
+                 mode: Mode = Substring): DataFrame =
+    lines
+      .filter(!matchPredicate(col(lineCol), pattern, mode))
+      .groupBy(col(lineCol).as("line"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** `grep -o | uniq -c`: per-OCCURRENCE counting — the deliberate
+    * counterpoint to the reference's per-line rule (worker/worker.go:37,
+    * SURVEY.md §2.4(b)): a line holding the pattern twice counts 2 here.
+    * Occurrences per line come from length arithmetic
+    * ((len − len(line without pattern)) DIV |pattern|) — pure codegen'd
+    * string ops in the same pass as the filter, no regex engine, no
+    * second scan; `total_occ` = occurrences × line frequency.
+    * Non-overlapping occurrences, like `grep -o` (replace() consumes
+    * left-to-right).
+    */
+  def grepOccurrences(lines: DataFrame, lineCol: String,
+                      pattern: String): DataFrame =
+    lines
+      .filter(col(lineCol).contains(lit(pattern)))
+      .groupBy(col(lineCol).as("line"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("diff",
+        length(col("line")) - length(replace(col("line"), lit(pattern), lit(""))))
+      .withColumn("occ", expr(s"diff DIV ${pattern.length}"))
+      .select(col("line"), col("freq"), col("occ"),
+        (col("occ") * col("freq")).as("total_occ"))
+
+  /** `grep -c` across a corpus of files: matching-line count PER FILE,
+    * zero-match files included (gnu grep prints `file:0`). One
+    * conditional aggregate keyed on the file — map-side combines to
+    * |files| rows, so the exchange is catalog-sized at any corpus size.
+    */
+  def grepFileCounts(lines: DataFrame, fileCol: String, lineCol: String,
+                     pattern: String, mode: Mode = Substring): DataFrame =
+    lines
+      .groupBy(col(fileCol).as("file"))
+      .agg(sum(when(matchPredicate(col(lineCol), pattern, mode), 1L)
+        .otherwise(0L)).as("n_match"))
+
+  /** `grep -l`: the distinct files containing at least one match.
+    * Filter-then-distinct on the bare file key: the exchange carries
+    * only matching files' names, nothing line-sized.
+    */
+  def grepFilesWithMatches(lines: DataFrame, fileCol: String, lineCol: String,
+                           pattern: String, mode: Mode = Substring): DataFrame =
+    lines
+      .filter(matchPredicate(col(lineCol), pattern, mode))
+      .select(col(fileCol).as("file"))
+      .distinct()
+
+  /** `grep -C n`: matching lines WITH n lines of context either side,
+    * per file — emitted once each even where context windows overlap
+    * (gnu grep's merged-context behavior), with `is_match`
+    * distinguishing match lines from context lines. One window over
+    * (file, line_no): a line is emitted iff any match sits within n
+    * ROWS of it — physical adjacency, exactly grep's definition.
+    *
+    * 100 TB shape: ONE exchange partitioned on the file + an in-
+    * partition sort; the file is grep's own unit of sequential
+    * semantics, so per-file parallelism is the natural maximum. A
+    * single pathological giant file serializes its own window (as it
+    * must — context is sequential) but never anyone else's; split such
+    * corpora on line-range boundaries upstream if per-file skew bites.
+    */
+  def contextGrep(lines: DataFrame, fileCol: String, lineNoCol: String,
+                  lineCol: String, pattern: String, n: Int,
+                  mode: Mode = Substring): DataFrame = {
+    require(n >= 0, s"context radius must be >= 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("line_no"))
+      .rowsBetween(-n.toLong, n.toLong)
+    lines
+      .select(col(fileCol).as("file"),
+        col(lineNoCol).cast("long").as("line_no"),
+        col(lineCol).as("line"))
+      .withColumn("is_match",
+        matchPredicate(col("line"), pattern, mode).cast("long"))
+      .withColumn("ctx", max(col("is_match")).over(w))
+      .filter(col("ctx") === 1L)
+      .select(col("file"), col("line_no"), col("line"), col("is_match"))
+  }
 
   /** Highlight modes of the reference client (client/client.go:17-21):
     * classic = ANSI bold red, asterisks, none. Presentation-layer only —

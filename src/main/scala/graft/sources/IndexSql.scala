@@ -115,8 +115,9 @@ object IndexSql {
       case "substring" => GrepEngine.Substring
       case "ci"        => GrepEngine.SubstringIgnoreCase
       case "regex"     => GrepEngine.Regex
+      case "word"      => GrepEngine.WholeWord
       case other => throw new IllegalArgumentException(
-        s"unknown grep mode '$other' (substring | ci | regex)")
+        s"unknown grep mode '$other' (substring | ci | regex | word)")
     }
     val (lines, postings, gramdf) = TextIndexes.readGrepIndex(spark, indexPath)
     GrepEngine.grepFreqFromIndex(lines, postings, gramdf, pattern, m)

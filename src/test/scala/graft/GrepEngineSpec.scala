@@ -56,6 +56,61 @@ class GrepEngineSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet === Set("vector", "vecktor"))
   }
 
+  test("whole-word mode (-w): boundary-anchored, pattern stays literal") {
+    val df = Seq("a cat", "scatter", "cat", "the cat.", "concatenate").toDF("value")
+    val out = GrepEngine.grepFreq(df, "value", "cat", WholeWord).collect()
+    assert(out.map(_.getString(0)).toSet === Set("a cat", "cat", "the cat."))
+    // the pattern is QUOTED — regex metachars match literally in -w
+    val meta = Seq("a+b here", "aab here", "ab").toDF("value")
+    assert(GrepEngine.grepFreq(meta, "value", "a+b", WholeWord).collect()
+      .map(_.getString(0)).toSet === Set("a+b here"))
+  }
+
+  test("invert (-v) complements grepFreq: together they partition the distinct lines") {
+    val df = Seq("xx a", "xx a", "yy", "zz xx", "yy").toDF("value")
+    val hit = GrepEngine.grepFreq(df, "value", "xx")
+    val miss = GrepEngine.grepInvert(df, "value", "xx")
+    val all = hit.unionByName(miss).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("xx a" -> 2L, "zz xx" -> 1L, "yy" -> 2L))
+    assert(hit.count() + miss.count() === 3L) // disjoint, no overlap
+  }
+
+  test("per-occurrence counting (-o): occ counts non-overlapping hits, total_occ weights by freq") {
+    val df = Seq("ab ab ab", "ab ab ab", "xx ab", "none").toDF("value")
+    val out = GrepEngine.grepOccurrences(df, "value", "ab").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map("ab ab ab" -> ((2L, 3L, 6L)), "xx ab" -> ((1L, 1L, 1L))))
+  }
+
+  test("per-file counts (-c) include zero-match files; files-with-matches (-l) excludes them") {
+    val df = Seq(("f1", "has xx"), ("f1", "nope"), ("f2", "clean"), ("f3", "xx xx"))
+      .toDF("file", "line")
+    val counts = GrepEngine.grepFileCounts(df, "file", "line", "xx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("f1" -> 1L, "f2" -> 0L, "f3" -> 1L))
+    assert(GrepEngine.grepFilesWithMatches(df, "file", "line", "xx").collect()
+      .map(_.getString(0)).toSet === Set("f1", "f3"))
+  }
+
+  test("context grep (-C): n rows either side, merged overlaps, file-boundary clamped") {
+    val df = Seq(
+      ("f1", 0L, "zero"), ("f1", 1L, "MATCH one"), ("f1", 2L, "two"),
+      ("f1", 3L, "MATCH three"), ("f1", 4L, "four"), ("f1", 5L, "five"),
+      ("f2", 0L, "other file"), ("f2", 1L, "MATCH last")
+    ).toDF("file", "line_no", "line")
+    val out = GrepEngine.contextGrep(df, "file", "line_no", "line", "MATCH", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // f1: lines 0-4 emitted ONCE each (overlapping windows merge); 5 not;
+    // f2: context clamps at the file start, f1's line 5 never bleeds in
+    assert(out === Set(
+      ("f1", 0L, 0L), ("f1", 1L, 1L), ("f1", 2L, 0L), ("f1", 3L, 1L),
+      ("f1", 4L, 0L), ("f2", 0L, 0L), ("f2", 1L, 1L)))
+    // n=0 degenerates to matches only
+    assert(GrepEngine.contextGrep(df, "file", "line_no", "line", "MATCH", 0)
+      .count() === 3L)
+  }
+
   test("multiGrep is a single disjunctive filter (any-of semantics)") {
     val df = Seq("has foo", "has bar", "has both foo bar", "neither").toDF("value")
     val out = GrepEngine.multiGrep(df, "value", Seq("foo", "bar")).collect()
@@ -122,7 +177,9 @@ class GrepEngineSpec extends SparkSpec {
     val floor = Set(
       "q_grep_freq", "q_grep_regex", "q_grep_ci", "q_grep_multi", "q_grep_topk",
       "q_grep_freq_idx", "q_grep_regex_idx", "q_grep_ci_idx", "q_grep_multi_idx",
-      "q_grep_topk_idx",
+      "q_grep_topk_idx", "q_grep_word_idx",
+      "q_grep_word", "q_grep_invert", "q_grep_occ", "q_grep_counts",
+      "q_grep_files", "q_grep_context",
       "q_pricing_summary", "q_revenue_by_nation", "q_revenue_by_region",
       "q_cust_big_orders", "q_cust_no_orders", "q_cust_order_stats",
       "q_cust_activity_full", "q_part_type_revenue", "q_supplier_nation_volume",
@@ -148,6 +205,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_decontaminate", "q_decontaminate_cov", "q_decontaminate_eval_cov",
       "q_embed_neardup", "q_embed_ann", "q_embed_ann_lsh", "q_embed_ann_ivf",
       "q_embed_ann_ivf_idx", "q_embed_ann_lsh_idx",
+      "q_embed_cluster_profile", "q_embed_cluster_prune",
       "q_semantic_dedup", "q_semantic_dedup_idx",
       "q_mm_asset_stats", "q_mm_frame_stats",
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",

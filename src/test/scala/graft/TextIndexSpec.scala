@@ -82,6 +82,15 @@ class TextIndexSpec extends SparkSpec {
       freqSet(GrepEngine.multiGrep(docs, "text", Seq("VECTOR", "ql"),
         GrepEngine.SubstringIgnoreCase)),
       "multi CI probe must equal the CI scan")
+    // whole-word mode: trigram pruning stays recall-free (word match
+    // implies substring containment), the verify restores -w semantics;
+    // a trigram-less word pattern rides the distinct-lines fallback
+    assert(stored("spark", GrepEngine.WholeWord) ===
+      inline("spark", GrepEngine.WholeWord),
+      "word-mode probe (trigram-pruned) must equal the -w scan")
+    assert(stored("a", GrepEngine.WholeWord) ===
+      inline("a", GrepEngine.WholeWord),
+      "short word pattern (distinct-lines fallback) must equal the -w scan")
     // top-k rides the probe with the same deterministic tie-break
     assert(GrepEngine.grepTopKFromIndex(lines, postings, gramdf, "spark", 10)
         .as[(String, Long)].collect().toSeq ===
