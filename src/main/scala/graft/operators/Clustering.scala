@@ -71,16 +71,53 @@ object Clustering {
   def clusterAssignOn(emb: DataFrame, key: String, nlist: Int): DataFrame =
     assignWithSim(emb, Similarity.fitQuantizer(emb, key, nlist))
 
+  /** Decomposable per-cell partial stats over an assignment frame:
+    * (cell, n_vecs, sum_sim_ppm, min_sim_ppm, max_sim_ppm). Similarity
+    * goes to ppm PER ROW (floor — deterministic integer from there on),
+    * so every measure is a sum/min/max of longs: partials from disjoint
+    * deliveries merge on read EXACTLY (sums add, min/max fold — the
+    * [[Profile.langStatsOn]] card discipline), which is what lets the
+    * streaming ingest maintain the profile without ever re-reading
+    * earlier vectors.
+    */
+  private[graft] def cellStats(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), floor(col("sim") * 1000000).cast("long").as("ppm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("ppm")).as("sum_sim_ppm"),
+        min(col("ppm")).as("min_sim_ppm"),
+        max(col("ppm")).as("max_sim_ppm"))
+
+  /** Rollup of (possibly pre-merged) cell partials to the surfaced
+    * profile row: integer mean via DIV. */
+  private def profileFromCells(stats: DataFrame): DataFrame =
+    stats.select(col("cell"), col("n_vecs"),
+      expr("sum_sim_ppm DIV n_vecs").as("mean_sim_ppm"),
+      col("min_sim_ppm"), col("max_sim_ppm"))
+
   /** Per-cluster map: population and centroid-similarity spread, one row
     * per cell. Similarities surface as ppm longs (integer house rule).
     */
   def clusterProfileOn(emb: DataFrame, key: String, nlist: Int): DataFrame =
-    clusterAssignOn(emb, key, nlist)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vecs"),
-        floor(avg(col("sim")) * 1000000).cast("long").as("mean_sim_ppm"),
-        floor(min(col("sim")) * 1000000).cast("long").as("min_sim_ppm"),
-        floor(max(col("sim")) * 1000000).cast("long").as("max_sim_ppm"))
+    profileFromCells(cellStats(clusterAssignOn(emb, key, nlist)))
+
+  /** The profile read from a STORED stats directory maintained by the
+    * streaming cluster-stats ingest
+    * ([[graft.streaming.StreamingOps]].ingestClusterStats): per-ingest
+    * (cell, …) partials merge on read — sums add, min/max fold — then
+    * the same rollup as the batch profile. Given the same centroids,
+    * equal to [[clusterProfileOn]] over the union of the deliveries
+    * (integer-exact; ClusteringSpec asserts it).
+    */
+  def clusterProfileFromStats(spark: SparkSession, statsDir: String): DataFrame =
+    profileFromCells(
+      spark.read.parquet(statsDir)
+        .groupBy(col("cell"))
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          sum(col("sum_sim_ppm")).as("sum_sim_ppm"),
+          min(col("min_sim_ppm")).as("min_sim_ppm"),
+          max(col("max_sim_ppm")).as("max_sim_ppm")))
 
   /** Per-cluster quota selection: every vector gets (cell, rank, kept).
     * `central` ranks prototypical-first (sim desc), `outlier` ranks

@@ -858,6 +858,48 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming CLUSTER-STATS maintenance — the incremental twin of the
+    * batch cluster profile
+    * ([[graft.operators.Clustering.clusterProfileOn]]): each micro-batch
+    * of (vec_id, embedding) vectors is assigned to its nearest cell of
+    * the FIXED `centroids` (the stored coarse quantizer — pass the
+    * centroids the IVF index was built with, so the streaming profile
+    * and the ANN index agree on what "a cluster" is) and writes its
+    * per-cell integer partials under its own `ingest=b<batchId>`
+    * partition; [[graft.operators.Clustering.clusterProfileFromStats]]
+    * merges them on read. Every measure is a long sum/min/max over
+    * per-row ppm floors, so the merged profile equals the batch profile
+    * over the union of deliveries EXACTLY — not approximately — and
+    * each trigger costs O(batch) with no corpus re-read.
+    *
+    * Centroids are deliberately NOT re-fit per batch: a profile only
+    * means something against a stable cell decomposition. When the
+    * stored index's drift stats say the quantizer is stale
+    * (ivfRefitDue), re-fit and REBUILD the stats dir from the corpus —
+    * a batch job, like the index re-fit itself.
+    *
+    * Replay idempotence: overwrite-on-own-label; an empty recovery
+    * replay appends no vacant label (the sibling ingests' contract).
+    */
+  def ingestClusterStats(vectors: DataFrame, statsDir: String,
+                         centroids: Seq[Seq[Double]]): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      clusterStatsBatch(batch.toDF(), statsDir, s"b$batchId", centroids)
+    }.start()
+
+  /** One stats delivery — [[ingestClusterStats]]'s batch body, factored
+    * so the same-label crash-replay contract is directly spec-drivable.
+    */
+  private[graft] def clusterStatsBatch(batch: DataFrame, statsDir: String,
+                                       label: String,
+                                       centroids: Seq[Seq[Double]]): Unit = {
+    if (!batch.isEmpty)
+      graft.operators.Clustering.cellStats(
+          graft.operators.Clustering.assignWithSim(batch, centroids))
+        .write.mode("overwrite").parquet(s"$statsDir/ingest=$label")
+    ()
+  }
+
   /** Custom keyed state via mapGroupsWithState (the
     * KeyValueGroupedDataset surface): a running per-user profile —
     * cumulative event count and last-seen time — updated each

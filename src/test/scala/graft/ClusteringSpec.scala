@@ -91,4 +91,36 @@ class ClusteringSpec extends SparkSpec {
       .groupBy("cell").count().as[(Int, Long)].collect().toMap
     assert(prof.map(r => r._1 -> r._2).toMap === pruneN)
   }
+
+  test("streaming cluster stats: merged stored partials == batch profile, replay-idempotent") {
+    import graft.streaming.StreamingOps
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.fitQuantizer(emb, sf, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstats")
+      .resolve("stats").toString
+    // two disjoint deliveries, driven through the factored batch body
+    // (the same-label crash-replay surface)
+    val (d1, d2) = (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+    StreamingOps.clusterStatsBatch(d1, dir, "b0", centroids)
+    StreamingOps.clusterStatsBatch(d2, dir, "b1", centroids)
+    def profMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val batch = profMap(Clustering.cellStats(
+      Clustering.assignWithSim(emb, centroids))
+      .select($"cell", $"n_vecs", org.apache.spark.sql.functions.expr("sum_sim_ppm DIV n_vecs"),
+        $"min_sim_ppm", $"max_sim_ppm"))
+    val stored = profMap(Clustering.clusterProfileFromStats(spark, dir))
+    assert(stored === batch,
+      "merged per-ingest partials must equal the batch profile EXACTLY (integer ppm measures)")
+    // crash replay: delivering b1 again under its own label changes nothing
+    StreamingOps.clusterStatsBatch(d2, dir, "b1", centroids)
+    assert(profMap(Clustering.clusterProfileFromStats(spark, dir)) === batch,
+      "same-label replay must be idempotent")
+    // an empty recovery replay appends no vacant label
+    StreamingOps.clusterStatsBatch(emb.filter($"vec_id" < -1), dir, "b2", centroids)
+    assert(!new java.io.File(s"$dir/ingest=b2").exists(),
+      "empty delivery must not write a vacant ingest label")
+  }
 }
