@@ -64,6 +64,14 @@ import graft.sources.DedupIndexes
   *   - the stored trigram grep probe ([[graft.sources.TextIndexes]])
   *     vs the inline corpus-scan grep, row-count-identical by
   *     assertion and under the stored-probe budget at every factor;
+  *   - [[graft.engine.GrepEngine.contextGrep]] (-C) over a constant
+  *     file count with factor-growing files — the one-window-per-file
+  *     spelling must grow near-linearly, never collapse to a
+  *     single-partition sort;
+  *   - [[graft.operators.Clustering.clusterPruneOn]] over the
+  *     replicated embedding corpus (quantizer warmed untimed — the
+  *     stored-artifact cost): scan-fused assignment + cell-keyed rank,
+  *     constant nlist ⇒ near-linear;
   *   - the stored ANN probes ([[graft.sources.SimilarityIndexes]]):
   *     LSH sketch index and IVF index written once per factor over a
   *     replicated embedding corpus (circularly shifted copies — same
@@ -404,6 +412,20 @@ object ScaleSmoke {
             { spark.catalog.clearCache()
               timeIt(graft.engine.GrepEngine.grepFreq(dupDocs, "text", "dup").count())._1 }))
 
+      // context grep (-C) over the duplication-shaped corpus mapped to
+      // a CONSTANT file count (file = doc_id % 40): per-file line
+      // populations grow factor-x, so the per-file sort behind the one
+      // context window is the only superlinear term (n log n within a
+      // file) — near-linear growth here certifies the window never
+      // degenerates to a single-partition sort, and the match+context
+      // row count grows exactly linearly (verbatim copies match alike)
+      val ctxLines = dupDocs.select(
+        pmod(col("doc_id"), lit(40L)).as("file"),
+        col("doc_id").as("line_no"), col("text").as("line"))
+      val (tCtx, nCtx) = timeIt(graft.engine.GrepEngine
+        .contextGrep(ctxLines, "file", "line_no", "line", "dup", 2).count())
+      spark.catalog.clearCache()
+
       // decontamination: both sides grow with the factor, but the eval
       // side collapses to a distinct n-gram set before the join, so the
       // output (and time) must stay bounded by the train inverted index
@@ -467,6 +489,18 @@ object ScaleSmoke {
         sources.SimilarityIndexes.readIvfIndex(spark, s"$annRoot/ivf")
       val (tIvf, nIvf) = timeIt(operators.Similarity.annTopKIvfFromIndex(
         centN, cellsN, queries).count())
+      spark.catalog.clearCache()
+
+      // cluster pruning over the same factor-sized embedding corpus:
+      // the quantizer fit is warmed untimed (it is the stored artifact
+      // — ingest-time cost, like the index writes above); the timed
+      // prune is one scan-fused assignment (centroid literals, no
+      // shuffle) + one cell-keyed rank window — constant nlist, cell
+      // populations grow linearly, so time must stay near-linear and
+      // the verdict count equals the corpus exactly
+      operators.Similarity.fitQuantizer(embN, s"smoke-prune-f$factor", 16)
+      val (tPrune, nPrune) = timeIt(operators.Clustering.clusterPruneOn(
+        embN, s"smoke-prune-f$factor", 16, 50, "central").count())
       spark.catalog.clearCache()
 
       val events = replicatedEvents(spark, sfDir, factor)
@@ -556,6 +590,8 @@ object ScaleSmoke {
         s""""grep_idx_vs_inline":${tGrepIdx2 / tGrepInl2},"grep_rows":$nGrepInl,""" +
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
+        s""""embprune_sec":$tPrune,"embprune_rows":$nPrune,""" +
+        s""""ctxgrep_sec":$tCtx,"ctxgrep_rows":$nCtx,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +
         s""""curate_sec":$tCur,"curate_survivors":${curCounts.filter { case (k, _) =>
           k == "train" || k == "eval" || k == "dropped_contaminated" }.values.sum},""" +
