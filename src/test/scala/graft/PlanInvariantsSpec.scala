@@ -30,7 +30,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // gap-fill crossJoins the broadcast span-sized day axis into the
     // user axis — the dense users × days matrix IS the operator's
     // output contract (EventAnalytics.dailyGapFillOn)
-    "q_events_gapfill")
+    "q_events_gapfill",
+    // the column profiler recombines its two aggregate passes (nulls/
+    // min/max and the distinct counts) by crossJoining two broadcast
+    // 1-ROW frames (Profile.profileColumns — split to keep both passes
+    // hash-aggregated; the fused spelling sort-aggregates 7x the table)
+    "q_profile_orders")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>

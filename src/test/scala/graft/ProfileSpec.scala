@@ -55,7 +55,7 @@ class ProfileSpec extends SparkSpec {
     assert(got("tag") === ((0L, 2L, "a", "b")))
   }
 
-  test("column profiler output has one row per requested column, in one pass") {
+  test("column profiler output has one row per requested column") {
     val df = Tables.orders(spark, sf)
     val prof = Profile.profileColumns(df, Seq("o_orderkey", "o_totalprice"))
     assert(prof.count() === 2L)
