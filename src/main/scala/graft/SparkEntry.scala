@@ -75,6 +75,8 @@ object SparkEntry {
     // -- relational suite (M2, SURVEY.md §2.2 absences made real) --
     "q_pricing_summary" -> (operators.Relational.pricingSummary _),
     "q_revenue_by_nation" -> (operators.Relational.revenueByNation _),
+    "q_ship_priority" -> ((s, d) => operators.Relational.shippingPriority(s, d)),
+    "q_returned_top" -> ((s, d) => operators.Relational.returnedItemRanking(s, d)),
     // skew-safe two-phase spelling; == plain window (RelationalSpec)
     "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomerSkewSafe(s, d)),
     "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
@@ -693,6 +695,28 @@ object SparkEntry {
       FROM orders JOIN customer ON o_custkey = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name""".stripMargin.trim),
+    "q_ship_priority" -> ("""
+      SELECT l_orderkey, o_orderdate,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.trim),
+    "q_returned_top" -> ("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin.trim),
     "q_top_orders_window" -> ("""
       SELECT o_custkey, o_orderkey, rn FROM (
         SELECT o_custkey, o_orderkey,

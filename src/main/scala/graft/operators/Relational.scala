@@ -72,6 +72,76 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q3-style shipping priority: the top-k still-unshipped orders
+    * of one market segment by discounted revenue — orders placed before
+    * the cutoff whose lineitems ship after it. The segment filter
+    * collapses customer to a ~1/5-sized key list broadcast into the
+    * orders scan (semi-join shape — only `c_custkey` travels); the one
+    * real shuffle is lineitem ⋈ orders on the order key followed by the
+    * (orderkey, orderdate)-keyed aggregate, and the top-k is a
+    * TakeOrderedAndProject — each partition keeps k rows, no global
+    * sort. Ties break deterministically on the order key.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-01-01",
+                       k: Int = 10): DataFrame = {
+    val segCust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val openOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(broadcast(segCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(openOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumAsMinorUnits(
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(18,4)"), 10000).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q10-style returned-item ranking: the top-k customers by
+    * revenue lost to returns in a date window. Deliberately NOT the
+    * textbook group-by-every-customer-attribute spelling: the revenue
+    * aggregate runs first on the bare customer KEY (fact-sized shuffle
+    * carries one long), and the ≤|customers|-sized result then picks up
+    * name/balance/nation through one dim join + one 25-row broadcast —
+    * at scale the wide customer attributes never ride the fact shuffle.
+    * Equal to the textbook grouping since c_custkey is the key. Balance
+    * surfaces as integer cents (the house money rule); ties break on
+    * the customer key.
+    */
+  def returnedItemRanking(spark: SparkSession, sfDir: String,
+                          from: String = "1997-01-01",
+                          to: String = "1997-07-01",
+                          k: Int = 20): DataFrame = {
+    val winOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lostRev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(winOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sumAsMinorUnits(
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(18,4)"), 10000).as("revenue"))
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    lostRev
+      .join(cust, col("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (dec("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
   /** Top-2 orders per customer by total price: window function
     * (row_number over partitionBy(custkey)). Deterministic tie-break by
     * orderkey. Scales as one shuffle on custkey; no global sort.

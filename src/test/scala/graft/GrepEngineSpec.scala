@@ -181,6 +181,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_grep_word", "q_grep_invert", "q_grep_occ", "q_grep_counts",
       "q_grep_files", "q_grep_context",
       "q_pricing_summary", "q_revenue_by_nation", "q_revenue_by_region",
+      "q_ship_priority", "q_returned_top",
       "q_cust_big_orders", "q_cust_no_orders", "q_cust_order_stats",
       "q_cust_activity_full", "q_part_type_revenue", "q_supplier_nation_volume",
       "q_lineitem_rollup", "q_lineitem_cube", "q_top_orders_window",

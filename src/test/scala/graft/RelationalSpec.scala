@@ -31,6 +31,38 @@ class RelationalSpec extends SparkSpec {
       s"nation AND region must broadcast:\n$plan")
   }
 
+  test("shipping priority (Q3): top-k shape, broadcast segment keys, ordered output") {
+    val df = Relational.shippingPriority(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "segment customer keys must broadcast into the orders scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort")
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 10)
+    val revs = rows.map(_.getAs[Long]("revenue"))
+    assert(revs.sameElements(revs.sorted.reverse), "revenue descending")
+  }
+
+  test("returned-item ranking (Q10): agg-before-dims, top-k, cents-exact balance") {
+    val df = Relational.returnedItemRanking(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject")
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue"))
+    assert(revs.sameElements(revs.sorted.reverse), "revenue descending")
+    // every surfaced customer exists with its exact cents balance
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(cust(r.getAs[Long]("c_custkey")) === r.getAs[Long]("acctbal_cents"))
+    }
+  }
+
   test("pricing summary: shipdate filter is pushed to the parquet scan") {
     val plan = executedPlan(Relational.pricingSummary(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
