@@ -37,6 +37,37 @@ class PropertySpec extends SparkSpec {
     check("grepFreq", prop)
   }
 
+  test("context grep == brute force on random multi-file corpora") {
+    // naive reference: per file, a line is emitted iff any line within
+    // distance n of it (by SORTED position, grep's physical adjacency)
+    // matches — recomputed from first principles, no window functions
+    val corpusGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("f1", "f2", "f3"), lineGen)))
+    val prop = Prop.forAll(corpusGen, Gen.oneOf("spark", "ee", "zzz"),
+      Gen.chooseNum(0, 3), Gen.chooseNum(1, 5)) { (corpus, pat, n, parts) =>
+      // distinct line numbers per file, assigned before shuffling
+      val numbered = corpus.groupBy(_._1).toSeq.flatMap { case (f, ls) =>
+        ls.zipWithIndex.map { case ((_, l), i) => (f, i.toLong, l) }
+      }
+      val df = scala.util.Random.shuffle(numbered)
+        .toDF("file", "line_no", "line").repartition(parts)
+      val got = GrepEngine.contextGrep(df, "file", "line_no", "line", pat, n)
+        .as[(String, Long, String, Long)].collect()
+        .map(r => (r._1, r._2, r._4)).toSet
+      val want = numbered.groupBy(_._1).toSeq.flatMap { case (_, ls) =>
+        val sorted = ls.sortBy(_._2)
+        val isM = sorted.map(_._3.contains(pat))
+        sorted.indices.collect {
+          case i if ((math.max(0, i - n) to math.min(sorted.size - 1, i + n))
+              .exists(isM)) =>
+            (sorted(i)._1, sorted(i)._2, if (isM(i)) 1L else 0L)
+        }
+      }.toSet
+      got == want
+    }
+    check("contextGrep", prop)
+  }
+
   test("minhash band keys: permutation- and multiplicity-invariant (pure)") {
     val setGen = Gen.chooseNum(1, 30)
       .flatMap(n => Gen.listOfN(n, Gen.identifier.map(_.take(8))))

@@ -940,6 +940,30 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().contains("b99"))
   }
 
+  test("streaming cluster stats: writeStream path == batch profile over all deliveries") {
+    import java.nio.file.Files
+    import graft.operators.{Clustering, Similarity}
+    val statsDir = Files.createTempDirectory("graft-clstats").resolve("stats").toString
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.fitQuantizer(emb, TestSpark.sf0001, 8)
+    val rows = emb.as[(Long, Seq[Float])].collect()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ingestClusterStats(
+      ms.toDF().toDF("vec_id", "embedding"), statsDir, centroids)
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stored = Clustering.clusterProfileFromStats(spark, statsDir)
+      .orderBy("cell").collect().map(_.toString)
+    val batch = Clustering.clusterProfileOn(emb, TestSpark.sf0001, 8)
+      .orderBy("cell").collect().map(_.toString)
+    assert(stored === batch,
+      "merged per-ingest cluster partials diverge from the batch profile")
+  }
+
   test("streaming funnel == batch funnel under event-time-ordered delivery") {
     val ms = MemoryStream[TypedEvent]
     val q = StreamingOps.streamingFunnel(ms.toDS(),
