@@ -123,6 +123,9 @@ object SparkEntry {
     "q_token_quantiles_approx" -> ((s, d) => operators.TextAnalysis.tokenQuantilesApprox(s, d)),
     "q_token_bpe" -> ((s, d) => operators.TextAnalysis.subwordStats(s, d)),
     "q_sample_stratified" -> ((s, d) => operators.TextAnalysis.stratifiedSample(s, d)),
+    // rows-only: the salted-md5 A-ES draw has no cross-engine SQL
+    // spelling; TextAnalysisSpec pins it to a first-principles reference
+    "q_sample_weighted" -> ((s, d) => operators.TextAnalysis.weightedSample(s, d)),
     // rows-only: HLL sketch values are engine-specific; error bound vs
     // the exact count asserted in RelationalSpec
     "q_events_approx_users" -> ((s, d) => operators.Relational.eventTypeApproxUsers(s, d)),

@@ -102,6 +102,13 @@ object Clustering {
   def clusterProfileOn(emb: DataFrame, key: String, nlist: Int): DataFrame =
     profileFromCells(cellStats(clusterAssignOn(emb, key, nlist)))
 
+  /** The profile against EXPLICIT centroids — the stored-quantizer
+    * spelling (pass [[graft.sources.SimilarityIndexes.readIvfIndex]]'s
+    * centroids to profile by exactly the cells the ANN index serves).
+    */
+  def clusterProfileWith(emb: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    profileFromCells(cellStats(assignWithSim(emb, centroids)))
+
   /** The profile read from a STORED stats directory maintained by the
     * streaming cluster-stats ingest
     * ([[graft.streaming.StreamingOps]].ingestClusterStats): per-ingest

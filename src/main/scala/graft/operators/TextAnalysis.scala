@@ -570,6 +570,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis 2006 (A-ES, public literature): every row draws u ∈ (0,1)
+    * and the k largest u^(1/w) win, which selects each row with
+    * probability proportional to its weight among the survivors. Two
+    * deliberate re-spellings of the classic algorithm:
+    *   - u comes from a SALTED md5 of the row id, not an RNG — 13 hex
+    *     digits = 52 uniform bits, (v + 0.5) / 2^52 ∈ (0,1), all
+    *     exactly representable in a double. No RNG state means the
+    *     sample is a pure function of (id, salt): reproducible across
+    *     runs, partitionings, and engines (`rand(seed)` is none of
+    *     those — its draw depends on partition layout), and re-salting
+    *     IS re-sampling;
+    *   - the score is ln(u)/w, the monotone log spelling of u^(1/w)
+    *     (maximizing either picks the same rows) — numerically tame
+    *     where pow underflows on tiny u / huge w.
+    * The global top-k plans as TakeOrderedAndProject: each partition
+    * keeps k rows, no global sort, no shuffle beyond the k-row
+    * collect — the 100 TB shape for "sample 10M docs by quality
+    * weight". Zero/negative weights are excluded (a zero-weight row
+    * must never be drawn). Score surfaces as ppb long (house integer
+    * rule); ties break on the id.
+    */
+  def weightedSampleOn(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52: 13 hex digits, exactly a double
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(weightCol),
+        floor(col("skey") * 1000000000L).cast("long").as("skey_ppb"))
+  }
+
+  /** Driver spelling: k docs weighted by length over the documents
+    * table (rows-only — the salted-hash draw has no cross-engine SQL
+    * spelling; exactness vs a first-principles reference and the
+    * weight-monotonicity property are spec-asserted).
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     k: Int = 100, salt: String = "w0"): DataFrame =
+    weightedSampleOn(Tables.documents(spark, sfDir), "doc_id", "n_chars",
+      k, salt)
+
   /** Canonicalizing document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text, emitted per document. md5 is
     * bit-identical across engines, so every fingerprint value is

@@ -887,6 +887,20 @@ object StreamingOps {
       clusterStatsBatch(batch.toDF(), statsDir, s"b$batchId", centroids)
     }.start()
 
+  /** [[ingestClusterStats]] against the STORED IVF index's centroids
+    * (pointer-resolved, one driver-side control-plane read at stream
+    * start) — the production wiring: the streaming profile counts by
+    * exactly the cells the ANN index serves, so the stats answer "how
+    * are the index's cells filling up" and drift in them corroborates
+    * [[graft.sources.SimilarityIndexes.ivfDriftStats]]'s re-fit signal.
+    */
+  def ingestClusterStatsFromIndex(vectors: DataFrame, statsDir: String,
+                                  indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (centroids, _) = graft.sources.SimilarityIndexes
+      .readIvfIndex(vectors.sparkSession, indexDir)
+    ingestClusterStats(vectors, statsDir, centroids)
+  }
+
   /** One stats delivery — [[ingestClusterStats]]'s batch body, factored
     * so the same-label crash-replay contract is directly spec-drivable.
     */

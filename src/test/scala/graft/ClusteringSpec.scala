@@ -92,6 +92,22 @@ class ClusteringSpec extends SparkSpec {
     assert(prof.map(r => r._1 -> r._2).toMap === pruneN)
   }
 
+  test("cluster stats against the stored IVF index's centroids (the production wiring)") {
+    import graft.streaming.StreamingOps
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfstats")
+    val idx = root.resolve("ivf").toString
+    graft.sources.SimilarityIndexes.writeIvfIndex(emb, idx, qKey = "clspec")
+    val (centroids, _) = graft.sources.SimilarityIndexes.readIvfIndex(spark, idx)
+    val dir = root.resolve("stats").toString
+    StreamingOps.clusterStatsBatch(emb, dir, "b0", centroids)
+    assert(Clustering.clusterProfileFromStats(spark, dir)
+        .orderBy("cell").collect().map(_.toString).toSeq ===
+      Clustering.clusterProfileWith(emb, centroids)
+        .orderBy("cell").collect().map(_.toString).toSeq,
+      "stats ingested under the index's centroids must equal the batch profile on them")
+  }
+
   test("streaming cluster stats: merged stored partials == batch profile, replay-idempotent") {
     import graft.streaming.StreamingOps
     import graft.operators.Similarity

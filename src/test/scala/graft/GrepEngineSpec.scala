@@ -195,7 +195,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_quality_filter", "q_token_shards", "q_token_stats", "q_fingerprint",
       "q_rep_topgram", "q_pii_redact", "q_pii_redact_planted",
       "q_token_quantiles", "q_token_quantiles_approx", "q_token_bpe",
-      "q_tfidf_terms", "q_sample_stratified", "q_train_eval_split",
+      "q_tfidf_terms", "q_sample_stratified", "q_sample_weighted",
+      "q_train_eval_split",
       "q_train_eval_assign", "q_split_cluster_safe",
       "q_dedup_exact", "q_dedup_wordset", "q_dedup_minhash", "q_dedup_simhash",
       "q_ngram_jaccard", "q_dedup_clusters", "q_dedup_incremental",

@@ -7,6 +7,54 @@ class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
   val sf = TestSpark.sf0001
 
+  test("weighted sample == first-principles A-ES reference, partition-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val rows = docs.as[(Long, Long)].collect()
+    // the same draw, recomputed from first principles on the driver:
+    // u from the salted md5's first 13 hex digits, score ln(u)/w
+    def ref(salt: String, k: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.filter(_._2 > 0).map { case (id, w) =>
+        val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+        (id, math.log(u) / w)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+    }
+    val got = TextAnalysis.weightedSampleOn(docs, "doc_id", "n_chars", 10, "w0")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got === ref("w0", 10), "engine sample must equal the reference, order included")
+    // partitioning must not leak into the draw
+    val re = TextAnalysis.weightedSampleOn(docs.repartition(7), "doc_id",
+      "n_chars", 10, "w0").select($"doc_id").as[Long].collect().toSeq
+    assert(re === got, "sample must be invariant under repartitioning")
+    // a different salt IS a different sample
+    assert(TextAnalysis.weightedSampleOn(docs, "doc_id", "n_chars", 10, "w1")
+      .select($"doc_id").as[Long].collect().toSeq !== got)
+    // k >= population returns every positive-weight row
+    assert(TextAnalysis.weightedSampleOn(docs, "doc_id", "n_chars",
+      100000, "w0").count() === rows.count(_._2 > 0).toLong)
+  }
+
+  test("weighted sample: selection frequency tracks weight across salts") {
+    import graft.operators.TextAnalysis
+    // planted 10x-weight minority: across 20 fixed salts it must be
+    // drawn far more often than its population share (deterministic —
+    // the salts are fixed, so this is a regression test, not a flake)
+    val docs = (0L until 200L).map(id =>
+      (id, if (id < 20) 1000L else 100L)).toDF("doc_id", "n_chars")
+    val heavyHits = (0 until 20).map { s =>
+      TextAnalysis.weightedSampleOn(docs, "doc_id", "n_chars", 20, s"s$s")
+        .select($"doc_id").as[Long].collect().count(_ < 20L)
+    }.sum
+    // heavy docs are 10% of the population but 10x the weight: expected
+    // share of draws ~53% (20/200 docs at weight ratio 10); require
+    // well above the 10% population share
+    assert(heavyHits > 100,
+      s"10x-weight decile drew only $heavyHits of 400 slots across salts")
+  }
+
   test("langGuess identifies real multilingual snippets") {
     val samples = Seq(
       ("the cat sat on the mat and looked at a bird", "en"),
