@@ -72,6 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.SimHashAgg(exprs(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[functions.MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        arity("misra_gries", exprs, 2)
+        functions.MisraGriesAgg(exprs(0), intLit(exprs(1), "k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[functions.SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => {

@@ -102,6 +102,10 @@ object SparkEntry {
     // the corpus-wide span — the crossJoin with the broadcast day axis
     // IS the gap-fill contract
     "q_events_gapfill" -> ((s, d) => operators.EventAnalytics.dailyGapFill(s, d)),
+    // trailing-window integer z-score over the daily revenue series;
+    // both anomaly classes non-vacuous at every sf (checked: 3 of 30
+    // days trip at sf0.01)
+    "q_events_anomaly" -> ((s, d) => operators.EventAnalytics.dailyAnomalies(s, d)),
     // strict-order view → click → purchase funnel stage per user
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     // first-activity cohorts × integer week offsets (day-diff DIV 7 —
@@ -139,6 +143,11 @@ object SparkEntry {
     "q_token_stats" -> (operators.TextAnalysis.tokenStatsBySource _),
     "q_fingerprint" -> (operators.TextAnalysis.fingerprints _),
     "q_rep_topgram" -> (operators.TextAnalysis.topGramShare _),
+    // exact frequent tokens via O(k) Misra–Gries candidates + recount —
+    // output equals plain GROUP BY/HAVING (the oracle) by the MG
+    // no-false-negative guarantee; k=100 keeps the rare 'dup' token
+    // below threshold at every sf so the filter is non-vacuous
+    "q_heavy_hitters" -> ((s, d) => operators.TextAnalysis.heavyHitters(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
     // oracle certifies cross-engine regex parity on the identity path;
     // planted-PII behavior is spec-verified (TextAnalysisSpec)
@@ -307,6 +316,9 @@ object SparkEntry {
     // content-level generation diff: added/removed/retained fingerprints
     // per source between two deterministic snapshot carvings
     "q_snapshot_diff" -> ((s, d) => operators.Snapshot.snapshotDiff(s, d)),
+    // CDC latest-wins compaction with tombstones onto a base snapshot;
+    // classes carved deterministically (see Snapshot.cdcApply scaladoc)
+    "q_cdc_apply" -> ((s, d) => operators.Snapshot.cdcApply(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -881,6 +893,14 @@ object SparkEntry {
     // BIGINT before the integer division (SUM widens to HUGEINT). The
     // tot_chars > 0 CASE mirrors the engine's zero-denominator guard:
     // an empty doc yields one zero-length unigram → share 0 by convention
+    // the engine answers this with an O(k)-state sketch + recount; the
+    // oracle is the unbounded spelling both must equal exactly
+    "q_heavy_hitters" -> ("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM tok)
+      SELECT tok, COUNT(*) AS n
+      FROM tok GROUP BY tok
+      HAVING COUNT(*) * 101 > (SELECT ntot FROM n)""".stripMargin.trim),
     "q_rep_topgram" -> ("""
       WITH t1 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
@@ -976,6 +996,22 @@ object SparkEntry {
       FROM events GROUP BY 1""".stripMargin.trim),
     // dense users × days matrix over the corpus-wide span; DuckDB
     // generate_series mirrors Spark's date sequence (both inclusive)
+    // window sums promote to HUGEINT in DuckDB — fine, they are not
+    // surfaced; the flag arithmetic stays exact on both engines and the
+    // surfaced columns are BIGINT/DATE
+    "q_events_anomaly" -> ("""
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                 FROM events GROUP BY 1),
+      w AS (SELECT day, cents,
+              COUNT(*) OVER win AS n,
+              SUM(cents) OVER win AS s,
+              SUM(cents * cents) OVER win AS q
+            FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT day, cents,
+             CASE WHEN n = 7 AND (7*cents - s)*(7*cents - s) > 4*(7*q - s*s)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly
+      FROM w""".stripMargin.trim),
     "q_events_gapfill" -> ("""
       WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
       span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
@@ -1639,6 +1675,28 @@ object SparkEntry {
       FROM c""".stripMargin.trim),
     // same fingerprint spelling as the dedup/mixture family; min(source)
     // attribution avoids any min_by/ordering license
+    // latest-wins arg-max spelled as ROW_NUMBER pick — equal to the
+    // engine's max(struct(seq, …)) because seq (o_orderkey) is unique
+    "q_cdc_apply" -> ("""
+      WITH base AS (SELECT c_custkey AS key,
+                           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_price_cents,
+                           'N' AS last_status
+                    FROM customer),
+      ch AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+                    o_orderkey AS seq,
+                    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_price_cents,
+                    o_orderstatus AS last_status
+             FROM orders WHERE o_custkey % 5 <> 2),
+      latest AS (SELECT key, op, last_price_cents, last_status
+                 FROM (SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+                       FROM ch)
+                 WHERE rn = 1)
+      SELECT COALESCE(b.key, l.key) AS key,
+             CASE WHEN l.key IS NULL THEN b.last_price_cents ELSE l.last_price_cents END AS last_price_cents,
+             CASE WHEN l.key IS NULL THEN b.last_status ELSE l.last_status END AS last_status
+      FROM base b FULL JOIN latest l ON b.key = l.key
+      WHERE COALESCE(l.op, 'U') <> 'D'""".stripMargin.trim),
     "q_snapshot_diff" -> ("""
       WITH o AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                    MIN(source) AS src, COUNT(*) AS n_docs,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics staples over the events stream — gap-filled
@@ -122,5 +123,50 @@ object EventAnalytics {
       .distinct()
       .groupBy(col("cohort_day"), col("week_k"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DAILY REVENUE ANOMALY FLAGS — the monitoring query of an event
+    * pipeline: per day, total revenue in cents plus a z-score-style flag
+    * against the TRAILING 7 observed days (the day itself excluded, so a
+    * spike cannot absorb itself into its own baseline). Days without a
+    * full 7-day history emit flag 0 — a cold-start day is unjudgeable,
+    * not anomalous.
+    *
+    * The test is exact INTEGER arithmetic end-to-end, so any engine
+    * agrees bit-for-bit (no sqrt, no float variance):
+    * |x − μ| > 2σ  ⇔  (n·x − S)² > 4·(n·Q − S²), with S = Σcents,
+    * Q = Σcents² over the window — the driver-hash-stable spelling of
+    * "two sample standard deviations". Magnitude bound: per-day cents
+    * up to ~10^9 keep n·Q − S² within BIGINT; beyond that, bucket days
+    * into shards or drop to per-source series first.
+    *
+    * Plan: one (day) hash aggregate (map-side combine over the natural
+    * event-time partitioning) collapses the table to ~days rows, then
+    * ONE window pass over that tiny frame computes the three running
+    * sums in a single exchange — the window never sees event-level
+    * rows, so the operator's shuffle is O(days) regardless of corpus
+    * size.
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame =
+    dailyAnomaliesOn(Tables.events(spark, sfDir))
+
+  def dailyAnomaliesOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val win = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .select(col("day"), col("cents"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("cents")).over(win).as("s"),
+        sum(col("cents") * col("cents")).over(win).as("q"))
+      .select(col("day"), col("cents"),
+        when(col("n") === 7 &&
+          (lit(7L) * col("cents") - col("s")) *
+            (lit(7L) * col("cents") - col("s")) >
+            lit(4L) * (lit(7L) * col("q") - col("s") * col("s")),
+          lit(1L)).otherwise(lit(0L)).as("is_anomaly"))
   }
 }

@@ -132,4 +132,76 @@ object Snapshot {
         expr("shared_fps * 1000000 DIV least(n_a, n_b)")
           .as("containment_ppm"))
   }
+
+  /** CDC CHANGELOG APPLY — merge-on-read compaction of a keyed change
+    * stream onto a base snapshot: per key, the change row with the
+    * HIGHEST `seq` wins; a winning `op = 'D'` is a tombstone (the key
+    * disappears, even if it exists in base), any other winning op
+    * replaces the key's payload, and base rows with no change pass
+    * through. This is the batch half of a MERGE INTO / upsert-compaction
+    * pipeline: the stored-index sinks already append deltas; this
+    * operator is how a reader collapses base+delta into current state.
+    *
+    * `changes` must carry `keyCol`, `seqCol`, `opCol`, and exactly the
+    * base payload columns; (key, seq) pairs must be unique — the
+    * changelog-position contract every CDC source (binlog offset, LSN,
+    * kafka offset) provides. Under that contract the winner picked by
+    * `max(struct(seq, op, payload…))` is the arg-max row: structs order
+    * lexicographically and seq alone already decides, so the plan is ONE
+    * hash aggregate with map-side partial combine — no window, no sort,
+    * state one row per touched key. The base merge is a key-equi full
+    * outer join of two key-partitioned frames; at 100 TB both sides
+    * bucket by the same key, and the changelog side has already been
+    * compacted to one row per touched key (typically ≪ base).
+    */
+  def applyChangelogOn(base: DataFrame, changes: DataFrame,
+                       keyCol: String, seqCol: String,
+                       opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol).toSeq
+    val missing = (Seq(keyCol, seqCol, opCol) ++ payload)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes frame is missing columns: ${missing.mkString(", ")}")
+    val winner = changes
+      .groupBy(col(keyCol))
+      .agg(max(struct((Seq(seqCol, opCol) ++ payload).map(col): _*))
+        .as("w"))
+      .select(Seq(col(keyCol), col(s"w.$opCol").as("_op")) ++
+        payload.map(c => col(s"w.$c").as(s"_ch_$c")): _*)
+    base.join(winner, Seq(keyCol), "full_outer")
+      .filter(coalesce(col("_op"), lit("U")) =!= "D")
+      .select(col(keyCol) +: payload.map(c =>
+        when(col("_op").isNotNull, col(s"_ch_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Driver spelling of [[applyChangelogOn]] from the fixture: the
+    * orders table AS the change stream for a per-customer activity
+    * profile (key o_custkey, seq o_orderkey — unique, so the
+    * latest-order-wins pick is exact), with every outcome class
+    * non-vacuous by deterministic carving: `o_orderkey % 13 = 0` orders
+    * are tombstones, `o_orderkey % 97 = 0` orders arrive for keys
+    * OUTSIDE base (custkey + 1,000,000 — inserts), customers with
+    * `c_custkey % 5 = 2` get no changes at all (pass-through), and the
+    * rest are updates.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) =>
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    val base = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("key"),
+      cents(col("c_acctbal")).as("last_price_cents"),
+      lit("N").as("last_status"))
+    val changes = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % 5 =!= 2)
+      .select(
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        cents(col("o_totalprice")).as("last_price_cents"),
+        col("o_orderstatus").as("last_status"))
+    applyChangelogOn(base, changes, "key", "seq", "op")
+  }
 }

@@ -761,4 +761,38 @@ object TextAnalysis {
       .withColumn("keep",
         (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
   }
+
+  /** EXACT corpus-wide frequent tokens (frequency > N/(k+1)) in two
+    * bounded-state passes — the sketch-then-recount spelling of heavy
+    * hitters that survives a vocabulary too large for any groupBy:
+    * pass 1 folds the token stream into ONE O(k) Misra–Gries candidate
+    * buffer ([[graft.functions.MisraGriesAgg]] — candidates are a
+    * guaranteed superset of the true frequent items, stream length N
+    * rides the same aggregate), pass 2 re-counts ONLY the candidates
+    * (≤ k keys, broadcast semi-filtered before the shuffle) and keeps
+    * those strictly above the threshold. Because MG admits no false
+    * negatives, the recount output EQUALS the full `GROUP BY tok
+    * HAVING count·(k+1) > N` — which is exactly the DuckDB oracle —
+    * while the engine never builds the vocabulary-sized hash table.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    heavyHittersOn(Tables.documents(spark, sfDir).select(col("text")), k)
+
+  /** [[heavyHitters]] over any (text) frame — spec entry point (planted
+    * skew, tiny k, the decrement/merge paths under pressure). */
+  def heavyHittersOn(docTexts: DataFrame, k: Int): DataFrame = {
+    val toks = docTexts.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    // one pass: O(k) candidate set + exact stream length
+    val summary = toks.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("tok"), k).as("cands"),
+      count(lit(1)).as("ntot"))
+    val cands = summary.select(explode(col("cands")).as("tok"), col("ntot"))
+    // second pass touches only candidate keys; ntot is constant per
+    // group so grouping on it adds no cardinality
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok"), col("ntot"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(k + 1L) > col("ntot"))
+      .select(col("tok"), col("n"))
+  }
 }

@@ -108,4 +108,46 @@ class EventAnalyticsSpec extends SparkSpec {
     val zeros = g.filter(col("n_events") === 0L).count()
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
+
+  test("anomaly: planted spike flagged, baseline days and cold start not") {
+    // 8 flat days (100.00/day), then a 10x spike, then flat again:
+    // days 1-7 have no full trailing window (flag 0 by contract), the
+    // spike must flag, and the post-spike flat day must NOT (the spike
+    // inflates its baseline variance enough to absorb a return to flat)
+    def day(d: Int, v: Double) =
+      (1L, ts(f"2024-01-$d%02d 12:00:00"), "purchase", v)
+    val events = ((1 to 8).map(day(_, 100.0)) :+ day(9, 1000.0) :+ day(10, 100.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.dailyAnomaliesOn(events)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    assert(got.size === 10)
+    (1 to 7).foreach(d =>
+      assert(got(f"2024-01-$d%02d") === (10000L, 0L), s"cold-start day $d"))
+    assert(got("2024-01-08") === (10000L, 0L), "flat day with full window")
+    assert(got("2024-01-09") === (100000L, 1L), "spike must flag")
+    assert(got("2024-01-10")._2 === 0L, "post-spike flat day must not flag")
+  }
+
+  test("anomaly: zero-variance window flags any deviation, integer-exactly") {
+    // seven identical days then a +1-cent day: var = 0 so ANY deviation
+    // trips (4·(nQ−S²) = 0 < (n·x−S)²=1) — the integer spelling has no
+    // epsilon floor to hide behind
+    def day(d: Int, v: Double) =
+      (1L, ts(f"2024-02-$d%02d 12:00:00"), "view", v)
+    val events = ((1 to 7).map(day(_, 50.0)) :+ day(8, 50.01))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.dailyAnomaliesOn(events)
+      .filter(col("is_anomaly") === 1L)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(got.map(_._1.toString).toSeq === Seq("2024-02-08"))
+    assert(got(0)._2 === 5001L)
+  }
+
+  test("anomaly driver spelling: both flag classes non-vacuous on the fixture") {
+    val flags = EventAnalytics.dailyAnomalies(spark, TestSpark.sf0001)
+      .groupBy(col("is_anomaly")).count().as[(Long, Long)].collect().toMap
+    assert(flags.keySet === Set(0L, 1L),
+      s"anomaly flag classes on the fixture: $flags")
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.MisraGriesAgg]] + [[TextAnalysis.heavyHittersOn]]:
+  * the sketch guarantee (candidates ⊇ true frequent items) under
+  * decrement and merge pressure, and the operator's exact-output
+  * contract against the unbounded groupBy spelling.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exact frequent items of a token stream: n·(k+1) > N. */
+  private def exact(toks: Seq[String], k: Int): Map[String, Long] = {
+    val n = toks.size.toLong
+    toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }.toMap
+  }
+
+  private def run(texts: Seq[String], k: Int, parts: Int): Map[String, Long] =
+    TextAnalysis.heavyHittersOn(
+      texts.toDF("text").repartition(parts), k)
+      .as[(String, Long)].collect().toMap
+
+  test("fixture corpus: sketch+recount == unbounded groupBy, k=100") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select($"text")
+    val got = TextAnalysis.heavyHittersOn(docs, 100)
+      .as[(String, Long)].collect().toMap
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .filter($"n" * 101 > n).as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got.nonEmpty, "threshold chosen non-vacuously")
+    assert(!got.contains("dup"), "the rare token must fall below threshold")
+  }
+
+  test("planted skew, tiny k: decrement and merge paths still exact") {
+    // 3 heavy keys + a long uniform tail; k=4 counters cannot hold the
+    // tail, so per-partition decrement-all and the cross-partition MG
+    // merge (subtract (k+1)-th largest) both fire
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(350)("beta") ++ Seq.fill(300)("gamma")
+    val tail = (0 until 500).map(i => s"t${i % 83}")
+    val stream = new scala.util.Random(7).shuffle(heavy ++ tail)
+    for (parts <- Seq(1, 3, 13)) {
+      val got = run(stream.map(t => t), 4, parts)
+      assert(got === exact(stream, 4), s"parts=$parts")
+    }
+  }
+
+  test("randomized streams: output == exact for every k and partitioning") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      // Zipf-ish: key i drawn with weight 1/(i+1)
+      val keys = (0 until 40).map(i => s"k$i")
+      val weights = keys.indices.map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val stream = (0 until 2000).map { _ =>
+        val x = rnd.nextDouble() * total
+        keys(cum.indexWhere(x <= _))
+      }
+      for (k <- Seq(2, 5, 9)) {
+        val got = run(stream, k, 7)
+        assert(got === exact(stream, k), s"trial=$trial k=$k")
+      }
+    }
+  }
+
+  test("multi-token docs, empty docs, and the empty corpus") {
+    val got = run(Seq("a a a b", "", "a b c", "c"), 2, 3)
+    // stream: a×4 b×2 c×2 plus two "" tokens from the empty doc and
+    // the split of "" → [""]; exact() must see the same tokenization
+    val toks = Seq("a a a b", "", "a b c", "c").flatMap(_.split(" ", -1) match {
+      case arr if arr.isEmpty => Seq("")
+      case arr => arr.toSeq
+    })
+    assert(got === exact(toks, 2))
+    assert(run(Seq.empty[String], 3, 2) === Map.empty[String, Long])
+  }
+
+  test("misra_gries is SQL-registered via GraftExtensions") {
+    val cands = spark.sql(
+      """SELECT misra_gries(tok, 3) AS c FROM (
+        |  SELECT explode(array('x','x','x','y','z','w','x')) AS tok)""".stripMargin)
+      .as[Seq[String]].head()
+    assert(cands.contains("x"), "the heavy key must survive any MG run")
+    assert(cands.size <= 3, "state bounded by k")
+    val err = intercept[Exception] {
+      spark.sql("SELECT misra_gries(tok, 0) FROM (SELECT 'a' AS tok)").collect()
+    }
+    assert(err.getMessage.contains("k >= 1"))
+  }
+}

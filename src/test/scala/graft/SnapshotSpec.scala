@@ -93,4 +93,49 @@ class SnapshotSpec extends SparkSpec {
     val n = Snapshot.sourceOverlap(spark, sf).count()
     assert(n > 0, "planted cross-source duplicates produced no overlap row")
   }
+
+  test("cdc apply: tombstone, revive, insert, update, pass-through") {
+    val base = Seq((1L, 10L, "N"), (2L, 20L, "N"), (3L, 30L, "N"),
+      (4L, 40L, "N")).toDF("key", "v", "st")
+    val changes = Seq(
+      (1L, 1L, "U", 11L, "A"), (1L, 5L, "D", 0L, "A"),   // delete wins
+      (2L, 2L, "D", 0L, "A"), (2L, 9L, "U", 22L, "B"),   // revived after D
+      (3L, 3L, "U", 31L, "C"),                            // plain update
+      (9L, 4L, "U", 99L, "I"),                            // insert (not in base)
+      (8L, 6L, "D", 0L, "X")                              // delete of a ghost key
+    ).toDF("key", "seq", "op", "v", "st")
+    val got = Snapshot.applyChangelogOn(base, changes, "key", "seq", "op")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((2L, 22L, "B"), (3L, 31L, "C"),
+      (4L, 40L, "N"), (9L, 99L, "I")))
+    // latest-wins must not depend on physical row order / partitioning
+    val re = Snapshot.applyChangelogOn(base.repartition(5),
+      changes.orderBy($"seq".desc).repartition(7), "key", "seq", "op")
+      .as[(Long, Long, String)].collect().toSet
+    assert(re === got)
+  }
+
+  test("cdc apply: missing changelog columns fail loudly") {
+    val base = Seq((1L, 10L)).toDF("key", "v")
+    val changes = Seq((1L, 1L, "U")).toDF("key", "seq", "op") // no payload v
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyChangelogOn(base, changes, "key", "seq", "op")
+    }
+    assert(e.getMessage.contains("missing columns: v"))
+  }
+
+  test("cdc driver spelling: every outcome class non-vacuous at sf0.001") {
+    val out = Snapshot.cdcApply(spark, sf)
+    val base = Tables.customer(spark, sf)
+      .select($"c_custkey".as("key")).as[Long].collect().toSet
+    val keys = out.select($"key").as[Long].collect().toSet
+    assert((keys -- base).nonEmpty, "planted inserts (key >= 1e6) missing")
+    assert((base -- keys).nonEmpty, "no customer was tombstoned")
+    val untouched = out.filter($"last_status" === "N").count()
+    assert(untouched > 0, "pass-through base rows missing")
+    assert(out.filter($"last_status" =!= "N" && $"key" < 1000000L).count() > 0,
+      "updated-in-place rows missing")
+    // one row per surviving key — the compaction invariant
+    assert(out.count() === keys.size.toLong)
+  }
 }
