@@ -319,6 +319,10 @@ object SparkEntry {
     // CDC latest-wins compaction with tombstones onto a base snapshot;
     // classes carved deterministically (see Snapshot.cdcApply scaladoc)
     "q_cdc_apply" -> ((s, d) => operators.Snapshot.cdcApply(s, d)),
+    // Levenshtein-1 record linkage via symmetric-deletion blocking +
+    // exact verify — equals the oracle's cross-product filter with no
+    // A×B product in the plan
+    "q_fuzzy_match" -> ((s, d) => operators.FuzzyMatch.partCatalogMatch(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1675,6 +1679,19 @@ object SparkEntry {
       FROM c""".stripMargin.trim),
     // same fingerprint spelling as the dedup/mixture family; min(source)
     // attribution avoids any min_by/ordering license
+    // the oracle IS the A×B filter the engine must never plan: DuckDB
+    // cross-joins the two ≤128-name catalogs, the engine arrives at the
+    // same pairs through deletion-variant blocking
+    "q_fuzzy_match" -> ("""
+      WITH a AS (SELECT DISTINCT p_name AS name_a FROM part WHERE p_partkey % 2 = 0),
+      b0 AS (SELECT CASE WHEN p_partkey % 3 = 0
+                         THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                         ELSE p_name END AS name_b
+             FROM part WHERE p_partkey % 2 = 1),
+      b AS (SELECT DISTINCT name_b FROM b0)
+      SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM a, b WHERE levenshtein(name_a, name_b) <= 1""".stripMargin.trim),
     // latest-wins arg-max spelled as ROW_NUMBER pick — equal to the
     // engine's max(struct(seq, …)) because seq (o_orderkey) is unique
     "q_cdc_apply" -> ("""

@@ -221,7 +221,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_corpus_card", "q_profile_orders", "q_blocklist",
       "q_source_overlap", "q_lm_bigram", "q_lm_bigram_buckets",
       "q_bpe_pairs", "q_bpe_merges", "q_novelty",
-      "q_heavy_hitters", "q_cdc_apply", "q_events_anomaly")
+      "q_heavy_hitters", "q_cdc_apply", "q_events_anomaly",
+      "q_fuzzy_match")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

@@ -100,7 +100,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_lm_bigram_buckets",
     // the corpus-build tail composes packSequences' block-offset window
     // (bounded block-sum frame, never the corpus)
-    "q_corpus_build")
+    "q_corpus_build",
+    // the anomaly detector's trailing-7-day window runs over the
+    // post-aggregate per-DAY frame (~span-of-days rows, never events)
+    "q_events_anomaly")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
