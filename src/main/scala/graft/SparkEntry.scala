@@ -106,6 +106,12 @@ object SparkEntry {
     // both anomaly classes non-vacuous at every sf (checked: 3 of 30
     // days trip at sf0.01)
     "q_events_anomaly" -> ((s, d) => operators.EventAnalytics.dailyAnomalies(s, d)),
+    // global-week churn: active-this-week ∧ absent-next-week, last week
+    // unjudged by convention
+    "q_user_churn" -> ((s, d) => operators.EventAnalytics.weeklyChurn(s, d)),
+    // top consecutive event-type trigrams per user stream, (ts,
+    // event_id)-ordered so counts are engine-deterministic
+    "q_event_paths" -> ((s, d) => operators.EventAnalytics.topEventPaths(s, d)),
     // strict-order view → click → purchase funnel stage per user
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     // first-activity cohorts × integer week offsets (day-diff DIV 7 —
@@ -323,6 +329,15 @@ object SparkEntry {
     // exact verify — equals the oracle's cross-product filter with no
     // A×B product in the plan
     "q_fuzzy_match" -> ((s, d) => operators.FuzzyMatch.partCatalogMatch(s, d)),
+    // Deequ-style constraint audit over a deterministically dirtied
+    // landing zone: row/PK/FK shapes, zero rows kept (ran-and-clean)
+    "q_dq_audit" -> ((s, d) => operators.Audit.ordersAudit(s, d)),
+    // incremental view maintenance: 80%+20% pre-aggregated partials
+    // merged per key; the oracle recomputes from scratch — equality IS
+    // the IVM soundness claim
+    "q_ivm_orders" -> ((s, d) => operators.Snapshot.incrementalRollup(s, d)),
+    // shuffle-key health: top-5 heaviest event users with ppm share
+    "q_key_skew" -> ((s, d) => operators.Profile.eventsUserSkew(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1679,6 +1694,85 @@ object SparkEntry {
       FROM c""".stripMargin.trim),
     // same fingerprint spelling as the dedup/mixture family; min(source)
     // attribution avoids any min_by/ordering license
+    // mirrors the engine's week arithmetic: global week index from the
+    // corpus-wide first day, churn = no (user, week+1) activity row
+    "q_user_churn" -> ("""
+      WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+      w AS (SELECT DISTINCT user_id,
+              CAST(datediff('day', d0, day) AS BIGINT) // 7 AS week_k,
+              CAST(datediff('day', d0, d1) AS BIGINT) // 7 AS max_week
+            FROM d, span),
+      act AS (SELECT week_k, COUNT(*) AS n_active FROM w GROUP BY 1),
+      gone AS (SELECT week_k, COUNT(*) AS n_churned
+               FROM w
+               WHERE week_k < max_week
+                 AND NOT EXISTS (SELECT 1 FROM w w2
+                                 WHERE w2.user_id = w.user_id
+                                   AND w2.week_k = w.week_k + 1)
+               GROUP BY 1)
+      SELECT week_k, n_active,
+             COALESCE(n_churned, CAST(0 AS BIGINT)) AS n_churned
+      FROM act LEFT JOIN gone USING (week_k)""".stripMargin.trim),
+    // LEAD over the (ts, event_id)-ordered user stream — the tiebreak
+    // column makes the trigram stream identical on both engines
+    "q_event_paths" -> ("""
+      WITH s AS (SELECT event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+            FROM s WHERE e3 IS NOT NULL)
+      SELECT path, COUNT(*) AS n FROM p GROUP BY path
+      ORDER BY n DESC, path ASC LIMIT 10""".stripMargin.trim),
+    // same deterministic dirtying as Audit.lineitemAudit; SUM counts
+    // cast from DuckDB's HUGEINT promotion back to BIGINT
+    "q_dq_audit" -> ("""
+      WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      dirty AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 1000 = 13 THEN o_custkey + 1000000000
+                    ELSE o_custkey END AS o_custkey,
+               CASE WHEN o_orderkey % 1000 = 7 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice
+        FROM o
+        UNION ALL SELECT * FROM o WHERE o_orderkey % 1000 = 21),
+      rowchk AS (
+        SELECT 'totalprice_positive' AS check_name,
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0.0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        FROM dirty
+        UNION ALL
+        SELECT 'totalprice_not_null',
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM dirty),
+      pk AS (SELECT 'pk_orderkey' AS check_name, COUNT(*) AS n_violations
+             FROM (SELECT o_orderkey FROM dirty
+                   GROUP BY 1 HAVING COUNT(*) > 1)),
+      fk AS (SELECT 'fk_customer_exists' AS check_name,
+                    COUNT(*) AS n_violations
+             FROM dirty
+             WHERE NOT EXISTS (SELECT 1 FROM customer
+                               WHERE c_custkey = dirty.o_custkey))
+      SELECT * FROM rowchk UNION ALL SELECT * FROM pk
+      UNION ALL SELECT * FROM fk""".stripMargin.trim),
+    // the oracle recomputes the rollup FROM SCRATCH over all orders;
+    // the engine merges the 80/20 pre-aggregated partials — equality
+    // certifies the incremental maintenance arithmetic
+    "q_ivm_orders" -> ("""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey""".stripMargin.trim),
+    "q_key_skew" -> ("""
+      WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
+                        COUNT(*) AS n_rows
+                 FROM events GROUP BY 1),
+      t AS (SELECT COUNT(*) AS n_total FROM events)
+      SELECT key_value, n_rows,
+             CAST(n_rows * 1000000 // n_total AS BIGINT) AS share_ppm
+      FROM c, t ORDER BY n_rows DESC, key_value ASC LIMIT 5""".stripMargin.trim),
     // the oracle IS the A×B filter the engine must never plan: DuckDB
     // cross-joins the two ≤128-name catalogs, the engine arrives at the
     // same pairs through deletion-variant blocking

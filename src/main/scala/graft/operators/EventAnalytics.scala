@@ -125,6 +125,71 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** WEEKLY CHURN — per global week index (days since the corpus-wide
+    * first day, DIV 7): how many users were active, and how many of
+    * those are GONE the following week. The last observed week has no
+    * following week to judge against, so it reports actives only
+    * (n_churned 0 by convention) — absence of evidence, not churn.
+    *
+    * Plan: one (user, week) distinct (the activity set), a LEFT ANTI
+    * self-join shifted by one week for the churn bit, two week-keyed
+    * counts joined on the ~weeks-sized axis. The global min/max days
+    * arrive as a broadcast 1-row frame (the gap-fill precedent); all
+    * shuffles key on user or week — the table's natural partitions.
+    */
+  def weeklyChurn(spark: SparkSession, sfDir: String): DataFrame =
+    weeklyChurnOn(Tables.events(spark, sfDir))
+
+  def weeklyChurnOn(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val span = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val weeks = days.crossJoin(broadcast(span))
+      .select(col("user_id"),
+        expr("CAST(datediff(day, d0) AS BIGINT) DIV 7").as("week_k"),
+        expr("CAST(datediff(d1, d0) AS BIGINT) DIV 7").as("max_week"))
+      .distinct()
+    val gone = weeks.as("w").join(
+        weeks.select(col("user_id"), (col("week_k") - 1L).as("week_k")).as("n"),
+        Seq("user_id", "week_k"), "left_anti")
+      .filter(col("week_k") < col("max_week"))
+      .groupBy(col("week_k")).agg(count(lit(1)).as("n_churned"))
+    weeks.groupBy(col("week_k")).agg(count(lit(1)).as("n_active"))
+      .join(gone, Seq("week_k"), "left")
+      .select(col("week_k"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** TOP EVENT PATHS — the most common length-3 event-type sequences
+    * users actually walk (the "view > view > click" navigation mining
+    * behind funnel design). Consecutive means adjacent in the user's
+    * own (ts, event_id)-ordered stream — event_id breaks timestamp
+    * ties, so the sequence (and thus every count) is deterministic on
+    * any engine. Top 10 by count, path string as the tiebreak.
+    *
+    * Plan: two lead() windows PARTITIONED BY user (event-time order
+    * within a user's partition — no global sort), then one path-keyed
+    * count and a TakeOrdered top-k. Skew bound: a window over one
+    * user's events is that user's history, the same bound every
+    * sessionization op in the suite lives with.
+    */
+  def topEventPaths(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    topEventPathsOn(Tables.events(spark, sfDir), k)
+
+  def topEventPathsOn(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** DAILY REVENUE ANOMALY FLAGS — the monitoring query of an event
     * pipeline: per day, total revenue in cents plus a z-score-style flag
     * against the TRAILING 7 observed days (the day itself excluded, so a

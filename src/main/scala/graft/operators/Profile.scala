@@ -205,4 +205,33 @@ object Profile {
     blocklistVerdictOn(Tables.documents(spark, sfDir),
       driverBlocklist.toDF("term"))
   }
+
+  /** KEY-SKEW DIAGNOSTIC — the pre-shuffle health check of any planned
+    * join/aggregation key: the k heaviest key values with their row
+    * counts and corpus share (integer ppm), ordered (count desc, key
+    * asc — deterministic under ties). Reading it: a top key near
+    * 10^6/k_partitions ppm means one reducer owns the key — salt it or
+    * turn on AQE skew handling BEFORE the job, not after it straggles.
+    *
+    * Plan: one count-per-key hash aggregate (map-side combined), the
+    * total riding a broadcast 1-row frame, TakeOrdered for the top-k —
+    * output is k rows regardless of table size.
+    */
+  def keySkewOn(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key_value"), col("n_rows"),
+        expr("n_rows * 1000000 DIV n_total").as("share_ppm"))
+      .orderBy(col("n_rows").desc, col("key_value").asc)
+      .limit(k)
+  }
+
+  /** Driver spelling: the events stream's user_id — the key every
+    * sessionization/funnel op shuffles on, so its heavy hitters are
+    * the exact rows that decide task skew.
+    */
+  def eventsUserSkew(spark: SparkSession, sfDir: String): DataFrame =
+    keySkewOn(graft.Tables.events(spark, sfDir), "user_id")
 }

@@ -175,6 +175,49 @@ object Snapshot {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — merge pre-aggregated partials
+    * (yesterday's stored rollup + today's delta rollup) into the
+    * up-to-date aggregate WITHOUT rescanning the base data: union the
+    * partial frames and sum every counter per key. Sound for exactly
+    * the algebraic aggregates whose state is a sum (count / sum /
+    * min-max via min/max — anything expressible as a commutative
+    * monoid); retractions ride along as rows with NEGATED counters,
+    * the standard incremental-view-maintenance encoding.
+    *
+    * Plan: one union (no shuffle) + one key-keyed hash aggregate over
+    * frames that are already aggregate-sized — at 100 TB the daily
+    * maintenance cost is O(stored rollup + today's delta), never
+    * O(history), which is the entire point.
+    */
+  def mergeRollupsOn(parts: Seq[DataFrame], keyCols: Seq[String],
+                     counterCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeRollupsOn needs at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Driver spelling of [[mergeRollupsOn]]: the per-customer order
+    * rollup maintained from an 80% "stored" partial plus a 20% "delta"
+    * partial (carved on o_orderkey % 10) — the merged result must
+    * equal the from-scratch GROUP BY over all of orders, which is the
+    * oracle.
+    */
+  def incrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (c: Column) =>
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    def rollup(part: DataFrame): DataFrame = part
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val orders = Tables.orders(spark, sfDir)
+    mergeRollupsOn(
+      Seq(rollup(orders.filter(col("o_orderkey") % 10 < 8)),
+        rollup(orders.filter(col("o_orderkey") % 10 >= 8))),
+      Seq("o_custkey"), Seq("n_orders", "total_cents"))
+  }
+
   /** Driver spelling of [[applyChangelogOn]] from the fixture: the
     * orders table AS the change stream for a per-customer activity
     * profile (key o_custkey, seq o_orderkey — unique, so the

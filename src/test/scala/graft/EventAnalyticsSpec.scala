@@ -144,6 +144,64 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(0)._2 === 5001L)
   }
 
+  test("churn: leaver counted, stayer not, returner churns in the gap week") {
+    // weeks 0..2; u1 active wk0 only (churns wk0), u2 active all weeks
+    // (never churns), u3 active wk0 and wk2 (churns wk0 — the return
+    // does not retro-heal the gap), wk2 is last (unjudged: churned 0)
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-08 10:00:00", "view"),
+      (2L, "2024-01-15 10:00:00", "view"),
+      (3L, "2024-01-02 10:00:00", "view"),
+      (3L, "2024-01-16 10:00:00", "view"))
+    val got = EventAnalytics.weeklyChurnOn(events)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(0L -> (3L, 2L), 1L -> (1L, 0L), 2L -> (2L, 0L)))
+  }
+
+  test("churn: single-week corpus judges nothing") {
+    val got = EventAnalytics.weeklyChurnOn(ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-03 10:00:00", "view")))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 2L, 0L)))
+  }
+
+  test("event paths: per-user adjacency, ts ties broken by event_id") {
+    val events = Seq(
+      // u1 walks v,c,p then p again: paths v>c>p and c>p>p
+      (10L, 1L, ts("2024-01-01 10:00:00"), "v"),
+      (11L, 1L, ts("2024-01-01 10:01:00"), "c"),
+      (12L, 1L, ts("2024-01-01 10:02:00"), "p"),
+      (13L, 1L, ts("2024-01-01 10:03:00"), "p"),
+      // u2: two events at the SAME ts — event_id 21 before 22
+      (20L, 2L, ts("2024-01-02 09:00:00"), "v"),
+      (21L, 2L, ts("2024-01-02 09:05:00"), "c"),
+      (22L, 2L, ts("2024-01-02 09:05:00"), "p"),
+      // u3: only two events — no trigram
+      (30L, 3L, ts("2024-01-03 09:00:00"), "v"),
+      (31L, 3L, ts("2024-01-03 09:01:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topEventPathsOn(events, 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("v > c > p" -> 2L, "c > p > p" -> 1L))
+  }
+
+  test("event paths: top-k cut is deterministic under count ties") {
+    // 4 distinct paths, all count 1; k=2 must keep the 2 lexicographically
+    // smallest — the (n desc, path asc) total order
+    val events = (0 until 4).flatMap { u =>
+      val types = Seq(Seq("a", "b", "c"), Seq("b", "c", "d"),
+        Seq("c", "d", "e"), Seq("d", "e", "f"))(u)
+      types.zipWithIndex.map { case (t, i) =>
+        (u * 10L + i, u.toLong, ts(f"2024-01-01 10:0$i:00"), t) }
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topEventPathsOn(events, 2)
+      .as[(String, Long)].collect().map(_._1).toSeq
+    assert(got === Seq("a > b > c", "b > c > d"))
+  }
+
   test("anomaly driver spelling: both flag classes non-vacuous on the fixture") {
     val flags = EventAnalytics.dailyAnomalies(spark, TestSpark.sf0001)
       .groupBy(col("is_anomaly")).count().as[(Long, Long)].collect().toMap

@@ -100,4 +100,29 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("key skew: hot key surfaces with exact ppm share, ties break on value") {
+    // 10 rows on key 7, one row each on keys 1..10 except 7 -> 19 rows
+    val df = (Seq.fill(10)(7L) ++ (1L to 10L).filter(_ != 7L))
+      .toDF("k")
+    val got = Profile.keySkewOn(df, "k", 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head === ("7", 10L, 10L * 1000000L / 19L))
+    // remaining singletons tie at 1 row — STRING-ascending keys win
+    // ("1" then "10", not numeric order; the cast is part of the API)
+    assert(got.drop(1).map(_._1) === Seq("1", "10"))
+    assert(got.map(_._3) === Seq(526315L, 52631L, 52631L))
+  }
+
+  test("key skew driver spelling: 5 rows, shares consistent with totals") {
+    val total = Tables.events(spark, sf).count()
+    val got = Profile.eventsUserSkew(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 5)
+    got.foreach { case (_, n, ppm) =>
+      assert(ppm === n * 1000000L / total, "ppm must be exact integer share")
+    }
+    // ordered by weight then key — the total order the top-k cut needs
+    assert(got.map(r => (-r._2, r._1)).toSeq === got.map(r => (-r._2, r._1)).sortBy(identity).toSeq)
+  }
 }

@@ -124,6 +124,34 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("missing columns: v"))
   }
 
+  test("ivm: merged partials == from-scratch rollup; retractions subtract") {
+    val a = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("k", "n", "total")
+    val b = Seq((1L, 1L, 30L), (3L, 4L, 400L)).toDF("k", "n", "total")
+    val got = Snapshot.mergeRollupsOn(Seq(a, b), Seq("k"), Seq("n", "total"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 130L), (2L, 1L, 50L), (3L, 4L, 400L)))
+    // a retraction is a negated-counter row: un-counts one k=1 order
+    val retract = Seq((1L, -1L, -30L)).toDF("k", "n", "total")
+    val healed = Snapshot.mergeRollupsOn(Seq(a, b, retract),
+      Seq("k"), Seq("n", "total")).as[(Long, Long, Long)].collect().toSet
+    assert(healed === Set((1L, 2L, 100L), (2L, 1L, 50L), (3L, 4L, 400L)))
+  }
+
+  test("ivm driver spelling: 80/20 merge == one-pass rollup, carve non-trivial") {
+    val orders = Tables.orders(spark, sf)
+    assert(orders.filter($"o_orderkey" % 10 >= 8).count() > 0,
+      "delta carve empty — the merge would be vacuous")
+    val scratch = orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("total_cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    val merged = Snapshot.incrementalRollup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === scratch)
+  }
+
   test("cdc driver spelling: every outcome class non-vacuous at sf0.001") {
     val out = Snapshot.cdcApply(spark, sf)
     val base = Tables.customer(spark, sf)
