@@ -1029,4 +1029,84 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming CDC ingest via foreachBatch — the streaming front door
+    * to [[graft.operators.Snapshot.applyChangelogOn]]: each micro-batch
+    * of change rows (key, seq, op, payload…) is compacted WITHIN the
+    * batch to one winner row per touched key (the same
+    * `max(struct(seq, …))` arg-max — unique (key, seq) is the
+    * changelog-position contract) and appended to the state store under
+    * its own `ingest=<batchId>` label, TOMBSTONES INCLUDED — a delete
+    * must out-rank older upserts at read time, so it is state, not
+    * absence. Readers collapse the store with [[changelogState]]
+    * (merge-on-read: global latest-wins per key, then drop tombstone
+    * winners); [[compactChangelogTo]] rewrites a long-appended store to
+    * one row per key, dropping tombstone winners for good — safe
+    * because future seqs exceed all compacted seqs by the same
+    * changelog-position contract.
+    *
+    * Replay idempotence: own-label overwrite (the curation-sink
+    * contract) — a crashed-and-replayed batch recomputes the same
+    * winner rows and overwrites its own partition; and because
+    * merge-on-read keys on seq, even a DOUBLE-delivered change row in
+    * two labels collapses to one winner. Scale: per-batch work is
+    * O(batch); merge-on-read is one key-keyed aggregate over
+    * state-sized (not history-sized) data once compaction runs.
+    */
+  def ingestChangelog(changes: DataFrame, stateDir: String,
+                      keyCol: String = "key", seqCol: String = "seq",
+                      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      changelogBatch(batch.toDF(), stateDir, batchId.toString,
+        keyCol, seqCol, opCol)
+    }.start()
+
+  /** One CDC delivery — [[ingestChangelog]]'s batch body, factored so
+    * the same-label crash-replay contract is directly spec-drivable.
+    */
+  private[graft] def changelogBatch(batch: DataFrame, stateDir: String,
+                                    label: String, keyCol: String,
+                                    seqCol: String, opCol: String): Unit = {
+    val rest = batch.columns.filterNot(_ == keyCol).toSeq
+    val winner = batch
+      .groupBy(col(keyCol))
+      .agg(max(struct((Seq(seqCol, opCol) ++
+        rest.filterNot(c => c == seqCol || c == opCol)).map(col): _*)).as("w"))
+      .select(col(keyCol) +: rest.map(c => col(s"w.$c").as(c)): _*)
+    winner.write.mode("overwrite").parquet(s"$stateDir/ingest=$label")
+    ()
+  }
+
+  /** Merge-on-read current state of a changelog store: latest seq per
+    * key across every appended label, tombstone winners dropped. The
+    * `ingest` partition column is shed — state identity is the key,
+    * not which delivery last touched it.
+    */
+  def changelogState(spark: SparkSession, stateDir: String,
+                     keyCol: String = "key", seqCol: String = "seq",
+                     opCol: String = "op"): DataFrame = {
+    val all = spark.read.parquet(stateDir).drop("ingest")
+    val rest = all.columns.filterNot(_ == keyCol).toSeq
+    all.groupBy(col(keyCol))
+      .agg(max(struct((Seq(seqCol, opCol) ++
+        rest.filterNot(c => c == seqCol || c == opCol)).map(col): _*)).as("w"))
+      .select(col(keyCol) +: rest.map(c => col(s"w.$c").as(c)): _*)
+      .filter(col(opCol) =!= "D")
+  }
+
+  /** Rewrite a long-appended changelog store as ONE compacted base
+    * label holding one live row per key (tombstones gone). Reads only
+    * the store — never any upstream source; refuses dst inside src and
+    * vice versa (the DedupIndexes qualified-path idiom).
+    */
+  def compactChangelogTo(spark: SparkSession, srcDir: String, dstDir: String,
+                         keyCol: String = "key", seqCol: String = "seq",
+                         opCol: String = "op"): Unit = {
+    val qa = new org.apache.hadoop.fs.Path(srcDir).toUri.normalize.getPath
+    val qb = new org.apache.hadoop.fs.Path(dstDir).toUri.normalize.getPath
+    require(qa != qb && !qa.startsWith(qb + "/") && !qb.startsWith(qa + "/"),
+      s"compaction target $dstDir overlaps source $srcDir")
+    changelogState(spark, srcDir, keyCol, seqCol, opCol)
+      .write.mode("overwrite").parquet(s"$dstDir/ingest=base")
+  }
 }

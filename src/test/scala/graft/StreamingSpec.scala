@@ -1023,4 +1023,92 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(w === d)
   }
+
+  test("cdc ingest: cross-batch latest-wins, tombstones, merge-on-read state") {
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft-cdc").resolve("state").toString
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamingOps.ingestChangelog(
+      ms.toDF().toDF("key", "seq", "op", "v"), state)
+    try {
+      // batch 0: inserts for 1..3, plus an in-batch overwrite of key 1
+      ms.addData((1L, 1L, "U", 10L), (1L, 4L, "U", 11L),
+        (2L, 2L, "U", 20L), (3L, 3L, "U", 30L))
+      q.processAllAvailable()
+      val s0 = StreamingOps.changelogState(spark, state)
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(s0 === Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+      // batch 1: delete key 2, update key 3, insert key 9
+      ms.addData((2L, 5L, "D", 0L), (3L, 6L, "U", 31L), (9L, 7L, "U", 90L))
+      q.processAllAvailable()
+      val s1 = StreamingOps.changelogState(spark, state)
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(s1 === Map(1L -> 11L, 3L -> 31L, 9L -> 90L))
+      // a STALE late row for key 3 (seq below the winner) must not win
+      ms.addData((3L, 2L, "U", 999L))
+      q.processAllAvailable()
+      val s2 = StreamingOps.changelogState(spark, state)
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(s2 === s1, "stale seq must lose the merge-on-read arg-max")
+    } finally q.stop()
+  }
+
+  test("cdc ingest: same-label replay idempotent; compaction drops tombstones") {
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft-cdc-r").resolve("state").toString
+    val b0 = Seq((1L, 1L, "U", 10L), (2L, 2L, "U", 20L))
+      .toDF("key", "seq", "op", "v")
+    val b1 = Seq((2L, 3L, "D", 0L), (5L, 4L, "U", 50L))
+      .toDF("key", "seq", "op", "v")
+    StreamingOps.changelogBatch(b0, state, "0", "key", "seq", "op")
+    StreamingOps.changelogBatch(b1, state, "1", "key", "seq", "op")
+    // crash-replay of label 1: own-label overwrite, state unchanged
+    StreamingOps.changelogBatch(b1, state, "1", "key", "seq", "op")
+    val live = StreamingOps.changelogState(spark, state)
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(live === Map(1L -> 10L, 5L -> 50L))
+    // stored rows: 2 (label 0) + 2 (label 1, replay overwrote) = 4
+    assert(spark.read.parquet(state).count() === 4L)
+    // compaction: one live row per key, tombstone gone, state identical
+    val dst = Files.createTempDirectory("graft-cdc-r").resolve("compact").toString
+    StreamingOps.compactChangelogTo(spark, state, dst)
+    assert(spark.read.parquet(dst).count() === 2L)
+    val compacted = StreamingOps.changelogState(spark, dst)
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(compacted === live)
+    // overlap refusal fires before any write
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.compactChangelogTo(spark, state, state + "/sub")
+    }
+    assert(e.getMessage.contains("overlaps"))
+    // sibling dirs sharing a PREFIX are not overlap (qualified-path idiom)
+    StreamingOps.compactChangelogTo(spark, state, state + "-sibling")
+    assert(StreamingOps.changelogState(spark, state + "-sibling")
+      .count() === 2L)
+  }
+
+  test("cdc state == batch applyChangelog over the same deliveries") {
+    import java.nio.file.Files
+    val state = Files.createTempDirectory("graft-cdc-eq").resolve("state").toString
+    val changes = Seq(
+      (1L, 1L, "U", 10L), (1L, 5L, "D", 0L),
+      (2L, 2L, "U", 20L), (2L, 9L, "U", 22L),
+      (9L, 4L, "U", 99L)).toDF("key", "seq", "op", "v")
+    // delivered as two interleaved batches
+    StreamingOps.changelogBatch(
+      changes.filter($"seq" % 2 === 1), state, "a", "key", "seq", "op")
+    StreamingOps.changelogBatch(
+      changes.filter($"seq" % 2 === 0), state, "b", "key", "seq", "op")
+    val streamed = StreamingOps.changelogState(spark, state)
+      .select($"key", $"v").as[(Long, Long)].collect().toSet
+    // the batch twin: empty base + the full changelog in one apply
+    val batch2 = graft.operators.Snapshot.applyChangelogOn(
+      Seq.empty[(Long, Long)].toDF("key", "v"), changes, "key", "seq", "op")
+      .select($"key", $"v").as[(Long, Long)].collect().toSet
+    assert(streamed === batch2,
+      "streamed merge-on-read must equal the batch apply")
+  }
 }
