@@ -112,6 +112,10 @@ object SparkEntry {
     // top consecutive event-type trigrams per user stream, (ts,
     // event_id)-ordered so counts are engine-deterministic
     "q_event_paths" -> ((s, d) => operators.EventAnalytics.topEventPaths(s, d)),
+    // OLS slope per event type from integer sufficient statistics
+    "q_events_trend" -> ((s, d) => operators.EventAnalytics.dailyTrend(s, d)),
+    // log2-bucket inter-event gap histogram (bitlen staircase)
+    "q_event_latency_hist" -> ((s, d) => operators.EventAnalytics.latencyHistogram(s, d)),
     // strict-order view → click → purchase funnel stage per user
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     // first-activity cohorts × integer week offsets (day-diff DIV 7 —
@@ -154,6 +158,8 @@ object SparkEntry {
     // no-false-negative guarantee; k=100 keeps the rare 'dup' token
     // below threshold at every sf so the filter is non-vacuous
     "q_heavy_hitters" -> ((s, d) => operators.TextAnalysis.heavyHitters(s, d)),
+    // conjunctive AND search ranked by the tf-idf integer spelling
+    "q_search_rank" -> ((s, d) => operators.TextAnalysis.searchRanked(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
     // oracle certifies cross-engine regex parity on the identity path;
     // planted-PII behavior is spec-verified (TextAnalysisSpec)
@@ -920,6 +926,21 @@ object SparkEntry {
       SELECT tok, COUNT(*) AS n
       FROM tok GROUP BY tok
       HAVING COUNT(*) * 101 > (SELECT ntot FROM n)""".stripMargin.trim),
+    // conjunctive arity via per-doc matched-term count; same integer
+    // idf scaling as q_tfidf_terms
+    "q_search_rank" -> ("""
+      WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             WHERE tok IN ('spark', 'join') GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id,
+                    CAST(SUM(tf * ((SELECT n_docs FROM nd) * 1000 // df)) AS BIGINT) AS score,
+                    COUNT(*) AS nt
+             FROM tf JOIN dfq USING (term) GROUP BY doc_id)
+      SELECT doc_id, score FROM sc WHERE nt = 2
+      ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
     "q_rep_topgram" -> ("""
       WITH t1 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
@@ -1694,6 +1715,37 @@ object SparkEntry {
       FROM c""".stripMargin.trim),
     // same fingerprint spelling as the dedup/mixture family; min(source)
     // attribution avoids any min_by/ordering license
+    // the five OLS sufficient statistics in one CTE; slope NULL when
+    // the denominator degenerates (single-day series)
+    "q_events_trend" -> ("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            COUNT(*) AS y
+                     FROM events GROUP BY 1, 2),
+      d0 AS (SELECT MIN(day) AS d0 FROM daily),
+      pts AS (SELECT event_type,
+                     CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+              FROM daily, d0),
+      s AS (SELECT event_type, COUNT(*) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY 1)
+      SELECT event_type, n_days,
+             CASE WHEN n_days * sxx - sx * sx <> 0
+                  THEN CAST((n_days * sxy - sx * sy) * 1000000
+                            // (n_days * sxx - sx * sx) AS BIGINT)
+             END AS slope_ppm
+      FROM s""".stripMargin.trim),
+    // lag over the (ts, event_id)-ordered per-user stream; bucket =
+    // length(bin(gap_us)) — the LM scorers' cross-engine staircase
+    "q_event_latency_hist" -> ("""
+      WITH d AS (SELECT epoch_us(ts)
+                        - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                        AS delta
+                 FROM events)
+      SELECT CAST(length(bin(delta)) AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM d WHERE delta IS NOT NULL GROUP BY 1""".stripMargin.trim),
     // mirrors the engine's week arithmetic: global week index from the
     // corpus-wide first day, churn = no (user, week+1) activity row
     "q_user_churn" -> ("""

@@ -190,6 +190,74 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** PER-TYPE DAILY-VOLUME TREND — the ordinary-least-squares slope of
+    * each event type's daily count series, in events-per-day scaled to
+    * ppm, computed ENTIRELY from sufficient statistics:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x the day offset
+    * from the corpus-wide first day and y the daily count. Every term
+    * is an integer sum, so the scaled integer division is bit-exact on
+    * any engine — no float regression, no sketch. A single-day series
+    * has no slope (NULL, not 0 — "flat" is a claim, "unjudgeable" is
+    * not). Magnitude bound: day-grain series keep n·Σxy·10^6 within
+    * BIGINT for ~10-year spans at ~10^9 events/day; split into eras
+    * beyond that.
+    *
+    * Plan: one (type, day) hash aggregate collapses the corpus, the
+    * day-0 anchor rides a broadcast 1-row frame, and the five sums fold
+    * in one more aggregate over the ~types×days frame — map-side
+    * combine end to end, output one row per type.
+    */
+  def dailyTrend(spark: SparkSession, sfDir: String): DataFrame =
+    dailyTrendOn(Tables.events(spark, sfDir))
+
+  def dailyTrendOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val pts = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        expr("CAST(datediff(day, d0) AS BIGINT)").as("x"), col("y"))
+    pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          expr("(n_days * sxy - sx * sy) * 1000000 DIV " +
+            "(n_days * sxx - sx * sx)"))
+          .as("slope_ppm"))
+  }
+
+  /** INTER-EVENT LATENCY HISTOGRAM — the distribution of gaps between a
+    * user's consecutive events in LOG2 buckets (bucket = bit length of
+    * the gap in microseconds, the integer `length(bin(x))` staircase
+    * the LM scorers already share across engines): the latency panel of
+    * an event pipeline without a single float or percentile sketch.
+    * Same-timestamp neighbors land in bucket 1 (bin(0) = "0").
+    *
+    * Plan: one lag() window per user partition (event-time order
+    * within a user — the sessionization skew bound), then one
+    * ~64-bucket hash aggregate. Nothing global, nothing unbounded.
+    */
+  def latencyHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    latencyHistogramOn(Tables.events(spark, sfDir))
+
+  def latencyHistogramOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .select((col("us") - lag(col("us"), 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull)
+      .select(length(bin(col("delta"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DAILY REVENUE ANOMALY FLAGS — the monitoring query of an event
     * pipeline: per day, total revenue in cents plus a z-score-style flag
     * against the TRAILING 7 observed days (the day itself excluded, so a

@@ -762,6 +762,50 @@ object TextAnalysis {
         (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
   }
 
+  /** CONJUNCTIVE RANKED SEARCH — the query side of a corpus engine:
+    * documents containing ALL query terms, ranked by summed
+    * tf·idf_scaled (the [[tfidfTopTerms]] integer spelling —
+    * idf_scaled = n_docs·1000 DIV df — so scores and ranks are
+    * bit-exact on any engine), top-k with doc_id as the tiebreak.
+    *
+    * Plan: the token explode is filtered to the query terms AT THE SCAN
+    * (an `isin` over a literal list — predicate on the generator
+    * output), so every downstream frame is query-term-sized, not
+    * corpus-sized; df and the conjunctive arity check fold into the
+    * same per-(doc, term) aggregate; n_docs rides a broadcast 1-row
+    * frame; the cut is a TakeOrdered. For interactive workloads the
+    * same question probes the stored trigram index
+    * ([[graft.sources.TextIndexes]]) — this is the ad-hoc scan
+    * spelling.
+    */
+  def searchRanked(spark: SparkSession, sfDir: String,
+                   terms: Seq[String] = Seq("spark", "join"),
+                   k: Int = 10): DataFrame =
+    searchRankedOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      terms, k)
+
+  def searchRankedOn(docTexts: DataFrame, terms: Seq[String],
+                     k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchRankedOn needs at least one term")
+    val nDocs = docTexts.agg(count(lit(1)).as("n_docs"))
+    val tf = docTexts
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * expr("(n_docs * 1000) DIV df")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size.toLong)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** EXACT corpus-wide frequent tokens (frequency > N/(k+1)) in two
     * bounded-state passes — the sketch-then-recount spelling of heavy
     * hitters that survives a vocabulary too large for any groupBy:

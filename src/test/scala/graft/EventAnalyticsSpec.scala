@@ -109,6 +109,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
 
+  test("trend: exact-line slopes, negative trends, single-day NULL") {
+    // type "up": 1,3,5,7 events on days 0..3 -> slope exactly 2/day;
+    // type "down": 5,3,1 on days 0..2 -> slope exactly -2/day;
+    // type "one": a single day -> unjudgeable (NULL)
+    val rows = Seq(
+      "up" -> Seq(1, 3, 5, 7), "down" -> Seq(5, 3, 1), "one" -> Seq(4))
+    val events = rows.flatMap { case (t, daily) =>
+      daily.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i =>
+          (1L, ts(f"2024-03-${d + 1}%02d 10:0$i:00"), t))
+      }
+    }
+    val got = EventAnalytics.dailyTrendOn(
+      events.toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      "up" -> (4L, Some(2000000L)),
+      "down" -> (3L, Some(-2000000L)),
+      "one" -> (1L, None)))
+  }
+
+  test("trend: truncating integer division is the documented contract") {
+    // days 0,1,2 with 1,1,2 events: slope = (3*5 - 3*4) / (3*5 - 9)
+    // = 3/6 -> 500000 ppm exactly
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00"), "e"),
+      (1L, ts("2024-03-02 10:00:00"), "e"),
+      (1L, ts("2024-03-03 10:00:00"), "e"),
+      (1L, ts("2024-03-03 10:01:00"), "e"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.dailyTrendOn(events)
+      .as[(String, Long, Option[Long])].head()
+    assert(got === ("e", 3L, Some(500000L)))
+  }
+
+  test("latency histogram: bitlen buckets, per-user pairing only") {
+    val events = Seq(
+      // u1: gaps 0us (same ts), 1us, 6us -> buckets 1, 1, 3
+      (1L, 1L, "2024-01-01 00:00:00.000000"),
+      (2L, 1L, "2024-01-01 00:00:00.000000"),
+      (3L, 1L, "2024-01-01 00:00:00.000001"),
+      (4L, 1L, "2024-01-01 00:00:00.000007"),
+      // u2: one event - no gap; its ts far from u1's must not pair
+      (5L, 2L, "2024-06-01 00:00:00")
+    ).map { case (e, u, t) => (e, u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.latencyHistogramOn(events)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("anomaly: planted spike flagged, baseline days and cold start not") {
     // 8 flat days (100.00/day), then a 10x spike, then flat again:
     // days 1-7 have no full trailing window (flag 0 by contract), the

@@ -80,6 +80,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(Seq.empty[String], 3, 2) === Map.empty[String, Long])
   }
 
+  test("search: conjunctive gate, integer scoring, tiebreak, k cut") {
+    // corpus of 4 docs; terms (a, b): doc 1 has both (a×2, b×1),
+    // doc 2 has both once, doc 3 has only a, doc 4 has neither.
+    // df(a)=3, df(b)=2, n_docs=4 -> idf_a = 4000 DIV 3 = 1333,
+    // idf_b = 2000. score(1) = 2*1333 + 2000 = 4666; score(2) = 3333.
+    val docs = Seq((1L, "a a b x"), (2L, "a b"), (3L, "a x"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.searchRankedOn(docs, Seq("a", "b"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4666L), (2L, 3333L)),
+      "only conjunctive docs, ordered by score")
+    // k cut respects the (score desc, doc_id asc) total order
+    val top1 = TextAnalysis.searchRankedOn(docs, Seq("a", "b"), 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(top1 === Seq((1L, 4666L)))
+    // duplicate query terms don't break the arity gate
+    val dup = TextAnalysis.searchRankedOn(docs, Seq("a", "a", "b"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(dup === got)
+    // single-term query degenerates to tf ranking with doc_id tiebreak
+    val one = TextAnalysis.searchRankedOn(docs, Seq("a"), 10)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+    assert(one === Seq(1L, 2L, 3L), "tf 2 first, then doc_id order on ties")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.searchRankedOn(docs, Seq.empty, 5)
+    }.getMessage.contains("at least one term"))
+  }
+
   test("misra_gries is SQL-registered via GraftExtensions") {
     val cands = spark.sql(
       """SELECT misra_gries(tok, 3) AS c FROM (
