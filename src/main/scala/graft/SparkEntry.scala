@@ -116,6 +116,10 @@ object SparkEntry {
     "q_events_trend" -> ((s, d) => operators.EventAnalytics.dailyTrend(s, d)),
     // log2-bucket inter-event gap histogram (bitlen staircase)
     "q_event_latency_hist" -> ((s, d) => operators.EventAnalytics.latencyHistogram(s, d)),
+    // exact trailing-7-day distinct actives via the cover-day fan-out
+    "q_rolling_actives" -> ((s, d) => operators.EventAnalytics.rollingActives(s, d)),
+    // per-user first/last event type in one arg-min/arg-max aggregate
+    "q_attribution" -> ((s, d) => operators.EventAnalytics.firstLastTouch(s, d)),
     // strict-order view → click → purchase funnel stage per user
     "q_event_funnel" -> ((s, d) => operators.EventAnalytics.funnel(s, d)),
     // first-activity cohorts × integer week offsets (day-diff DIV 7 —
@@ -1746,6 +1750,30 @@ object SparkEntry {
                  FROM events)
       SELECT CAST(length(bin(delta)) AS BIGINT) AS bucket, COUNT(*) AS n
       FROM d WHERE delta IS NOT NULL GROUP BY 1""".stripMargin.trim),
+    // cover-day fan-out mirrored: each active day keeps the user
+    // active for the next 6, clipped at the corpus-wide last day
+    "q_rolling_actives" -> ("""
+      WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      last AS (SELECT MAX(day) AS d1 FROM act),
+      cov AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day2
+              FROM act, last, (SELECT unnest(range(0, 7)) AS i)
+              WHERE day + CAST(i AS INTEGER) <= d1)
+      SELECT day2 AS day, COUNT(*) AS n_active_7d
+      FROM cov GROUP BY 1""".stripMargin.trim),
+    // ROW_NUMBER both directions == the engine's struct arg-min/max
+    // because (ts, event_id) is a total order per user
+    "q_attribution" -> ("""
+      WITH r AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rl
+                 FROM events)
+      SELECT user_id,
+             MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+             MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+             COUNT(*) AS n_events
+      FROM r GROUP BY user_id""".stripMargin.trim),
     // mirrors the engine's week arithmetic: global week index from the
     // corpus-wide first day, churn = no (user, week+1) activity row
     "q_user_churn" -> ("""

@@ -190,6 +190,60 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** ROLLING 7-DAY ACTIVE USERS — for every day, how many distinct
+    * users were active in the trailing `window` days (the WAU panel
+    * metric). Exact, not a sketch, via the standard cover-day trick:
+    * each (user, active-day) row fans out to the ≤`window` future days
+    * it keeps the user "active" for, the fan-out deduplicates, and one
+    * count-per-day aggregate reads off the answer — O(window ×
+    * activity) rows total, never a per-day distinct scan and never a
+    * sliding-window state machine. Cover days past the corpus-wide
+    * last day are clipped (a day after the data ends is not a metric).
+    *
+    * Plan: (user, day) distinct → broadcast 1-row max-day → sequence
+    * explode (≤window per row) → distinct → day-keyed count. All
+    * shuffles key on user or day.
+    */
+  def rollingActives(spark: SparkSession, sfDir: String,
+                     window: Int = 7): DataFrame =
+    rollingActivesOn(Tables.events(spark, sfDir), window)
+
+  def rollingActivesOn(events: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"rollingActives needs window >= 1, got $window")
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val last = act.agg(max(col("day")).as("d1"))
+    act.crossJoin(broadcast(last))
+      .select(col("user_id"), explode(sequence(col("day"),
+        least(date_add(col("day"), window - 1), col("d1")))).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active_7d"))
+  }
+
+  /** FIRST/LAST-TOUCH ATTRIBUTION — per user, the event type of their
+    * earliest and latest events plus their event count: the two-ends
+    * summary marketing attribution starts from. The arg-min/arg-max
+    * rides `min/max(struct(ts, event_id, event_type))` — event_id
+    * breaks timestamp ties, so both touches are deterministic on any
+    * engine — in ONE hash aggregate with map-side combine: no windows,
+    * no sort, state two structs per user.
+    */
+  def firstLastTouch(spark: SparkSession, sfDir: String): DataFrame =
+    firstLastTouchOn(Tables.events(spark, sfDir))
+
+  def firstLastTouchOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("f.event_type").as("first_touch"),
+        col("l.event_type").as("last_touch"),
+        col("n_events"))
+
   /** PER-TYPE DAILY-VOLUME TREND — the ordinary-least-squares slope of
     * each event type's daily count series, in events-per-day scaled to
     * ppm, computed ENTIRELY from sufficient statistics:

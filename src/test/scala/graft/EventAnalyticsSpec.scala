@@ -109,6 +109,54 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
 
+  test("rolling actives: cover-day fan-out == per-day distinct scan") {
+    // u1 active days 1,9; u2 active days 2,3; u3 active day 8 —
+    // windows overlap, dedup within a window matters (u2 days 2+3
+    // both cover day 4, counted once)
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-09 10:00:00", "view"),
+      (2L, "2024-01-02 10:00:00", "view"), (2L, "2024-01-03 11:00:00", "view"),
+      (3L, "2024-01-08 10:00:00", "view"))
+    val got = EventAnalytics.rollingActivesOn(events, 7)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    // brute force: for each day in [01-01, 01-09], distinct users with
+    // an active day in [d-6, d]
+    val activity = Map(1L -> Set(1, 9), 2L -> Set(2, 3), 3L -> Set(8))
+    val want = (1 to 9).map { d =>
+      f"2024-01-$d%02d" -> activity.count {
+        case (_, ds) => ds.exists(a => a <= d && a > d - 7) }.toLong
+    }.toMap
+    assert(got === want)
+    // window=1 degenerates to plain daily distinct actives
+    val daily = EventAnalytics.rollingActivesOn(events, 1)
+      .as[(java.sql.Date, Long)].collect().map(r => r._1.toString -> r._2).toMap
+    assert(daily === Map("2024-01-01" -> 1L, "2024-01-02" -> 1L,
+      "2024-01-03" -> 1L, "2024-01-08" -> 1L, "2024-01-09" -> 1L))
+  }
+
+  test("attribution: (ts, event_id) total order decides both touches") {
+    val events = Seq(
+      // u1: clear first (view) and last (purchase)
+      (10L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (11L, 1L, ts("2024-01-02 10:00:00"), "click"),
+      (12L, 1L, ts("2024-01-03 10:00:00"), "purchase"),
+      // u2: ALL at one ts — event_id order decides: first 20, last 22
+      (20L, 2L, ts("2024-01-05 09:00:00"), "a"),
+      (21L, 2L, ts("2024-01-05 09:00:00"), "b"),
+      (22L, 2L, ts("2024-01-05 09:00:00"), "c"),
+      // u3: single event is both touches
+      (30L, 3L, ts("2024-01-06 09:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.firstLastTouchOn(events)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> ("view", "purchase", 3L),
+      2L -> ("a", "c", 3L),
+      3L -> ("view", "view", 1L)))
+  }
+
   test("trend: exact-line slopes, negative trends, single-day NULL") {
     // type "up": 1,3,5,7 events on days 0..3 -> slope exactly 2/day;
     // type "down": 5,3,1 on days 0..2 -> slope exactly -2/day;

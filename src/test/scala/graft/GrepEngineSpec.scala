@@ -224,7 +224,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_heavy_hitters", "q_cdc_apply", "q_events_anomaly",
       "q_fuzzy_match", "q_user_churn", "q_event_paths", "q_dq_audit",
       "q_ivm_orders", "q_key_skew", "q_events_trend",
-      "q_event_latency_hist", "q_search_rank")
+      "q_event_latency_hist", "q_search_rank", "q_rolling_actives",
+      "q_attribution")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

@@ -35,7 +35,14 @@ class PlanInvariantsSpec extends SparkSpec {
     // min/max and the distinct counts) by crossJoining two broadcast
     // 1-ROW frames (Profile.profileColumns — split to keep both passes
     // hash-aggregated; the fused spelling sort-aggregates 7x the table)
-    "q_profile_orders")
+    "q_profile_orders",
+    // churn crossJoins the broadcast 1-ROW (min, max) day span into the
+    // activity frame (EventAnalytics.weeklyChurnOn)
+    "q_user_churn",
+    // key-skew rides the broadcast 1-ROW total; trend the 1-ROW day-0
+    // anchor; search the 1-ROW corpus count (tf-idf's shape); rolling
+    // actives the 1-ROW last-day clip — all constant build sides
+    "q_key_skew", "q_events_trend", "q_search_rank", "q_rolling_actives")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
