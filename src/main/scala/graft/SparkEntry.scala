@@ -335,6 +335,9 @@ object SparkEntry {
     // CDC latest-wins compaction with tombstones onto a base snapshot;
     // classes carved deterministically (see Snapshot.cdcApply scaladoc)
     "q_cdc_apply" -> ((s, d) => operators.Snapshot.cdcApply(s, d)),
+    // minimal I/U/D stream between two snapshot carvings — the inverse
+    // of q_cdc_apply; apply∘derive == identity is spec-asserted
+    "q_cdc_derive" -> ((s, d) => operators.Snapshot.deriveChangelog(s, d)),
     // Levenshtein-1 record linkage via symmetric-deletion blocking +
     // exact verify — equals the oracle's cross-product filter with no
     // A×B product in the plan
@@ -1866,6 +1869,27 @@ object SparkEntry {
       SELECT name_a, name_b,
              CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
       FROM a, b WHERE levenshtein(name_a, name_b) <= 1""".stripMargin.trim),
+    // IS DISTINCT FROM mirrors the engine's null-safe <=> payload
+    // compare; tombstones carry the old payload
+    "q_cdc_derive" -> ("""
+      WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      old AS (SELECT * FROM docs WHERE doc_id % 20 <> 3),
+      nw AS (SELECT doc_id,
+                    CASE WHEN doc_id % 20 = 11 THEN source || '-v2'
+                         ELSE source END AS source,
+                    n_chars
+             FROM docs WHERE doc_id % 20 <> 7)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CAST(1 AS BIGINT) AS seq,
+             CASE WHEN o.doc_id IS NULL THEN 'I'
+                  WHEN n.doc_id IS NULL THEN 'D'
+                  ELSE 'U' END AS op,
+             CASE WHEN n.doc_id IS NULL THEN o.source ELSE n.source END AS source,
+             CASE WHEN n.doc_id IS NULL THEN o.n_chars ELSE n.n_chars END AS n_chars
+      FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id
+      WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+         OR o.source IS DISTINCT FROM n.source
+         OR o.n_chars IS DISTINCT FROM n.n_chars""".stripMargin.trim),
     // latest-wins arg-max spelled as ROW_NUMBER pick — equal to the
     // engine's max(struct(seq, …)) because seq (o_orderkey) is unique
     "q_cdc_apply" -> ("""

@@ -175,6 +175,64 @@ object Snapshot {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** CHANGELOG DERIVATION — the inverse of [[applyChangelogOn]]: given
+    * two keyed snapshots, emit the minimal change stream that turns the
+    * old one into the new one — `I` for keys only in new, `D` for keys
+    * only in old, `U` for keys whose payload differs; unchanged keys
+    * emit NOTHING (the minimality that makes downstream IVM O(churn)).
+    * Every row carries the caller's `seq` so the emitted batch composes
+    * with later batches under the changelog-position contract; the
+    * round-trip law `apply(old, derive(old, new)) == new` is the
+    * operator's spec-asserted definition.
+    *
+    * Plan: one key-equi full outer join of the two snapshots, a
+    * null-safe payload comparison (`<=>` per column — NULL payloads
+    * compare equal to NULL, not to everything), one filter. At 100 TB
+    * both sides are key-partitioned tables; the output is churn-sized.
+    */
+  def deriveChangelogOn(oldSnap: DataFrame, newSnap: DataFrame,
+                        keyCol: String, seq: Long): DataFrame = {
+    val payload = newSnap.columns.filterNot(_ == keyCol).toSeq
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"snapshot schemas differ: ${oldSnap.columns.sorted.mkString(",")} vs " +
+        newSnap.columns.sorted.mkString(","))
+    val o = oldSnap.select(col(keyCol) +:
+      payload.map(c => col(c).as(s"_o_$c")): _*)
+      .withColumn("_in_old", lit(1L))
+    val n = newSnap.withColumn("_in_new", lit(1L))
+    val same = payload.map(c => col(s"_o_$c") <=> col(c))
+      .reduce(_ && _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol) +: lit(seq).as("seq") +: col("op") +:
+        payload.map(c =>
+          // tombstones carry the OLD payload (audit value); I/U the new
+          when(col("op") === "D", col(s"_o_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Driver spelling: derive the change stream between the two
+    * deterministic documents-table carvings [[snapshotDiff]] already
+    * diffs (old drops doc_id ≡ 3, new drops ≡ 7 mod 20), with an
+    * update class planted by re-sourcing the doc_id ≡ 11 mod 20 rows —
+    * all three op classes non-vacuous.
+    */
+  def deriveChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val old = docs.filter(col("doc_id") % 20 =!= 3)
+    val nw = docs.filter(col("doc_id") % 20 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 11, concat(col("source"), lit("-v2")))
+          .otherwise(col("source")).as("source"),
+        col("n_chars"))
+    deriveChangelogOn(old, nw, "doc_id", seq = 1L)
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — merge pre-aggregated partials
     * (yesterday's stored rollup + today's delta rollup) into the
     * up-to-date aggregate WITHOUT rescanning the base data: union the

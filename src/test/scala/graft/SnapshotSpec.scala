@@ -124,6 +124,58 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("missing columns: v"))
   }
 
+  test("derive: minimal I/U/D stream; apply(old, derive) == new (round-trip law)") {
+    val old = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+      (4L, 40L, "d")).toDF("key", "v", "s")
+    val nw = Seq((1L, 10L, "a"),   // unchanged -> no row
+      (2L, 21L, "b"),              // payload changed -> U
+      (4L, 40L, "d2"),             // second payload col changed -> U
+      (9L, 90L, "i"))              // new key -> I; key 3 gone -> D
+      .toDF("key", "v", "s")
+    val ops = Snapshot.deriveChangelogOn(old, nw, "key", seq = 7L)
+    val got = ops.as[(Long, Long, String, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    assert(got === Map(
+      2L -> ("U", 21L, "b"), 4L -> ("U", 40L, "d2"),
+      9L -> ("I", 90L, "i"), 3L -> ("D", 30L, "c")))
+    // the round-trip law: applying the derived stream reproduces new
+    val applied = Snapshot.applyChangelogOn(old, ops, "key", "seq", "op")
+      .as[(Long, Long, String)].collect().toSet
+    assert(applied === nw.as[(Long, Long, String)].collect().toSet)
+  }
+
+  test("derive: null payloads compare null-safely; schema drift refused") {
+    val old = Seq[(Long, Option[Long])]((1L, None), (2L, Some(2L)))
+      .toDF("key", "v")
+    val nw = Seq[(Long, Option[Long])]((1L, None), (2L, None))
+      .toDF("key", "v")
+    // key 1: NULL == NULL -> unchanged, NO row; key 2: 2 -> NULL is U
+    val got = Snapshot.deriveChangelogOn(old, nw, "key", 1L)
+      .select($"key", $"op").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "U")))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.deriveChangelogOn(old, nw.withColumnRenamed("v", "w"), "key", 1L)
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
+  test("derive driver spelling: all three op classes, round-trip on the fixture") {
+    val ops = Snapshot.deriveChangelog(spark, sf)
+    val byOp = ops.groupBy($"op").count().as[(String, Long)].collect().toMap
+    assert(byOp.keySet === Set("I", "U", "D"), s"op classes: $byOp")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars")
+    val old = docs.filter($"doc_id" % 20 =!= 3)
+    val applied = Snapshot.applyChangelogOn(old, ops, "doc_id", "seq", "op")
+      .as[(Long, String, Long)].collect().toSet
+    val nw = docs.filter($"doc_id" % 20 =!= 7)
+      .select($"doc_id",
+        when($"doc_id" % 20 === 11, concat($"source", lit("-v2")))
+          .otherwise($"source").as("source"), $"n_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(applied === nw, "apply(old, derive(old, new)) must equal new")
+  }
+
   test("ivm: merged partials == from-scratch rollup; retractions subtract") {
     val a = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("k", "n", "total")
     val b = Seq((1L, 1L, 30L), (3L, 4L, 400L)).toDF("k", "n", "total")
