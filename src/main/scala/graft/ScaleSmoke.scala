@@ -575,6 +575,45 @@ object ScaleSmoke {
         graft.operators.EventAnalytics.dailyGapFillOn(typedEv, "purchase").count())
       spark.catalog.clearCache()
 
+      // rolling 7-day actives: cover-day fan-out is O(window × activity)
+      // — users grow with the factor (fresh user ids per replica), days
+      // stay fixed, so rows and time must track the factor linearly
+      val (tRoll, nRoll) = timeIt(
+        graft.operators.EventAnalytics.rollingActivesOn(typedEv, 7).count())
+      spark.catalog.clearCache()
+
+      // heavy hitters: the MG buffer is O(k) regardless of corpus size
+      // and the recount touches candidate keys only — time must track
+      // the two token scans (linear), with the replica-suffixed vocab
+      // (31·factor distinct tokens) proving state does NOT grow with
+      // the vocabulary: k=100 < vocab at factor >= 4
+      val (tHh, nHh) = timeIt(
+        graft.operators.TextAnalysis.heavyHittersOn(docs, 100).count())
+      spark.catalog.clearCache()
+
+      // CDC apply: changelog = one delivery per doc (replica i updates
+      // key doc_id mod stride), base = the factor-sized corpus keyed
+      // frame — one arg-max agg + one key join, linear in base+changes
+      val cdcBase = docs.select(col("doc_id").as("key"),
+        length(col("text")).cast("long").as("v"))
+      val cdcChanges = docs.select(
+        col("doc_id").as("key"), col("doc_id").as("seq"),
+        when(col("doc_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (length(col("text")) + 1L).cast("long").as("v"))
+      val (tCdc, nCdc) = timeIt(graft.operators.Snapshot
+        .applyChangelogOn(cdcBase, cdcChanges, "key", "seq", "op").count())
+      spark.catalog.clearCache()
+
+      // fuzzy match: catalog size grows with the factor (replica-
+      // suffixed tokens are distinct names), variant frames are
+      // |names|·(len+1) — candidate buckets stay vocabulary-shaped, so
+      // growth must stay near-linear, never |A|×|B|
+      val nameCat = docs
+        .select(explode(split(col("text"), " ")).as("n")).distinct()
+      val (tFz, nFz) = timeIt(graft.operators.FuzzyMatch
+        .matchNamesOn(nameCat, nameCat).count())
+      spark.catalog.clearCache()
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
@@ -609,7 +648,11 @@ object ScaleSmoke {
         s""""bpe_sec":$tBpe,"bpe_merges":$nBpe,""" +
         s""""funnel_sec":$tFun,"funnel_users":$nFun,""" +
         s""""retention_sec":$tRet,"retention_rows":$nRet,""" +
-        s""""gapfill_sec":$tGap,"gapfill_cells":$nGap}""")
+        s""""gapfill_sec":$tGap,"gapfill_cells":$nGap,""" +
+        s""""rolling_sec":$tRoll,"rolling_days":$nRoll,""" +
+        s""""heavyhit_sec":$tHh,"heavyhit_rows":$nHh,""" +
+        s""""cdc_sec":$tCdc,"cdc_rows":$nCdc,""" +
+        s""""fuzzy_sec":$tFz,"fuzzy_pairs":$nFz}""")
     }
 
     // --- IVF drift canary (factor-independent): the re-fit signal

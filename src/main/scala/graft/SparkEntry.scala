@@ -164,6 +164,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => operators.TextAnalysis.heavyHitters(s, d)),
     // conjunctive AND search ranked by the tf-idf integer spelling
     "q_search_rank" -> ((s, d) => operators.TextAnalysis.searchRanked(s, d)),
+    // per-source hash-rank ceiling via the skew-safe banded exact rank
+    "q_source_cap" -> ((s, d) => operators.TextAnalysis.capPerSource(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
     // oracle certifies cross-engine regex parity on the identity path;
     // planted-PII behavior is spec-verified (TextAnalysisSpec)
@@ -933,6 +935,15 @@ object SparkEntry {
       SELECT tok, COUNT(*) AS n
       FROM tok GROUP BY tok
       HAVING COUNT(*) * 101 > (SELECT ntot FROM n)""".stripMargin.trim),
+    // plain per-source ROW_NUMBER — equal to the engine's banded exact
+    // rank because both order by (md5 hex, doc_id)
+    "q_source_cap" -> ("""
+      WITH r AS (SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rk
+                 FROM documents)
+      SELECT doc_id, source FROM r WHERE rk <= 100""".stripMargin.trim),
     // conjunctive arity via per-doc matched-term count; same integer
     // idf scaling as q_tfidf_terms
     "q_search_rank" -> ("""

@@ -762,6 +762,47 @@ object TextAnalysis {
         (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
   }
 
+  /** PER-SOURCE CAP — keep at most `cap` documents per source, chosen
+    * by deterministic hash rank (md5 of the doc id, doc_id tiebreak):
+    * the RefinedWeb-style per-domain ceiling that stops one crawl
+    * domain from dominating a mixture, with a draw any engine (and any
+    * re-run) reproduces bit-for-bit.
+    *
+    * Skew-safe exact rank (the ntileRevenueSkewSafe machinery): rows
+    * band by their md5's first hex character (16 bands,
+    * lexicographically aligned with the full-hash sort), per-(source,
+    * band) local ranks are windows over ≤ n_source/16-row
+    * partitions — widen to 2 chars (256) at scale — and band offsets
+    * come from a window over the (source × band) count frame — a hot
+    * source never serializes into one window task, which a plain
+    * per-source row_number would do at 100 TB.
+    */
+  def capPerSource(spark: SparkSession, sfDir: String,
+                   cap: Long = 100L): DataFrame =
+    capPerSourceOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source")), cap)
+
+  def capPerSourceOn(docs: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1L, s"capPerSource needs cap >= 1, got $cap")
+    val keyed = docs
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("band", substring(col("hk"), 1, 1))
+    val wLocal = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("hk"), col("doc_id"))
+    val local = keyed
+      .withColumn("rn_local", row_number().over(wLocal).cast("long"))
+    val bandCounts = keyed.groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("bc"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select(col("source"), col("band"), col("off"))
+    local.join(broadcast(offsets), Seq("source", "band"))
+      .filter(col("off") + col("rn_local") <= cap)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** CONJUNCTIVE RANKED SEARCH — the query side of a corpus engine:
     * documents containing ALL query terms, ranked by summed
     * tf·idf_scaled (the [[tfidfTopTerms]] integer spelling —

@@ -551,4 +551,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaCsv.orderBy("n_nationkey").collect().map(_.toString) === o)
     assert(viaJson.orderBy("n_nationkey").collect().map(_.toString) === o)
   }
+
+  test("per-source cap: banded exact rank == plain per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    val cap = 20L
+    val banded = TextAnalysis.capPerSourceOn(docs, cap)
+      .as[(Long, String)].collect().toSet
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val plain = docs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    assert(banded === plain,
+      "banded rank must equal the single-window spelling")
+    // cap honored exactly; under-cap sources keep everything
+    val sizes = docs.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    val kept = TextAnalysis.capPerSourceOn(docs, cap)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      assert(kept.getOrElse(src, 0L) === math.min(n, cap), src)
+    }
+    assert(sizes.values.exists(_ > cap), "cap must bite on the fixture")
+    // partition-invariant: the draw is content-keyed, not layout-keyed
+    val re = TextAnalysis.capPerSourceOn(docs.repartition(13), cap)
+      .as[(Long, String)].collect().toSet
+    assert(re === banded)
+  }
 }
