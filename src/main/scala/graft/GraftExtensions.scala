@@ -79,6 +79,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.MisraGriesAgg(exprs(0), intLit(exprs(1), "k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[functions.BloomAgg].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_agg", exprs, 3)
+        functions.BloomAgg(exprs(0),
+          intLit(exprs(1), "m_bits"), intLit(exprs(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[functions.BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_contains", exprs, 3)
+        functions.BloomContains(exprs(0), exprs(1), intLit(exprs(2), "k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[functions.SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => {

@@ -353,6 +353,8 @@ object SparkEntry {
     "q_ivm_orders" -> ((s, d) => operators.Snapshot.incrementalRollup(s, d)),
     // shuffle-key health: top-5 heaviest event users with ppm share
     "q_key_skew" -> ((s, d) => operators.Profile.eventsUserSkew(s, d)),
+    // bloom-pruned semi join == plain semi join (no false negatives)
+    "q_bloom_semi" -> ((s, d) => operators.Relational.urgentLineitemsBloom(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1859,6 +1861,15 @@ object SparkEntry {
       SELECT o_custkey, COUNT(*) AS n_orders,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders GROUP BY o_custkey""".stripMargin.trim),
+    // the plain semi join IS the oracle: hash-green certifies the
+    // bloom prune admits every true match (no false negatives)
+    "q_bloom_semi" -> ("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag""".stripMargin.trim),
     "q_key_skew" -> ("""
       WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
                         COUNT(*) AS n_rows

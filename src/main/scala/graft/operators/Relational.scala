@@ -539,4 +539,49 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"))
   }
+
+  /** BLOOM-PRUNED SEMI JOIN — the shuffle-reduction pattern for a
+    * selective fact⋈fact semi join: build one m-bit Bloom filter over
+    * the small side's keys ([[graft.functions.BloomFilter]] — O(m/8)
+    * mergeable state, map-side combined, broadcast as ONE row), prune
+    * the big side with the codegen'd `bloom_contains` probe BEFORE its
+    * shuffle, then run the exact semi join over the survivors. No
+    * false negatives means the output EQUALS the plain semi join (the
+    * oracle); false positives only cost verify-join input, at the
+    * textbook (1−e^(−kn/m))^k rate. This is the user-space spelling of
+    * engine runtime filters, available where AQE declines to inject
+    * one — and at 100 TB the pruned shuffle is the win: only rows that
+    * (probably) match ever leave their scan partition.
+    */
+  def bloomSemiJoinOn(big: DataFrame, bigKey: String,
+                      small: DataFrame, smallKey: String,
+                      mBits: Int = 1 << 17): DataFrame = {
+    import graft.functions.{BloomFilter, BloomContains}
+    val bloom = small.agg(
+      BloomFilter.bloomAgg(xxhash64(col(smallKey)), mBits, BloomContains.K)
+        .as("bf"))
+    big.crossJoin(broadcast(bloom))
+      .filter(BloomFilter.bloomContains(col("bf"), xxhash64(col(bigKey))))
+      .drop("bf")
+      .join(small.select(col(smallKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
+  /** Driver spelling: lineitem rows whose order is URGENT-priority
+    * (a ~20% key set), rolled up per return flag — the oracle is the
+    * plain semi join, so a hash-green row certifies the bloom prune
+    * dropped nothing it shouldn't.
+    */
+  def urgentLineitemsBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    bloomSemiJoinOn(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+      "l_orderkey", urgent, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumAsMinorUnits(dec("l_quantity"), 100).as("sum_qty"))
+  }
 }

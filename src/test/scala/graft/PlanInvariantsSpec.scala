@@ -42,7 +42,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // key-skew rides the broadcast 1-ROW total; trend the 1-ROW day-0
     // anchor; search the 1-ROW corpus count (tf-idf's shape); rolling
     // actives the 1-ROW last-day clip — all constant build sides
-    "q_key_skew", "q_events_trend", "q_search_rank", "q_rolling_actives")
+    "q_key_skew", "q_events_trend", "q_search_rank", "q_rolling_actives",
+    // the bloom prune crossJoins the broadcast 1-ROW filter frame —
+    // the whole point is the constant build side
+    "q_bloom_semi")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
