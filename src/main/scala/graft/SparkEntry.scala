@@ -355,6 +355,10 @@ object SparkEntry {
     "q_key_skew" -> ((s, d) => operators.Profile.eventsUserSkew(s, d)),
     // bloom-pruned semi join == plain semi join (no false negatives)
     "q_bloom_semi" -> ((s, d) => operators.Relational.urgentLineitemsBloom(s, d)),
+    // TPC-H Q6 analogue: pure filter+agg, predicates pushed to parquet
+    "q_forecast_revenue" -> (operators.Relational.forecastRevenue _),
+    // TPC-H Q14 analogue: conditional agg over a broadcast dim join
+    "q_promo_share" -> (operators.Relational.promoRevenueShare _),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1861,6 +1865,30 @@ object SparkEntry {
       SELECT o_custkey, COUNT(*) AS n_orders,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders GROUP BY o_custkey""".stripMargin.trim),
+    "q_forecast_revenue" -> ("""
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(18,2))
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.02 AND l_discount <= 0.04
+        AND l_quantity < 24.0""".stripMargin.trim),
+    "q_promo_share" -> ("""
+      WITH j AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4)) AS rev,
+                        CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END AS promo
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                   AND l_shipdate < TIMESTAMP '1997-04-01'),
+      s AS (SELECT CAST(SUM(CASE WHEN promo = 1 THEN rev
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_rev,
+                   CAST(SUM(rev) * 10000 AS BIGINT) AS total_rev
+            FROM j)
+      SELECT promo_rev, total_rev,
+             CAST(promo_rev * 1000000 // total_rev AS BIGINT) AS promo_ppm
+      FROM s""".stripMargin.trim),
     // the plain semi join IS the oracle: hash-green certifies the
     // bloom prune admits every true match (no false negatives)
     "q_bloom_semi" -> ("""

@@ -540,6 +540,51 @@ object Relational {
         sumAsMinorUnits(dec("o_totalprice"), 100).as("revenue"))
   }
 
+  /** TPC-H Q6 analogue — the forecast-revenue-change quantifier: one
+    * tight filter + one global aggregate, no join, no group. The point
+    * at 100 TB is the SCAN: all three predicates and the two-column
+    * projection must reach the parquet reader (PushedFilters +
+    * ReadSchema — RelationalSpec asserts both), so the query reads a
+    * fraction of two columns and nothing else. Revenue
+    * Σ extendedprice·discount surfaces as integer 10^-4 units (the
+    * q_ship_priority convention).
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24.0)
+      .agg(sumAsMinorUnits(
+        (dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)"),
+        10000).as("revenue"))
+
+  /** TPC-H Q14 analogue — promo revenue share: the share of one
+    * month's revenue earned by ECONOMY-type parts, as integer ppm.
+    * Conditional aggregation over a fact⋈dim join: part collapses to
+    * (partkey, is-promo bit) BEFORE the join and broadcasts; both
+    * sums fold into ONE aggregate over the joined frame. Per-row cents
+    * first (BIGINT), so the ppm division is engine-exact.
+    */
+  def promoRevenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        (col("p_type") === "ECONOMY").cast("long").as("promo"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") -
+          dec("l_discount"))).cast("decimal(18,4)").as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumAsMinorUnits(when(col("promo") === 1L, col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)")), 10000).as("promo_rev"),
+        sumAsMinorUnits(col("rev"), 10000).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        expr("promo_rev * 1000000 DIV total_rev").as("promo_ppm"))
+  }
+
   /** BLOOM-PRUNED SEMI JOIN — the shuffle-reduction pattern for a
     * selective fact⋈fact semi join: build one m-bit Bloom filter over
     * the small side's keys ([[graft.functions.BloomFilter]] — O(m/8)

@@ -225,7 +225,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_fuzzy_match", "q_user_churn", "q_event_paths", "q_dq_audit",
       "q_ivm_orders", "q_key_skew", "q_events_trend",
       "q_event_latency_hist", "q_search_rank", "q_rolling_actives",
-      "q_attribution", "q_cdc_derive", "q_source_cap", "q_bloom_semi")
+      "q_attribution", "q_cdc_derive", "q_source_cap", "q_bloom_semi",
+      "q_forecast_revenue", "q_promo_share")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +

@@ -232,4 +232,28 @@ class RelationalSpec extends SparkSpec {
     assert(wide.map(r => Relational.EventTypes.map(t => r.getLong(
       Relational.EventTypes.indexOf(t) + 1)).sum).sum === long.values.sum)
   }
+
+  test("forecast revenue (Q6): every predicate reaches the parquet scan") {
+    val df = Relational.forecastRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      .getOrElse(fail("no lineitem scan in the plan"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scanLine.substring(scanLine.indexOf("PushedFilters")).contains(c),
+        s"predicate on $c not pushed to the scan")
+    val schema = scanLine.substring(scanLine.indexOf("ReadSchema:"))
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_returnflag"),
+      "scan must read only the filter/aggregate columns")
+    assert(df.as[Long].head() > 0L, "window must select revenue on the fixture")
+  }
+
+  test("promo share (Q14): broadcast dim join, ppm within bounds, non-vacuous") {
+    val df = Relational.promoRevenueShare(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "part side must broadcast")
+    val (promo, total, ppm) = df.as[(Long, Long, Long)].head()
+    assert(promo > 0L && promo < total, "both promo and non-promo revenue present")
+    assert(ppm === promo * 1000000L / total)
+  }
 }
