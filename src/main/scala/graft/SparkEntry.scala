@@ -162,6 +162,8 @@ object SparkEntry {
     // no-false-negative guarantee; k=100 keeps the rare 'dup' token
     // below threshold at every sf so the filter is non-vacuous
     "q_heavy_hitters" -> ((s, d) => operators.TextAnalysis.heavyHitters(s, d)),
+    // the same sketch per GROUP: each source's own frequent tokens
+    "q_heavy_hitters_src" -> ((s, d) => operators.TextAnalysis.heavyHittersBySource(s, d)),
     // conjunctive AND search ranked by the tf-idf integer spelling
     "q_search_rank" -> ((s, d) => operators.TextAnalysis.searchRanked(s, d)),
     // per-source hash-rank ceiling via the skew-safe banded exact rank
@@ -941,6 +943,15 @@ object SparkEntry {
       SELECT tok, COUNT(*) AS n
       FROM tok GROUP BY tok
       HAVING COUNT(*) * 101 > (SELECT ntot FROM n)""".stripMargin.trim),
+    "q_heavy_hitters_src" -> ("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ntot
+            FROM tok GROUP BY source)
+      SELECT t.source, t.tok, COUNT(*) AS n
+      FROM tok t JOIN n USING (source)
+      GROUP BY t.source, t.tok, n.ntot
+      HAVING COUNT(*) * 101 > n.ntot""".stripMargin.trim),
     // plain per-source ROW_NUMBER — equal to the engine's banded exact
     // rank because both order by (md5 hex, doc_id)
     "q_source_cap" -> ("""

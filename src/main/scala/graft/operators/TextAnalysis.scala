@@ -762,6 +762,33 @@ object TextAnalysis {
         (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
   }
 
+  /** GROUPED HEAVY HITTERS — [[heavyHittersOn]] per source: each
+    * source's frequent tokens (frequency > that source's N/(k+1)) via
+    * one O(k)-buffer-per-group Misra–Gries aggregate + a recount of
+    * the ≤ sources·k candidate (source, token) pairs. State is
+    * k counters per GROUP — the per-group form every "top terms per
+    * domain" dashboard needs without a vocabulary×sources hash table.
+    */
+  def heavyHittersBySource(spark: SparkSession, sfDir: String,
+                           k: Int = 100): DataFrame =
+    heavyHittersBySourceOn(
+      Tables.documents(spark, sfDir).select(col("source"), col("text")), k)
+
+  def heavyHittersBySourceOn(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val summaries = toks.groupBy(col("source"))
+      .agg(graft.functions.MisraGriesAgg.misraGries(col("tok"), k).as("cands"),
+        count(lit(1)).as("ntot"))
+    val cands = summaries.select(col("source"), col("ntot"),
+      explode(col("cands")).as("tok"))
+    toks.join(broadcast(cands), Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"), col("ntot"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(k + 1L) > col("ntot"))
+      .select(col("source"), col("tok"), col("n"))
+  }
+
   /** PER-SOURCE CAP — keep at most `cap` documents per source, chosen
     * by deterministic hash rank (md5 of the doc id, doc_id tiebreak):
     * the RefinedWeb-style per-domain ceiling that stops one crawl

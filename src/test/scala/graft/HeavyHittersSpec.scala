@@ -80,6 +80,26 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(Seq.empty[String], 3, 2) === Map.empty[String, Long])
   }
 
+  test("grouped heavy hitters: per-group thresholds, no cross-group leak") {
+    // source A: 'hot' is heavy (12/20 > 1/3); source B: 'hot' absent,
+    // 'cold' heavy there only. k=2 -> threshold N_g/3 per group.
+    val docs = Seq(
+      ("A", ("hot " * 12 + "a b c d e f g h").trim),
+      ("B", ("cold " * 10 + "p q r s t u v w x y z p q r s").trim)
+    ).toDF("source", "text")
+    val got = operators.TextAnalysis.heavyHittersBySourceOn(docs, 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // A: 20 toks, hot=12 > 20/3; B: 25 toks, cold=10 > 25/3; 'p'..'s'
+    // appear twice each (< 25/3): only the two planted heavies survive
+    assert(got === Map(("A", "hot") -> 12L, ("B", "cold") -> 10L))
+    // a group whose stream is uniform below threshold contributes nothing
+    val quiet = operators.TextAnalysis.heavyHittersBySourceOn(
+      docs.unionByName(Seq(("C", "m n o m n o")).toDF("source", "text")), 2)
+      .filter($"source" === "C").count()
+    assert(quiet === 0L, "6 tokens, max freq 2 = 6/3 NOT strictly above")
+  }
+
   test("search: conjunctive gate, integer scoring, tiebreak, k cut") {
     // corpus of 4 docs; terms (a, b): doc 1 has both (a×2, b×1),
     // doc 2 has both once, doc 3 has only a, doc 4 has neither.
