@@ -118,6 +118,8 @@ object SparkEntry {
     "q_event_latency_hist" -> ((s, d) => operators.EventAnalytics.latencyHistogram(s, d)),
     // exact trailing-7-day distinct actives via the cover-day fan-out
     "q_rolling_actives" -> ((s, d) => operators.EventAnalytics.rollingActives(s, d)),
+    // per-day first-appearances + cumulative total over the day frame
+    "q_user_growth" -> ((s, d) => operators.EventAnalytics.userGrowth(s, d)),
     // per-user first/last event type in one arg-min/arg-max aggregate
     "q_attribution" -> ((s, d) => operators.EventAnalytics.firstLastTouch(s, d)),
     // strict-order view → click → purchase funnel stage per user
@@ -1781,6 +1783,15 @@ object SparkEntry {
                  FROM events)
       SELECT CAST(length(bin(delta)) AS BIGINT) AS bucket, COUNT(*) AS n
       FROM d WHERE delta IS NOT NULL GROUP BY 1""".stripMargin.trim),
+    "q_user_growth" -> ("""
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+                 FROM events GROUP BY user_id),
+      d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY day)
+      SELECT day, n_new,
+             CAST(SUM(n_new) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS n_total
+      FROM d""".stripMargin.trim),
     // cover-day fan-out mirrored: each active day keeps the user
     // active for the next 6, clipped at the corpus-wide last day
     "q_rolling_actives" -> ("""

@@ -190,6 +190,26 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** USER GROWTH CURVE — per day, how many users appeared for the
+    * FIRST time and how many have been seen in total so far: the
+    * acquisition panel. One user-keyed min-day aggregate collapses the
+    * corpus, a day-keyed count collapses that to the ~days frame, and
+    * the cumulative sum runs over THAT bounded frame only (the
+    * tokenShards global-window exemption class — never the corpus).
+    */
+  def userGrowth(spark: SparkSession, sfDir: String): DataFrame =
+    userGrowthOn(Tables.events(spark, sfDir))
+
+  def userGrowthOn(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .select(col("day"), col("n_new"),
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)).as("n_total"))
+  }
+
   /** ROLLING 7-DAY ACTIVE USERS — for every day, how many distinct
     * users were active in the trailing `window` days (the WAU panel
     * metric). Exact, not a sketch, via the standard cover-day trick:

@@ -109,6 +109,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
 
+  test("growth curve: first appearance counted once, cumulative total monotone") {
+    // u1 appears day 1 (active again day 3 - not new), u2 day 1, u3 day 3
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-03 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:00", "view"),
+      (3L, "2024-01-03 09:00:00", "view"))
+    val got = EventAnalytics.userGrowthOn(events)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    assert(got === Map("2024-01-01" -> (2L, 2L), "2024-01-03" -> (1L, 3L)))
+    // fixture sanity: final total == distinct users, totals monotone
+    val fix = EventAnalytics.userGrowth(spark, TestSpark.sf0001)
+      .orderBy(col("day")).as[(java.sql.Date, Long, Long)].collect()
+    val distinctUsers = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(fix.last._3 === distinctUsers)
+    assert(fix.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
   test("rolling actives: cover-day fan-out == per-day distinct scan") {
     // u1 active days 1,9; u2 active days 2,3; u3 active day 8 —
     // windows overlap, dedup within a window matters (u2 days 2+3

@@ -113,7 +113,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_corpus_build",
     // the anomaly detector's trailing-7-day window runs over the
     // post-aggregate per-DAY frame (~span-of-days rows, never events)
-    "q_events_anomaly")
+    "q_events_anomaly",
+    // the growth curve's cumulative sum runs over the same bounded
+    // per-day frame (first-appearance counts, never events)
+    "q_user_growth")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
