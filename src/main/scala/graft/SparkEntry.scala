@@ -363,6 +363,10 @@ object SparkEntry {
     "q_forecast_revenue" -> (operators.Relational.forecastRevenue _),
     // TPC-H Q14 analogue: conditional agg over a broadcast dim join
     "q_promo_share" -> (operators.Relational.promoRevenueShare _),
+    // Pareto share of the top-1% customers, exact via banded rank
+    "q_revenue_top1" -> ((s, d) => operators.Relational.revenueConcentration(s, d)),
+    // first-order Markov transition matrix over per-user event streams
+    "q_event_transitions" -> ((s, d) => operators.EventAnalytics.eventTransitions(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1887,6 +1891,39 @@ object SparkEntry {
       SELECT o_custkey, COUNT(*) AS n_orders,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders GROUP BY o_custkey""".stripMargin.trim),
+    // ROW_NUMBER pick == the engine's band-located exact top-k: ties
+    // always co-band, so the (cents desc, custkey asc) order agrees
+    "q_revenue_top1" -> ("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+                   FROM orders GROUP BY o_custkey),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                    GREATEST(COUNT(*) * 1 // 100, 1) AS k,
+                    CAST(SUM(cents) AS BIGINT) AS total_cents
+             FROM rev),
+      r AS (SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk
+            FROM rev),
+      t AS (SELECT CAST(SUM(cents) AS BIGINT) AS top_cents
+            FROM r, kk WHERE rk <= k)
+      SELECT nc AS n_customers, CAST(k AS BIGINT) AS k, top_cents,
+             total_cents,
+             CAST(top_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+      FROM kk, t""".stripMargin.trim),
+    // lead over the (ts, event_id)-ordered per-user stream; p_ppm is
+    // the exact integer share of the current type's outgoing edges
+    "q_event_transitions" -> ("""
+      WITH s AS (SELECT event_type,
+                   LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS next_type
+                 FROM events),
+      p AS (SELECT event_type, next_type, COUNT(*) AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      o AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS out_n
+            FROM p GROUP BY 1)
+      SELECT p.event_type, p.next_type, p.n,
+             CAST(p.n * 1000000 // o.out_n AS BIGINT) AS p_ppm
+      FROM p JOIN o USING (event_type)""".stripMargin.trim),
     "q_forecast_revenue" -> ("""
       SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                            * CAST(l_discount AS DECIMAL(18,2))

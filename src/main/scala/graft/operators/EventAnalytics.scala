@@ -159,6 +159,37 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX — the first-order Markov view of the
+    * event stream: for every (current, next) event-type pair, the
+    * transition count and probability in ppm of the CURRENT type's
+    * outgoing total. Adjacency is per user in (ts, event_id) order
+    * (the [[topEventPathsOn]] determinism contract); probabilities are
+    * exact integer division, rows sum to ≤ 10^6 per source type
+    * (truncation only).
+    *
+    * Plan: one lead() window per user partition, one pair-keyed count
+    * (types² rows at most), and the outgoing totals join back on the
+    * tiny type axis — corpus touched once.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    eventTransitionsOn(Tables.events(spark, sfDir))
+
+  def eventTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("out_n"))
+    pairs.join(broadcast(outTotals), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        expr("n * 1000000 DIV out_n").as("p_ppm"))
+  }
+
   /** TOP EVENT PATHS — the most common length-3 event-type sequences
     * users actually walk (the "view > view > click" navigation mining
     * behind funnel design). Consecutive means adjacent in the user's

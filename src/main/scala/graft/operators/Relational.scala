@@ -585,6 +585,59 @@ object Relational {
         expr("promo_rev * 1000000 DIV total_rev").as("promo_ppm"))
   }
 
+  /** REVENUE CONCENTRATION — what share of total revenue the top
+    * `pct`% of customers hold (the Pareto panel number), EXACTLY and
+    * without a global sort: per-customer revenue bands by value
+    * (band ascending == cents descending, ties always co-banded so the
+    * (cents desc, custkey asc) global rank is band-consistent), band
+    * counts prefix-sum over the bounded band frame to locate the k-th
+    * customer, whole bands above the cut contribute their stored sums,
+    * and ONLY the one boundary band pays a within-band window
+    * (≤ bandWidth-of-value customers, never the population). k =
+    * max(n·pct DIV 100, 1); output one row with exact integer ppm.
+    */
+  def revenueConcentration(spark: SparkSession, sfDir: String,
+                           pct: Int = 1,
+                           bandWidth: Long = 1000000L): DataFrame =
+    revenueConcentrationOn(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(sumAsMinorUnits(dec("o_totalprice"), 100).as("cents")),
+      pct, bandWidth)
+
+  /** [[revenueConcentration]] over any (o_custkey, cents) frame. */
+  def revenueConcentrationOn(rev: DataFrame, pct: Int,
+                             bandWidth: Long): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val stats = rev.agg(count(lit(1)).as("nc"), sum(col("cents")).as("total_cents"))
+      .withColumn("k", greatest(expr(s"nc * $pct DIV 100"), lit(1L)))
+    val banded = rev.withColumn("band", -expr(s"cents DIV $bandWidth"))
+    val bandAgg = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("bc"), sum(col("cents")).as("bs"))
+    val wOff = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = bandAgg
+      .withColumn("cum0", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .crossJoin(broadcast(stats.select(col("k"))))
+    val fullSum = withCum.filter(col("cum0") + col("bc") <= col("k"))
+      .agg(coalesce(sum(col("bs")), lit(0L)).as("full_cents"))
+    val boundary = withCum
+      .filter(col("cum0") < col("k") && col("cum0") + col("bc") > col("k"))
+      .select(col("band"), (col("k") - col("cum0")).as("take"))
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val boundarySum = banded.join(broadcast(boundary), Seq("band"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("rn") <= col("take"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("edge_cents"))
+    stats.crossJoin(broadcast(fullSum)).crossJoin(broadcast(boundarySum))
+      .select(col("nc").as("n_customers"), col("k"),
+        (col("full_cents") + col("edge_cents")).as("top_cents"),
+        col("total_cents"),
+        expr("(full_cents + edge_cents) * 1000000 DIV total_cents")
+          .as("share_ppm"))
+  }
+
   /** BLOOM-PRUNED SEMI JOIN — the shuffle-reduction pattern for a
     * selective fact⋈fact semi join: build one m-bit Bloom filter over
     * the small side's keys ([[graft.functions.BloomFilter]] — O(m/8)

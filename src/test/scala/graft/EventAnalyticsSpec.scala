@@ -109,6 +109,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
 
+  test("transitions: per-user adjacency, exact ppm shares of outgoing edges") {
+    val events = Seq(
+      // u1: v->c, c->v, v->c  (v out: 2, c out: 1 within u1)
+      (10L, 1L, ts("2024-01-01 10:00:00"), "v"),
+      (11L, 1L, ts("2024-01-01 10:01:00"), "c"),
+      (12L, 1L, ts("2024-01-01 10:02:00"), "v"),
+      (13L, 1L, ts("2024-01-01 10:03:00"), "c"),
+      // u2: v->p  (no cross-user edge from u1's trailing 'c')
+      (20L, 2L, ts("2024-01-02 10:00:00"), "v"),
+      (21L, 2L, ts("2024-01-02 10:01:00"), "p"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.eventTransitionsOn(events)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // v out-edges: v->c x2, v->p x1 -> 666666 / 333333 ppm; c->v 1/1
+    assert(got === Map(
+      ("v", "c") -> (2L, 666666L), ("v", "p") -> (1L, 333333L),
+      ("c", "v") -> (1L, 1000000L)))
+    // ppm rows per source type sum to <= 1e6 (truncation only) on the fixture
+    val fix = EventAnalytics.eventTransitions(spark, TestSpark.sf0001)
+      .groupBy(col("event_type")).agg(sum(col("p_ppm")).as("s"))
+      .as[(String, Long)].collect()
+    fix.foreach { case (t, s) =>
+      assert(s <= 1000000L && s > 990000L, s"$t ppm sum $s out of bounds")
+    }
+  }
+
   test("growth curve: first appearance counted once, cumulative total monotone") {
     // u1 appears day 1 (active again day 3 - not new), u2 day 1, u3 day 3
     val events = ev(

@@ -45,7 +45,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_key_skew", "q_events_trend", "q_search_rank", "q_rolling_actives",
     // the bloom prune crossJoins the broadcast 1-ROW filter frame —
     // the whole point is the constant build side
-    "q_bloom_semi")
+    "q_bloom_semi",
+    // concentration crossJoins three broadcast 1-ROW frames (stats,
+    // full-band sum, boundary sum) into the one-row report
+    "q_revenue_top1")
 
   test("no query plans a cartesian product or unintended nested-loop join") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
@@ -116,7 +119,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_events_anomaly",
     // the growth curve's cumulative sum runs over the same bounded
     // per-day frame (first-appearance counts, never events)
-    "q_user_growth")
+    "q_user_growth",
+    // the concentration cut's offset window runs over the bounded
+    // VALUE-BAND frame (band counts, never customers)
+    "q_revenue_top1")
 
   test("no window function runs without a partition key (single-task serialization)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -233,6 +233,37 @@ class RelationalSpec extends SparkSpec {
       Relational.EventTypes.indexOf(t) + 1)).sum).sum === long.values.sum)
   }
 
+  test("revenue concentration: banded cut == plain ranked reference, edges exact") {
+    // k lands INSIDE a band: 10 customers, pct=20 -> k=2; bandWidth 100
+    // puts {250, 240} in band -2 with 230 — the boundary window must
+    // take exactly 2 of the 3
+    val rev = Seq((1L, 250L), (2L, 240L), (3L, 230L), (4L, 130L), (5L, 120L),
+      (6L, 110L), (7L, 40L), (8L, 30L), (9L, 20L), (10L, 10L))
+      .toDF("o_custkey", "cents")
+    val got = Relational.revenueConcentrationOn(rev, 20, 100L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((10L, 2L, 490L, 1180L, 490L * 1000000L / 1180L)))
+    // ties on the k boundary: custkey asc decides, band-consistent
+    val tied = Seq((5L, 100L), (3L, 100L), (4L, 100L), (9L, 1L))
+      .toDF("o_custkey", "cents")
+    val t = Relational.revenueConcentrationOn(tied, 50, 10L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(t._2 === 2L && t._3 === 200L, s"ties must cut at custkey order: $t")
+    // fixture: banded == the plain global-window reference
+    import org.apache.spark.sql.functions.sum
+    val fixtureRev = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val banded = Relational.revenueConcentrationOn(fixtureRev, 1, 1000000L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val rows = fixtureRev.as[(Long, Long)].collect()
+      .sortBy { case (ck, c) => (-c, ck) }
+    val k = math.max(rows.length / 100, 1)
+    val top = rows.take(k).map(_._2).sum
+    val total = rows.map(_._2).sum
+    assert(banded === ((rows.length.toLong, k.toLong, top, total,
+      top * 1000000L / total)))
+  }
+
   test("forecast revenue (Q6): every predicate reaches the parquet scan") {
     val df = Relational.forecastRevenue(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
