@@ -614,6 +614,35 @@ object ScaleSmoke {
         .matchNamesOn(nameCat, nameCat).count())
       spark.catalog.clearCache()
 
+      // bloom-pruned semi join: big side grows with the factor, the
+      // filter build side stays base-sized — the prune is a per-row
+      // codegen probe, so growth tracks the big-side scan linearly
+      val bloomSmall = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("j"))
+      val (tBl, nBl) = timeIt(graft.operators.Relational
+        .bloomSemiJoinOn(docs.select(col("doc_id"), col("text")),
+          "doc_id", bloomSmall, "j").count())
+      spark.catalog.clearCache()
+
+      // per-source cap: 5 synthetic sources each factor-growing; the
+      // banded exact rank keeps every window partition at
+      // n_source/16 — growth must stay near-linear, and the kept set
+      // is 5·cap regardless of factor
+      val sourced = docs.select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 5).cast("string")).as("source"))
+      val (tCap, nCap) = timeIt(graft.operators.TextAnalysis
+        .capPerSourceOn(sourced, 200L).count())
+      spark.catalog.clearCache()
+
+      // revenue concentration: population grows with the factor, the
+      // cut is located on the bounded value-band frame, only the
+      // boundary band pays a window — near-linear in the agg scan
+      val conc = docs.select(col("doc_id").as("o_custkey"),
+        (xxhash64(col("doc_id")) % 100000L + 100000L).as("cents"))
+      val (tCon, nCon) = timeIt(graft.operators.Relational
+        .revenueConcentrationOn(conc, 1, 10000L).count())
+      spark.catalog.clearCache()
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
@@ -652,7 +681,10 @@ object ScaleSmoke {
         s""""rolling_sec":$tRoll,"rolling_days":$nRoll,""" +
         s""""heavyhit_sec":$tHh,"heavyhit_rows":$nHh,""" +
         s""""cdc_sec":$tCdc,"cdc_rows":$nCdc,""" +
-        s""""fuzzy_sec":$tFz,"fuzzy_pairs":$nFz}""")
+        s""""fuzzy_sec":$tFz,"fuzzy_pairs":$nFz,""" +
+        s""""bloomsemi_sec":$tBl,"bloomsemi_rows":$nBl,""" +
+        s""""sourcecap_sec":$tCap,"sourcecap_rows":$nCap,""" +
+        s""""concentration_sec":$tCon,"concentration_rows":$nCon}""")
     }
 
     // --- IVF drift canary (factor-independent): the re-fit signal

@@ -139,4 +139,18 @@ object IndexSql {
         spark.table(docsTable).select("doc_id", "text"),
         lang, splitThreshold)
       .createOrReplaceTempView(viewName)
+
+  /** `SELECT * FROM <viewName>` = the merge-on-read CURRENT STATE of a
+    * streaming changelog store ([[graft.streaming.StreamingOps
+    * .ingestChangelog]]) — global latest-wins per key, tombstone
+    * winners dropped. Same re-register-after-maintenance cadence as
+    * the other stored views.
+    */
+  def registerChangelogState(spark: SparkSession, viewName: String,
+                             stateDir: String, keyCol: String = "key",
+                             seqCol: String = "seq",
+                             opCol: String = "op"): Unit =
+    graft.streaming.StreamingOps
+      .changelogState(spark, stateDir, keyCol, seqCol, opCol)
+      .createOrReplaceTempView(viewName)
 }

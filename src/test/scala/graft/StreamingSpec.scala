@@ -1088,6 +1088,11 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.compactChangelogTo(spark, state, state + "-sibling")
     assert(StreamingOps.changelogState(spark, state + "-sibling")
       .count() === 2L)
+    // SQL front door: the registered view IS the merge-on-read state
+    graft.sources.IndexSql.registerChangelogState(spark, "cdc_state", state)
+    val viaSql = spark.sql("SELECT key, v FROM cdc_state")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql === live)
   }
 
   test("cdc state == batch applyChangelog over the same deliveries") {
