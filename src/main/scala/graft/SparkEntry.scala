@@ -166,6 +166,9 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => operators.TextAnalysis.heavyHitters(s, d)),
     // the same sketch per GROUP: each source's own frequent tokens
     "q_heavy_hitters_src" -> ((s, d) => operators.TextAnalysis.heavyHittersBySource(s, d)),
+    // A-ES weighted draw per source, skew-safe two-phase top-k;
+    // rows-only like q_sample_weighted (float score, spec-pinned)
+    "q_sample_weighted_src" -> ((s, d) => operators.TextAnalysis.weightedSampleBySource(s, d)),
     // conjunctive AND search ranked by the tf-idf integer spelling
     "q_search_rank" -> ((s, d) => operators.TextAnalysis.searchRanked(s, d)),
     // per-source hash-rank ceiling via the skew-safe banded exact rank

@@ -762,6 +762,54 @@ object TextAnalysis {
         (col("top1_pct") <= 30 && col("top2_pct") <= 20).cast("long"))
   }
 
+  /** PER-GROUP WEIGHTED SAMPLE — [[weightedSampleOn]]'s A-ES draw
+    * (Efraimidis–Spirakis: u from the salted md5 of the id, score
+    * ln(u)/w, re-salting IS re-sampling) taken independently PER
+    * GROUP: k docs per source, weight-proportional, reproducible on
+    * any engine/partitioning — the per-domain inspection-set sampler.
+    *
+    * Skew-safe two-phase top-k (the topOrdersPerCustomerSkewSafe
+    * machinery): salt-local top-k per (group, salt) first, then the
+    * exact per-group top-k over the ≤ salts·k survivors — a hot group
+    * never serializes its full population into one window task. The
+    * two-phase pick is EXACT: every global top-k row is top-k within
+    * its own salt slice.
+    */
+  def weightedSamplePerGroupOn(df: DataFrame, groupCol: String,
+                               idCol: String, weightCol: String,
+                               k: Int, salt: String,
+                               salts: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("skey").desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("skey").desc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", log(u) / col(weightCol).cast("double"))
+      .withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Driver spelling: k=20 docs per source, char-length-weighted —
+    * rows-only (the float A-ES score has no cross-engine SQL
+    * spelling; the spec pins equality with a first-principles
+    * per-group reference instead, the q_sample_weighted precedent).
+    */
+  def weightedSampleBySource(spark: SparkSession, sfDir: String,
+                             k: Int = 20): DataFrame =
+    weightedSamplePerGroupOn(
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", "n_chars", k, "w0")
+
   /** GROUPED HEAVY HITTERS — [[heavyHittersOn]] per source: each
     * source's frequent tokens (frequency > that source's N/(k+1)) via
     * one O(k)-buffer-per-group Misra–Gries aggregate + a recount of

@@ -552,6 +552,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaJson.orderBy("n_nationkey").collect().map(_.toString) === o)
   }
 
+  test("per-group weighted sample == first-principles per-group A-ES") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"n_chars")
+    val rows = docs.as[(String, Long, Long)].collect()
+    def ref(salt: String, k: Int): Map[String, Seq[Long]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.filter(_._3 > 0).map { case (src, id, w) =>
+        val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+        (src, id, math.log(u) / w)
+      }.groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, id, s) => (-s, id) }.take(k).map(_._2).toSeq).toMap
+    }
+    val got = TextAnalysis.weightedSamplePerGroupOn(
+      docs, "source", "doc_id", "n_chars", 5, "w0")
+      .orderBy($"source", $"rn")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    assert(got === ref("w0", 5), "per-group draw must equal the reference, ranked")
+    // partition invariance + two-phase == the draw at a different salt set
+    val re = TextAnalysis.weightedSamplePerGroupOn(
+      docs.repartition(11), "source", "doc_id", "n_chars", 5, "w0", salts = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    assert(re === got, "salts/partitioning must not change the exact top-k")
+    // a different salt IS a different sample somewhere
+    assert(TextAnalysis.weightedSamplePerGroupOn(
+      docs, "source", "doc_id", "n_chars", 5, "w1")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap !== got)
+  }
+
   test("per-source cap: banded exact rank == plain per-source window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
