@@ -370,6 +370,8 @@ object SparkEntry {
     "q_revenue_top1" -> ((s, d) => operators.Relational.revenueConcentration(s, d)),
     // first-order Markov transition matrix over per-user event streams
     "q_event_transitions" -> ((s, d) => operators.EventAnalytics.eventTransitions(s, d)),
+    // the funnel under a 1-day conversion window per stage
+    "q_event_funnel_1d" -> ((s, d) => operators.EventAnalytics.funnelWithin(s, d)),
     // -- corpus profiling / governance --
     // per-source data card: volumes + language-mix headline; the only
     // window runs over the (source × lang) catalog frame
@@ -1108,6 +1110,27 @@ object SparkEntry {
       FROM u CROSS JOIN days
       LEFT JOIN c ON c.user_id = u.user_id AND c.day = days.day""".stripMargin.trim),
     // strict-order funnel: each stage's reach time gates the next
+    // same chain as q_event_funnel with the per-stage 1-day gap bound
+    "q_event_funnel_1d" -> ("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t
+               AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t
+               AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000 GROUP BY e.user_id)
+      SELECT u.user_id,
+             CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_stage
+      FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             LEFT JOIN s2 ON s2.user_id = u.user_id
+             LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin.trim),
     "q_event_funnel" -> ("""
       WITH u AS (SELECT DISTINCT user_id FROM events),
       s1 AS (SELECT user_id, MIN(ts) AS t FROM events

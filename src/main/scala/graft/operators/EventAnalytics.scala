@@ -68,7 +68,22 @@ object EventAnalytics {
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelOn(Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
 
-  def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+  /** [[funnelOn]] with a CONVERSION WINDOW: stage i counts only when it
+    * happens within `maxGapUs` microseconds of the (first) reach of
+    * stage i−1 — "clicked within a day of the first view", the funnel
+    * product analytics actually reports. The gate anchors on the
+    * previous stage's FIRST reach (the same anchoring the strict-order
+    * funnel uses), so the windowed stages are monotone ≤ the unwindowed
+    * ones by construction. Same plan shape: per-stage filtered
+    * min-aggregates chained by user-keyed equi-joins.
+    */
+  def funnelWithin(spark: SparkSession, sfDir: String,
+                   maxGapUs: Long = 86400000000L): DataFrame =
+    funnelOn(Tables.events(spark, sfDir), Seq("view", "click", "purchase"),
+      Some(maxGapUs))
+
+  def funnelOn(events: DataFrame, stages: Seq[String],
+               maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnelOn needs at least one stage")
     val users = events.select(col("user_id")).distinct()
     // fold: frame of (user_id, reach_ts) for users reaching each stage
@@ -79,9 +94,11 @@ object EventAnalytics {
         val gated = acc.headOption match {
           case None => slice
           case Some(prev) =>
-            slice.join(prev.select(col("user_id"),
+            val joined = slice.join(prev.select(col("user_id"),
               col("reach_ts").as("prev_ts")), "user_id")
               .filter(col("ts") > col("prev_ts"))
+            maxGapUs.fold(joined)(gap => joined.filter(
+                unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= gap))
               .select(col("user_id"), col("ts"))
         }
         gated.groupBy(col("user_id"))

@@ -109,6 +109,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(zeros > 0, "no zero cell — gap-fill vacuous on the fixture")
   }
 
+  test("windowed funnel: gap gate drops late conversions, anchors on first reach") {
+    val events = ev(
+      // u1: click 30min after view -> stage 2 under a 1h window
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-01 10:30:00", "click"),
+      // u2: click 2h after view -> stays stage 1 under 1h, stage 2 unwindowed
+      (2L, "2024-01-01 10:00:00", "view"), (2L, "2024-01-01 12:00:00", "click"),
+      // u3: SECOND view 11:30 is in range of the 12:00 click, but the
+      // anchor is the FIRST view (10:00) -> still dropped
+      (3L, "2024-01-01 10:00:00", "view"), (3L, "2024-01-01 11:30:00", "view"),
+      (3L, "2024-01-01 12:00:00", "click"))
+    val hour = 3600000000L
+    val got = EventAnalytics.funnelOn(events,
+      Seq("view", "click", "purchase"), Some(hour))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val plain = EventAnalytics.funnelOn(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(plain === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // windowed stages are monotone <= unwindowed on the fixture
+    val fw = EventAnalytics.funnelWithin(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toMap
+    val fp = EventAnalytics.funnel(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toMap
+    fw.foreach { case (u, s) => assert(s <= fp(u), s"user $u") }
+    assert(fw.values.sum < fp.values.sum, "the window must bite on the fixture")
+  }
+
   test("transitions: per-user adjacency, exact ppm shares of outgoing edges") {
     val events = Seq(
       // u1: v->c, c->v, v->c  (v out: 2, c out: 1 within u1)
