@@ -220,6 +220,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => operators.Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => operators.Dedup.simHashNearDups(s, d)),
     "q_dedup_clusters" -> (operators.Dedup.nearDupClusters _),
+    // keep-best policy: per cluster keep the highest-quality member
+    "q_dedup_keep_best" -> (operators.Dedup.keepBestNearDups _),
     "q_verbatim_runs" -> ((s, d) => operators.Dedup.verbatimRunPairs(s, d)),
     "q_verbatim_spans" -> ((s, d) => operators.Dedup.verbatimRunSpans(s, d)),
     "q_verbatim_incr" -> (operators.Dedup.incrementalVerbatimRunsDocs _),
@@ -1283,6 +1285,38 @@ object SparkEntry {
     // connected components over the SAME exact >=0.8-Jaccard pair set as
     // q_dedup_minhash (valid for the same reason — see minHashOracleGuard);
     // recursive min-reachability CTE = component minimum
+    // same component CTE as q_dedup_clusters + argmax keeper per
+    // cluster (n_chars desc, doc_id asc); singletons keep themselves
+    "q_dedup_keep_best" -> ("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+            FROM w, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+            WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b
+                FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                WHERE inter * 9 >= 4 * (sa.s + sb.s)),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, lab) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY u),
+      lab2 AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                      d.n_chars
+               FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+              SELECT cluster_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM lab2) WHERE rk = 1)
+      SELECT l.doc_id, l.cluster_id, k.keeper_id,
+             CAST(CASE WHEN l.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM lab2 l JOIN k USING (cluster_id)""".stripMargin.trim),
     "q_dedup_clusters" -> ("""
       WITH RECURSIVE
       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -952,6 +952,35 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clusterPairs(minHashNearDups(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
+  /** KEEP-BEST dedup policy — per near-dup cluster, keep the member
+    * with the HIGHEST quality (ties to the smaller doc_id), not the
+    * arbitrary min-id representative: the policy production corpus
+    * builds actually want ("of these five mirrors, keep the longest /
+    * cleanest copy"). Singletons keep themselves (cluster_id = own id,
+    * the [[clusterPairs]] label convention extended to the full
+    * corpus). One arg-max hash aggregate per cluster picks the keeper
+    * — `max(struct(quality, -doc_id))` — no per-cluster window, so a
+    * pathological mega-cluster costs one aggregate row, not one task.
+    */
+  def keepBestOn(docs: DataFrame, qualityCol: String): DataFrame = {
+    val clusters = clusterPairs(
+      minHashNearDupsOn(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b")))
+    val labeled = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val keepers = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col(qualityCol), -col("doc_id"))).as("w"))
+      .select(col("cluster_id"), (-col("w.col2")).as("keeper_id"))
+    labeled.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("long").as("kept"))
+  }
+
+  /** Driver spelling: quality = n_chars (longest copy wins). */
+  def keepBestNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestOn(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars")), "n_chars")
+
   /** Connected components over an undirected pair list (doc_a, doc_b) →
     * (doc_id, cluster_id = min doc_id reachable). Pregel-style min-label
     * propagation: each round, every node takes the min of its own label

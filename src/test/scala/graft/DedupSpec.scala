@@ -614,4 +614,38 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) === sigs(1))
     assert(sigs(0).length === 16)
   }
+
+  test("keep-best: highest quality wins per cluster, singletons keep themselves") {
+    // 12-token base so J >= 0.8 holds with one token changed; docs
+    // 1/2/3 are a near-dup cluster with qualities 5/9/9 (tie -> doc 2);
+    // doc 7 is a singleton
+    val base = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val docs = Seq(
+      (1L, base, 5L),
+      (2L, base.replace("t12", "t12b"), 9L),
+      (3L, base.replace("t12", "t12c"), 9L),
+      (7L, "completely different words here entirely", 4L))
+      .toDF("doc_id", "text", "q")
+    val got = Dedup.keepBestOn(docs, "q")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> (1L, 2L, 0L), 2L -> (1L, 2L, 1L), 3L -> (1L, 2L, 0L),
+      7L -> (7L, 7L, 1L)))
+    // exactly one keeper per cluster; every doc appears exactly once
+    assert(got.values.count(_._3 == 1L) === 2)
+    // fixture: keepers == one per cluster, kept count == cluster count
+    val fix = Dedup.keepBestNearDups(spark, TestSpark.sf0001)
+    val clusters = fix.select($"cluster_id").distinct().count()
+    assert(fix.filter($"kept" === 1L).count() === clusters)
+    assert(fix.count() ===
+      Tables.documents(spark, TestSpark.sf0001).count())
+    // the keeper really is argmax quality in its cluster
+    val viol = fix.as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._2).values.count { rows =>
+        val byId = rows.map(_._1).toSet
+        !byId.contains(rows.head._3)
+      }
+    assert(viol === 0, "keeper must be a member of its own cluster")
+  }
 }

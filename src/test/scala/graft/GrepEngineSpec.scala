@@ -228,7 +228,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_attribution", "q_cdc_derive", "q_source_cap", "q_bloom_semi",
       "q_forecast_revenue", "q_promo_share", "q_heavy_hitters_src",
       "q_user_growth", "q_revenue_top1", "q_event_transitions",
-      "q_sample_weighted_src", "q_event_funnel_1d")
+      "q_sample_weighted_src", "q_event_funnel_1d", "q_dedup_keep_best")
     val missing = floor -- SparkEntry.queries.keySet
     assert(missing.isEmpty,
       s"driver queries DISAPPEARED from the surface (round-10 failure mode): " +
