@@ -1055,11 +1055,19 @@ object StreamingOps {
     */
   def ingestChangelog(changes: DataFrame, stateDir: String,
                       keyCol: String = "key", seqCol: String = "seq",
-                      opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
-    changes.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      changelogBatch(batch.toDF(), stateDir, batchId.toString,
-        keyCol, seqCol, opCol)
-    }.start()
+                      opCol: String = "op",
+                      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        changelogBatch(batch.toDF(), stateDir, batchId.toString,
+          keyCol, seqCol, opCol)
+    }
+    // with a durable checkpoint, batch ids resume monotonically across
+    // restarts — labels stay unique, and a replayed epoch overwrites
+    // its own label (the e2e restart spec drives both properties)
+    checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
 
   /** One CDC delivery — [[ingestChangelog]]'s batch body, factored so
     * the same-label crash-replay contract is directly spec-drivable.
