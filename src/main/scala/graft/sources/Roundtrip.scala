@@ -130,6 +130,32 @@ object Roundtrip {
     * job you would schedule behind [[graft.streaming.StreamingOps
     * .ingestNewDocs]].
     */
+  /** SCHEMA EVOLUTION read: two generations of the events table — an
+    * early ingest WITHOUT the `source_tag` column and a later one WITH
+    * it — merged by `mergeSchema` into one unified frame, old rows
+    * back-filled with NULL. This is the append-only lake contract a
+    * long-lived corpus store lives by: adding a column must never
+    * require rewriting history, and readers of mixed generations get
+    * the union schema. (mergeSchema scans footers of every file — at
+    * 100 TB pin the schema in a table catalog instead and keep this
+    * for ad-hoc reads; the CONTRACT is the same either way.)
+    */
+  def eventsEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = scratch("parquet_evolve", sfDir, "events")
+    writeOnce(path) {
+      val ev = Tables.events(spark, sfDir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lit("crawl-2").as("source_tag"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(path)
+  }
+
   def eventsCompacted(spark: SparkSession, sfDir: String,
                       files: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -552,6 +552,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaJson.orderBy("n_nationkey").collect().map(_.toString) === o)
   }
 
+  test("schema evolution: mergeSchema unions generations, old rows null-filled") {
+    val merged = graft.sources.Roundtrip.eventsEvolved(spark, sf)
+    assert(merged.columns.toSet ===
+      Set("event_id", "user_id", "event_type", "source_tag", "gen"))
+    val total = Tables.events(spark, sf).count()
+    assert(merged.count() === total, "no row lost across generations")
+    // generation 1 predates the column: NULL back-fill, never a default
+    assert(merged.filter($"gen" === 1 && $"source_tag".isNotNull).count() === 0L)
+    assert(merged.filter($"gen" === 2 && $"source_tag" =!= "crawl-2").count() === 0L)
+    assert(merged.filter($"source_tag".isNull).count() ===
+      merged.filter($"gen" === 1).count())
+  }
+
   test("per-group weighted sample == first-principles per-group A-ES") {
     val docs = Tables.documents(spark, sf)
       .select($"source", $"doc_id", $"n_chars")
