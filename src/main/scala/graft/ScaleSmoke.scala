@@ -123,7 +123,7 @@ object ScaleSmoke {
     */
   private def replicatedDocs(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     (0 until factor).map { i =>
       base.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
@@ -141,7 +141,7 @@ object ScaleSmoke {
   private def verbatimReplicatedDocs(spark: SparkSession, sfDir: String,
                                      factor: Int): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i * stride)).as("doc_id"), col("text"))
     }.reduce(_ union _)
@@ -159,7 +159,7 @@ object ScaleSmoke {
   private def replicatedEmbeddings(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     require(factor <= 64, s"factor=$factor: shifts repeat past the 64-dim width")
     val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val stride = base.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until factor).map { i =>
       val shift = i % 64
       val shifted =
@@ -182,8 +182,8 @@ object ScaleSmoke {
   private def replicatedEvents(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val eStride = base.agg(max(col("event_id"))).head.getLong(0) + 1
-    val uStride = base.agg(max(col("user_id"))).head.getLong(0) + 1
+    val eStride = base.agg(max(col("event_id"))).head().getLong(0) + 1
+    val uStride = base.agg(max(col("user_id"))).head().getLong(0) + 1
     val hotReplicas = math.max(1, factor / 4)
     (0 until factor).map { i =>
       base.select(
@@ -527,7 +527,7 @@ object ScaleSmoke {
       // orderkeys strided per replica keep the sort key a total order
       val oBase = Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_totalprice"))
-      val oStride = oBase.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      val oStride = oBase.agg(max(col("o_orderkey"))).head().getLong(0) + 1
       val hotOrders = (0 until factor).map { i =>
         oBase.select(lit("1-HOT").as("o_orderpriority"),
           col("o_totalprice"),
@@ -558,8 +558,8 @@ object ScaleSmoke {
       val teBase = Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-      val teStride = teBase.agg(max(col("event_id"))).head.getLong(0) + 1
-      val tuStride = teBase.agg(max(col("user_id"))).head.getLong(0) + 1
+      val teStride = teBase.agg(max(col("event_id"))).head().getLong(0) + 1
+      val tuStride = teBase.agg(max(col("user_id"))).head().getLong(0) + 1
       val typedEv = (0 until factor).map { i =>
         teBase.select(
           (col("event_id") + lit(i * teStride)).as("event_id"),
@@ -707,7 +707,7 @@ object ScaleSmoke {
     {
       val embBase = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"))
-      val stride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val stride = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1
       val same = embBase.select((col("vec_id") + lit(stride)).as("vec_id"),
         concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))
           .as("embedding"))

@@ -1026,7 +1026,7 @@ object Dedup {
       .select(col("doc_id"), least(col("doc_id"), col("mv")).as("cluster_id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     var prevSum = labelSum(labels)

@@ -418,7 +418,7 @@ object DedupIndexes {
     require(hasData(spark, s"$path/meta"),
       s"index at $path has no meta table pinning its (n, k, bands) — " +
         "rebuild it with writeNearDupIndex to make it probe/append-safe")
-    val row = spark.read.parquet(s"$path/meta").head
+    val row = spark.read.parquet(s"$path/meta").head()
     (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"))
   }
 
@@ -433,7 +433,7 @@ object DedupIndexes {
     require(hasData(spark, s"$path/meta"),
       s"index at $path has no meta table pinning its shingle width — " +
         "rebuild it with writeVerbatimIndex to make it probe/append-safe")
-    spark.read.parquet(s"$path/meta").head.getAs[Int]("n")
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
   }
 
   /** Full rebuild that HONORS a surviving meta table: a build that

@@ -164,7 +164,7 @@ object SimilarityIndexes {
     */
   def readIvfMeta(spark: SparkSession, path0: String): (Int, Int) = {
     val path = DedupIndexes.resolveIndex(spark, path0)
-    val row = spark.read.parquet(s"$path/meta").head
+    val row = spark.read.parquet(s"$path/meta").head()
     (row.getAs[Int]("nlist"), row.getAs[Int]("nassign"))
   }
 
@@ -373,7 +373,7 @@ object SimilarityIndexes {
     */
   def readLshMeta(spark: SparkSession, path0: String): (Int, Int, Int) = {
     val path = DedupIndexes.resolveIndex(spark, path0)
-    val row = spark.read.parquet(s"$path/meta").head
+    val row = spark.read.parquet(s"$path/meta").head()
     val dim = if (row.schema.fieldNames.contains("dim")) row.getAs[Int]("dim") else 64
     (row.getAs[Int]("ntables"), row.getAs[Int]("bits"), dim)
   }

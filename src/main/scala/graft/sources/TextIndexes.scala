@@ -198,7 +198,7 @@ object TextIndexes {
     require(DedupIndexes.hasData(spark, s"$path/meta"),
       s"index at $path has no meta table pinning its bucket count — " +
         "rebuild it with writeGrepIndex to make it probe/append-safe")
-    spark.read.parquet(s"$path/meta").head.getAs[Int]("nbuckets")
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("nbuckets")
   }
 
   /** Read back (linesRaw, postings, gramdf) for the probe cores.
