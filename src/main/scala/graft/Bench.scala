@@ -42,13 +42,35 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Queries whose CORRECT result is zero rows at any SF (their whole
+    // point is proving an empty set — e.g. every customer has orders).
+    // Everything else returning 0 rows in the warm-up pass is treated
+    // as a FAILURE: a 0-row result usually means an empty fixture read
+    // (a scratch-dir write that silently produced nothing — the r11
+    // `All paths were ignored` class), and timing it would report an
+    // empty scan as a speedup. Same loud-rename guard as noisyReps.
+    val expectedEmpty = Set("q_cust_no_orders")
+    require((expectedEmpty -- SparkEntry.queries.keySet).isEmpty,
+      s"expectedEmpty names unknown queries: ${(expectedEmpty -- SparkEntry.queries.keySet).mkString(", ")}")
     // One full UNTIMED pass first: JIT/codegen compilation, parquet
     // footer caches, and shuffle machinery warm up on the queries
     // themselves. Round 2 charged ~33 s of first-query JVM warm-up to
     // two innocent queries (22.7 s recorded vs 0.34 s steady state) —
     // a token warm-up does not touch decimal-agg/window/wide-scan
-    // codegen paths, so warm up with the real thing.
-    queries.foreach { case (name, fn) => runOnce(name, fn); dropCaches() }
+    // codegen paths, so warm up with the real thing. The warm-up pass
+    // doubles as the NON-EMPTINESS probe (a limit-1 action, untimed):
+    // flagged queries are still timed, but report as failures — they
+    // can never pass for fast.
+    val emptyFlagged = queries.flatMap { case (name, fn) =>
+      val failed = runOnce(name, fn).isDefined
+      val flag =
+        if (failed) None // exception already reported through runOnce
+        else BenchContract.emptyResultError(name,
+          try fn(spark, sfDir).isEmpty catch { case _: Throwable => false },
+          expectedEmpty).map(name -> _)
+      dropCaches()
+      flag
+    }.toMap
     // the warm-up pass leaves a heap full of 74 queries' garbage; collect
     // it OUTSIDE the timed region so the first timed query doesn't pay
     // for it (r7 charged ~2 s of post-warm-up GC to q_verbatim_spans,
@@ -93,7 +115,11 @@ object Bench {
           System.gc()
           (sec, err)
         }
-        name -> ((samples.map(_._1), samples.flatMap(_._2).headOption))
+        // an empty-result flag from the warm-up probe is a failure like
+        // an exception: excluded from the queries map and the total,
+        // listed in failed_queries — never timed-and-green
+        name -> ((samples.map(_._1),
+          samples.flatMap(_._2).headOption.orElse(emptyFlagged.get(name))))
       }
     val results: Map[String, (Double, Option[String])] =
       allSamples.map { case (name, (secs, err)) =>
@@ -191,6 +217,19 @@ object Bench {
 object BenchContract {
   /** The driver's documented stdout-tail capture size. */
   val TailWindow = 2000
+
+  /** The warm-up pass's non-emptiness verdict for one query: a 0-row
+    * result is an error ("EmptyResult") unless the query is on the
+    * expected-empty allowlist. Factored out of the main loop so the
+    * red path is unit-testable without a SparkSession: a query whose
+    * fixture read silently came back empty must land in
+    * `failed_queries`, not in the timed map (the third
+    * measurement-integrity class, after time-to-exception billing and
+    * unsurfaced failures).
+    */
+  def emptyResultError(name: String, isEmpty: Boolean,
+                       expectedEmpty: Set[String]): Option[String] =
+    if (isEmpty && !expectedEmpty(name)) Some("EmptyResult") else None
 
   /** Machine-speed canary: a FIXED, deterministic, Spark-free
     * single-thread integer workload (an xxhash-style avalanche loop

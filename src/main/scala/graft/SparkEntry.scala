@@ -290,6 +290,15 @@ object SparkEntry {
     // ledger with the C4-style bad-words stage on (q_blocklist terms);
     // blocked en docs attribute as dropped_blocklist before quality
     "q_pipeline_curate_block" -> ((s, d) => operators.Pipeline.curateBlock(s, d)),
+    // ledger with the ExactSubstr verbatim-span REMOVAL stage on:
+    // >= 20-token cross-doc runs among the survivors cut from their
+    // higher-id doc, n_tokens_removed in the ledger, decontamination
+    // judged on the CLEANED text
+    "q_pipeline_curate_verbatim" -> ((s, d) => operators.Pipeline.curateVerbatim(s, d)),
+    // ledger with CCNet's closing perplexity stage on: final survivors
+    // scored under the en-reference unigram LM (driver caps 16) and
+    // bucketed head/middle/tail over the survivor distribution
+    "q_pipeline_curate_ppl" -> ((s, d) => operators.Pipeline.curatePpl(s, d)),
     // the ledger rolled up per outcome with doc AND token totals — the
     // stage-loss summary (token-weighted, the number that actually
     // matters when long docs die to a length rule); rolls up the STORED
@@ -580,7 +589,8 @@ object SparkEntry {
 
   private def pipelineOracle(nearPlants: Boolean, fuzzy: Boolean,
                              covPct: Option[Int],
-                             blockTerms: Option[Seq[String]] = None): String = {
+                             blockTerms: Option[Seq[String]] = None,
+                             verbatim: Boolean = false): String = {
     // stage 1b: whole-token case-insensitive blocklist — list_has_any
     // over the lowered token list is DuckDB's spelling of Spark's
     // arrays_overlap (equivalence of the two engine spellings is
@@ -693,9 +703,66 @@ object SparkEntry {
       ct AS (SELECT hit.doc_id FROM hit JOIN szd USING (doc_id)
              WHERE n_shared * 100 // n_ngrams >= $pct)"""
     }
-    (shared + "," + survivorSql + "," + """
+    // stage 3c (verbatim=true): the q_verbatim_clean oracle spelling —
+    // positional trigrams, occurrence cap, islands per (pair, diag),
+    // >= 20-token spans cut from the higher-id doc after an interval
+    // merge — run over the SURVIVOR set (sv) instead of documents; the
+    // downstream contamination n-grams (sg) then read the CLEANED text
+    val verbatimSql =
+      if (!verbatim) ""
+      else """
+      vw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sv),
+      vg AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+             FROM vw, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+             WHERE len(ws) >= 3),
+      vf AS (SELECT ng, COUNT(*) AS occ FROM vg GROUP BY ng),
+      vgc AS (SELECT vg.doc_id, vg.pos, vg.ng FROM vg JOIN vf USING (ng) WHERE occ <= 1000),
+      vm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pos_a, a.pos - b.pos AS diag
+             FROM vgc a JOIN vgc b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+      vruns AS (SELECT doc_a, doc_b, diag, pos_a,
+                     pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                                ORDER BY pos_a) AS grp
+             FROM vm),
+      vsp AS (SELECT doc_b AS doc_id,
+                     MIN(pos_a) - 1 - diag AS s0,
+                     MIN(pos_a) - 1 - diag + COUNT(*) + 2 AS e0
+              FROM vruns GROUP BY doc_a, doc_b, diag, grp
+              HAVING COUNT(*) + 2 >= 20),
+      vo AS (SELECT doc_id, s0, e0,
+                    MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             FROM vsp),
+      vg2 AS (SELECT doc_id, s0, e0,
+                     SUM(CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s0, e0) AS gid
+              FROM vo),
+      vmrg AS (SELECT doc_id, MIN(s0) AS s0, MAX(e0) AS e0 FROM vg2 GROUP BY doc_id, gid),
+      vtok AS (SELECT doc_id, ws[i] AS tok, i - 1 AS pos
+               FROM vw, (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      vkept AS (SELECT t.doc_id, t.pos, t.tok
+                FROM vtok t LEFT JOIN vmrg ON vmrg.doc_id = t.doc_id
+                                          AND t.pos >= vmrg.s0 AND t.pos < vmrg.e0
+                WHERE vmrg.doc_id IS NULL),
+      vcln AS (SELECT sv.doc_id, sv.split,
+                      COALESCE(vkc.text, '') AS text,
+                      CAST(vcnt.n_toks - COALESCE(vkc.n_kept, 0) AS BIGINT) AS n_removed
+               FROM sv
+               JOIN (SELECT doc_id, COUNT(*) AS n_toks FROM vtok GROUP BY doc_id) vcnt
+                 USING (doc_id)
+               LEFT JOIN (SELECT doc_id,
+                                 COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS text,
+                                 COUNT(*) AS n_kept
+                          FROM vkept GROUP BY doc_id) vkc USING (doc_id)),"""
+    val gramSource = if (verbatim) "vcln" else "sv"
+    val (removedCol, removedJoin) =
+      if (!verbatim) ("", "")
+      else (""",
+             CAST(COALESCE(vc2.n_removed, 0) AS BIGINT) AS n_tokens_removed""",
+        " LEFT JOIN vcln vc2 ON k.doc_id = vc2.doc_id")
+    (shared + "," + survivorSql + "," + verbatimSql + s"""
       sg AS (SELECT DISTINCT doc_id, split, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
-             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sv) w,
+             FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM $gramSource) w,
                   (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
              WHERE len(ws) >= 3),
       ev AS (SELECT DISTINCT ng FROM sg WHERE split = 'eval'),""" + contamSql + s"""
@@ -706,8 +773,8 @@ object SparkEntry {
                   WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'$nearCase
                   WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
                   WHEN fp < 'cc' THEN 'train'
-                  ELSE 'eval' END AS outcome
-      FROM k$nearJoin LEFT JOIN ct ON k.doc_id = ct.doc_id""").stripMargin.trim
+                  ELSE 'eval' END AS outcome$removedCol
+      FROM k$nearJoin LEFT JOIN ct ON k.doc_id = ct.doc_id$removedJoin""").stripMargin.trim
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -1655,6 +1722,32 @@ object SparkEntry {
     "q_pipeline_curate_block" -> pipelineOracle(
       nearPlants = false, fuzzy = false, covPct = None,
       blockTerms = Some(operators.Profile.driverBlocklist)),
+    // the ExactSubstr removal stage inside the ledger: the
+    // q_verbatim_clean oracle spelling run over the survivor set, the
+    // contamination n-grams reading the CLEANED text, n_tokens_removed
+    // surfaced (0 for docs that were not survivors when the cut ran)
+    "q_pipeline_curate_verbatim" -> pipelineOracle(
+      nearPlants = false, fuzzy = false, covPct = None, verbatim = true),
+    // CCNet's closing perplexity stage: the base ledger as a derived
+    // table, final train/eval survivors scored by the SHARED lmScoreSql
+    // bitlen staircase (the q_lm_score spelling — cross-engine exact)
+    // and bucketed by the q_lm_buckets tertile arithmetic over the
+    // SURVIVOR distribution; dropped docs carry NULL
+    "q_pipeline_curate_ppl" -> (lmScoreSql + """,
+      led AS (""" + pipelineOracle(
+        nearPlants = false, fuzzy = false, covPct = None) + """),
+      psc AS (SELECT s.doc_id, CAST(s.bits * 100 // s.n_tokens AS BIGINT) AS bp
+              FROM s JOIN led USING (doc_id)
+              WHERE led.outcome IN ('train', 'eval')),
+      pn AS (SELECT COUNT(*) AS n FROM psc),
+      prk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bp, doc_id) AS r FROM psc)
+      SELECT led.doc_id, led.n_tokens, led.outcome,
+             CASE WHEN prk.r IS NULL THEN NULL
+                  WHEN prk.r <= pn.n // 3 THEN 'head'
+                  WHEN prk.r <= pn.n * 2 // 3 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM led CROSS JOIN pn
+      LEFT JOIN prk ON prk.doc_id = led.doc_id""".stripMargin.trim),
     // the same ledger, aggregated — built from the q_pipeline_curate CTE
     // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   *                   representative → `dropped_near_duplicate` — the
   *                   fuzzy stage the production recipes run between
   *                   exact dedup and split
+  *   3c. verbatim  — (`verbatimCuts = true`) ExactSubstr span REMOVAL
+  *                   among the survivors (Lee et al. 2021): cross-doc
+  *                   >= `verbatimMinRun`-token runs are cut from their
+  *                   higher-id doc ([[Dedup.verbatimRunSpansOn]] +
+  *                   [[Dedup.applyVerbatimCuts]]); docs are cleaned,
+  *                   never dropped — the ledger gains
+  *                   `n_tokens_removed` and stage 5 judges the CLEANED
+  *                   text
   *   4.  split     — fingerprint < threshold → `train` else `eval`
   *   5.  decontam  — train doc sharing eval word `contamN`-grams →
   *                   `dropped_contaminated` (eval docs are never dropped:
@@ -48,6 +56,13 @@ import org.apache.spark.sql.functions._
   *                   thresholdable contract (a 10-token quote in a
   *                   100k-token doc is fine; the same quote being 80% of
   *                   a short doc is leakage)
+  *   6.  ppl       — (`pplRef = Some(ref)`) CCNet's closing stage: the
+  *                   final train/eval survivors are scored under the
+  *                   reference-slice unigram LM ([[Lm.lmScoreOn]]) and
+  *                   the ledger gains their head/middle/tail
+  *                   `ppl_bucket` tertile ([[Lm.bucketsFromScores]]
+  *                   over the survivor score distribution; dropped
+  *                   docs carry NULL)
   *
   * 100 TB design: stages 1–2 and 4 are pure per-row projections fused
   * into the scan (no shuffle). Stage 3 is ONE exchange keyed on the
@@ -158,6 +173,31 @@ object Pipeline {
     curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       plantDups = true, contamMinPct = minPct)
 
+  /** [[curate]] with the verbatim-span REMOVAL stage switched on — the
+    * ExactSubstr pass (Lee et al. 2021) the production recipe runs
+    * alongside doc-level dedup: cross-doc >= 20-token verbatim runs
+    * among the dedup survivors are cut from their higher-id doc, the
+    * ledger carries `n_tokens_removed`, and decontamination judges the
+    * CLEANED text; the q_pipeline_curate_verbatim driver query.
+    */
+  def curateVerbatim(spark: SparkSession, sfDir: String): DataFrame =
+    curateOn(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      plantDups = true, verbatimCuts = true)
+
+  /** [[curate]] with the CCNet perplexity stage switched on: final
+    * survivors are scored under the reference-slice unigram LM
+    * ([[Lm.lmScoreOn]], the driver's en/16 caps so all scoring paths
+    * are non-vacuous on the fixture) and the ledger carries their
+    * head/middle/tail tertile; the q_pipeline_curate_ppl driver query.
+    */
+  def curatePpl(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    curateOn(docs.select(col("doc_id"), col("text")),
+      plantDups = true,
+      pplRef = Some(docs.filter(col("lang") === "en").select(col("text"))),
+      pplVocab = 16)
+  }
+
   /** [[curate]] over any (doc_id, text) frame — the library entry point
     * (and the ScaleSmoke sweep surface). */
   def curateOn(base: DataFrame,
@@ -169,7 +209,11 @@ object Pipeline {
                plantNearDups: Boolean = false,
                contamMinPct: Long = 0L,
                checkpointDir: Option[String] = None,
-               blocklist: Seq[String] = Seq.empty): DataFrame = {
+               blocklist: Seq[String] = Seq.empty,
+               verbatimCuts: Boolean = false,
+               verbatimMinRun: Int = 20,
+               pplRef: Option[DataFrame] = None,
+               pplVocab: Int = 4096): DataFrame = {
     // planted copies live at doc_id + 1_000_000 (exact) / + 2_000_000
     // (near); if a regenerated fixture ever ships base ids >= 1_000_000
     // the planted ids would collide with real docs AND the DuckDB oracle
@@ -250,12 +294,36 @@ object Pipeline {
         exactSurvivors.join(nl.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .withColumn("split",
         when(col("fp") < lit(splitThreshold), lit("train")).otherwise(lit("eval")))
+    // stage 3c (optional): verbatim-SPAN removal among the survivors —
+    // the ExactSubstr pass (Lee et al. 2021: keep one copy of a shared
+    // >= verbatimMinRun-token run, cut the rest) the production recipe
+    // runs alongside doc-level dedup, composing the proven
+    // [[Dedup.verbatimRunSpansOn]] + [[Dedup.applyVerbatimCuts]]
+    // spellings over the survivor texts. Docs are NOT dropped: their
+    // text is cleaned (and the split, already fixed by the ORIGINAL
+    // text's fingerprint, is unaffected), the ledger carries
+    // n_tokens_removed, and the decontamination stage below judges the
+    // CLEANED text — a train doc whose only leak was a cut span is no
+    // longer contaminated, which is exactly the point of cutting
+    // instead of dropping. Scale story inherited wholesale: positional
+    // shingles with the corpus-side occurrence cap, islands windows
+    // bounded per (pair, diagonal), the cut a codegen'd per-row HOF.
+    val cleaned: Option[DataFrame] =
+      if (!verbatimCuts) None
+      else {
+        val sv = survivors.select(col("doc_id"), col("text"))
+        Some(Dedup.applyVerbatimCuts(sv,
+          Dedup.verbatimRunSpansOn(sv, minRunTokens = verbatimMinRun)))
+      }
+    val survForGrams = cleaned.fold(survivors.select(col("doc_id"), col("split"), col("text")))(
+      cl => cl.join(survivors.select(col("doc_id"), col("split")), "doc_id")
+        .select(col("doc_id"), col("split"), col("text")))
     // materialize the shingle array in its own projection: size() and
     // explode() in ONE select would inline the shingle expression twice
     // per row (no CSE across a Project/Generate boundary —
     // contaminationCoverageOn's documented shape); the size column is
     // pruned away entirely on the contamMinPct=0 path
-    val grams = survivors
+    val grams = survForGrams
       .select(col("doc_id"), col("split"),
         TextOps.shingles(col("text"), contamN).as("ngs"))
       .select(col("doc_id"), col("split"),
@@ -286,9 +354,45 @@ object Pipeline {
         .when(col("fp") < lit(splitThreshold), lit("train"))
         .otherwise(lit("eval")).as("outcome")
     }
-    nearLosers.fold(withKeeper)(nl => withKeeper.join(nl, Seq("doc_id"), "left"))
+    val ledgerBase = nearLosers
+      .fold(withKeeper)(nl => withKeeper.join(nl, Seq("doc_id"), "left"))
       .join(contaminated, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), outcome)
+    val ledger = cleaned match {
+      case None => ledgerBase.select(col("doc_id"), col("n_tokens"), outcome)
+      case Some(cl) =>
+        // n_tokens stays the ORIGINAL count (what entered the build);
+        // n_tokens_removed is the verbatim stage's cut measure — nonzero
+        // only for docs that were survivors when the cut ran, including
+        // ones the decontamination stage dropped afterwards (the cut
+        // happened; the ledger records what happened)
+        ledgerBase
+          .join(cl.select(col("doc_id"), col("n_tokens_removed")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), outcome,
+            coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+    }
+    // stage 6 (optional): the CCNet perplexity tertile — final
+    // survivors (outcome train/eval) are scored under the reference
+    // unigram LM ([[Lm.lmScoreOn]]: capped vocab → BroadcastExchange,
+    // ONE doc-keyed shuffle) and bucketed head/middle/tail over the
+    // SURVIVOR score distribution ([[Lm.bucketsFromScores]]: histogram
+    // frame, only boundary-straddling values pay a window). The text
+    // scored is the text the contamination stage saw — cleaned when the
+    // verbatim stage ran, original otherwise. Dropped docs carry NULL.
+    pplRef match {
+      case None => ledger
+      case Some(ref) =>
+        val led = graft.CacheScope.track(ledger.persist())
+        val scored = survForGrams
+          .join(led.filter(col("outcome").isin("train", "eval"))
+            .select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+        val buckets = Lm.bucketsFromScores(
+          Lm.lmScoreOn(scored, ref, pplVocab)
+            .select(col("doc_id"), col("bits_per_100")))
+        led.join(buckets.select(col("doc_id"), col("bucket").as("ppl_bucket")),
+          Seq("doc_id"), "left")
+    }
   }
 
   /** The [[curate]] ledger rolled up per outcome with DOC and TOKEN

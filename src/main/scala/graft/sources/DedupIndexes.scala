@@ -502,11 +502,26 @@ object DedupIndexes {
     * work — memoized per JVM like [[Roundtrip]]'s format bounces so the
     * bench charges queries only for the probe. Shared with
     * [[SimilarityIndexes]]' harnesses.
+    *
+    * The memo records "done" ONLY after the target verifiably holds at
+    * least one data file: a write that silently produced nothing (a
+    * crashed job, an empty source frame, a misdirected path) would
+    * otherwise pin this JVM to reading an empty fixture for every
+    * probe — the bench would then time empty scans and report them as
+    * speedups (the r11 `All paths were ignored` artifact class). The
+    * check is one recursive listing of a scratch dir, paid once per
+    * JVM per fixture, never in a timed rep.
     */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   private[graft] def writeOnce(path: String)(write: => Unit): Unit =
-    written.getOrElseUpdate(path, write)
+    written.getOrElseUpdate(path, {
+      write
+      if (!hasData(SparkSession.active, path))
+        throw new IllegalStateException(
+          s"writeOnce at $path completed without producing any data file " +
+            "— refusing to memoize an empty fixture")
+    })
 
   /** [[Dedup.incrementalNearDupDocs]] probing the materialized index. */
   def nearDupProbeDocs(spark: SparkSession, sfDir: String): DataFrame = {

@@ -28,11 +28,25 @@ object Roundtrip {
     * re-writing identical data on every query call would charge sink
     * cost to every scan benchmark. Deterministic input → the memo can
     * never change a result.
+    *
+    * "Done" is recorded ONLY once the target verifiably holds at least
+    * one data file (recursive, so day-partitioned layouts count their
+    * partition dirs): a silently-empty write memoized as done would pin
+    * every later read of this JVM to an empty fixture, and the bench
+    * would time empty scans as if they were the query (the r11
+    * `All paths were ignored` artifact class on exactly these scratch
+    * dirs). One recursive listing per JVM per fixture, never timed.
     */
   private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   private def writeOnce(path: String)(write: => Unit): Unit =
-    written.getOrElseUpdate(path, write)
+    written.getOrElseUpdate(path, {
+      write
+      if (!DedupIndexes.hasData(SparkSession.active, path))
+        throw new IllegalStateException(
+          s"writeOnce at $path completed without producing any data file " +
+            "— refusing to memoize an empty fixture")
+    })
 
   /** Load `table`, bounce it through `fmt` on disk (once per JVM), read
     * it back with the original schema. `fmt` ∈ {csv, json}.

@@ -73,6 +73,30 @@ class BenchContractSpec extends AnyFunSuite {
       """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321}""")
   }
 
+  test("a 0-row bench query is classified EmptyResult and reports as failed") {
+    // the red path of the empty-read class (r12 verdict ask): a query
+    // whose fixture read silently came back empty must be flagged...
+    val allow = Set("q_cust_no_orders")
+    assert(BenchContract.emptyResultError("q_events_by_day_partitioned",
+      isEmpty = true, allow) === Some("EmptyResult"))
+    // ...and the flag must surface on the canonical contract line, the
+    // one parse the driver is guaranteed to record
+    val lines = BenchContract.lines("12.345", fakeMap(10),
+      ""","query_errors":{"q_events_by_day_partitioned":"EmptyResult"}""",
+      "/root/testdata/sf0.1", "0.321", Seq("q_events_by_day_partitioned"))
+    assert(lines.last.contains(""""failed":1"""))
+    assert(lines.last.contains(""""failed_queries":["q_events_by_day_partitioned"]"""))
+  }
+
+  test("expected-empty and non-empty queries pass the emptiness probe") {
+    val allow = Set("q_cust_no_orders")
+    assert(BenchContract.emptyResultError("q_cust_no_orders",
+      isEmpty = true, allow) === None,
+      "a query whose correct result IS the empty set stays green")
+    assert(BenchContract.emptyResultError("q_grep_freq",
+      isEmpty = false, allow) === None)
+  }
+
   test("the machine-speed canary is deterministic work at a plausible cost") {
     val a = BenchContract.canarySeconds()
     assert(a > 0.005 && a < 30.0,

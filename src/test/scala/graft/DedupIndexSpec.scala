@@ -387,6 +387,24 @@ class DedupIndexSpec extends SparkSpec {
       "the verbatim view must equal the Scala probe at the same params")
   }
 
+  test("writeOnce refuses to memoize a write that produced no data file") {
+    // the empty-fixture red path (r12 verdict, measurement-integrity
+    // class #3): a "write" that silently lands nothing must throw, NOT
+    // record the path as done — otherwise every later probe of this JVM
+    // reads an empty fixture and the bench times empty scans
+    val dir = s"target/dedup_index_spec/write_once_empty_${System.nanoTime()}"
+    val e = intercept[IllegalStateException] {
+      DedupIndexes.writeOnce(dir) { () } // produces nothing
+    }
+    assert(e.getMessage.contains("without producing any data file"))
+    // NOT memoized: a later real write through the same memo goes ahead
+    // and verifies green
+    DedupIndexes.writeOnce(dir)(
+      spark.range(3).toDF("id").write.mode("overwrite").parquet(dir))
+    assert(DedupIndexes.hasData(spark, dir),
+      "a real write after the refused empty one must land and memoize")
+  }
+
   test("stored occurrence table equals a fresh aggregation of the stored positions") {
     val path = "target/dedup_index_spec/verbatim"
     DedupIndexes.writeVerbatimIndex(corpus, path)

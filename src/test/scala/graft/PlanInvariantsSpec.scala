@@ -46,6 +46,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // the bloom prune crossJoins the broadcast 1-ROW filter frame —
     // the whole point is the constant build side
     "q_bloom_semi",
+    // the pipeline's ppl stage composes lmScoreOn's 1-ROW reference
+    // total and bucketsFromScores' 1-ROW tertile-bounds crossJoins
+    "q_pipeline_curate_ppl",
     // concentration crossJoins three broadcast 1-ROW frames (stats,
     // full-band sum, boundary sum) into the one-row report
     "q_revenue_top1")
@@ -111,6 +114,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // bigram buckets inherit lm_buckets' bounded histogram window
     // through the shared bucketsFromScores spelling
     "q_lm_bigram_buckets",
+    // the pipeline's ppl stage inherits the same bounded
+    // score-histogram window through bucketsFromScores
+    "q_pipeline_curate_ppl",
     // the corpus-build tail composes packSequences' block-offset window
     // (bounded block-sum frame, never the corpus)
     "q_corpus_build",
