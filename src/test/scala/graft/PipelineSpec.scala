@@ -169,6 +169,85 @@ class PipelineSpec extends SparkSpec {
     fuzzy.unpersist()
   }
 
+  test("verbatim stage equals the standalone span-cut composition on the same survivor set") {
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val verb = Pipeline.curateOn(base, plantDups = true,
+      verbatimCuts = true).cache()
+    val plain = Pipeline.curateOn(base, plantDups = true).cache()
+    // the set entering the cut = exact-dedup survivors; stage 3 is
+    // identical in both ledgers, so read it off the plain one
+    val survivorIds = plain
+      .filter(col("outcome").isin("dropped_contaminated", "train", "eval"))
+      .select("doc_id").as[Long].collect().toSet
+    val planted = base.unionByName(base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val survivorTexts = planted.filter(col("doc_id").isInCollection(survivorIds))
+    // the standalone oracle-verified composition over the same set
+    val expected = graft.operators.Dedup.applyVerbatimCuts(survivorTexts,
+        graft.operators.Dedup.verbatimRunSpansOn(survivorTexts))
+      .select(col("doc_id"), col("n_tokens_removed"))
+      .as[(Long, Long)].collect().toMap
+    val got = verb.filter(col("doc_id").isInCollection(survivorIds))
+      .select(col("doc_id"), col("n_tokens_removed"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected,
+      "pipeline verbatim stage diverged from the standalone span-cut operators")
+    assert(expected.values.exists(_ > 0), "no span was cut — the stage is vacuous")
+    // docs that never reached the cut carry exactly 0
+    assert(verb.filter(!col("doc_id").isInCollection(survivorIds))
+      .filter(col("n_tokens_removed") =!= 0L).count() === 0L)
+    // outcome flips are confined to the post-cut stages: lang / quality /
+    // dedup attribution is decided before the cut and must be identical
+    val flips = plain.select(col("doc_id"), col("outcome").as("o1"))
+      .join(verb.select(col("doc_id"), col("outcome").as("o2")), "doc_id")
+      .filter(col("o1") =!= col("o2"))
+      .select(col("o1"), col("o2")).distinct()
+      .as[(String, String)].collect().toSet
+    val postCut = Set("dropped_contaminated", "train", "eval")
+    assert(flips.forall { case (a, b) => postCut(a) && postCut(b) },
+      s"a pre-cut stage's attribution flipped under the verbatim stage: $flips")
+    // the cut-instead-of-drop payoff is non-vacuous on the fixture:
+    // at least one doc whose only leak was a cut span returns to train
+    assert(flips.contains(("dropped_contaminated", "train")),
+      "no contaminated doc was rescued by cutting its leaking span")
+    verb.unpersist(); plain.unpersist()
+  }
+
+  test("ppl stage buckets exactly the final survivors by the standalone LM tertiles") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val base = docs.select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("lang") === "en").select(col("text"))
+    val led = Pipeline.curateOn(base, plantDups = true,
+      pplRef = Some(ref), pplVocab = 16).cache()
+    val plain = Pipeline.curateOn(base, plantDups = true)
+    // the ledger under the bucket column is byte-identical to the plain one
+    assert(led.select(col("doc_id"), col("n_tokens"), col("outcome"))
+      .as[(Long, Long, String)].collect().toSet ===
+      plain.as[(Long, Long, String)].collect().toSet,
+      "adding the ppl stage must not perturb the ledger itself")
+    // standalone tertiles over the final survivor subset
+    val survivorIds = led.filter(col("outcome").isin("train", "eval"))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = graft.operators.Lm.bucketsFromScores(
+        graft.operators.Lm.lmScoreOn(
+          base.filter(col("doc_id").isInCollection(survivorIds)), ref, 16)
+          .select(col("doc_id"), col("bits_per_100")))
+      .select(col("doc_id"), col("bucket"))
+      .as[(Long, String)].collect().toMap
+    val got = led.filter(col("outcome").isin("train", "eval"))
+      .select(col("doc_id"), col("ppl_bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(got === expected,
+      "pipeline ppl stage diverged from the standalone lmScore + tertile spelling")
+    assert(got.values.toSet === Set("head", "middle", "tail"),
+      "a ppl tertile is vacuous on the fixture")
+    // dropped docs carry NULL — they were never scored
+    assert(led.filter(!col("outcome").isin("train", "eval"))
+      .filter(col("ppl_bucket").isNotNull).count() === 0L)
+    led.unpersist()
+  }
+
   test("checkpointDir spelling yields the identical ledger to the in-memory persist") {
     val base = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
