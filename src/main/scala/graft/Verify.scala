@@ -26,9 +26,14 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_VERIFY_ONLY names no such queries: ${unknown.mkString(", ")}")
     }
+    // deterministic NAME order for subset runs (r12 ADVICE): the
+    // registry is a plain HashMap, so "insertion order" doesn't exist
+    // to preserve — sorting by name makes repeated dev-loop runs
+    // execute and log identically, hence diffable
     val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.view.filterKeys(names).toMap)
-    selected.foreach { case (name, fn) =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val ordered = if (only.isDefined) selected.toSeq.sortBy(_._1) else selected.toSeq
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

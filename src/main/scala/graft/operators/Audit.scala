@@ -24,18 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  /** One row per row-check: scan-fused violation-bit sums. */
+  /** One row per row-check: scan-fused violation-bit sums. Check NAMES
+    * are pure data: the per-check sums ride internal positional
+    * columns and the unpivot is built with Column APIs (explode over an
+    * inline struct array), so a name containing quotes, spaces, or SQL
+    * never reaches a parser — the former stack() SQL interpolation made
+    * names act as identifiers and injectable text (r12 ADVICE).
+    */
   def rowChecksOn(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "rowChecksOn needs at least one check")
     val sums = df.agg(
-      sum(when(checks.head._2, 1L).otherwise(0L)).as(checks.head._1),
-      checks.tail.map { case (n, c) =>
-        sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
-    // unpivot via stack: k sums -> k (check, n_violations) rows
-    sums.select(expr(
-      s"stack(${checks.size}, " +
-        checks.map { case (n, _) => s"'$n', coalesce($n, 0L)" }
-          .mkString(", ") + ") AS (check_name, n_violations)"))
+      sum(when(checks.head._2, 1L).otherwise(0L)).as("__graft_c0"),
+      checks.tail.zipWithIndex.map { case ((_, c), i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__graft_c${i + 1}") }: _*)
+    // unpivot: k sums on the 1-row aggregate -> k (check, n) rows
+    sums.select(explode(array(checks.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("check_name"),
+          coalesce(col(s"__graft_c$i"), lit(0L)).as("n_violations")) }: _*))
+        .as("kv"))
+      .select(col("kv.check_name"), col("kv.n_violations"))
   }
 
   /** Keys appearing more than once, reported as one count. */

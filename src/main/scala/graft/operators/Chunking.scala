@@ -37,16 +37,33 @@ object Chunking {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       chunkTokens, stride)
 
-  /** [[chunkPassages]] over any (doc_id, text) frame. */
+  /** [[chunkPassages]] over any (doc_id, text) frame.
+    *
+    * `toksCol = Some(c)`: chunk over the caller's PRE-SEGMENTED token
+    * array column `c` instead of the whitespace split — the
+    * tokenizer-faithful spelling: feed it the flattened
+    * [[Bpe.segmentWith]] output (or any tokenizer's unit array) and a
+    * 32-token passage is 32 tokenizer tokens, not 32 words.
+    * `joiner` rebuilds `chunk_text` from the token slice (default a
+    * space, the whitespace tokenization's inverse); a subword
+    * tokenizer whose units carry their own boundary convention (the
+    * end-of-word-marker idiom [[Bpe]] documents) passes "" so
+    * passages concatenate back to text under that convention.
+    */
   def chunkPassagesOn(docs: DataFrame,
-                      chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+                      chunkTokens: Int = 32, stride: Int = 24,
+                      toksCol: Option[String] = None,
+                      joiner: String = " "): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in 1..chunkTokens for gap-free coverage, got $stride")
+    toksCol.foreach(tc => require(docs.columns.contains(tc),
+      s"chunkPassagesOn: toksCol '$tc' is not a column of the input frame"))
     val c = lit(chunkTokens.toLong)
     val s = lit(stride.toLong)
     docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        toksCol.fold(TextOps.tokens(col("text")))(tc => col(tc)).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       // ⌈(n - chunk) / stride⌉ + 1 starts cover 1..n; one chunk when the
       // doc fits (n >= 1 always: the split of "" is [""])
@@ -57,7 +74,7 @@ object Chunking {
       .withColumn("start_tok", col("chunk_id") * s + 1)
       .withColumn("n_tok", least(c, col("n") - col("start_tok") + 1))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
-        concat_ws(" ", slice(col("toks"), col("start_tok"), col("n_tok")))
+        array_join(slice(col("toks"), col("start_tok"), col("n_tok")), joiner)
           .as("chunk_text"))
   }
 }

@@ -286,7 +286,10 @@ object EventAnalytics {
         least(date_add(col("day"), window - 1), col("d1")))).as("day"))
       .distinct()
       .groupBy(col("day"))
-      .agg(count(lit(1)).as("n_active_7d"))
+      // the output column names its own window so rollingActivesOn(df,
+      // 30) reads n_active_30d, not a misleading hardcoded 7d (r12
+      // ADVICE)
+      .agg(count(lit(1)).as(s"n_active_${window}d"))
   }
 
   /** FIRST/LAST-TOUCH ATTRIBUTION — per user, the event type of their

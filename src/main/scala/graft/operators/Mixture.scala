@@ -72,15 +72,39 @@ object Mixture {
     packSequencesOn(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), seqLen)
 
-  /** [[packSequences]] over any (doc_id, text) frame. */
-  def packSequencesOn(docTexts: DataFrame, seqLen: Long = 512L): DataFrame = {
+  /** [[packSequences]] over any (doc_id, text) frame.
+    *
+    * `nTokensCol = Some(c)`: the token count is read from the caller's
+    * precomputed column `c` instead of the whitespace split — the
+    * TOKENIZER-FAITHFUL spelling: context budgets in real training are
+    * tokenizer tokens, so feed `c` from [[Bpe.segmentWith]] (size of
+    * the flattened per-word segmentation under a learned merge table)
+    * and the 512-token sequences are 512 BPE tokens, not 512 words.
+    * Counts must be >= 1 per doc (a doc occupies at least one slot in
+    * the stream — the whitespace default guarantees it structurally);
+    * a zero or negative count fails loudly per row rather than
+    * silently mis-chunking everything after it in the stream.
+    */
+  def packSequencesOn(docTexts: DataFrame, seqLen: Long = 512L,
+                      nTokensCol: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"packSequencesOn needs a positive seqLen, got $seqLen")
+    nTokensCol.foreach(c => require(docTexts.columns.contains(c),
+      s"packSequencesOn: nTokensCol '$c' is not a column of the input frame"))
+    val nTok = nTokensCol
+      .fold(size(TextOps.tokens(col("text"))).cast("long"))(c =>
+        // the prefix-sum arithmetic below assumes every doc occupies
+        // >= 1 token of the stream; assert_true is null per passing row
+        // and throws on the first violation (the plant-guard idiom)
+        when(assert_true(col(c) >= 1,
+          concat(lit("packSequencesOn: nTokensCol must be >= 1, got "),
+            col(c), lit(" for doc_id "), col("doc_id"))).isNull,
+          col(c).cast("long")))
     // tiny next to the text it derives from; feeds the block-sum agg AND
     // the final assignment — persist so the corpus isn't scanned twice
     // (caller-owned cleanup; scoped pipelines use CacheScope)
     val base = graft.CacheScope.track(docTexts
       .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        nTok.as("n_tokens"),
         orderKey(col("text")).as("key"))
       .withColumn("blk", blkOf(col("key")))
       .persist())

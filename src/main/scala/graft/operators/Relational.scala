@@ -655,12 +655,15 @@ object Relational {
                       small: DataFrame, smallKey: String,
                       mBits: Int = 1 << 17): DataFrame = {
     import graft.functions.{BloomFilter, BloomContains}
+    // collision-resistant internal name: a caller's big frame may
+    // legitimately carry a `bf` column, and the crossJoin would then
+    // produce an ambiguous reference (r12 ADVICE)
     val bloom = small.agg(
       BloomFilter.bloomAgg(xxhash64(col(smallKey)), mBits, BloomContains.K)
-        .as("bf"))
+        .as("__graft_bf"))
     big.crossJoin(broadcast(bloom))
-      .filter(BloomFilter.bloomContains(col("bf"), xxhash64(col(bigKey))))
-      .drop("bf")
+      .filter(BloomFilter.bloomContains(col("__graft_bf"), xxhash64(col(bigKey))))
+      .drop("__graft_bf")
       .join(small.select(col(smallKey).as(bigKey)).distinct(),
         Seq(bigKey), "left_semi")
   }

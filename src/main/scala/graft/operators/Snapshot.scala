@@ -147,12 +147,24 @@ object Snapshot {
     * changelog-position contract every CDC source (binlog offset, LSN,
     * kafka offset) provides. Under that contract the winner picked by
     * `max(struct(seq, op, payload…))` is the arg-max row: structs order
-    * lexicographically and seq alone already decides, so the plan is ONE
-    * hash aggregate with map-side partial combine — no window, no sort,
-    * state one row per touched key. The base merge is a key-equi full
-    * outer join of two key-partitioned frames; at 100 TB both sides
-    * bucket by the same key, and the changelog side has already been
-    * compacted to one row per touched key (typically ≪ base).
+    * lexicographically and seq alone already decides. The PLAN is one
+    * aggregate with map-side partial combine (`partial_max` before the
+    * exchange — only one combined row per touched key per partition
+    * rides the shuffle), but it is a SortAggregate, not a
+    * HashAggregate: Spark's hash aggregation requires fixed-width
+    * mutable buffer types and a struct-typed max buffer is not one, so
+    * BOTH phases sort their partition by key first (asserted in
+    * SnapshotSpec so a future Spark version changing the shape is
+    * noticed). At 100 TB changelog scale those per-partition sorts are
+    * a real cost on top of the exchange — O(n log n) per partition over
+    * the DELTA (never the base); if a profile ever shows them
+    * dominating, the escape hatch is encoding (seq, op, payload) into a
+    * single max-orderable BINARY so the buffer is hash-aggregable, at
+    * the price of an encode/decode projection. The base merge is a
+    * key-equi full outer join of two key-partitioned frames; at 100 TB
+    * both sides bucket by the same key, and the changelog side has
+    * already been compacted to one row per touched key (typically
+    * ≪ base).
     */
   def applyChangelogOn(base: DataFrame, changes: DataFrame,
                        keyCol: String, seqCol: String,

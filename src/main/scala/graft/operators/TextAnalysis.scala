@@ -783,19 +783,22 @@ object TextAnalysis {
     val u = (conv(substring(md5(concat(col(idCol).cast("string"),
         lit(":" + salt))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
       lit(4503599627370496.0)
-    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
-      .orderBy(col("skey").desc, col(idCol).asc)
+    // collision-resistant internal names: the caller's frame may carry
+    // skey/_salt/rn1 columns of its own (r12 ADVICE; the bloomSemiJoinOn
+    // __graft_ convention)
+    val w1 = Window.partitionBy(col(groupCol), col("__graft_salt"))
+      .orderBy(col("__graft_skey").desc, col(idCol).asc)
     val w2 = Window.partitionBy(col(groupCol))
-      .orderBy(col("skey").desc, col(idCol).asc)
+      .orderBy(col("__graft_skey").desc, col(idCol).asc)
     df.filter(col(weightCol) > 0)
-      .withColumn("skey", log(u) / col(weightCol).cast("double"))
-      .withColumn("_salt", pmod(hash(col(idCol)), lit(salts)))
-      .withColumn("rn1", row_number().over(w1))
-      .filter(col("rn1") <= k)
-      .withColumn("rn", row_number().over(w2))
-      .filter(col("rn") <= k)
+      .withColumn("__graft_skey", log(u) / col(weightCol).cast("double"))
+      .withColumn("__graft_salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("__graft_rn1", row_number().over(w1))
+      .filter(col("__graft_rn1") <= k)
+      .withColumn("__graft_rn", row_number().over(w2))
+      .filter(col("__graft_rn") <= k)
       .select(col(groupCol), col(idCol), col(weightCol),
-        col("rn").cast("long").as("rn"))
+        col("__graft_rn").cast("long").as("rn"))
   }
 
   /** Driver spelling: k=20 docs per source, char-length-weighted —

@@ -1062,11 +1062,17 @@ object StreamingOps {
         changelogBatch(batch.toDF(), stateDir, batchId.toString,
           keyCol, seqCol, opCol)
     }
-    // with a durable checkpoint, batch ids resume monotonically across
-    // restarts — labels stay unique, and a replayed epoch overwrites
-    // its own label (the e2e restart spec drives both properties)
-    checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
+    // a durable checkpoint is how batch ids resume monotonically across
+    // restarts — labels stay unique and a replayed epoch overwrites its
+    // own label (the e2e restart spec drives both properties). It
+    // therefore DEFAULTS to `_checkpoint` under the state dir (the
+    // leading underscore hides it from every parquet read of the
+    // store), because a checkpoint-less restart would restart batch ids
+    // at 0 and the own-label overwrite would silently destroy the
+    // previous run's ingest=0,1,… partitions — restart safety must be
+    // the default, not opt-in (r12 ADVICE).
+    writer.option("checkpointLocation",
+      checkpointDir.getOrElse(s"$stateDir/_checkpoint")).start()
   }
 
   /** One CDC delivery — [[ingestChangelog]]'s batch body, factored so

@@ -29,6 +29,22 @@ class AuditSpec extends SparkSpec {
     assert(aggs.size === 1, "row checks must fuse into a single aggregate")
   }
 
+  test("check names are pure data: quotes, spaces, and SQL text never reach a parser") {
+    // the r12 ADVICE red path: under the old stack() interpolation each
+    // of these either failed to parse or injected into expr()
+    val df = Seq((1L, 5L), (2L, 200L)).toDF("id", "v")
+    val hostile = Seq(
+      "has 'quotes' and spaces" -> (col("v") > 100L),
+      "semi; colons), drop--" -> col("v").isNull,
+      "check" -> (col("v") < 0L)) // a reserved word as a name
+    val got = Audit.rowChecksOn(df, hostile)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "has 'quotes' and spaces" -> 1L,
+      "semi; colons), drop--" -> 0L,
+      "check" -> 0L))
+  }
+
   test("row checks on an empty frame report zero, not null") {
     val got = Audit.rowChecksOn(
       Seq.empty[(Long, Long)].toDF("id", "v"),

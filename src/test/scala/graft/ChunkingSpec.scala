@@ -60,6 +60,49 @@ class ChunkingSpec extends SparkSpec {
     assert(interiorShort.isEmpty, "an interior (non-final) chunk runs short")
   }
 
+  test("toksCol fed with the whitespace split reproduces the default chunking exactly") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val withToks = docs.withColumn("ws", split(col("text"), " "))
+    val viaCol = Chunking.chunkPassagesOn(withToks, 32, 24, Some("ws"))
+    assert(viaCol.except(chunks).isEmpty && chunks.except(viaCol).isEmpty,
+      "the pre-tokenized path diverged from the default whitespace path")
+  }
+
+  test("tokenizer-faithful chunking: BPE-segmented passages budget real tokens") {
+    import graft.operators.{Bpe, TextOps}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val merges = Bpe.learnMergesOn(docs, 4)
+      .orderBy(col("step")).as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val seg = docs.withColumn("bpe",
+      flatten(transform(TextOps.tokens(col("text")),
+        w => Bpe.segmentWith(w, merges))))
+      .cache()
+    // stride == chunk -> disjoint partition of the token stream; the
+    // "" joiner concatenates passages back to the full segmented
+    // stream exactly (subword units carry no separator of their own)
+    val got = Chunking.chunkPassagesOn(seg, 16, 16, Some("bpe"), joiner = "")
+      .cache()
+    val rebuilt = got.groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))).getField("chunk_text"))
+        .as("joined"))
+    val expected = seg.select(col("doc_id"),
+      concat_ws("", col("bpe")).as("marked"))
+    val bad = rebuilt.join(expected, "doc_id")
+      .filter(col("joined") =!= col("marked"))
+    assert(bad.isEmpty,
+      "disjoint BPE passages do not concatenate back to the segmented stream")
+    // budgets are tokenizer units: every interior passage is 16 BPE
+    // tokens even though 16 WORDS would be a different cut
+    val lastId = got.groupBy("doc_id").agg(max(col("chunk_id")).as("last"))
+    assert(got.join(lastId, "doc_id")
+      .filter(col("chunk_id") < col("last") && col("n_tok") =!= 16).isEmpty,
+      "an interior BPE passage is not exactly 16 tokenizer tokens")
+    seg.unpersist(); got.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("degenerate parameters are rejected") {
     val doc = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Chunking.chunkPassagesOn(doc, 0, 1))

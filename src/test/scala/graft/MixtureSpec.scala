@@ -68,6 +68,64 @@ class MixtureSpec extends SparkSpec {
       "blockwise packing diverged from the direct prefix-sum spelling")
   }
 
+  test("nTokensCol fed with whitespace counts reproduces the default packing exactly") {
+    val withCounts = docs.withColumn("n_ws",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val viaCol = Mixture.packSequencesOn(withCounts, 512L, Some("n_ws"))
+    assert(viaCol.except(packed).isEmpty && packed.except(viaCol).isEmpty,
+      "the precomputed-count path diverged from the default whitespace path")
+    spark.catalog.clearCache()
+  }
+
+  test("tokenizer-faithful packing: BPE token counts drive real context budgets") {
+    // segment the fixture under a small learned merge table and pack by
+    // the TOKENIZER count — the r12-verdict gap: context budgets are
+    // tokenizer tokens, not words
+    val merges = graft.operators.Bpe.learnMergesOn(docs, 4)
+      .orderBy(col("step")).as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val seg = docs.withColumn("n_bpe",
+      size(flatten(transform(TextOps.tokens(col("text")),
+        w => graft.operators.Bpe.segmentWith(w, merges)))).cast("long"))
+      .cache()
+    val bpePacked = Mixture.packSequencesOn(seg, 512L, Some("n_bpe")).cache()
+    // conservation under the fed count
+    val bad = bpePacked.groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"), sum(col("tok_in_seq")).as("p"))
+      .filter(col("n_tokens") =!= col("p"))
+    assert(bad.isEmpty, "a doc lost or gained BPE tokens in packing")
+    // interior sequences are exactly 512 BPE tokens
+    val fills = bpePacked.groupBy("seq_id").agg(sum(col("tok_in_seq")).as("fill"))
+    val lastSeq = fills.agg(max(col("seq_id"))).as[Long].head()
+    assert(fills.filter(col("seq_id") =!= lastSeq && col("fill") =!= 512L).isEmpty,
+      "an interior sequence is not exactly 512 tokenizer tokens")
+    // and the budget genuinely differs from word budgets (characters
+    // under 4 merges outnumber words by construction) — non-vacuous
+    val bpeTotal = seg.agg(sum(col("n_bpe"))).as[Long].head()
+    val wsTotal = docs.select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).as[Long].head()
+    assert(bpeTotal > wsTotal,
+      "BPE segmentation did not change the token budget — the case is vacuous")
+    seg.unpersist(); bpePacked.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("a non-positive precomputed count fails loudly, never mis-chunks") {
+    val poisoned = docs.withColumn("n_bad",
+      when(col("doc_id") === 7L, lit(0L))
+        .otherwise(size(TextOps.tokens(col("text"))).cast("long")))
+    val e = intercept[Exception] {
+      Mixture.packSequencesOn(poisoned, 512L, Some("n_bad")).collect()
+    }
+    // the assertion surfaces wrapped in task-failure layers — check the
+    // whole cause chain for the guard's message
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("nTokensCol must be >= 1"),
+      s"expected the per-row count guard to fire, got: $msgs")
+    spark.catalog.clearCache()
+  }
+
   test("temperature sample honors its quota exactly, with dense ranks") {
     val sampled = Mixture.temperatureSample(spark, sf).cache()
     val plan = Mixture.mixturePlan(spark, sf)

@@ -115,6 +115,28 @@ class SnapshotSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("cdc apply plans the documented shape: partial-combining SortAggregate, no window") {
+    // the winner pick is max(struct(seq, op, payload...)): Spark cannot
+    // hash-aggregate a struct-typed max buffer, so the documented plan
+    // is a SortAggregate in BOTH phases — crucially WITH the partial
+    // phase (map-side combine before the exchange). Asserted so (a) the
+    // scaladoc's claim stays true to the plan and (b) a future Spark
+    // version changing the shape (e.g. hash-aggregating structs) is
+    // noticed as a doc update, not silently drifted past.
+    val base = Seq((1L, 10L, "N")).toDF("key", "v", "st")
+    val changes = Seq((1L, 1L, "U", 11L, "A")).toDF("key", "seq", "op", "v", "st")
+    val plan = Snapshot.applyChangelogOn(base, changes, "key", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortAggregate"),
+      "the struct arg-max no longer SortAggregates — update the scaladoc " +
+        "to the new shape before relying on it")
+    assert(plan.contains("partial_max"),
+      "the partial (map-side combine) phase vanished — the delta would " +
+        "ride the exchange uncombined at changelog scale")
+    assert(!plan.contains("Window"),
+      "the arg-max must stay an aggregate, never a per-key window")
+  }
+
   test("cdc apply: missing changelog columns fail loudly") {
     val base = Seq((1L, 10L)).toDF("key", "v")
     val changes = Seq((1L, 1L, "U")).toDF("key", "seq", "op") // no payload v
