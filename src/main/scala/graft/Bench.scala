@@ -10,6 +10,7 @@ object Bench {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietKnownBenignWindowWarnings()
     def runOnce(name: String, fn: (SparkSession, String) => DataFrame): Option[String] =
       try {
         // noop sink materializes every result column (count() would let

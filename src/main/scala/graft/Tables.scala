@@ -55,6 +55,21 @@ object Tables {
   * CLI, tests) gets identical, oracle-compatible configuration.
   */
 object Sessions {
+  /** Raise the WindowExec logger to ERROR for a harness run: every
+    * partitionless window in this engine runs over a bounded side frame
+    * (block sums, histogram/day/band axes — benign by construction, and
+    * PlanInvariantsSpec enforces exactly that over ALL queries
+    * programmatically), yet each one logs the generic "No Partition
+    * Defined" WARN, flooding the bench/verify tails so hard that a REAL
+    * regression's warning would drown (r12 verdict #8). Scoped: called
+    * by the Bench/Verify mains only — tests and ad-hoc sessions keep
+    * the warning.
+    */
+  def quietKnownBenignWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietKnownBenignWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // A query that throws must leave a RECORD, not a hole: round 10's
     // nine events-family failures produced no output dir, the driver's

@@ -255,12 +255,22 @@ object DedupIndexes {
     * returns as its partition-column string spelling (type inference is
     * off in Sessions); cast restores the probe's integer key; the
     * ingest label is maintenance metadata, not probe input.
+    *
+    * `excludeIngest = Some(label)`: leave that ingest's rows out of the
+    * returned frames — the REPLAY spelling for a ledgered sink: a
+    * crashed batch that already appended its own docs to the index must
+    * re-judge them against every OTHER ingest, not find itself at
+    * Jaccard 1.0 and flip its own outcomes to dropped_near_duplicate
+    * (the [[indexedDocIds]] exclusion contract, applied to the probe).
     */
-  def readNearDupIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame) = {
+  def readNearDupIndex(spark: SparkSession, path0: String,
+                       excludeIngest: Option[String] = None): (DataFrame, DataFrame) = {
     val path = resolveIndex(spark, path0)
-    (spark.read.parquet(s"$path/shingles").drop("ingest"),
-      spark.read.parquet(s"$path/bands")
-        .withColumn("band", col("band").cast("int")).drop("ingest"))
+    def rd(sub: String) = {
+      val d = spark.read.parquet(s"$path/$sub")
+      excludeIngest.fold(d)(l => d.filter(col("ingest") =!= l)).drop("ingest")
+    }
+    (rd("shingles"), rd("bands").withColumn("band", col("band").cast("int")))
   }
 
   /** Write the [[Dedup.incrementalVerbatimRuns]] corpus artifacts from

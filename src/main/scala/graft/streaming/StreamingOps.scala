@@ -232,14 +232,31 @@ object StreamingOps {
     * Scale notes: the gate is a pure per-row projection; the dup check
     * reads only the corpus `fingerprint` column (parquet pruning); the
     * in-batch exact collapse is the same fingerprint groupBy every
-    * ingest sink starts with. Near-dup/verbatim admission stays the
-    * job of the sibling sinks — this one owns the quality gate and the
-    * audit trail.
+    * ingest sink starts with.
+    *
+    * `nearDupIndexDir = Some(dir)` switches the NEAR-DUP admission
+    * stage on, so the streaming gate matches batch
+    * `Pipeline.curate(nearDedup = true)` outcome-for-outcome: quality-
+    * passing, exact-new docs probe the corpus's STORED MinHash band
+    * index ([[graft.sources.DedupIndexes]], under the index's own
+    * pinned (n, k, bands) meta — the [[ingestNewDocsNearDup]]
+    * contract, self-heal bootstrap included), corpus near-dups ledger
+    * as `dropped_near_duplicate`, in-batch near-dup clusters among the
+    * corpus-new docs keep their min-doc_id representative (the
+    * batch-pipeline keeper rule), and the sink MAINTAINS the index
+    * with each delivery's accepted docs. Replay stays label-based on
+    * ALL THREE artifacts: the dup check, the index probe, and the
+    * index maintenance each exclude the current label, so a crashed
+    * replay re-judges against every OTHER ingest and overwrites its
+    * own partitions. Without the flag, near-dup/verbatim admission
+    * stays the job of the sibling sinks — this one owns the quality
+    * gate and the audit trail.
     */
   def ingestCuratedDocs(lines: DataFrame, corpusDir: String,
                         ledgerDir: String,
                         textCol: String = "value",
-                        lang: String = "en"): org.apache.spark.sql.streaming.StreamingQuery = {
+                        lang: String = "en",
+                        nearDupIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // qualified-path overlap, not raw startsWith: sibling dirs sharing a
     // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
     // trailing-slash/relative/`..` respellings of the SAME dir are not —
@@ -247,9 +264,15 @@ object StreamingOps {
     require(!graft.sources.DedupIndexes.pathsOverlap(
         lines.sparkSession, corpusDir, ledgerDir),
       s"corpusDir and ledgerDir must be disjoint: $corpusDir vs $ledgerDir")
+    nearDupIndexDir.foreach { d =>
+      assertIndexDisjointFromCorpus(lines.sparkSession, corpusDir, d)
+      require(!graft.sources.DedupIndexes.pathsOverlap(
+          lines.sparkSession, ledgerDir, d),
+        s"nearDupIndexDir and ledgerDir must be disjoint: $d vs $ledgerDir")
+    }
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
-        textCol, lang)
+        textCol, lang, nearDupIndexDir)
     }.start()
   }
 
@@ -261,7 +284,8 @@ object StreamingOps {
   private[graft] def curateBatch(batch: DataFrame, corpusDir: String,
                                  ledgerDir: String, label: String,
                                  textCol: String = "value",
-                                 lang: String = "en"): Unit =
+                                 lang: String = "en",
+                                 nearDupIndexDir: Option[String] = None): Unit =
     graft.CacheScope.scoped {
       val spark = batch.sparkSession
       // in-batch exact collapse on the canonical fingerprint (the
@@ -282,21 +306,69 @@ object StreamingOps {
       // duplicate check against every OTHER ingest's corpus rows —
       // excluding the current label so a failure replay recomputes
       // identical outcomes instead of flagging its own prior attempt
+      val hasCorpus = graft.sources.DedupIndexes.hasData(spark, corpusDir)
       val known =
-        if (graft.sources.DedupIndexes.hasData(spark, corpusDir))
+        if (hasCorpus)
           spark.read.parquet(corpusDir)
             .filter(col("ingest") =!= label)
             .select(col("fp")).distinct()
             .withColumn("is_known", lit(1L))
         else spark.range(0)
           .select(lit("").as("fp"), lit(1L).as("is_known"))
-      val judged = gated
-        .join(known, Seq("fp"), "left")
+      val judgedExact = gated.join(known, Seq("fp"), "left")
+      // optional near-dup admission: quality-passing, exact-new docs
+      // against the corpus near-dup identity (stored band index, own
+      // label excluded from probe AND corpus on replay), then the
+      // in-batch cluster collapse among corpus-new docs — the
+      // batch-pipeline keeper rule, in the ingestNewDocsNearDup
+      // ordering (corpus probe FIRST, so admission never depends on
+      // what shared a micro-batch; see that sink's comment)
+      val idxLabel = s"b$label"
+      val nearLosers: Option[DataFrame] = nearDupIndexDir.map { dir =>
+        val candidates = judgedExact
+          .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
+            col("is_known").isNull)
+          .select(col("doc_id"), col("text"))
+        val corpusNear: DataFrame =
+          if (!hasCorpus)
+            spark.range(0).select(col("id").as("doc_id"))
+          else {
+            val corpusOther = spark.read.parquet(corpusDir)
+              .filter(col("ingest") =!= label)
+              .select(col("doc_id"), col("text"))
+            // manifest-last self-heal bootstrap, from every OTHER
+            // ingest's rows (a replay must not index its own crashed
+            // attempt into the identity it then probes)
+            if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir))
+              graft.sources.DedupIndexes.rebuildNearDupIndex(corpusOther, dir)
+            val (n, k, bands) =
+              graft.sources.DedupIndexes.readNearDupMeta(spark, dir)
+            val (sh, idx) = graft.sources.DedupIndexes
+              .readNearDupIndex(spark, dir, excludeIngest = Some(idxLabel))
+            graft.operators.Dedup.incrementalNearDupFromIndex(sh, idx,
+                candidates, n, k, bands)
+              .filter(col("is_new") === 0L)
+              .select(col("doc_id"))
+          }
+        val corpusNew = candidates.join(corpusNear, Seq("doc_id"), "left_anti")
+        val inBatchLosers = graft.operators.Dedup.clusterPairs(
+            graft.operators.Dedup.minHashNearDupsOn(corpusNew)
+              .select(col("doc_a"), col("doc_b")))
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id"))
+        corpusNear.unionByName(inBatchLosers).distinct()
+          .withColumn("is_near_dup", lit(1L))
+      }
+      val judged = graft.CacheScope.track(nearLosers
+        .fold(judgedExact.withColumn("is_near_dup", lit(null).cast("long")))(
+          nl => judgedExact.join(nl, Seq("doc_id"), "left"))
         .withColumn("outcome",
           when(col("lang_ok") === 0L, lit("dropped_lang"))
             .when(col("quality_ok") === 0L, lit("dropped_quality"))
             .when(col("is_known") === 1L, lit("dropped_duplicate"))
+            .when(col("is_near_dup") === 1L, lit("dropped_near_duplicate"))
             .otherwise(lit("ingested")))
+        .persist())
       // own-label overwrite on both sinks: replay heals every crash
       // point (ledger-then-crash, corpus-then-crash, both-then-crash)
       judged.filter(col("outcome") === "ingested")
@@ -304,6 +376,34 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$corpusDir/ingest=$label")
       judged.select(col("doc_id"), col("outcome"))
         .write.mode("overwrite").parquet(s"$ledgerDir/ingest=$label")
+      // index MAINTENANCE (the maintainIndex contract, ledger-sink
+      // spelling). The bootstrap build deliberately reads every OTHER
+      // ingest's corpus rows and the current batch's accepted docs then
+      // land under the OWN label: a full build over the whole corpus
+      // would file this batch's docs under `base`, where the replay
+      // exclusion cannot remove them — the replay would find its own
+      // docs at Jaccard 1.0 and flip its ledger outcomes to
+      // dropped_near_duplicate. With the split, every row of the index
+      // is attributable to the ingest that wrote it, and own-label
+      // exclusion stays sound at every crash point.
+      nearDupIndexDir.foreach { dir =>
+        val accepted = judged.filter(col("outcome") === "ingested")
+          .select(col("doc_id"), col("text"))
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir)) {
+          graft.sources.DedupIndexes.rebuildNearDupIndex(
+            spark.read.parquet(corpusDir)
+              .filter(col("ingest") =!= label)
+              .select(col("doc_id"), col("text")), dir)
+          if (!accepted.isEmpty)
+            graft.sources.DedupIndexes.appendNearDup(accepted, dir, idxLabel)
+        } else {
+          val toIndex = accepted
+            .join(graft.sources.DedupIndexes.indexedDocIds(spark, dir,
+              excludeLabel = Some(idxLabel)), Seq("doc_id"), "left_anti")
+          if (!toIndex.isEmpty)
+            graft.sources.DedupIndexes.appendNearDup(toIndex, dir, idxLabel)
+        }
+      }
       ()
     }
 

@@ -859,6 +859,87 @@ class StreamingSpec extends SparkSpec {
     assert(bits(4L)._1 === 0L, "french fails lang")
   }
 
+  test("curation ingest near-dup gate: corpus and in-batch near-dups ledger " +
+      "as dropped_near_duplicate; replay-idempotent; index maintained") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-neardup").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    val idxDir = s"$dir/ndidx"
+    // three quality-passing English docs, mutually NOT near-dups
+    val good1 = "the quick brown fox jumps over a lazy dog while many other " +
+      "animals watch from distant green hills and the wind carries soft " +
+      "autumn leaves across quiet village roads"
+    val good2 = "a calm morning light spreads over the old harbor and small " +
+      "boats drift past the stone pier while children wave from the wooden " +
+      "bridge near open market stalls"
+    val good3 = "heavy winter clouds gather above the tall mountain pass and " +
+      "a lone traveler follows the frozen river down toward the warm lights " +
+      "of the valley town below"
+    // one APPENDED token keeps word-3-gram Jaccard at (n-2)/(n-1) >= 0.8
+    // (the Pipeline plantNearDups arithmetic)
+    val near1 = good1 + " plantedneardup"
+    val near2 = good2 + " anotherplanted"
+    def outcomesOf(label: String): Map[String, String] =
+      spark.read.parquet(ledgerDir).filter(col("ingest") === label)
+        .join(spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+          .unionByName(Seq(near1, near2, good1, good2, good3).toDF("text")
+            .select(xxhash64(md5(regexp_replace(trim(lower(col("text"))),
+              "\\s+", " "))).as("doc_id"), col("text"))).distinct(),
+          Seq("doc_id"), "left")
+        .select(col("text"), col("outcome"))
+        .as[(String, String)].collect().toMap
+    // ground the gate's similarity facts first: the appended-token pairs
+    // ARE >= 0.8 near-dups and the distinct docs are NOT
+    val probe = Seq((1L, good1), (2L, near1), (3L, good2), (4L, good3))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minHashNearDupsOn(probe)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"fixture similarity assumptions broken: $pairs")
+
+    // batch 0: bootstrap — good1 enters, index built
+    StreamingOps.curateBatch(Seq(good1).toDF("value"),
+      corpusDir, ledgerDir, "0", nearDupIndexDir = Some(idxDir))
+    assert(outcomesOf("0") === Map(good1 -> "ingested"))
+    assert(graft.sources.DedupIndexes.hasCompleteIndex(spark, idxDir))
+
+    // batch 1: exact dup + corpus near-dup + in-batch near-dup pair + fresh
+    StreamingOps.curateBatch(Seq(good1, near1, good2, near2, good3).toDF("value"),
+      corpusDir, ledgerDir, "1", nearDupIndexDir = Some(idxDir))
+    val o1 = outcomesOf("1")
+    assert(o1(good1) === "dropped_duplicate")
+    assert(o1(near1) === "dropped_near_duplicate",
+      "a >= 0.8 near-dup of a corpus doc must be gated by the stored-index probe")
+    assert(o1(good3) === "ingested")
+    // the in-batch pair: exactly one enters (min-doc_id keeper), the
+    // other drops as a near-dup — neither is in the corpus yet, so this
+    // is the in-batch cluster collapse, not the corpus probe
+    assert(Set(o1(good2), o1(near2)) === Set("ingested", "dropped_near_duplicate"))
+    val corpusTexts = spark.read.parquet(corpusDir)
+      .select("text").as[String].collect().toSet
+    assert(corpusTexts.contains(good1) && corpusTexts.contains(good3))
+    assert(corpusTexts.intersect(Set(good2, near2)).size === 1)
+    val indexedAfter1 = graft.sources.DedupIndexes.indexedDocIds(spark, idxDir)
+      .as[Long].collect().toSet
+    // every corpus doc is indexed — the sink maintains the identity it probes
+    val corpusIds = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexedAfter1 === corpusIds,
+      "the stored index must cover exactly the corpus after maintenance")
+
+    // same-label crash replay of batch 1: outcomes identical (own label
+    // excluded from corpus, probe, and indexed-set), nothing grows
+    StreamingOps.curateBatch(Seq(good1, near1, good2, near2, good3).toDF("value"),
+      corpusDir, ledgerDir, "1", nearDupIndexDir = Some(idxDir))
+    assert(outcomesOf("1") === o1,
+      "replaying the same label must re-judge identical outcomes")
+    assert(spark.read.parquet(corpusDir).count() === corpusIds.size.toLong,
+      "replay must not grow the corpus")
+    assert(graft.sources.DedupIndexes.indexedDocIds(spark, idxDir)
+      .as[Long].collect().toSet === indexedAfter1,
+      "replay must not grow the index")
+  }
+
   test("session_window spelling equals the oracle-checked batch sessionizer " +
       "on the real events table") {
     // The streaming path sessionizes with Spark's native session_window;
