@@ -211,6 +211,10 @@ object ScaleSmoke {
     // curation-ledger collapse invariant: survivor-side outcome counts
     // must be IDENTICAL at every factor (filled at the first factor)
     var curSurvivorCounts: Option[Map[String, Long]] = None
+    // r13 stage invariants, same shape: the verbatim cut-doc count and
+    // the ppl tertile distribution run on the collapsed survivor set
+    var curVerbatimCuts: Option[Long] = None
+    var curPplDist: Option[Map[String, Long]] = None
 
     for (factor <- factors) {
       val docs = replicatedDocs(spark, sfDir, factor)
@@ -466,6 +470,41 @@ object ScaleSmoke {
         s"factor $factor: dropped_duplicate ${curCounts.get("dropped_duplicate")} " +
           s"!= expected $expectedDups ((factor-1) x $nSurvivorDocs keepers)")
 
+      // r13 pipeline stages over the same duplication-shaped corpus:
+      // BOTH run on the post-dedup SURVIVOR set, which the clique
+      // collapse holds CONSTANT across factors — so each stage's own
+      // cost is flat and only the shared scan/dedup front grows
+      // (linearly). Asserted structurally: the cut-doc count and the
+      // ppl tertile distribution must be IDENTICAL at every factor.
+      val (tCurV, nCutDocs) = timeIt(
+        operators.Pipeline.curateOn(dupDocs, verbatimCuts = true)
+          .filter(col("n_tokens_removed") > 0).count())
+      spark.catalog.clearCache()
+      curVerbatimCuts match {
+        case None => curVerbatimCuts = Some(nCutDocs)
+        case Some(base) => assert(nCutDocs == base,
+          s"factor $factor: verbatim-stage cut docs $nCutDocs != " +
+            s"first-factor $base — the cut must run on the collapsed survivor set")
+      }
+      val pplRefFrame = Tables.documents(spark, sfDir)
+        .filter(col("lang") === "en").select(col("text"))
+      val (tCurP, pplDist) = {
+        val t0 = System.nanoTime()
+        val d = operators.Pipeline.curateOn(dupDocs,
+            pplRef = Some(pplRefFrame), pplVocab = 16)
+          .filter(col("ppl_bucket").isNotNull)
+          .groupBy(col("ppl_bucket")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        ((System.nanoTime() - t0) / 1e9, d)
+      }
+      spark.catalog.clearCache()
+      curPplDist match {
+        case None => curPplDist = Some(pplDist)
+        case Some(base) => assert(pplDist == base,
+          s"factor $factor: ppl tertile distribution $pplDist != " +
+            s"first-factor $base — scoring must cover only the collapsed survivors")
+      }
+
       // stored ANN probes over a factor-sized EMBEDDING corpus, base-
       // sized query set (the serving shape): index written once untimed,
       // probe time has the stored-index scan as its linear ceiling —
@@ -664,6 +703,8 @@ object ScaleSmoke {
         s""""curate_sec":$tCur,"curate_survivors":${curCounts.filter { case (k, _) =>
           k == "train" || k == "eval" || k == "dropped_contaminated" }.values.sum},""" +
         s""""curate_dup_drops":${curCounts.getOrElse("dropped_duplicate", 0L)},""" +
+        s""""curate_verbatim_sec":$tCurV,"curate_verbatim_cut_docs":$nCutDocs,""" +
+        s""""curate_ppl_sec":$tCurP,"curate_ppl_survivors":${pplDist.values.sum},""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +

@@ -306,6 +306,10 @@ object SparkEntry {
     // groupBy, not a second pipeline pass — and the green row certifies
     // the ledger's parquet round-trip
     "q_pipeline_stats" -> ((s, d) => operators.Pipeline.curateStatsDocs(s, d)),
+    // the VERBATIM ledger rolled up with the tokens-removed total per
+    // outcome — how much text the ExactSubstr pass cut, and from which
+    // fate; stored-ledger discipline like q_pipeline_stats
+    "q_pipeline_stats_verbatim" -> ((s, d) => operators.Pipeline.curateStatsVerbatimDocs(s, d)),
     // -- training-mix construction (post-curation tail) --
     // GPT-style concat-and-chunk packing: deterministic fingerprint
     // shuffle → global token prefix sum (blockwise) → fixed 512-token
@@ -345,6 +349,11 @@ object SparkEntry {
     // ranked blockwise — the window runs over the (grade, fp-prefix)
     // counts frame, never the corpus
     "q_curriculum" -> ((s, d) => operators.Mixture.curriculumOrder(s, d)),
+    // data-constrained epoch schedule (Muennighoff-style repeat
+    // allocation): 60k-token budget, 4-epoch cap — at sf0.01 this
+    // exercises full rounds, the name-order partial deal, the boundary
+    // source, and the zero-extra tail all at once
+    "q_epoch_schedule" -> ((s, d) => operators.Mixture.epochSchedule(s, d, 60000L)),
     // -- corpus packaging / audit --
     // sliding-window passage chunking (RAG / fixed-context prep):
     // 32-token chunks at stride 24 — pure explode projection, no shuffle
@@ -453,6 +462,12 @@ object SparkEntry {
     "q_pipeline_stats",
     "SELECT outcome, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM (" +
       oracleSqlBase("q_pipeline_curate") + ") GROUP BY outcome"
+  ).updated(
+    // same wrap for the VERBATIM ledger, tokens-removed total included
+    "q_pipeline_stats_verbatim",
+    "SELECT outcome, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(n_tokens_removed) AS BIGINT) AS n_tokens_removed FROM (" +
+      oracleSqlBase("q_pipeline_curate_verbatim") + ") GROUP BY outcome"
   ) ++ Map(
     // the stored-index probes answer the SAME question as their inline
     // twins — identical oracle by definition; a green row here certifies
@@ -1882,6 +1897,28 @@ object SparkEntry {
     // direct global-rank spelling of the curriculum position — the
     // engine computes the same rank blockwise (Mixture.curriculumOrderOn;
     // equality asserted in MixtureSpec)
+    // deterministic integer waterfilling over the source frame: full
+    // rounds from the 1-row total, the partial round dealt in source-
+    // name order by prefix sum (window SUM promotes to HUGEINT in
+    // DuckDB — surfaced columns cast back to BIGINT per house rule)
+    "q_epoch_schedule" -> ("""
+      WITH s AS (SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM s),
+      a AS (SELECT source, n_tokens,
+                   LEAST(4, 60000 // t_total) AS r0,
+                   CASE WHEN LEAST(4, 60000 // t_total) >= 4 THEN 0
+                        ELSE 60000 - LEAST(4, 60000 // t_total) * t_total END AS rem,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM s CROSS JOIN t),
+      f AS (SELECT source, n_tokens,
+                   r0 * n_tokens + GREATEST(0, LEAST(n_tokens, rem - bef)) AS tokens_alloc
+            FROM a)
+      SELECT source, n_tokens, CAST(tokens_alloc AS BIGINT) AS tokens_alloc,
+             CAST(tokens_alloc * 100 // n_tokens AS BIGINT) AS epochs_x100
+      FROM f""".stripMargin.trim),
     "q_curriculum" -> (lmScoreSql + """,
       g AS (SELECT doc_id, CAST(bits * 100 // n_tokens AS BIGINT) AS grade
             FROM s)

@@ -351,6 +351,63 @@ object Mixture {
         .join(picked, "doc_id"), seqLen)
   }
 
+  /** DATA-CONSTRAINED EPOCH SCHEDULE — "I need `budget` training
+    * tokens; each source holds T_s unique tokens; repeating a source
+    * beyond `maxEpochs` epochs wastes compute" (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", public literature:
+    * repeated tokens hold near-full value for ~4 epochs and decay
+    * after). The allocation is deterministic integer waterfilling:
+    *
+    *   1. full rounds: r0 = min(maxEpochs, budget div ΣT) complete
+    *      epochs of EVERY source;
+    *   2. the remaining budget (one partial round, when r0 < maxEpochs)
+    *      is dealt in source-NAME order by prefix sum — whole sources
+    *      until the boundary source, which takes the remainder.
+    *
+    * Every step is integer arithmetic over the SOURCE frame with one
+    * spelling in Spark and DuckDB — no float shares whose rounding
+    * could flip a boundary between engines. Emits per source:
+    * (source, n_tokens, tokens_alloc, epochs_x100 =
+    * tokens_alloc·100 div n_tokens) — epochs in integer centiepochs,
+    * the repo-wide minor-units rule.
+    *
+    * 100 TB shape: ONE corpus-scale token-count aggregate (map-side
+    * combined); everything after runs on the bounded source frame —
+    * the prefix-sum window covers |sources| rows, and the 1-row
+    * budget/total frame broadcasts (the tf-idf corpus-count shape).
+    */
+  def epochSchedule(spark: SparkSession, sfDir: String,
+                    budget: Long, maxEpochs: Long = 4L): DataFrame =
+    epochScheduleOn(Tables.documents(spark, sfDir)
+      .select(col("text"), col("source")), budget, maxEpochs)
+
+  /** [[epochSchedule]] over any (text, source) frame. */
+  def epochScheduleOn(docs: DataFrame, budget: Long,
+                      maxEpochs: Long = 4L): DataFrame = {
+    require(budget >= 0, s"epochScheduleOn needs a non-negative budget, got $budget")
+    require(maxEpochs >= 1, s"epochScheduleOn needs maxEpochs >= 1, got $maxEpochs")
+    val perSource = docs
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("t_total"))
+    perSource
+      .crossJoin(broadcast(total)) // 1-row broadcast (house precedent)
+      .withColumn("r0", least(lit(maxEpochs), expr(s"${budget}L DIV t_total")))
+      .withColumn("rem",
+        when(col("r0") >= maxEpochs, lit(0L))
+          .otherwise(lit(budget) - col("r0") * col("t_total")))
+      // partial-round deal in source-name order: tokens before this
+      // source in the round = prefix sum over the bounded source frame
+      .withColumn("before", coalesce(
+        sum(col("n_tokens")).over(Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("extra", greatest(lit(0L),
+        least(col("n_tokens"), col("rem") - col("before"))))
+      .withColumn("tokens_alloc", col("r0") * col("n_tokens") + col("extra"))
+      .select(col("source"), col("n_tokens"), col("tokens_alloc"),
+        expr("tokens_alloc * 100 DIV n_tokens").as("epochs_x100"))
+  }
+
   /** PERPLEXITY-CURRICULUM ordering — the easy-to-hard training
     * schedule: every doc gets its 1-based global position in
     * (grade asc, fingerprint, doc_id) order, where `grade` is any

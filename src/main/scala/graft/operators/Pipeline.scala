@@ -414,6 +414,33 @@ object Pipeline {
   def curateStats(spark: SparkSession, sfDir: String): DataFrame =
     curateStatsOn(curate(spark, sfDir))
 
+  /** [[curateStatsOn]] for a VERBATIM-stage ledger: adds the
+    * tokens-removed total per outcome class — the number that tells a
+    * corpus engineer how much text the ExactSubstr pass actually cut
+    * (and from which fate: tokens cut from docs that then dropped as
+    * contaminated read very differently from tokens cut from kept
+    * train docs). Same one-aggregate shape as [[curateStatsOn]].
+    */
+  def curateStatsVerbatimOn(ledger: DataFrame): DataFrame =
+    ledger
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tokens_removed")).as("n_tokens_removed"))
+
+  /** The q_pipeline_stats_verbatim driver harness: rolls up the STORED
+    * verbatim ledger artifact (the [[curateStatsDocs]] writeOnce
+    * discipline — the rollup costs a ledger scan, never a second
+    * pipeline pass, and the green row certifies the wider ledger's
+    * parquet round-trip).
+    */
+  def curateStatsVerbatimDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.DedupIndexes.scratch(
+      "target/pipeline_ledger", "curate_verbatim", sfDir)
+    graft.sources.DedupIndexes.writeOnce(path)(
+      curateVerbatim(spark, sfDir).write.mode("overwrite").parquet(path))
+    curateStatsVerbatimOn(spark.read.parquet(path))
+  }
+
   /** The q_pipeline_stats driver harness: rolls up the STORED ledger
     * artifact, materialized once per JVM at a scratch path (the
     * writeOnce discipline of the index harnesses) — the way a real

@@ -212,7 +212,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_mm_asset_stats", "q_mm_frame_stats",
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
       "q_pipeline_curate_block", "q_pipeline_curate_verbatim",
-      "q_pipeline_curate_ppl", "q_pipeline_stats",
+      "q_pipeline_curate_ppl", "q_pipeline_stats", "q_pipeline_stats_verbatim",
+      "q_epoch_schedule",
       "q_events_gapfill", "q_event_funnel", "q_event_retention",
       "q_pack_sequences", "q_mixture_plan", "q_mixture_sample",
       "q_dsir_weights", "q_dsir_resample", "q_mixture_curated",

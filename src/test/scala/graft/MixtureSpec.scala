@@ -126,6 +126,40 @@ class MixtureSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("epoch schedule: budget conserved, maxEpochs capped, partial round dealt in name order") {
+    val srcDocs = Seq(
+      ("a b c d", "s1"),       // 4 tokens
+      ("e f g", "s2"),         // 3
+      ("h i j k l m", "s3"))   // 6 -> total 13
+      .toDF("text", "source")
+    // budget 30, cap 4: r0 = 2 full rounds (26 tokens), remainder 4 ->
+    // s1 (first in name order) absorbs all 4, s2/s3 get none
+    val got = Mixture.epochScheduleOn(srcDocs, 30L, 4L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "s1" -> ((4L, 12L, 300L)),
+      "s2" -> ((3L, 6L, 200L)),
+      "s3" -> ((6L, 12L, 200L))))
+    assert(got.values.map(_._2).sum === 30L, "the full budget must be allocated")
+    // mid-source boundary: budget 15 -> r0 = 1 (13), remainder 2 lands
+    // partially on s1 (2 of its 4 tokens)
+    val partial = Mixture.epochScheduleOn(srcDocs, 15L, 4L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(partial === Map("s1" -> 6L, "s2" -> 3L, "s3" -> 6L))
+    // budget past the cap: every source stops at exactly maxEpochs —
+    // repeated tokens beyond the cap are worthless, so they are never
+    // allocated even with budget to burn
+    val capped = Mixture.epochScheduleOn(srcDocs, 1000L, 4L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(capped.forall(r => r._3 === r._2 * 4 && r._4 === 400L),
+      s"cap violated: ${capped.mkString(", ")}")
+    // degenerate budgets refuse loudly / allocate nothing
+    intercept[IllegalArgumentException](Mixture.epochScheduleOn(srcDocs, -1L))
+    assert(Mixture.epochScheduleOn(srcDocs, 0L)
+      .as[(String, Long, Long, Long)].collect().forall(_._3 === 0L))
+  }
+
   test("temperature sample honors its quota exactly, with dense ranks") {
     val sampled = Mixture.temperatureSample(spark, sf).cache()
     val plan = Mixture.mixturePlan(spark, sf)

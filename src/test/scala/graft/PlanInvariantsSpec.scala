@@ -49,6 +49,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // the pipeline's ppl stage composes lmScoreOn's 1-ROW reference
     // total and bucketsFromScores' 1-ROW tertile-bounds crossJoins
     "q_pipeline_curate_ppl",
+    // the epoch schedule crossJoins the broadcast 1-ROW corpus token
+    // total into the bounded source frame (the tf-idf shape)
+    "q_epoch_schedule",
     // concentration crossJoins three broadcast 1-ROW frames (stats,
     // full-band sum, boundary sum) into the one-row report
     "q_revenue_top1")
@@ -117,6 +120,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // the pipeline's ppl stage inherits the same bounded
     // score-histogram window through bucketsFromScores
     "q_pipeline_curate_ppl",
+    // the epoch schedule's partial-round prefix sum runs over the
+    // |sources|-row frame, never the corpus
+    "q_epoch_schedule",
     // the corpus-build tail composes packSequences' block-offset window
     // (bounded block-sum frame, never the corpus)
     "q_corpus_build",
