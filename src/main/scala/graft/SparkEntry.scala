@@ -328,8 +328,11 @@ object SparkEntry {
     // exact top-quartile selection by avg_ppm via the score histogram +
     // boundary-value tie-break — no corpus-wide rank window
     "q_dsir_resample" -> ((s, d) => operators.Mixture.importanceResample(s, d)),
-    // composed corpus-build tail: curation ledger's train docs →
-    // temperature-balanced mixture
+    // composed corpus-build tail: coverage-threshold curation ledger's
+    // train docs → temperature-balanced mixture (the cov variant — the
+    // blunt any-3-gram rule empties `train` entirely at sf0.1 on the
+    // fixture's 31-token vocabulary; the r13 bench non-emptiness probe
+    // caught earlier rounds timing that empty tail)
     "q_mixture_curated" -> ((s, d) => operators.Mixture.mixtureCurated(s, d)),
     // the FULL corpus-build tail: curate -> train -> temperature
     // mixture -> packed 512-token sequences, raw docs in / (doc, seq,
@@ -425,6 +428,10 @@ object SparkEntry {
     // -- similarity search --
     "q_embed_neardup" -> ((s, d) => operators.Similarity.cosineNearDupPairs(s, d)),
     "q_embed_ann" -> ((s, d) => operators.Similarity.annTopKBrute(s, d)),
+    // SQ8 two-stage retrieval: int8-coded coarse pass (the 4x-smaller
+    // scan) -> exact float re-rank of the per-query shortlist; rows-only
+    // (float path), recall >= 0.9 vs the exact oracle in SimilaritySpec
+    "q_embed_ann_sq" -> ((s, d) => operators.Similarity.annTopKSq(s, d)),
     "q_embed_ann_lsh" -> ((s, d) => operators.Similarity.annTopKLsh(s, d)),
     // rows-only: kmeans-seeded cells are engine-specific; recall vs
     // brute force asserted in SimilaritySpec
@@ -589,7 +596,7 @@ object SparkEntry {
                    md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS key
                  FROM documents d
                  JOIN (""" + pipelineOracle(
-                   nearPlants = false, fuzzy = false, covPct = None) + """) led
+                   nearPlants = false, fuzzy = false, covPct = Some(40)) + """) led
                    ON led.doc_id = d.doc_id
                  WHERE led.outcome = 'train'),
       q AS (SELECT source,

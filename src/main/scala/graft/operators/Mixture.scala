@@ -314,17 +314,25 @@ object Mixture {
       .select(col("doc_id"), col("avg_ppm"))
   }
 
-  /** The composed corpus-build tail: [[Pipeline.curate]]'s ledger keeps
-    * the `train` docs, and [[temperatureSampleOn]] balances the
-    * surviving mixture — curation and mix construction chained the way
-    * a production build runs them. Planted dedup copies can never reach
-    * `train` (they always lose the keeper race), so the sampled set is
-    * plant-free by construction; the join back to `documents` re-attaches
-    * the source column the ledger intentionally drops.
+  /** The composed corpus-build tail: the curation ledger keeps the
+    * `train` docs, and [[temperatureSampleOn]] balances the surviving
+    * mixture — curation and mix construction chained the way a
+    * production build runs them. The ledger runs COVERAGE-THRESHOLD
+    * decontamination ([[Pipeline.curateCov]], >= 40% shared-n-gram
+    * coverage): the blunt any-shared-3-gram rule is not a viable
+    * pipeline head on this fixture's 31-token vocabulary — at sf0.1
+    * EVERY candidate train doc shares some 3-gram with eval and the
+    * mixture would be built from an empty set (exactly what the r13
+    * bench non-emptiness probe caught: earlier rounds were timing an
+    * empty mixture/pack tail at the bench SF). Planted dedup copies
+    * can never reach `train` (they always lose the keeper race), so
+    * the sampled set is plant-free by construction; the join back to
+    * `documents` re-attaches the source column the ledger
+    * intentionally drops.
     */
   def mixtureCurated(spark: SparkSession, sfDir: String,
                      scale: Long = 4L): DataFrame = {
-    val train = Pipeline.curate(spark, sfDir)
+    val train = Pipeline.curateCov(spark, sfDir)
       .filter(col("outcome") === "train")
       .select(col("doc_id"))
     temperatureSampleOn(

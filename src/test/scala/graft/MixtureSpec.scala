@@ -225,7 +225,9 @@ class MixtureSpec extends SparkSpec {
   }
 
   test("curated mixture samples only ledger-train docs, with train-set quotas") {
-    val ledger = Pipeline.curate(spark, sf).cache()
+    // the mixture composes the COVERAGE-THRESHOLD ledger (see
+    // mixtureCurated's scaladoc: the blunt rule empties train at sf0.1)
+    val ledger = Pipeline.curateCov(spark, sf).cache()
     val train = ledger.filter(col("outcome") === "train")
       .select("doc_id").as[Long].collect().toSet
     val sampled = Mixture.mixtureCurated(spark, sf).cache()

@@ -68,6 +68,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: codes bounded, reconstruction within half a step, ANN recall vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeSq8On(emb)
+      .as[(Long, Double, Seq[Byte])].collect()
+    assert(q.nonEmpty)
+    val origs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    q.foreach { case (id, maxabs, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of range for $id")
+      // reconstruction error <= maxabs/254 per component (half a step)
+      origs(id).zip(codes).foreach { case (o, c) =>
+        val rec = c.toDouble * maxabs / 127.0
+        assert(math.abs(o - rec) <= maxabs / 254.0 + 1e-9,
+          s"reconstruction error beyond half a quantization step for $id")
+      }
+    }
+    // two-stage retrieval recall vs the exact top-k (driver ground truth)
+    val got = Similarity.annTopKSq(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = vecs.keys.filter(_ < 10)
+    val recalls = queries.map { qid =>
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (-cos(qid, n), n)).take(5).toSet
+      (got(qid) & want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"SQ8 two-stage recall = $recall%.2f")
+    assert(recall >= 0.9, f"SQ8 recall $recall%.2f below bound")
+  }
+
   test("quantizer memo refits when a reused key carries different data") {
     // half the table under a label, then the FULL table under the SAME
     // label: before the fingerprinted memo key (round-8) the second call
