@@ -505,6 +505,19 @@ object ScaleSmoke {
             s"first-factor $base — scoring must cover only the collapsed survivors")
       }
 
+      // SQ8 two-stage retrieval over a factor-sized embedding corpus,
+      // base-sized query set: the coarse pass is a linear scan of the
+      // int8 codes (the 4x-smaller artifact), the exact re-rank touches
+      // only rerank-per-query candidates — growth must track the code
+      // scan (linear), never corpus x corpus
+      val embSq = replicatedEmbeddings(spark, sfDir, factor)
+      val sqQueries = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val (tSq, nSq) = timeIt(operators.Similarity.annTopKSqOn(
+        embSq, broadcast(sqQueries), k = 5, rerank = 20).count())
+      spark.catalog.clearCache()
+
       // stored ANN probes over a factor-sized EMBEDDING corpus, base-
       // sized query set (the serving shape): index written once untimed,
       // probe time has the stored-index scan as its linear ceiling —
@@ -695,6 +708,7 @@ object ScaleSmoke {
         s""""idx_verbatim_vs_inline":${tIdxV2 / tIncV2},""" +
         s""""grep_inline_sec":$tGrepInl,"grep_idx_sec":$tGrepIdx,""" +
         s""""grep_idx_vs_inline":${tGrepIdx2 / tGrepInl2},"grep_rows":$nGrepInl,""" +
+        s""""ann_sq_sec":$tSq,"ann_sq_rows":$nSq,""" +
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""embprune_sec":$tPrune,"embprune_rows":$nPrune,""" +

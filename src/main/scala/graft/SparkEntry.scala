@@ -444,6 +444,9 @@ object SparkEntry {
     // rows + a vectors table — no payload on sketch rows); rows-only
     // like its inline twin, stored == inline asserted in SimilaritySpec
     "q_embed_ann_lsh_idx" -> ((s, d) => sources.SimilarityIndexes.annLshProbeDocs(s, d)),
+    // the SQ8 stored-probe twin: coarse pass reads the 4x-smaller
+    // materialized code table, re-rank joins the stored vectors
+    "q_embed_ann_sq_idx" -> ((s, d) => sources.SimilarityIndexes.annSqProbeDocs(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

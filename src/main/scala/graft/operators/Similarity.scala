@@ -179,9 +179,29 @@ object Similarity {
     * eq) query frame.
     */
   def annTopKSqOn(emb: DataFrame, queries: DataFrame,
-                  k: Int, rerank: Int): DataFrame = {
+                  k: Int, rerank: Int): DataFrame =
+    sqProbe(quantizeSq8On(emb),
+      emb.select(col("vec_id"), col("embedding")), queries, k, rerank)
+
+  /** [[annTopKSq]] probing a PREBUILT (codes, vectors) pair — the
+    * production path where the corpus was quantized ONCE at ingest
+    * ([[graft.sources.SimilarityIndexes]] is the parquet spelling) and
+    * every query session reads the 4×-smaller code table for the
+    * coarse pass; the probe arithmetic is the shared [[sqProbe]], so
+    * stored and inline results cannot fork.
+    */
+  def annTopKSqFromIndex(codes: DataFrame, vectors: DataFrame,
+                         queries: DataFrame, k: Int = 5,
+                         rerank: Int = 20): DataFrame =
+    sqProbe(codes, vectors, queries, k, rerank)
+
+  /** The SQ8 probe shared by [[annTopKSqOn]] and [[annTopKSqFromIndex]]:
+    * coarse int8 pass over `codes` keeps `rerank` per query, exact
+    * float re-rank joins only the shortlist back to `vectors`.
+    */
+  private def sqProbe(codes: DataFrame, vectors: DataFrame,
+                      queries: DataFrame, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val codes = quantizeSq8On(emb)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("neighbor_id").asc)
     val shortlist = codes.join(broadcast(queries),
@@ -194,7 +214,7 @@ object Similarity {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("eq"), col("embedding")).as("sim"))

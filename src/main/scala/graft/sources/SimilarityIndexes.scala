@@ -311,6 +311,50 @@ object SimilarityIndexes {
   private def embeddingDim(emb: DataFrame): Option[Int] =
     emb.select(size(col("embedding")).as("d")).take(1).headOption.map(_.getInt(0))
 
+  /** Write the SQ8 index from scratch: `path/codes` = (vec_id, maxabs,
+    * codes — the 4×-smaller coarse-pass artifact), `path/vectors` =
+    * (vec_id, embedding — the exact re-rank side), `path/manifest` =
+    * (vec_id), ingest-labeled, manifest last, any previous index
+    * removed — the [[writeLshIndex]] contract. No meta table: SQ8 has
+    * no tunable scheme to pin (the scale is stored PER VECTOR in the
+    * codes rows themselves), so an append can never fork a config.
+    */
+  def writeSqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
+    DedupIndexes.delete(spark, path)
+    Similarity.quantizeSq8On(emb)
+      .write.mode("overwrite").parquet(s"$path/codes/ingest=$BaseLabel")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a batch to a stored SQ8 index: the batch quantizes under
+    * its own per-vector scales (nothing fitted to drift from — the
+    * append-forever shape, like LSH) and lands under `ingest=<label>`
+    * with overwrite-on-own-label replay idempotence + manifest-last.
+    */
+  def appendSq(batch: DataFrame, path0: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val path = DedupIndexes.resolveIndex(batch.sparkSession, path0)
+    Similarity.quantizeSq8On(batch)
+      .write.mode("overwrite").parquet(s"$path/codes/ingest=$label")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Read back (codes, vectors) across every ingest; the label is
+    * maintenance metadata, not probe input.
+    */
+  def readSqIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    (spark.read.parquet(s"$path/codes").drop("ingest"),
+      spark.read.parquet(s"$path/vectors").drop("ingest"))
+  }
+
   /** APPEND a batch to a stored LSH index: sketch keys derived at the
     * index's stored config land under `ingest=<label>` with the usual
     * overwrite-on-own-label replay idempotence + manifest-last crash
@@ -439,6 +483,24 @@ object SimilarityIndexes {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nTables, bits, dim = dim)
+  }
+
+  /** [[Similarity.annTopKSq]] probing the materialized SQ8 index — the
+    * q_embed_ann_sq stored-probe twin (rows-only driver check like the
+    * inline query; SimilaritySpec asserts stored == inline, which
+    * carries the recall bound over).
+    */
+  def annSqProbeDocs(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 5,
+                     rerank: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("sq", sfDir)
+    DedupIndexes.writeOnce(path)(writeSqIndex(emb, path))
+    val (codes, vectors) = readSqIndex(spark, path)
+    Similarity.annTopKSqFromIndex(codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, rerank)
   }
 
   /** [[Similarity.semanticDedup]] blocking on the materialized

@@ -16,7 +16,8 @@ class PlanInvariantsSpec extends SparkSpec {
   private val intendedBnlj = Set("q_embed_ann", "q_tfidf_terms",
     // the SQ8 coarse pass streams every code row past the same ~10-row
     // broadcast query frame as q_embed_ann — constant build side
-    "q_embed_ann_sq",
+    // (stored twin shares the probe)
+    "q_embed_ann_sq", "q_embed_ann_sq_idx",
     // importance resampling crossJoins a broadcast 1-ROW quota frame
     // into the score histogram (Mixture.importanceResampleOn) — same
     // constant-build-side shape as tf-idf's corpus count

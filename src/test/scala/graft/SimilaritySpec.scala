@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"SQ8 recall $recall%.2f below bound")
   }
 
+  test("stored SQ8 index: probe == inline, append == fresh full build") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sq-idx").toString
+    graft.sources.SimilarityIndexes.writeSqIndex(emb, s"$dir/full")
+    val (codes, vectors) = graft.sources.SimilarityIndexes.readSqIndex(spark, s"$dir/full")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKSqFromIndex(codes, vectors, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKSq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty,
+      "stored SQ8 probe diverged from the inline quantize-and-probe path")
+    // append parity: build from an 80% slice, append the rest under a
+    // label — the combined index answers identically to the full build
+    val lo = emb.filter($"vec_id" % 10 < 8)
+    val hi = emb.filter($"vec_id" % 10 >= 8)
+    graft.sources.SimilarityIndexes.writeSqIndex(lo, s"$dir/grown")
+    graft.sources.SimilarityIndexes.appendSq(hi, s"$dir/grown", "b1")
+    // replay the append: own-label overwrite adds nothing
+    graft.sources.SimilarityIndexes.appendSq(hi, s"$dir/grown", "b1")
+    val (gc, gv) = graft.sources.SimilarityIndexes.readSqIndex(spark, s"$dir/grown")
+    assert(gc.count() === codes.count() && gv.count() === vectors.count(),
+      "append (replayed) must reach exactly the full build's row count")
+    val grown = Similarity.annTopKSqFromIndex(gc, gv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown === stored, "append-grown index answers differently from the full build")
+  }
+
   test("quantizer memo refits when a reused key carries different data") {
     // half the table under a label, then the FULL table under the SAME
     // label: before the fingerprinted memo key (round-8) the second call
