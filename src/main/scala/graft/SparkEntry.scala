@@ -447,6 +447,15 @@ object SparkEntry {
     // the SQ8 stored-probe twin: coarse pass reads the 4x-smaller
     // materialized code table, re-rank joins the stored vectors
     "q_embed_ann_sq_idx" -> ((s, d) => sources.SimilarityIndexes.annSqProbeDocs(s, d)),
+    // IVF-SQ8 composed (FAISS IVF16,SQ8): cell probing prunes WHICH
+    // vectors the coarse pass scans, int8 codes prune the BYTES per
+    // vector, exact float re-rank on the shortlist; rows-only (kmeans
+    // cells), nprobe=nlist == pure-SQ8 equality + recall bound in
+    // SimilaritySpec
+    "q_embed_ann_ivfsq" -> ((s, d) => operators.Similarity.annTopKIvfSq(s, d)),
+    // its stored-probe twin: quantized inverted lists PARTITIONED BY
+    // cell — the coarse pass reads only the probed cells' files
+    "q_embed_ann_ivfsq_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfSqProbeDocs(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

@@ -128,18 +128,25 @@ object Similarity {
     * `codes[i] = round(v[i] / maxabs · 127)` ∈ [-127, 127]; an
     * all-zero vector quantizes to all-zero codes. Pure per-row
     * projection, two codegen'd HOF passes (max-abs fold, transform).
+    * A `cell` column (the IVF-SQ composition feeds an assigned frame)
+    * rides through; anything else is dropped — the quantized artifact
+    * stays payload-free.
     */
-  def quantizeSq8On(emb: DataFrame): DataFrame =
+  def quantizeSq8On(emb: DataFrame): DataFrame = {
+    val keep = Seq(col("vec_id")) ++
+      (if (emb.columns.contains("cell")) Seq(col("cell")) else Nil)
     emb
-      .select(col("vec_id"), col("embedding"),
+      .withColumn("maxabs",
         aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast("double")))).as("maxabs"))
-      .select(col("vec_id"), col("maxabs"),
+          (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("codes",
         when(col("maxabs") === 0.0,
           transform(col("embedding"), _ => lit(0).cast("tinyint")))
           .otherwise(transform(col("embedding"),
             x => round(x.cast("double") / col("maxabs") * 127.0)
-              .cast("int").cast("tinyint"))).as("codes"))
+              .cast("int").cast("tinyint"))))
+      .select(keep ++ Seq(col("maxabs"), col("codes")): _*)
+  }
 
   /** Approximate cosine of a float query against SQ8 codes: the codes
     * reconstruct to `codes · maxabs/127` component-wise and score
@@ -206,6 +213,90 @@ object Similarity {
       .orderBy(col("qsim").desc, col("neighbor_id").asc)
     val shortlist = codes.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
+        sq8Sim(col("eq"), col("codes")).as("qsim"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("eq"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("eq"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-SQ8 — the two prunings COMPOSED, FAISS's `IVF<nlist>,SQ8`
+    * factory index re-expressed as Spark joins: IVF cell probing cuts
+    * WHICH vectors the coarse pass scans (nprobe/nlist of the corpus)
+    * while SQ8 cuts HOW MANY BYTES each scanned vector costs (int8
+    * codes, ~4× smaller), and the exact float re-rank touches only the
+    * `rerank`-per-query shortlist. At 100 TB this is the production
+    * serving shape: the quantized inverted lists are the only
+    * corpus-sized artifact a query reads.
+    *
+    * kmeans-seeded cells make outputs engine-specific → rows-only
+    * driver check; SimilaritySpec pins the semantics: with
+    * nprobe = nlist the result is EXACTLY [[annTopKSqOn]] (cell pruning
+    * off ⇒ pure SQ8 two-stage), and at the default nprobe recall vs the
+    * exact oracle is asserted ≥ the IVF bound.
+    */
+  def annTopKIvfSq(spark: SparkSession, sfDir: String,
+                   nQueries: Int = 10, k: Int = 5,
+                   nlist: Int = 16, nprobe: Int = 12, rerank: Int = 20,
+                   trustKey: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    ivfSqProbe(centroids, quantizeSq8On(assignCells(emb, centroids, nassign = 1)),
+      emb.select(col("vec_id"), col("embedding")), queries, k, nprobe, rerank)
+  }
+
+  /** [[annTopKIvfSq]] probing a PREBUILT index — `codes` carries
+    * (vec_id, cell, maxabs, codes) quantized inverted lists
+    * ([[graft.sources.SimilarityIndexes.writeIvfSqIndex]] is the parquet
+    * spelling, PARTITIONED BY cell so the coarse pass reads only the
+    * probed cells' files), `vectors` the exact re-rank side. The probe
+    * arithmetic is the shared [[ivfSqProbe]], so stored and inline
+    * results cannot fork.
+    */
+  def annTopKIvfSqFromIndex(centroids: Seq[Seq[Double]], codes: DataFrame,
+                            vectors: DataFrame, queries: DataFrame,
+                            k: Int = 5, nprobe: Int = 12,
+                            rerank: Int = 20): DataFrame =
+    ivfSqProbe(centroids, codes, vectors, queries, k, nprobe, rerank)
+
+  /** The IVF-SQ8 probe shared by [[annTopKIvfSq]] and
+    * [[annTopKIvfSqFromIndex]]: queries rank the centroid literals and
+    * keep their `nprobe` nearest cells ([[ivfProbe]]'s fan-out), the
+    * coarse int8 pass scans ONLY those cells' codes behind a BROADCAST
+    * equi-join on cell id — the corpus side never shuffles, and against
+    * the cell-partitioned stored layout the join prunes to
+    * nprobe/nlist of the files — and the exact float re-rank joins the
+    * per-query shortlist back to `vectors` ([[sqProbe]]'s second
+    * stage). Cells are nassign = 1 (the ANN layout), so no candidate
+    * dedup agg is needed: a vector appears in at most one probed cell.
+    */
+  private def ivfSqProbe(centroids: Seq[Seq[Double]], codes: DataFrame,
+                         vectors: DataFrame, queries: DataFrame,
+                         k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probes = queries.select(col("query_id"), col("eq"),
+      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+        .as(Seq("cell", "csim")))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
+    val probeCells = probes.withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("eq"), col("cell"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id").asc)
+    val shortlist = codes.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
         sq8Sim(col("eq"), col("codes")).as("qsim"))
       .withColumn("arank", row_number().over(wApprox))

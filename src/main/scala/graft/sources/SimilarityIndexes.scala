@@ -355,6 +355,75 @@ object SimilarityIndexes {
       spark.read.parquet(s"$path/vectors").drop("ingest"))
   }
 
+  /** Write the IVF-SQ8 index from scratch — FAISS's `IVF<nlist>,SQ8`
+    * on parquet: `path/centroids` + `path/meta` exactly as the plain
+    * IVF index (nassign pinned to 1, the ANN layout), `path/codes` =
+    * (vec_id, maxabs, codes) PARTITIONED BY cell — the QUANTIZED
+    * inverted lists, the only corpus-sized artifact a probe's coarse
+    * pass reads, at ~1/4 the bytes of the float cells table —
+    * `path/vectors` = the exact re-rank side, `path/manifest` last.
+    */
+  def writeIvfSqIndex(emb: DataFrame, path: String, qKey: String,
+                      nlist: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
+    DedupIndexes.delete(spark, path)
+    val centroids = Similarity.fitQuantizer(emb, qKey, nlist)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((nlist, 1)).toDF("nlist", "nassign")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    Similarity.quantizeSq8On(Similarity.assignCells(emb, centroids, nassign = 1))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/ingest=$BaseLabel")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a batch to a stored IVF-SQ8 index: assigned with the STORED
+    * centroids ([[appendIvf]]'s fit-once contract — centroids never
+    * move on append), quantized under the batch's own per-vector
+    * scales, landed under `ingest=<label>` with overwrite-on-own-label
+    * replay idempotence + manifest-last. Re-fit cadence is
+    * [[writeIvfSqIndex]]'s job, signalled by [[ivfRefitDue]] exactly as
+    * for the float index (drift is a property of the assignment, not
+    * the storage codec — but note [[ivfDriftStats]] reads `cells`, so
+    * it applies to a co-maintained float index, not this one).
+    */
+  def appendIvfSq(batch: DataFrame, path0: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val centroids = readCentroids(spark, path)
+    embeddingDim(batch).foreach(d => require(d == centroids.head.size,
+      s"index at $path holds ${centroids.head.size}-dim centroids but " +
+        s"the appended batch is $d-dim; re-embedding at a new width is " +
+        "a rebuild (writeIvfSqIndex), not an append"))
+    Similarity.quantizeSq8On(Similarity.assignCells(batch, centroids, nassign = 1))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/ingest=$label")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Read back (centroids, codes, vectors) across every ingest; `cell`
+    * cast back from its partition-column spelling, ingest labels
+    * dropped (maintenance metadata, not probe input).
+    */
+  def readIvfSqIndex(spark: SparkSession,
+                     path0: String): (Seq[Seq[Double]], DataFrame, DataFrame) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    (readCentroids(spark, path),
+      spark.read.parquet(s"$path/codes")
+        .withColumn("cell", col("cell").cast("int")).drop("ingest"),
+      spark.read.parquet(s"$path/vectors").drop("ingest"))
+  }
+
   /** APPEND a batch to a stored LSH index: sketch keys derived at the
     * index's stored config land under `ingest=<label>` with the usual
     * overwrite-on-own-label replay idempotence + manifest-last crash
@@ -501,6 +570,24 @@ object SimilarityIndexes {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, rerank)
+  }
+
+  /** [[Similarity.annTopKIvfSq]] probing the materialized IVF-SQ8 index
+    * — the q_embed_ann_ivfsq stored-probe twin (rows-only like the
+    * inline query; SimilaritySpec asserts stored == inline, which
+    * carries the recall bound over).
+    */
+  def annIvfSqProbeDocs(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 10, k: Int = 5,
+                        nprobe: Int = 12, rerank: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivfsq", sfDir)
+    DedupIndexes.writeOnce(path)(writeIvfSqIndex(emb, path, sfDir))
+    val (centroids, codes, vectors) = readIvfSqIndex(spark, path)
+    Similarity.annTopKIvfSqFromIndex(centroids, codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobe, rerank)
   }
 
   /** [[Similarity.semanticDedup]] blocking on the materialized

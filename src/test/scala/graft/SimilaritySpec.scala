@@ -128,6 +128,73 @@ class SimilaritySpec extends SparkSpec {
     assert(grown === stored, "append-grown index answers differently from the full build")
   }
 
+  test("IVF-SQ8: full probe degrades to pure SQ8; default nprobe holds the IVF recall bound") {
+    // nprobe = nlist turns cell pruning off: every code row reaches the
+    // coarse pass, so the composed index must reproduce the pure SQ8
+    // two-stage EXACTLY (same scoring expression, same tie-breaks)
+    val full = Similarity.annTopKIvfSq(spark, sf, nprobe = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val sq = Similarity.annTopKSq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === sq && full.nonEmpty,
+      "IVF-SQ8 at nprobe=nlist must equal the pure SQ8 two-stage retrieval")
+    // cell pruning on: recall vs the exact driver ground truth holds the
+    // IVF bound (the coarse-pass SQ error is absorbed by the re-rank,
+    // so the only recall loss is cell pruning — IVF's own)
+    val got = Similarity.annTopKIvfSq(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = vecs.keys.filter(_ < 10)
+    val recalls = queries.map { qid =>
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (-cos(qid, n), n)).take(5).toSet
+      (got(qid) & want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF-SQ8 recall = $recall%.2f")
+    assert(recall >= 0.85, f"IVF-SQ8 recall $recall%.2f below the IVF bound")
+  }
+
+  test("stored IVF-SQ8 index: probe == inline, append assigns with STORED centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-idx").toString
+    // same quantizer key as the inline path -> same memoized centroids,
+    // so stored-vs-inline equality is exact, not just recall-equivalent
+    graft.sources.SimilarityIndexes.writeIvfSqIndex(emb, s"$dir/full", sf)
+    val (cen, codes, vectors) =
+      graft.sources.SimilarityIndexes.readIvfSqIndex(spark, s"$dir/full")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKIvfSqFromIndex(cen, codes, vectors, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKIvfSq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty,
+      "stored IVF-SQ8 probe diverged from the inline fit-assign-probe path")
+    // append: build from an 80% slice (its own fit), append the rest —
+    // the grown index must answer exactly like a ONE-SHOT assignment of
+    // the full corpus under the stored (80%-fitted) centroids: appends
+    // never move centroids, only add inverted-list rows
+    val lo = emb.filter($"vec_id" % 10 < 8)
+    val hi = emb.filter($"vec_id" % 10 >= 8)
+    graft.sources.SimilarityIndexes.writeIvfSqIndex(lo, s"$dir/grown", s"$sf:ivfsq80")
+    graft.sources.SimilarityIndexes.appendIvfSq(hi, s"$dir/grown", "b1")
+    // replay the append: own-label overwrite adds nothing
+    graft.sources.SimilarityIndexes.appendIvfSq(hi, s"$dir/grown", "b1")
+    val (gcen, gcodes, gvec) =
+      graft.sources.SimilarityIndexes.readIvfSqIndex(spark, s"$dir/grown")
+    assert(gcodes.count() === emb.count() && gvec.count() === emb.count(),
+      "append (replayed) must reach exactly one row per corpus vector")
+    val grown = Similarity.annTopKIvfSqFromIndex(gcen, gcodes, gvec, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Similarity.annTopKIvfSqFromIndex(gcen,
+      Similarity.quantizeSq8On(Similarity.assignCells(emb, gcen, nassign = 1)),
+      emb.select($"vec_id", $"embedding"), queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown === oneShot,
+      "append-grown index answers differently from one-shot assignment under the stored centroids")
+  }
+
   test("quantizer memo refits when a reused key carries different data") {
     // half the table under a label, then the FULL table under the SAME
     // label: before the fingerprinted memo key (round-8) the second call
