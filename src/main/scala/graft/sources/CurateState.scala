@@ -1,0 +1,285 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipeline, TextOps}
+
+/** INCREMENTAL CURATION — the batch-append spelling of
+  * [[graft.operators.Pipeline.curateOn]]: a corpus is built batch by
+  * batch, each batch judged against the STORED identity of everything
+  * committed before it, with the full curate ledger (lang / quality /
+  * exact dup / near dup / split / decontamination) as the per-batch
+  * output. At 100 TB this is the only viable corpus-build shape — a
+  * daily delivery cannot re-curate the world, so each batch must pay
+  * only batch-sized work plus index-bounded probes of the state.
+  *
+  * State layout under `path/` (every corpus-derived table
+  * ingest-labeled, the [[DedupIndexes]] maintenance contract):
+  *   - `meta`                    — one row (lang, split_threshold,
+  *     contam_n, contam_min_pct): the pipeline config pinned at init so
+  *     a later batch can never fork it;
+  *   - `fps/ingest=<label>`     — the distinct canonical fingerprints
+  *     this batch ADDED to the exact-dedup identity (fingerprints of
+  *     its lang+quality survivors not already known) — the state the
+  *     exact stage probes;
+  *   - `neardup/`               — a [[DedupIndexes.writeNearDupIndex]]
+  *     MinHash index over every committed batch's EXACT-DEDUP SURVIVORS
+  *     (near-dup losers included — see below), appended per batch;
+  *   - `evalgrams/ingest=<label>` — the distinct word `contam_n`-grams
+  *     of this batch's final EVAL docs — the decontamination state;
+  *   - `ledger/ingest=<label>`  — the batch's curate ledger
+  *     (doc_id, n_tokens, outcome), written LAST: a batch is committed
+  *     iff its ledger exists, and every earlier artifact of a crashed
+  *     commit is healed by replaying the same (batch, label) —
+  *     overwrite-on-own-label everywhere, all derivations
+  *     deterministic, and every state read excludes the batch's own
+  *     label so a replay judges against exactly what the first attempt
+  *     saw (the [[graft.streaming.StreamingOps.curateBatch]] contract).
+  *
+  * EQUALITY CONTRACT (what "incremental" promises): for batches whose
+  * doc_ids are ordered by arrival (batch N's ids all below batch
+  * N+1's), a batch's incremental ledger EQUALS the full-rebuild
+  * [[Pipeline.curateOn]] ledger over the union corpus RESTRICTED TO
+  * THAT BATCH's rows — PipelineSpec asserts it and the
+  * q_pipeline_curate_incr oracle re-derives it in DuckDB. The stage
+  * arguments:
+  *   - exact: a full rebuild keeps the min doc_id per fingerprint among
+  *     lang+quality survivors; with ordered ids that keeper is the
+  *     FIRST batch that saw the fingerprint — exactly the stored-fps
+  *     probe plus the in-batch min-id window over unknown fps;
+  *   - near-dup: the full rebuild drops every member of a connected
+  *     component except its min id. A batch doc's component contains a
+  *     committed doc iff the doc's IN-BATCH cluster has ≥ 1 member with
+  *     a verified state-index hit — in that case the component's rep is
+  *     a committed id (ordered ids) and ALL in-batch members drop;
+  *     otherwise the component is entirely in-batch and the min-id rule
+  *     applies locally. This is why the index holds ALL exact-dedup
+  *     survivors, losers included: the rebuild's dedup graph spans
+  *     them, so dropping a batch doc may hinge on a committed doc that
+  *     itself lost (the bridge through a loser);
+  *   - decontamination: the eval n-gram universe is the union of every
+  *     committed batch's eval grams and this batch's own — the stored
+  *     `evalgrams` plus the in-batch set.
+  *
+  * HONEST ASYMMETRIES (documented, not hidden): committed outcomes are
+  * immutable. (1) A later batch's eval docs cannot retro-drop an
+  * earlier batch's committed train docs the way a full rebuild would —
+  * run the rebuild at audit cadence if retro-decontamination matters.
+  * (2) A batch doc near-dup-bridging TWO committed survivors merges
+  * their components in a full rebuild (dropping one committed rep);
+  * incrementally both stay. Both asymmetries affect only COMMITTED
+  * rows — the per-batch restricted equality above is exact.
+  *
+  * 100 TB design: the batch pays [[Pipeline.stageBits]] (scan-fused
+  * projections) + one fp exchange; the exact probe is a join against
+  * the fps table (fingerprints only — bytes per committed DOC, not per
+  * token); the near-dup probe inherits the banded stored-index join
+  * with the hot-bucket cap and verifies only band-collision candidates;
+  * decontamination joins the batch's train grams against the stored
+  * eval-gram set (bounded by the EVAL corpus — the small split). No
+  * step re-reads committed text; the corpus text never leaves the
+  * batch.
+  */
+object CurateState {
+
+  /** The label [[init]] commits under. */
+  val BaseLabel: String = DedupIndexes.BaseLabel
+
+  /** Initialize the state at `path` from the FIRST batch: any previous
+    * state is removed, the config is pinned in `meta`, the batch is
+    * judged against the EMPTY state — which degrades every stage to
+    * exactly [[Pipeline.curateOn]]'s in-batch rule (PipelineSpec
+    * asserts ledger equality) — and committed under `base`. Returns the
+    * batch ledger (read back from the committed artifact).
+    */
+  def init(batch: DataFrame, path: String,
+           lang: String = "en", splitThreshold: String = "cc",
+           contamN: Int = 3, contamMinPct: Long = 0L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(batch, path)
+    DedupIndexes.delete(spark, path)
+    Seq((lang, splitThreshold, contamN, contamMinPct))
+      .toDF("lang", "split_threshold", "contam_n", "contam_min_pct")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    judgeAndCommit(batch, path, BaseLabel)
+  }
+
+  /** Judge `batch` against the committed state and commit it under
+    * `label` — config from the state's own meta (a batch can never fork
+    * it). Replaying the same (batch, label) after a crash at ANY point
+    * rewrites identical artifacts (own label excluded from every state
+    * read, derivations deterministic). Returns the batch ledger.
+    */
+  def increment(batch: DataFrame, path0: String, label: String): DataFrame = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"increment label must not collide with the init label '$BaseLabel'")
+    val path = DedupIndexes.resolveIndex(batch.sparkSession, path0)
+    judgeAndCommit(batch, path, label)
+  }
+
+  /** The assembled corpus ledger across every committed batch. */
+  def ledger(spark: SparkSession, path0: String): DataFrame = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    spark.read.parquet(s"$path/ledger").drop("ingest")
+  }
+
+  private def readMeta(spark: SparkSession,
+                       path: String): (String, String, Int, Long) = {
+    val row = spark.read.parquet(s"$path/meta").head()
+    (row.getAs[String]("lang"), row.getAs[String]("split_threshold"),
+      row.getAs[Int]("contam_n"), row.getAs[Long]("contam_min_pct"))
+  }
+
+  /** A state table read that tolerates the not-yet-written case (init,
+    * or the first replay of a crashed init) and excludes the judging
+    * batch's own label.
+    */
+  private def readState(spark: SparkSession, dir: String, label: String,
+                        emptySchema: String): DataFrame =
+    if (!DedupIndexes.hasData(spark, dir))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
+    else spark.read.parquet(dir).filter(col("ingest") =!= label).drop("ingest")
+
+  private def judgeAndCommit(batch: DataFrame, path: String,
+                             label: String): DataFrame = graft.CacheScope.scoped {
+    val spark = batch.sparkSession
+    val (lang, splitThreshold, contamN, contamMinPct) = readMeta(spark, path)
+
+    // stages 1–2 + the exact gate: stored fps (every committed batch,
+    // own label excluded) decide "already owned"; unknown fps race on
+    // the in-batch min-id window — Pipeline.curateOn's keeper rule
+    val known = readState(spark, s"$path/fps", label, "fp STRING")
+      .withColumn("is_known", lit(1L))
+    val judged = graft.CacheScope.track(
+      Pipeline.stageBits(batch, lang)
+        .withColumn("survives_lq",
+          col("lang_ok") === 1L && col("quality_ok") === 1L)
+        .join(known, Seq("fp"), "left")
+        .withColumn("keeper_id",
+          min(when(col("survives_lq") && col("is_known").isNull, col("doc_id")))
+            .over(Window.partitionBy(col("fp"))))
+        .persist())
+    val exactSurvivors = graft.CacheScope.track(judged
+      .filter(col("survives_lq") && col("is_known").isNull &&
+        col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("fp"), col("text"))
+      .persist())
+
+    // near-dup: verified state-index hits + in-batch clusters; a
+    // cluster with ANY state hit drops WHOLE (its rebuild component
+    // contains a committed id, which is smaller), a hit-free cluster
+    // keeps its min id
+    val cand = exactSurvivors.select(col("doc_id"), col("text"))
+    val ndDir = s"$path/neardup"
+    val stateHits: DataFrame =
+      if (!DedupIndexes.hasCompleteIndex(spark, ndDir))
+        spark.range(0).select(col("id").as("doc_id"))
+      else {
+        val (n, k, bands) = DedupIndexes.readNearDupMeta(spark, ndDir)
+        val (sh, idx) = DedupIndexes.readNearDupIndex(spark, ndDir,
+          excludeIngest = Some(label))
+        Dedup.incrementalNearDupFromIndex(sh, idx, cand, n, k, bands)
+          .filter(col("is_new") === 0L)
+          .select(col("doc_id"))
+      }
+    val clusters = Dedup.clusterPairs(
+      Dedup.minHashNearDupsOn(cand).select(col("doc_a"), col("doc_b")))
+    val clusterHit = clusters
+      .join(stateHits.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("cluster_id")).agg(max(col("hit")).as("chit"))
+    val nearLosers = graft.CacheScope.track(clusters.join(clusterHit, Seq("cluster_id"))
+      .filter(col("chit") === 1L || col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+      .unionByName(stateHits)
+      .distinct()
+      .withColumn("is_near_dup", lit(1L))
+      .persist())
+
+    // split + decontamination: the eval n-gram universe is stored
+    // eval grams ∪ this batch's eval grams
+    val survivors = exactSurvivors
+      .join(nearLosers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(col("fp") < lit(splitThreshold), lit("train")).otherwise(lit("eval")))
+    val grams = graft.CacheScope.track(survivors
+      .select(col("doc_id"), col("split"),
+        TextOps.shingles(col("text"), contamN).as("ngs"))
+      .select(col("doc_id"), col("split"),
+        size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
+      .persist())
+    val batchEvalGrams = grams.filter(col("split") === "eval")
+      .select(col("ng")).distinct()
+    val evalUnion = batchEvalGrams
+      .unionByName(readState(spark, s"$path/evalgrams", label, "ng STRING"))
+      .distinct()
+    val trainHits = grams.filter(col("split") === "train").join(evalUnion, "ng")
+    val contaminated = (
+      if (contamMinPct <= 0L) trainHits.select(col("doc_id")).distinct()
+      else trainHits
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"), max(col("n_ngrams")).as("n_ngrams"))
+        .filter(expr("n_shared * 100 DIV n_ngrams") >= contamMinPct)
+        .select(col("doc_id")))
+      .withColumn("is_contaminated", lit(1L))
+
+    val ledgerOut = judged
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("lang_ok") === 0L, lit("dropped_lang"))
+          .when(col("quality_ok") === 0L, lit("dropped_quality"))
+          .when(col("is_known") === 1L || col("doc_id") =!= col("keeper_id"),
+            lit("dropped_duplicate"))
+          .when(col("is_near_dup") === 1L, lit("dropped_near_duplicate"))
+          .when(col("is_contaminated") === 1L, lit("dropped_contaminated"))
+          .when(col("fp") < lit(splitThreshold), lit("train"))
+          .otherwise(lit("eval")).as("outcome"))
+
+    // COMMIT — identity artifacts first, ledger LAST (the committed
+    // marker); own-label overwrite everywhere makes any crash point
+    // replay-healable
+    judged.filter(col("survives_lq") && col("is_known").isNull)
+      .select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fps/ingest=$label")
+    if (label == BaseLabel) DedupIndexes.writeNearDupIndex(cand, ndDir)
+    else DedupIndexes.appendNearDup(cand, ndDir, label)
+    batchEvalGrams
+      .write.mode("overwrite").parquet(s"$path/evalgrams/ingest=$label")
+    ledgerOut.write.mode("overwrite").parquet(s"$path/ledger/ingest=$label")
+    spark.read.parquet(s"$path/ledger")
+      .filter(col("ingest") === label).drop("ingest")
+  }
+
+  // -- driver-query harness (q_pipeline_curate_incr): state from the
+  // first 250 docs (writeOnce fixture work, the stored-index scratch
+  // precedent), then ONE incremental batch = the remaining docs plus
+  // planted cross-state classes — an exact copy of every batch-1
+  // doc_id % 7 == 0 doc (exercises the stored-fps gate) and a
+  // one-token-appended copy of every batch-1 doc_id % 11 == 3 doc
+  // (exercises the stored near-dup probe); both planted id ranges
+  // follow the Pipeline.curateOn plant contract. The SQL oracle is the
+  // FULL-REBUILD pipeline CTE over batch1 ∪ batch2 restricted to
+  // batch2's rows — the equality contract, re-derived in DuckDB. --
+
+  private[graft] val IncrSplitId = 250L
+
+  def curateIncrDocs(spark: SparkSession, sfDir: String,
+                     contamMinPct: Long = 40L): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val batch1 = docs.filter(col("doc_id") < IncrSplitId)
+    val batch2 = docs.filter(col("doc_id") >= IncrSplitId)
+      .unionByName(batch1.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .unionByName(batch1.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(col("text"), lit(" plantedneardup")).as("text")))
+    val path = DedupIndexes.scratch("target/curate_state", "incr", sfDir)
+    DedupIndexes.writeOnce(path)(
+      init(batch1, path, contamMinPct = contamMinPct))
+    increment(batch2, path, "b2")
+  }
+}

@@ -315,6 +315,62 @@ class PipelineSpec extends SparkSpec {
     assert(blocked.filter(_._2 == "dropped_lang") === off.filter(_._2 == "dropped_lang"))
   }
 
+  test("incremental curation: init == curateOn, increment == rebuild restricted, replay adds nothing") {
+    import graft.sources.CurateState
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val b1 = docs.filter($"doc_id" < 25)
+    val b2 = docs.filter($"doc_id" >= 25)
+      .unionByName(b1.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(b1.filter($"doc_id" % 11 === 3)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat($"text", lit(" plantedneardup")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("curate-state").toString + "/s"
+
+    // init against the EMPTY state degrades to exactly the full pipeline
+    val init = CurateState.init(b1, dir, contamMinPct = 40L)
+      .as[(Long, Long, String)].collect().toSet
+    val alone = Pipeline.curateOn(b1, nearDedup = true, contamMinPct = 40L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(init === alone && init.nonEmpty,
+      "init ledger diverged from the full pipeline over the same batch")
+
+    // the equality contract: the increment's ledger == the full-rebuild
+    // ledger over batch1 ∪ batch2 restricted to batch2's rows
+    val incr = CurateState.increment(b2, dir, "b2")
+      .as[(Long, Long, String)].collect().toSet
+    val rebuild = Pipeline.curateOn(b1.unionByName(b2),
+        nearDedup = true, contamMinPct = 40L)
+      .filter($"doc_id" >= 25)
+      .as[(Long, Long, String)].collect().toSet
+    assert(incr === rebuild && incr.nonEmpty,
+      "incremental ledger diverged from the restricted full rebuild")
+
+    // the cross-state gates fire non-vacuously: a planted exact copy of
+    // a committed doc must die on the STORED fps, a planted near-dup on
+    // the STORED MinHash index (their originals are in batch1 only)
+    assert(incr.exists(r => r._1 >= 1000000L && r._1 < 2000000L &&
+        r._3 == "dropped_duplicate"),
+      "no planted cross-state exact duplicate was dropped by the stored-fps gate")
+    assert(incr.exists(r => r._1 >= 2000000L && r._3 == "dropped_near_duplicate"),
+      "no planted cross-state near-dup was dropped through the stored index")
+
+    // replay the SAME (batch, label): identical ledger, zero state growth
+    def stateCounts() = (
+      spark.read.parquet(s"$dir/fps").count(),
+      spark.read.parquet(s"$dir/evalgrams").count(),
+      spark.read.parquet(s"$dir/neardup/shingles").count(),
+      CurateState.ledger(spark, dir).count())
+    val before = stateCounts()
+    val replay = CurateState.increment(b2, dir, "b2")
+      .as[(Long, Long, String)].collect().toSet
+    assert(replay === incr, "replayed increment changed the ledger")
+    assert(stateCounts() === before, "replayed increment grew the state")
+    assert(before._4 === b1.count() + b2.count(),
+      "assembled ledger must cover every committed doc exactly once")
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")
