@@ -143,8 +143,48 @@ object CurateState {
         org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
     else spark.read.parquet(dir).filter(col("ingest") =!= label).drop("ingest")
 
+  /** DRY-RUN: the ledger `batch` WOULD get if committed under `label` —
+    * the what-if admission preview, and the Plans-tracked spelling of
+    * the judge (the committing entry points return the committed
+    * artifact's read-back, whose plan is a bare parquet scan; this
+    * frame's plan IS the work the commit executes). State reads exclude
+    * `label`, so judging a batch under its own committed label
+    * reproduces its commit-time verdicts (the replay view). No writes;
+    * persisted intermediates are caller-cleaned (the
+    * [[Pipeline.curateOn]] cache contract).
+    */
+  def judge(batch: DataFrame, path0: String,
+            label: String = "preview"): DataFrame = {
+    require(label.nonEmpty, "judge needs a non-empty label to exclude")
+    judgeFrames(batch, DedupIndexes.resolveIndex(batch.sparkSession, path0),
+      label).ledger
+  }
+
+  private case class Judged(judged: DataFrame, exactSurvivors: DataFrame,
+                            batchEvalGrams: DataFrame, ledger: DataFrame)
+
   private def judgeAndCommit(batch: DataFrame, path: String,
                              label: String): DataFrame = graft.CacheScope.scoped {
+    val spark = batch.sparkSession
+    val j = judgeFrames(batch, path, label)
+    // COMMIT — identity artifacts first, ledger LAST (the committed
+    // marker); own-label overwrite everywhere makes any crash point
+    // replay-healable
+    j.judged.filter(col("survives_lq") && col("is_known").isNull)
+      .select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fps/ingest=$label")
+    val cand = j.exactSurvivors.select(col("doc_id"), col("text"))
+    if (label == BaseLabel) DedupIndexes.writeNearDupIndex(cand, s"$path/neardup")
+    else DedupIndexes.appendNearDup(cand, s"$path/neardup", label)
+    j.batchEvalGrams
+      .write.mode("overwrite").parquet(s"$path/evalgrams/ingest=$label")
+    j.ledger.write.mode("overwrite").parquet(s"$path/ledger/ingest=$label")
+    spark.read.parquet(s"$path/ledger")
+      .filter(col("ingest") === label).drop("ingest")
+  }
+
+  private def judgeFrames(batch: DataFrame, path: String,
+                          label: String): Judged = {
     val spark = batch.sparkSession
     val (lang, splitThreshold, contamN, contamMinPct) = readMeta(spark, path)
 
@@ -237,20 +277,7 @@ object CurateState {
           .when(col("is_contaminated") === 1L, lit("dropped_contaminated"))
           .when(col("fp") < lit(splitThreshold), lit("train"))
           .otherwise(lit("eval")).as("outcome"))
-
-    // COMMIT — identity artifacts first, ledger LAST (the committed
-    // marker); own-label overwrite everywhere makes any crash point
-    // replay-healable
-    judged.filter(col("survives_lq") && col("is_known").isNull)
-      .select(col("fp")).distinct()
-      .write.mode("overwrite").parquet(s"$path/fps/ingest=$label")
-    if (label == BaseLabel) DedupIndexes.writeNearDupIndex(cand, ndDir)
-    else DedupIndexes.appendNearDup(cand, ndDir, label)
-    batchEvalGrams
-      .write.mode("overwrite").parquet(s"$path/evalgrams/ingest=$label")
-    ledgerOut.write.mode("overwrite").parquet(s"$path/ledger/ingest=$label")
-    spark.read.parquet(s"$path/ledger")
-      .filter(col("ingest") === label).drop("ingest")
+    Judged(judged, exactSurvivors, batchEvalGrams, ledgerOut)
   }
 
   // -- driver-query harness (q_pipeline_curate_incr): state from the
@@ -281,5 +308,27 @@ object CurateState {
     DedupIndexes.writeOnce(path)(
       init(batch1, path, contamMinPct = contamMinPct))
     increment(batch2, path, "b2")
+  }
+
+  /** [[curateIncrDocs]]'s judge WITHOUT the commit — the Plans-tracked
+    * spelling: the registered query returns the committed ledger's
+    * read-back (a bare parquet scan as a plan), while this frame's plan
+    * is the state-probing work the commit actually executes.
+    */
+  def curateIncrJudgeDocs(spark: SparkSession, sfDir: String,
+                          contamMinPct: Long = 40L): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val batch1 = docs.filter(col("doc_id") < IncrSplitId)
+    val batch2 = docs.filter(col("doc_id") >= IncrSplitId)
+      .unionByName(batch1.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .unionByName(batch1.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(col("text"), lit(" plantedneardup")).as("text")))
+    val path = DedupIndexes.scratch("target/curate_state", "incr", sfDir)
+    DedupIndexes.writeOnce(path)(
+      init(batch1, path, contamMinPct = contamMinPct))
+    judge(batch2, path, "b2")
   }
 }

@@ -356,6 +356,13 @@ class PipelineSpec extends SparkSpec {
     assert(incr.exists(r => r._1 >= 2000000L && r._3 == "dropped_near_duplicate"),
       "no planted cross-state near-dup was dropped through the stored index")
 
+    // the dry-run judge under the batch's own label reproduces its
+    // commit-time verdicts (the replay view — and the Plans-tracked
+    // spelling, so the tracked plan cannot drift from the commit)
+    val preview = CurateState.judge(b2, dir, "b2")
+      .as[(Long, Long, String)].collect().toSet
+    assert(preview === incr, "dry-run judge diverged from the committed ledger")
+
     // replay the SAME (batch, label): identical ledger, zero state growth
     def stateCounts() = (
       spark.read.parquet(s"$dir/fps").count(),
