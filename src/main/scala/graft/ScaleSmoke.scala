@@ -505,6 +505,53 @@ object ScaleSmoke {
             s"first-factor $base — scoring must cover only the collapsed survivors")
       }
 
+      // INCREMENTAL curation: the committed state grows with the factor
+      // (init over the factor-sized corpus is untimed fixture work —
+      // the historical ingest cost), the delivery batch stays
+      // base-sized. The timed increment = judge + commit: the judge
+      // probes the state's fingerprints (fp rows, not text), the banded
+      // near-dup index (batch keys x bucket occupancy), and the stored
+      // eval grams; the commit appends batch-sized artifacts. Time must
+      // track the state-table SCANS (linear ceiling) — committed TEXT is
+      // never re-read, and nothing is corpus x corpus.
+      //
+      // Gate-compatible replication: [[replicatedDocs]]' per-token
+      // mangling zeroes the stopword profile, so every copy would die
+      // at the language gate and the state would commit EMPTY. Each
+      // copy here keeps the base text and INSERTS a unique marker
+      // before every 10th token — the lang/quality profile survives
+      // (~10% dilution), while each inserted token kills its ~3
+      // covering shingles, putting cross-copy Jaccard well under the
+      // 0.8 bar: the identity tables genuinely grow with the factor.
+      // The delivery batch (ids above every state id — the
+      // arrival-order contract) carries its own marker tag, so the
+      // gates pay full probe cost without state hits collapsing it.
+      def gateSafeMark(df: DataFrame, tag: String): DataFrame =
+        df.select(col("doc_id"), array_join(
+          transform(split(col("text"), " "), (t, j) =>
+            when(j % 10 === 0,
+              concat(lit(s"zc${tag}p"), j.cast("string"), lit(" "), t))
+              .otherwise(t)), " ").as("text"))
+      val curateStride = Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id"))).head().getLong(0) + 1
+      val curateState = (0 until factor).map { i =>
+        val shifted = Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(i * curateStride)).as("doc_id"), col("text"))
+        if (i == 0) shifted else gateSafeMark(shifted, i.toString)
+      }.reduce(_ union _)
+      val curateStateRoot = s"target/scale_smoke_curate/f$factor"
+      // init removes any previous state at the root itself
+      graft.sources.CurateState.init(curateState, curateStateRoot,
+        contamMinPct = 40L)
+      val nStateFps = spark.read.parquet(s"$curateStateRoot/fps").count()
+      val curateBatch = gateSafeMark(
+        Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(factor.toLong * curateStride)).as("doc_id"),
+            col("text")), "b")
+      val (tCurI, nCurI) = timeIt(graft.sources.CurateState
+        .increment(curateBatch, curateStateRoot, "d1").count())
+      spark.catalog.clearCache()
+
       // SQ8 two-stage retrieval over a factor-sized embedding corpus,
       // base-sized query set: the coarse pass is a linear scan of the
       // int8 codes (the 4x-smaller artifact), the exact re-rank touches
@@ -719,6 +766,8 @@ object ScaleSmoke {
         s""""curate_dup_drops":${curCounts.getOrElse("dropped_duplicate", 0L)},""" +
         s""""curate_verbatim_sec":$tCurV,"curate_verbatim_cut_docs":$nCutDocs,""" +
         s""""curate_ppl_sec":$tCurP,"curate_ppl_survivors":${pplDist.values.sum},""" +
+        s""""curate_incr_sec":$tCurI,"curate_incr_rows":$nCurI,""" +
+        s""""curate_state_fps":$nStateFps,""" +
         s""""ngram_sec":$tNg,"ngram_pairs":$nNg,""" +
         s""""ngram_adv_sec":$tAdv,"ngram_adv_pairs":$nAdv,""" +
         s""""verbatim_sec":$tVr,"verbatim_pairs":$nVr,""" +

@@ -294,6 +294,13 @@ object SparkEntry {
     // decontamination against stored ∪ in-batch eval grams; ledger ==
     // the full-rebuild ledger restricted to batch2 (the oracle)
     "q_pipeline_curate_incr" -> ((s, d) => sources.CurateState.curateIncrDocs(s, d)),
+    // retro-decontamination report over the incremental corpus: every
+    // committed TRAIN doc scored against the full stored eval-gram
+    // universe — flagged = what a full rebuild would NEWLY drop (the
+    // rebuild-due signal; ivfRefitDue's precedent). Rows-only: the
+    // flagged set's equality with rebuild-minus-committed is asserted
+    // in PipelineSpec
+    "q_pipeline_retro_contam" -> ((s, d) => sources.CurateState.retroContamDocs(s, d)),
     // ledger with the C4-style bad-words stage on (q_blocklist terms);
     // blocked en docs attribute as dropped_blocklist before quality
     "q_pipeline_curate_block" -> ((s, d) => operators.Pipeline.curateBlock(s, d)),

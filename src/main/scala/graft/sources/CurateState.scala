@@ -125,6 +125,79 @@ object CurateState {
     spark.read.parquet(s"$path/ledger").drop("ingest")
   }
 
+  /** RETRO-DECONTAMINATION REPORT — the documented asymmetry made
+    * queryable (the [[SimilarityIndexes.ivfRefitDue]] precedent: "when
+    * is a rebuild due" should be a measured fact, not a judgment
+    * call). Committed train outcomes are immutable, but the eval
+    * n-gram universe only GROWS with later batches — so a committed
+    * train doc's coverage can cross the contamination threshold after
+    * the fact, and a full rebuild would drop it where the incremental
+    * state keeps it. This report scores the committed TRAIN docs
+    * (caller-supplied (doc_id, text) — the state stores identity, not
+    * text; the kept corpus is the natural source) against the FULL
+    * stored eval-gram universe under the state's own pinned config:
+    * one row per train doc with shingles — (doc_id, n_shared, n_ngrams,
+    * cov_pct, flagged) — where `flagged = 1` marks exactly the docs a
+    * rebuild would now attribute `dropped_contaminated`. A doc flagged
+    * here is NEWLY contaminated by construction: had its coverage
+    * reached the threshold at judge time, it would never have committed
+    * as train. Non-zero `sum(flagged)` is the rebuild-due signal.
+    *
+    * Scale: one shingle pass over the TRAIN slice the caller asks
+    * about (run it on a batch's slice at audit cadence, not the world),
+    * joined against the stored eval-gram set — the decontamination
+    * stage's own bounded shape, no state text read.
+    */
+  def retroContamination(trainDocs: DataFrame, path0: String): DataFrame = {
+    val spark = trainDocs.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val (_, _, contamN, contamMinPct) = readMeta(spark, path)
+    // ONE shingle pass: the distinct eval-gram set carries a hit marker
+    // and joins LEFT OUTER (1:≤1 — the set is distinct), so unshared
+    // docs report 0 from the same aggregate instead of a second scan +
+    // right-join-back. Per-doc shingles are distinct (TextOps.shingles),
+    // so sum(hit) IS the distinct shared-gram count.
+    val evalGrams = spark.read.parquet(s"$path/evalgrams")
+      .drop("ingest").distinct().withColumn("__graft_hit", lit(1L))
+    trainDocs
+      .select(col("doc_id"), TextOps.shingles(col("text"), contamN).as("ngs"))
+      .select(col("doc_id"),
+        size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
+      .join(evalGrams, Seq("ng"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("__graft_hit"), lit(0L))).as("n_shared"),
+        max(col("n_ngrams")).as("n_ngrams"))
+      .withColumn("cov_pct", expr("n_shared * 100 DIV n_ngrams"))
+      .withColumn("flagged",
+        (if (contamMinPct <= 0L) col("n_shared") > 0L
+         else col("cov_pct") >= contamMinPct).cast("long"))
+  }
+
+  /** Compact a long-appended state into `dst`: meta carried verbatim,
+    * fps / evalgrams / ledger rewritten under a single `ingest=base`,
+    * the near-dup index compacted via
+    * [[DedupIndexes.compactNearDupTo]] — reading ONLY the stored state
+    * (committed text does not exist in it, and nothing is re-judged).
+    * Same crash contract as every compaction here: `dst` is complete or
+    * visibly unfinished, and the caller owns the src→dst pointer flip
+    * ([[DedupIndexes.flipPointer]]).
+    */
+  def compactTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = DedupIndexes.resolveIndex(spark, src0)
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path")
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    spark.read.parquet(s"$src/fps").drop("ingest").distinct()
+      .write.mode("overwrite").parquet(s"$dst/fps/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/evalgrams").drop("ingest").distinct()
+      .write.mode("overwrite").parquet(s"$dst/evalgrams/ingest=$BaseLabel")
+    DedupIndexes.compactNearDupTo(spark, s"$src/neardup", s"$dst/neardup")
+    spark.read.parquet(s"$src/ledger").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/ledger/ingest=$BaseLabel")
+  }
+
   private def readMeta(spark: SparkSession,
                        path: String): (String, String, Int, Long) = {
     val row = spark.read.parquet(s"$path/meta").head()
@@ -215,7 +288,11 @@ object CurateState {
     val cand = exactSurvivors.select(col("doc_id"), col("text"))
     val ndDir = s"$path/neardup"
     val stateHits: DataFrame =
-      if (!DedupIndexes.hasCompleteIndex(spark, ndDir))
+      // bands is PARTITIONED BY band: a zero-survivor init writes a
+      // fileless dir (no partitions materialize), which parquet cannot
+      // schema-infer — an empty identity is the same as no identity
+      if (!DedupIndexes.hasCompleteIndex(spark, ndDir) ||
+          !DedupIndexes.hasData(spark, s"$ndDir/bands"))
         spark.range(0).select(col("id").as("doc_id"))
       else {
         val (n, k, bands) = DedupIndexes.readNearDupMeta(spark, ndDir)
@@ -293,8 +370,12 @@ object CurateState {
 
   private[graft] val IncrSplitId = 250L
 
-  def curateIncrDocs(spark: SparkSession, sfDir: String,
-                     contamMinPct: Long = 40L): DataFrame = {
+  /** The driver harness's deterministic (batch1, batch2) split — shared
+    * by the committing query, the Plans judge spelling, and the retro
+    * report so they can never disagree on the corpus.
+    */
+  private def incrBatches(spark: SparkSession,
+                          sfDir: String): (DataFrame, DataFrame) = {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val batch1 = docs.filter(col("doc_id") < IncrSplitId)
@@ -304,10 +385,45 @@ object CurateState {
       .unionByName(batch1.filter(col("doc_id") % 11 === 3)
         .select((col("doc_id") + lit(2000000L)).as("doc_id"),
           concat(col("text"), lit(" plantedneardup")).as("text")))
+    (batch1, batch2)
+  }
+
+  private def incrStatePath(spark: SparkSession, sfDir: String,
+                            batch1: DataFrame, contamMinPct: Long): String = {
     val path = DedupIndexes.scratch("target/curate_state", "incr", sfDir)
     DedupIndexes.writeOnce(path)(
       init(batch1, path, contamMinPct = contamMinPct))
-    increment(batch2, path, "b2")
+    path
+  }
+
+  def curateIncrDocs(spark: SparkSession, sfDir: String,
+                     contamMinPct: Long = 40L): DataFrame = {
+    val (batch1, batch2) = incrBatches(spark, sfDir)
+    increment(batch2,
+      incrStatePath(spark, sfDir, batch1, contamMinPct), "b2")
+  }
+
+  /** The retro-decontamination report over the q_pipeline_curate_incr
+    * corpus (q_pipeline_retro_contam): both batches committed (the
+    * b2 commit is fixture work here, memoized on its ledger dir —
+    * replay-idempotent if the committing query already ran), then every
+    * committed TRAIN doc scored against the full stored eval-gram
+    * universe. Rows-only driver check (the flagged set's equality with
+    * "rebuild-dropped minus already-dropped" is asserted in
+    * PipelineSpec); every quality-passing train doc has >= 18 n-grams,
+    * so the report covers each committed train doc exactly once —
+    * non-vacuous at every SF by construction.
+    */
+  def retroContamDocs(spark: SparkSession, sfDir: String,
+                      contamMinPct: Long = 40L): DataFrame = {
+    val (batch1, batch2) = incrBatches(spark, sfDir)
+    val path = incrStatePath(spark, sfDir, batch1, contamMinPct)
+    DedupIndexes.writeOnce(s"$path/ledger/ingest=b2")(
+      increment(batch2, path, "b2"))
+    val train = ledger(spark, path)
+      .filter(col("outcome") === "train").select(col("doc_id"))
+    retroContamination(
+      batch1.unionByName(batch2).join(train, Seq("doc_id")), path)
   }
 
   /** [[curateIncrDocs]]'s judge WITHOUT the commit — the Plans-tracked
@@ -317,18 +433,7 @@ object CurateState {
     */
   def curateIncrJudgeDocs(spark: SparkSession, sfDir: String,
                           contamMinPct: Long = 40L): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-    val batch1 = docs.filter(col("doc_id") < IncrSplitId)
-    val batch2 = docs.filter(col("doc_id") >= IncrSplitId)
-      .unionByName(batch1.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
-      .unionByName(batch1.filter(col("doc_id") % 11 === 3)
-        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-          concat(col("text"), lit(" plantedneardup")).as("text")))
-    val path = DedupIndexes.scratch("target/curate_state", "incr", sfDir)
-    DedupIndexes.writeOnce(path)(
-      init(batch1, path, contamMinPct = contamMinPct))
-    judge(batch2, path, "b2")
+    val (batch1, batch2) = incrBatches(spark, sfDir)
+    judge(batch2, incrStatePath(spark, sfDir, batch1, contamMinPct), "b2")
   }
 }

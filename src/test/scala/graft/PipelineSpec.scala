@@ -378,6 +378,102 @@ class PipelineSpec extends SparkSpec {
       "assembled ledger must cover every committed doc exactly once")
   }
 
+  test("retro-decontamination report and state compaction hold their contracts") {
+    import graft.sources.{CurateState, DedupIndexes}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val b1 = docs.filter($"doc_id" < 25)
+    val b2 = docs.filter($"doc_id" >= 25)
+      .unionByName(b1.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    val root = java.nio.file.Files.createTempDirectory("curate-state2").toString
+    val dir = s"$root/s"
+    CurateState.init(b1, dir, contamMinPct = 40L)
+
+    // RETRO PLANT — the asymmetry made non-vacuous: an EVAL doc in
+    // batch2 built from a committed batch1 TRAIN doc's text. The full
+    // prefix keeps the original's gram coverage at 100% (>= the 40%
+    // threshold); ~40% junk padding pushes Jaccard under 0.8 so the
+    // plant survives the near-dup gate; a driver-picked trailing
+    // variant lands its fingerprint in the eval split. The original
+    // was committed train against a smaller eval universe — after this
+    // batch, only a rebuild would drop it.
+    val (origId, origText) = CurateState.ledger(spark, dir)
+      .filter($"outcome" === "train")
+      .join(b1, Seq("doc_id"))
+      .orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    def fpHex(t: String): String = {
+      val canon = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val toks = origText.split(" ")
+    val junk = (0 until math.ceil(toks.length * 0.4).toInt)
+      .map(k => if (k % 4 == 0) "the" else s"pad${k}x")
+    val padded = (toks ++ junk).mkString(" ")
+    val retroText = (0 until 64).map(i => s"$padded v${i}x")
+      .find(t => fpHex(t) >= "cc")
+      .getOrElse(fail("no padding variant landed an eval fingerprint"))
+    val b2p = b2.unionByName(Seq((9000000L, retroText)).toDF("doc_id", "text"))
+    val all = b1.unionByName(b2p)
+    CurateState.increment(b2p, dir, "b2")
+    assert(CurateState.ledger(spark, dir)
+        .filter($"doc_id" === 9000000L).select($"outcome")
+        .as[String].head() === "eval",
+      "the retro plant must commit as an eval doc (not die earlier)")
+
+    // the report: flagged == exactly what a FULL REBUILD would newly
+    // attribute dropped_contaminated among the committed train rows —
+    // the retro asymmetry, measured. Later-batch train docs were judged
+    // against the same universe the report reads, so they can never
+    // flag (the invariant is implied by the equality).
+    val committedTrain = CurateState.ledger(spark, dir)
+      .filter($"outcome" === "train").select($"doc_id")
+    val trainSet = committedTrain.as[Long].collect().toSet
+    val report = CurateState.retroContamination(
+        all.join(committedTrain, Seq("doc_id")), dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(report.map(_._1).toSet === trainSet,
+      "report must cover every committed train doc exactly once")
+    val flagged = report.filter(_._5 == 1L).map(_._1).toSet
+    val rebuildDropped = Pipeline.curateOn(all,
+        nearDedup = true, contamMinPct = 40L)
+      .filter($"outcome" === "dropped_contaminated")
+      .select($"doc_id").as[Long].collect().toSet
+    info(s"retro report: ${flagged.size} flagged of ${trainSet.size} committed train docs")
+    assert(flagged === (rebuildDropped & trainSet),
+      "flagged set must equal rebuild-dropped ∩ committed-train")
+    assert(flagged.contains(origId),
+      "the planted retro case (train doc fully covered by a later eval doc) must flag")
+
+    // compaction: single base ingest everywhere, assembled ledger
+    // preserved, and a FRESH probe batch judges identically against the
+    // compacted state (the fps/index/evalgram identity is intact)
+    CurateState.compactTo(spark, dir, s"$root/c")
+    for (sub <- Seq("fps", "evalgrams", "ledger"))
+      assert(spark.read.parquet(s"$root/c/$sub")
+          .select($"ingest").distinct().as[String].collect().toSeq === Seq("base"),
+        s"compacted $sub must hold a single base ingest")
+    assert(CurateState.ledger(spark, s"$root/c")
+        .as[(Long, Long, String)].collect().toSet ===
+      CurateState.ledger(spark, dir).as[(Long, Long, String)].collect().toSet,
+      "compaction must carry the assembled ledger verbatim")
+    val b3 = b1.select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" >= 25)
+        .select(($"doc_id" + 6000000L).as("doc_id"),
+          concat($"text", lit(" plantedneardup")).as("text")))
+    val probeSrc = CurateState.judge(b3, dir, "b3")
+      .as[(Long, Long, String)].collect().toSet
+    val probeCmp = CurateState.judge(b3, s"$root/c", "b3")
+      .as[(Long, Long, String)].collect().toSet
+    assert(probeSrc === probeCmp && probeSrc.nonEmpty,
+      "fresh batch judged differently against the compacted state")
+    assert(probeSrc.exists(_._3 == "dropped_duplicate") &&
+        probeSrc.exists(_._3 == "dropped_near_duplicate"),
+      "the compaction probe must exercise both identity gates non-vacuously")
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")
