@@ -361,6 +361,21 @@ object SparkEntry {
     // head/middle/tail perplexity tertiles from the score histogram;
     // only boundary-straddling score values pay a per-doc tie-break
     "q_lm_buckets" -> ((s, d) => operators.Lm.lmBuckets(s, d, "en", 16)),
+    // -- bootstrap corpus classifier (NB token log-odds, bitlen
+    // staircase — integer-exact across engines) --
+    // fastText-language-ID shape: train en-vs-rest on the lang labels,
+    // score every doc; vocab capped at 16 so cap + OOV paths stay
+    // non-vacuous on the 31-token fixture
+    "q_nb_classifier" -> ((s, d) =>
+      operators.Classifier.nbLangClassify(s, d, "en", 16)),
+    // the separable twin: deterministic zj-prefix vocabulary drift
+    // planted into doc_id%3 docs, trained clean-vs-mangled, every doc
+    // scored with its truth bit (vocab 64: drifted tokens must fit)
+    "q_nb_classifier_planted" -> ((s, d) =>
+      operators.Classifier.nbPlantedClassify(s, d, 64)),
+    // its 4-cell confusion matrix — off-diagonals are the errors
+    "q_nb_confusion" -> ((s, d) =>
+      operators.Classifier.nbPlantedConfusion(s, d, 64)),
     // perplexity-curriculum ordering: global easy-to-hard position
     // (grade = LM bits_per_100, fingerprint shuffle within a grade),
     // ranked blockwise — the window runs over the (grade, fp-prefix)
@@ -569,6 +584,42 @@ object SparkEntry {
                 AS BIGINT) AS bits
             FROM t LEFT JOIN v USING (tok) CROSS JOIN n
             GROUP BY t.doc_id)"""
+
+  /** Shared planted-classifier CTE (q_nb_classifier_planted /
+    * q_nb_confusion) — the SQL mirror of Classifier.nbPlantedClassify
+    * at vocab 64: zj-prefix drift on 0-based token positions 0,3,…
+    * (1-based i%3=1) of doc_id%3 docs, NB bitlen-staircase log-odds
+    * trained clean(pos)-vs-mangled(neg) over the drifted stream, every
+    * doc scored. Ends with `scored(doc_id, n_tokens, score, label_pos,
+    * is_mangled)`.
+    */
+  private val nbPlantedSql: String = """
+      WITH md AS (SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_mangled,
+                    string_split(text, ' ') AS ws
+                  FROM documents),
+      st AS (SELECT doc_id, is_mangled,
+               CASE WHEN is_mangled = 1 AND i % 3 = 1
+                    THEN 'zj' || ws[i] ELSE ws[i] END AS tok
+             FROM md, (SELECT unnest(generate_series(1, len(ws))) AS i)),
+      tot AS (SELECT CAST(SUM(1 - is_mangled) AS BIGINT) AS np,
+                     CAST(SUM(is_mangled) AS BIGINT) AS nn FROM st),
+      v AS (SELECT tok, CAST(SUM(1 - is_mangled) AS BIGINT) AS cp,
+                   CAST(SUM(is_mangled) AS BIGINT) AS cn
+            FROM st GROUP BY tok
+            ORDER BY COUNT(*) DESC, tok LIMIT 64),
+      w AS (SELECT tok,
+              (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
+            - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
+              AS w
+            FROM v CROSS JOIN tot),
+      scored AS (SELECT st.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
+                   CAST(CASE WHEN CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) * 100 >= 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS label_pos,
+                   CAST(MAX(st.is_mangled) AS BIGINT) AS is_mangled
+                 FROM st LEFT JOIN w USING (tok)
+                 GROUP BY st.doc_id)"""
 
   /** Shared bigram stupid-backoff CTE (q_lm_bigram /
     * q_lm_bigram_buckets) — the SQL mirror of Lm.bigramScoreOn at the
@@ -1925,6 +1976,42 @@ object SparkEntry {
       SELECT doc_id, n_tokens, bits,
              CAST(bits * 100 // n_tokens AS BIGINT) AS bits_per_100
       FROM s""".stripMargin.trim),
+    // NB token log-odds classifier, en-vs-rest on the lang labels —
+    // weights are the bitlen-staircase log-odds over the vocab-capped
+    // combined stream; decision is division-free (score*100 >= 0)
+    "q_nb_classifier" -> ("""
+      WITH tagged AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+      tot AS (SELECT CAST(SUM(is_pos) AS BIGINT) AS np,
+                     CAST(SUM(1 - is_pos) AS BIGINT) AS nn FROM tagged),
+      v AS (SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS cp,
+                   CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+            FROM tagged GROUP BY tok
+            ORDER BY COUNT(*) DESC, tok LIMIT 16),
+      w AS (SELECT tok,
+              (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
+            - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
+              AS w
+            FROM v CROSS JOIN tot),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
+             CAST(CASE WHEN CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) * 100 >= 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS label_pos
+      FROM t LEFT JOIN w USING (tok)
+      GROUP BY t.doc_id""".stripMargin.trim),
+    // the planted-separable twin: zj-prefix drift on every third token
+    // (0-based positions 0,3,... = 1-based i%3=1) of doc_id%3 docs,
+    // trained clean-vs-mangled over the SAME drifted stream
+    "q_nb_classifier_planted" -> (nbPlantedSql + """
+      SELECT doc_id, n_tokens, score, label_pos, is_mangled FROM scored"""
+      .stripMargin.trim),
+    // its 4-cell confusion matrix
+    "q_nb_confusion" -> (nbPlantedSql + """
+      SELECT is_mangled, label_pos, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY is_mangled, label_pos""".stripMargin.trim),
     // direct global-rank tertile spelling — the engine assigns buckets
     // per score VALUE from the histogram and tie-breaks only the
     // boundary-straddling values (equality certified by this oracle:

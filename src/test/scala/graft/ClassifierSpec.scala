@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Classifier
+import org.apache.spark.sql.functions._
+
+/** NB token log-odds classifier (q_nb_classifier / _planted /
+  * q_nb_confusion): full output values are hash-checked against DuckDB
+  * by the driver; this suite asserts the invariants the oracle can't
+  * see — hand-computed staircase weights on a tiny labeled set,
+  * guaranteed separation on a disjoint-vocabulary plant, the OOV
+  * neutral path, the vocab cap, and the driver plant's actual
+  * separation quality.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = TestSpark.sf0001
+
+  test("staircase weights on a hand-built labeled set") {
+    // pos stream = "a a a b"  (np=4), neg stream = "a c c c"  (nn=4)
+    // w(tok) = [bitlen(4) - bitlen(cn+1)] - [bitlen(4) - bitlen(cp+1)]
+    //   a: cp=3, cn=1 -> (3-2) - (3-3) = 1
+    //   b: cp=1, cn=0 -> (3-1) - (3-2) = 1
+    //   c: cp=0, cn=3 -> (3-3) - (3-1) = -2
+    val w = Classifier.nbWeightsOn(
+        Seq("a a a b").toDF("text"), Seq("a c c c").toDF("text"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(w.toSeq === Seq(("a", 1L), ("b", 1L), ("c", -2L)))
+
+    // scoring sums the token STREAM (per occurrence), OOV neutral:
+    // "a a c z" -> 1 + 1 - 2 + 0 = 0 over 4 tokens -> label_pos (0 >= 0)
+    val s = Classifier.nbScoreOn(
+        Seq((7L, "a a c z")).toDF("doc_id", "text"),
+        Seq(("a", 1L), ("b", 1L), ("c", -2L)).toDF("tok", "w"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.toSeq === Seq((7L, 4L, 0L, 1L)))
+  }
+
+  test("a document of only out-of-vocabulary tokens scores neutral zero") {
+    val got = Classifier.nbScoreOn(
+        Seq((1L, "x y z")).toDF("doc_id", "text"),
+        Seq(("a", 5L)).toDF("tok", "w"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 0L, 1L)))
+  }
+
+  test("the vocab cap is respected with a deterministic tie-break") {
+    // combined counts: a=3, b=2, c=2, d=1 — cap 2 keeps a and then the
+    // tie (b,c) breaks by token asc: b
+    val w = Classifier.nbWeightsOn(
+      Seq("a a b c").toDF("text"), Seq("a b c d").toDF("text"), vocabSize = 2)
+    assert(w.select("tok").as[String].collect().sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("disjoint vocabularies separate perfectly at any length") {
+    // every pos token is unseen in neg and vice versa -> every pos
+    // token weight is strictly positive, every neg strictly negative,
+    // so scores separate with certainty (no staircase-noise caveat)
+    val pos = (0L until 40L).map(i => (i, s"p${i % 5}x p${(i + 1) % 5}x p${(i + 2) % 7}x"))
+    val neg = (100L until 140L).map(i => (i, s"n${i % 5}x n${(i + 1) % 5}x n${(i + 3) % 7}x"))
+    val docs = (pos ++ neg).toDF("doc_id", "text")
+    val scored = Classifier.nbClassifyOn(
+        docs.withColumn("is_pos", col("doc_id") < 100L), col("is_pos"))
+      .join(docs.select(col("doc_id"),
+        (col("doc_id") < 100L).cast("long").as("truth")), Seq("doc_id"))
+    val confusion = scored.groupBy(col("truth"), col("label_pos"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long, Long)].collect().toSet
+    assert(confusion === Set((1L, 1L, 40L), (0L, 0L, 40L)),
+      s"disjoint-vocab classes must separate perfectly, got $confusion")
+  }
+
+  test("nbClassifyOn equals the weights+score composition") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang")
+    val composed = Classifier.nbScoreOn(
+      docs.select($"doc_id", $"text"),
+      Classifier.nbWeightsOn(
+        docs.filter($"lang" === "en").select($"text"),
+        docs.filter($"lang" =!= "en").select($"text"), 16))
+    val direct = Classifier.nbClassifyOn(docs, $"lang" === "en", 16)
+    assert(direct.as[(Long, Long, Long, Long)].collect().toSet ===
+      composed.as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
+  test("the driver plant separates the fixture corpus") {
+    // the zj-prefix drift (every third token of doc_id%3 docs) must
+    // yield a clean diagonal at sf0.001 too: mangled-doc scores are
+    // dominated by ~n/3 strongly-negative drifted tokens against at
+    // most ±1 staircase noise on the rest
+    val confusion = Classifier.nbPlantedConfusion(spark, sf, 64)
+      .as[(Long, Long, Long)].collect()
+    val offDiagonal = confusion.filter { case (truth, pred, _) =>
+      (truth == 1L && pred == 1L) || (truth == 0L && pred == 0L) }
+    assert(offDiagonal.isEmpty,
+      s"planted drift must separate perfectly, got ${confusion.toSeq}")
+    assert(confusion.map(_._3).sum ===
+      Tables.documents(spark, sf).count(),
+      "confusion matrix must cover every doc exactly once")
+    assert(confusion.length === 2 && confusion.exists(_._1 == 1L) &&
+      confusion.exists(_._1 == 0L),
+      "both planted classes must be non-vacuous")
+  }
+}

@@ -214,6 +214,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_mm_asset_stats", "q_mm_frame_stats",
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
       "q_pipeline_curate_incr", "q_pipeline_retro_contam",
+      "q_nb_classifier", "q_nb_classifier_planted", "q_nb_confusion",
       "q_pipeline_curate_block", "q_pipeline_curate_verbatim",
       "q_pipeline_curate_ppl", "q_pipeline_stats", "q_pipeline_stats_verbatim",
       "q_epoch_schedule",

@@ -56,6 +56,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // the epoch schedule crossJoins the broadcast 1-ROW corpus token
     // total into the bounded source frame (the tf-idf shape)
     "q_epoch_schedule",
+    // the NB classifier crossJoins the broadcast 1-ROW class-totals
+    // frame into the vocab-capped weight table (Classifier.nbWeightsOn
+    // — lmScoreOn's reference-total shape)
+    "q_nb_classifier", "q_nb_classifier_planted", "q_nb_confusion",
     // concentration crossJoins three broadcast 1-ROW frames (stats,
     // full-band sum, boundary sum) into the one-row report
     "q_revenue_top1")
