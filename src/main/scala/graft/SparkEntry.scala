@@ -485,6 +485,15 @@ object SparkEntry {
     // its stored-probe twin: quantized inverted lists PARTITIONED BY
     // cell — the coarse pass reads only the probed cells' files
     "q_embed_ann_ivfsq_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfSqProbeDocs(s, d)),
+    // product quantization (FAISS PQ16x5): 16-byte ADC codes — the
+    // deepest storage trade in the family (16x smaller than float) —
+    // coarse-ranked per query via precomputed lookup tables, exact
+    // float re-rank on the shortlist; rows-only (kmeans codebooks),
+    // full-rerank == brute equality + recall bound in SimilaritySpec
+    "q_embed_ann_pq" -> ((s, d) => operators.Similarity.annTopKPq(s, d)),
+    // its stored-probe twin: codebooks + 16-byte code rows read from
+    // parquet, appends encode under the STORED codebooks
+    "q_embed_ann_pq_idx" -> ((s, d) => sources.SimilarityIndexes.annPqProbeDocs(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

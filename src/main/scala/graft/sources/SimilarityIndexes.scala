@@ -424,6 +424,80 @@ object SimilarityIndexes {
       spark.read.parquet(s"$path/vectors").drop("ingest"))
   }
 
+  /** Write the PQ index from scratch — FAISS's `PQ<m>` on parquet:
+    * `path/codebooks` = (subspace, cell, centroid) — m·ksub rows,
+    * control-plane sized, the per-subspace k-means codebooks collected
+    * to the driver at read exactly like the IVF centroids; `path/meta`
+    * = one row (m, ksub); `path/codes` = (vec_id, codes) — m BYTES per
+    * vector, a 16×-smaller coarse-pass artifact at the defaults (SQ8's
+    * trade taken further); `path/vectors` = the exact re-rank side;
+    * `path/manifest` last — the [[writeSqIndex]] contract throughout.
+    */
+  def writePqIndex(emb: DataFrame, path: String, qKey: String,
+                   m: Int = 16, ksub: Int = 32): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
+    DedupIndexes.delete(spark, path)
+    val books = Similarity.fitPqCodebooks(emb, qKey, m, ksub)
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, cell) => (j, cell, c) } }
+      .toDF("subspace", "cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m, ksub)).toDF("m", "ksub")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    Similarity.quantizePqOn(emb, books)
+      .write.mode("overwrite").parquet(s"$path/codes/ingest=$BaseLabel")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a batch to a stored PQ index: encoded under the STORED
+    * codebooks ([[appendIvf]]'s fit-once contract — codebooks never
+    * move on append), landed under `ingest=<label>` with
+    * overwrite-on-own-label replay idempotence + manifest-last. Re-fit
+    * cadence is [[writePqIndex]]'s job — codebook drift mirrors IVF
+    * centroid drift (a batch from a shifted embedding distribution
+    * encodes with larger reconstruction error, degrading the coarse
+    * ranking until the exact re-rank can no longer absorb it).
+    */
+  def appendPq(batch: DataFrame, path0: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val books = readPqBooks(spark, path)
+    val dim = books.length * books.head.head.length
+    embeddingDim(batch).foreach(d => require(d == dim,
+      s"index at $path holds $dim-dim codebooks but the appended batch " +
+        s"is $d-dim; re-embedding at a new width is a rebuild " +
+        "(writePqIndex), not an append"))
+    Similarity.quantizePqOn(batch, books)
+      .write.mode("overwrite").parquet(s"$path/codes/ingest=$label")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Read back (codebooks, codes, vectors) across every ingest. */
+  def readPqIndex(spark: SparkSession, path0: String)
+      : (Seq[Seq[Seq[Double]]], DataFrame, DataFrame) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    (readPqBooks(spark, path),
+      spark.read.parquet(s"$path/codes").drop("ingest"),
+      spark.read.parquet(s"$path/vectors").drop("ingest"))
+  }
+
+  private def readPqBooks(spark: SparkSession,
+                          path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("cell"))
+      .select(col("subspace"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toSeq).toSeq)
+
   /** APPEND a batch to a stored LSH index: sketch keys derived at the
     * index's stored config land under `ingest=<label>` with the usual
     * overwrite-on-own-label replay idempotence + manifest-last crash
@@ -588,6 +662,24 @@ object SimilarityIndexes {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nprobe, rerank)
+  }
+
+  /** [[Similarity.annTopKPq]] probing the materialized PQ index — the
+    * q_embed_ann_pq stored-probe twin (rows-only driver check like the
+    * inline query; SimilaritySpec asserts stored == inline, which
+    * carries the recall bound over).
+    */
+  def annPqProbeDocs(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 5,
+                     rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("pq", sfDir)
+    DedupIndexes.writeOnce(path)(writePqIndex(emb, path, sfDir))
+    val (books, codes, vectors) = readPqIndex(spark, path)
+    Similarity.annTopKPqFromIndex(books, codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, rerank)
   }
 
   /** [[Similarity.semanticDedup]] blocking on the materialized

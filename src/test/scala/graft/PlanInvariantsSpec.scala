@@ -18,6 +18,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // broadcast query frame as q_embed_ann — constant build side
     // (stored twin shares the probe)
     "q_embed_ann_sq", "q_embed_ann_sq_idx",
+    // the PQ ADC coarse pass streams the 16-byte code rows past the
+    // same ~10-row broadcast query frame (with its precomputed lookup
+    // tables riding along) — constant build side, stored twin shares
+    // the probe
+    "q_embed_ann_pq", "q_embed_ann_pq_idx",
     // importance resampling crossJoins a broadcast 1-ROW quota frame
     // into the score histogram (Mixture.importanceResampleOn) — same
     // constant-build-side shape as tf-idf's corpus count

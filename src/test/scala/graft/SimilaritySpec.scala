@@ -99,6 +99,82 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"SQ8 recall $recall%.2f below bound")
   }
 
+  test("PQ: codes bounded, full-rerank exactness, ANN recall at defaults") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.fitPqCodebooks(emb, sf, m = 16, ksub = 32)
+    assert(books.length === 16 && books.forall(_.length === 32) &&
+      books.forall(_.forall(_.length === 4)),
+      "codebooks must be m=16 books of ksub=32 centroids of dim/m=4")
+    val codes = Similarity.quantizePqOn(emb, books)
+      .as[(Long, Seq[Byte])].collect()
+    assert(codes.nonEmpty && codes.forall(_._2.length === 16),
+      "every vector must encode to exactly m=16 codes")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 32)),
+      "every code must index into its ksub=32 codebook")
+
+    // rerank >= corpus: the exact re-rank sees every candidate, so the
+    // result is EXACTLY brute force regardless of quantization quality
+    val full = Similarity.annTopKPq(spark, sf, rerank = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === brute && full.nonEmpty,
+      "PQ with full rerank must equal the exact brute-force top-k")
+
+    // two-stage recall at the defaults (rerank=64 of 500) vs exact
+    val got = Similarity.annTopKPq(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = vecs.keys.filter(_ < 10)
+    val recalls = queries.map { qid =>
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (-cos(qid, n), n)).take(5).toSet
+      (got(qid) & want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"PQ two-stage recall = $recall%.2f")
+    assert(recall >= 0.9, f"PQ recall $recall%.2f below bound")
+  }
+
+  test("stored PQ index: probe == inline, append == fresh full build") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    graft.sources.SimilarityIndexes.writePqIndex(emb, s"$dir/full", sf)
+    val (books, codes, vectors) =
+      graft.sources.SimilarityIndexes.readPqIndex(spark, s"$dir/full")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKPqFromIndex(books, codes, vectors, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKPq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty,
+      "stored PQ probe diverged from the inline encode-and-probe path")
+    // append parity: the appended batch encodes under the STORED
+    // codebooks, so the grown index answers identically to a full build
+    val lo = emb.filter($"vec_id" % 10 < 8)
+    val hi = emb.filter($"vec_id" % 10 >= 8)
+    graft.sources.SimilarityIndexes.writePqIndex(lo, s"$dir/grown", s"$sf-lo")
+    graft.sources.SimilarityIndexes.appendPq(hi, s"$dir/grown", "b1")
+    // replay the append: own-label overwrite adds nothing
+    graft.sources.SimilarityIndexes.appendPq(hi, s"$dir/grown", "b1")
+    val (gb, gc, gv) = graft.sources.SimilarityIndexes.readPqIndex(spark, s"$dir/grown")
+    assert(gc.count() === codes.count() && gv.count() === vectors.count(),
+      "append (replayed) must reach exactly the full build's row count")
+    // codebooks fitted on the 80% slice differ from the full fit, so
+    // compare the grown probe against a probe under ITS OWN books over
+    // the same corpus — the fit-once append contract, not book equality
+    val grownProbe = Similarity.annTopKPqFromIndex(gb, gc, gv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val rebuiltInline = Similarity.annTopKPqFromIndex(gb,
+        Similarity.quantizePqOn(emb, gb),
+        emb.select($"vec_id", $"embedding"), queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grownProbe === rebuiltInline,
+      "append-grown index answers differently from re-encoding the " +
+        "same corpus under the stored codebooks")
+  }
+
   test("stored SQ8 index: probe == inline, append == fresh full build") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("sq-idx").toString
