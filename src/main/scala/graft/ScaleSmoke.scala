@@ -590,6 +590,27 @@ object ScaleSmoke {
         centN, cellsN, queries).count())
       spark.catalog.clearCache()
 
+      // PQ stored probe over the same factor-sized corpus: codebooks +
+      // 16-byte codes written once untimed (index build, like the LSH/
+      // IVF writes above), the timed probe is the ADC scan of the code
+      // table (16x fewer bytes than the float corpus) + the rerank-
+      // bounded exact join — linear in the corpus, never corpus x corpus
+      sources.SimilarityIndexes.writePqIndex(embN, s"$annRoot/pq",
+        qKey = s"smoke-pq-f$factor")
+      val (pqB, pqC, pqV) =
+        sources.SimilarityIndexes.readPqIndex(spark, s"$annRoot/pq")
+      val (tPq, nPq) = timeIt(operators.Similarity.annTopKPqFromIndex(
+        pqB, pqC, pqV, queries).count())
+      spark.catalog.clearCache()
+
+      // NB classifier over the factor-sized corpus (planted doc_id%3
+      // labels): one token aggregate for the weights (vocab-capped,
+      // broadcast) + one broadcast-join scoring scan — two linear
+      // passes, the only corpus-sized shuffle is the doc-keyed agg
+      val (tNb, nNb) = timeIt(operators.Classifier
+        .nbClassifyOn(docs, col("doc_id") % 3 =!= 0).count())
+      spark.catalog.clearCache()
+
       // cluster pruning over the same factor-sized embedding corpus:
       // the quantizer fit is warmed untimed (it is the stored artifact
       // — ingest-time cost, like the index writes above); the timed
@@ -758,6 +779,8 @@ object ScaleSmoke {
         s""""ann_sq_sec":$tSq,"ann_sq_rows":$nSq,""" +
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
+        s""""ann_pq_probe_sec":$tPq,"ann_pq_rows":$nPq,""" +
+        s""""nb_classifier_sec":$tNb,"nb_docs":$nNb,""" +
         s""""embprune_sec":$tPrune,"embprune_rows":$nPrune,""" +
         s""""ctxgrep_sec":$tCtx,"ctxgrep_rows":$nCtx,""" +
         s""""decontaminate_sec":$tDec,"decontaminate_docs":$nDec,""" +

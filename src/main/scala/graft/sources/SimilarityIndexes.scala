@@ -480,6 +480,50 @@ object SimilarityIndexes {
     writeManifest(batch, s"$path/manifest/ingest=$label")
   }
 
+  /** Compact a long-appended PQ index into `dst`: codebooks and meta
+    * carried over verbatim (the codes stay decodable — codebooks never
+    * move outside a rebuild), every ingest's code and vector rows
+    * rewritten under a single `ingest=base`, manifest merged — reading
+    * ONLY the stored index. Same crash contract as [[compactIvfTo]]:
+    * `dst` is complete or visibly unfinished (manifest last), and the
+    * caller owns the `src`→`dst` pointer flip.
+    */
+  def compactPqTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = DedupIndexes.resolveIndex(spark, src0)
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/codebooks")
+      .write.mode("overwrite").parquet(s"$dst/codebooks")
+    spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    spark.read.parquet(s"$src/codes").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/codes/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/vectors").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/vectors/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
+
+  /** Compact a long-appended SQ8 index into `dst`: code and vector rows
+    * rewritten under a single `ingest=base`, manifest merged — nothing
+    * else to carry (SQ8 stores its per-vector scales in the code rows
+    * and has no meta). Crash contract and pointer-flip ownership as
+    * [[compactPqTo]].
+    */
+  def compactSqTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = DedupIndexes.resolveIndex(spark, src0)
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/codes").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/codes/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/vectors").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/vectors/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+  }
+
   /** Read back (codebooks, codes, vectors) across every ingest. */
   def readPqIndex(spark: SparkSession, path0: String)
       : (Seq[Seq[Seq[Double]]], DataFrame, DataFrame) = {

@@ -173,6 +173,22 @@ class SimilaritySpec extends SparkSpec {
     assert(grownProbe === rebuiltInline,
       "append-grown index answers differently from re-encoding the " +
         "same corpus under the stored codebooks")
+    // compaction: single base ingest everywhere, codebooks verbatim,
+    // probe-identical to the appended index
+    graft.sources.SimilarityIndexes.compactPqTo(spark, s"$dir/grown", s"$dir/compact")
+    for (comp <- Seq("codes", "vectors", "manifest")) {
+      val ingests = new java.io.File(s"$dir/compact/$comp").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
+        s"$comp must collapse to the single base ingest, got $ingests")
+    }
+    val (cb, cc, cv) =
+      graft.sources.SimilarityIndexes.readPqIndex(spark, s"$dir/compact")
+    assert(cb === gb, "compaction must carry the codebooks verbatim")
+    val compactProbe = Similarity.annTopKPqFromIndex(cb, cc, cv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(compactProbe === grownProbe,
+      "probing the compacted index must equal probing the appended one")
   }
 
   test("stored SQ8 index: probe == inline, append == fresh full build") {
@@ -202,6 +218,19 @@ class SimilaritySpec extends SparkSpec {
     val grown = Similarity.annTopKSqFromIndex(gc, gv, queries)
       .as[(Long, Long, Long)].collect().toSet
     assert(grown === stored, "append-grown index answers differently from the full build")
+    // compaction: single base ingest, probe-identical
+    graft.sources.SimilarityIndexes.compactSqTo(spark, s"$dir/grown", s"$dir/compact")
+    for (comp <- Seq("codes", "vectors", "manifest")) {
+      val ingests = new java.io.File(s"$dir/compact/$comp").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
+        s"$comp must collapse to the single base ingest, got $ingests")
+    }
+    val (cc, cv) = graft.sources.SimilarityIndexes.readSqIndex(spark, s"$dir/compact")
+    val compactProbe = Similarity.annTopKSqFromIndex(cc, cv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(compactProbe === grown,
+      "probing the compacted index must equal probing the appended one")
   }
 
   test("IVF-SQ8: full probe degrades to pure SQ8; default nprobe holds the IVF recall bound") {
