@@ -301,6 +301,10 @@ object SparkEntry {
     // flagged set's equality with rebuild-minus-committed is asserted
     // in PipelineSpec
     "q_pipeline_retro_contam" -> ((s, d) => sources.CurateState.retroContamDocs(s, d)),
+    // ledger with the GPT-3-style classifier stage on: NB log-odds of
+    // the en reference vs this corpus, kept train docs in the bottom
+    // reference-similarity tertile -> dropped_classifier
+    "q_pipeline_curate_clf" -> ((s, d) => operators.Pipeline.curateClf(s, d)),
     // ledger with the C4-style bad-words stage on (q_blocklist terms);
     // blocked en docs attribute as dropped_blocklist before quality
     "q_pipeline_curate_block" -> ((s, d) => operators.Pipeline.curateBlock(s, d)),
@@ -1870,6 +1874,50 @@ object SparkEntry {
                   ELSE 'tail' END AS ppl_bucket
       FROM led CROSS JOIN pn
       LEFT JOIN prk ON prk.doc_id = led.doc_id""".stripMargin.trim),
+    // the GPT-3-style classifier stage inside the ledger: the base
+    // ledger as a derived table, NB staircase weights (en reference
+    // positive, the planted corpus negative — the nbPlantedSql
+    // arithmetic at vocab 16), kept train docs ranked by the
+    // offset per-token score and the bottom tertile re-attributed
+    // dropped_classifier (the q_lm_buckets global-rank spelling; the
+    // +10000 offset keeps the division positive, where both engines'
+    // integer division agree)
+    "q_pipeline_curate_clf" -> ("""
+      WITH led AS (""" + pipelineOracle(
+        nearPlants = false, fuzzy = false, covPct = Some(40)) + """),
+      cd AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      cut AS (SELECT 1 AS is_pos, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE lang = 'en'
+              UNION ALL
+              SELECT 0, unnest(string_split(text, ' ')) FROM cd),
+      ctot AS (SELECT CAST(SUM(is_pos) AS BIGINT) AS np,
+                      CAST(SUM(1 - is_pos) AS BIGINT) AS nn FROM cut),
+      cv2 AS (SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS cp,
+                     CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+              FROM cut GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 16),
+      cw2 AS (SELECT tok,
+                (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
+              - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
+                AS w
+              FROM cv2 CROSS JOIN ctot),
+      csc AS (SELECT dt.doc_id,
+                CAST(SUM(COALESCE(cw2.w, 0)) AS BIGINT) AS score,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT cd.doc_id, unnest(string_split(cd.text, ' ')) AS tok
+                    FROM cd JOIN led ON led.doc_id = cd.doc_id
+                    WHERE led.outcome = 'train') dt
+              LEFT JOIN cw2 USING (tok)
+              GROUP BY dt.doc_id),
+      cspt AS (SELECT doc_id, (score * 100 + 10000 * n) // n AS spt FROM csc),
+      crk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY spt, doc_id) AS r,
+                     COUNT(*) OVER () AS cnt FROM cspt),
+      cdrop AS (SELECT doc_id FROM crk WHERE r <= cnt // 3)
+      SELECT led.doc_id, led.n_tokens,
+             CASE WHEN cdrop.doc_id IS NOT NULL THEN 'dropped_classifier'
+                  ELSE led.outcome END AS outcome
+      FROM led LEFT JOIN cdrop USING (doc_id)""".stripMargin.trim),
     // the same ledger, aggregated — built from the q_pipeline_curate CTE
     // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",

@@ -56,6 +56,12 @@ import org.apache.spark.sql.functions._
   *                   thresholdable contract (a 10-token quote in a
   *                   100k-token doc is fine; the same quote being 80% of
   *                   a short doc is leakage)
+  *   5b. classifier— (`clfRef = Some(ref)`) GPT-3-style classifier
+  *                   filtering: NB token log-odds of the trusted
+  *                   reference vs this corpus ([[Classifier]]), kept
+  *                   TRAIN docs in the bottom reference-similarity
+  *                   tertile → `dropped_classifier` (eval is never
+  *                   dropped — the decontamination rule's precedent)
   *   6.  ppl       — (`pplRef = Some(ref)`) CCNet's closing stage: the
   *                   final train/eval survivors are scored under the
   *                   reference-slice unigram LM ([[Lm.lmScoreOn]]) and
@@ -198,6 +204,24 @@ object Pipeline {
       pplVocab = 16)
   }
 
+  /** [[curate]] with the GPT-3-style classifier stage switched on: NB
+    * log-odds of the en reference slice vs this corpus (the driver's
+    * vocab-16 cap so the cap and OOV paths stay non-vacuous), kept
+    * train docs in the bottom reference-similarity tertile dropped;
+    * the q_pipeline_curate_clf driver query. Coverage-threshold
+    * decontamination (40%) keeps the train split — hence the stage —
+    * non-vacuous at every SF (the fixture's 31-token vocabulary makes
+    * every 3-gram shared at sf0.1, so the blunt any-shared-gram rule
+    * would empty train there — the curateCov precedent).
+    */
+  def curateClf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    curateOn(docs.select(col("doc_id"), col("text")),
+      plantDups = true, contamMinPct = 40L,
+      clfRef = Some(docs.filter(col("lang") === "en").select(col("text"))),
+      clfVocab = 16)
+  }
+
   /** [[curate]] over any (doc_id, text) frame — the library entry point
     * (and the ScaleSmoke sweep surface). */
   def curateOn(base: DataFrame,
@@ -213,7 +237,9 @@ object Pipeline {
                verbatimCuts: Boolean = false,
                verbatimMinRun: Int = 20,
                pplRef: Option[DataFrame] = None,
-               pplVocab: Int = 4096): DataFrame = {
+               pplVocab: Int = 4096,
+               clfRef: Option[DataFrame] = None,
+               clfVocab: Int = 4096): DataFrame = {
     // planted copies live at doc_id + 1_000_000 (exact) / + 2_000_000
     // (near); if a regenerated fixture ever ships base ids >= 1_000_000
     // the planted ids would collide with real docs AND the DuckDB oracle
@@ -371,6 +397,53 @@ object Pipeline {
           .select(col("doc_id"), col("n_tokens"), outcome,
             coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
     }
+    // stage 5b (optional): GPT-3-style CLASSIFIER filtering — the
+    // "train a quality model on a trusted reference, keep the
+    // reference-like slice of the crawl" stage (Brown et al. 2020's
+    // WebText-vs-crawl classifier). Weights are the NB token log-odds
+    // of `clfRef` (positive) vs THIS input corpus (negative) —
+    // [[Classifier.nbWeightsOn]]'s integer staircase, vocab-capped to
+    // control-plane size and COLLECTED into a map literal, so scoring
+    // is a scan-fused per-row fold (the IVF centroid-literal
+    // precedent; a production-sized vocabulary swaps in
+    // [[Classifier.nbScoreOn]]'s broadcast join). Because the
+    // staircase's absolute level shifts with corpus size, the gate is
+    // DISTRIBUTIONAL, not a fixed threshold: kept TRAIN docs in the
+    // bottom reference-similarity tertile of the train-survivor score
+    // distribution drop as `dropped_classifier` ([[Lm.bucketsFromScores]]
+    // over the offset per-token score — the offset keeps the integer
+    // division positive, where Spark's truncating DIV and DuckDB's
+    // flooring `//` agree). Eval docs are never dropped (the benchmark
+    // stays — the decontamination rule's precedent). The text scored
+    // is the text the contamination stage saw.
+    val ledgerClf = clfRef match {
+      case None => ledger
+      case Some(ref) =>
+        val w = Classifier.nbWeightsOn(ref, docs.select(col("text")), clfVocab)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wlit = typedlit(w)
+        val led = graft.CacheScope.track(ledger.persist())
+        val scored = survForGrams
+          .join(led.filter(col("outcome") === "train").select(col("doc_id")),
+            "doc_id")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .select(col("doc_id"),
+            aggregate(col("ws"), lit(0L),
+              (acc, t) => acc + coalesce(element_at(wlit, t), lit(0L)))
+              .as("score"),
+            size(col("ws")).cast("long").as("n"))
+          .select(col("doc_id"),
+            expr("(score * 100 + 10000 * n) DIV n").as("bits_per_100"))
+        val drop = Lm.bucketsFromScores(scored)
+          .filter(col("bucket") === "head").select(col("doc_id"))
+          .withColumn("clf_drop", lit(1L))
+        led.join(drop, Seq("doc_id"), "left")
+          .withColumn("outcome",
+            when(col("clf_drop") === 1L, lit("dropped_classifier"))
+              .otherwise(col("outcome")))
+          .drop("clf_drop")
+    }
+
     // stage 6 (optional): the CCNet perplexity tertile — final
     // survivors (outcome train/eval) are scored under the reference
     // unigram LM ([[Lm.lmScoreOn]]: capped vocab → BroadcastExchange,
@@ -378,11 +451,12 @@ object Pipeline {
     // SURVIVOR score distribution ([[Lm.bucketsFromScores]]: histogram
     // frame, only boundary-straddling values pay a window). The text
     // scored is the text the contamination stage saw — cleaned when the
-    // verbatim stage ran, original otherwise. Dropped docs carry NULL.
+    // verbatim stage ran, original otherwise. Dropped docs (including
+    // the classifier stage's) carry NULL.
     pplRef match {
-      case None => ledger
+      case None => ledgerClf
       case Some(ref) =>
-        val led = graft.CacheScope.track(ledger.persist())
+        val led = graft.CacheScope.track(ledgerClf.persist())
         val scored = survForGrams
           .join(led.filter(col("outcome").isin("train", "eval"))
             .select(col("doc_id")), "doc_id")

@@ -217,6 +217,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_nb_classifier", "q_nb_classifier_planted", "q_nb_confusion",
       "q_embed_ann_pq", "q_embed_ann_pq_idx",
       "q_pipeline_curate_block", "q_pipeline_curate_verbatim",
+      "q_pipeline_curate_clf",
       "q_pipeline_curate_ppl", "q_pipeline_stats", "q_pipeline_stats_verbatim",
       "q_epoch_schedule",
       "q_events_gapfill", "q_event_funnel", "q_event_retention",

@@ -248,6 +248,54 @@ class PipelineSpec extends SparkSpec {
     led.unpersist()
   }
 
+  test("classifier stage drops exactly the bottom train tertile by the standalone NB score") {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val base = docs.select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("lang") === "en").select(col("text"))
+    val led = Pipeline.curateOn(base, plantDups = true, contamMinPct = 40L,
+      clfRef = Some(ref), clfVocab = 16).cache()
+    val plain = Pipeline.curateOn(base, plantDups = true, contamMinPct = 40L)
+    // outside the re-attributed train rows the ledger is untouched, and
+    // every dropped_classifier row was train in the plain ledger
+    val plainMap = plain.as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ledRows = led.as[(Long, Long, String)].collect()
+    assert(ledRows.length === plainMap.size,
+      "classifier ledger must stay one row per doc")
+    ledRows.foreach { case (id, n, out) =>
+      val (pn, pout) = plainMap(id)
+      assert(n === pn)
+      if (out == "dropped_classifier")
+        assert(pout === "train",
+          s"doc $id dropped by the classifier was not a kept train doc")
+      else assert(out === pout,
+        s"doc $id changed outcome $pout -> $out outside the classifier stage")
+    }
+    // the dropped set is EXACTLY the bottom tertile of the plain
+    // ledger's train docs under the standalone NB score (offset
+    // per-token spelling, (value, doc_id) rank — bucketsFromScores'
+    // contract)
+    val trainIds = plainMap.filter(_._2._2 == "train").keySet
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val scores = Classifier.nbScoreOn(
+        planted.filter(col("doc_id").isInCollection(trainIds)),
+        Classifier.nbWeightsOn(ref, planted.select(col("text")), 16))
+      .select(col("doc_id"),
+        expr("(score * 100 + 10000 * n_tokens) DIV n_tokens").as("spt"))
+      .as[(Long, Long)].collect()
+    val expectedDrop = scores.sortBy { case (id, spt) => (spt, id) }
+      .take(scores.length / 3).map(_._1).toSet
+    val gotDrop = ledRows.filter(_._3 == "dropped_classifier").map(_._1).toSet
+    assert(gotDrop === expectedDrop,
+      "classifier stage diverged from the standalone NB bottom tertile")
+    assert(gotDrop.nonEmpty && trainIds.diff(gotDrop).nonEmpty,
+      "the classifier gate must be non-vacuous in both directions")
+    led.unpersist()
+  }
+
   test("checkpointDir spelling yields the identical ledger to the in-memory persist") {
     val base = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))

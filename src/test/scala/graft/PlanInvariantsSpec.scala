@@ -58,6 +58,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // the pipeline's ppl stage composes lmScoreOn's 1-ROW reference
     // total and bucketsFromScores' 1-ROW tertile-bounds crossJoins
     "q_pipeline_curate_ppl",
+    // the classifier stage composes bucketsFromScores' 1-ROW
+    // tertile-bounds crossJoin (scores themselves are a scan-fused
+    // map-literal fold — no join at all)
+    "q_pipeline_curate_clf",
     // the epoch schedule crossJoins the broadcast 1-ROW corpus token
     // total into the bounded source frame (the tf-idf shape)
     "q_epoch_schedule",
@@ -130,6 +134,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // bigram buckets inherit lm_buckets' bounded histogram window
     // through the shared bucketsFromScores spelling
     "q_lm_bigram_buckets",
+    // the classifier stage inherits bucketsFromScores' bounded
+    // histogram-frame window (score-value histogram, never the corpus)
+    "q_pipeline_curate_clf",
     // the pipeline's ppl stage inherits the same bounded
     // score-histogram window through bucketsFromScores
     "q_pipeline_curate_ppl",
