@@ -154,4 +154,125 @@ object Classifier {
     nbPlantedClassify(spark, sfDir, vocabSize)
       .groupBy(col("is_mangled"), col("label_pos"))
       .agg(count(lit(1)).as("n_docs"))
+
+  // -------------------------------------------------------------------
+  // TRAINED linear classifier — full-batch logistic regression by
+  // gradient descent, the fastText-without-embeddings shape (hashed
+  // bag-of-words features, a weight per hash slot + bias). Where the
+  // NB weights above are a closed-form one-aggregate fit, this is the
+  // ITERATIVE spelling production quality classifiers actually use —
+  // and the demonstration that model training itself fits the engine's
+  // execution model: the feature frame is built once and persisted,
+  // every iteration is ONE pass over it (margins scan-fused against
+  // the broadcast weight literal) plus ONE feature-dim-bounded
+  // aggregate for the gradient (map-side combined; `dim + 1` output
+  // rows, control-plane sized, collected to update the weights — the
+  // IVF centroid-collect precedent). Nothing corpus-sized ever sits on
+  // the driver; iterations × (scan + dim-row shuffle) is the whole
+  // cost. Float path + nondeterministic partial-sum order → engine-
+  // specific scores → rows-only driver check; ClassifierSpec asserts
+  // the training contract (loss strictly falls, planted classes
+  // separate) instead.
+  // -------------------------------------------------------------------
+
+  /** Hashed bag-of-words presence features, L2-NORMALIZED: (doc_id, y,
+    * feats) with `feats` an array of (i, v = 1/√(k+1)) over the doc's k
+    * DISTINCT token-hash slots `i = pmod(xxhash64(tok), dim)` plus the
+    * bias slot (i = dim) — every feature vector has unit norm. Not
+    * tf-weights (gradients ~n_tokens× smaller per slot — separable
+    * fixtures took hundreds of epochs, measured) and not raw presence
+    * (unbounded ‖x‖ makes fixed-step GD overshoot on its first steps,
+    * measured): with ‖x‖₂ = 1 the logistic loss is ¼-smooth, so any
+    * rate below 8 descends MONOTONICALLY — the spec asserts the
+    * strictly-falling loss trace this guarantees.
+    */
+  private def hashedFeatures(labeled: DataFrame, dim: Int): DataFrame =
+    labeled
+      .select(col("doc_id"), col("y"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).cast("int").as("i"))
+      .distinct()
+      .groupBy(col("doc_id"), col("y"))
+      .agg(collect_list(col("i")).as("slots"))
+      .select(col("doc_id"), col("y"),
+        transform(concat(col("slots"), array(lit(dim))),
+          i => struct(i.cast("int").as("i"),
+            (lit(1.0) / sqrt(size(col("slots")) + 1)).as("v"))).as("feats"))
+
+  /** Margin of a feature row against a weight literal: one fold, m
+    * lookups — scan-fused, no join. */
+  private def marginCol(w: Seq[Double]): Column =
+    aggregate(col("feats"), lit(0.0),
+      (acc, e) => acc + element_at(typedlit(w), e.getField("i") + 1) * e.getField("v"))
+
+  /** Fit logistic regression on a labeled (doc_id, text, y ∈ {0,1})
+    * frame: `iters` full-batch GD steps at rate `lr` with L2 strength
+    * `l2`. Returns (weights[dim+1] — last slot is the bias, per-iter
+    * mean-log-loss trace in nats × 1e6, empty when `trace = false` —
+    * the trace is a second aggregate job per iteration, so production
+    * fits skip it). The default rate sits at the ¼-smoothness descent
+    * guarantee for the unit-norm features (see [[hashedFeatures]]):
+    * the loss trace falls MONOTONICALLY, which the spec asserts. */
+  def fitLogRegOn(labeled: DataFrame, dim: Int = 1024, iters: Int = 80,
+                  lr: Double = 4.0, l2: Double = 1e-4,
+                  trace: Boolean = true): (Seq[Double], Seq[Long]) = {
+    require(dim > 0 && iters > 0, s"need positive dim/iters, got $dim/$iters")
+    val feats = graft.CacheScope.track(
+      hashedFeatures(labeled, dim).persist())
+    val n = feats.count().toDouble
+    var w: Array[Double] = Array.fill(dim + 1)(0.0)
+    val losses = Seq.newBuilder[Long]
+    for (_ <- 0 until iters) {
+      // one pass: per-doc p = sigmoid(margin) against the CURRENT
+      // weight literal; gradient rows = explode(feats) keyed by slot —
+      // dim+1 rows out, map-side combined
+      val scored = feats.select(col("doc_id"), col("y"), col("feats"),
+        (lit(1.0) / (lit(1.0) + exp(-marginCol(w.toSeq)))).as("p"))
+      if (trace) {
+        val lossRow = scored.agg(
+          avg(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-12)))))
+            .as("loss")).head()
+        losses += (lossRow.getDouble(0) * 1e6).toLong
+      }
+      val grad = scored
+        .select(col("y"), col("p"), explode(col("feats")).as("e"))
+        .groupBy(col("e.i"))
+        .agg(sum((col("p") - col("y")) * col("e.v")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = Array.tabulate(dim + 1)(j =>
+        w(j) - lr * (grad.getOrElse(j, 0.0) / n + l2 * w(j)))
+    }
+    feats.unpersist()
+    (w.toSeq, losses.result())
+  }
+
+  /** Score (doc_id, text) rows under a fitted weight vector: scan-fused
+    * margin fold against the weight literal, probability surfaced as
+    * integer ppm, decision at 1/2 (margin >= 0). */
+  def scoreLogRegOn(docs: DataFrame, w: Seq[Double], dim: Int = 1024): DataFrame =
+    hashedFeatures(docs.withColumn("y", lit(0L)), dim)
+      .select(col("doc_id"), marginCol(w).as("m"))
+      .select(col("doc_id"),
+        floor(lit(1e6) / (lit(1.0) + exp(-col("m")))).cast("long").as("p_ppm"),
+        (col("m") >= 0.0).cast("long").as("label_pos"))
+
+  /** The trained twin of [[nbPlantedClassify]]: fit on the [[mangled]]
+    * drift labels, score every doc with its truth bit. A LIBRARY
+    * operator, not a driver query — an 80-iteration fit is ~80 Spark
+    * jobs, which would dominate the bench suite for no oracle value
+    * (the float path is rows-only anyway); ClassifierSpec asserts the
+    * planted classes separate perfectly and the loss trace strictly
+    * falls, which is the training contract worth pinning. */
+  def logRegPlantedClassify(spark: SparkSession, sfDir: String,
+                            dim: Int = 256, iters: Int = 80): DataFrame = {
+    val planted = mangled(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val (w, _) = fitLogRegOn(
+      planted.select(col("doc_id"), col("text"),
+        (lit(1L) - col("is_mangled")).as("y")), dim, iters, trace = false)
+    scoreLogRegOn(planted.select(col("doc_id"), col("text")), w, dim)
+      .join(planted.select(col("doc_id"), col("is_mangled")), Seq("doc_id"))
+  }
 }

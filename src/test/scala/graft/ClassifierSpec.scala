@@ -82,6 +82,39 @@ class ClassifierSpec extends SparkSpec {
       composed.as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("logistic regression: loss strictly falls and the planted classes separate") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // fit on the same zj-drift labels the NB planted query uses
+    val (w, losses) = {
+      val planted = docs.withColumn("y",
+        ($"doc_id" % 3 =!= 0).cast("long"))
+      Classifier.fitLogRegOn(
+        planted.select($"doc_id",
+          when($"doc_id" % 3 === 0,
+            array_join(transform(split($"text", " "),
+              (t, j) => when(j % 3 === 0, concat(lit("zj"), t)).otherwise(t)), " "))
+            .otherwise($"text").as("text"),
+          $"y"),
+        dim = 256, iters = 80)
+    }
+    info(s"log-loss trace (nats x 1e6): ${losses.mkString(", ")}")
+    assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+      s"full-batch GD loss must strictly fall on separable data: $losses")
+    assert(w.length === 257, "weights must be dim + bias")
+
+    val scored = Classifier.logRegPlantedClassify(spark, sf, dim = 256, iters = 80)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(scored.length === docs.count(),
+      "every doc must be scored exactly once")
+    val confusion = scored.groupBy(r => (r._4, r._3)).view.mapValues(_.length).toMap
+    info(s"logreg planted confusion: $confusion")
+    assert(!confusion.contains((1L, 1L)) && !confusion.contains((0L, 0L)),
+      s"planted drift must separate perfectly after training, got $confusion")
+    // probabilities are calibrated to the right side of 1/2
+    assert(scored.forall(r => (r._3 == 1L) == (r._2 >= 500000L)),
+      "decision bit must agree with the ppm probability at the 1/2 threshold")
+  }
+
   test("the driver plant separates the fixture corpus") {
     // the zj-prefix drift (every third token of doc_id%3 docs) must
     // yield a clean diagonal at sf0.001 too: mangled-doc scores are
