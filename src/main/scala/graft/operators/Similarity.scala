@@ -838,6 +838,23 @@ object Similarity {
     }: _*)
   }
 
+  /** Per-row PQ reconstruction error of an already-unit `u` column:
+    * Σ_j min over codebook j of ‖u_j − c‖² — exactly what encoding the
+    * row under these codebooks loses, without materializing the codes.
+    * Staged one column per subspace (the [[l2sqAll]] codegen-size
+    * rule); adds `err`, removes the staging columns. */
+  private[graft] def pqReconErrCol(df: DataFrame,
+                                   books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = books.head.head.length
+    val withE = books.indices.foldLeft(df) { (d, j) =>
+      d.withColumn(s"__graft_e$j",
+        array_min(l2sqAll(slice(col("u"), j * dsub + 1, dsub), books(j))))
+    }
+    withE.withColumn("err",
+        books.indices.map(j => col(s"__graft_e$j")).reduce(_ + _))
+      .drop(books.indices.map(j => s"__graft_e$j"): _*)
+  }
+
   /** ADC score of a code row against a query's lookup tables: m
     * element_at reads + adds — the candidate's float vector is never
     * touched. */

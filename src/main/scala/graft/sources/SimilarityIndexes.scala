@@ -457,10 +457,10 @@ object SimilarityIndexes {
     * codebooks ([[appendIvf]]'s fit-once contract — codebooks never
     * move on append), landed under `ingest=<label>` with
     * overwrite-on-own-label replay idempotence + manifest-last. Re-fit
-    * cadence is [[writePqIndex]]'s job — codebook drift mirrors IVF
-    * centroid drift (a batch from a shifted embedding distribution
-    * encodes with larger reconstruction error, degrading the coarse
-    * ranking until the exact re-rank can no longer absorb it).
+    * cadence is [[writePqIndex]]'s job, and WHEN is a measured fact:
+    * [[pqDriftStats]] / [[pqRefitDue]] score each ingest's
+    * reconstruction error against the base fit (the [[ivfRefitDue]]
+    * contract for the codebook artifact).
     */
   def appendPq(batch: DataFrame, path0: String, label: String): Unit = {
     require(label.nonEmpty && label != BaseLabel,
@@ -532,6 +532,74 @@ object SimilarityIndexes {
       spark.read.parquet(s"$path/codes").drop("ingest"),
       spark.read.parquet(s"$path/vectors").drop("ingest"))
   }
+
+  /** WHEN to re-fit the PQ codebooks, measured — the [[ivfDriftStats]]
+    * contract for the codebook artifact, with PQ's own two failure
+    * modes as the two signals:
+    *
+    *   - `mean_err` / `err_ratio` — per-ingest mean reconstruction
+    *     error of the stored vectors under the index's codebooks (Σ
+    *     over subspaces of the nearest-centroid squared L2 on the unit
+    *     vector — exactly the loss encoding pays), vs the base
+    *     ingest's. Catches SPREAD drift: a wider or shifted-support
+    *     batch quantizes worse, degrading the ADC coarse ranking.
+    *     The reference is IN-SAMPLE (the base vectors trained the
+    *     codebooks), so even a same-distribution append pays the
+    *     sub-quantizers' generalization gap — measured ~1.33× for
+    *     32-cell 4-dim codebooks on 500 training vectors — hence the
+    *     default threshold 1.6, not 1.2.
+    *   - `code_skew` / `skew_ratio` — mean over subspaces of
+    *     (max code population × ksub / n), the [[ivfDriftStats]]
+    *     cell-skew arithmetic on the CODE tables. Catches
+    *     CONCENTRATION drift, which reconstruction error inverts on:
+    *     a batch collapsed toward one direction reconstructs BETTER
+    *     (measured 1.13× on the orthant-collapse fixture — low
+    *     variance is easy to quantize) while its codes pile into a few
+    *     patterns and the ADC scores stop discriminating candidates.
+    *
+    * One scan of stored vectors + one of the (16-byte-rows) code
+    * table; output one row per ingest (base included, ratios 1.0).
+    */
+  def pqDriftStats(spark: SparkSession, path0: String,
+                   errRatioMax: Double = 1.6,
+                   skewRatioMax: Double = 3.0): DataFrame = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val books = readPqBooks(spark, path)
+    val ksub = books.head.length
+    val withU = spark.read.parquet(s"$path/vectors")
+      .select(col("ingest"), col("vec_id"),
+        Similarity.unitVec(col("embedding")).as("u"))
+    val errStats = Similarity.pqReconErrCol(withU, books)
+      .groupBy(col("ingest"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("err")).as("mean_err"))
+    val skewStats = spark.read.parquet(s"$path/codes")
+      .select(col("ingest"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy(col("ingest"), col("subspace"), col("code"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("ingest"), col("subspace"))
+      .agg((max(col("c")) * lit(ksub) / sum(col("c"))).as("sk"))
+      .groupBy(col("ingest"))
+      .agg(avg(col("sk")).as("code_skew"))
+    val stats = errStats.join(skewStats, "ingest")
+    val base = broadcast(stats.filter(col("ingest") === BaseLabel)
+      .select(col("mean_err").as("base_err"), col("code_skew").as("base_skew")))
+    stats.crossJoin(base)
+      .select(col("ingest"), col("n_vectors"), col("mean_err"), col("code_skew"),
+        (col("mean_err") / col("base_err")).as("err_ratio"),
+        (col("code_skew") / col("base_skew")).as("skew_ratio"))
+      .withColumn("refit_due",
+        col("ingest") =!= BaseLabel &&
+          (col("err_ratio") > errRatioMax || col("skew_ratio") > skewRatioMax))
+  }
+
+  /** True when any appended ingest trips [[pqDriftStats]]' thresholds —
+    * the one-boolean spelling for maintenance schedulers, like
+    * [[ivfRefitDue]]. */
+  def pqRefitDue(spark: SparkSession, path: String,
+                 errRatioMax: Double = 1.6,
+                 skewRatioMax: Double = 3.0): Boolean =
+    !pqDriftStats(spark, path, errRatioMax, skewRatioMax)
+      .filter(col("refit_due")).isEmpty
 
   private def readPqBooks(spark: SparkSession,
                           path: String): Seq[Seq[Seq[Double]]] =

@@ -413,6 +413,40 @@ class SimilaritySpec extends SparkSpec {
       "probing the compacted index must equal probing the appended one")
   }
 
+  test("pqDriftStats: shifted-distribution appends trip the re-fit flag, same-distribution don't") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val stride = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    // the ivfDriftStats constructions: circular shift = same isotropic
+    // geometry; abs+offset = collapse toward the positive orthant.
+    // NOTE which signal catches it: the concentrated batch reconstructs
+    // BETTER than base (low variance is easy to quantize), so the
+    // error ratio stays quiet — its CODES pile into a few patterns and
+    // the code-skew ratio is what trips
+    val same = emb.select(($"vec_id" + stride).as("vec_id"),
+      concat(slice($"embedding", 2, 63), slice($"embedding", 1, 1)).as("embedding"))
+    val drifted = emb.select(($"vec_id" + 2 * stride).as("vec_id"),
+      transform($"embedding", x => abs(x) + lit(1.0f)).as("embedding"))
+    val path = "target/similarity_index_spec/pq_drift"
+    graft.sources.SimilarityIndexes.writePqIndex(emb, path, "pq-drift-spec")
+    graft.sources.SimilarityIndexes.appendPq(same, path, "same")
+    graft.sources.SimilarityIndexes.appendPq(drifted, path, "drifted")
+    val byIngest = graft.sources.SimilarityIndexes.pqDriftStats(spark, path)
+      .collect().map(r => r.getAs[String]("ingest") -> r).toMap
+    assert(byIngest.keySet === Set("base", "same", "drifted"))
+    assert(!byIngest("base").getAs[Boolean]("refit_due"),
+      "the base ingest is its own reference — never flagged")
+    assert(!byIngest("same").getAs[Boolean]("refit_due"),
+      s"a same-distribution append must not flag: ${byIngest("same")}")
+    assert(byIngest("drifted").getAs[Boolean]("refit_due"),
+      s"a shifted-distribution append must flag re-fit due: ${byIngest("drifted")}")
+    assert(byIngest("drifted").getAs[Double]("skew_ratio") >
+      byIngest("same").getAs[Double]("skew_ratio"),
+      "concentration drift must measurably raise the code-skew ratio")
+    assert(graft.sources.SimilarityIndexes.pqRefitDue(spark, path),
+      "the one-boolean signal must reflect the flagged ingest")
+  }
+
   test("ivfDriftStats: shifted-distribution appends trip the re-fit flag, same-distribution don't") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
