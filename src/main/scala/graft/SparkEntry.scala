@@ -372,6 +372,12 @@ object SparkEntry {
     // non-vacuous on the 31-token fixture
     "q_nb_classifier" -> ((s, d) =>
       operators.Classifier.nbLangClassify(s, d, "en", 16)),
+    // the STORED-model twin: NB sufficient statistics are additive, so
+    // the artifact stores mergeable counts (init on doc_id<250, append
+    // the rest) and weight derivation at read equals a fresh full fit
+    // EXACTLY -- hash-checked against the inline query's own oracle
+    "q_nb_classifier_idx" -> ((s, d) =>
+      sources.ClassifierModels.nbClassifyStoredDocs(s, d, "en", 16)),
     // the separable twin: deterministic zj-prefix vocabulary drift
     // planted into doc_id%3 docs, trained clean-vs-mangled, every doc
     // scored with its truth bit (vocab 64: drifted tokens must fit)
@@ -597,6 +603,35 @@ object SparkEntry {
                 AS BIGINT) AS bits
             FROM t LEFT JOIN v USING (tok) CROSS JOIN n
             GROUP BY t.doc_id)"""
+
+  /** The NB classifier oracle (q_nb_classifier AND its stored twin
+    * q_nb_classifier_idx — count merging is exact, so one SQL serves
+    * both): bitlen-staircase log-odds over the vocab-16-capped
+    * combined stream, division-free decision.
+    */
+  private val nbClassifierSql: String = """
+      WITH tagged AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+      tot AS (SELECT CAST(SUM(is_pos) AS BIGINT) AS np,
+                     CAST(SUM(1 - is_pos) AS BIGINT) AS nn FROM tagged),
+      v AS (SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS cp,
+                   CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+            FROM tagged GROUP BY tok
+            ORDER BY COUNT(*) DESC, tok LIMIT 16),
+      w AS (SELECT tok,
+              (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
+            - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
+              AS w
+            FROM v CROSS JOIN tot),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
+             CAST(CASE WHEN CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) * 100 >= 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS label_pos
+      FROM t LEFT JOIN w USING (tok)
+      GROUP BY t.doc_id""".stripMargin.trim
 
   /** Shared planted-classifier CTE (q_nb_classifier_planted /
     * q_nb_confusion) — the SQL mirror of Classifier.nbPlantedClassify
@@ -2036,29 +2071,10 @@ object SparkEntry {
     // NB token log-odds classifier, en-vs-rest on the lang labels —
     // weights are the bitlen-staircase log-odds over the vocab-capped
     // combined stream; decision is division-free (score*100 >= 0)
-    "q_nb_classifier" -> ("""
-      WITH tagged AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
-                        unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-      tot AS (SELECT CAST(SUM(is_pos) AS BIGINT) AS np,
-                     CAST(SUM(1 - is_pos) AS BIGINT) AS nn FROM tagged),
-      v AS (SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS cp,
-                   CAST(SUM(1 - is_pos) AS BIGINT) AS cn
-            FROM tagged GROUP BY tok
-            ORDER BY COUNT(*) DESC, tok LIMIT 16),
-      w AS (SELECT tok,
-              (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
-            - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
-              AS w
-            FROM v CROSS JOIN tot),
-      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents)
-      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
-             CAST(CASE WHEN CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) * 100 >= 0
-                  THEN 1 ELSE 0 END AS BIGINT) AS label_pos
-      FROM t LEFT JOIN w USING (tok)
-      GROUP BY t.doc_id""".stripMargin.trim),
+    "q_nb_classifier" -> nbClassifierSql,
+    // the stored-model twin answers IDENTICALLY: count merging is
+    // exact, so the same oracle certifies the artifact round-trip
+    "q_nb_classifier_idx" -> nbClassifierSql,
     // the planted-separable twin: zj-prefix drift on every third token
     // (0-based positions 0,3,... = 1-based i%3=1) of doc_id%3 docs,
     // trained clean-vs-mangled over the SAME drifted stream

@@ -115,6 +115,53 @@ class ClassifierSpec extends SparkSpec {
       "decision bit must agree with the ppm probability at the 1/2 threshold")
   }
 
+  test("stored NB model: counts merge exactly — append == fresh full fit, replay adds nothing") {
+    import graft.sources.ClassifierModels
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"lang")
+    val pos = docs.filter($"lang" === "en").select($"text")
+    val neg = docs.filter($"lang" =!= "en").select($"text")
+    val root = java.nio.file.Files.createTempDirectory("nb-model").toString
+
+    // fresh full fit = the reference
+    ClassifierModels.writeNbModel(pos, neg, s"$root/full")
+    val full = ClassifierModels.readNbWeights(spark, s"$root/full", 16)
+      .as[(String, Long)].collect().toSet
+    val inline = Classifier.nbWeightsOn(pos, neg, 16)
+      .as[(String, Long)].collect().toSet
+    assert(full === inline && full.nonEmpty,
+      "stored-model weights diverged from the inline fit")
+
+    // incremental: init on half the docs, append the rest — counts
+    // merge, so the derived weights are EXACTLY the full fit's
+    val lo = docs.filter($"doc_id" % 2 === 0)
+    val hi = docs.filter($"doc_id" % 2 === 1)
+    ClassifierModels.writeNbModel(
+      lo.filter($"lang" === "en").select($"text"),
+      lo.filter($"lang" =!= "en").select($"text"), s"$root/grown")
+    ClassifierModels.appendNb(
+      hi.filter($"lang" === "en").select($"text"),
+      hi.filter($"lang" =!= "en").select($"text"), s"$root/grown", "b2")
+    // replay the append: own-label overwrite adds nothing
+    ClassifierModels.appendNb(
+      hi.filter($"lang" === "en").select($"text"),
+      hi.filter($"lang" =!= "en").select($"text"), s"$root/grown", "b2")
+    val grown = ClassifierModels.readNbWeights(spark, s"$root/grown", 16)
+      .as[(String, Long)].collect().toSet
+    assert(grown === full,
+      "init-then-append weights must equal the fresh full fit exactly")
+
+    // crash visibility: an ingest with counts but no totals row (the
+    // totals-last contract's half-written state) is invisible
+    val spark2 = spark
+    spark2.read.parquet(s"$root/grown/counts").filter($"ingest" === "b2")
+      .drop("ingest")
+      .write.mode("overwrite").parquet(s"$root/grown/counts/ingest=crashed")
+    val healed = ClassifierModels.readNbWeights(spark, s"$root/grown", 16)
+      .as[(String, Long)].collect().toSet
+    assert(healed === full,
+      "a half-written ingest (counts without totals) must be invisible")
+  }
+
   test("the driver plant separates the fixture corpus") {
     // the zj-prefix drift (every third token of doc_id%3 docs) must
     // yield a clean diagonal at sf0.001 too: mangled-doc scores are

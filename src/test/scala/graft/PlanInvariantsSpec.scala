@@ -67,8 +67,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_epoch_schedule",
     // the NB classifier crossJoins the broadcast 1-ROW class-totals
     // frame into the vocab-capped weight table (Classifier.nbWeightsOn
-    // — lmScoreOn's reference-total shape)
-    "q_nb_classifier", "q_nb_classifier_planted", "q_nb_confusion",
+    // — lmScoreOn's reference-total shape; the stored twin derives
+    // weights through the same 1-ROW merged-totals crossJoin)
+    "q_nb_classifier", "q_nb_classifier_idx",
+    "q_nb_classifier_planted", "q_nb_confusion",
     // concentration crossJoins three broadcast 1-ROW frames (stats,
     // full-band sum, boundary sum) into the one-row report
     "q_revenue_top1")
