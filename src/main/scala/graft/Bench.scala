@@ -66,9 +66,24 @@ object Bench {
       val failed = runOnce(name, fn).isDefined
       val flag =
         if (failed) None // exception already reported through runOnce
-        else BenchContract.emptyResultError(name,
-          try fn(spark, sfDir).isEmpty catch { case _: Throwable => false },
-          expectedEmpty).map(name -> _)
+        else {
+          // a probe-time exception is a FAILURE like any other, never
+          // "non-empty": a query that succeeds in runOnce but throws
+          // non-deterministically here must surface, not silently pass
+          // the emptiness check (r13 ADVICE)
+          val probed =
+            try Right(fn(spark, sfDir).isEmpty)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name probe FAILED: $e")
+              Left(e.getClass.getSimpleName)
+            }
+          probed match {
+            case Left(err) => Some(name -> err)
+            case Right(isEmpty) =>
+              BenchContract.emptyResultError(name, isEmpty, expectedEmpty)
+                .map(name -> _)
+          }
+        }
       dropCaches()
       flag
     }.toMap

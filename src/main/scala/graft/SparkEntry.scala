@@ -504,6 +504,17 @@ object SparkEntry {
     // its stored-probe twin: codebooks + 16-byte code rows read from
     // parquet, appends encode under the STORED codebooks
     "q_embed_ann_pq_idx" -> ((s, d) => sources.SimilarityIndexes.annPqProbeDocs(s, d)),
+    // IVF-PQ composed (FAISS IVF16,PQ16 — THE production big-corpus
+    // index): cell probing prunes WHICH vectors pay the ADC lookups
+    // (plain PQ scans every code row — the 10^9-vector bottleneck),
+    // PQ prunes the bytes per scanned vector; rows-only (both fits
+    // kmeans-seeded), nprobe=nlist == pure-PQ equality + recall bound
+    // in SimilaritySpec
+    "q_embed_ann_ivfpq" -> ((s, d) => operators.Similarity.annTopKIvfPq(s, d)),
+    // its stored-probe twin: PQ-coded inverted lists PARTITIONED BY
+    // cell — the ADC pass reads only the probed cells' files at 1/16
+    // the bytes per vector
+    "q_embed_ann_ivfpq_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfPqProbeDocs(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

@@ -241,8 +241,13 @@ object Classifier {
         .groupBy(col("e.i"))
         .agg(sum((col("p") - col("y")) * col("e.v")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // the intercept (slot dim) is excluded from L2 shrinkage —
+      // standard logistic regression regularizes feature weights only;
+      // shrinking the bias biases the decision threshold on imbalanced
+      // classes (r13 ADVICE)
       w = Array.tabulate(dim + 1)(j =>
-        w(j) - lr * (grad.getOrElse(j, 0.0) / n + l2 * w(j)))
+        w(j) - lr * (grad.getOrElse(j, 0.0) / n +
+          (if (j == dim) 0.0 else l2 * w(j))))
     }
     feats.unpersist()
     (w.toSeq, losses.result())

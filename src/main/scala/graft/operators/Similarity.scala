@@ -36,6 +36,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Cosine for RANKING: an all-zero vector has no direction, its
+    * cosine is NaN (0/0 norms), and Spark orders NaN as LARGEST — so a
+    * degenerate zero vector would top every shortlist and carry NaN
+    * into the exact re-rank, displacing real neighbors. nanvl pins the
+    * NaN to -2.0 (strictly below any real cosine), so zero vectors sink
+    * to the bottom of every ranking instead (r13 ADVICE). Threshold
+    * FILTERS (cosine >= t) need no guard — NaN compares false there.
+    */
+  private def rankSim(a: Column, b: Column): Column =
+    nanvl(cosineSim(a, b), lit(-2.0))
+
   /** Embedding near-dup: all pairs with cosine >= `threshold`, computed
     * EXACTLY via blocked pair enumeration.
     *
@@ -110,7 +121,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
     val scored = v.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -158,7 +169,7 @@ object Similarity {
     * multiply in the hot loop.
     */
   private def sq8Sim(eq: Column, codes: Column): Column =
-    cosineSim(eq, transform(codes, c => c.cast("float")))
+    rankSim(eq, transform(codes, c => c.cast("float")))
 
   /** ANN top-k over the SQ8-quantized corpus with EXACT re-rank — the
     * two-stage retrieval every production vector store runs: (1) the
@@ -224,7 +235,7 @@ object Similarity {
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
@@ -308,7 +319,7 @@ object Similarity {
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
@@ -435,7 +446,7 @@ object Similarity {
     cells.join(probeCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
@@ -726,7 +737,7 @@ object Similarity {
     candIds.join(vectors, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
@@ -811,15 +822,19 @@ object Similarity {
   def quantizePqOn(emb: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = books.length
     val dsub = books.head.head.length
-    val withU = emb.select(col("vec_id"), unitVec(col("embedding")).as("u"))
+    // a `cell` column (the IVF-PQ composition feeds an assigned frame)
+    // rides through — the quantizeSq8On contract; anything else drops
+    val keep = Seq(col("vec_id")) ++
+      (if (emb.columns.contains("cell")) Seq(col("cell")) else Nil)
+    val withU = emb.select(keep :+ unitVec(col("embedding")).as("u"): _*)
     val withD = books.indices.foldLeft(withU) { (df, j) =>
       df.withColumn(s"__graft_d$j",
         l2sqAll(slice(col("u"), j * dsub + 1, dsub), books(j)))
     }
-    withD.select(col("vec_id"),
+    withD.select(keep :+
       array(books.indices.map(j =>
         (array_position(col(s"__graft_d$j"), array_min(col(s"__graft_d$j"))) - 1)
-          .cast("tinyint")): _*).as("codes"))
+          .cast("tinyint")): _*).as("codes"): _*)
   }
 
   /** The per-query ADC lookup table: luts[j][c+1] = dot(unit query's
@@ -893,6 +908,92 @@ object Similarity {
     * parquet spelling). Shared probe arithmetic — stored and inline
     * results cannot fork.
     */
+  /** IVF-PQ — the two prunings COMPOSED, FAISS's production big-corpus
+    * factory index `IVF<nlist>,PQ<m>` re-expressed as Spark joins (the
+    * [[annTopKIvfSq]] composition applied to PQ codes): IVF cell
+    * probing cuts WHICH vectors pay the ADC lookups (nprobe/nlist of
+    * the corpus — the piece plain [[annTopKPq]] lacks: its coarse pass
+    * scans EVERY vector's codes, the scan bottleneck at 10⁹ vectors)
+    * while PQ cuts WHAT each scanned vector costs (m byte-codes, m
+    * table lookups, no float read), and the exact float re-rank
+    * touches only the `rerank`-per-query shortlist. At 100 TB the
+    * cell-partitioned 16-byte code lists are the only corpus-sized
+    * artifact a query reads — nprobe/nlist of the files at 1/16 the
+    * bytes each.
+    *
+    * kmeans-seeded (both fits) → rows-only driver check;
+    * SimilaritySpec pins the semantics: nprobe = nlist degrades
+    * EXACTLY to pure [[annTopKPq]] (cell pruning off — the IVF-SQ8→SQ8
+    * precedent), and at the default nprobe recall holds the IVF bound.
+    */
+  def annTopKIvfPq(spark: SparkSession, sfDir: String,
+                   nQueries: Int = 10, k: Int = 5,
+                   nlist: Int = 16, nprobe: Int = 12, rerank: Int = 64,
+                   m: Int = 16, ksub: Int = 32,
+                   trustKey: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val books = fitPqCodebooks(emb, sfDir, m, ksub)
+    annTopKIvfPqFromIndex(centroids, books,
+      quantizePqOn(assignCells(emb, centroids, nassign = 1), books),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobe, rerank)
+  }
+
+  /** [[annTopKIvfPq]] probing a PREBUILT index — `codes` carries
+    * (vec_id, cell, codes) PQ-coded inverted lists
+    * ([[graft.sources.SimilarityIndexes.writeIvfPqIndex]] is the
+    * parquet spelling, PARTITIONED BY cell so the ADC pass reads only
+    * the probed cells' files), `vectors` the exact re-rank side.
+    * Queries rank the centroid literals and keep their `nprobe`
+    * nearest cells ([[annTopKIvfSqFromIndex]]'s fan-out), each query's
+    * ADC lookup tables broadcast WITH its probe rows, the coarse pass
+    * scans only the probed cells' codes behind a broadcast equi-join
+    * on cell id (the corpus side never shuffles), and the exact float
+    * re-rank joins the shortlist back to `vectors`. Cells are
+    * nassign = 1, so no candidate dedup agg is needed. Shared with the
+    * inline entry — stored and inline results cannot fork.
+    */
+  def annTopKIvfPqFromIndex(centroids: Seq[Seq[Double]],
+                            books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                            vectors: DataFrame, queries: DataFrame,
+                            k: Int = 5, nprobe: Int = 12,
+                            rerank: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val lutQueries = queries
+      .select(col("query_id"), col("eq"), unitVec(col("eq")).as("__graft_uq"))
+      .select(col("query_id"), col("eq"),
+        pqLuts(col("__graft_uq"), books).as("luts"))
+    val probes = lutQueries.select(col("query_id"), col("eq"), col("luts"),
+      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+        .as(Seq("cell", "csim")))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
+    val probeCells = probes.withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("eq"), col("luts"), col("cell"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id").asc)
+    val shortlist = codes.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
+        pqSim(col("luts"), col("codes")).as("qsim"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("eq"), col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rankSim(col("eq"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   def annTopKPqFromIndex(books: Seq[Seq[Seq[Double]]], codes: DataFrame,
                          vectors: DataFrame, queries: DataFrame,
                          k: Int = 5, rerank: Int = 64): DataFrame = {
@@ -916,7 +1017,7 @@ object Similarity {
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("eq"), col("embedding")).as("sim"))
+        rankSim(col("eq"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))

@@ -136,7 +136,9 @@ object CurateState {
     * (caller-supplied (doc_id, text) — the state stores identity, not
     * text; the kept corpus is the natural source) against the FULL
     * stored eval-gram universe under the state's own pinned config:
-    * one row per train doc with shingles — (doc_id, n_shared, n_ngrams,
+    * one row per train doc — docs too short to shingle surface as
+    * (0, 0, 0, unflagged) rows rather than vanishing —
+    * (doc_id, n_shared, n_ngrams,
     * cov_pct, flagged) — where `flagged = 1` marks exactly the docs a
     * rebuild would now attribute `dropped_contaminated`. A doc flagged
     * here is NEWLY contaminated by construction: had its coverage
@@ -159,15 +161,21 @@ object CurateState {
     // so sum(hit) IS the distinct shared-gram count.
     val evalGrams = spark.read.parquet(s"$path/evalgrams")
       .drop("ingest").distinct().withColumn("__graft_hit", lit(1L))
+    // explode_OUTER: a sub-contamN-token doc has no shingles, and a
+    // plain explode would drop it from the report entirely — a caller
+    // auditing short docs would get no row and no flag (r13 ADVICE).
+    // The null gram row never joins a real eval gram, so the doc
+    // surfaces as (0 shared, 0 ngrams, unflagged); cov_pct guards the
+    // 0-denominator with greatest(n_ngrams, 1).
     trainDocs
       .select(col("doc_id"), TextOps.shingles(col("text"), contamN).as("ngs"))
       .select(col("doc_id"),
-        size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
+        size(col("ngs")).cast("long").as("n_ngrams"), explode_outer(col("ngs")).as("ng"))
       .join(evalGrams, Seq("ng"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("__graft_hit"), lit(0L))).as("n_shared"),
         max(col("n_ngrams")).as("n_ngrams"))
-      .withColumn("cov_pct", expr("n_shared * 100 DIV n_ngrams"))
+      .withColumn("cov_pct", expr("n_shared * 100 DIV greatest(n_ngrams, 1)"))
       .withColumn("flagged",
         (if (contamMinPct <= 0L) col("n_shared") > 0L
          else col("cov_pct") >= contamMinPct).cast("long"))

@@ -300,6 +300,123 @@ class SimilaritySpec extends SparkSpec {
       "append-grown index answers differently from one-shot assignment under the stored centroids")
   }
 
+  test("IVF-PQ: full probe degrades to pure PQ; default nprobe holds the IVF recall bound") {
+    // nprobe = nlist turns cell pruning off: every code row reaches the
+    // ADC pass (each vector sits in exactly one cell at nassign=1), so
+    // the composed index must reproduce pure PQ EXACTLY — same LUTs,
+    // same scoring expression, same tie-breaks (the IVF-SQ8→SQ8
+    // precedent, applied to the codebook artifact)
+    val full = Similarity.annTopKIvfPq(spark, sf, nprobe = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val pq = Similarity.annTopKPq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full === pq && full.nonEmpty,
+      "IVF-PQ at nprobe=nlist must equal the pure PQ two-stage retrieval")
+    // cell pruning on: the PQ reconstruction error is absorbed by the
+    // deep rerank (64), so the only recall loss is cell pruning — IVF's
+    // own bound applies
+    val got = Similarity.annTopKIvfPq(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = vecs.keys.filter(_ < 10)
+    val recalls = queries.map { qid =>
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (-cos(qid, n), n)).take(5).toSet
+      (got(qid) & want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF-PQ recall = $recall%.2f")
+    assert(recall >= 0.85, f"IVF-PQ recall $recall%.2f below the IVF bound")
+  }
+
+  test("stored IVF-PQ index: probe == inline, append uses STORED fits, compaction carries the drift verdict") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    // same quantizer/codebook keys as the inline path -> same memoized
+    // fits, so stored-vs-inline equality is exact
+    graft.sources.SimilarityIndexes.writeIvfPqIndex(emb, s"$dir/full", sf)
+    val (cen, books, codes, vectors) =
+      graft.sources.SimilarityIndexes.readIvfPqIndex(spark, s"$dir/full")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKIvfPqFromIndex(cen, books, codes, vectors, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKIvfPq(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty,
+      "stored IVF-PQ probe diverged from the inline fit-assign-encode path")
+    // append: build from an 80% slice (its own fits), append the rest —
+    // the grown index must answer exactly like a one-shot
+    // assign-and-encode of the full corpus under the STORED artifacts:
+    // appends move neither centroids nor codebooks
+    val lo = emb.filter($"vec_id" % 10 < 8)
+    val hi = emb.filter($"vec_id" % 10 >= 8)
+    graft.sources.SimilarityIndexes.writeIvfPqIndex(lo, s"$dir/grown", s"$sf:ivfpq80")
+    graft.sources.SimilarityIndexes.appendIvfPq(hi, s"$dir/grown", "b1")
+    // replay the append: own-label overwrite adds nothing
+    graft.sources.SimilarityIndexes.appendIvfPq(hi, s"$dir/grown", "b1")
+    val (gcen, gbooks, gcodes, gvec) =
+      graft.sources.SimilarityIndexes.readIvfPqIndex(spark, s"$dir/grown")
+    assert(gcodes.count() === emb.count() && gvec.count() === emb.count(),
+      "append (replayed) must reach exactly one row per corpus vector")
+    val grown = Similarity.annTopKIvfPqFromIndex(gcen, gbooks, gcodes, gvec, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Similarity.annTopKIvfPqFromIndex(gcen, gbooks,
+      Similarity.quantizePqOn(
+        Similarity.assignCells(emb, gcen, nassign = 1), gbooks),
+      emb.select($"vec_id", $"embedding"), queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown === oneShot,
+      "append-grown index answers differently from one-shot encoding under the stored fits")
+    // compaction: single base ingest, fitted artifacts verbatim,
+    // probe-identical — and the RESULT is the compaction-time drift
+    // verdict (warn-and-proceed): a same-distribution append must not
+    // flag, and the Boolean must equal pqRefitDue on the source
+    val verdict = graft.sources.SimilarityIndexes.compactIvfPqTo(
+      spark, s"$dir/grown", s"$dir/compact")
+    assert(verdict === graft.sources.SimilarityIndexes.pqRefitDue(spark, s"$dir/grown"),
+      "compaction must return exactly the drift verdict it measured")
+    assert(!verdict,
+      "a same-distribution append must not trip the compaction-time re-fit flag")
+    val (ccen, cbooks, ccodes, cvec) =
+      graft.sources.SimilarityIndexes.readIvfPqIndex(spark, s"$dir/compact")
+    assert(ccen === gcen && cbooks === gbooks,
+      "compaction must carry centroids and codebooks verbatim")
+    for (comp <- Seq("vectors", "manifest")) {
+      val ingests = new java.io.File(s"$dir/compact/$comp").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(ingests === Seq(s"ingest=${graft.sources.SimilarityIndexes.BaseLabel}"),
+        s"$comp must collapse to the single base ingest, got $ingests")
+    }
+    val compactProbe = Similarity.annTopKIvfPqFromIndex(ccen, cbooks, ccodes, cvec, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(compactProbe === grown,
+      "probing the compacted index must equal probing the appended one")
+  }
+
+  test("a planted all-zero vector sinks instead of NaN-topping every shortlist") {
+    // an all-zero embedding has no direction: its cosine is NaN (0/0),
+    // and Spark orders NaN LARGEST — before the rankSim guard it would
+    // rank FIRST in every coarse shortlist and ride NaN into the exact
+    // re-rank (r13 ADVICE). With the guard it scores -2.0 and can never
+    // displace a real neighbor.
+    val emb = Tables.embeddings(spark, sf)
+    val zeroId = 999999L
+    val withZero = emb.select($"vec_id", $"embedding").unionByName(
+      spark.range(1).select(org.apache.spark.sql.functions.lit(zeroId).as("vec_id"),
+        org.apache.spark.sql.functions.typedlit(Seq.fill(64)(0.0f)).as("embedding")))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val withZeroTop = Similarity.annTopKSqOn(withZero, queries, k = 5, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val cleanTop = Similarity.annTopKSqOn(emb, queries, k = 5, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!withZeroTop.exists(_._2 == zeroId),
+      "the zero vector must never appear as a neighbor")
+    assert(withZeroTop === cleanTop,
+      "a zero vector in the corpus must not perturb anyone's top-k")
+  }
+
   test("quantizer memo refits when a reused key carries different data") {
     // half the table under a label, then the FULL table under the SAME
     // label: before the fingerprinted memo key (round-8) the second call
