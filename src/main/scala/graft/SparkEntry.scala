@@ -301,6 +301,13 @@ object SparkEntry {
     // flagged set's equality with rebuild-minus-committed is asserted
     // in PipelineSpec
     "q_pipeline_retro_contam" -> ((s, d) => sources.CurateState.retroContamDocs(s, d)),
+    // retro-NEAR-DUP report — the second rebuild-drift axis: the full
+    // rebuild dedup graph recomputed from the stored MinHash index
+    // alone (banded self-join + exact verification), flagged = kept
+    // committed reps a rebuild's component merge would drop (planted
+    // cross-batch bridge trios make it non-vacuous). Rows-only:
+    // flagged == rebuild-merged asserted in PipelineSpec
+    "q_pipeline_retro_neardup" -> ((s, d) => sources.CurateState.retroNearDupDocs(s, d)),
     // ledger with the GPT-3-style classifier stage on: NB log-odds of
     // the en reference vs this corpus, kept train docs in the bottom
     // reference-similarity tertile -> dropped_classifier

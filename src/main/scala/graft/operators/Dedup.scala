@@ -931,9 +931,39 @@ object Dedup {
         when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("is_new"))
   }
 
+  /** The FULL >= num/den-Jaccard pair graph among a stored near-dup
+    * index's own docs, from the index artifacts ALONE (no corpus text):
+    * banded self-join over the stored (doc_id, band, key) rows with the
+    * probe-side hot-bucket cap, every candidate exact-verified against
+    * the stored sorted shingle frames — [[minHashNearDupsOn]]'s
+    * arithmetic with the index as both sides. This is the dedup graph a
+    * FULL REBUILD would compute over the indexed docs, which is what
+    * makes the committed-rep-bridge audit
+    * ([[graft.sources.CurateState.retroNearDup]]) a pure index read:
+    * one banded self-join + candidate-bounded verification, corpus
+    * never touched.
+    */
+  def selfNearDupPairsFromIndex(corpusShingles: DataFrame,
+                                corpusBandIndex: DataFrame,
+                                num: Int = 4, den: Int = 5,
+                                maxBucket: Int = 10000): DataFrame = {
+    val capped = corpusBandIndex
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, corpusShingles, num, den)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** [[incrementalNearDup]] over the documents table with the same
-    * deterministic corpus/batch split as [[incrementalNewDocs]] — the
-    * driver-query harness (q_dedup_incr_near).
+    * deterministic corpus/batch split as [[incrementalNewDocs]] —
+    * the driver-query harness (q_dedup_incr_near).
     */
   def incrementalNearDupDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

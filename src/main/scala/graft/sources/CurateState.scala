@@ -181,6 +181,58 @@ object CurateState {
          else col("cov_pct") >= contamMinPct).cast("long"))
   }
 
+  /** RETRO-NEAR-DUP REPORT — the OTHER documented asymmetry made
+    * queryable (the [[retroContamination]] precedent, closing the last
+    * documented-but-unmeasured honesty gap): committed outcomes are
+    * immutable, but a later batch's doc can near-dup-BRIDGE two
+    * committed survivors that were never near-dups of each other — a
+    * full rebuild merges their components and keeps only the min id,
+    * dropping one committed rep, where the incremental state kept
+    * both. This report recomputes the FULL rebuild dedup graph from
+    * the stored MinHash index ALONE
+    * ([[graft.operators.Dedup.selfNearDupPairsFromIndex]]: banded
+    * self-join + exact verification over the stored shingle frames —
+    * the index holds every batch's exact-dedup survivors, which is
+    * exactly the vertex set the rebuild's near-dup stage spans),
+    * labels components, and scores every committed KEPT doc (ledger
+    * outcome train/eval) against its component's rebuild
+    * representative. Output: one row per kept doc —
+    * (doc_id, rebuild_rep, flagged) — where `flagged = 1` marks
+    * exactly the kept docs whose full-rebuild component rep is a
+    * DIFFERENT doc: the committed reps a rebuild would now drop.
+    * Non-zero `sum(flagged)` is the rebuild-due signal on the
+    * near-dup axis, completing the two-axis audit
+    * ([[retroContamination]] covers the eval-gram axis).
+    *
+    * Scale: one banded self-join over the stored band rows (hot-bucket
+    * capped, the probe contract) + candidate-bounded verification over
+    * the stored shingles + [[graft.operators.Dedup.clusterPairs]] on
+    * the verified pair list (the SMALL artifact) — committed text is
+    * never re-read; run at audit cadence like the contamination twin.
+    */
+  def retroNearDup(spark: SparkSession, path0: String,
+                   maxBucket: Int = 10000): DataFrame = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val kept = ledger(spark, path)
+      .filter(col("outcome").isin("train", "eval"))
+      .select(col("doc_id"))
+    val ndDir = s"$path/neardup"
+    if (!DedupIndexes.hasCompleteIndex(spark, ndDir) ||
+        !DedupIndexes.hasData(spark, s"$ndDir/bands"))
+      // an empty identity has no pair graph: every kept doc is its own rep
+      return kept.select(col("doc_id"), col("doc_id").as("rebuild_rep"),
+        lit(0L).as("flagged"))
+    val (sh, idx) = DedupIndexes.readNearDupIndex(spark, ndDir)
+    val labels = Dedup.clusterPairs(
+      Dedup.selfNearDupPairsFromIndex(sh, idx, maxBucket = maxBucket))
+    kept
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rebuild_rep"))
+      .withColumn("flagged",
+        (col("doc_id") =!= col("rebuild_rep")).cast("long"))
+  }
+
   /** Compact a long-appended state into `dst`: meta carried verbatim,
     * fps / evalgrams / ledger rewritten under a single `ingest=base`,
     * the near-dup index compacted via
@@ -432,6 +484,60 @@ object CurateState {
       .filter(col("outcome") === "train").select(col("doc_id"))
     retroContamination(
       batch1.unionByName(batch2).join(train, Seq("doc_id")), path)
+  }
+
+  // -- q_pipeline_retro_neardup harness: a DEDICATED two-batch state
+  // with planted CROSS-BATCH BRIDGE TRIOS, built from token slices of
+  // every base doc with doc_id % 50 == 7 and >= 54 tokens (M = tokens
+  // 1..40, X = 41..48, Y = 49..54):
+  //   - B1a = X ++ M (id 5_000_000 + 2d) and B1b = M ++ Y
+  //     (id 5_000_001 + 2d) commit with batch 1: they share M's ~38
+  //     internal shingles but each adds ~8/~6 of its own, so
+  //     J(B1a, B1b) ≈ 38/52 ≈ 0.73 < 0.8 — NOT near-dups, both kept;
+  //   - the bridge C = M alone (id 6_000_000 + d) arrives in batch 2:
+  //     J(C, B1a) ≈ 38/46 ≈ 0.83 and J(C, B1b) ≈ 38/44 ≈ 0.86, both
+  //     >= 0.8 — C drops against the stored index (a state hit on
+  //     either committed doc), but a FULL REBUILD's component
+  //     {B1a, B1b, C} keeps only B1a: B1b is a committed rep the
+  //     rebuild would drop, which is exactly what the report flags.
+  // Decontamination is disabled for this state (contamMinPct = 101 —
+  // cov_pct can never reach it) so the near-dup axis is isolated: every
+  // exact+near-dup survivor is KEPT and B1b's flag cannot be masked by
+  // a split-dependent contamination drop. Rows-only driver check; the
+  // flagged == rebuild-merged equality is asserted in PipelineSpec on
+  // a controlled trio. --
+
+  private def retroNdBatches(spark: SparkSession,
+                             sfDir: String): (DataFrame, DataFrame) = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val src = docs.filter(col("doc_id") % 50 === 7 && size(toks) >= 54)
+    val b1a = src.select((col("doc_id") * 2 + lit(5000000L)).as("doc_id"),
+      array_join(concat(slice(toks, 41, 8), slice(toks, 1, 40)), " ").as("text"))
+    val b1b = src.select((col("doc_id") * 2 + lit(5000001L)).as("doc_id"),
+      array_join(concat(slice(toks, 1, 40), slice(toks, 49, 6)), " ").as("text"))
+    val bridge = src.select((col("doc_id") + lit(6000000L)).as("doc_id"),
+      array_join(slice(toks, 1, 40), " ").as("text"))
+    (docs.filter(col("doc_id") < IncrSplitId)
+       .unionByName(b1a).unionByName(b1b),
+     docs.filter(col("doc_id") >= IncrSplitId).unionByName(bridge))
+  }
+
+  /** The retro-near-dup report over the bridge-trio corpus
+    * (q_pipeline_retro_neardup): both batches committed as fixture
+    * work (writeOnce on the last artifact), then every committed kept
+    * doc scored against the rebuild component graph recomputed from
+    * the stored index alone.
+    */
+  def retroNearDupDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (batch1, batch2) = retroNdBatches(spark, sfDir)
+    val path = DedupIndexes.scratch("target/curate_state", "retro_nd", sfDir)
+    DedupIndexes.writeOnce(path)(
+      init(batch1, path, contamMinPct = 101L))
+    DedupIndexes.writeOnce(s"$path/ledger/ingest=b2")(
+      increment(batch2, path, "b2"))
+    retroNearDup(spark, path)
   }
 
   /** [[curateIncrDocs]]'s judge WITHOUT the commit — the Plans-tracked

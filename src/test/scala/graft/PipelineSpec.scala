@@ -522,6 +522,65 @@ class PipelineSpec extends SparkSpec {
       "the compaction probe must exercise both identity gates non-vacuously")
   }
 
+  test("retro-near-dup report: flagged == rebuild near-dropped ∩ committed-kept on cross-batch bridges") {
+    import graft.sources.CurateState
+    import org.apache.spark.sql.functions.{array_join, concat, size, slice}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    // the harness's bridge-trio construction (CurateState.retroNdBatches)
+    // over a denser source set (d % 10 == 7 -> ~5 trios at sf0.001):
+    // B1a = X++M and B1b = M++Y commit together (J ≈ 0.73 < 0.8, both
+    // kept); the bridge C = M arrives in batch 2 and is a near-dup of
+    // BOTH (J ≈ 0.83 / 0.86) — a full rebuild merges {B1a, B1b, C} and
+    // keeps only B1a, so committed B1b is the rep the rebuild drops
+    val toks = graft.operators.TextOps.tokens($"text")
+    val src = docs.filter($"doc_id" % 10 === 7 && size(toks) >= 54)
+    val b1a = src.select(($"doc_id" * 2 + 5000000L).as("doc_id"),
+      array_join(concat(slice(toks, 41, 8), slice(toks, 1, 40)), " ").as("text"))
+    val b1b = src.select(($"doc_id" * 2 + 5000001L).as("doc_id"),
+      array_join(concat(slice(toks, 1, 40), slice(toks, 49, 6)), " ").as("text"))
+    val bridge = src.select(($"doc_id" + 6000000L).as("doc_id"),
+      array_join(slice(toks, 1, 40), " ").as("text"))
+    val b1 = docs.filter($"doc_id" < 25).unionByName(b1a).unionByName(b1b)
+    val b2 = docs.filter($"doc_id" >= 25).unionByName(bridge)
+    val dir = java.nio.file.Files.createTempDirectory("retro-nd").toString + "/s"
+    // decontamination off (cov_pct can never reach 101) — the near-dup
+    // axis isolated, exactly the harness's state config
+    CurateState.init(b1, dir, contamMinPct = 101L)
+    CurateState.increment(b2, dir, "b2")
+
+    val kept = CurateState.ledger(spark, dir)
+      .filter($"outcome".isin("train", "eval"))
+      .select($"doc_id").as[Long].collect().toSet
+    val report = CurateState.retroNearDup(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(report.map(_._1).toSet === kept,
+      "report must cover every committed kept doc exactly once")
+    assert(report.length === kept.size)
+
+    // the contract: flagged == exactly the kept docs a FULL REBUILD's
+    // near-dup stage would drop (component merge through the bridges)
+    val flagged = report.filter(_._3 == 1L).map(_._1).toSet
+    val rebuildNearDropped = Pipeline.curateOn(b1.unionByName(b2),
+        nearDedup = true, contamMinPct = 101L)
+      .filter($"outcome" === "dropped_near_duplicate")
+      .select($"doc_id").as[Long].collect().toSet
+    info(s"retro near-dup: ${flagged.size} flagged of ${kept.size} kept")
+    assert(flagged === (rebuildNearDropped & kept),
+      "flagged set must equal rebuild-near-dropped ∩ committed-kept")
+    assert(flagged.nonEmpty,
+      "the planted cross-batch bridge trios must produce at least one flag")
+    // the bridge shape specifically: a flagged B1b whose rebuild rep is
+    // its paired B1a (ids 2d+5000001 -> 2d+5000000)
+    val repOf = report.map(r => r._1 -> r._2).toMap
+    assert(flagged.exists(id => id >= 5000001L && id < 6000000L &&
+        (id - 5000001L) % 2 == 0 && repOf(id) == id - 1),
+      "no flagged committed B1b resolves to its paired B1a as the rebuild rep")
+    // un-bridged kept docs keep themselves as rep
+    assert(report.filter(_._3 == 0L).forall(r => r._2 == r._1),
+      "unflagged kept docs must be their own rebuild rep")
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")
