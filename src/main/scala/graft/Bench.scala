@@ -141,6 +141,48 @@ object Bench {
       allSamples.map { case (name, (secs, err)) =>
         name -> ((secs.sorted.apply(secs.size / 2), err))
       }
+    // -- SAME-BOOT ISOLATION TAIL PHASE (r13 verdict #1): three
+    // consecutive rounds burned judge/builder cycles adjudicating
+    // >1.4x flags that turned out to be N-queries-one-JVM pressure
+    // (q_grep_multi_idx r11, q_events_by_day_partitioned r12/13,
+    // q_lm_buckets + q_grep_freq_idx r13). Structural fix: any query
+    // whose in-suite median exceeds 1.4x its tracked BENCH_DETAIL
+    // baseline (same sf, canary-normalized) is RE-MEASURED here, after
+    // the timed loop, in a quiet tail — caches dropped, heap collected,
+    // no interleaved suite — and BOTH numbers are recorded so the
+    // pressure-vs-real verdict ships with the artifact instead of
+    // requiring a post-hoc BENCH_ISOLATION session. Never in triage
+    // runs (SPARK_GRAFT_BENCH_ONLY IS the isolation) and never without
+    // a same-sf baseline (first round at a new sf has nothing to
+    // compare against). Untimed: runs after every result is taken. --
+    val baseline = BenchContract.readBaseline("BENCH_DETAIL.json", sfDir)
+    val isoFlags: Seq[String] =
+      if (only.nonEmpty) Nil
+      else BenchContract.isolationFlags(
+        results.collect { case (n, (sec, None)) => n -> sec },
+        baseline.map { case (n, (med, _)) => n -> med },
+        canaryRatio = baseline.headOption
+          .flatMap { case (_, (_, bc)) => if (bc > 0) Some(canary / bc) else None }
+          .getOrElse(1.0))
+    // bound the tail phase (5 reps each) so a pathological round — a
+    // genuinely slower machine flags everything — cannot double bench
+    // time; the drop is LOGGED, never silent
+    val isoCap = 8
+    if (isoFlags.size > isoCap)
+      System.err.println(s"[bench] isolation tail capped at $isoCap of " +
+        s"${isoFlags.size} flags; dropped: ${isoFlags.drop(isoCap).mkString(", ")}")
+    val isolated: Map[String, (Double, Double)] =
+      isoFlags.take(isoCap).map { name =>
+        dropCaches(); System.gc()
+        val secs = (0 until 5).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(name, queries(name))
+          val sec = (System.nanoTime() - t0) / 1e9
+          dropCaches(); System.gc()
+          sec
+        }
+        name -> ((secs.sorted.apply(secs.size / 2), secs.min))
+      }.toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // The driver captures only the LAST 2000 chars of merged output and
     // line-scans it for JSON (BENCH_r01..r05 all have parsed:null: the
@@ -182,10 +224,19 @@ object Bench {
         // a failed query's entry carries its error CLASS and no timings:
         // its samples are time-to-exception (round 10 recorded nine
         // AnalysisException queries as ~10x faster) — flag, don't time
+        // a flagged query's entry carries its baseline, BOTH isolated
+        // numbers, and the mechanical verdict — the full adjudication
+        // the BENCH_ISOLATION.md protocol used to reconstruct by hand
+        val iso = isolated.get(name).map { case (isoMed, isoMin) =>
+          val b = baseline(name)._1
+          s""","baseline_median":${ms(b)},"isolated_median":${ms(isoMed)},""" +
+            s""""isolated_min":${ms(isoMin)},"isolated_verdict":"${
+              BenchContract.isolationVerdict(isoMed, b)}""""
+        }.getOrElse("")
         val body = err match {
           case Some(e) => s""""err":"${esc(e)}","reps":${secs.size}"""
           case None =>
-            s""""min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}"""
+            s""""min":${ms(secs.min)},"median":${ms(results(name)._1)},"max":${ms(secs.max)},"reps":${secs.size}$iso"""
         }
         s""""${esc(name)}":{$body}"""
       }.mkString("{", ",", "}")
@@ -246,6 +297,72 @@ object BenchContract {
   def emptyResultError(name: String, isEmpty: Boolean,
                        expectedEmpty: Set[String]): Option[String] =
     if (isEmpty && !expectedEmpty(name)) Some("EmptyResult") else None
+
+  /** Previous round's tracked per-query medians + its canary, read from
+    * the committed BENCH_DETAIL.json — the isolation tail phase's
+    * baseline. Empty when the file is missing, unparseable, or recorded
+    * at a DIFFERENT sf (a local sf0.01 full run must never baseline an
+    * sf0.1 driver run — their medians differ 10× and everything would
+    * flag). Returns name -> (median_sec, file_canary_sec).
+    */
+  def readBaseline(path: String, sfDir: String): Map[String, (Double, Double)] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else parseBaseline(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline read failed (isolation phase off): $e")
+      Map.empty
+    }
+
+  /** [[readBaseline]]'s parse, factored for unit tests: Jackson tree
+    * over the detail schema this file itself writes. Failed entries
+    * (err, no median) are skipped.
+    */
+  def parseBaseline(json: String, sfDir: String): Map[String, (Double, Double)] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (root.path("sf").asText("") != sfDir) Map.empty
+    else {
+      val canary = root.path("canary_sec").asDouble(0.0)
+      val qs = root.path("queries")
+      import scala.jdk.CollectionConverters._
+      qs.fields().asScala.flatMap { e =>
+        val med = e.getValue.path("median")
+        if (med.isNumber) Some(e.getKey -> ((med.asDouble, canary))) else None
+      }.toMap
+    }
+  }
+
+  /** Which succeeded queries the isolation tail re-measures: in-suite
+    * median > 1.4× the canary-adjusted baseline median AND current
+    * median >= 0.5 s (sub-0.5 s deltas are the documented noise band —
+    * r13 explicitly declined to count three such flags). canaryRatio =
+    * thisCanary / baselineCanary scales the baseline to this boot's
+    * single-thread speed so a uniformly slower machine doesn't flag the
+    * whole suite. Ordered worst-ratio first so a cap drops the mildest
+    * flags.
+    */
+  def isolationFlags(medians: Map[String, Double],
+                     baselineMedians: Map[String, Double],
+                     canaryRatio: Double): Seq[String] = {
+    val ratio = math.max(canaryRatio, 0.1)
+    medians.toSeq.collect {
+      case (name, sec) if sec >= 0.5 &&
+        baselineMedians.get(name).exists(b => sec > 1.4 * b * ratio) =>
+        (name, sec / (baselineMedians(name) * ratio))
+    }.sortBy(-_._2).map(_._1)
+  }
+
+  /** The mechanical pressure-vs-elevated call, the rule the r12/r13
+    * hand adjudications converged on: quiet-tail median back within
+    * 1.2× baseline (or within 150 ms absolute — small queries jitter
+    * more than 20%) ⇒ the in-suite number was JVM pressure; still
+    * above ⇒ genuinely elevated, a real investigation target.
+    */
+  def isolationVerdict(isolatedMedian: Double, baselineMedian: Double): String =
+    if (isolatedMedian <= 1.2 * baselineMedian ||
+        isolatedMedian <= baselineMedian + 0.15) "pressure" else "elevated"
 
   /** Machine-speed canary: a FIXED, deterministic, Spark-free
     * single-thread integer workload (an xxhash-style avalanche loop

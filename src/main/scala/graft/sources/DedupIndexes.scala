@@ -504,7 +504,14 @@ object DedupIndexes {
     * between the families.
     */
   private[graft] def scratch(root: String, kind: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // stripPrefix: a tag starting with "_" names a directory Spark's
+    // path filter treats as HIDDEN (InMemoryFileIndex
+    // .shouldFilterOutPathName) — every read of such a scratch dir
+    // logged the "All paths were ignored" WARN (3× per query in the
+    // bench tail, r13 verdict #2) even though the explicit-path read
+    // still succeeded. Leading-separator sfDirs ("/root/...") always
+    // produced exactly that.
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
     s"$root/$kind/$tag"
   }
 

@@ -19,7 +19,10 @@ object Roundtrip {
     * and per-source so concurrent SFs don't collide.
     */
   private def scratch(fmt: String, sfDir: String, table: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // stripPrefix: a leading "_" makes the dir name hidden to Spark's
+    // path filter — every read logged the "All paths were ignored"
+    // WARN (see DedupIndexes.scratch, the shared fix)
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
     s"target/roundtrip/$fmt/${tag}_$table"
   }
 

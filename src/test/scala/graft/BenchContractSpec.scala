@@ -97,6 +97,41 @@ class BenchContractSpec extends AnyFunSuite {
       isEmpty = false, allow) === None)
   }
 
+  test("isolation flags: >1.4x-of-baseline AND >=0.5s, canary-scaled, worst first") {
+    val baseline = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.2, "q_d" -> 1.0)
+    val medians = Map(
+      "q_a" -> 1.5,  // 1.5x: flagged
+      "q_b" -> 5.0,  // 2.5x: flagged, worse — must sort first
+      "q_c" -> 0.4,  // 2.0x but sub-0.5s: the documented noise band, not counted
+      "q_d" -> 1.3,  // 1.3x: under the threshold
+      "q_new" -> 9.9) // no baseline: nothing to compare against
+    assert(BenchContract.isolationFlags(medians, baseline, canaryRatio = 1.0)
+      === Seq("q_b", "q_a"))
+    // a uniformly 2x-slower boot (canary ratio 2.0) un-flags proportional
+    // elevation — the whole point of normalizing: q_b's 2.5x raw is
+    // 1.25x normalized, under the threshold
+    assert(BenchContract.isolationFlags(medians, baseline, canaryRatio = 2.0)
+      === Nil)
+  }
+
+  test("isolation verdict: back-within-1.2x (or 150ms absolute) is pressure") {
+    assert(BenchContract.isolationVerdict(1.1, 1.0) === "pressure")
+    assert(BenchContract.isolationVerdict(2.8, 1.0) === "elevated")
+    // small queries jitter more than 20% — the absolute band covers them
+    assert(BenchContract.isolationVerdict(0.7, 0.6) === "pressure")
+  }
+
+  test("baseline parse: detail schema round-trip, failed entries skipped, sf-guarded") {
+    val json = """{"base_reps":3,"sf":"/root/testdata/sf0.1","canary_sec":0.209,
+      "queries":{"q_a":{"min":1.0,"median":1.2,"max":2.0,"reps":3},
+                 "q_bad":{"err":"AnalysisException","reps":3}}}"""
+    val parsed = BenchContract.parseBaseline(json, "/root/testdata/sf0.1")
+    assert(parsed === Map("q_a" -> ((1.2, 0.209))))
+    // a detail file recorded at a DIFFERENT sf must never baseline this
+    // run — sf0.01 medians would flag every sf0.1 query 10x over
+    assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.01") === Map.empty)
+  }
+
   test("the machine-speed canary is deterministic work at a plausible cost") {
     val a = BenchContract.canarySeconds()
     assert(a > 0.005 && a < 30.0,

@@ -345,7 +345,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.agg(sum(col("event_id"))).head.getLong(0) ===
       Tables.events(spark, sf).agg(sum(col("event_id"))).head.getLong(0))
     // exactly the requested number of data files (small-files control)
-    val dir = Paths.get("target/roundtrip/parquet_compact/_root_testdata_sf0.001_events")
+    val dir = Paths.get("target/roundtrip/parquet_compact/root_testdata_sf0.001_events")
     val parts = Files.list(dir).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     assert(parts === 4)
