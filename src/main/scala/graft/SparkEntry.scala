@@ -393,6 +393,13 @@ object SparkEntry {
     // its 4-cell confusion matrix — off-diagonals are the errors
     "q_nb_confusion" -> ((s, d) =>
       operators.Classifier.nbPlantedConfusion(s, d, 64)),
+    // the ITERATIVE classifier's stored lifecycle end-to-end: logreg
+    // init-fit + warm-start append as memoized fixture work, every doc
+    // scored FROM the stored weights with its truth bit. Rows-only by
+    // design (float margins are engine-specific); ClassifierSpec
+    // asserts the separation bound and stored-resume == continuous fit
+    "q_logreg_planted" -> ((s, d) =>
+      sources.ClassifierModels.logRegPlantedStoredDocs(s, d)),
     // perplexity-curriculum ordering: global easy-to-hard position
     // (grade = LM bits_per_100, fingerprint shuffle within a grade),
     // ranked blockwise — the window runs over the (grade, fp-prefix)

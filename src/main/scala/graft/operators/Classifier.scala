@@ -120,7 +120,7 @@ object Classifier {
     * gets a `zj` prefix — a vocabulary drift large enough that the
     * trained weights separate the classes, planted by arithmetic both
     * engines can replicate. */
-  private def mangled(docs: DataFrame): DataFrame =
+  private[graft] def mangled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       (col("doc_id") % 3 === 0).cast("long").as("is_mangled"),
       when(col("doc_id") % 3 === 0,
@@ -216,12 +216,19 @@ object Classifier {
     * the loss trace falls MONOTONICALLY, which the spec asserts. */
   def fitLogRegOn(labeled: DataFrame, dim: Int = 1024, iters: Int = 80,
                   lr: Double = 4.0, l2: Double = 1e-4,
-                  trace: Boolean = true): (Seq[Double], Seq[Long]) = {
+                  trace: Boolean = true,
+                  init: Option[Seq[Double]] = None): (Seq[Double], Seq[Long]) = {
     require(dim > 0 && iters > 0, s"need positive dim/iters, got $dim/$iters")
+    // warm start: `init` resumes GD from a stored weight vector — the
+    // storage-lifecycle append ([[graft.sources.ClassifierModels
+    // .appendLogReg]]) IS k more steps of the same descent, so
+    // init-then-append equals one continuous fit by construction
+    require(init.forall(_.size == dim + 1),
+      s"init weight vector must have dim+1 = ${dim + 1} slots, got ${init.map(_.size)}")
     val feats = graft.CacheScope.track(
       hashedFeatures(labeled, dim).persist())
     val n = feats.count().toDouble
-    var w: Array[Double] = Array.fill(dim + 1)(0.0)
+    var w: Array[Double] = init.map(_.toArray).getOrElse(Array.fill(dim + 1)(0.0))
     val losses = Seq.newBuilder[Long]
     for (_ <- 0 until iters) {
       // one pass: per-doc p = sigmoid(margin) against the CURRENT

@@ -239,7 +239,24 @@ object Pipeline {
                pplRef: Option[DataFrame] = None,
                pplVocab: Int = 4096,
                clfRef: Option[DataFrame] = None,
-               clfVocab: Int = 4096): DataFrame = {
+               clfVocab: Int = 4096,
+               nTokensCol: Option[Column] = None): DataFrame = {
+    // `nTokensCol = Some(e)`: the ledger's n_tokens column is the
+    // caller's expression over the ORIGINAL `text` instead of the
+    // whitespace count — the TOKENIZER-FAITHFUL spelling (the
+    // packSequencesOn nTokensCol precedent): feed
+    // size(flatten(transform(tokens, w => Bpe.segmentWith(w, merges))))
+    // and the token-weighted stage-loss stats (curateStatsOn) count
+    // REAL tokenizer tokens, directly composable with BPE-budgeted
+    // packing without a recount. Outcomes are untouched — quality
+    // rules, dedup, split, every gate still judges whitespace tokens;
+    // only the ledger's REPORTING measure changes (oracles unchanged
+    // on the default). Disallowed together with verbatimCuts:
+    // n_tokens_removed is whitespace-measured and a mixed-unit ledger
+    // row would be incoherent.
+    require(nTokensCol.isEmpty || !verbatimCuts,
+      "nTokensCol cannot combine with verbatimCuts: n_tokens_removed is " +
+        "whitespace-measured and the ledger must not mix units")
     // planted copies live at doc_id + 1_000_000 (exact) / + 2_000_000
     // (near); if a regenerated fixture ever ships base ids >= 1_000_000
     // the planted ids would collide with real docs AND the DuckDB oracle
@@ -383,8 +400,10 @@ object Pipeline {
     val ledgerBase = nearLosers
       .fold(withKeeper)(nl => withKeeper.join(nl, Seq("doc_id"), "left"))
       .join(contaminated, Seq("doc_id"), "left")
+    val nTokOut = nTokensCol.fold(col("n_tokens"))(e =>
+      e.cast("long").as("n_tokens"))
     val ledger = cleaned match {
-      case None => ledgerBase.select(col("doc_id"), col("n_tokens"), outcome)
+      case None => ledgerBase.select(col("doc_id"), nTokOut, outcome)
       case Some(cl) =>
         // n_tokens stays the ORIGINAL count (what entered the build);
         // n_tokens_removed is the verbatim stage's cut measure — nonzero

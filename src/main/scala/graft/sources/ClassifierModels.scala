@@ -108,6 +108,208 @@ object ClassifierModels {
           - (bitlen(col("np")) - bitlen(col("cp") + 1))).as("w"))
   }
 
+  /** Store the DECISION CUTOFF next to the counts — the
+    * threshold-from-state spelling that lets a per-batch consumer (the
+    * streaming curation gate) apply the batch pipeline's DISTRIBUTIONAL
+    * classifier rule without seeing a distribution: the batch stage
+    * drops the bottom reference-similarity tertile of its train
+    * survivors ([[graft.operators.Pipeline.curateOn]] `clfRef`), which
+    * a micro-batch cannot recompute, so the tertile boundary is
+    * CALIBRATED ONCE here over a fit corpus (production: the corpus the
+    * batch pipeline last curated) and pinned as a scalar. The stored
+    * row is (cutoff_bp100, n_fit, vocab_size): `vocab_size` rides along
+    * because the cutoff is only meaningful against weights derived at
+    * the SAME cap — readers must score with it.
+    *
+    * cutoff_bp100 = the bits_per_100 value at rank floor(n/3) of the
+    * fit distribution (ascending), i.e. the largest score in
+    * [[graft.operators.Lm.bucketsFromScores]]'s head tertile. The
+    * downstream drop rule `bits_per_100 <= cutoff` equals the batch
+    * head bucket exactly when no doc ranked above n/3 ties the boundary
+    * value — the residual gap between a rank rule and a value rule,
+    * inherent to any pinned-threshold spelling and called out on the
+    * gate. n == 0 or n/3 == 0 stores NULL: nothing drops.
+    *
+    * Scale: scoring is the broadcast-weight join, the boundary pick is
+    * one sort-limit over the value histogram (score-cardinality-sized).
+    * Calibration cadence is the operator's choice — recompute when the
+    * corpus distribution drifts (the pqRefitDue precedent).
+    */
+  def writeNbCutoff(fitDocs: DataFrame, path0: String,
+                    vocabSize: Int = 4096): Unit = {
+    val spark = fitDocs.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val scored = Classifier.nbScoreOn(
+        fitDocs.select(col("doc_id"), col("text")),
+        readNbWeights(spark, path, vocabSize))
+      .select(col("doc_id"),
+        expr("(score * 100 + 10000 * n_tokens) DIV n_tokens").as("bits_per_100"))
+    // value histogram → cumulative rank → smallest value whose
+    // cumulative count reaches q1 = floor(n/3); bounded frame, so the
+    // global window is the lmBuckets histogram idiom
+    val h = scored.groupBy(col("bits_per_100")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bits_per_100"))))
+    val q1 = h.agg((sum(col("cnt")) / 3).cast("long").as("q1"))
+    h.crossJoin(broadcast(q1))
+      .filter(col("q1") > 0L && col("cum") >= col("q1"))
+      .orderBy(col("bits_per_100"))
+      .limit(1)
+      .select(col("bits_per_100").as("cutoff_bp100"), col("q1").as("n_head"),
+        lit(vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$path/cutoff")
+  }
+
+  /** Read the pinned decision boundary: Some((cutoff_bp100, vocabSize))
+    * or None when no cutoff was calibrated (or the fit was too small
+    * for a head tertile) — consumers drop nothing in that case.
+    */
+  def readNbCutoff(spark: SparkSession, path0: String): Option[(Long, Int)] = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    if (!DedupIndexes.hasData(spark, s"$path/cutoff")) None
+    else spark.read.parquet(s"$path/cutoff")
+      .select(col("cutoff_bp100"), col("vocab_size"))
+      .collect().headOption
+      .map(r => (r.getLong(0), r.getInt(1)))
+  }
+
+  // -------------------------------------------------------------------
+  // STORED LOGISTIC-REGRESSION weights — the storage lifecycle for the
+  // ITERATIVE trained classifier ([[Classifier.fitLogRegOn]]), closing
+  // the one trained artifact that had none (r13 verdict #4-missing).
+  // Unlike NB, GD weights do NOT merge: the incremental contract is
+  // WARM-START CONTINUATION — `appendLogReg` resumes descent from the
+  // stored vector for k more full-batch steps over the new labeled
+  // frame, so init-then-append over the SAME frame IS one continuous
+  // fit (spec-asserted trace equality), and over a new batch it is the
+  // honest production semantics: continue training on fresh labels.
+  //
+  // Layout under `path` (pointer-resolved like every stored family):
+  //   - `meta`                    = 1 row (dim, lr, l2) — written FIRST
+  //     at init; appends REQUIRE the same dim and reuse the stored
+  //     rate/strength (a resumed descent under different hyperparams
+  //     is a different experiment, not a continuation);
+  //   - `weights/ingest=<label>`  = (i, w), dim+1 rows per generation;
+  //   - `gens`                    = (gen, label, iters) — appended
+  //     LAST as the generation's commit marker; readers take max(gen),
+  //     so a crash after weights but before the gens row leaves an
+  //     orphan generation that is invisible until its label replays
+  //     (the totals-last rule above, the manifest-last rule everywhere).
+  //
+  // 100 TB shape: weights are feature-dim-bounded (dim+1 rows) —
+  // control plane; each append pays iters × (one corpus pass + one
+  // dim-row aggregate), identical to the inline fit; nothing
+  // corpus-sized is ever stored or re-read.
+  // -------------------------------------------------------------------
+
+  /** Init the stored model: meta first, a `base` generation fit from
+    * zeros. */
+  def writeLogRegModel(labeled: DataFrame, path: String, dim: Int = 1024,
+                       iters: Int = 20, lr: Double = 4.0,
+                       l2: Double = 1e-4): Unit = {
+    val spark = labeled.sparkSession
+    DedupIndexes.assertTargetNotOverInputs(labeled, path)
+    DedupIndexes.delete(spark, path)
+    import spark.implicits._
+    Seq((dim, lr, l2)).toDF("dim", "lr", "l2")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    commitGen(labeled, path, BaseLabel, iters, init = None)
+  }
+
+  /** Warm-start continuation: `iters` more GD steps over `labeled`,
+    * starting from the latest committed generation's weights, committed
+    * under `label`. Own-label overwrite + gens-last = replay heals any
+    * crash point (a replayed append re-reads the SAME predecessor
+    * weights — max(gen) never points at its own orphan — and
+    * re-commits deterministically modulo float partial-sum order).
+    */
+  def appendLogReg(labeled: DataFrame, path0: String, label: String,
+                   iters: Int = 20): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = labeled.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    commitGen(labeled, path, label, iters,
+      init = Some(readLogRegWeights(spark, path)._1))
+  }
+
+  private def commitGen(labeled: DataFrame, path: String, label: String,
+                        iters: Int, init: Option[Seq[Double]]): Unit = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val (dim, lr, l2) = readLogRegMeta(spark, path)
+    val (w, _) = Classifier.fitLogRegOn(labeled, dim, iters, lr, l2,
+      trace = false, init = init)
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "w")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/weights/ingest=$label")
+    val nextGen =
+      if (!DedupIndexes.hasData(spark, s"$path/gens")) 1L
+      else spark.read.parquet(s"$path/gens")
+        .agg(max(col("gen"))).head.getLong(0) + 1L
+    Seq((nextGen, label, iters.toLong)).toDF("gen", "label", "iters")
+      .write.mode("append").parquet(s"$path/gens")
+  }
+
+  /** (dim, lr, l2) — the pinned hyperparams every generation trains
+    * under. */
+  def readLogRegMeta(spark: SparkSession, path0: String): (Int, Double, Double) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val r = spark.read.parquet(s"$path/meta").head
+    (r.getAs[Int]("dim"), r.getAs[Double]("lr"), r.getAs[Double]("l2"))
+  }
+
+  /** The latest COMMITTED generation's weight vector (dim+1, bias
+    * last) plus its generation number. */
+  def readLogRegWeights(spark: SparkSession, path0: String): (Seq[Double], Long) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val latest = spark.read.parquet(s"$path/gens")
+      .orderBy(col("gen").desc).limit(1)
+      .select(col("gen"), col("label")).head
+    val (gen, label) = (latest.getLong(0), latest.getString(1))
+    val w = spark.read.parquet(s"$path/weights")
+      .filter(col("ingest") === label)
+      .orderBy(col("i"))
+      .select(col("w")).collect().map(_.getDouble(0)).toSeq
+    (w, gen)
+  }
+
+  /** Score (doc_id, text) rows under the stored model — the read-side
+    * one-liner a production consumer calls. */
+  def scoreLogRegStored(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val (dim, _, _) = readLogRegMeta(spark, path)
+    Classifier.scoreLogRegOn(docs, readLogRegWeights(spark, path)._1, dim)
+  }
+
+  /** The q_logreg_planted driver harness: the stored lifecycle
+    * end-to-end on the planted-separable corpus — init fit (20 steps)
+    * + warm-start append (20 more steps each) as writeOnce fixture work,
+    * then every doc scored FROM STORAGE with its truth bit. Rows-only
+    * by design (float margins are engine-specific); ClassifierSpec
+    * asserts the separation bound and the stored-resume ==
+    * continuous-fit contract. Deliberately low-iteration: the bench
+    * times the scoring pass, not an 80-job fit (the fit is memoized
+    * fixture work, and 40 total steps at unit-norm features already
+    * separate the planted drift — spec-asserted).
+    */
+  def logRegPlantedStoredDocs(spark: SparkSession, sfDir: String,
+                              dim: Int = 256): DataFrame = {
+    val planted = Classifier.mangled(
+      graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val labeled = planted.select(col("doc_id"), col("text"),
+      (lit(1L) - col("is_mangled")).as("y"))
+    val path = DedupIndexes.scratch("target/logreg_model", "planted", sfDir)
+    DedupIndexes.writeOnce(path) {
+      writeLogRegModel(labeled.filter(col("doc_id") % 2 === 0), path, dim,
+        iters = 20)
+      appendLogReg(labeled.filter(col("doc_id") % 2 === 1), path, "b2",
+        iters = 20)
+    }
+    scoreLogRegStored(planted.select(col("doc_id"), col("text")), path)
+      .join(planted.select(col("doc_id"), col("is_mangled")), Seq("doc_id"))
+  }
+
   /** The q_nb_classifier stored twin (q_nb_classifier_idx): the model
     * trained INCREMENTALLY — init on the doc_id < 250 slice, append
     * the rest — then every doc scored from the derived weights. Counts

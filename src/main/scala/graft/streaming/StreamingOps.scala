@@ -256,7 +256,8 @@ object StreamingOps {
                         ledgerDir: String,
                         textCol: String = "value",
                         lang: String = "en",
-                        nearDupIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                        nearDupIndexDir: Option[String] = None,
+                        clfModelDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // qualified-path overlap, not raw startsWith: sibling dirs sharing a
     // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
     // trailing-slash/relative/`..` respellings of the SAME dir are not —
@@ -270,9 +271,17 @@ object StreamingOps {
           lines.sparkSession, ledgerDir, d),
         s"nearDupIndexDir and ledgerDir must be disjoint: $d vs $ledgerDir")
     }
+    clfModelDir.foreach { d =>
+      Seq(("corpusDir", corpusDir), ("ledgerDir", ledgerDir)).foreach {
+        case (what, dir) =>
+          require(!graft.sources.DedupIndexes.pathsOverlap(
+              lines.sparkSession, dir, d),
+            s"clfModelDir and $what must be disjoint: $d vs $dir")
+      }
+    }
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
-        textCol, lang, nearDupIndexDir)
+        textCol, lang, nearDupIndexDir, clfModelDir)
     }.start()
   }
 
@@ -285,7 +294,8 @@ object StreamingOps {
                                  ledgerDir: String, label: String,
                                  textCol: String = "value",
                                  lang: String = "en",
-                                 nearDupIndexDir: Option[String] = None): Unit =
+                                 nearDupIndexDir: Option[String] = None,
+                                 clfModelDir: Option[String] = None): Unit =
     graft.CacheScope.scoped {
       val spark = batch.sparkSession
       // in-batch exact collapse on the canonical fingerprint (the
@@ -359,14 +369,57 @@ object StreamingOps {
         corpusNear.unionByName(inBatchLosers).distinct()
           .withColumn("is_near_dup", lit(1L))
       }
-      val judged = graft.CacheScope.track(nearLosers
+      val judgedNear = nearLosers
         .fold(judgedExact.withColumn("is_near_dup", lit(null).cast("long")))(
           nl => judgedExact.join(nl, Seq("doc_id"), "left"))
+      // optional CLASSIFIER admission (the batch pipeline's stage 5b,
+      // the GPT-3-style reference-similarity filter) from STORED
+      // calibration state: docs that survived every earlier stage are
+      // scored under the stored NB model's derived weights
+      // ([[graft.sources.ClassifierModels.readNbWeights]], broadcast
+      // join — the production-vocabulary spelling) and drop as
+      // `dropped_classifier` when their per-100-token score sits at or
+      // below the PINNED tertile boundary
+      // ([[graft.sources.ClassifierModels.readNbCutoff]]). This is the
+      // batch distributional rule re-expressed as score-vs-stored-
+      // cutoff — the only per-batch-computable spelling: a micro-batch
+      // has no corpus distribution to rank against, so the boundary is
+      // calibrated once at fit time and applied as a scalar (equal to
+      // the batch head-tertile whenever no off-tertile doc ties the
+      // boundary value — the inherent rank-vs-value residual, and the
+      // batch gate's eval-split docs are exempt where streaming has no
+      // split; StreamingSpec pins both). No calibrated cutoff ⇒ the
+      // stage admits everything. The gate only READS the model —
+      // calibration/maintenance is out-of-band, and replay idempotence
+      // assumes the model generation is stable across the replay (the
+      // pointer-resolved read makes that a deliberate operator act).
+      val clfLosers: Option[DataFrame] = clfModelDir.flatMap { dir =>
+        graft.sources.ClassifierModels.readNbCutoff(spark, dir).map {
+          case (cutoff, vocab) =>
+            val candidates = judgedNear
+              .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
+                col("is_known").isNull &&
+                (col("is_near_dup").isNull || col("is_near_dup") =!= 1L))
+              .select(col("doc_id"), col("text"))
+            graft.operators.Classifier.nbScoreOn(candidates,
+                graft.sources.ClassifierModels.readNbWeights(spark, dir, vocab))
+              .select(col("doc_id"),
+                expr("(score * 100 + 10000 * n_tokens) DIV n_tokens")
+                  .as("bits_per_100"))
+              .filter(col("bits_per_100") <= cutoff)
+              .select(col("doc_id"))
+              .withColumn("is_clf_drop", lit(1L))
+        }
+      }
+      val judged = graft.CacheScope.track(clfLosers
+        .fold(judgedNear.withColumn("is_clf_drop", lit(null).cast("long")))(
+          cl => judgedNear.join(cl, Seq("doc_id"), "left"))
         .withColumn("outcome",
           when(col("lang_ok") === 0L, lit("dropped_lang"))
             .when(col("quality_ok") === 0L, lit("dropped_quality"))
             .when(col("is_known") === 1L, lit("dropped_duplicate"))
             .when(col("is_near_dup") === 1L, lit("dropped_near_duplicate"))
+            .when(col("is_clf_drop") === 1L, lit("dropped_classifier"))
             .otherwise(lit("ingested")))
         .persist())
       // own-label overwrite on both sinks: replay heals every crash

@@ -115,6 +115,71 @@ class ClassifierSpec extends SparkSpec {
       "decision bit must agree with the ppm probability at the 1/2 threshold")
   }
 
+  test("stored logreg model: resume-from-storage == one continuous fit; " +
+      "meta pins hyperparams; crash-orphan generations are invisible") {
+    import graft.sources.ClassifierModels
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val planted = graft.operators.Classifier.mangled(docs)
+    val labeled = planted.select($"doc_id", $"text",
+      (lit(1L) - $"is_mangled").as("y"))
+    val root = java.nio.file.Files.createTempDirectory("logreg-model").toString
+    val dim = 64
+
+    // the resume contract: init(4 steps) + append(4 steps) over the SAME
+    // frame must land where ONE 8-step fit lands — warm start IS the
+    // same descent, continued (float partial-sum order is the only
+    // slack, hence the tolerance, not exact equality like NB counts)
+    val (wCont, _) = graft.operators.Classifier.fitLogRegOn(
+      labeled, dim, iters = 8, trace = false)
+    ClassifierModels.writeLogRegModel(labeled, s"$root/m", dim, iters = 4)
+    val (wInit, gen1) = ClassifierModels.readLogRegWeights(spark, s"$root/m")
+    assert(gen1 === 1L)
+    ClassifierModels.appendLogReg(labeled, s"$root/m", "b2", iters = 4)
+    val (wRes, gen2) = ClassifierModels.readLogRegWeights(spark, s"$root/m")
+    assert(gen2 === 2L, "the append must commit a new generation")
+    assert(wRes.size === dim + 1)
+    val maxDiff = wCont.zip(wRes).map { case (a, b) => math.abs(a - b) }.max
+    info(s"stored-resume vs continuous max |dw| = $maxDiff")
+    assert(maxDiff < 1e-9,
+      s"resumed descent must equal the continuous fit (max diff $maxDiff)")
+    assert(wInit.zip(wRes).exists { case (a, b) => a != b },
+      "the append must actually move the weights")
+
+    // meta pins the feature dim: an append under a different dim is a
+    // different model, refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Classifier.fitLogRegOn(labeled, dim = 32, iters = 1,
+        init = Some(wRes))
+    }
+
+    // gens-last crash visibility: weights written but no gens row =
+    // orphan — readers still see generation 2
+    wRes.zipWithIndex.map { case (v, i) => (i, v + 99.0) }
+      .toDF("i", "w").write.mode("overwrite")
+      .parquet(s"$root/m/weights/ingest=crashed")
+    val (wAfter, genAfter) = ClassifierModels.readLogRegWeights(spark, s"$root/m")
+    assert(genAfter === 2L && wAfter === wRes,
+      "an uncommitted generation must be invisible to readers")
+  }
+
+  test("q_logreg_planted: the stored-lifecycle driver query separates the drift") {
+    import graft.sources.ClassifierModels
+    val scored = ClassifierModels.logRegPlantedStoredDocs(spark, sf)
+      .select($"doc_id", $"label_pos", $"is_mangled")
+      .as[(Long, Long, Long)].collect()
+    assert(scored.length === Tables.documents(spark, sf).count(),
+      "every doc scored exactly once")
+    // 40 total steps (20 init + 20 warm-start) — the warm-start phase
+    // trains on the odd-id half ONLY, so a lone straggler from the
+    // other half is the honest residual of split training (measured: 1
+    // of 501); the bound is >= 99% separation, the driver-side contract
+    // that backs the rows-only correctness row
+    val errs = scored.count(r => r._2 != 1L - r._3)
+    info(s"q_logreg_planted errors: $errs of ${scored.length}")
+    assert(errs * 100 <= scored.length,
+      s"planted classes must separate >= 99% from the stored split fit ($errs errors)")
+  }
+
   test("stored NB model: counts merge exactly — append == fresh full fit, replay adds nothing") {
     import graft.sources.ClassifierModels
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"lang")

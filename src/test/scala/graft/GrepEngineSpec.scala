@@ -214,9 +214,11 @@ class GrepEngineSpec extends SparkSpec {
       "q_mm_asset_stats", "q_mm_frame_stats",
       "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
       "q_pipeline_curate_incr", "q_pipeline_retro_contam",
+      "q_pipeline_retro_neardup",
       "q_nb_classifier", "q_nb_classifier_idx",
-      "q_nb_classifier_planted", "q_nb_confusion",
+      "q_nb_classifier_planted", "q_nb_confusion", "q_logreg_planted",
       "q_embed_ann_pq", "q_embed_ann_pq_idx",
+      "q_embed_ann_ivfpq", "q_embed_ann_ivfpq_idx",
       "q_pipeline_curate_block", "q_pipeline_curate_verbatim",
       "q_pipeline_curate_clf",
       "q_pipeline_curate_ppl", "q_pipeline_stats", "q_pipeline_stats_verbatim",

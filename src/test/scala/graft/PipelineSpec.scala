@@ -581,6 +581,56 @@ class PipelineSpec extends SparkSpec {
       "unflagged kept docs must be their own rebuild rep")
   }
 
+  test("nTokensCol: BPE-faithful ledger — outcomes unchanged, stats roll up " +
+      "exactly the per-doc tokenizer counts, oracles untouched on the default") {
+    import graft.operators.{Bpe, Pipeline, TextOps}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val merges = Bpe.learnMergesOn(docs.select($"text"), 4)
+      .orderBy(col("step")).as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val bpeCount = size(flatten(transform(TextOps.tokens(col("text")),
+      w => Bpe.segmentWith(w, merges)))).cast("long")
+    val default0 = Pipeline.curateOn(docs)
+      .select($"doc_id", $"n_tokens", $"outcome")
+      .as[(Long, Long, String)].collect()
+    val optioned = Pipeline.curateOn(docs, nTokensCol = Some(bpeCount))
+      .select($"doc_id", $"n_tokens", $"outcome")
+      .as[(Long, Long, String)].collect()
+    // outcomes byte-identical — the option changes the REPORTING
+    // measure, never a gate
+    assert(optioned.map(r => r._1 -> r._3).toMap ===
+      default0.map(r => r._1 -> r._3).toMap,
+      "nTokensCol must not change any outcome")
+    // the optioned ledger's n_tokens IS the per-doc tokenizer count
+    val bpePerDoc = docs.select($"doc_id", bpeCount.as("n_bpe"))
+      .as[(Long, Long)].collect().toMap
+    optioned.foreach { case (id, n, _) =>
+      assert(n === bpePerDoc(id), s"doc $id: ledger n_tokens $n != BPE count ${bpePerDoc(id)}")
+    }
+    // BPE and whitespace measures genuinely differ on this corpus — the
+    // equality above is non-vacuous
+    assert(optioned.map(_._2).sum !== default0.map(_._2).sum,
+      "fixture must make the tokenizer measure differ from whitespace")
+    // the composable contract: token-weighted stage-loss stats over the
+    // optioned ledger == the default outcomes rolled up against the
+    // SAME per-doc counts downstream packing would use — no recount
+    val statsOpt = Pipeline.curateStatsOn(
+        Pipeline.curateOn(docs, nTokensCol = Some(bpeCount)))
+      .as[(String, Long, Long)].collect().toSet
+    val statsExpected = default0.groupBy(_._3).map { case (o, rows) =>
+      (o, rows.length.toLong, rows.map(r => bpePerDoc(r._1)).sum)
+    }.toSet
+    assert(statsOpt === statsExpected,
+      "curateStatsOn over the BPE-faithful ledger must equal the rollup " +
+        "of per-doc tokenizer counts")
+    // the mixed-unit guard fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.curateOn(docs, verbatimCuts = true, nTokensCol = Some(bpeCount))
+    }
+    assert(err.getMessage.contains("must not mix units"))
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")

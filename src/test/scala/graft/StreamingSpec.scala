@@ -940,6 +940,181 @@ class StreamingSpec extends SparkSpec {
       "replay must not grow the index")
   }
 
+  test("stage-scope contract: one streaming delivery == batch curateOn " +
+      "restricted to its stages (lang/quality/exact/near-dup)") {
+    // THE scope pin (r13 verdict #4): ingestCuratedDocs implements the
+    // batch pipeline's lang -> quality -> exact-dedup -> near-dedup
+    // prefix; batch-only stages (split/decontam/verbatim/ppl — and
+    // classifier unless a stored model is wired, its own test below)
+    // are out of scope, and batch train/eval both map to streaming
+    // `ingested`. Asserted outcome-for-outcome over the REAL fixture
+    // corpus: ids on the batch side are the streaming sink's own
+    // fingerprint-derived ids, so every min-id keeper race is decided
+    // identically by construction.
+    val dir = java.nio.file.Files.createTempDirectory("curate-scope").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    val idxDir = s"$dir/ndidx"
+    val docsRaw = Tables.documents(spark, TestSpark.sf0001).select(col("text"))
+    // plant one near-dup of a quality-passing doc so the near-dup class
+    // is non-vacuous at this SF (the Pipeline plantNearDups arithmetic:
+    // one appended token keeps word-3-gram Jaccard >= 0.8)
+    val planted = docsRaw.orderBy(length(col("text")).desc).limit(1)
+      .select(concat(col("text"), lit(" plantedneardup")).as("text"))
+    val texts = docsRaw.unionByName(planted)
+    val fpOf = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val arrival = texts
+      .select(xxhash64(fpOf).as("doc_id"), col("text")).distinct()
+    val batchOutcome = graft.operators.Pipeline
+      .curateOn(arrival, nearDedup = true, contamMinPct = 101L)
+      .select(col("doc_id"),
+        when(col("outcome").isin("train", "eval"), lit("ingested"))
+          .otherwise(col("outcome")).as("outcome"))
+      .as[(Long, String)].collect().toMap
+    StreamingOps.curateBatch(texts.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", nearDupIndexDir = Some(idxDir))
+    val streamOutcome = spark.read.parquet(ledgerDir)
+      .select(col("doc_id"), col("outcome"))
+      .as[(Long, String)].collect().toMap
+    assert(streamOutcome === batchOutcome,
+      "one streaming delivery must judge exactly as the batch pipeline " +
+        "restricted to the streaming stages")
+    // the contract is non-vacuous on every in-scope outcome class this
+    // single-delivery shape can produce (cross-batch dropped_duplicate
+    // is the earlier ingest test's job)
+    val classes = streamOutcome.values.toSet
+    assert(classes.contains("ingested") && classes.contains("dropped_lang") &&
+      classes.contains("dropped_quality") &&
+      classes.contains("dropped_near_duplicate"),
+      s"fixture must exercise every in-scope outcome class, got $classes")
+  }
+
+  test("streaming classifier gate from the stored model+cutoff: batch-train " +
+      "equality, pinned eval-split divergence, replay-idempotent") {
+    // The batch classifier stage (Pipeline.curateOn clfRef) is
+    // DISTRIBUTIONAL — bottom reference-similarity tertile of the
+    // corpus's train survivors — which a micro-batch cannot recompute.
+    // The streaming spelling is score-vs-stored-cutoff: the boundary is
+    // calibrated ONCE (here: from the batch pipeline's own train
+    // survivors — the production flow, where a batch run calibrates and
+    // the stream applies) and pinned in the model artifact. Contract
+    // asserted here, in three parts:
+    //   1. on batch-TRAIN docs: outcome-for-outcome equality
+    //      (dropped_classifier <-> dropped_classifier, train <-> ingested);
+    //   2. on batch-EVAL docs: the PINNED divergence — batch exempts
+    //      eval docs BY SPLIT (the benchmark must survive), streaming
+    //      has no split, so a below-cutoff eval doc streams to
+    //      dropped_classifier while batch keeps it;
+    //   3. same-label replay re-judges identical outcomes.
+    val dir = java.nio.file.Files.createTempDirectory("curate-clf").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    val modelDir = s"$dir/nbmodel"
+    // the cap must admit the WHOLE graded vocabulary (128 = stopwords +
+    // both 60-token vocabularies): a tighter cap zeroes the mid-range
+    // tokens' weights and flattens half the corpus onto one score value
+    val vocab = 128
+    // a value cutoff needs a VALUE-SEPARABLE score distribution — the
+    // sf fixture's 31-token shared vocabulary ties nearly every doc at
+    // bits_per_100 = 10000, which only a rank rule can split. Synthetic
+    // corpus with GRADED reference similarity instead: doc i carries i
+    // reference-vocabulary tokens and 60-i crawl-vocabulary tokens
+    // (plus a fixed stopword scaffold for lang/stop_pct and i unique
+    // fillers so lengths differ too); all 60 docs pass every quality
+    // rule (all-distinct tokens: ttr 100, rep 0) and their scores
+    // rise with i
+    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "was")
+    val refVocab = (0 until 60).map(j => f"river$j%02d")
+    val crawlVocab = (0 until 60).map(j => f"gadget$j%02d")
+    def docText(i: Int): String =
+      (stop ++ refVocab.take(i) ++ crawlVocab.drop(i) ++
+        (0 until i).map(k => f"fill$i%02dx$k%02d")).mkString(" ")
+    val texts = (0 until 60).map(docText)
+    val docsRaw = texts.toDF("text")
+    val fpOf = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val arrival = docsRaw
+      .select(xxhash64(fpOf).as("doc_id"), col("text")).distinct()
+    val ref = Seq.fill(5)((stop ++ refVocab).mkString(" ")).toDF("text")
+    // calibration: model counts = (ref positive vs this corpus negative),
+    // exactly the batch stage's nbWeightsOn inputs; cutoff from the
+    // train survivors of a classifier-less run with the same stages
+    graft.sources.ClassifierModels.writeNbModel(
+      ref, arrival.select(col("text")), modelDir)
+    val pre = graft.operators.Pipeline.curateOn(arrival, contamMinPct = 101L)
+    val trainDocs = arrival.join(
+      pre.filter(col("outcome") === "train").select(col("doc_id")), "doc_id")
+    graft.sources.ClassifierModels.writeNbCutoff(trainDocs, modelDir, vocab)
+    val Some((cutoff, vRead)) =
+      graft.sources.ClassifierModels.readNbCutoff(spark, modelDir): @unchecked
+    assert(vRead === vocab, "the cutoff must pin the vocab cap it was fit under")
+    // the rank-vs-value residual precondition, asserted so a fixture
+    // drift fails HERE, attributably: no batch-kept train doc may tie
+    // the boundary value
+    val scoredAll = graft.operators.Classifier.nbScoreOn(
+        arrival.select(col("doc_id"), col("text")),
+        graft.sources.ClassifierModels.readNbWeights(spark, modelDir, vocab))
+      .select(col("doc_id"),
+        expr("(score * 100 + 10000 * n_tokens) DIV n_tokens").as("bits_per_100"))
+    val bp = scoredAll.as[(Long, Long)].collect().toMap
+    val batchOutcome = graft.operators.Pipeline
+      .curateOn(arrival, contamMinPct = 101L,
+        clfRef = Some(ref), clfVocab = vocab)
+      .select(col("doc_id"), col("outcome"))
+      .as[(Long, String)].collect().toMap
+    val batchDrops = batchOutcome.collect {
+      case (id, "dropped_classifier") => id }.toSet
+    assert(batchDrops.nonEmpty, "the batch classifier stage must fire on this fixture")
+    val keptTrainAtBoundary = batchOutcome.collect {
+      case (id, "train") if bp(id) == cutoff => id }
+    assert(keptTrainAtBoundary.isEmpty,
+      s"fixture precondition broken: batch-kept train docs tie the boundary value $cutoff")
+
+    StreamingOps.curateBatch(docsRaw.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", clfModelDir = Some(modelDir))
+    def streamOutcomes: Map[Long, String] = spark.read.parquet(ledgerDir)
+      .select(col("doc_id"), col("outcome"))
+      .as[(Long, String)].collect().toMap
+    val so = streamOutcomes
+    // part 1: batch-train equality
+    batchOutcome.foreach {
+      case (id, "dropped_classifier") =>
+        assert(so(id) === "dropped_classifier",
+          s"doc $id: batch classifier-dropped, streaming says ${so(id)}")
+      case (id, "train") =>
+        assert(so(id) === "ingested",
+          s"doc $id: batch-kept train doc, streaming says ${so(id)}")
+      case (id, "eval") => // part 2 below
+      case (id, other) =>
+        assert(so(id) === other,
+          s"doc $id: pre-classifier outcome $other must ride through unchanged")
+    }
+    // part 2: the pinned eval-split divergence, exercised in BOTH
+    // directions (a vacuous direction would pin nothing)
+    val evalIds = batchOutcome.collect { case (id, "eval") => id }.toSet
+    val evalBelow = evalIds.filter(id => bp(id) <= cutoff)
+    val evalAbove = evalIds -- evalBelow
+    assert(evalBelow.nonEmpty && evalAbove.nonEmpty,
+      s"fixture must exercise both eval-score sides of the cutoff " +
+        s"(below=${evalBelow.size}, above=${evalAbove.size})")
+    evalBelow.foreach(id => assert(so(id) === "dropped_classifier",
+      s"doc $id: below-cutoff eval doc must stream to dropped_classifier " +
+        "(streaming has no split — the documented scope difference)"))
+    evalAbove.foreach(id => assert(so(id) === "ingested",
+      s"doc $id: above-cutoff eval doc must stream to ingested"))
+    // classifier drops never enter the corpus
+    val corpusIds = spark.read.parquet(corpusDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(corpusIds.intersect(batchDrops ++ evalBelow).isEmpty,
+      "classifier-dropped docs must not land in the corpus")
+    // part 3: same-label crash replay — identical outcomes, no growth
+    StreamingOps.curateBatch(docsRaw.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", clfModelDir = Some(modelDir))
+    assert(streamOutcomes === so,
+      "replaying the same label must re-judge identical outcomes")
+    assert(spark.read.parquet(corpusDir).count() === corpusIds.size.toLong,
+      "replay must not grow the corpus")
+  }
+
   test("session_window spelling equals the oracle-checked batch sessionizer " +
       "on the real events table") {
     // The streaming path sessionizes with Spark's native session_window;
