@@ -369,6 +369,13 @@ object SparkEntry {
     // at 16 so the cap AND out-of-vocabulary paths are both non-vacuous
     // on the 31-token fixture vocabulary
     "q_lm_score" -> ((s, d) => operators.Lm.lmScore(s, d, "en", 16)),
+    // the STORED-model twin: LM sufficient statistics are additive
+    // (per-token counts + the total), so the artifact stores mergeable
+    // counts (init on en doc_id<250, append the rest) and the capped
+    // vocab derives at read over the merge — hash-checked against the
+    // inline query's own oracle (the q_nb_classifier_idx contract)
+    "q_lm_score_idx" -> ((s, d) =>
+      sources.LmModels.lmScoreStoredDocs(s, d, "en", 16)),
     // head/middle/tail perplexity tertiles from the score histogram;
     // only boundary-straddling score values pay a per-doc tie-break
     "q_lm_buckets" -> ((s, d) => operators.Lm.lmBuckets(s, d, "en", 16)),
@@ -2090,6 +2097,12 @@ object SparkEntry {
     // integer-exact in both engines (log/ln carry a 1-ulp license;
     // length(bin(x)) has one spelling)
     "q_lm_score" -> (lmScoreSql + """
+      SELECT doc_id, n_tokens, bits,
+             CAST(bits * 100 // n_tokens AS BIGINT) AS bits_per_100
+      FROM s""".stripMargin.trim),
+    // the stored-model twin answers IDENTICALLY: LM count merging is
+    // exact, so one SQL serves both the inline and the stored spelling
+    "q_lm_score_idx" -> (lmScoreSql + """
       SELECT doc_id, n_tokens, bits,
              CAST(bits * 100 // n_tokens AS BIGINT) AS bits_per_100
       FROM s""".stripMargin.trim),

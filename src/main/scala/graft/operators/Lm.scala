@@ -82,22 +82,31 @@ object Lm {
     * reference slice.
     */
   def lmScoreOn(docs: DataFrame, refTexts: DataFrame,
-                vocabSize: Int = 4096): DataFrame = {
-    val vocab = vocabOn(refTexts, vocabSize)
+                vocabSize: Int = 4096): DataFrame =
     // one row: total reference token count N (includes tokens beyond the
     // vocab cap — the denominator CCNet normalizes by)
-    val ntot = refTexts.select(
-      sum(size(TextOps.tokens(col("text"))).cast("long")).as("ntot"))
+    lmScoreFromModel(docs, vocabOn(refTexts, vocabSize),
+      refTexts.select(
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("ntot")))
+
+  /** The scoring body against an EXPLICIT model — a (tok, cnt) capped
+    * vocabulary frame and a 1-row (ntot) totals frame — factored so the
+    * stored-model path ([[graft.sources.LmModels.lmScoreStoredOn]])
+    * scores through the IDENTICAL plan: broadcast vocab join, 1-row
+    * ntot crossJoin (house precedent), one doc-keyed map-side-combined
+    * aggregate.
+    */
+  def lmScoreFromModel(docs: DataFrame, vocab: DataFrame,
+                       ntot: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .join(broadcast(vocab), Seq("tok"), "left")
-      .crossJoin(broadcast(ntot)) // 1-row broadcast (house precedent)
+      .crossJoin(broadcast(ntot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(bitlen(col("ntot")) - bitlen(coalesce(col("cnt"), lit(0L)) + 1))
           .as("bits"))
       .withColumn("bits_per_100", expr("bits * 100 DIV n_tokens"))
-  }
 
   /** CCNet head / middle / tail split: global rank by
     * (bits_per_100 asc, doc_id asc); head = ranks 1..⌊n/3⌋ (lowest

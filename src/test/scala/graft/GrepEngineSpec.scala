@@ -227,7 +227,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_pack_sequences", "q_mixture_plan", "q_mixture_sample",
       "q_dsir_weights", "q_dsir_resample", "q_mixture_curated",
       "q_corpus_build",
-      "q_lm_score", "q_lm_buckets", "q_chunk_passages", "q_snapshot_diff",
+      "q_lm_score", "q_lm_score_idx", "q_lm_buckets", "q_chunk_passages",
+      "q_snapshot_diff",
       "q_curriculum",
       "q_corpus_card", "q_profile_orders", "q_blocklist",
       "q_source_overlap", "q_lm_bigram", "q_lm_bigram_buckets",

@@ -113,4 +113,57 @@ class LmSpec extends SparkSpec {
     assert(split > 0, "no score value straddles a tertile boundary - " +
       "the boundary tie-break went vacuous on this fixture")
   }
+
+  test("stored LM model: counts merge exactly — append == fresh fit, " +
+      "replay adds nothing, crashed ingest invisible, score == inline") {
+    import graft.sources.LmModels
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"lang")
+    val ref = docs.filter($"lang" === "en").select($"text")
+    val root = java.nio.file.Files.createTempDirectory("lm-model").toString
+
+    // fresh full fit = the reference
+    LmModels.writeLmModel(ref, s"$root/full")
+    val fullVocab = LmModels.readLmVocab(spark, s"$root/full", 16)
+      .as[(String, Long)].collect().toSet
+    val inlineVocab = Lm.vocabOn(ref, 16)
+      .as[(String, Long)].collect().toSet
+    assert(fullVocab === inlineVocab,
+      "stored-model vocab must equal the inline vocabOn exactly")
+
+    // incremental: init + append == the fresh fit EXACTLY (counts merge)
+    val half = docs.filter($"lang" === "en" && $"doc_id" % 2 === 0).select($"text")
+    val rest = docs.filter($"lang" === "en" && $"doc_id" % 2 =!= 0).select($"text")
+    LmModels.writeLmModel(half, s"$root/incr")
+    LmModels.appendLm(rest, s"$root/incr", "b2")
+    assert(LmModels.readLmVocab(spark, s"$root/incr", 16)
+      .as[(String, Long)].collect().toSet === inlineVocab,
+      "init + append must merge to the fresh-fit vocabulary exactly")
+    assert(LmModels.readLmNtot(spark, s"$root/incr").as[Long].head ===
+      LmModels.readLmNtot(spark, s"$root/full").as[Long].head,
+      "merged token total must equal the full fit's")
+
+    // same-label replay: overwrite-on-own-label, nothing doubles
+    LmModels.appendLm(rest, s"$root/incr", "b2")
+    assert(LmModels.readLmNtot(spark, s"$root/incr").as[Long].head ===
+      LmModels.readLmNtot(spark, s"$root/full").as[Long].head,
+      "replaying an append must not double its counts")
+
+    // totals-last crash visibility: counts without a totals row are
+    // invisible to every read
+    spark.read.parquet(s"$root/incr/counts").filter($"ingest" === "b2")
+      .select($"tok", $"cnt")
+      .write.mode("overwrite").parquet(s"$root/incr/counts/ingest=crashed")
+    assert(LmModels.readLmVocab(spark, s"$root/incr", 16)
+      .as[(String, Long)].collect().toSet === inlineVocab,
+      "an uncommitted ingest's counts must be invisible")
+
+    // the scored surface: stored == inline, row for row
+    val stored = LmModels.lmScoreStoredOn(
+        docs.select($"doc_id", $"text"), s"$root/incr", 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inline = Lm.lmScoreOn(docs.select($"doc_id", $"text"), ref, 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stored === inline,
+      "scoring from the stored model must equal the inline scorer exactly")
+  }
 }

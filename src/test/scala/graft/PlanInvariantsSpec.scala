@@ -30,8 +30,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // the LM scorer crossJoins the broadcast 1-ROW reference token
     // total N into the scoring join (Lm.lmScoreOn); buckets and the
     // curriculum compose it — and lm_buckets additionally crossJoins
-    // the 1-ROW tertile-bounds frame into the score histogram
-    "q_lm_score", "q_lm_buckets", "q_curriculum",
+    // the 1-ROW tertile-bounds frame into the score histogram; the
+    // stored twin scores through the same plan with the 1-ROW total
+    // read from the model artifact
+    "q_lm_score", "q_lm_score_idx", "q_lm_buckets", "q_curriculum",
     // the bigram scorer crossJoins the same broadcast 1-ROW reference
     // token total (Lm.bigramScoreOn); its buckets composition adds the
     // 1-ROW tertile-bounds crossJoin (Lm.bucketsFromScores)
