@@ -107,6 +107,53 @@ object LmModels {
       readLmVocab(docs.sparkSession, path, vocabSize),
       readLmNtot(docs.sparkSession, path))
 
+  /** Store the TERTILE BOUNDARIES next to the counts — the
+    * threshold-from-state spelling for the CCNet bucket rule (the
+    * [[ClassifierModels.writeNbCutoff]] precedent, here with BOTH
+    * boundaries because the ppl stage ANNOTATES head/middle/tail
+    * rather than dropping): q1/q2 are the bits_per_100 values at
+    * ranks floor(n/3) and floor(2n/3) of the fit distribution. A
+    * per-batch consumer assigns head (bp <= q1), middle (bp <= q2),
+    * tail (above) — equal to [[graft.operators.Lm.bucketsFromScores]]
+    * whenever no off-tertile doc ties a boundary value (the inherent
+    * rank-vs-value residual, pinned in StreamingSpec). Degenerate fits
+    * (n < 3) store NULLs: consumers annotate nothing.
+    */
+  def writeLmCutoffs(fitDocs: DataFrame, path0: String,
+                     vocabSize: Int = 4096): Unit = {
+    val spark = fitDocs.sparkSession
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val scored = lmScoreStoredOn(
+      fitDocs.select(col("doc_id"), col("text")), path, vocabSize)
+      .select(col("doc_id"), col("bits_per_100"))
+    val h = scored.groupBy(col("bits_per_100")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bits_per_100"))))
+    val qs = h.agg((sum(col("cnt")) / 3).cast("long").as("q1"),
+      (sum(col("cnt")) * 2 / 3).cast("long").as("q2"))
+    val hq = h.crossJoin(broadcast(qs))
+    def boundary(rank: org.apache.spark.sql.Column) = hq
+      .filter(col("q1") > 0L && col("cum") >= rank)
+      .orderBy(col("bits_per_100")).limit(1)
+      .select(col("bits_per_100"))
+    boundary(col("q1")).select(col("bits_per_100").as("q1_bp100"))
+      .crossJoin(boundary(col("q2")).select(col("bits_per_100").as("q2_bp100")))
+      .select(col("q1_bp100"), col("q2_bp100"), lit(vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$path/cutoffs")
+  }
+
+  /** Some((q1_bp100, q2_bp100, vocabSize)) or None when no boundaries
+    * were calibrated — consumers annotate nothing then. */
+  def readLmCutoffs(spark: SparkSession,
+                    path0: String): Option[(Long, Long, Int)] = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    if (!DedupIndexes.hasData(spark, s"$path/cutoffs")) None
+    else spark.read.parquet(s"$path/cutoffs")
+      .collect().headOption
+      .map(r => (r.getAs[Long]("q1_bp100"), r.getAs[Long]("q2_bp100"),
+        r.getAs[Int]("vocab_size")))
+  }
+
   /** The q_lm_score stored twin (q_lm_score_idx): the reference LM
     * trained INCREMENTALLY — init on the en docs with doc_id < 250,
     * append the rest — then every doc scored from the stored model.

@@ -257,7 +257,8 @@ object StreamingOps {
                         textCol: String = "value",
                         lang: String = "en",
                         nearDupIndexDir: Option[String] = None,
-                        clfModelDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                        clfModelDir: Option[String] = None,
+                        pplModelDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // qualified-path overlap, not raw startsWith: sibling dirs sharing a
     // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
     // trailing-slash/relative/`..` respellings of the SAME dir are not —
@@ -271,17 +272,19 @@ object StreamingOps {
           lines.sparkSession, ledgerDir, d),
         s"nearDupIndexDir and ledgerDir must be disjoint: $d vs $ledgerDir")
     }
-    clfModelDir.foreach { d =>
-      Seq(("corpusDir", corpusDir), ("ledgerDir", ledgerDir)).foreach {
-        case (what, dir) =>
-          require(!graft.sources.DedupIndexes.pathsOverlap(
-              lines.sparkSession, dir, d),
-            s"clfModelDir and $what must be disjoint: $d vs $dir")
+    Seq(("clfModelDir", clfModelDir), ("pplModelDir", pplModelDir)).foreach {
+      case (name, opt) => opt.foreach { d =>
+        Seq(("corpusDir", corpusDir), ("ledgerDir", ledgerDir)).foreach {
+          case (what, dir) =>
+            require(!graft.sources.DedupIndexes.pathsOverlap(
+                lines.sparkSession, dir, d),
+              s"$name and $what must be disjoint: $d vs $dir")
+        }
       }
     }
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
-        textCol, lang, nearDupIndexDir, clfModelDir)
+        textCol, lang, nearDupIndexDir, clfModelDir, pplModelDir)
     }.start()
   }
 
@@ -295,7 +298,8 @@ object StreamingOps {
                                  textCol: String = "value",
                                  lang: String = "en",
                                  nearDupIndexDir: Option[String] = None,
-                                 clfModelDir: Option[String] = None): Unit =
+                                 clfModelDir: Option[String] = None,
+                                 pplModelDir: Option[String] = None): Unit =
     graft.CacheScope.scoped {
       val spark = batch.sparkSession
       // in-batch exact collapse on the canonical fingerprint (the
@@ -427,8 +431,32 @@ object StreamingOps {
       judged.filter(col("outcome") === "ingested")
         .select(col("doc_id"), col("fp"), col("text"))
         .write.mode("overwrite").parquet(s"$corpusDir/ingest=$label")
-      judged.select(col("doc_id"), col("outcome"))
-        .write.mode("overwrite").parquet(s"$ledgerDir/ingest=$label")
+      // optional PERPLEXITY annotation (the batch pipeline's stage 6,
+      // CCNet's head/middle/tail) from stored calibration state:
+      // ingested docs are scored under the STORED unigram LM
+      // ([[graft.sources.LmModels.lmScoreStoredOn]], same broadcast
+      // plan as the batch scorer) and bucketed against the PINNED
+      // tertile boundaries ([[graft.sources.LmModels.readLmCutoffs]])
+      // — like the batch stage it annotates, never drops; dropped docs
+      // carry NULL. Same score-vs-stored-cutoff residual as the
+      // classifier gate (StreamingSpec pins it); no calibrated
+      // boundaries ⇒ the column stays NULL.
+      val ledgerRows = pplModelDir
+        .flatMap(dir => graft.sources.LmModels.readLmCutoffs(spark, dir)
+          .map(dir -> _)) match {
+        case None => judged.select(col("doc_id"), col("outcome"))
+        case Some((dir, (q1, q2, vocab))) =>
+          val buckets = graft.sources.LmModels.lmScoreStoredOn(
+              judged.filter(col("outcome") === "ingested")
+                .select(col("doc_id"), col("text")), dir, vocab)
+            .select(col("doc_id"),
+              when(col("bits_per_100") <= q1, lit("head"))
+                .when(col("bits_per_100") <= q2, lit("middle"))
+                .otherwise(lit("tail")).as("ppl_bucket"))
+          judged.select(col("doc_id"), col("outcome"))
+            .join(buckets, Seq("doc_id"), "left")
+      }
+      ledgerRows.write.mode("overwrite").parquet(s"$ledgerDir/ingest=$label")
       // index MAINTENANCE (the maintainIndex contract, ledger-sink
       // spelling). The bootstrap build deliberately reads every OTHER
       // ingest's corpus rows and the current batch's accepted docs then

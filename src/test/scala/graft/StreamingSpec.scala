@@ -940,6 +940,27 @@ class StreamingSpec extends SparkSpec {
       "replay must not grow the index")
   }
 
+  // -- graded-reference-similarity corpus shared by the stored-model
+  // gate tests (classifier / perplexity): a VALUE-separable score
+  // distribution — the sf fixture's 31-token shared vocabulary ties
+  // nearly every doc at bits_per_100 = 10000, which only a rank rule
+  // can split. Doc i carries i reference-vocabulary tokens and 60-i
+  // crawl-vocabulary tokens (plus a fixed stopword scaffold for
+  // lang/stop_pct and i unique fillers so lengths differ too); all 60
+  // docs pass every quality rule (all-distinct tokens: ttr 100, rep 0)
+  // and their reference similarity rises with i --
+  private val gradedStop = Seq("the", "and", "of", "to", "in", "a", "is", "was")
+  private val gradedRefVocab = (0 until 60).map(j => f"river$j%02d")
+  private val gradedCrawlVocab = (0 until 60).map(j => f"gadget$j%02d")
+  private lazy val gradedTexts: Seq[String] = (0 until 60).map { i =>
+    (gradedStop ++ gradedRefVocab.take(i) ++ gradedCrawlVocab.drop(i) ++
+      (0 until i).map(k => f"fill$i%02dx$k%02d")).mkString(" ")
+  }
+  private def gradedRef =
+    Seq.fill(5)((gradedStop ++ gradedRefVocab).mkString(" ")).toDF("text")
+  private def gradedFp =
+    md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+
   test("stage-scope contract: one streaming delivery == batch curateOn " +
       "restricted to its stages (lang/quality/exact/near-dup)") {
     // THE scope pin (r13 verdict #4): ingestCuratedDocs implements the
@@ -1014,27 +1035,10 @@ class StreamingSpec extends SparkSpec {
     // both 60-token vocabularies): a tighter cap zeroes the mid-range
     // tokens' weights and flattens half the corpus onto one score value
     val vocab = 128
-    // a value cutoff needs a VALUE-SEPARABLE score distribution — the
-    // sf fixture's 31-token shared vocabulary ties nearly every doc at
-    // bits_per_100 = 10000, which only a rank rule can split. Synthetic
-    // corpus with GRADED reference similarity instead: doc i carries i
-    // reference-vocabulary tokens and 60-i crawl-vocabulary tokens
-    // (plus a fixed stopword scaffold for lang/stop_pct and i unique
-    // fillers so lengths differ too); all 60 docs pass every quality
-    // rule (all-distinct tokens: ttr 100, rep 0) and their scores
-    // rise with i
-    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "was")
-    val refVocab = (0 until 60).map(j => f"river$j%02d")
-    val crawlVocab = (0 until 60).map(j => f"gadget$j%02d")
-    def docText(i: Int): String =
-      (stop ++ refVocab.take(i) ++ crawlVocab.drop(i) ++
-        (0 until i).map(k => f"fill$i%02dx$k%02d")).mkString(" ")
-    val texts = (0 until 60).map(docText)
-    val docsRaw = texts.toDF("text")
-    val fpOf = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val docsRaw = gradedTexts.toDF("text")
     val arrival = docsRaw
-      .select(xxhash64(fpOf).as("doc_id"), col("text")).distinct()
-    val ref = Seq.fill(5)((stop ++ refVocab).mkString(" ")).toDF("text")
+      .select(xxhash64(gradedFp).as("doc_id"), col("text")).distinct()
+    val ref = gradedRef
     // calibration: model counts = (ref positive vs this corpus negative),
     // exactly the batch stage's nbWeightsOn inputs; cutoff from the
     // train survivors of a classifier-less run with the same stages
@@ -1113,6 +1117,87 @@ class StreamingSpec extends SparkSpec {
       "replaying the same label must re-judge identical outcomes")
     assert(spark.read.parquet(corpusDir).count() === corpusIds.size.toLong,
       "replay must not grow the corpus")
+  }
+
+  test("streaming perplexity annotation from the stored LM+cutoffs: " +
+      "bucket-for-bucket with batch pplRef, NULL for dropped, replay-idempotent") {
+    // The batch ppl stage (Pipeline.curateOn pplRef) buckets survivors
+    // head/middle/tail over the SURVIVOR score distribution — again not
+    // per-batch-computable, so the streaming spelling is
+    // score-vs-stored-boundaries: the unigram LM lives in the stored
+    // model (LmModels — counts merge exactly) and BOTH tertile
+    // boundaries are calibrated once (here from the batch run's own
+    // survivors) and pinned. Unlike the classifier gate this stage
+    // never drops: ingested docs gain ppl_bucket, dropped docs carry
+    // NULL — exactly the batch annotate-not-drop contract.
+    val dir = java.nio.file.Files.createTempDirectory("curate-ppl").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    val modelDir = s"$dir/lmmodel"
+    val vocab = 128
+    val docsRaw = gradedTexts.toDF("text")
+    val arrival = docsRaw
+      .select(xxhash64(gradedFp).as("doc_id"), col("text")).distinct()
+    val ref = gradedRef
+    val batchLedger = graft.operators.Pipeline
+      .curateOn(arrival, contamMinPct = 101L,
+        pplRef = Some(ref), pplVocab = vocab)
+      .select(col("doc_id"), col("outcome"), col("ppl_bucket"))
+      .as[(Long, String, Option[String])].collect()
+    val batchBuckets = batchLedger.collect {
+      case (id, o, Some(b)) if o == "train" || o == "eval" => id -> b }.toMap
+    assert(batchBuckets.nonEmpty, "the batch ppl stage must fire on this fixture")
+    assert(batchBuckets.values.toSet === Set("head", "middle", "tail"),
+      "fixture must exercise all three buckets")
+    // calibration: stored LM = the ref counts; boundaries from the
+    // batch run's own survivors (the production flow)
+    graft.sources.LmModels.writeLmModel(ref, modelDir)
+    val survivors = arrival.join(
+      batchBuckets.keys.toSeq.toDF("doc_id"), "doc_id")
+    graft.sources.LmModels.writeLmCutoffs(survivors, modelDir, vocab)
+    val Some((q1, q2, vRead)) =
+      graft.sources.LmModels.readLmCutoffs(spark, modelDir): @unchecked
+    assert(vRead === vocab)
+    assert(q1 < q2, s"fixture must separate the boundaries, got q1=$q1 q2=$q2")
+    // rank-vs-value residual precondition: no off-tertile survivor may
+    // tie a boundary value (fails HERE, attributably, on fixture drift)
+    val bp = graft.sources.LmModels.lmScoreStoredOn(
+        arrival.select(col("doc_id"), col("text")), modelDir, vocab)
+      .select(col("doc_id"), col("bits_per_100"))
+      .as[(Long, Long)].collect().toMap
+    batchBuckets.foreach { case (id, b) =>
+      if (bp(id) == q1) assert(b === "head",
+        s"doc $id ties q1=$q1 but batch-buckets $b — value rule cannot reproduce rank")
+      if (bp(id) == q2) assert(b === "middle" || b === "head",
+        s"doc $id ties q2=$q2 but batch-buckets $b")
+    }
+
+    StreamingOps.curateBatch(docsRaw.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", pplModelDir = Some(modelDir))
+    def ledgerNow: Map[Long, (String, Option[String])] =
+      spark.read.parquet(ledgerDir)
+        .select(col("doc_id"), col("outcome"), col("ppl_bucket"))
+        .as[(Long, String, Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val so = ledgerNow
+    // bucket-for-bucket equality on every batch survivor (train/eval ->
+    // ingested carries the same bucket)
+    batchBuckets.foreach { case (id, b) =>
+      assert(so(id) === (("ingested", Some(b))),
+        s"doc $id: batch buckets $b, streaming says ${so(id)}")
+    }
+    // dropped docs carry NULL, annotated ingested set == batch survivors
+    so.foreach { case (id, (o, pb)) =>
+      if (o != "ingested") assert(pb.isEmpty,
+        s"doc $id: dropped docs must carry NULL ppl_bucket, got $pb")
+    }
+    assert(so.collect { case (id, ("ingested", _)) => id }.toSet ===
+      batchBuckets.keySet,
+      "streaming ingested set must equal the batch survivor set")
+    // same-label replay: identical annotations
+    StreamingOps.curateBatch(docsRaw.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", pplModelDir = Some(modelDir))
+    assert(ledgerNow === so, "replay must re-judge identical annotations")
   }
 
   test("session_window spelling equals the oracle-checked batch sessionizer " +
