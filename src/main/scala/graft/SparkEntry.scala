@@ -536,6 +536,16 @@ object SparkEntry {
     // cell — the ADC pass reads only the probed cells' files at 1/16
     // the bytes per vector
     "q_embed_ann_ivfpq_idx" -> ((s, d) => sources.SimilarityIndexes.annIvfPqProbeDocs(s, d)),
+    // distributed PCA over the embeddings table (the FAISS
+    // pre-transform: reduce THEN index): one corpus pass accumulates
+    // the second-moment statistics via the native cov_stats aggregate
+    // (control-plane buffer, map-side combined), the 64x64
+    // eigendecomposition runs driver-side (cyclic Jacobi), projection
+    // broadcasts the components back as one scan-fused transform.
+    // Rows-only by design (float partial-sum order); PcaSpec owns the
+    // algebra (orthonormality, planted-direction recovery, agg ==
+    // driver reference, stored-moments merge == fresh fit)
+    "q_embed_pca" -> ((s, d) => operators.Pca.embedPca(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec
