@@ -546,6 +546,13 @@ object SparkEntry {
     // algebra (orthonormality, planted-direction recovery, agg ==
     // driver reference, stored-moments merge == fresh fit)
     "q_embed_pca" -> ((s, d) => operators.Pca.embedPca(s, d)),
+    // PCA two-stage ANN (the FAISS PCAR pre-transform shape): coarse
+    // cosine in 16-of-64 PCA space — a TUNABLE 4x byte cut where SQ8's
+    // is fixed — exact full-dim re-rank; the basis is the raw
+    // second-moment eigenbasis (dot-product-preserving, not the
+    // centered covariance). Rows-only; recall + rerank>=corpus==brute
+    // pinned in SimilaritySpec
+    "q_embed_ann_pca" -> ((s, d) => operators.Similarity.annTopKPca(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

@@ -150,11 +150,39 @@ object Pca {
     s
   }
 
-  /** Fit: one corpus pass + a driver-side eigendecomposition. */
+  /** Fit: one corpus pass + a driver-side eigendecomposition.
+    *
+    * `center = false` eigendecomposes the raw SECOND-MOMENT matrix
+    * E[xxᵀ] instead of the covariance (mean pinned to 0, so
+    * [[projectOn]] projects UNCENTERED): the top-k basis of E[xxᵀ] is
+    * the best rank-k approximation of the corpus Gram matrix, i.e. the
+    * basis that preserves DOT PRODUCTS — what retrieval needs
+    * ([[Similarity]]'s PCA coarse pass). Variance analysis wants the
+    * default centered fit; the two share the one moments pass.
+    */
   def fitPcaOn(emb: DataFrame, dim: Int, k: Int,
-               vecCol: String = "embedding"): PcaModel = {
+               vecCol: String = "embedding",
+               center: Boolean = true): PcaModel = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
-    val (n, mean, cov) = momentsToCov(momentsOn(emb, dim, vecCol), dim)
+    val m = momentsOn(emb, dim, vecCol)
+    val (n, mean, cov) =
+      if (center) momentsToCov(m, dim)
+      else {
+        val (n0, _, _) = momentsToCov(m, dim)
+        val sm = Array.ofDim[Double](dim, dim)
+        var p = 1 + dim
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) {
+            val v = m(p) / n0.toDouble
+            sm(i)(j) = v; sm(j)(i) = v
+            p += 1; j += 1
+          }
+          i += 1
+        }
+        (n0, Array.fill(dim)(0.0), sm)
+      }
     val (vals, vecs) = jacobiEigen(cov)
     PcaModel(n, mean, vecs.take(k), vals.take(k))
   }

@@ -229,6 +229,16 @@ object Similarity {
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("eq"), col("neighbor_id"))
+    exactRerank(shortlist, vectors, k)
+  }
+
+  /** The exact full-float re-rank every two-stage probe ends with: join
+    * only the (query_id, eq, neighbor_id) shortlist back to the stored
+    * vectors, rank by true cosine. Shared by the SQ8 and PCA probes so
+    * the final stage cannot fork between coarse representations.
+    */
+  private def exactRerank(shortlist: DataFrame, vectors: DataFrame,
+                          k: Int): DataFrame = {
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist
@@ -239,6 +249,54 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** PCA two-stage ANN (the FAISS `PCAR<k'>,...` pre-transform shape):
+    * the coarse pass ranks by cosine in a k'-dimensional PCA space —
+    * a d/k'-fold cut in bytes-scanned-per-vector, TUNABLE where SQ8's
+    * 4× is fixed — and the exact full-dimension re-rank absorbs the
+    * projection error. The basis is the top-k' eigenvectors of the raw
+    * SECOND-MOMENT matrix ([[Pca.fitPcaOn]] `center = false`): the
+    * best rank-k' approximation of the corpus Gram matrix, i.e. the
+    * projection that preserves dot products — centering would preserve
+    * distances-from-mean instead, the wrong invariant for cosine
+    * retrieval. With rerank >= corpus the result EQUALS brute force
+    * (the PQ precedent, spec-pinned); recall at the default shortlist
+    * is spec-asserted. Default k' = 32 (a 2× cut): this FIXTURE's
+    * embeddings are near-isotropic (flat spectrum — measured: 16 of 64
+    * components rank at 0.56 recall where 32 reach 0.96), the
+    * adversarial case for any spectral method; real embedding corpora
+    * have fast-decaying spectra where k' ≪ d holds the recall, which
+    * is why the pre-transform exists. Scale: the reduced table is the
+    * only corpus-sized artifact the coarse pass reads.
+    */
+  def annTopKPca(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 10, k: Int = 5, rerank: Int = 40,
+                 pcaDim: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annTopKPcaOn(emb, broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))),
+      dim = 64, pcaDim = pcaDim, k = k, rerank = rerank)
+  }
+
+  /** [[annTopKPca]] over any (vec_id, embedding) / (query_id, eq)
+    * frames. */
+  def annTopKPcaOn(emb: DataFrame, queries: DataFrame, dim: Int,
+                   pcaDim: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val model = Pca.fitPcaOn(emb, dim, pcaDim, center = false)
+    val reduced = Pca.projectOn(emb, model).select(col("vec_id"), col("pc"))
+    val qReduced = Pca.projectOn(queries, model, vecCol = "eq", outCol = "qpc")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id").asc)
+    val shortlist = reduced.join(broadcast(qReduced),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
+        rankSim(col("qpc"), col("pc")).as("qsim"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("eq"), col("neighbor_id"))
+    exactRerank(shortlist, emb.select(col("vec_id"), col("embedding")), k)
   }
 
   /** IVF-SQ8 — the two prunings COMPOSED, FAISS's `IVF<nlist>,SQ8`

