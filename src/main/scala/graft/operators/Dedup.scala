@@ -684,6 +684,39 @@ object Dedup {
       .filter(col("max_run_tokens") >= minRunTokens)
   }
 
+  /** The SPAN variant of [[incrementalVerbatimRunsFromIndex]] — same
+    * probe (batch positional shingles against the stored corpus index,
+    * occurrence cap corpus-side, islands per (pair, diagonal)), but
+    * emitting every qualifying run's BATCH-side coordinates in
+    * [[applyVerbatimCuts]]'s span schema: (doc_a = corpus source,
+    * doc_b = batch doc, b_start = batch token offset, run_tokens). The
+    * cut side is ALWAYS the batch doc — committed corpus text is
+    * immutable, so the arriving copy pays the cut regardless of id
+    * order (the one deliberate asymmetry vs the batch pipeline's
+    * higher-id rule; the streaming gate pins it in StreamingSpec).
+    */
+  def incrementalVerbatimSpansFromIndex(corpusPosIndex: DataFrame,
+                                        corpusOcc: DataFrame,
+                                        batch: DataFrame,
+                                        n: Int = ShingleN,
+                                        minRunTokens: Int = 20,
+                                        maxOccFreq: Int = 1000): DataFrame = {
+    require(minRunTokens >= n, s"minRunTokens=$minRunTokens must be >= n=$n")
+    val cappedCorpus = corpusPosIndex.join(corpusOcc, "ng")
+      .filter(col("occ") <= maxOccFreq)
+      .select(col("doc_id").as("corpus_id"), col("pos").as("pos_c"), col("ng"))
+    val matches = posIdxOf(batch, n)
+      .join(cappedCorpus, "ng")
+      .select(col("doc_id").as("doc_a"), col("corpus_id").as("doc_b"),
+        col("pos").as("pos_a"), (col("pos") - col("pos_c")).as("diag"))
+    // islands ran with doc_a = the batch doc, so a_start IS the batch
+    // offset; re-emit with the batch doc as doc_b (the cut side)
+    islandsOf(matches, n)
+      .filter(col("run_tokens") >= minRunTokens)
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("a_start").cast("long").as("b_start"), col("run_tokens"))
+  }
+
   /** [[incrementalVerbatimRuns]] over the documents table with the same
     * deterministic corpus/batch split as [[incrementalNewDocs]] — the
     * driver-query harness (q_verbatim_incr).

@@ -321,11 +321,20 @@ object DedupIndexes {
     * over the occ table itself (distinct n-grams × ingests), never a
     * re-aggregation of the positional index.
     */
-  def readVerbatimIndex(spark: SparkSession, path0: String): (DataFrame, DataFrame) = {
+  def readVerbatimIndex(spark: SparkSession, path0: String,
+                        excludeIngest: Option[String] = None): (DataFrame, DataFrame) = {
     val path = resolveIndex(spark, path0)
-    (spark.read.parquet(s"$path/positions").drop("ingest"),
-      spark.read.parquet(s"$path/occ")
-        .groupBy(col("ng")).agg(sum(col("occ")).as("occ")))
+    // excludeIngest: the streaming gate's replay contract — a crashed
+    // batch may have appended its own positional rows before the replay,
+    // and an arriving doc probing its OWN prior rows would self-match at
+    // full length and cut its whole text (the readNearDupIndex rule);
+    // the occ deltas exclude the label too, merge-on-read makes it free
+    def rd(sub: String) = {
+      val d = spark.read.parquet(s"$path/$sub")
+      excludeIngest.fold(d)(l => d.filter(col("ingest") =!= l)).drop("ingest")
+    }
+    (rd("positions"),
+      rd("occ").groupBy(col("ng")).agg(sum(col("occ")).as("occ")))
   }
 
   /** Compact a long-appended near-dup index: rewrite every ingest's

@@ -258,7 +258,8 @@ object StreamingOps {
                         lang: String = "en",
                         nearDupIndexDir: Option[String] = None,
                         clfModelDir: Option[String] = None,
-                        pplModelDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                        pplModelDir: Option[String] = None,
+                        verbatimIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // qualified-path overlap, not raw startsWith: sibling dirs sharing a
     // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
     // trailing-slash/relative/`..` respellings of the SAME dir are not —
@@ -272,7 +273,8 @@ object StreamingOps {
           lines.sparkSession, ledgerDir, d),
         s"nearDupIndexDir and ledgerDir must be disjoint: $d vs $ledgerDir")
     }
-    Seq(("clfModelDir", clfModelDir), ("pplModelDir", pplModelDir)).foreach {
+    Seq(("clfModelDir", clfModelDir), ("pplModelDir", pplModelDir),
+        ("verbatimIndexDir", verbatimIndexDir)).foreach {
       case (name, opt) => opt.foreach { d =>
         Seq(("corpusDir", corpusDir), ("ledgerDir", ledgerDir)).foreach {
           case (what, dir) =>
@@ -284,7 +286,8 @@ object StreamingOps {
     }
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
-        textCol, lang, nearDupIndexDir, clfModelDir, pplModelDir)
+        textCol, lang, nearDupIndexDir, clfModelDir, pplModelDir,
+        verbatimIndexDir)
     }.start()
   }
 
@@ -299,7 +302,8 @@ object StreamingOps {
                                  lang: String = "en",
                                  nearDupIndexDir: Option[String] = None,
                                  clfModelDir: Option[String] = None,
-                                 pplModelDir: Option[String] = None): Unit =
+                                 pplModelDir: Option[String] = None,
+                                 verbatimIndexDir: Option[String] = None): Unit =
     graft.CacheScope.scoped {
       val spark = batch.sparkSession
       // in-batch exact collapse on the canonical fingerprint (the
@@ -376,6 +380,60 @@ object StreamingOps {
       val judgedNear = nearLosers
         .fold(judgedExact.withColumn("is_near_dup", lit(null).cast("long")))(
           nl => judgedExact.join(nl, Seq("doc_id"), "left"))
+      // optional VERBATIM-SPAN removal (the batch pipeline's stage 3c,
+      // the ExactSubstr pass) against STORED state: every doc that
+      // survived the earlier gates has its >= 20-token runs cut — both
+      // runs shared with COMMITTED corpus text (probe of the stored
+      // positional index, [[graft.operators.Dedup
+      // .incrementalVerbatimSpansFromIndex]], own label excluded so a
+      // crashed replay never self-matches) and runs shared WITHIN the
+      // delivery ([[graft.operators.Dedup.verbatimRunSpansOn]], the
+      // batch higher-id rule). Docs are cleaned, never dropped; the
+      // classifier/ppl stages below score the CLEANED text (the batch
+      // ordering) and the corpus lands the CLEANED text while fp/dedup
+      // identity stay pinned to the ORIGINAL text (the batch split
+      // rule). ONE deliberate asymmetry vs batch, pinned in
+      // StreamingSpec: committed text is immutable, so a cross run with
+      // the corpus always cuts from the ARRIVING doc regardless of id
+      // order, where the batch bidirectional rule cuts the higher id.
+      val survivorsOrig = judgedNear
+        .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
+          col("is_known").isNull &&
+          (col("is_near_dup").isNull || col("is_near_dup") =!= 1L))
+        .select(col("doc_id"), col("text"))
+      val cleaned: Option[DataFrame] = verbatimIndexDir.map { dir =>
+        val crossSpans: DataFrame =
+          if (!hasCorpus)
+            spark.range(0).select(col("id").as("doc_b"),
+              col("id").as("b_start"), col("id").as("run_tokens"))
+          else {
+            val corpusOther = spark.read.parquet(corpusDir)
+              .filter(col("ingest") =!= label)
+              .select(col("doc_id"), col("text"))
+            // manifest-last self-heal bootstrap from every OTHER
+            // ingest's rows (the near-dup index contract: a replay must
+            // not index its own crashed attempt into the state it probes)
+            if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir))
+              graft.sources.DedupIndexes.writeVerbatimIndex(corpusOther, dir)
+            val (pos, occ) = graft.sources.DedupIndexes
+              .readVerbatimIndex(spark, dir, excludeIngest = Some(idxLabel))
+            graft.operators.Dedup.incrementalVerbatimSpansFromIndex(
+              pos, occ, survivorsOrig)
+          }
+        val inBatchSpans = graft.operators.Dedup
+          .verbatimRunSpansOn(survivorsOrig)
+        graft.operators.Dedup.applyVerbatimCuts(survivorsOrig,
+          crossSpans.select(col("doc_b"), col("b_start"), col("run_tokens"))
+            .unionByName(inBatchSpans
+              .select(col("doc_b"), col("b_start"), col("run_tokens"))))
+      }
+      // the text every later consumer (classifier, ppl, the corpus
+      // sink) sees: cleaned when the verbatim stage ran, original
+      // otherwise
+      val survivorText: DataFrame = cleaned
+        .fold(survivorsOrig.withColumn("n_tokens_removed", lit(0L)))(
+          cl => cl.select(col("doc_id"), col("text"),
+            col("n_tokens_removed")))
       // optional CLASSIFIER admission (the batch pipeline's stage 5b,
       // the GPT-3-style reference-similarity filter) from STORED
       // calibration state: docs that survived every earlier stage are
@@ -400,11 +458,7 @@ object StreamingOps {
       val clfLosers: Option[DataFrame] = clfModelDir.flatMap { dir =>
         graft.sources.ClassifierModels.readNbCutoff(spark, dir).map {
           case (cutoff, vocab) =>
-            val candidates = judgedNear
-              .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
-                col("is_known").isNull &&
-                (col("is_near_dup").isNull || col("is_near_dup") =!= 1L))
-              .select(col("doc_id"), col("text"))
+            val candidates = survivorText.select(col("doc_id"), col("text"))
             graft.operators.Classifier.nbScoreOn(candidates,
                 graft.sources.ClassifierModels.readNbWeights(spark, dir, vocab))
               .select(col("doc_id"),
@@ -428,8 +482,15 @@ object StreamingOps {
         .persist())
       // own-label overwrite on both sinks: replay heals every crash
       // point (ledger-then-crash, corpus-then-crash, both-then-crash)
-      judged.filter(col("outcome") === "ingested")
-        .select(col("doc_id"), col("fp"), col("text"))
+      // ingested rows land with the FINAL text (cleaned when the
+      // verbatim stage ran); fp stays the ORIGINAL fingerprint — the
+      // exact-dup identity is pre-cut, the batch split rule
+      val ingestedRows = graft.CacheScope.track(
+        judged.filter(col("outcome") === "ingested")
+          .select(col("doc_id"), col("fp"))
+          .join(survivorText.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .persist())
+      ingestedRows.select(col("doc_id"), col("fp"), col("text"))
         .write.mode("overwrite").parquet(s"$corpusDir/ingest=$label")
       // optional PERPLEXITY annotation (the batch pipeline's stage 6,
       // CCNet's head/middle/tail) from stored calibration state:
@@ -441,14 +502,13 @@ object StreamingOps {
       // carry NULL. Same score-vs-stored-cutoff residual as the
       // classifier gate (StreamingSpec pins it); no calibrated
       // boundaries ⇒ the column stays NULL.
-      val ledgerRows = pplModelDir
+      val ledgerBase = pplModelDir
         .flatMap(dir => graft.sources.LmModels.readLmCutoffs(spark, dir)
           .map(dir -> _)) match {
         case None => judged.select(col("doc_id"), col("outcome"))
         case Some((dir, (q1, q2, vocab))) =>
           val buckets = graft.sources.LmModels.lmScoreStoredOn(
-              judged.filter(col("outcome") === "ingested")
-                .select(col("doc_id"), col("text")), dir, vocab)
+              ingestedRows.select(col("doc_id"), col("text")), dir, vocab)
             .select(col("doc_id"),
               when(col("bits_per_100") <= q1, lit("head"))
                 .when(col("bits_per_100") <= q2, lit("middle"))
@@ -456,7 +516,31 @@ object StreamingOps {
           judged.select(col("doc_id"), col("outcome"))
             .join(buckets, Seq("doc_id"), "left")
       }
+      // the verbatim stage's cut measure rides the ledger like the
+      // batch pipeline's: nonzero only for docs that were survivors
+      // when the cut ran (including ones the classifier then dropped —
+      // the cut happened; the ledger records what happened)
+      val ledgerRows = cleaned.fold(ledgerBase)(cl =>
+        ledgerBase.join(cl.select(col("doc_id"), col("n_tokens_removed")),
+            Seq("doc_id"), "left")
+          .withColumn("n_tokens_removed",
+            coalesce(col("n_tokens_removed"), lit(0L))))
       ledgerRows.write.mode("overwrite").parquet(s"$ledgerDir/ingest=$label")
+      // verbatim index MAINTENANCE: the accepted docs' CLEANED text
+      // (what the corpus holds IS what future arrivals must be compared
+      // against) appends under the own label — bootstrap reads
+      // other-ingest rows only, so own-label exclusion stays sound at
+      // every crash point (the near-dup maintenance contract below)
+      verbatimIndexDir.foreach { dir =>
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, dir))
+          graft.sources.DedupIndexes.writeVerbatimIndex(
+            spark.read.parquet(corpusDir)
+              .filter(col("ingest") =!= label)
+              .select(col("doc_id"), col("text")), dir)
+        if (!ingestedRows.isEmpty)
+          graft.sources.DedupIndexes.appendVerbatim(
+            ingestedRows.select(col("doc_id"), col("text")), dir, idxLabel)
+      }
       // index MAINTENANCE (the maintainIndex contract, ledger-sink
       // spelling). The bootstrap build deliberately reads every OTHER
       // ingest's corpus rows and the current batch's accepted docs then

@@ -1200,6 +1200,109 @@ class StreamingSpec extends SparkSpec {
     assert(ledgerNow === so, "replay must re-judge identical annotations")
   }
 
+  test("streaming verbatim gate from the stored positional index: cross-corpus " +
+      "and in-batch cuts, arriving-doc asymmetry pinned, replay-idempotent") {
+    // The batch pipeline's last missing streaming stage (3c, the
+    // ExactSubstr pass): arriving docs lose >= 20-token runs shared
+    // with COMMITTED corpus text (stored positional-index probe) and
+    // with their OWN delivery (the batch higher-id rule); docs are
+    // cleaned, never dropped; the corpus lands CLEANED text and the
+    // index is maintained with it. The ONE deliberate asymmetry vs
+    // batch, pinned here: committed text is immutable, so a cross run
+    // always cuts from the ARRIVING doc even when it holds the SMALLER
+    // id (batch would cut the higher id).
+    val dir = java.nio.file.Files.createTempDirectory("curate-verbatim").toString
+    val corpusDir = s"$dir/corpus"
+    val ledgerDir = s"$dir/ledger"
+    val vbDir = s"$dir/vbidx"
+    val stop = Seq("the", "and", "of", "to", "in", "a", "is", "was")
+    val w = (0 until 32).map(j => f"wood$j%02d")   // committed doc body
+    // pick docB's filler vocabulary so the ARRIVING doc holds the
+    // SMALLER id — the asymmetry case the test must exercise (batch
+    // would cut committed docA then; streaming must cut docB): ids are
+    // deterministic content hashes, so scan a few spellings and take
+    // the first that lands below docA's id
+    val docAText = (stop ++ w).mkString(" ")
+    def idOfText(t: String): Long = Seq(t).toDF("text")
+      .select(xxhash64(gradedFp)).as[Long].head
+    val idA = idOfText(docAText)
+    def qOf(v: Int): IndexedSeq[String] =
+      (0 until 12).map(j => f"quay$v%03d$j%02d")
+    val q = {
+      val hit = (0 until 512)
+        .map(v => (v, (stop ++ qOf(v) ++ w.take(25)).mkString(" ")))
+        .toDF("v", "text")
+        .select(col("v"), xxhash64(gradedFp).as("id"))
+        .filter(col("id") < idA).orderBy(col("v")).limit(1)
+        .as[(Int, Long)].collect()
+      assert(hit.nonEmpty, "no filler spelling yields an arriving id " +
+        "below the committed id — widen the candidate scan")
+      qOf(hit.head._1)
+    }
+    val s25 = (0 until 25).map(j => f"sail$j%02d") // the in-batch shared run
+    val c12 = (0 until 12).map(j => f"cliff$j%02d")
+    val d12 = (0 until 12).map(j => f"dune$j%02d")
+    val e20 = (0 until 20).map(j => f"elm$j%02d")
+    val docA = docAText                                        // committed
+    val docB = (stop ++ q ++ w.take(25)).mkString(" ")         // copies 25 of A
+    val docC = (stop ++ c12 ++ s25).mkString(" ")              // in-batch pair
+    val docD = (stop ++ d12 ++ s25).mkString(" ")
+    val docE = (stop ++ e20).mkString(" ")                     // untouched
+    def idOf(t: String): Long = Seq(t).toDF("text")
+      .select(xxhash64(gradedFp)).as[Long].head
+
+    StreamingOps.curateBatch(Seq(docA).toDF("value"),
+      corpusDir, ledgerDir, "0", verbatimIndexDir = Some(vbDir))
+    StreamingOps.curateBatch(Seq(docB, docC, docD, docE).toDF("value"),
+      corpusDir, ledgerDir, "1", verbatimIndexDir = Some(vbDir))
+
+    def corpusText: Map[Long, String] = spark.read.parquet(corpusDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    def ledgerCuts: Map[Long, (String, Long)] = spark.read.parquet(ledgerDir)
+      .filter(col("ingest") === "1")
+      .select(col("doc_id"), col("outcome"), col("n_tokens_removed"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val ct = corpusText
+    val lc = ledgerCuts
+    assert(lc.values.forall(_._1 === "ingested"),
+      "the verbatim stage cleans, never drops")
+    // cross-corpus cut: docB lost exactly the 25 copied tokens — and the
+    // asymmetry is NON-VACUOUS: this arriving doc holds the SMALLER id,
+    // where the batch bidirectional rule would have cut committed docA
+    assert(ct(idOf(docB)) === (stop ++ q).mkString(" "),
+      "the arriving copy must lose exactly the committed run")
+    assert(lc(idOf(docB))._2 === 25L)
+    assert(idOf(docB) < idOf(docA),
+      "fixture construction broke: the arriving doc must hold the " +
+        "smaller id so the asymmetry vs the batch higher-id rule is " +
+        "actually exercised")
+    // in-batch pair: the batch higher-id rule — one of C/D loses s25
+    val (hi, lo) = if (idOf(docC) > idOf(docD)) (docC, docD) else (docD, docC)
+    val hiKept = if (hi == docC) stop ++ c12 else stop ++ d12
+    assert(ct(idOf(hi)) === hiKept.mkString(" "),
+      "the higher-id in-batch doc must lose the shared run")
+    assert(ct(idOf(lo)) === lo, "the lower-id in-batch doc keeps its text")
+    assert(lc(idOf(hi))._2 === 25L && lc(idOf(lo))._2 === 0L)
+    // untouched doc: text verbatim, zero removed
+    assert(ct(idOf(docE)) === docE && lc(idOf(docE))._2 === 0L)
+    // committed text is immutable
+    assert(ct(idOf(docA)) === docA)
+    // the index covers the corpus's CLEANED text: a re-arrival of docB's
+    // CLEANED content must now be judged against it (exact-dup via fp of
+    // the ORIGINAL is a different fp, so this lands as a verbatim cut)
+    val posCount = spark.read.parquet(s"$vbDir/positions").count()
+
+    // same-label crash replay: own-label exclusion everywhere — a doc
+    // must never self-match its own prior rows (which would cut its
+    // WHOLE text); corpus, ledger, and index byte-stable
+    StreamingOps.curateBatch(Seq(docB, docC, docD, docE).toDF("value"),
+      corpusDir, ledgerDir, "1", verbatimIndexDir = Some(vbDir))
+    assert(corpusText === ct, "replay must not change corpus text")
+    assert(ledgerCuts === lc, "replay must re-judge identical cut measures")
+    assert(spark.read.parquet(s"$vbDir/positions").count() === posCount,
+      "replay must not grow the index")
+  }
+
   test("session_window spelling equals the oracle-checked batch sessionizer " +
       "on the real events table") {
     // The streaming path sessionizes with Spark's native session_window;
