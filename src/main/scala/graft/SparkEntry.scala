@@ -277,6 +277,10 @@ object SparkEntry {
     // decontamination as ONE per-doc audit ledger (Pipeline.curate);
     // planted exact dups guarantee the dedup stage fires
     "q_pipeline_curate" -> ((s, d) => operators.Pipeline.curate(s, d)),
+    // THE FULL RECIPE, every stage on at once — the flagship
+    // composition hash-checking stage INTERACTIONS (cleaned text →
+    // classifier → ppl survivor set) against one DuckDB CTE
+    "q_pipeline_curate_full" -> ((s, d) => operators.Pipeline.curateFull(s, d)),
     // the full production-recipe composition: the MinHash near-dedup
     // stage (exact-verified LSH candidates → connected components →
     // min-representative keeper) runs between exact dedup and split;
@@ -788,7 +792,9 @@ object SparkEntry {
                              blockTerms: Option[Seq[String]] = None,
                              verbatim: Boolean = false,
                              plantFromSql: String = "",
-                             finalWhere: String = ""): String = {
+                             finalWhere: String = "",
+                             surfaceText: Boolean = false,
+                             quotePlants: Boolean = false): String = {
     // stage 1b: whole-token case-insensitive blocklist — list_has_any
     // over the lowered token list is DuckDB's spelling of Spark's
     // arrays_overlap (equivalence of the two engine spellings is
@@ -805,11 +811,29 @@ object SparkEntry {
                  UNION ALL
                  SELECT doc_id + 2000000 AS doc_id, text || ' plantedneardup' AS text
                  FROM documents WHERE doc_id % 11 = 3$plantFromSql"""
+    // the quote plant: first 25 tokens of the source + the stopword
+    // scaffold + 22 deterministic fillers — shares a >= 20-token run
+    // with its source at 3-gram Jaccard far below 0.8 (mirrors
+    // Pipeline.curateOn plantQuotes exactly; slice semantics agree:
+    // Spark slice(a,1,25) == DuckDB a[1:25], both truncating)
+    val quotePlantSql =
+      if (!quotePlants) ""
+      else s"""
+                 UNION ALL
+                 SELECT doc_id + 3000000 AS doc_id,
+                        array_to_string(
+                          list_concat(list_concat(
+                            string_split(text, ' ')[1:25],
+                            ['the','and','of','to','in','a','is','was']),
+                            list_transform(range(1, 23),
+                              j -> 'fq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR))),
+                          ' ') AS text
+                 FROM documents WHERE doc_id % 13 = 5$plantFromSql"""
     val shared = s"""
       WITH RECURSIVE
       d AS (SELECT doc_id, text FROM documents
                  UNION ALL
-                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0$plantFromSql$nearPlantSql),
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0$plantFromSql$nearPlantSql$quotePlantSql),
       m AS (SELECT doc_id, text,
         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -953,6 +977,14 @@ object SparkEntry {
                                  COUNT(*) AS n_kept
                           FROM vkept GROUP BY doc_id) vkc USING (doc_id)),"""
     val gramSource = if (verbatim) "vcln" else "sv"
+    // surfaceText: a WRAPPING stage (the full-recipe classifier/ppl)
+    // needs the text its engine twin scores — the CLEANED survivor text
+    // — as a ledger column it can tokenize; the wrapper must project
+    // eff_text away before the final compare
+    val effTextCol =
+      if (!surfaceText) ""
+      else if (verbatim) ",\n             COALESCE(vc2.text, '') AS eff_text"
+      else ",\n             k.text AS eff_text"
     val (removedCol, removedJoin) =
       if (!verbatim) ("", "")
       else (""",
@@ -971,7 +1003,7 @@ object SparkEntry {
                   WHEN k.doc_id <> keeper_id THEN 'dropped_duplicate'$nearCase
                   WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
                   WHEN fp < 'cc' THEN 'train'
-                  ELSE 'eval' END AS outcome$removedCol
+                  ELSE 'eval' END AS outcome$removedCol$effTextCol
       FROM k$nearJoin LEFT JOIN ct ON k.doc_id = ct.doc_id$removedJoin$finalWhere""").stripMargin.trim
   }
 
@@ -2002,6 +2034,87 @@ object SparkEntry {
              CASE WHEN cdrop.doc_id IS NOT NULL THEN 'dropped_classifier'
                   ELSE led.outcome END AS outcome
       FROM led LEFT JOIN cdrop USING (doc_id)""".stripMargin.trim),
+    // THE FULL RECIPE in one CTE: every stage of the shared builder on
+    // at once (planted exact + near dups, fuzzy clusters, verbatim cuts
+    // with the CLEANED text surfaced, 40% coverage decontam), then the
+    // classifier stage scoring the CLEANED train text (weights: en
+    // reference positive vs the FULLY-PLANTED corpus negative — the
+    // engine's exact inputs) and the perplexity tertile scoring the
+    // CLEANED post-classifier survivors. Each stage's arithmetic is the
+    // proven single-variant spelling; what THIS oracle adds is their
+    // interactions, hash-checked end to end. Same LSH recall coupling
+    // as q_pipeline_curate_fuzzy (downgrade to rows-only first if that
+    // bound ever degrades).
+    "q_pipeline_curate_full" -> ("""
+      WITH led AS MATERIALIZED (""" + pipelineOracle(
+        nearPlants = true, fuzzy = true, covPct = Some(40),
+        verbatim = true, surfaceText = true, quotePlants = true) + """),
+      cd AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+             UNION ALL
+             SELECT doc_id + 2000000 AS doc_id, text || ' plantedneardup' AS text
+             FROM documents WHERE doc_id % 11 = 3
+             UNION ALL
+             SELECT doc_id + 3000000 AS doc_id,
+                    array_to_string(
+                      list_concat(list_concat(
+                        string_split(text, ' ')[1:25],
+                        ['the','and','of','to','in','a','is','was']),
+                        list_transform(range(1, 23),
+                          j -> 'fq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR))),
+                      ' ') AS text
+             FROM documents WHERE doc_id % 13 = 5),
+      cut AS (SELECT 1 AS is_pos, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE lang = 'en'
+              UNION ALL
+              SELECT 0, unnest(string_split(text, ' ')) FROM cd),
+      ctot AS (SELECT CAST(SUM(is_pos) AS BIGINT) AS np,
+                      CAST(SUM(1 - is_pos) AS BIGINT) AS nn FROM cut),
+      cv2 AS (SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS cp,
+                     CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+              FROM cut GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 16),
+      cw2 AS (SELECT tok,
+                (CAST(length(bin(nn)) AS BIGINT) - CAST(length(bin(cn + 1)) AS BIGINT))
+              - (CAST(length(bin(np)) AS BIGINT) - CAST(length(bin(cp + 1)) AS BIGINT))
+                AS w
+              FROM cv2 CROSS JOIN ctot),
+      ctk AS (SELECT doc_id, unnest(string_split(eff_text, ' ')) AS tok
+              FROM led WHERE outcome = 'train'),
+      csc AS (SELECT ctk.doc_id,
+                CAST(SUM(COALESCE(cw2.w, 0)) AS BIGINT) AS score,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ctk LEFT JOIN cw2 USING (tok) GROUP BY ctk.doc_id),
+      cspt AS (SELECT doc_id, (score * 100 + 10000 * n) // n AS spt FROM csc),
+      crk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY spt, doc_id) AS r,
+                     COUNT(*) OVER () AS cnt FROM cspt),
+      cdrop AS (SELECT doc_id FROM crk WHERE r <= cnt // 3),
+      led2 AS MATERIALIZED (SELECT led.doc_id, led.n_tokens, led.n_tokens_removed, led.eff_text,
+                 CASE WHEN cdrop.doc_id IS NOT NULL THEN 'dropped_classifier'
+                      ELSE led.outcome END AS outcome
+               FROM led LEFT JOIN cdrop USING (doc_id)),
+      lref AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents WHERE lang = 'en'),
+      lv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM lref GROUP BY tok ORDER BY cnt DESC, tok LIMIT 16),
+      ln0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM lref),
+      ptk AS (SELECT doc_id, unnest(string_split(eff_text, ' ')) AS tok
+              FROM led2 WHERE outcome IN ('train', 'eval')),
+      psc AS (SELECT ptk.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(length(bin(ln0.ntot)) AS BIGINT)
+                  - CAST(length(bin(COALESCE(lv.cnt, 0) + 1)) AS BIGINT)) AS BIGINT) AS bits
+              FROM ptk LEFT JOIN lv USING (tok) CROSS JOIN ln0
+              GROUP BY ptk.doc_id),
+      pbp AS (SELECT doc_id, CAST(bits * 100 // n AS BIGINT) AS bp FROM psc),
+      pn AS (SELECT COUNT(*) AS n FROM pbp),
+      prk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bp, doc_id) AS r FROM pbp)
+      SELECT led2.doc_id, led2.n_tokens, led2.outcome, led2.n_tokens_removed,
+             CASE WHEN prk.r IS NULL THEN NULL
+                  WHEN prk.r <= pn.n // 3 THEN 'head'
+                  WHEN prk.r <= pn.n * 2 // 3 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM led2 CROSS JOIN pn
+      LEFT JOIN prk ON prk.doc_id = led2.doc_id""".stripMargin.trim),
     // the same ledger, aggregated — built from the q_pipeline_curate CTE
     // as a derived table (see oracleSql) so the two oracles cannot drift
     "q_pipeline_stats" -> "PLACEHOLDER_PIPELINE_STATS",

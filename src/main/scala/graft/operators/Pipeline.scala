@@ -222,6 +222,37 @@ object Pipeline {
       clfVocab = 16)
   }
 
+  /** THE FULL PRODUCTION RECIPE in one ledger — every stage switched on
+    * at once (q_pipeline_curate_full, the flagship composition):
+    * lang → quality → exact dedup (planted) → MinHash near-dedup
+    * (planted) → verbatim-span removal → split → coverage
+    * decontamination (40%) → GPT-3-style classifier (scoring the
+    * CLEANED text) → CCNet perplexity tertile (ditto). Each stage is
+    * individually hash-checked by its own variant query; this
+    * composition hash-checks their INTERACTIONS — the cleaned text
+    * feeding the classifier and the LM, the classifier re-attribution
+    * feeding the ppl survivor set — against one DuckDB CTE.
+    */
+  def curateFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val en = docs.filter(col("lang") === "en").select(col("text"))
+    // checkpointDir is MANDATORY at this composition depth, not a
+    // flavor: with every stage on, the un-cut logical plan costs ~50 s
+    // of eager analysis + ~90 s of codegen for 618 rows (measured at
+    // sf0.001 — planning work, data-size-invariant); the per-stage
+    // parquet checkpoints collapse it to seconds and ARE the 100 TB
+    // spelling anyway. Plain overwrite per call (never writeOnce — a
+    // checkpoint is derived data the query must refresh each run).
+    curateOn(docs.select(col("doc_id"), col("text")),
+      plantDups = true, nearDedup = true, plantNearDups = true,
+      contamMinPct = 40L, verbatimCuts = true,
+      clfRef = Some(en), clfVocab = 16,
+      pplRef = Some(en), pplVocab = 16,
+      plantQuotes = true,
+      checkpointDir = Some(graft.sources.DedupIndexes.scratch(
+        "target/pipeline_ckpt", "full", sfDir)))
+  }
+
   /** [[curate]] over any (doc_id, text) frame — the library entry point
     * (and the ScaleSmoke sweep surface). */
   def curateOn(base: DataFrame,
@@ -240,7 +271,18 @@ object Pipeline {
                pplVocab: Int = 4096,
                clfRef: Option[DataFrame] = None,
                clfVocab: Int = 4096,
-               nTokensCol: Option[Column] = None): DataFrame = {
+               nTokensCol: Option[Column] = None,
+               plantQuotes: Boolean = false): DataFrame = {
+    // `plantQuotes`: appends, for every doc_id % 13 == 5 base doc, a
+    // QUOTE doc (id + 3_000_000) = the base doc's first 25 tokens + a
+    // stopword scaffold + 22 unique fillers. The quote shares a
+    // >= 20-token verbatim RUN with its source while its 3-gram Jaccard
+    // stays far below 0.8 (23 shared shingles of ~53+source's own), so
+    // it SURVIVES near-dedup and exercises the verbatim stage in the
+    // full composition — where the natural fixture run-pairs are all
+    // >= 0.8 near-dups and die one stage earlier, leaving verbatim
+    // vacuous-by-interaction (measured, oracle-agreed). Deterministic
+    // slice-and-concat arithmetic both engines replicate.
     // `nTokensCol = Some(e)`: the ledger's n_tokens column is the
     // caller's expression over the ORIGINAL `text` instead of the
     // whitespace count — the TOKENIZER-FAITHFUL spelling (the
@@ -265,7 +307,7 @@ object Pipeline {
     // not compare clean. assert_true returns null per row when the bound
     // holds and throws on the first violation (r11 ADVICE).
     val guarded =
-      if (!plantDups && !plantNearDups) base
+      if (!plantDups && !plantNearDups && !plantQuotes) base
       else base.filter(assert_true(col("doc_id") < lit(1000000L),
         concat(lit("plantDups doc_id collision: base doc_id "),
           col("doc_id"), lit(" >= 1000000 overlaps the planted-id range")))
@@ -278,7 +320,28 @@ object Pipeline {
       if (!plantNearDups) None
       else Some(base.filter(col("doc_id") % 11 === 3)
         .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-          concat(col("text"), lit(" plantedneardup")).as("text")))
+          concat(col("text"), lit(" plantedneardup")).as("text"))),
+      if (!plantQuotes) None
+      else {
+        val toks = TextOps.tokens(col("text"))
+        val scaffold = array(Seq("the", "and", "of", "to", "in", "a",
+          "is", "was").map(lit): _*)
+        val fillers = transform(sequence(lit(1), lit(22)),
+          j => concat(lit("fq"), col("doc_id").cast("string"),
+            lit("x"), j.cast("string")))
+        // two-step select: the text expression references doc_id, and a
+        // single select that ALSO aliases doc_id would resolve the
+        // reference against the new alias via lateral-column-alias
+        // resolution — the fillers would read 3000044 instead of 44
+        // (bitten in r14: the oracle disagreed on exactly the filler
+        // tokens); build the text against the source id first, rename
+        // after
+        Some(base.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id"),
+            array_join(concat(slice(toks, 1, 25), scaffold, fillers), " ")
+              .as("text"))
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+      }
     ).flatten.reduce(_ unionByName _)
 
     // stages 1–2 + fingerprint: one fused projection over the scan.
@@ -307,12 +370,24 @@ object Pipeline {
     val withKeeperPlan = staged.withColumn("keeper_id",
       min(when(col("survives_lq"), col("doc_id")))
         .over(Window.partitionBy(col("fp"))))
-    val withKeeper = checkpointDir match {
-      case None => graft.CacheScope.track(withKeeperPlan.persist())
-      case Some(dir) =>
-        withKeeperPlan.write.mode("overwrite").parquet(dir)
-        base.sparkSession.read.parquet(dir)
-    }
+    // Stage-boundary materialization: persist by default; with
+    // `checkpointDir`, parquet-checkpoint — which not only spills the
+    // multi-consumer frame (the original 100 TB rationale) but CUTS THE
+    // LOGICAL PLAN at the boundary: downstream stages analyze and
+    // codegen against a parquet leaf instead of the whole upstream
+    // tree. Measured on the full-recipe composition: with every stage
+    // on, the uncut plan cost ~50 s of eager per-Dataset analysis at
+    // CONSTRUCTION plus ~90 s of codegen-dominated execution for 618
+    // rows — planning work, invariant to data size; the checkpointed
+    // spelling collapses both.
+    def stageCheckpoint(name: String, df: DataFrame): DataFrame =
+      checkpointDir match {
+        case None => graft.CacheScope.track(df.persist())
+        case Some(dir) =>
+          df.write.mode("overwrite").parquet(s"$dir/$name")
+          base.sparkSession.read.parquet(s"$dir/$name")
+      }
+    val withKeeper = stageCheckpoint("keeper", withKeeperPlan)
 
     val exactSurvivors = withKeeper
       .filter(col("survives_lq") && col("doc_id") === col("keeper_id"))
@@ -324,19 +399,31 @@ object Pipeline {
     // Every cluster member except its min-doc_id representative drops.
     val nearLosers: Option[DataFrame] =
       if (!nearDedup) None
-      else Some(Dedup.clusterPairs(
+      // materialized: the loser id list is tiny but its LINEAGE is the
+      // banded LSH self-join, and it has two consumers always
+      // (survivor anti-join + ledger join) — more when later stages
+      // multiply the survivor frame's consumers
+      else Some(stageCheckpoint("nearlosers", Dedup.clusterPairs(
           Dedup.minHashNearDupsOn(exactSurvivors.select(col("doc_id"), col("text")))
             .select(col("doc_a"), col("doc_b")))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
-        .withColumn("is_near_dup", lit(1L)))
+        .withColumn("is_near_dup", lit(1L))))
 
     // stages 4–5 over the remaining survivor set
-    val survivors = nearLosers
+    val survivors0 = nearLosers
       .fold(exactSurvivors)(nl =>
         exactSurvivors.join(nl.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .withColumn("split",
         when(col("fp") < lit(splitThreshold), lit("train")).otherwise(lit("eval")))
+    // the optional stages below multiply this frame's consumers (the
+    // verbatim cut, its split join-back, the classifier and ppl
+    // scorers) — materialize once text rides it, so the dedup subgraph
+    // upstream is never re-executed or re-analyzed per stage; plain
+    // pass-through when no extra stage consumes it beyond the gram build
+    val survivors =
+      if (!verbatimCuts && clfRef.isEmpty && pplRef.isEmpty) survivors0
+      else stageCheckpoint("survivors", survivors0)
     // stage 3c (optional): verbatim-SPAN removal among the survivors —
     // the ExactSubstr pass (Lee et al. 2021: keep one copy of a shared
     // >= verbatimMinRun-token run, cut the rest) the production recipe
@@ -355,8 +442,15 @@ object Pipeline {
       if (!verbatimCuts) None
       else {
         val sv = survivors.select(col("doc_id"), col("text"))
-        Some(Dedup.applyVerbatimCuts(sv,
-          Dedup.verbatimRunSpansOn(sv, minRunTokens = verbatimMinRun)))
+        // MATERIALIZED: the span detector's positional self-join is
+        // the pipeline's most expensive stage and this frame has 2–4
+        // consumers (contamination grams, the ledger's
+        // n_tokens_removed join, and the classifier/ppl scorers when
+        // those stages are on — the full-recipe composition re-ran the
+        // whole detector once PER consumer before this, measured ~4×);
+        // survivor-sized text, the withKeeper precedent
+        Some(stageCheckpoint("cleaned", Dedup.applyVerbatimCuts(sv,
+          Dedup.verbatimRunSpansOn(sv, minRunTokens = verbatimMinRun))))
       }
     val survForGrams = cleaned.fold(survivors.select(col("doc_id"), col("split"), col("text")))(
       cl => cl.join(survivors.select(col("doc_id"), col("split")), "doc_id")
@@ -441,7 +535,7 @@ object Pipeline {
         val w = Classifier.nbWeightsOn(ref, docs.select(col("text")), clfVocab)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val wlit = typedlit(w)
-        val led = graft.CacheScope.track(ledger.persist())
+        val led = stageCheckpoint("ledger_preclf", ledger)
         val scored = survForGrams
           .join(led.filter(col("outcome") === "train").select(col("doc_id")),
             "doc_id")
@@ -475,7 +569,7 @@ object Pipeline {
     pplRef match {
       case None => ledgerClf
       case Some(ref) =>
-        val led = graft.CacheScope.track(ledgerClf.persist())
+        val led = stageCheckpoint("ledger_preppl", ledgerClf)
         val scored = survForGrams
           .join(led.filter(col("outcome").isin("train", "eval"))
             .select(col("doc_id")), "doc_id")

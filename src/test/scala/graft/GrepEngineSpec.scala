@@ -212,7 +212,8 @@ class GrepEngineSpec extends SparkSpec {
       "q_embed_cluster_profile", "q_embed_cluster_prune",
       "q_semantic_dedup", "q_semantic_dedup_idx",
       "q_mm_asset_stats", "q_mm_frame_stats",
-      "q_pipeline_curate", "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
+      "q_pipeline_curate", "q_pipeline_curate_full",
+      "q_pipeline_curate_fuzzy", "q_pipeline_curate_cov",
       "q_pipeline_curate_incr", "q_pipeline_retro_contam",
       "q_pipeline_retro_neardup",
       "q_nb_classifier", "q_nb_classifier_idx",

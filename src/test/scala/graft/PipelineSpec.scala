@@ -631,6 +631,68 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("must not mix units"))
   }
 
+  test("the full-recipe flagship is non-vacuous on every stage it composes") {
+    import graft.operators.Pipeline
+    // sf0.01: the 40% coverage decontamination needs the denser corpus
+    // to fire (50 docs share too few grams to reach the threshold —
+    // at sf0.01 it drops 3 train docs, the q_pipeline_curate_cov number)
+    val led = Pipeline.curateFull(spark, TestSpark.sf001)
+      .select($"doc_id", $"n_tokens", $"outcome", $"n_tokens_removed",
+        $"ppl_bucket")
+      .as[(Long, Long, String, Long, Option[String])].collect()
+    val classes = led.map(_._3).toSet
+    // every composed stage must actually FIRE —
+    // a vacuous stage in the flagship would hash-check green while
+    // testing nothing (dropped_lang/quality come from the fixture's
+    // natural non-en/degenerate docs; dups and near-dups are planted;
+    // the classifier acts on the survivor tail)
+    Seq("dropped_lang", "dropped_quality", "dropped_duplicate",
+        "dropped_near_duplicate",
+        "dropped_classifier", "train", "eval").foreach { c =>
+      assert(classes.contains(c), s"flagship outcome class '$c' is vacuous")
+    }
+    assert(led.exists(_._4 > 0L), "the verbatim stage must cut something")
+    // the contamination stage is exercised through its INTERACTION with
+    // the verbatim stage: on this fixture every doc the 40%-coverage
+    // rule would drop is RESCUED because the cut removes exactly the
+    // leaked spans before decontamination judges the cleaned text —
+    // assert the rescue, not the class: the verbatim-less twin DOES
+    // drop contaminated docs, and every one of them survives (or dies
+    // to a LATER stage) in the flagship
+    val noVerbatim = Pipeline.curateOn(
+        Tables.documents(spark, TestSpark.sf001).select($"doc_id", $"text"),
+        plantDups = true, nearDedup = true, plantNearDups = true,
+        contamMinPct = 40L, plantQuotes = true)
+      .filter($"outcome" === "dropped_contaminated")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(noVerbatim.nonEmpty,
+      "the verbatim-less twin must drop contaminated docs — else the " +
+        "rescue assertion below is vacuous")
+    val flagOutcome = led.map(r => r._1 -> r._3).toMap
+    noVerbatim.foreach { id =>
+      assert(flagOutcome(id) != "dropped_contaminated",
+        s"doc $id: the flagship's verbatim cut must rescue it from " +
+          "coverage contamination (it judges the cleaned text)")
+    }
+    val buckets = led.flatMap(_._5).toSet
+    assert(buckets === Set("head", "middle", "tail"),
+      s"all three ppl buckets must appear, got $buckets")
+    // dropped docs never carry a bucket; surviving train/eval always do
+    led.foreach { case (id, _, o, _, pb) =>
+      if (o == "train" || o == "eval")
+        assert(pb.nonEmpty, s"doc $id: surviving $o doc must carry a ppl bucket")
+      else assert(pb.isEmpty, s"doc $id: dropped doc must not carry a bucket")
+    }
+    // one ledger row per input doc (base + all three plant classes)
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val expected = docs.count() +
+      docs.filter($"doc_id" % 7 === 0).count() +
+      docs.filter($"doc_id" % 11 === 3).count() +
+      docs.filter($"doc_id" % 13 === 5).count()
+    assert(led.length.toLong === expected)
+    assert(led.map(_._1).distinct.length === led.length)
+  }
+
   test("plantDups fails loudly when base doc_ids collide with the planted range") {
     val bad = Seq((999999L, "safe doc"), (1000001L, "colliding doc"))
       .toDF("doc_id", "text")

@@ -67,6 +67,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // tertile-bounds crossJoin (scores themselves are a scan-fused
     // map-literal fold — no join at all)
     "q_pipeline_curate_clf",
+    // the full recipe composes BOTH of the above
+    "q_pipeline_curate_full",
     // the epoch schedule crossJoins the broadcast 1-ROW corpus token
     // total into the bounded source frame (the tf-idf shape)
     "q_epoch_schedule",
@@ -147,6 +149,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // the pipeline's ppl stage inherits the same bounded
     // score-histogram window through bucketsFromScores
     "q_pipeline_curate_ppl",
+    // the full recipe composes both bounded-histogram windows
+    "q_pipeline_curate_full",
     // the epoch schedule's partial-round prefix sum runs over the
     // |sources|-row frame, never the corpus
     "q_epoch_schedule",
