@@ -322,8 +322,19 @@ object BenchContract {
     */
   def parseBaseline(json: String, sfDir: String): Map[String, (Double, Double)] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    if (root.path("sf").asText("") != sfDir) Map.empty
-    else {
+    // path-NORMALIZED compare: a respelled-but-identical sf dir (trailing
+    // slash, relative form) must not silently disable the isolation phase
+    // (r14 ADVICE) — and a genuine mismatch logs, like the read-failure
+    // branch, instead of turning the phase off without a trace
+    def norm(p: String) =
+      try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      catch { case _: Throwable => p }
+    val fileSf = root.path("sf").asText("")
+    if (norm(fileSf) != norm(sfDir)) {
+      System.err.println(s"[bench] baseline sf '$fileSf' != run sf '$sfDir'" +
+        " (isolation phase off)")
+      Map.empty
+    } else {
       val canary = root.path("canary_sec").asDouble(0.0)
       val qs = root.path("queries")
       import scala.jdk.CollectionConverters._
@@ -340,8 +351,12 @@ object BenchContract {
     * r13 explicitly declined to count three such flags). canaryRatio =
     * thisCanary / baselineCanary scales the baseline to this boot's
     * single-thread speed so a uniformly slower machine doesn't flag the
-    * whole suite. Ordered worst-ratio first so a cap drops the mildest
-    * flags.
+    * whole suite. Ordered by ABSOLUTE regressed seconds
+    * (sec − baseline×ratio) worst-first, not by ratio: the r14 cap of 8
+    * dropped q_pipeline_curate_clf (+2.1 s over baseline, ratio 1.4×)
+    * while re-measuring sub-second queries at 3× (+0.4 s each) — the
+    * user-visible cost of a regression is seconds, so the cap must
+    * spend its budget on seconds (r14 verdict #1 / ADVICE).
     */
   def isolationFlags(medians: Map[String, Double],
                      baselineMedians: Map[String, Double],
@@ -350,7 +365,7 @@ object BenchContract {
     medians.toSeq.collect {
       case (name, sec) if sec >= 0.5 &&
         baselineMedians.get(name).exists(b => sec > 1.4 * b * ratio) =>
-        (name, sec / (baselineMedians(name) * ratio))
+        (name, sec - baselineMedians(name) * ratio)
     }.sortBy(-_._2).map(_._1)
   }
 

@@ -55,20 +55,44 @@ object Tables {
   * CLI, tests) gets identical, oracle-compatible configuration.
   */
 object Sessions {
-  /** Raise the WindowExec logger to ERROR for a harness run: every
-    * partitionless window in this engine runs over a bounded side frame
-    * (block sums, histogram/day/band axes — benign by construction, and
-    * PlanInvariantsSpec enforces exactly that over ALL queries
-    * programmatically), yet each one logs the generic "No Partition
-    * Defined" WARN, flooding the bench/verify tails so hard that a REAL
-    * regression's warning would drown (r12 verdict #8). Scoped: called
-    * by the Bench/Verify mains only — tests and ad-hoc sessions keep
-    * the warning.
+  /** The structural harness-tail warning allowlist (r14 verdict #6):
+    * each entry names ONE logger whose WARN class is benign AT A KNOWN
+    * CALL SITE in this repo, with the reason pinned here and the
+    * benign-by-construction claim enforced by a named spec. Suppressing
+    * a logger WITHOUT a row here is not allowed — the allowlist is the
+    * single source of truth ([[quietKnownBenignWindowWarnings]] applies
+    * exactly these), and BenchContractSpec pins the set so a new
+    * suppression must arrive with its documented reason + guard spec.
+    *
+    *  - WindowExec "No Partition Defined": every partitionless window
+    *    in this engine runs over a bounded side frame (block sums,
+    *    histogram/day/band axes); PlanInvariantsSpec proves exactly
+    *    that over ALL registered queries (r12 verdict #8).
+    *  - CacheManager "Asked to cache already cached data": composed
+    *    pipelines (Pipeline.curateOn stages, dedup suite) persist
+    *    shared sub-frames that can resolve to the SAME logical plan —
+    *    Spark dedupes the cache entry and the second persist is a
+    *    no-op (CacheScopeSpec proves the no-op), but each one WARNs,
+    *    flooding the 182-query bench tail (r14 verdict #6).
+    */
+  val benignWarnAllowlist: Seq[(String, String)] = Seq(
+    "org.apache.spark.sql.execution.window.WindowExec" ->
+      "bounded side-frame windows only (PlanInvariantsSpec)",
+    "org.apache.spark.sql.execution.CacheManager" ->
+      "same-plan re-persist is a deduped no-op (CacheScopeSpec)")
+
+  /** Raise each [[benignWarnAllowlist]] logger to ERROR for a harness
+    * run, so the driver tail shows only the JSON contract lines plus
+    * GENUINELY unexpected warnings — a real regression's warning must
+    * not drown in a known-benign flood (r12 verdict #8, r14 #6).
+    * Scoped: called by the Bench/Verify mains only — tests and ad-hoc
+    * sessions keep every warning.
     */
   def quietKnownBenignWindowWarnings(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    benignWarnAllowlist.foreach { case (logger, _) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        logger, org.apache.logging.log4j.Level.ERROR)
+    }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()

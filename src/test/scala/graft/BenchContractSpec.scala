@@ -100,13 +100,21 @@ class BenchContractSpec extends AnyFunSuite {
   test("isolation flags: >1.4x-of-baseline AND >=0.5s, canary-scaled, worst first") {
     val baseline = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.2, "q_d" -> 1.0)
     val medians = Map(
-      "q_a" -> 1.5,  // 1.5x: flagged
-      "q_b" -> 5.0,  // 2.5x: flagged, worse — must sort first
+      "q_a" -> 1.5,  // 1.5x, +0.5s: flagged
+      "q_b" -> 5.0,  // 2.5x, +3.0s: flagged, worse — must sort first
       "q_c" -> 0.4,  // 2.0x but sub-0.5s: the documented noise band, not counted
       "q_d" -> 1.3,  // 1.3x: under the threshold
       "q_new" -> 9.9) // no baseline: nothing to compare against
     assert(BenchContract.isolationFlags(medians, baseline, canaryRatio = 1.0)
       === Seq("q_b", "q_a"))
+    // ABSOLUTE-seconds ranking (r14 verdict #1): a modest-ratio
+    // large-absolute regression (+2.1s at 1.42x — the r14
+    // q_pipeline_curate_clf shape) must outrank a fast query at 3x
+    // (+0.9s), so a cap spends its budget on seconds, not ratios
+    val b2 = baseline ++ Map("q_big" -> 5.0, "q_hot" -> 0.45)
+    val m2 = medians ++ Map("q_big" -> 7.1, "q_hot" -> 1.35)
+    assert(BenchContract.isolationFlags(m2, b2, canaryRatio = 1.0)
+      === Seq("q_b", "q_big", "q_hot", "q_a"))
     // a uniformly 2x-slower boot (canary ratio 2.0) un-flags proportional
     // elevation — the whole point of normalizing: q_b's 2.5x raw is
     // 1.25x normalized, under the threshold
@@ -130,6 +138,24 @@ class BenchContractSpec extends AnyFunSuite {
     // a detail file recorded at a DIFFERENT sf must never baseline this
     // run — sf0.01 medians would flag every sf0.1 query 10x over
     assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.01") === Map.empty)
+    // ... but a RESPELLED-identical path (trailing slash, dot segments)
+    // must not silently disable the phase (r14 ADVICE): the compare is
+    // path-normalized, not string equality
+    assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.1/")
+      === Map("q_a" -> ((1.2, 0.209))))
+    assert(BenchContract.parseBaseline(json, "/root/testdata/./sf0.1")
+      === Map("q_a" -> ((1.2, 0.209))))
+  }
+
+  test("benign-warning allowlist is exactly the documented pair") {
+    // the allowlist is the single source of truth for harness-tail
+    // suppression: adding a logger here requires a documented reason and
+    // a guard spec (PlanInvariantsSpec for WindowExec, CacheScopeSpec
+    // for CacheManager) — this pin makes a drive-by suppression fail
+    assert(Sessions.benignWarnAllowlist.map(_._1).sorted === Seq(
+      "org.apache.spark.sql.execution.CacheManager",
+      "org.apache.spark.sql.execution.window.WindowExec"))
+    assert(Sessions.benignWarnAllowlist.forall(_._2.nonEmpty))
   }
 
   test("the machine-speed canary is deterministic work at a plausible cost") {

@@ -25,6 +25,23 @@ class CacheScopeSpec extends SparkSpec {
     caller.unpersist()
   }
 
+  test("same-plan re-persist is a deduped no-op — the CacheManager " +
+    "warning the bench tail suppresses is benign") {
+    // guard spec for the Sessions.benignWarnAllowlist CacheManager row:
+    // composed pipelines persist shared sub-frames that resolve to the
+    // same logical plan; Spark's CacheManager dedupes the entry (the
+    // second persist only WARNs). Both handles must read from ONE cached
+    // plan and a single unpersist must clear both — i.e. the warning
+    // never signals double-caching or a leak.
+    val a = Seq(1, 2, 3).toDF("x").filter($"x" > 1).persist()
+    a.count()
+    val b = Seq(1, 2, 3).toDF("x").filter($"x" > 1).persist() // same plan: WARN + no-op
+    assert(cached(a) && cached(b), "both handles report the one cache entry")
+    a.unpersist(blocking = true)
+    assert(!cached(b),
+      "one unpersist clears the shared entry — there was only ever one")
+  }
+
   test("track without an active scope is a no-op (caller-owned cleanup)") {
     val df = CacheScope.track(Seq(1).toDF("a").persist())
     df.count()
