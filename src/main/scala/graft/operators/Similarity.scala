@@ -108,11 +108,54 @@ object Similarity {
       .select(col("id_a"), col("va"), col("id_b"), col("vb"))
   }
 
+  /** Salted two-phase per-query top-n — the topOrdersPerCustomerSkewSafe
+    * spelling applied to every ANN ranking stage (r14 verdict #4). A
+    * plain `Window.partitionBy(query_id)` over a coarse-scored corpus
+    * puts one query's ENTIRE candidate set (corpus-sized for the
+    * flat-scan probes) into a single task's sort — the one
+    * non-distributed stage in otherwise scan-shaped plans. Phase 1
+    * ranks within (query_id, salt) — a hash of the row's own
+    * neighbor_id, deterministic, no RNG — and keeps each salt's top n,
+    * so the candidate sort spreads across `salts` tasks; phase 2
+    * re-ranks the ≤ n·salts survivors per query, a BOUNDED partition.
+    * Identical output to the plain window: every true global top-n row
+    * is in its salt's top n, and every row globally above it also
+    * survives phase 1, so phase 2 reproduces exact global ranks
+    * (equivalence proven in SimilaritySpec on skewed + tied data and
+    * by every stored==inline / degrades-to-brute pin rerunning over
+    * this spelling). `ord` must totally order rows (sim desc,
+    * neighbor_id asc everywhere here) or neither spelling is
+    * deterministic.
+    */
+  private[graft] def saltedTopPerQuery(scored: DataFrame, ord: Seq[Column],
+                                       n: Int, rankCol: String,
+                                       salts: Int = 8): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("__graft_salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__graft_salt", pmod(hash(col("neighbor_id")), lit(salts)))
+      .withColumn("__graft_r1", row_number().over(w1))
+      .filter(col("__graft_r1") <= n)
+      .withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= n)
+      .drop("__graft_salt", "__graft_r1")
+  }
+
+  /** The coarse-pass shortlist shared by the SQ8/PCA/PQ/IVF-* probes:
+    * keep `rerank` candidates per query by approximate score, salted
+    * ([[saltedTopPerQuery]]) so no task ever sorts a corpus-sized
+    * candidate set. Input must carry (query_id, eq, neighbor_id, qsim).
+    */
+  private def coarseShortlist(scored: DataFrame, rerank: Int): DataFrame =
+    saltedTopPerQuery(scored,
+      Seq(col("qsim").desc, col("neighbor_id").asc), rerank, "arank")
+      .select(col("query_id"), col("eq"), col("neighbor_id"))
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest other vectors. Deterministic tie-break by neighbor id.
     * Plan: broadcast the (tiny) query side, score all candidates in one
-    * codegen'd pass, per-query top-k via window — the shuffle is on
-    * query_id (nQueries keys).
+    * codegen'd pass, per-query top-k via the salted two-phase window
+    * ([[saltedTopPerQuery]] — no corpus-sized single-task sort).
     */
   def annTopKBrute(spark: SparkSession, sfDir: String,
                    nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -122,10 +165,8 @@ object Similarity {
     val scored = v.join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         rankSim(col("eq"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    saltedTopPerQuery(scored,
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       // BIGINT rank to match DuckDB's ROW_NUMBER() output type
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
@@ -220,15 +261,10 @@ object Similarity {
   private def sqProbe(codes: DataFrame, vectors: DataFrame,
                       queries: DataFrame, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id").asc)
-    val shortlist = codes.join(broadcast(queries),
+    val shortlist = coarseShortlist(codes.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        sq8Sim(col("eq"), col("codes")).as("qsim"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("eq"), col("neighbor_id"))
+        sq8Sim(col("eq"), col("codes")).as("qsim")), rerank)
     exactRerank(shortlist, vectors, k)
   }
 
@@ -238,18 +274,14 @@ object Similarity {
     * the final stage cannot fork between coarse representations.
     */
   private def exactRerank(shortlist: DataFrame, vectors: DataFrame,
-                          k: Int): DataFrame = {
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
+                          k: Int): DataFrame =
+    saltedTopPerQuery(shortlist
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
+        rankSim(col("eq"), col("embedding")).as("sim")),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
-  }
 
   /** PCA two-stage ANN (the FAISS `PCAR<k'>,...` pre-transform shape):
     * the coarse pass ranks by cosine in a k'-dimensional PCA space —
@@ -287,15 +319,10 @@ object Similarity {
     val model = Pca.fitPcaOn(emb, dim, pcaDim, center = false)
     val reduced = Pca.projectOn(emb, model).select(col("vec_id"), col("pc"))
     val qReduced = Pca.projectOn(queries, model, vecCol = "eq", outCol = "qpc")
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id").asc)
-    val shortlist = reduced.join(broadcast(qReduced),
+    val shortlist = coarseShortlist(reduced.join(broadcast(qReduced),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        rankSim(col("qpc"), col("pc")).as("qsim"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("eq"), col("neighbor_id"))
+        rankSim(col("qpc"), col("pc")).as("qsim")), rerank)
     exactRerank(shortlist, emb.select(col("vec_id"), col("embedding")), k)
   }
 
@@ -362,25 +389,11 @@ object Similarity {
     val probeCells = probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("eq"), col("cell"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id").asc)
-    val shortlist = codes.join(broadcast(probeCells), Seq("cell"))
+    val shortlist = coarseShortlist(codes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        sq8Sim(col("eq"), col("codes")).as("qsim"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("eq"), col("neighbor_id"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        sq8Sim(col("eq"), col("codes")).as("qsim")), rerank)
+    exactRerank(shortlist, vectors, k)
   }
 
   /** Deterministic random hyperplanes: L tables × r planes, 64-dim each,
@@ -499,16 +512,13 @@ object Similarity {
     val probeCells = probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("eq"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cells.join(probeCells, Seq("cell"))
+    saltedTopPerQuery(cells.join(probeCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         rankSim(col("eq"), col("embedding")).as("sim"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .agg(max(col("sim")).as("sim")),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -790,14 +800,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candIds.join(vectors, "vec_id")
+    saltedTopPerQuery(candIds.join(vectors, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        rankSim(col("eq"), col("embedding")).as("sim")),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -901,7 +908,7 @@ object Similarity {
   /** `uq` must already be unit-normalized and staged as a plain column
     * — inlining unitVec here would copy its aggregate into all m
     * transform lambdas (the l2sqAll codegen-size rule again). */
-  private def pqLuts(uq: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+  private[graft] def pqLuts(uq: Column, books: Seq[Seq[Seq[Double]]]): Column = {
     val dsub = books.head.head.length
     array(books.indices.map { j =>
       // one transform per subspace over the codebook literal (the
@@ -931,7 +938,7 @@ object Similarity {
   /** ADC score of a code row against a query's lookup tables: m
     * element_at reads + adds — the candidate's float vector is never
     * touched. */
-  private def pqSim(luts: Column, codes: Column): Column =
+  private[graft] def pqSim(luts: Column, codes: Column): Column =
     aggregate(zip_with(luts, codes,
         (l, c) => element_at(l, c.cast("int") + 1)),
       lit(0.0), (acc, x) => acc + x)
@@ -1031,25 +1038,11 @@ object Similarity {
     val probeCells = probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("eq"), col("luts"), col("cell"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id").asc)
-    val shortlist = codes.join(broadcast(probeCells), Seq("cell"))
+    val shortlist = coarseShortlist(codes.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        pqSim(col("luts"), col("codes")).as("qsim"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("eq"), col("neighbor_id"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        pqSim(col("luts"), col("codes")).as("qsim")), rerank)
+    exactRerank(shortlist, vectors, k)
   }
 
   def annTopKPqFromIndex(books: Seq[Seq[Seq[Double]]], codes: DataFrame,
@@ -1060,24 +1053,10 @@ object Similarity {
       .select(col("query_id"), col("eq"), unitVec(col("eq")).as("__graft_uq"))
       .select(col("query_id"), col("eq"),
         pqLuts(col("__graft_uq"), books).as("luts"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("neighbor_id").asc)
-    val shortlist = codes.join(broadcast(lutQueries),
+    val shortlist = coarseShortlist(codes.join(broadcast(lutQueries),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        pqSim(col("luts"), col("codes")).as("qsim"))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("eq"), col("neighbor_id"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
-      .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        pqSim(col("luts"), col("codes")).as("qsim")), rerank)
+    exactRerank(shortlist, vectors, k)
   }
 }

@@ -68,6 +68,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase shortlist == plain window: fixture SQ8 + IVF-PQ coarse " +
+    "passes, and skewed tied data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.CosineSimilarity.cosineSim
+    val ord = Seq(col("qsim").desc, col("neighbor_id").asc)
+    def plain(scored: org.apache.spark.sql.DataFrame, n: Int) = {
+      val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+      scored.withColumn("arank", row_number().over(w)).filter(col("arank") <= n)
+        .select("query_id", "neighbor_id", "arank")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    def salted(scored: org.apache.spark.sql.DataFrame, n: Int) =
+      Similarity.saltedTopPerQuery(scored, ord, n, "arank")
+        .select("query_id", "neighbor_id", "arank")
+        .as[(Long, Long, Int)].collect().toSet
+    val emb = Tables.embeddings(spark, sf)
+    val queries = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+    // the REAL SQ8 coarse-scored frame (sqProbe's input, re-spelled from
+    // public pieces: cosine is scale-invariant so raw codes score as-is)
+    val sqScored = Similarity.quantizeSq8On(emb)
+      .join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        nanvl(cosineSim(col("eq"), transform(col("codes"), c => c.cast("float"))),
+          lit(-2.0)).as("qsim"))
+    assert(salted(sqScored, 20) === plain(sqScored, 20),
+      "SQ8 coarse pass: salted two-phase must equal the plain window")
+    // the REAL PQ/IVF-PQ ADC coarse-scored frame (pqLuts/pqSim shared
+    // with the probes — package-private on purpose for this pin)
+    val books = Similarity.fitPqCodebooks(emb, sf, m = 16, ksub = 32)
+    val lutQ = queries
+      .select(col("query_id"), Similarity.unitVec(col("eq")).as("uq"))
+      .select(col("query_id"), Similarity.pqLuts(col("uq"), books).as("luts"))
+    val pqScored = Similarity.quantizePqOn(emb, books)
+      .join(broadcast(lutQ), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.pqSim(col("luts"), col("codes")).as("qsim"))
+    assert(salted(pqScored, 64) === plain(pqScored, 64),
+      "IVF-PQ ADC coarse pass: salted two-phase must equal the plain window")
+    // adversarial shape: one hot query where MOST scores tie (the case a
+    // wrong salt spelling breaks — ties must resolve identically through
+    // the deterministic neighbor_id tie-break in BOTH phases)
+    val tied = (1L to 500L).map(i => (0L, i, if (i % 7 == 0) 2.0 else 1.0))
+      .toDF("query_id", "neighbor_id", "qsim")
+    assert(salted(tied, 10) === plain(tied, 10),
+      "tied scores: salted two-phase must equal the plain window")
+  }
+
   test("SQ8: codes bounded, reconstruction within half a step, ANN recall vs exact") {
     val emb = Tables.embeddings(spark, sf)
     val q = Similarity.quantizeSq8On(emb)
