@@ -603,6 +603,19 @@ object ScaleSmoke {
         pqB, pqC, pqV, queries).count())
       spark.catalog.clearCache()
 
+      // PCA stored probe over the same factor-sized corpus: basis +
+      // reduced table written once untimed (index build), the timed
+      // probe is the coarse scan of the HALF-WIDTH reduced table + the
+      // rerank-bounded exact join — linear in the corpus like its
+      // siblings, never corpus x corpus
+      sources.SimilarityIndexes.writePcaIndex(embN, s"$annRoot/pca",
+        qKey = s"smoke-pca-f$factor")
+      val (pcaB, pcaR, pcaV) =
+        sources.SimilarityIndexes.readPcaIndex(spark, s"$annRoot/pca")
+      val (tPca, nPca) = timeIt(operators.Similarity.annTopKPcaFromIndex(
+        pcaB, pcaR, pcaV, queries).count())
+      spark.catalog.clearCache()
+
       // NB classifier over the factor-sized corpus (planted doc_id%3
       // labels): one token aggregate for the weights (vocab-capped,
       // broadcast) + one broadcast-join scoring scan — two linear
@@ -780,6 +793,7 @@ object ScaleSmoke {
         s""""ann_lsh_probe_sec":$tLsh,"ann_lsh_rows":$nLsh,""" +
         s""""ann_ivf_probe_sec":$tIvf,"ann_ivf_rows":$nIvf,""" +
         s""""ann_pq_probe_sec":$tPq,"ann_pq_rows":$nPq,""" +
+        s""""ann_pca_probe_sec":$tPca,"ann_pca_rows":$nPca,""" +
         s""""nb_classifier_sec":$tNb,"nb_docs":$nNb,""" +
         s""""embprune_sec":$tPrune,"embprune_rows":$nPrune,""" +
         s""""ctxgrep_sec":$tCtx,"ctxgrep_rows":$nCtx,""" +

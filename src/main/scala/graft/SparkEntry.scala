@@ -550,6 +550,12 @@ object SparkEntry {
     // algebra (orthonormality, planted-direction recovery, agg ==
     // driver reference, stored-moments merge == fresh fit)
     "q_embed_pca" -> ((s, d) => operators.Pca.embedPca(s, d)),
+    // its stored-moments twin: the model derives from the COMMITTED
+    // merged moments artifact (PcaModels) instead of a fresh fit —
+    // certifying the artifact round-trip at driver cadence (the
+    // q_lm_score_idx precedent). Rows-only; stored == inline within
+    // the PCA float slack in PcaSpec
+    "q_embed_pca_idx" -> ((s, d) => operators.Pca.embedPcaStored(s, d)),
     // PCA two-stage ANN (the FAISS PCAR pre-transform shape): coarse
     // cosine in 16-of-64 PCA space — a TUNABLE 4x byte cut where SQ8's
     // is fixed — exact full-dim re-rank; the basis is the raw
@@ -557,6 +563,13 @@ object SparkEntry {
     // centered covariance). Rows-only; recall + rerank>=corpus==brute
     // pinned in SimilaritySpec
     "q_embed_ann_pca" -> ((s, d) => operators.Similarity.annTopKPca(s, d)),
+    // its stored serving twin (FAISS PCAR as a stored family): the
+    // materialized REDUCED table is the coarse-pass scan (k'/dim of
+    // the float bytes), queries project under the STORED basis,
+    // appends project-never-refit with drift measured
+    // (pcaDriftStats). Rows-only; stored == inline + append ==
+    // stored-basis projection pinned in SimilaritySpec
+    "q_embed_ann_pca_idx" -> ((s, d) => sources.SimilarityIndexes.annPcaProbeDocs(s, d)),
     // cluster-based corpus pruning (SemDeDup / MiniPile / Sorscher
     // prototypicality selection) — rows-only: kmeans-seeded cells, the
     // IVF precedent; semantics pinned in ClusteringSpec

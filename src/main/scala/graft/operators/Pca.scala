@@ -160,6 +160,28 @@ object Pca {
     * ([[Similarity]]'s PCA coarse pass). Variance analysis wants the
     * default centered fit; the two share the one moments pass.
     */
+  /** Raw SECOND-MOMENT matrix E[xxᵀ] from a raw moment vector — the
+    * `center = false` read path, shared with the stored serving index
+    * ([[graft.sources.SimilarityIndexes.writePcaIndex]] derives its
+    * basis from the stored moments through exactly this).
+    */
+  def gramFromMoments(m: Array[Double], dim: Int): (Long, Array[Array[Double]]) = {
+    val (n0, _, _) = momentsToCov(m, dim)
+    val sm = Array.ofDim[Double](dim, dim)
+    var p = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = m(p) / n0.toDouble
+        sm(i)(j) = v; sm(j)(i) = v
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    (n0, sm)
+  }
+
   def fitPcaOn(emb: DataFrame, dim: Int, k: Int,
                vecCol: String = "embedding",
                center: Boolean = true): PcaModel = {
@@ -168,19 +190,7 @@ object Pca {
     val (n, mean, cov) =
       if (center) momentsToCov(m, dim)
       else {
-        val (n0, _, _) = momentsToCov(m, dim)
-        val sm = Array.ofDim[Double](dim, dim)
-        var p = 1 + dim
-        var i = 0
-        while (i < dim) {
-          var j = i
-          while (j < dim) {
-            val v = m(p) / n0.toDouble
-            sm(i)(j) = v; sm(j)(i) = v
-            p += 1; j += 1
-          }
-          i += 1
-        }
+        val (n0, sm) = gramFromMoments(m, dim)
         (n0, Array.fill(dim)(0.0), sm)
       }
     val (vals, vecs) = jacobiEigen(cov)
@@ -218,10 +228,33 @@ object Pca {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
     val model = fitPcaOn(emb, dim = 64, k = k)
-    projectOn(emb, model)
-      .select(Seq(col("vec_id"), col("label")) ++
-        (0 until k).map(i =>
-          floor(element_at(col("pc"), i + 1) * 1e6).cast("long")
-            .as(s"pc${i + 1}_x1e6")): _*)
+    pcSurface(projectOn(emb, model), k)
   }
+
+  /** The q_embed_pca_idx driver query — [[embedPca]]'s STORED-MOMENTS
+    * twin (r14 verdict #8, the q_lm_score_idx precedent): the moments
+    * artifact ([[graft.sources.PcaModels]]) is written once as fixture
+    * work, the model derives from the COMMITTED merged moments at read
+    * ([[graft.sources.PcaModels.readPcaModel]]), and the projection is
+    * the same [[projectOn]] — certifying the artifact round-trip at
+    * driver cadence. Rows-only like [[embedPca]] (float partial-sum
+    * order); PcaSpec asserts stored == inline within the PCA float
+    * slack.
+    */
+  def embedPcaStored(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    import graft.sources.{DedupIndexes, PcaModels}
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val path = DedupIndexes.scratch("target/similarity_index", "pcamoments", sfDir)
+    DedupIndexes.writeOnce(path)(PcaModels.writePcaStats(emb, path, dim = 64))
+    pcSurface(projectOn(emb, PcaModels.readPcaModel(spark, path, k)), k)
+  }
+
+  /** The shared integer-scaled surface of the q_embed_pca twins (the
+    * no-floats-surfaced rule; ×1e6 keeps 6 decimal digits). */
+  private def pcSurface(projected: DataFrame, k: Int): DataFrame =
+    projected.select(Seq(col("vec_id"), col("label")) ++
+      (0 until k).map(i =>
+        floor(element_at(col("pc"), i + 1) * 1e6).cast("long")
+          .as(s"pc${i + 1}_x1e6")): _*)
 }

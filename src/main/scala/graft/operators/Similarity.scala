@@ -306,24 +306,93 @@ object Similarity {
                  nQueries: Int = 10, k: Int = 5, rerank: Int = 40,
                  pcaDim: Int = 32): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    annTopKPcaOn(emb, broadcast(emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))),
-      dim = 64, pcaDim = pcaDim, k = k, rerank = rerank)
+    val (_, basis) = fitGramMomentsBasis(emb, sfDir, dim = 64, k = pcaDim)
+    pcaProbe(projectWithBasis(emb, basis).select(col("vec_id"), col("pc")),
+      emb.select(col("vec_id"), col("embedding")),
+      broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))),
+      basis, k, rerank)
   }
 
   /** [[annTopKPca]] over any (vec_id, embedding) / (query_id, eq)
-    * frames. */
+    * frames — unmemoized fresh fit (spec/smoke frames carry no stable
+    * cache key). */
   def annTopKPcaOn(emb: DataFrame, queries: DataFrame, dim: Int,
                    pcaDim: Int, k: Int, rerank: Int): DataFrame = {
+    val basis = Pca.fitPcaOn(emb, dim, pcaDim, center = false)
+      .components.map(_.toSeq).toSeq
+    pcaProbe(projectWithBasis(emb, basis).select(col("vec_id"), col("pc")),
+      emb.select(col("vec_id"), col("embedding")), queries, basis, k, rerank)
+  }
+
+  /** [[annTopKPca]] probing a PREBUILT (basis, reduced, vectors) index
+    * ([[graft.sources.SimilarityIndexes.writePcaIndex]] is the parquet
+    * spelling — the FAISS `PCAR` pre-transform as a stored family): the
+    * coarse pass scans the materialized REDUCED table (dim/k' of the
+    * float bytes), queries project under the STORED basis, and the
+    * exact re-rank joins back to the stored full-dimension vectors.
+    * Shared probe arithmetic — stored and inline results cannot fork.
+    */
+  def annTopKPcaFromIndex(basis: Seq[Seq[Double]], reduced: DataFrame,
+                          vectors: DataFrame, queries: DataFrame,
+                          k: Int = 5, rerank: Int = 40): DataFrame =
+    pcaProbe(reduced, vectors, queries, basis, k, rerank)
+
+  /** The PCA probe shared by the inline and stored entries: queries
+    * reduce under the SAME basis as the corpus, the coarse pass ranks
+    * by reduced-space cosine, the exact full-dimension re-rank absorbs
+    * the projection error.
+    */
+  private def pcaProbe(reduced: DataFrame, vectors: DataFrame,
+                       queries: DataFrame, basis: Seq[Seq[Double]],
+                       k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val model = Pca.fitPcaOn(emb, dim, pcaDim, center = false)
-    val reduced = Pca.projectOn(emb, model).select(col("vec_id"), col("pc"))
-    val qReduced = Pca.projectOn(queries, model, vecCol = "eq", outCol = "qpc")
+    val qReduced = projectWithBasis(queries, basis, vecCol = "eq", outCol = "qpc")
     val shortlist = coarseShortlist(reduced.join(broadcast(qReduced),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
         rankSim(col("qpc"), col("pc")).as("qsim")), rerank)
-    exactRerank(shortlist, emb.select(col("vec_id"), col("embedding")), k)
+    exactRerank(shortlist, vectors, k)
+  }
+
+  /** Project a frame onto a bare (mean-free) basis — the serving-side
+    * spelling shared by the probes and the stored index writer: the
+    * Gram basis is fit `center = false`, so projection is plain dot
+    * products ([[Pca.projectOn]] under a zero mean). */
+  private[graft] def projectWithBasis(df: DataFrame, basis: Seq[Seq[Double]],
+                                      vecCol: String = "embedding",
+                                      outCol: String = "pc"): DataFrame = {
+    val dim = basis.head.length
+    Pca.projectOn(df, Pca.PcaModel(0L, Array.fill(dim)(0.0),
+      basis.map(_.toArray).toArray, Array.fill(basis.length)(0.0)),
+      vecCol, outCol)
+  }
+
+  /** Memoized PCA Gram fits — the [[quantizers]]/[[pqBooks]] contract
+    * for the PCA pre-transform: ONE moments pass per (key, dim, k, data
+    * fingerprint), returning BOTH the raw moment vector (the mergeable
+    * sufficient statistics the stored artifact commits —
+    * [[graft.sources.SimilarityIndexes.writePcaIndex]]) and the top-k
+    * basis of the raw second-moment matrix E[xxᵀ] (dot-product-
+    * preserving — the cosine-retrieval invariant; see [[annTopKPca]]'s
+    * scaladoc for why NOT the covariance). Deterministic given the
+    * moments, so the memo never changes a result; within one process
+    * the index write and the inline probe share the IDENTICAL basis.
+    */
+  private val pcaFits = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Long, Long), (Seq[Double], Seq[Seq[Double]])]
+
+  private[graft] def fitGramMomentsBasis(emb: DataFrame, key: String, dim: Int,
+                                         k: Int): (Seq[Double], Seq[Seq[Double]]) = {
+    val fpRow = emb.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
+    pcaFits.getOrElseUpdate((key, dim, k, fpRow.getLong(0), fpRow.getLong(1)), {
+      val m = Pca.momentsOn(emb, dim)
+      val (_, gram) = Pca.gramFromMoments(m, dim)
+      val (_, vecs) = Pca.jacobiEigen(gram)
+      (m.toSeq, vecs.take(k).map(_.toSeq).toSeq)
+    })
   }
 
   /** IVF-SQ8 — the two prunings COMPOSED, FAISS's `IVF<nlist>,SQ8`

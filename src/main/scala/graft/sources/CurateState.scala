@@ -233,6 +233,20 @@ object CurateState {
         (col("doc_id") =!= col("rebuild_rep")).cast("long"))
   }
 
+  /** The compaction-time retro verdict — what [[compactTo]] returns so
+    * the rebuild-due signal rides in the operator's face (the
+    * refit-at-compaction precedent, r13 ask #7 → r14 ask #7): flagged
+    * counts per audit axis. `contamFlagged` is None when the caller
+    * passed no train text — the state stores no text, so the eval-gram
+    * axis is only measurable when the caller supplies the committed
+    * TRAIN slice to audit (the [[retroContamination]] contract).
+    */
+  case class RetroAudit(contamFlagged: Option[Long], nearDupFlagged: Long) {
+    /** True when a full rebuild would change at least one committed
+      * outcome — the maintenance scheduler's one boolean. */
+    def rebuildDue: Boolean = contamFlagged.exists(_ > 0) || nearDupFlagged > 0
+  }
+
   /** Compact a long-appended state into `dst`: meta carried verbatim,
     * fps / evalgrams / ledger rewritten under a single `ingest=base`,
     * the near-dup index compacted via
@@ -241,11 +255,33 @@ object CurateState {
     * Same crash contract as every compaction here: `dst` is complete or
     * visibly unfinished, and the caller owns the src→dst pointer flip
     * ([[DedupIndexes.flipPointer]]).
+    *
+    * Compaction is the audit cadence: before anything is rewritten —
+    * while the per-ingest labels still exist, the [[graft.sources
+    * .SimilarityIndexes.compactPqTo]] measure-then-compact contract —
+    * the TWO-AXIS retro drift audit runs and its verdict is RETURNED
+    * (and warned on, never silently dropped): [[retroNearDup]] from
+    * the stored index alone, [[retroContamination]] over `trainDocs`
+    * when the caller supplies the committed train slice's text. A
+    * non-zero count means a full rebuild would change committed
+    * outcomes — compaction proceeds (it only reorganizes files; the
+    * rebuild decision belongs to the caller), with the signal in hand.
     */
-  def compactTo(spark: SparkSession, src0: String, dst: String): Unit = {
+  def compactTo(spark: SparkSession, src0: String, dst: String,
+                trainDocs: Option[DataFrame] = None): RetroAudit = {
     val src = DedupIndexes.resolveIndex(spark, src0)
     require(!DedupIndexes.pathsOverlap(spark, src, dst),
       "compaction rewrites into a NEW, non-overlapping path")
+    def flaggedSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("flagged")), lit(0L))).head.getLong(0)
+    val audit = RetroAudit(
+      trainDocs.map(td => flaggedSum(retroContamination(td, src))),
+      flaggedSum(retroNearDup(spark, src)))
+    if (audit.rebuildDue)
+      System.err.println(s"[graft] curate-state compaction of $src: retro " +
+        s"audit flags rebuild-due (contam=${audit.contamFlagged.getOrElse(-1L)}, " +
+        s"neardup=${audit.nearDupFlagged}) — compacting anyway; committed " +
+        "outcomes stay immutable until a full rebuild")
     DedupIndexes.delete(spark, dst)
     spark.read.parquet(s"$src/meta")
       .write.mode("overwrite").parquet(s"$dst/meta")
@@ -256,6 +292,7 @@ object CurateState {
     DedupIndexes.compactNearDupTo(spark, s"$src/neardup", s"$dst/neardup")
     spark.read.parquet(s"$src/ledger").drop("ingest")
       .write.mode("overwrite").parquet(s"$dst/ledger/ingest=$BaseLabel")
+    audit
   }
 
   private def readMeta(spark: SparkSession,

@@ -101,6 +101,28 @@ object IndexSql {
     SimilarityIndexes.ivfDriftStats(spark, indexPath)
       .createOrReplaceTempView(viewName)
 
+  /** `SELECT * FROM <viewName>` = (query_id, neighbor_id, rank) top-k
+    * over the stored PCA serving index —
+    * [[Similarity.annTopKPcaFromIndex]] under the index's STORED basis.
+    */
+  def registerPcaAnn(spark: SparkSession, viewName: String,
+                     indexPath: String, queriesTable: String,
+                     k: Int = 5, rerank: Int = 40): Unit = {
+    val (basis, reduced, vectors) = SimilarityIndexes.readPcaIndex(spark, indexPath)
+    Similarity.annTopKPcaFromIndex(basis, reduced, vectors,
+        spark.table(queriesTable).select("query_id", "eq"), k, rerank)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = [[SimilarityIndexes.pcaDriftStats]] —
+    * the basis-drift re-fit signal, the [[registerIvfDriftStats]]
+    * contract for the PCA family.
+    */
+  def registerPcaDriftStats(spark: SparkSession, viewName: String,
+                            indexPath: String): Unit =
+    SimilarityIndexes.pcaDriftStats(spark, indexPath)
+      .createOrReplaceTempView(viewName)
+
   /** `SELECT * FROM <viewName>` = the (line, freq) grep result of
     * probing the stored trigram index at `indexPath` for `pattern` —
     * the SQL spelling of [[graft.engine.GrepEngine.grepFreqFromIndex]].

@@ -747,6 +747,195 @@ object SimilarityIndexes {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Double](1).toSeq).toSeq)
 
+  // -------------------------------------------------------------------
+  // PCA serving index — FAISS's `PCAR<k'>` pre-transform as a stored
+  // family (r14 verdict #2): the production shape materializes the
+  // REDUCED-vector table once at ingest so every query session's
+  // coarse pass scans k'/dim of the float bytes instead of
+  // re-projecting the corpus. Layout:
+  //   - `path/meta`                  = (dim, k) — pinned config;
+  //   - `path/moments/ingest=<lbl>`  = the ingest's raw moment vector
+  //     ([[graft.sources.PcaModels]]'s mergeable sufficient statistics
+  //     — what a RE-FIT derives its next basis from without re-reading
+  //     committed vectors);
+  //   - `path/basis`                 = (comp, component) — the top-k
+  //     eigenvectors of E[xxᵀ] derived from the BASE moments; never
+  //     moves on append (fit once, project forever — the [[appendIvf]]
+  //     contract: reduced coordinates of committed vectors are
+  //     immutable between re-fits, which keeps appends O(batch));
+  //   - `path/reduced/ingest=<lbl>`  = (vec_id, pc) — the coarse-pass
+  //     artifact, the only corpus-sized table a probe's first stage
+  //     reads;
+  //   - `path/vectors/ingest=<lbl>`  = the exact re-rank side;
+  //   - `path/manifest/ingest=<lbl>` last — the crash contract.
+  // Re-fit cadence is measured, not guessed: [[pcaDriftStats]] scores
+  // each appended ingest's mean reconstruction error under the STORED
+  // basis against the base ingest's (the [[pqDriftStats]] contract).
+  // -------------------------------------------------------------------
+
+  /** Write the PCA serving index from scratch: moments + basis + the
+    * reduced table + vectors + manifest. The fit is the memoized
+    * moments pass ([[Similarity.fitGramMomentsBasis]]) — within one
+    * process the inline probe and this write share the identical
+    * basis, so stored == inline exactly.
+    */
+  def writePcaIndex(emb: DataFrame, path: String, qKey: String,
+                    k: Int = 32): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    DedupIndexes.assertTargetNotOverInputs(emb, path)
+    DedupIndexes.delete(spark, path)
+    val dim = embeddingDim(emb).getOrElse(
+      throw new IllegalArgumentException("writePcaIndex over an empty frame"))
+    val (m, basis) = Similarity.fitGramMomentsBasis(emb, qKey, dim, k)
+    Seq((dim, k)).toDF("dim", "k")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    Seq(m).toDF("m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/moments/ingest=$BaseLabel")
+    basis.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("comp", "component")
+      .write.mode("overwrite").parquet(s"$path/basis")
+    Similarity.projectWithBasis(emb, basis).select(col("vec_id"), col("pc"))
+      .write.mode("overwrite").parquet(s"$path/reduced/ingest=$BaseLabel")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$BaseLabel")
+    writeManifest(emb, s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a batch: projected under the STORED basis (never re-fit —
+    * the fit-once/assign-forever contract), its own moments committed
+    * alongside (one batch-sized pass — the future re-fit's input and
+    * [[pcaDriftStats]]' ingest axis), landed under `ingest=<label>`
+    * with overwrite-on-own-label replay idempotence + manifest-last.
+    */
+  def appendPcaIndex(batch: DataFrame, path0: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val (dim, _) = readPcaMeta(spark, path)
+    embeddingDim(batch).foreach(d => require(d == dim,
+      s"index at $path holds a $dim-dim basis but the appended batch is " +
+        s"$d-dim; re-embedding at a new width is a rebuild (writePcaIndex), " +
+        "not an append"))
+    val basis = readPcaBasis(spark, path)
+    Seq(graft.operators.Pca.momentsOn(batch, dim).toSeq).toDF("m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/moments/ingest=$label")
+    Similarity.projectWithBasis(batch, basis).select(col("vec_id"), col("pc"))
+      .write.mode("overwrite").parquet(s"$path/reduced/ingest=$label")
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/ingest=$label")
+    writeManifest(batch, s"$path/manifest/ingest=$label")
+  }
+
+  /** Compact a long-appended PCA index into `dst`: meta, moments and
+    * basis carried over verbatim (the reduced coordinates stay valid —
+    * the basis never moves outside a rebuild; the per-ingest moments
+    * collapse to their ELEMENTWISE SUM, which is exactly the union's
+    * moments — the [[PcaModels]] mergeable-statistics rule), reduced +
+    * vector rows rewritten under a single ingest, manifest merged —
+    * reading ONLY the stored index. Drift is measured while the
+    * per-ingest labels still exist (the [[compactPqTo]]
+    * warn-and-proceed contract); returns the refit verdict.
+    */
+  def compactPcaTo(spark: SparkSession, src0: String, dst: String): Boolean = {
+    import spark.implicits._
+    val src = DedupIndexes.resolveIndex(spark, src0)
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal or nested src/dst would read and delete the same files")
+    val refitDue = warnIfRefitDue("PCA", src, pcaRefitDue(spark, src))
+    val merged = spark.read.parquet(s"$src/moments").select(col("m"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .reduce((a, b) => Array.tabulate(a.length)(i => a(i) + b(i)))
+    DedupIndexes.delete(spark, dst)
+    spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    Seq(merged.toSeq).toDF("m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/moments/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/basis")
+      .write.mode("overwrite").parquet(s"$dst/basis")
+    spark.read.parquet(s"$src/reduced").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/reduced/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/vectors").drop("ingest")
+      .write.mode("overwrite").parquet(s"$dst/vectors/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
+    refitDue
+  }
+
+  def readPcaMeta(spark: SparkSession, path0: String): (Int, Int) = {
+    val r = spark.read.parquet(s"${DedupIndexes.resolveIndex(spark, path0)}/meta").head
+    (r.getAs[Int]("dim"), r.getAs[Int]("k"))
+  }
+
+  private def readPcaBasis(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/basis").orderBy(col("comp"))
+      .select(col("component")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** (basis, reduced, vectors) — everything
+    * [[Similarity.annTopKPcaFromIndex]] probes. */
+  def readPcaIndex(spark: SparkSession, path0: String)
+      : (Seq[Seq[Double]], DataFrame, DataFrame) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    (readPcaBasis(spark, path),
+      spark.read.parquet(s"$path/reduced").drop("ingest"),
+      spark.read.parquet(s"$path/vectors").drop("ingest"))
+  }
+
+  /** Basis-drift audit — WHEN to re-fit as a measured fact (the
+    * [[pqDriftStats]] contract for the basis artifact): per ingest, the
+    * mean reconstruction error of UNIT vectors under the STORED basis —
+    * `1 − ‖Bu‖²` (B orthonormal rows, so this is exactly the cosine
+    * mass the coarse pass cannot see), scale-free in [0, 1] — against
+    * the base ingest's. A delivery drawn from the subspace the basis
+    * discards scores err → 1 while the base sits at 1 − captured
+    * spectrum mass; `refit_due` trips on the ratio. Degenerate all-zero
+    * vectors have no direction: their NaN pins to err = 1 (max — they
+    * are invisible to the basis by construction).
+    *
+    * Default threshold 2.2, ABOVE the PQ family's 1.6 on purpose: a
+    * sample-fit basis carries finite-sample OPTIMISM — it over-captures
+    * its own training sample, so even a perfectly same-distribution
+    * delivery scores a held-out ratio above 1 (measured on the
+    * near-isotropic fixture, the worst case for any spectral method:
+    * held-out/train err = 1.76 at n = 250, 1.47 at n = 450, d = 64,
+    * k = 32 — while a basis-orthogonal delivery scores ~3.5). The bias
+    * shrinks as n/d grows (negligible at production scale), so 2.2
+    * clears the optimism band with margin on both sides here and only
+    * gets MORE conservative on real corpora.
+    */
+  def pcaDriftStats(spark: SparkSession, path0: String,
+                    errRatioMax: Double = 2.2): DataFrame = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val basis = readPcaBasis(spark, path)
+    val withU = spark.read.parquet(s"$path/vectors")
+      .select(col("ingest"), col("vec_id"),
+        Similarity.unitVec(col("embedding")).as("u"))
+    val errStats = Similarity.projectWithBasis(withU, basis,
+        vecCol = "u", outCol = "pc_u")
+      .select(col("ingest"),
+        nanvl(greatest(lit(0.0), lit(1.0) -
+          aggregate(col("pc_u"), lit(0.0), (acc, x) => acc + x * x)),
+          lit(1.0)).as("err"))
+      .groupBy(col("ingest"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("err")).as("mean_err"))
+    val base = broadcast(errStats.filter(col("ingest") === BaseLabel)
+      .select(col("mean_err").as("base_err")))
+    errStats.crossJoin(base)
+      .select(col("ingest"), col("n_vectors"), col("mean_err"),
+        (col("mean_err") / col("base_err")).as("err_ratio"))
+      .withColumn("refit_due",
+        col("ingest") =!= BaseLabel && col("err_ratio") > errRatioMax)
+  }
+
+  /** True when any appended ingest trips [[pcaDriftStats]]' threshold —
+    * the one-boolean spelling, like [[pqRefitDue]]. */
+  def pcaRefitDue(spark: SparkSession, path: String,
+                  errRatioMax: Double = 2.2): Boolean =
+    !pcaDriftStats(spark, path, errRatioMax)
+      .filter(col("refit_due")).isEmpty
+
   /** APPEND a batch to a stored LSH index: sketch keys derived at the
     * index's stored config land under `ingest=<label>` with the usual
     * overwrite-on-own-label replay idempotence + manifest-last crash
@@ -947,6 +1136,24 @@ object SimilarityIndexes {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nprobe, rerank)
+  }
+
+  /** [[Similarity.annTopKPca]] probing the materialized PCA serving
+    * index — the q_embed_ann_pca stored-probe twin (rows-only driver
+    * check like the inline query; SimilaritySpec asserts stored ==
+    * inline, which carries the recall bound over).
+    */
+  def annPcaProbeDocs(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 5,
+                      rerank: Int = 40, pcaDim: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("pca", sfDir)
+    DedupIndexes.writeOnce(path)(writePcaIndex(emb, path, sfDir, k = pcaDim))
+    val (basis, reduced, vectors) = readPcaIndex(spark, path)
+    Similarity.annTopKPcaFromIndex(basis, reduced, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, rerank)
   }
 
   /** [[Similarity.semanticDedup]] blocking on the materialized

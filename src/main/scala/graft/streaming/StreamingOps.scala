@@ -251,6 +251,15 @@ object StreamingOps {
     * own partitions. Without the flag, near-dup/verbatim admission
     * stays the job of the sibling sinks — this one owns the quality
     * gate and the audit trail.
+    *
+    * `blocklistTerms = Some(terms)` switches the batch pipeline's
+    * stage 1b on (C4-style bad-words rule, between lang-ID and quality
+    * in outcome precedence): any whole-token case-insensitive hit
+    * ledgers as `dropped_blocklist`. The broadcast-join spelling
+    * ([[graft.operators.Profile.blocklistVerdictOn]]) — production
+    * blocklists are hundreds of terms — and a pure per-row projection:
+    * replay idempotence needs only that the caller keep the terms
+    * frame stable across a replay (the stored-model-generation rule).
     */
   def ingestCuratedDocs(lines: DataFrame, corpusDir: String,
                         ledgerDir: String,
@@ -259,7 +268,8 @@ object StreamingOps {
                         nearDupIndexDir: Option[String] = None,
                         clfModelDir: Option[String] = None,
                         pplModelDir: Option[String] = None,
-                        verbatimIndexDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                        verbatimIndexDir: Option[String] = None,
+                        blocklistTerms: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // qualified-path overlap, not raw startsWith: sibling dirs sharing a
     // name prefix (/data/corpus vs /data/corpus-ledger) are fine, while
     // trailing-slash/relative/`..` respellings of the SAME dir are not —
@@ -287,7 +297,7 @@ object StreamingOps {
     lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       curateBatch(batch.toDF(), corpusDir, ledgerDir, batchId.toString,
         textCol, lang, nearDupIndexDir, clfModelDir, pplModelDir,
-        verbatimIndexDir)
+        verbatimIndexDir, blocklistTerms)
     }.start()
   }
 
@@ -303,7 +313,8 @@ object StreamingOps {
                                  nearDupIndexDir: Option[String] = None,
                                  clfModelDir: Option[String] = None,
                                  pplModelDir: Option[String] = None,
-                                 verbatimIndexDir: Option[String] = None): Unit =
+                                 verbatimIndexDir: Option[String] = None,
+                                 blocklistTerms: Option[DataFrame] = None): Unit =
     graft.CacheScope.scoped {
       val spark = batch.sparkSession
       // in-batch exact collapse on the canonical fingerprint (the
@@ -334,6 +345,24 @@ object StreamingOps {
         else spark.range(0)
           .select(lit("").as("fp"), lit(1L).as("is_known"))
       val judgedExact = gated.join(known, Seq("fp"), "left")
+      // optional C4-style BLOCKLIST stage (the batch pipeline's stage
+      // 1b, between lang-ID and quality in outcome precedence): the
+      // broadcast-join spelling ([[graft.operators.Profile
+      // .blocklistVerdictOn]]) — production blocklists are hundreds of
+      // terms, never a codegen'd literal. A pure per-row projection
+      // against the caller's term frame: no state read or written, so
+      // replay idempotence is free (the terms frame is the caller's to
+      // keep stable across a replay, like the model generations below)
+      val judgedBlock = blocklistTerms.fold(
+          judgedExact.withColumn("is_blocked", lit(null).cast("long"))) { terms =>
+        judgedExact.join(
+          graft.operators.Profile.blocklistVerdictOn(
+              gated.select(col("doc_id"), col("text")), terms)
+            .filter(col("n_hits") > 0L)
+            .select(col("doc_id"))
+            .withColumn("is_blocked", lit(1L)),
+          Seq("doc_id"), "left")
+      }
       // optional near-dup admission: quality-passing, exact-new docs
       // against the corpus near-dup identity (stored band index, own
       // label excluded from probe AND corpus on replay), then the
@@ -343,9 +372,9 @@ object StreamingOps {
       // what shared a micro-batch; see that sink's comment)
       val idxLabel = s"b$label"
       val nearLosers: Option[DataFrame] = nearDupIndexDir.map { dir =>
-        val candidates = judgedExact
-          .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
-            col("is_known").isNull)
+        val candidates = judgedBlock
+          .filter(col("lang_ok") === 1L && col("is_blocked").isNull &&
+            col("quality_ok") === 1L && col("is_known").isNull)
           .select(col("doc_id"), col("text"))
         val corpusNear: DataFrame =
           if (!hasCorpus)
@@ -378,8 +407,8 @@ object StreamingOps {
           .withColumn("is_near_dup", lit(1L))
       }
       val judgedNear = nearLosers
-        .fold(judgedExact.withColumn("is_near_dup", lit(null).cast("long")))(
-          nl => judgedExact.join(nl, Seq("doc_id"), "left"))
+        .fold(judgedBlock.withColumn("is_near_dup", lit(null).cast("long")))(
+          nl => judgedBlock.join(nl, Seq("doc_id"), "left"))
       // optional VERBATIM-SPAN removal (the batch pipeline's stage 3c,
       // the ExactSubstr pass) against STORED state: every doc that
       // survived the earlier gates has its >= 20-token runs cut — both
@@ -397,8 +426,8 @@ object StreamingOps {
       // the corpus always cuts from the ARRIVING doc regardless of id
       // order, where the batch bidirectional rule cuts the higher id.
       val survivorsOrig = judgedNear
-        .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
-          col("is_known").isNull &&
+        .filter(col("lang_ok") === 1L && col("is_blocked").isNull &&
+          col("quality_ok") === 1L && col("is_known").isNull &&
           (col("is_near_dup").isNull || col("is_near_dup") =!= 1L))
         .select(col("doc_id"), col("text"))
       val cleaned: Option[DataFrame] = verbatimIndexDir.map { dir =>
@@ -474,6 +503,7 @@ object StreamingOps {
           cl => judgedNear.join(cl, Seq("doc_id"), "left"))
         .withColumn("outcome",
           when(col("lang_ok") === 0L, lit("dropped_lang"))
+            .when(col("is_blocked") === 1L, lit("dropped_blocklist"))
             .when(col("quality_ok") === 0L, lit("dropped_quality"))
             .when(col("is_known") === 1L, lit("dropped_duplicate"))
             .when(col("is_near_dup") === 1L, lit("dropped_near_duplicate"))

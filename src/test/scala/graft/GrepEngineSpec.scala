@@ -221,6 +221,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_embed_ann_pq", "q_embed_ann_pq_idx",
       "q_embed_ann_ivfpq", "q_embed_ann_ivfpq_idx",
       "q_embed_pca", "q_embed_ann_pca",
+      "q_embed_pca_idx", "q_embed_ann_pca_idx",
       "q_pipeline_curate_block", "q_pipeline_curate_verbatim",
       "q_pipeline_curate_clf",
       "q_pipeline_curate_ppl", "q_pipeline_stats", "q_pipeline_stats_verbatim",

@@ -138,6 +138,27 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_pca_idx: the stored-moments twin equals the inline fit " +
+    "within the PCA float slack") {
+    val inline = Pca.embedPca(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._3, r._4, r._5, r._6)).toMap
+    val stored = Pca.embedPcaStored(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._3, r._4, r._5, r._6)).toMap
+    assert(stored.keySet === inline.keySet && stored.nonEmpty,
+      "stored twin must cover exactly the inline row set")
+    // the only slack is double partial-sum order between the committed
+    // moments and a fresh aggregation — at the x1e6 integer surface
+    // that is at most one unit on a floor boundary
+    stored.foreach { case (id, s) =>
+      s.zip(inline(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1L,
+          s"vec $id: stored pc $a vs inline $b beyond the float slack")
+      }
+    }
+  }
+
   test("q_embed_pca surfaces one integer-scaled row per vector") {
     val out = Pca.embedPca(spark, sf)
     assert(out.count() === Tables.embeddings(spark, sf).count())

@@ -497,8 +497,17 @@ class PipelineSpec extends SparkSpec {
 
     // compaction: single base ingest everywhere, assembled ledger
     // preserved, and a FRESH probe batch judges identically against the
-    // compacted state (the fps/index/evalgram identity is intact)
-    CurateState.compactTo(spark, dir, s"$root/c")
+    // compacted state (the fps/index/evalgram identity is intact) —
+    // and the RESULT is the pre-compaction two-axis retro verdict
+    // (measured while the labels still exist): the contamination axis
+    // must report exactly the flagged set derived above, so the
+    // rebuild-due signal rides in the operator's face
+    val audit = CurateState.compactTo(spark, dir, s"$root/c",
+      trainDocs = Some(all.join(committedTrain, Seq("doc_id"))))
+    assert(audit.contamFlagged === Some(flagged.size.toLong),
+      "compaction must return the retro-contamination flagged count it measured")
+    assert(audit.rebuildDue,
+      "the planted retro contamination must surface as rebuild-due at compaction")
     for (sub <- Seq("fps", "evalgrams", "ledger"))
       assert(spark.read.parquet(s"$root/c/$sub")
           .select($"ingest").distinct().as[String].collect().toSeq === Seq("base"),
@@ -579,6 +588,16 @@ class PipelineSpec extends SparkSpec {
     // un-bridged kept docs keep themselves as rep
     assert(report.filter(_._3 == 0L).forall(r => r._2 == r._1),
       "unflagged kept docs must be their own rebuild rep")
+
+    // compaction carries the near-dup axis of the same verdict: the
+    // returned count equals the report's flagged set (no train text
+    // passed -> the contamination axis is honestly absent, not zero)
+    val audit = CurateState.compactTo(spark, dir,
+      java.nio.file.Files.createTempDirectory("retro-nd-c").toString + "/c")
+    assert(audit.nearDupFlagged === flagged.size.toLong,
+      "compaction must return the retro-near-dup flagged count it measured")
+    assert(audit.contamFlagged === None && audit.rebuildDue,
+      "bridge flags alone must make the compaction verdict rebuild-due")
   }
 
   test("nTokensCol: BPE-faithful ledger — outcomes unchanged, stats roll up " +

@@ -378,6 +378,112 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"IVF-PQ recall $recall%.2f below the IVF bound")
   }
 
+  test("stored PCA index: probe == inline, append projects with the STORED basis, " +
+    "compaction merges moments and carries the drift verdict") {
+    import graft.sources.SimilarityIndexes
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pca-idx").toString
+    // same fit key as the inline path -> same memoized moments/basis,
+    // so stored-vs-inline equality is exact
+    SimilarityIndexes.writePcaIndex(emb, s"$dir/full", sf)
+    val (basis, reduced, vectors) = SimilarityIndexes.readPcaIndex(spark, s"$dir/full")
+    assert(SimilarityIndexes.readPcaMeta(spark, s"$dir/full") === ((64, 32)))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.annTopKPcaFromIndex(basis, reduced, vectors, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.annTopKPca(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty,
+      "stored PCA probe diverged from the inline fit-project path")
+    // append: build from an 80% slice (its own fit), append the rest,
+    // replay the append — the grown index must answer exactly like
+    // projecting the FULL corpus under the stored 80% basis: appends
+    // project, never re-fit
+    val lo = emb.filter($"vec_id" % 10 < 8)
+    val hi = emb.filter($"vec_id" % 10 >= 8)
+    SimilarityIndexes.writePcaIndex(lo, s"$dir/grown", s"$sf:pca80")
+    SimilarityIndexes.appendPcaIndex(hi, s"$dir/grown", "b1")
+    SimilarityIndexes.appendPcaIndex(hi, s"$dir/grown", "b1")
+    val (gb, gr, gv) = SimilarityIndexes.readPcaIndex(spark, s"$dir/grown")
+    assert(gr.count() === emb.count() && gv.count() === emb.count(),
+      "append (replayed) must reach exactly one reduced row per corpus vector")
+    val grown = Similarity.annTopKPcaFromIndex(gb, gr, gv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Similarity.annTopKPcaFromIndex(gb,
+      Similarity.projectWithBasis(emb, gb).select($"vec_id", $"pc"),
+      emb.select($"vec_id", $"embedding"), queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grown === oneShot,
+      "append-grown PCA index answers differently from one-shot projection under the stored basis")
+    // a mismatched-width append is a rebuild, not an append
+    intercept[Exception] {
+      SimilarityIndexes.appendPcaIndex(
+        hi.select($"vec_id",
+          org.apache.spark.sql.functions.slice($"embedding", 1, 32).as("embedding")),
+        s"$dir/grown", "b2")
+    }
+    // compaction: basis verbatim, per-ingest moments collapse to their
+    // sum (== the union's moments), single base ingest, probe-identical,
+    // and the result is the compaction-time drift verdict
+    val verdict = SimilarityIndexes.compactPcaTo(spark, s"$dir/grown", s"$dir/compact")
+    assert(verdict === SimilarityIndexes.pcaRefitDue(spark, s"$dir/grown"),
+      "compaction must return exactly the drift verdict it measured")
+    assert(!verdict,
+      "a same-distribution append must not trip the compaction-time re-fit flag")
+    val (cb, cr, cv) = SimilarityIndexes.readPcaIndex(spark, s"$dir/compact")
+    assert(cb === gb, "compaction must carry the basis verbatim")
+    val mergedM = spark.read.parquet(s"$dir/compact/moments")
+      .select($"m").as[Seq[Double]].collect()
+    assert(mergedM.length === 1, "moments must collapse to one merged row")
+    val freshM = graft.operators.Pca.momentsOn(emb, 64)
+    mergedM.head.zip(freshM).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6 * math.max(1.0, math.abs(b)),
+        "merged moments must equal the union's moments") }
+    val compactProbe = Similarity.annTopKPcaFromIndex(cb, cr, cv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(compactProbe === grown,
+      "probing the compacted index must equal probing the appended one")
+  }
+
+  test("pcaDriftStats: discarded-subspace appends trip the re-fit flag, " +
+    "same-distribution appends don't") {
+    import graft.sources.SimilarityIndexes
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pca-drift").toString
+    SimilarityIndexes.writePcaIndex(emb.filter($"vec_id" % 2 === 0),
+      s"$dir/idx", s"$sf:pcadrift")
+    // same-distribution append: the held-out half of the same corpus
+    SimilarityIndexes.appendPcaIndex(emb.filter($"vec_id" % 2 =!= 0),
+      s"$dir/idx", "same")
+    assert(!SimilarityIndexes.pcaRefitDue(spark, s"$dir/idx"),
+      "a same-distribution append must not flag")
+    // drifted append: residuals of corpus vectors under the stored
+    // basis — mass entirely in the subspace the basis DISCARDS, the
+    // delivery a rank-k basis is blind to (err -> 1 vs base ~ 1 - k/d
+    // on this near-isotropic fixture)
+    val (basis, _, _) = SimilarityIndexes.readPcaIndex(spark, s"$dir/idx")
+    val residuals = emb.filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val x = v.map(_.toDouble).toArray
+        val proj = Array.ofDim[Double](64)
+        basis.foreach { b =>
+          val c = (0 until 64).map(i => b(i) * x(i)).sum
+          (0 until 64).foreach(i => proj(i) += c * b(i))
+        }
+        (id + 1000000L, (0 until 64).map(i => (x(i) - proj(i)).toFloat))
+      }.toSeq.toDF("vec_id", "embedding")
+    SimilarityIndexes.appendPcaIndex(residuals, s"$dir/idx", "drifted")
+    val stats = SimilarityIndexes.pcaDriftStats(spark, s"$dir/idx")
+      .select($"ingest", $"refit_due").as[(String, Boolean)].collect().toMap
+    assert(stats("drifted"), "a discarded-subspace delivery must flag")
+    assert(!stats("same") && !stats(graft.sources.SimilarityIndexes.BaseLabel),
+      "neither the base nor the same-distribution ingest may flag")
+    assert(SimilarityIndexes.pcaRefitDue(spark, s"$dir/idx"),
+      "the one-boolean spelling must reflect the flagged ingest")
+  }
+
   test("stored IVF-PQ index: probe == inline, append uses STORED fits, compaction carries the drift verdict") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
@@ -716,6 +822,21 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM sqlfront_drift WHERE refit_due")
       .as[Long].head() === 0L,
       "a base-only index polls clean through the SQL drift view")
+    // the PCA serving family speaks the same SQL front door
+    val pcaPath = "target/similarity_index_spec/sqlfront_pca"
+    graft.sources.SimilarityIndexes.writePcaIndex(emb, pcaPath, "sqlfront-pca")
+    graft.sources.IndexSql.registerPcaAnn(spark, "sqlfront_ann_pca",
+      pcaPath, "sqlfront_queries")
+    val (pb, pr, pv) = graft.sources.SimilarityIndexes.readPcaIndex(spark, pcaPath)
+    val scalaPca = Similarity.annTopKPcaFromIndex(pb, pr, pv, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spark.sql("SELECT * FROM sqlfront_ann_pca")
+      .as[(Long, Long, Long)].collect().toSet === scalaPca,
+      "the SQL PCA view must equal the Scala stored probe")
+    graft.sources.IndexSql.registerPcaDriftStats(spark, "sqlfront_pca_drift", pcaPath)
+    assert(spark.sql("SELECT count(*) FROM sqlfront_pca_drift WHERE refit_due")
+      .as[Long].head() === 0L,
+      "a base-only PCA index polls clean through the SQL drift view")
   }
 
   test("generation pointer works for the embedding indexes: probes at the root follow the flip") {

@@ -962,38 +962,56 @@ class StreamingSpec extends SparkSpec {
     md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
 
   test("stage-scope contract: one streaming delivery == batch curateOn " +
-      "restricted to its stages (lang/quality/exact/near-dup)") {
-    // THE scope pin (r13 verdict #4): ingestCuratedDocs implements the
-    // batch pipeline's lang -> quality -> exact-dedup -> near-dedup
-    // prefix; batch-only stages (split/decontam/verbatim/ppl — and
-    // classifier unless a stored model is wired, its own test below)
-    // are out of scope, and batch train/eval both map to streaming
-    // `ingested`. Asserted outcome-for-outcome over the REAL fixture
-    // corpus: ids on the batch side are the streaming sink's own
-    // fingerprint-derived ids, so every min-id keeper race is decided
-    // identically by construction.
+      "restricted to its stages (lang/blocklist/quality/exact/near-dup)") {
+    // THE scope pin (r13 verdict #4, blocklist added r15):
+    // ingestCuratedDocs implements the batch pipeline's lang ->
+    // blocklist -> quality -> exact-dedup -> near-dedup prefix;
+    // batch-only stages (split/decontam/verbatim/ppl — and classifier
+    // unless a stored model is wired, its own test below) are out of
+    // scope, and batch train/eval both map to streaming `ingested`.
+    // Asserted outcome-for-outcome over the REAL fixture corpus: ids on
+    // the batch side are the streaming sink's own fingerprint-derived
+    // ids, so every min-id keeper race is decided identically by
+    // construction. The blocklist rides BOTH sides at the driver terms
+    // ("dup" hits a real fixture slice) — batch as the codegen'd
+    // literal rule, streaming as the broadcast-join spelling
+    // (ProfileSpec pins the two spellings equal).
     val dir = java.nio.file.Files.createTempDirectory("curate-scope").toString
     val corpusDir = s"$dir/corpus"
     val ledgerDir = s"$dir/ledger"
     val idxDir = s"$dir/ndidx"
+    val terms = graft.operators.Profile.driverBlocklist
     val docsRaw = Tables.documents(spark, TestSpark.sf0001).select(col("text"))
-    // plant one near-dup of a quality-passing doc so the near-dup class
-    // is non-vacuous at this SF (the Pipeline plantNearDups arithmetic:
-    // one appended token keeps word-3-gram Jaccard >= 0.8)
-    val planted = docsRaw.orderBy(length(col("text")).desc).limit(1)
+    // plant one near-dup of a doc that passes lang, blocklist AND
+    // quality so the near-dup class is non-vacuous at this SF (the
+    // Pipeline plantNearDups arithmetic: one appended token keeps
+    // word-3-gram Jaccard >= 0.8) — an earlier-gate drop of the source
+    // would shadow the class (the blocklist terms hit "dup" docs, so
+    // the pre-r15 longest-doc pick is no longer guaranteed clean)
+    val fpOf0 = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val planted = graft.operators.Pipeline.stageBits(
+        docsRaw.select(xxhash64(fpOf0).as("doc_id"), col("text")), "en")
+      .filter(col("lang_ok") === 1L && col("quality_ok") === 1L &&
+        !arrays_overlap(graft.operators.TextOps.tokens(lower(col("text"))),
+          array(terms.map(t => lit(t.toLowerCase)): _*)))
+      .orderBy(length(col("text")).desc).limit(1)
       .select(concat(col("text"), lit(" plantedneardup")).as("text"))
     val texts = docsRaw.unionByName(planted)
     val fpOf = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
     val arrival = texts
       .select(xxhash64(fpOf).as("doc_id"), col("text")).distinct()
     val batchOutcome = graft.operators.Pipeline
-      .curateOn(arrival, nearDedup = true, contamMinPct = 101L)
+      .curateOn(arrival, nearDedup = true, contamMinPct = 101L,
+        blocklist = terms)
       .select(col("doc_id"),
         when(col("outcome").isin("train", "eval"), lit("ingested"))
           .otherwise(col("outcome")).as("outcome"))
       .as[(Long, String)].collect().toMap
-    StreamingOps.curateBatch(texts.select(col("text").as("value")),
-      corpusDir, ledgerDir, "0", nearDupIndexDir = Some(idxDir))
+    def deliver(): Unit = StreamingOps.curateBatch(
+      texts.select(col("text").as("value")),
+      corpusDir, ledgerDir, "0", nearDupIndexDir = Some(idxDir),
+      blocklistTerms = Some(terms.toDF("term")))
+    deliver()
     val streamOutcome = spark.read.parquet(ledgerDir)
       .select(col("doc_id"), col("outcome"))
       .as[(Long, String)].collect().toMap
@@ -1005,9 +1023,23 @@ class StreamingSpec extends SparkSpec {
     // is the earlier ingest test's job)
     val classes = streamOutcome.values.toSet
     assert(classes.contains("ingested") && classes.contains("dropped_lang") &&
+      classes.contains("dropped_blocklist") &&
       classes.contains("dropped_quality") &&
       classes.contains("dropped_near_duplicate"),
       s"fixture must exercise every in-scope outcome class, got $classes")
+    // replay the same label with the blocklist wired: outcomes
+    // identical, corpus unchanged — the stage is stateless per-row, so
+    // the label-based replay contract carries over untouched
+    val corpusBefore = spark.read.parquet(corpusDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    deliver()
+    assert(spark.read.parquet(ledgerDir)
+        .select(col("doc_id"), col("outcome"))
+        .as[(Long, String)].collect().toMap === streamOutcome,
+      "a replayed delivery must recompute identical outcomes")
+    assert(spark.read.parquet(corpusDir)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq === corpusBefore,
+      "a replayed delivery must not grow the corpus")
   }
 
   test("streaming classifier gate from the stored model+cutoff: batch-train " +
