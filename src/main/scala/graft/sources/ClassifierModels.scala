@@ -146,7 +146,13 @@ object ClassifierModels {
         expr("(score * 100 + 10000 * n_tokens) DIV n_tokens").as("bits_per_100"))
     // value histogram → cumulative rank → smallest value whose
     // cumulative count reaches q1 = floor(n/3); bounded frame, so the
-    // global window is the lmBuckets histogram idiom
+    // global window is the lmBuckets histogram idiom — and the bound is
+    // HARD, corpus-size-independent (r14 ADVICE): the NB per-token
+    // score is a difference of bitlen staircases, each ∈ [0, 63] whole
+    // bits, so bits_per_100 = 10000 + score·100 DIV n ∈
+    // [10000 − 6300, 10000 + 6300] — ≤ 12601 distinct rows through the
+    // single-partition sort at ANY corpus size (ClassifierSpec pins
+    // the range on the fixture)
     val h = scored.groupBy(col("bits_per_100")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("bits_per_100"))))

@@ -126,6 +126,13 @@ object LmModels {
     val scored = lmScoreStoredOn(
       fitDocs.select(col("doc_id"), col("text")), path, vocabSize)
       .select(col("doc_id"), col("bits_per_100"))
+    // global window over the VALUE histogram, not the corpus — and the
+    // histogram is HARD-BOUNDED independent of corpus size (r14
+    // ADVICE): per-token surprise is the whole-bit staircase
+    // bitlen(N) − bitlen(c+1) ∈ [0, bitlen(N)] and bitlen of a Long is
+    // ≤ 63, so bits_per_100 = bits·100 DIV n_tokens ∈ [0, 6300] —
+    // at most 6301 distinct rows through the single-partition sort at
+    // ANY corpus size (LmSpec pins the range on the fixture)
     val h = scored.groupBy(col("bits_per_100")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("bits_per_100"))))

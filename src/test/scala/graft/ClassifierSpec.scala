@@ -69,6 +69,23 @@ class ClassifierSpec extends SparkSpec {
       s"disjoint-vocab classes must separate perfectly, got $confusion")
   }
 
+  test("NB bits_per_100 is hard-bounded: the cutoff-calibration histogram " +
+    "can never grow past 12601 rows") {
+    // the r14 ADVICE guard, NB spelling: w is a difference of bitlen
+    // staircases, each ∈ [0, 63], so per-token score ∈ [−63, 63] and
+    // bits_per_100 = 10000 + score·100 DIV n ∈ [3700, 16300] at ANY
+    // corpus size — writeNbCutoff's global window sorts a ≤ 12601-row
+    // histogram, control plane by construction.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val r = Classifier.nbClassifyOn(docs, col("doc_id") % 3 =!= 0)
+      .select(expr("(score * 100 + 10000 * n_tokens) DIV n_tokens")
+        .as("bits_per_100"))
+      .agg(min($"bits_per_100"), max($"bits_per_100"))
+      .as[(Long, Long)].head()
+    assert(r._1 >= 3700L && r._2 <= 16300L,
+      s"NB bits_per_100 range $r escapes the documented [3700, 16300] hard bound")
+  }
+
   test("nbClassifyOn equals the weights+score composition") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"lang")

@@ -60,6 +60,22 @@ class LmSpec extends SparkSpec {
     assert(diff > 0, "vocab cap changed no score - the OOV path is vacuous")
   }
 
+  test("bits_per_100 is hard-bounded: the cutoff-calibration histogram can " +
+    "never grow past 6301 rows") {
+    // the r14 ADVICE guard: writeLmCutoffs' global window runs over the
+    // VALUE histogram, and the value range is corpus-size-INDEPENDENT —
+    // per-token surprise = bitlen(N) − bitlen(c+1) ∈ [0, 63] whole bits
+    // (bitlen of a Long), so bits_per_100 = bits·100 DIV n ∈ [0, 6300].
+    // Pinned here on the fixture scorer so a re-spelling of the score
+    // unit that breaks the bound breaks a named test.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val r = Lm.lmScoreOn(docs, docs.select($"text"))
+      .agg(min($"bits_per_100"), max($"bits_per_100"))
+      .as[(Long, Long)].head()
+    assert(r._1 >= 0L && r._2 <= 6300L,
+      s"bits_per_100 range $r escapes the documented [0, 6300] hard bound")
+  }
+
   test("tertiles are balanced and cover every doc exactly once") {
     val b = Lm.lmBuckets(spark, sf, "en", 16).cache()
     val n = Tables.documents(spark, sf).count()
