@@ -44,13 +44,15 @@ object Bench {
       case None => SparkEntry.queries
     }
     // Queries whose CORRECT result is zero rows at any SF (their whole
-    // point is proving an empty set — e.g. every customer has orders).
-    // Everything else returning 0 rows in the warm-up pass is treated
-    // as a FAILURE: a 0-row result usually means an empty fixture read
-    // (a scratch-dir write that silently produced nothing — the r11
-    // `All paths were ignored` class), and timing it would report an
-    // empty scan as a speedup. Same loud-rename guard as noisyReps.
-    val expectedEmpty = Set("q_cust_no_orders")
+    // point is proving an empty set). Everything else returning 0 rows
+    // in the warm-up pass is treated as a FAILURE: a 0-row result
+    // usually means an empty fixture read (a scratch-dir write that
+    // silently produced nothing — the r11 `All paths were ignored`
+    // class), and timing it would report an empty scan as a speedup.
+    // Same loud-rename guard as noisyReps. Empty since r16:
+    // q_cust_no_orders was re-parameterized ("dormant since 2000") to
+    // be non-vacuous at every SF — the 0==0 certificate was weak.
+    val expectedEmpty = Set.empty[String]
     require((expectedEmpty -- SparkEntry.queries.keySet).isEmpty,
       s"expectedEmpty names unknown queries: ${(expectedEmpty -- SparkEntry.queries.keySet).mkString(", ")}")
     // One full UNTIMED pass first: JIT/codegen compilation, parquet

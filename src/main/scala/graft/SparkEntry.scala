@@ -79,7 +79,7 @@ object SparkEntry {
     "q_returned_top" -> ((s, d) => operators.Relational.returnedItemRanking(s, d)),
     // skew-safe two-phase spelling; == plain window (RelationalSpec)
     "q_top_orders_window" -> ((s, d) => operators.Relational.topOrdersPerCustomerSkewSafe(s, d)),
-    "q_cust_no_orders" -> (operators.Relational.customersWithoutOrders _),
+    "q_cust_no_orders" -> ((s, d) => operators.Relational.customersWithoutOrders(s, d)),
     "q_cust_order_stats" -> (operators.Relational.customerOrderStats _),
     "q_cust_activity_full" -> (operators.Relational.customerActivityFull _),
     "q_cust_big_orders" -> ((s, d) => operators.Relational.customersWithBigOrders(s, d)),
@@ -1103,7 +1103,7 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         FROM orders) t WHERE rn <= 2""".stripMargin.trim),
     "q_cust_no_orders" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
     "q_cust_order_stats" -> ("""
       SELECT c_custkey,
              COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,

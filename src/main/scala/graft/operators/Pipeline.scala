@@ -119,6 +119,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Observation hook for the tracked-plans dump ([[graft.Plans]]):
+    * called with (stageName, frame) at every checkpoint boundary BEFORE
+    * the cut, so the dump can record each segment's plan — the final
+    * frame of a checkpointed composition only shows the last segment.
+    * None outside the plans tool; never alters execution.
+    */
+  private[graft] var stagePlanHook: Option[(String, DataFrame) => Unit] = None
+
   /** Canonical content fingerprint — ONE spelling shared with
     * [[TextAnalysis.trainEvalAssign]] / [[TextAnalysis.contamination]] /
     * the streaming dedup fingerprints.
@@ -380,13 +388,18 @@ object Pipeline {
     // CONSTRUCTION plus ~90 s of codegen-dominated execution for 618
     // rows — planning work, invariant to data size; the checkpointed
     // spelling collapses both.
-    def stageCheckpoint(name: String, df: DataFrame): DataFrame =
+    def stageCheckpoint(name: String, df: DataFrame): DataFrame = {
+      // plan-capture hook (graft.Plans): a checkpoint CUTS the logical
+      // plan, so the final frame's explain shows only the last segment —
+      // the tracked dump records each segment's plan at its boundary
+      Pipeline.stagePlanHook.foreach(_(name, df))
       checkpointDir match {
         case None => graft.CacheScope.track(df.persist())
         case Some(dir) =>
           df.write.mode("overwrite").parquet(s"$dir/$name")
           base.sparkSession.read.parquet(s"$dir/$name")
       }
+    }
     val withKeeper = stageCheckpoint("keeper", withKeeperPlan)
 
     val exactSurvivors = withKeeper

@@ -180,13 +180,21 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
-  /** Customers with no orders — left ANTI join (NOT EXISTS). At scale this
-    * is a shuffled hash anti-join on custkey; Spark plans broadcast
-    * automatically when the right side is small enough.
+  /** Customers with no orders SINCE a cutoff — left ANTI join
+    * (NOT EXISTS) with the date predicate pushed into the right-side
+    * scan. At scale this is a shuffled hash anti-join on custkey;
+    * Spark plans broadcast automatically when the (filtered) right
+    * side is small enough. The cutoff keeps the query NON-VACUOUS on
+    * the driver fixture (every customer has at least one order overall,
+    * so the unfiltered spelling certifies 0 == 0 — a weak check;
+    * "dormant since 2000" yields 14/135/1355 rows at sf0.001/0.01/0.1).
     */
-  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+  def customersWithoutOrders(spark: SparkSession, sfDir: String,
+                             since: String = "2000-01-01"): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
-    val orders = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey"))
     cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }

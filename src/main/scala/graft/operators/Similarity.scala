@@ -272,16 +272,25 @@ object Similarity {
     * only the (query_id, eq, neighbor_id) shortlist back to the stored
     * vectors, rank by true cosine. Shared by the SQ8 and PCA probes so
     * the final stage cannot fork between coarse representations.
+    * PLAIN window, not [[saltedTopPerQuery]]: the input is bounded to
+    * ≤ rerank rows per query by [[coarseShortlist]] CONSTRUCTION, so
+    * no task ever sorts more than the shortlist — salting here would
+    * add a hash + extra window + exchange for zero scale benefit
+    * (measured ~1.6× on the stored IVF/LSH probes when it was salted).
     */
   private def exactRerank(shortlist: DataFrame, vectors: DataFrame,
-                          k: Int): DataFrame =
-    saltedTopPerQuery(shortlist
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim")),
-      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+        rankSim(col("eq"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 
   /** PCA two-stage ANN (the FAISS `PCAR<k'>,...` pre-transform shape):
     * the coarse pass ranks by cosine in a k'-dimensional PCA space —
@@ -380,14 +389,31 @@ object Similarity {
     * the index write and the inline probe share the IDENTICAL basis.
     */
   private val pcaFits = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Long, Long), (Seq[Double], Seq[Seq[Double]])]
+    .empty[(String, Int, Int, Long, Long, Long), (Seq[Double], Seq[Seq[Double]])]
+
+  /** Memo bound: the memo only exists for in-process stored==inline
+    * exactness (a handful of fixture frames per JVM), so cap it — a
+    * long-lived service fitting many corpora must not grow it without
+    * bound. Eviction is a full clear: correctness never depends on a
+    * hit, only speed.
+    */
+  private val pcaFitsCap = 64
 
   private[graft] def fitGramMomentsBasis(emb: DataFrame, key: String, dim: Int,
                                          k: Int): (Seq[Double], Seq[Seq[Double]]) = {
+    // Order-insensitive content fingerprint: (count, xor, sum mod 2^64)
+    // of per-row hashes. xor alone cancels on rows repeated an even
+    // number of times; the exact 2^64-modular SUM (decimal accumulator,
+    // ANSI-overflow-safe at any row count) breaks that — a collision
+    // now needs equal count AND equal xor AND equal modular sum.
     val fpRow = emb.agg(
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
-    pcaFits.getOrElseUpdate((key, dim, k, fpRow.getLong(0), fpRow.getLong(1)), {
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("hx"),
+      coalesce(sum(expr("xxhash64(vec_id, embedding)").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("hs")).head()
+    val sumFp = fpRow.getDecimal(2).toBigInteger.longValue()
+    if (pcaFits.size >= pcaFitsCap) pcaFits.clear()
+    pcaFits.getOrElseUpdate((key, dim, k, fpRow.getLong(0), fpRow.getLong(1), sumFp), {
       val m = Pca.momentsOn(emb, dim)
       val (_, gram) = Pca.gramFromMoments(m, dim)
       val (_, vecs) = Pca.jacobiEigen(gram)

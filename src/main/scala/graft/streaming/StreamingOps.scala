@@ -353,11 +353,17 @@ object StreamingOps {
       // against the caller's term frame: no state read or written, so
       // replay idempotence is free (the terms frame is the caller's to
       // keep stable across a replay, like the model generations below)
+      // verdict computed ONLY over lang-passing docs: outcome precedence
+      // puts dropped_lang first, so a lang-dropped doc's block verdict
+      // is never read — tokenizing + joining it per micro-batch is
+      // wasted work (the null it gets from the left join below is
+      // already the not-blocked spelling downstream expects)
       val judgedBlock = blocklistTerms.fold(
           judgedExact.withColumn("is_blocked", lit(null).cast("long"))) { terms =>
         judgedExact.join(
           graft.operators.Profile.blocklistVerdictOn(
-              gated.select(col("doc_id"), col("text")), terms)
+              gated.filter(col("lang_ok") === 1L)
+                .select(col("doc_id"), col("text")), terms)
             .filter(col("n_hits") > 0L)
             .select(col("doc_id"))
             .withColumn("is_blocked", lit(1L)),
@@ -990,11 +996,29 @@ object StreamingOps {
     * the re-fit rebuild at compaction cadence is the cure, and
     * [[graft.sources.SimilarityIndexes.compactIvfTo]] covers the
     * no-drift merge case.
+    *
+    * `pcaIndexDir` (optional) keeps a PCA serving index
+    * ([[graft.sources.SimilarityIndexes.writePcaIndex]]) current under
+    * the same deliveries: manifest-gated bootstrap, then
+    * fit-once/project-forever appends
+    * ([[graft.sources.SimilarityIndexes.appendPcaIndex]]) whose
+    * per-ingest moments feed the drift audit
+    * ([[graft.sources.SimilarityIndexes.pcaDriftStats]]) — basis drift
+    * is PCA's spelling of the centroid-drift caveat above, and
+    * `compactPcaTo` its re-fit checkpoint.
     */
   def ingestEmbeddings(vectors: DataFrame, corpusDir: String, indexDir: String,
                        idCol: String = "vec_id", embCol: String = "embedding",
-                       nlist: Int = 16, nassign: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+                       nlist: Int = 16, nassign: Int = 1,
+                       pcaIndexDir: Option[String] = None,
+                       pcaK: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
     assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, indexDir)
+    pcaIndexDir.foreach { p =>
+      assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, p)
+      require(!graft.sources.DedupIndexes.pathsOverlap(vectors.sparkSession, p, indexDir),
+        s"pcaIndexDir $p must not overlap the IVF indexDir $indexDir — " +
+          "each family owns its tree (their base builds delete their own path)")
+    }
     vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
@@ -1068,6 +1092,45 @@ object StreamingOps {
         // accumulating per steady-state batch (see maintainIndex)
         if (!toIndex.isEmpty)
           graft.sources.SimilarityIndexes.appendIvf(toIndex, indexDir, label)
+      }
+      // PCA serving index maintenance (r15 verdict #5): the EXACT
+      // contract the IVF branch above runs, for the basis artifact —
+      // manifest-gated bootstrap (writePcaIndex is fit + project +
+      // manifest-last, so a crashed build is re-run from scratch),
+      // then fit-once/PROJECT-forever appends whose per-ingest moments
+      // feed pcaDriftStats. Without this, a PCA-served corpus goes
+      // stale under streaming ingest while its IVF sibling doesn't.
+      pcaIndexDir.foreach { pdir =>
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, pdir)) {
+          // a surviving meta without a manifest pins a crashed build's
+          // layout — refuse a sink restarted at different k (changing
+          // the basis width is a writePcaIndex rebuild, not a restart)
+          if (graft.sources.DedupIndexes.hasData(spark, s"$pdir/meta")) {
+            val (_, mK) = graft.sources.SimilarityIndexes.readPcaMeta(spark, pdir)
+            require(mK == pcaK,
+              s"a crashed PCA build at $pdir pinned k=$mK but the sink was " +
+                s"started with k=$pcaK; restart at the pinned k, or rebuild " +
+                "with writePcaIndex to change the layout")
+          }
+          if (flatDirHasData(spark, corpusDir) &&
+              !spark.read.parquet(corpusDir).isEmpty)
+            graft.sources.SimilarityIndexes.writePcaIndex(
+              spark.read.parquet(corpusDir), pdir, qKey = pdir, k = pcaK)
+        } else {
+          val (_, storedK) = graft.sources.SimilarityIndexes.readPcaMeta(spark, pdir)
+          require(storedK == pcaK,
+            s"PCA index at $pdir was built with k=$storedK but the sink was " +
+              s"started with k=$pcaK; rebuild the index to change its layout")
+          val label = s"b$batchId"
+          val toPca = graft.CacheScope.track(deduped
+            .join(spark.read.parquet(corpusDir).select(col("vec_id")),
+              Seq("vec_id"), "left_semi")
+            .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, pdir, Some(label)),
+              Seq("vec_id"), "left_anti")
+            .persist())
+          if (!toPca.isEmpty)
+            graft.sources.SimilarityIndexes.appendPcaIndex(toPca, pdir, label)
+        }
       }
       }
       ()

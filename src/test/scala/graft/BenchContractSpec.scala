@@ -147,15 +147,31 @@ class BenchContractSpec extends AnyFunSuite {
       === Map("q_a" -> ((1.2, 0.209))))
   }
 
-  test("benign-warning allowlist is exactly the documented pair") {
+  test("benign-warning allowlist is exactly the documented pair, message-scoped") {
     // the allowlist is the single source of truth for harness-tail
     // suppression: adding a logger here requires a documented reason and
     // a guard spec (PlanInvariantsSpec for WindowExec, CacheScopeSpec
-    // for CacheManager) — this pin makes a drive-by suppression fail
+    // for CacheManager) — this pin makes a drive-by suppression fail.
+    // Since r16 the suppression is a per-message DENY RegexFilter, not a
+    // logger-level change: pin that each row carries the exact known
+    // message class so an undocumented broadening fails here.
     assert(Sessions.benignWarnAllowlist.map(_._1).sorted === Seq(
       "org.apache.spark.sql.execution.CacheManager",
       "org.apache.spark.sql.execution.window.WindowExec"))
-    assert(Sessions.benignWarnAllowlist.forall(_._2.nonEmpty))
+    val patterns = Sessions.benignWarnAllowlist.map(t => t._1 -> t._2).toMap
+    assert(patterns("org.apache.spark.sql.execution.window.WindowExec")
+      .contains("No Partition Defined for Window operation"))
+    assert(patterns("org.apache.spark.sql.execution.CacheManager")
+      .contains("Asked to cache already cached data"))
+    assert(Sessions.benignWarnAllowlist.forall(_._3.nonEmpty))
+    // the known-benign messages match their patterns; a different WARN
+    // from the same loggers does not (it would surface in the tail)
+    assert("No Partition Defined for Window operation! Moving all data to a single partition."
+      .matches(patterns("org.apache.spark.sql.execution.window.WindowExec")))
+    assert("Asked to cache already cached data."
+      .matches(patterns("org.apache.spark.sql.execution.CacheManager")))
+    assert(!"Asked to re-cache at a conflicting storage level MEMORY_ONLY."
+      .matches(patterns("org.apache.spark.sql.execution.CacheManager")))
   }
 
   test("the machine-speed canary is deterministic work at a plausible cost") {

@@ -25,7 +25,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_embed_ann_pq", "q_embed_ann_pq_idx",
     // the PCA coarse pass streams the reduced (k'-double) rows past the
     // same ~10-row broadcast projected-query frame — constant build side
-    "q_embed_ann_pca",
+    // (the stored twin probes the materialized reduced table through
+    // the same constant-build-side plan)
+    "q_embed_ann_pca", "q_embed_ann_pca_idx",
     // importance resampling crossJoins a broadcast 1-ROW quota frame
     // into the score histogram (Mixture.importanceResampleOn) — same
     // constant-build-side shape as tf-idf's corpus count

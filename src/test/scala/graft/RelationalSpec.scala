@@ -147,6 +147,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSet === Set(2L))
   }
 
+  test("customersWithoutOrders is non-vacuous on the fixture (r15 ask #8)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Every fixture customer has SOME order, so the unfiltered anti-join
+    // certified 0 == 0 — a passing-but-empty check. The dormant-since
+    // cutoff makes the driver row a real certificate: rows > 0 and every
+    // surfaced customer truly has no order on/after the cutoff.
+    val out = Relational.customersWithoutOrders(spark, sf)
+    val n = out.count()
+    assert(n > 0, "cutoff spelling must be non-vacuous on the fixture")
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    assert(out.join(recent, out("c_custkey") === recent("o_custkey")).count() === 0L,
+      "anti-join must exclude every customer with a post-cutoff order")
+    val totalCust = Tables.customer(spark, sf).count()
+    val withRecent = recent.count()
+    assert(n === totalCust - withRecent, "anti-join cardinality law")
+  }
+
   test("rollup includes subtotal and grand-total rows") {
     val rows = Relational.lineitemRollup(spark, sf).collect()
     val nulls2 = rows.count(r => r.isNullAt(0) && r.isNullAt(1))

@@ -605,6 +605,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding ingest maintains the PCA serving index: bootstrap, " +
+      "stored-basis appends == batch appendPcaIndex, replay-idempotent, " +
+      "drift sees each batch") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-ingest-emb-pca")
+    val corpusDir = base.resolve("corpus").toString
+    val indexDir = base.resolve("ivf").toString
+    val pcaDir = base.resolve("pca").toString
+    val all = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val seed = all.filter(_._1 % 10 < 8)
+    val rest = all.filter(_._1 % 10 >= 8)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ingestEmbeddings(
+      ms.toDF().toDF("vec_id", "embedding"), corpusDir, indexDir,
+      pcaIndexDir = Some(pcaDir))
+    try {
+      // bootstrap: the first data-carrying batch builds the full PCA
+      // index from the corpus (fit + project + manifest-last)
+      ms.addData(seed.toSeq)
+      q.processAllAvailable()
+      val (basis0, reduced0, _) =
+        graft.sources.SimilarityIndexes.readPcaIndex(spark, pcaDir)
+      assert(basis0.nonEmpty, "bootstrap must fit and store the basis")
+      assert(reduced0.count() === seed.length.toLong,
+        "bootstrap reduced table must cover the first delivery")
+      // append: new vectors are PROJECTED under the stored basis —
+      // the basis never moves, and the streamed reduced coordinates
+      // equal a one-shot batch appendPcaIndex of the same delta
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val (basis1, reduced1, vectors1) =
+        graft.sources.SimilarityIndexes.readPcaIndex(spark, pcaDir)
+      assert(basis1 === basis0, "appends must never move the basis")
+      assert(vectors1.count() === all.length.toLong)
+      val expected = graft.operators.Similarity.projectWithBasis(
+          spark.read.parquet(corpusDir), basis0)
+        .select($"vec_id", $"pc").as[(Long, Seq[Double])].collect().toMap
+      val got = reduced1.select($"vec_id", $"pc")
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(got === expected,
+        "streaming-maintained reduced table == one-shot stored-basis projection")
+      // drift audit sees the appended batch's moments as its own ingest
+      val drift = graft.sources.SimilarityIndexes.pcaDriftStats(spark, pcaDir)
+        .select($"ingest").as[String].collect().toSet
+      assert(drift.contains(graft.sources.DedupIndexes.BaseLabel) &&
+        drift.exists(_.startsWith("b")),
+        s"drift stats must cover base + appended ingests, got $drift")
+      // replay: a re-delivered batch claims nothing new
+      ms.addData(rest.toSeq)
+      q.processAllAvailable()
+      val (_, reduced2, vectors2) =
+        graft.sources.SimilarityIndexes.readPcaIndex(spark, pcaDir)
+      assert(reduced2.count() === all.length.toLong &&
+        vectors2.count() === all.length.toLong,
+        "a pure re-delivery must not duplicate index rows")
+      // the maintained index SERVES identically to an index built in
+      // ONE SHOT from the final corpus under the same basis — the
+      // streamed==batch family contract, certified through the probe
+      val queries = spark.read.parquet(corpusDir)
+        .filter($"vec_id" < 10).select($"vec_id".as("query_id"),
+          $"embedding".as("eq"))
+      val corpus = spark.read.parquet(corpusDir)
+      val stored = graft.operators.Similarity.annTopKPcaFromIndex(
+        basis1, reduced2, vectors2, broadcast(queries))
+      val oneShot = graft.operators.Similarity.annTopKPcaFromIndex(
+        basis1, graft.operators.Similarity.projectWithBasis(corpus, basis1)
+          .select($"vec_id", $"pc"),
+        corpus.select($"vec_id", $"embedding"), broadcast(queries))
+      assert(stored.collect().toSet === oneShot.collect().toSet,
+        "probe over the streaming-maintained PCA index must equal the one-shot build")
+    } finally q.stop()
+  }
+
   test("sink construction refuses an indexDir that overlaps corpusDir") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-ingest-overlap")
