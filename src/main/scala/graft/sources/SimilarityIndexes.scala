@@ -189,6 +189,23 @@ object SimilarityIndexes {
     (row.getAs[Int]("nlist"), row.getAs[Int]("nassign"))
   }
 
+  /** The (m, ksub) a stored PQ index was built with (pointer-resolved) —
+    * the config a sink restart must match ([[readIvfMeta]]'s contract
+    * for the codebook family). */
+  def readPqMeta(spark: SparkSession, path0: String): (Int, Int) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val row = spark.read.parquet(s"$path/meta").head()
+    (row.getAs[Int]("m"), row.getAs[Int]("ksub"))
+  }
+
+  /** The (nlist, m, ksub) a stored IVF-PQ index was built with
+    * (pointer-resolved). */
+  def readIvfPqMeta(spark: SparkSession, path0: String): (Int, Int, Int) = {
+    val path = DedupIndexes.resolveIndex(spark, path0)
+    val row = spark.read.parquet(s"$path/meta").head()
+    (row.getAs[Int]("nlist"), row.getAs[Int]("m"), row.getAs[Int]("ksub"))
+  }
+
   private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell"))

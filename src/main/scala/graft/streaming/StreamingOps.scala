@@ -1011,18 +1011,53 @@ object StreamingOps {
                        idCol: String = "vec_id", embCol: String = "embedding",
                        nlist: Int = 16, nassign: Int = 1,
                        pcaIndexDir: Option[String] = None,
-                       pcaK: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
-    assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, indexDir)
-    pcaIndexDir.foreach { p =>
-      assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, p)
-      require(!graft.sources.DedupIndexes.pathsOverlap(vectors.sparkSession, p, indexDir),
-        s"pcaIndexDir $p must not overlap the IVF indexDir $indexDir — " +
+                       pcaK: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestEmbeddingsIndexed(vectors, corpusDir,
+      Seq(IndexMaintenance.Ivf(indexDir, nlist, nassign)) ++
+        pcaIndexDir.map(IndexMaintenance.Pca(_, pcaK)),
+      idCol, embCol)
+
+  /** [[ingestEmbeddings]] generalized to ANY set of stored ANN families
+    * (r16): each [[IndexMaintenance]] descriptor names one index dir
+    * plus its build params, and the sink runs the SAME maintenance
+    * contract for every one of them per micro-batch —
+    *
+    *   1. no complete index (manifest-gated): refuse if a crashed
+    *      build's surviving meta pins different params, else bootstrap
+    *      the full build from the corpus once it holds vectors (an
+    *      empty first micro-batch must not hand zero rows to a fit:
+    *      that throws and the SAME empty batch replays forever);
+    *   2. established index: refuse if the sink's params differ from
+    *      the stored config (changing a layout is a rebuild, not a
+    *      restart — and the append would silently assign under the
+    *      stored meta anyway), else append the delivery's
+    *      corpus-member vectors that no OTHER ingest has claimed
+    *      (own-label exclusion keeps crash replays judging against
+    *      exactly what the first attempt saw), skipping the append
+    *      entirely on a pure re-delivery (no vacant ingest labels).
+    *
+    * One corpus, N serving artifacts: at 100 TB the corpus append is
+    * the only full-width write, and each family's append is
+    * batch-sized work against its own fit-once artifact (centroids /
+    * codebooks / basis / planes — none move outside a rebuild). Drift
+    * is measured per family (ivf/pq/pcaDriftStats) and re-fit happens
+    * at compaction cadence, never in the sink.
+    */
+  def ingestEmbeddingsIndexed(vectors: DataFrame, corpusDir: String,
+                              maintain: Seq[IndexMaintenance],
+                              idCol: String = "vec_id",
+                              embCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maintain.nonEmpty, "ingestEmbeddingsIndexed needs at least one index to maintain")
+    maintain.foreach(m =>
+      assertIndexDisjointFromCorpus(vectors.sparkSession, corpusDir, m.dir))
+    for (Seq(a, b) <- maintain.combinations(2))
+      require(!graft.sources.DedupIndexes.pathsOverlap(vectors.sparkSession, a.dir, b.dir),
+        s"${a.family} dir ${a.dir} must not overlap ${b.family} dir ${b.dir} — " +
           "each family owns its tree (their base builds delete their own path)")
-    }
     vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       graft.CacheScope.scoped {
       val spark = batch.sparkSession
-      // persisted: feeds both the corpus append and the index delta;
+      // persisted: feeds the corpus append and every family's delta;
       // scope-tracked so the batch body's exit unpersists it
       val deduped = graft.CacheScope.track(batch
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
@@ -1035,101 +1070,31 @@ object StreamingOps {
             Seq("vec_id"), "left_anti")
         else deduped
       fresh.write.mode("append").parquet(corpusDir)
-      if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
-        // no COMPLETE index (manifest is written last). A SURVIVING meta
-        // means a build crashed between its meta write and its manifest
-        // — that meta pins the crashed build's intended layout, and a
-        // sink restarted with different params must not silently bury
-        // it under its own: refuse, exactly like the established-index
-        // branch below (changing the layout is a writeIvfIndex rebuild,
-        // not a sink restart).
-        if (graft.sources.DedupIndexes.hasData(spark, s"$indexDir/meta")) {
-          val (mNlist, mNassign) =
-            graft.sources.SimilarityIndexes.readIvfMeta(spark, indexDir)
-          require(mNlist == nlist && mNassign == nassign,
-            s"a crashed build at $indexDir pinned (nlist=$mNlist, nassign=$mNassign) " +
-              s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +
-              "restart the sink at the pinned params, or rebuild with " +
-              "writeIvfIndex to change the layout")
-        }
-        // bootstrap the full build — but only once the corpus actually
-        // holds vectors. An empty first micro-batch (recovery replay of
-        // a no-op batch) must not hand zero rows to the k-means fit:
-        // that throws, the batch fails, and the SAME empty batch
-        // replays forever — the stream could never reach a batch that
-        // has data
-        if (flatDirHasData(spark, corpusDir) &&
-            !spark.read.parquet(corpusDir).isEmpty) {
-          graft.sources.SimilarityIndexes.writeIvfIndex(
-            spark.read.parquet(corpusDir), indexDir, qKey = indexDir,
-            nlist = nlist, nassign = nassign)
-        }
-      } else {
-        // established index: the sink's params must MATCH the stored
-        // config — appends always assign under the index's own meta, so
-        // silently accepting different params here would let a caller
-        // believe they changed the layout when nothing did. Changing
-        // (nlist, nassign) is a rebuild (writeIvfIndex), not a restart.
-        // Validated against the REQUESTED nlist pinned in meta — the
-        // fitted centroid count can legitimately be smaller (k-means on
-        // a small corpus) and must not wedge an unchanged sink.
-        val (storedNlist, storedNassign) =
-          graft.sources.SimilarityIndexes.readIvfMeta(spark, indexDir)
-        require(storedNassign == nassign && storedNlist == nlist,
-          s"index at $indexDir was built with (nlist=$storedNlist, nassign=$storedNassign) " +
-            s"but the sink was started with (nlist=$nlist, nassign=$nassign); " +
-            "rebuild the index to change its layout")
-        val label = s"b$batchId"
-        // scope-tracked persist: emptiness probe + (when non-empty) the
-        // append's cells and manifest writes share one derivation
-        val toIndex = graft.CacheScope.track(deduped
-          .join(spark.read.parquet(corpusDir).select(col("vec_id")),
-            Seq("vec_id"), "left_semi")
-          .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, indexDir, Some(label)),
-            Seq("vec_id"), "left_anti")
-          .persist())
-        // pure re-delivery ⇒ empty delta ⇒ no vacant ingest=b<N> label
-        // accumulating per steady-state batch (see maintainIndex)
-        if (!toIndex.isEmpty)
-          graft.sources.SimilarityIndexes.appendIvf(toIndex, indexDir, label)
-      }
-      // PCA serving index maintenance (r15 verdict #5): the EXACT
-      // contract the IVF branch above runs, for the basis artifact —
-      // manifest-gated bootstrap (writePcaIndex is fit + project +
-      // manifest-last, so a crashed build is re-run from scratch),
-      // then fit-once/PROJECT-forever appends whose per-ingest moments
-      // feed pcaDriftStats. Without this, a PCA-served corpus goes
-      // stale under streaming ingest while its IVF sibling doesn't.
-      pcaIndexDir.foreach { pdir =>
-        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, pdir)) {
-          // a surviving meta without a manifest pins a crashed build's
-          // layout — refuse a sink restarted at different k (changing
-          // the basis width is a writePcaIndex rebuild, not a restart)
-          if (graft.sources.DedupIndexes.hasData(spark, s"$pdir/meta")) {
-            val (_, mK) = graft.sources.SimilarityIndexes.readPcaMeta(spark, pdir)
-            require(mK == pcaK,
-              s"a crashed PCA build at $pdir pinned k=$mK but the sink was " +
-                s"started with k=$pcaK; restart at the pinned k, or rebuild " +
-                "with writePcaIndex to change the layout")
-          }
+      // the corpus-member slice of this delivery, shared by every
+      // family's delta derivation (one semi-join, not N)
+      lazy val inCorpus = graft.CacheScope.track(deduped
+        .join(spark.read.parquet(corpusDir).select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .persist())
+      val label = s"b$batchId"
+      maintain.foreach { m =>
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, m.dir)) {
+          m.checkCrashed(spark)
           if (flatDirHasData(spark, corpusDir) &&
               !spark.read.parquet(corpusDir).isEmpty)
-            graft.sources.SimilarityIndexes.writePcaIndex(
-              spark.read.parquet(corpusDir), pdir, qKey = pdir, k = pcaK)
+            m.bootstrap(spark.read.parquet(corpusDir))
         } else {
-          val (_, storedK) = graft.sources.SimilarityIndexes.readPcaMeta(spark, pdir)
-          require(storedK == pcaK,
-            s"PCA index at $pdir was built with k=$storedK but the sink was " +
-              s"started with k=$pcaK; rebuild the index to change its layout")
-          val label = s"b$batchId"
-          val toPca = graft.CacheScope.track(deduped
-            .join(spark.read.parquet(corpusDir).select(col("vec_id")),
-              Seq("vec_id"), "left_semi")
-            .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, pdir, Some(label)),
+          m.checkStored(spark)
+          // scope-tracked persist: emptiness probe + (when non-empty)
+          // the append's artifact and manifest writes share one
+          // derivation
+          val delta = graft.CacheScope.track(inCorpus
+            .join(graft.sources.SimilarityIndexes.indexedVecIds(spark, m.dir, Some(label)),
               Seq("vec_id"), "left_anti")
             .persist())
-          if (!toPca.isEmpty)
-            graft.sources.SimilarityIndexes.appendPcaIndex(toPca, pdir, label)
+          // pure re-delivery ⇒ empty delta ⇒ no vacant ingest=b<N>
+          // label accumulating per steady-state batch
+          if (!delta.isEmpty) m.append(delta, label)
         }
       }
       }

@@ -679,6 +679,117 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("generalized embedding ingest maintains EVERY stored ANN family: " +
+      "SQ8/LSH/PQ/IVF-SQ/IVF-PQ streamed artifacts == one-shot stored-fit " +
+      "derivations, replay-idempotent, full manifest coverage") {
+    import java.nio.file.Files
+    import graft.streaming.IndexMaintenance
+    import graft.sources.SimilarityIndexes
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft-ingest-emb-all")
+    val corpusDir = base.resolve("corpus").toString
+    def d(n: String) = base.resolve(n).toString
+    val maintain = Seq(
+      IndexMaintenance.Sq(d("sq")),
+      IndexMaintenance.Lsh(d("lsh")),
+      IndexMaintenance.Pq(d("pq"), m = 16, ksub = 8),
+      IndexMaintenance.IvfSq(d("ivfsq"), nlist = 8),
+      IndexMaintenance.IvfPq(d("ivfpq"), nlist = 8, m = 16, ksub = 8))
+    val all = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val seed = all.filter(_._1 % 10 < 8)
+    val rest = all.filter(_._1 % 10 >= 8)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ingestEmbeddingsIndexed(
+      ms.toDF().toDF("vec_id", "embedding"), corpusDir, maintain)
+    try {
+      ms.addData(seed.toSeq)        // bootstrap every family
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)        // stored-fit append to every family
+      q.processAllAvailable()
+      ms.addData(rest.toSeq)        // pure re-delivery: nothing claimed
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusDir)
+      assert(corpus.count() === all.length.toLong)
+      // every family claims the whole corpus, exactly once
+      maintain.foreach { m =>
+        val claimed = SimilarityIndexes.indexedVecIds(spark, m.dir)
+          .as[Long].collect()
+        assert(claimed.length === all.length &&
+          claimed.toSet === all.map(_._1).toSet,
+          s"${m.family}: manifest must cover the corpus exactly once")
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      // SQ8: streamed codes == one-shot quantization of the corpus
+      val (sqCodes, _) = SimilarityIndexes.readSqIndex(spark, d("sq"))
+      assert(rows(sqCodes) === rows(Similarity.quantizeSq8On(corpus)),
+        "SQ8 streamed codes fork from the one-shot quantization")
+      // LSH: streamed sketches == keys derived at the stored config
+      val (sketches, lshVecs, (nt, bits, dim)) =
+        SimilarityIndexes.readLshIndex(spark, d("lsh"))
+      assert(rows(sketches) ===
+        rows(Similarity.lshSketchFrames(corpus, nt, bits, dim)),
+        "LSH streamed sketches fork from the stored-config derivation")
+      assert(lshVecs.count() === all.length.toLong)
+      // PQ: appended codes encoded under the BOOTSTRAP codebooks
+      val (books, pqCodes, _) = SimilarityIndexes.readPqIndex(spark, d("pq"))
+      assert(rows(pqCodes) === rows(Similarity.quantizePqOn(corpus, books)),
+        "PQ streamed codes fork from stored-codebook encoding")
+      // IVF-SQ: appended codes assigned under the BOOTSTRAP centroids
+      val (cent, ivfSqCodes, _) = SimilarityIndexes.readIvfSqIndex(spark, d("ivfsq"))
+      assert(rows(ivfSqCodes.select($"vec_id", $"cell", $"maxabs", $"codes")) ===
+        rows(Similarity.quantizeSq8On(Similarity.assignCells(corpus, cent, nassign = 1))
+          .select($"vec_id", $"cell", $"maxabs", $"codes")),
+        "IVF-SQ streamed codes fork from stored-centroid assignment")
+      // IVF-PQ: both fitted artifacts honored on append
+      val (cent2, books2, ivfPqCodes, _) =
+        SimilarityIndexes.readIvfPqIndex(spark, d("ivfpq"))
+      assert(rows(ivfPqCodes.select($"vec_id", $"cell", $"codes")) ===
+        rows(Similarity.quantizePqOn(
+            Similarity.assignCells(corpus, cent2, nassign = 1), books2)
+          .select($"vec_id", $"cell", $"codes")),
+        "IVF-PQ streamed codes fork from stored-fit encoding")
+    } finally q.stop()
+  }
+
+  test("generalized embedding sink refuses param forks and overlapping dirs") {
+    import java.nio.file.Files
+    import graft.streaming.IndexMaintenance
+    val base = Files.createTempDirectory("graft-ingest-emb-forks")
+    val corpusDir = base.resolve("corpus").toString
+    val lshDir = base.resolve("lsh").toString
+    // established-index param fork: build LSH at one config, restart
+    // the sink at another — the batch must FAIL, not silently append
+    // under the stored config
+    val seed = Tables.embeddings(spark, TestSpark.sf0001)
+      .select($"vec_id", $"embedding").limit(40)
+    seed.write.mode("overwrite").parquet(corpusDir)
+    graft.sources.SimilarityIndexes.writeLshIndex(
+      spark.read.parquet(corpusDir), lshDir, nTables = 16, bitsPerTable = 2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ingestEmbeddingsIndexed(
+      ms.toDF().toDF("vec_id", "embedding"), corpusDir,
+      Seq(IndexMaintenance.Lsh(lshDir, nTables = 8, bitsPerTable = 2)))
+    try {
+      ms.addData(seed.as[(Long, Seq[Float])].collect().toSeq)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("rebuild"),
+        s"expected the param-fork refusal, got: ${e.getMessage}")
+    } finally q.stop()
+    // pairwise dir overlap between two maintained families
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestEmbeddingsIndexed(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir,
+        Seq(IndexMaintenance.Sq(base.resolve("x").toString),
+          IndexMaintenance.Lsh(s"${base.resolve("x")}/nested"))))
+    // empty maintenance set is a construction error
+    intercept[IllegalArgumentException](
+      StreamingOps.ingestEmbeddingsIndexed(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir, Seq.empty))
+  }
+
   test("sink construction refuses an indexDir that overlaps corpusDir") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-ingest-overlap")
