@@ -500,6 +500,12 @@ object SparkEntry {
     // rows-only: kmeans-seeded cells are engine-specific; recall vs
     // brute force asserted in SimilaritySpec
     "q_embed_ann_ivf" -> ((s, d) => operators.Similarity.annTopKIvf(s, d)),
+    // the serving-knob tuning run: measured nprobe -> (recall_ppm,
+    // scan_ppm) curve vs the exact oracle over the same query sample;
+    // rows-only (kmeans cells) — monotonicity + the nprobe=nlist
+    // degenerate-to-brute endpoints are pinned in SimilaritySpec
+    "q_embed_ivf_recall" -> ((s, d) => operators.Similarity.ivfRecallCurve(s, d,
+      nprobes = Seq(1, 4, 12, 16))),
     // same probe against the MATERIALIZED (parquet) IVF index — the
     // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
     // the same reason, stored == inline asserted in SimilaritySpec

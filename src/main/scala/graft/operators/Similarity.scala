@@ -588,6 +588,84 @@ object Similarity {
                           nprobe: Int = 12): DataFrame =
     ivfProbe(centroids, cells, queries, k, nprobe)
 
+  /** MEASURED nprobe → recall curve for the IVF probe — the serving
+    * knob's cost/quality trade as a measured fact, completing the
+    * "measured, not guessed" family (drift says WHEN to re-fit;
+    * this says WHERE to set nprobe): for each requested nprobe, one
+    * row (nprobe, hits, scanned, n_truth, n_queries, n_corpus,
+    * recall_ppm, scan_ppm) where `hits` counts probe results that are
+    * true exact top-k neighbors (ground truth = [[annTopKBrute]] over
+    * the SAME query set — one corpus-sized scan, paid once), `scanned`
+    * counts the candidate rows the probe's coarse join actually reads
+    * at that fan-out (the SAME [[probedCells]] fan-out the probe
+    * scores — the measured cost, not the nprobe/nlist proxy, so
+    * skewed cell populations show up honestly), and the ppm columns
+    * are their integer-exact shares. Candidate sets grow with nprobe
+    * (a wider fan-out is a superset), so recall is non-decreasing by
+    * construction and reaches exactly 10^6 at nprobe = nlist (all
+    * cells probed ⇒ the probe IS brute force) — both spec-pinned.
+    *
+    * Scale: the ground truth and per-nprobe probes are all bounded by
+    * the sampled query set (the tuning run samples queries, never the
+    * corpus); the curve frame itself is |nprobes| rows of longs.
+    * kmeans-seeded cells make the numbers engine-specific → rows-only
+    * driver check (q_embed_ivf_recall); the invariants are the spec's.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                     trustKey: Boolean = false): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallCurve needs at least one nprobe")
+    nprobes.foreach(p => require(p >= 1 && p <= nlist,
+      s"nprobe=$p must be in [1, nlist=$nlist]"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val data = graft.CacheScope.track(
+      assignCells(emb, centroids, nassign = 1).persist())
+    val queries = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+    val truth = graft.CacheScope.track(
+      annTopKBrute(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")).persist())
+    // scanned-candidate counts derive from ONE shared population pass
+    // (cell → row count) + the tiny per-nprobe fan-out, instead of a
+    // corpus-sized candidate join per nprobe: Σ pop over probed cells,
+    // minus the probed own-cells (the probe's vec_id ≠ query_id
+    // exclusion). Exactly the candidate rows the probe's coarse join
+    // reads — measured from the stored assignment, at fan-out cost.
+    val pop = graft.CacheScope.track(
+      data.groupBy(col("cell")).agg(count(lit(1)).as("pop")).persist())
+    val qCells = broadcast(data
+      .join(queries.select(col("query_id")), col("vec_id") === col("query_id"))
+      .select(col("query_id").as("qid"), col("cell").as("qcell")))
+    val perProbe = nprobes.distinct.sorted.map { np =>
+      val pc = probedCells(centroids, queries, np)
+        .select(col("query_id"), col("cell"))
+      val gross = pc.join(pop, Seq("cell"))
+        .agg(coalesce(sum(col("pop")), lit(0L)).as("gross"))
+      val own = pc.as("p").join(qCells.as("q"),
+          col("p.query_id") === col("q.qid") && col("p.cell") === col("q.qcell"))
+        .agg(count(lit(1)).as("own"))
+      val hits = ivfProbe(centroids, data, queries, k, np)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      // 1-row × 1-row crossJoins — the q_tfidf_terms constant-build
+      // BNLJ shape (PlanInvariantsSpec intendedBnlj)
+      hits.crossJoin(gross).crossJoin(own)
+        .select(lit(np).as("nprobe"), col("hits"),
+          (col("gross") - col("own")).as("scanned"))
+    }.reduce(_ unionByName _)
+    val totals = broadcast(truth.agg(
+        count(lit(1)).as("n_truth"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_corpus"))))
+    perProbe.crossJoin(totals)
+      .select(col("nprobe"), col("hits"), col("scanned"),
+        col("n_truth"), col("n_queries"), col("n_corpus"),
+        expr("hits * 1000000 DIV n_truth").as("recall_ppm"),
+        expr("scanned * 1000000 DIV (n_queries * (n_corpus - 1))").as("scan_ppm"))
+  }
+
   /** The IVF probe shared by [[annTopKIvf]] and [[annTopKIvfFromIndex]]:
     * each query ranks the centroids, fans out to its `nprobe` nearest
     * cells (tiny side: queries × nprobe rows), and re-scores exactly the
@@ -598,15 +676,25 @@ object Similarity {
     * max-agg collapses it without ever grouping on the ~0.5 KB vector
     * payloads (same rationale as [[annTopKLshOn]]).
     */
-  private def ivfProbe(centroids: Seq[Seq[Double]], cells: DataFrame,
-                       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Each query's `nprobe` nearest cells — (query_id, eq, cell), the
+    * IVF fan-out side shared by [[ivfProbe]] and the recall-curve
+    * measurement ([[ivfRecallCurve]] counts candidates over the same
+    * fan-out the probe scores, so the curve measures the real probe).
+    */
+  private def probedCells(centroids: Seq[Seq[Double]], queries: DataFrame,
+                          nprobe: Int): DataFrame = {
     val probes = queries.select(col("query_id"), col("eq"),
       posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
         .as(Seq("cell", "csim")))
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
-    val probeCells = probes.withColumn("pr", row_number().over(wP))
+    probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("eq"), col("cell"))
+  }
+
+  private def ivfProbe(centroids: Seq[Seq[Double]], cells: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probeCells = probedCells(centroids, queries, nprobe)
     saltedTopPerQuery(cells.join(probeCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

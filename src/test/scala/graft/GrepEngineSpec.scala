@@ -206,6 +206,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_self_repeats", "q_self_repeats_planted",
       "q_decontaminate", "q_decontaminate_cov", "q_decontaminate_eval_cov",
       "q_embed_neardup", "q_embed_ann", "q_embed_ann_lsh", "q_embed_ann_ivf",
+      "q_embed_ivf_recall",
       "q_embed_ann_sq", "q_embed_ann_sq_idx",
       "q_embed_ann_ivfsq", "q_embed_ann_ivfsq_idx",
       "q_embed_ann_ivf_idx", "q_embed_ann_lsh_idx",

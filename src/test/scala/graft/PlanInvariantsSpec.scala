@@ -18,6 +18,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // broadcast query frame as q_embed_ann — constant build side
     // (stored twin shares the probe)
     "q_embed_ann_sq", "q_embed_ann_sq_idx",
+    // the recall-curve tuning run composes the brute ground truth (the
+    // q_embed_ann coarse BNLJ) with per-nprobe 1-row × 1-row crossJoins
+    // of its hit/scanned aggregates and one 1-row totals frame — every
+    // build side constant-size
+    "q_embed_ivf_recall",
     // the PQ ADC coarse pass streams the 16-byte code rows past the
     // same ~10-row broadcast query frame (with its precomputed lookup
     // tables riding along) — constant build side, stored twin shares

@@ -68,6 +68,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallCurve: recall and scan monotone in nprobe, exact-brute " +
+      "and full-scan endpoints at nprobe = nlist, honest denominators") {
+    val nlist = 16
+    val rows = Similarity.ivfRecallCurve(spark, sf,
+        nprobes = Seq(1, 4, 8, nlist), nlist = nlist)
+      .orderBy($"nprobe")
+      .select($"nprobe", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1, 4, 8, nlist))
+    // a wider fan-out is a candidate SUPERSET: recall and scanned cost
+    // are non-decreasing by construction, not just in expectation
+    assert(rows.map(_._7).toSeq === rows.map(_._7).toSeq.sorted,
+      s"recall_ppm must be monotone in nprobe: ${rows.map(_._7).toSeq}")
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted,
+      s"scanned must be monotone in nprobe: ${rows.map(_._3).toSeq}")
+    // nprobe = nlist probes every cell: the probe IS brute force and
+    // the coarse join reads every (query, other-vector) pair once
+    val full = rows.last
+    assert(full._7 === 1000000L,
+      s"nprobe=nlist must recall the exact top-k in full (got ${full._7} ppm)")
+    assert(full._8 === 1000000L,
+      s"nprobe=nlist must scan every candidate pair (got ${full._8} ppm)")
+    assert(full._3 === full._5 * (full._6 - 1),
+      "full scan count must equal n_queries * (n_corpus - 1)")
+    // denominators are the measured sample, not the requested params
+    assert(full._4 === full._5 * 5, "n_truth = n_queries * k at the default k")
+    // the narrowest probe reads a strict subset on this 16-cell layout
+    assert(rows.head._3 < full._3)
+  }
+
   test("salted two-phase shortlist == plain window: fixture SQ8 + IVF-PQ coarse " +
     "passes, and skewed tied data") {
     import org.apache.spark.sql.expressions.Window
