@@ -160,9 +160,17 @@ object Similarity {
   def annTopKBrute(spark: SparkSession, sfDir: String,
                    nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = Tables.embeddings(spark, sfDir)
-    val q = broadcast(v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
-    val scored = v.join(q, col("vec_id") =!= col("query_id"))
+    bruteTopKOn(v, broadcast(v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))), k)
+  }
+
+  /** [[annTopKBrute]] over any (vec_id, embedding) / (query_id, eq)
+    * frames — the exact ground truth the recall-curve measurements
+    * score against (caller broadcasts the query side).
+    */
+  private[graft] def bruteTopKOn(vectors: DataFrame, queries: DataFrame,
+                                 k: Int): DataFrame = {
+    val scored = vectors.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         rankSim(col("eq"), col("embedding")).as("sim"))
     saltedTopPerQuery(scored,
@@ -615,17 +623,47 @@ object Similarity {
                      nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
                      nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
                      trustKey: Boolean = false): DataFrame = {
-    require(nprobes.nonEmpty, "ivfRecallCurve needs at least one nprobe")
-    nprobes.foreach(p => require(p >= 1 && p <= nlist,
-      s"nprobe=$p must be in [1, nlist=$nlist]"))
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
-    val data = graft.CacheScope.track(
-      assignCells(emb, centroids, nassign = 1).persist())
-    val queries = broadcast(emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+    recallCurveCore(centroids,
+      assignCells(emb, centroids, nassign = 1),
+      emb.select(col("vec_id"), col("embedding")),
+      broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))),
+      k, nprobes)
+  }
+
+  /** [[ivfRecallCurve]] over a PREBUILT (centroids, cells) index
+    * ([[graft.sources.SimilarityIndexes.readIvfIndex]]) — tune the
+    * index you actually SERVE: the curve measures the stored layout
+    * as-is, so a drifted or skew-grown index answers with its real
+    * recall/scan trade, not the fresh-fit ideal. `scanned` counts
+    * stored candidate ROWS (a multi-assign layout counts a vector once
+    * per probed assignment — the bytes the coarse join actually
+    * reads); the exact full-scan endpoint laws hold at nassign = 1.
+    */
+  def ivfRecallCurveFromIndex(centroids: Seq[Seq[Double]], cells: DataFrame,
+                              queries: DataFrame, k: Int = 5,
+                              nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): DataFrame =
+    recallCurveCore(centroids, cells,
+      cells.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"),
+      broadcast(queries), k, nprobes)
+
+  /** The measurement shared by [[ivfRecallCurve]] and
+    * [[ivfRecallCurveFromIndex]]: `data` is the cell-assigned frame the
+    * probes scan, `vectors` the deduplicated corpus the brute ground
+    * truth scores.
+    */
+  private def recallCurveCore(centroids: Seq[Seq[Double]], data0: DataFrame,
+                              vectors: DataFrame, queries: DataFrame,
+                              k: Int, nprobes: Seq[Int]): DataFrame = {
+    val nlist = centroids.size
+    require(nprobes.nonEmpty, "recall curve needs at least one nprobe")
+    nprobes.foreach(p => require(p >= 1 && p <= nlist,
+      s"nprobe=$p must be in [1, nlist=$nlist]"))
+    val data = graft.CacheScope.track(data0.persist())
     val truth = graft.CacheScope.track(
-      annTopKBrute(spark, sfDir, nQueries, k)
+      bruteTopKOn(vectors, queries, k)
         .select(col("query_id"), col("neighbor_id")).persist())
     // scanned-candidate counts derive from ONE shared population pass
     // (cell → row count) + the tiny per-nprobe fan-out, instead of a
@@ -658,7 +696,7 @@ object Similarity {
     val totals = broadcast(truth.agg(
         count(lit(1)).as("n_truth"),
         countDistinct(col("query_id")).as("n_queries"))
-      .crossJoin(emb.agg(count(lit(1)).as("n_corpus"))))
+      .crossJoin(vectors.agg(count(lit(1)).as("n_corpus"))))
     perProbe.crossJoin(totals)
       .select(col("nprobe"), col("hits"), col("scanned"),
         col("n_truth"), col("n_queries"), col("n_corpus"),

@@ -101,6 +101,22 @@ object IndexSql {
     SimilarityIndexes.ivfDriftStats(spark, indexPath)
       .createOrReplaceTempView(viewName)
 
+  /** `SELECT * FROM <viewName>` = the measured nprobe → recall/scan
+    * curve of the STORED index for the queries in `queriesTable`
+    * (needs query_id, eq) — [[Similarity.ivfRecallCurveFromIndex]];
+    * the serving-knob dashboard twin of [[registerIvfDriftStats]]
+    * (drift says when to re-fit, this says where to set nprobe).
+    */
+  def registerIvfRecallCurve(spark: SparkSession, viewName: String,
+                             indexPath: String, queriesTable: String,
+                             k: Int = 5,
+                             nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): Unit = {
+    val (centroids, cells) = SimilarityIndexes.readIvfIndex(spark, indexPath)
+    Similarity.ivfRecallCurveFromIndex(centroids, cells,
+        spark.table(queriesTable).select("query_id", "eq"), k, nprobes)
+      .createOrReplaceTempView(viewName)
+  }
+
   /** `SELECT * FROM <viewName>` = (query_id, neighbor_id, rank) top-k
     * over the stored PCA serving index —
     * [[Similarity.annTopKPcaFromIndex]] under the index's STORED basis.

@@ -97,6 +97,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full._4 === full._5 * 5, "n_truth = n_queries * k at the default k")
     // the narrowest probe reads a strict subset on this 16-cell layout
     assert(rows.head._3 < full._3)
+
+    // stored-index twin: the curve over a MATERIALIZED (centroids,
+    // cells) index equals the inline measurement — same qKey, so the
+    // memoized fit pins identical centroids and any divergence is in
+    // the curve arithmetic itself. The SQL view serves the same rows.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-recall").toString
+    graft.sources.SimilarityIndexes.writeIvfIndex(
+      Tables.embeddings(spark, sf), s"$dir/idx", qKey = sf)
+    val (cent, cells) = graft.sources.SimilarityIndexes
+      .readIvfIndex(spark, s"$dir/idx")
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.ivfRecallCurveFromIndex(cent, cells, queries,
+      nprobes = Seq(1, 4, 8, nlist))
+    val inline = Similarity.ivfRecallCurve(spark, sf,
+      nprobes = Seq(1, 4, 8, nlist), nlist = nlist)
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      inline.collect().map(_.toString).sorted.toSeq,
+      "recall curve over the stored index must equal the inline measurement")
+    queries.createOrReplaceTempView("recall_queries")
+    graft.sources.IndexSql.registerIvfRecallCurve(spark, "ivf_recall_sql",
+      s"$dir/idx", "recall_queries", nprobes = Seq(1, 4, 8, nlist))
+    assert(spark.sql("SELECT * FROM ivf_recall_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      stored.collect().map(_.toString).sorted.toSeq,
+      "SQL view must serve the same curve as the Scala stored probe")
   }
 
   test("salted two-phase shortlist == plain window: fixture SQ8 + IVF-PQ coarse " +
