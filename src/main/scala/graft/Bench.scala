@@ -3,9 +3,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // machine-speed canary FIRST — before the SparkSession exists, so
-    // it measures the host, not this JVM's concurrent Spark load
+    // machine-speed canaries FIRST — before the SparkSession exists, so
+    // they measure the host, not this JVM's concurrent Spark load. Two
+    // of them since r17: the single-thread canary (per-core speed) and
+    // the MULTI-THREAD canary (aggregate parallel throughput) — three
+    // documented rounds of flag adjudication ended in "boot-level
+    // multi-thread drift the single-thread canary cannot capture";
+    // measuring it turns that re-derivation into a recorded ratio.
     val canary = BenchContract.canarySeconds()
+    val canaryMt = BenchContract.canaryMtSeconds()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -162,10 +168,8 @@ object Bench {
       if (only.nonEmpty) Nil
       else BenchContract.isolationFlags(
         results.collect { case (n, (sec, None)) => n -> sec },
-        baseline.map { case (n, (med, _)) => n -> med },
-        canaryRatio = baseline.headOption
-          .flatMap { case (_, (_, bc)) => if (bc > 0) Some(canary / bc) else None }
-          .getOrElse(1.0))
+        baseline.medians,
+        canaryRatio = BenchContract.canaryRatioOf(canary, canaryMt, baseline))
     // bound the tail phase (5 reps each) so a pathological round — a
     // genuinely slower machine flags everything — cannot double bench
     // time; the drop is LOGGED, never silent
@@ -230,7 +234,7 @@ object Bench {
         // numbers, and the mechanical verdict — the full adjudication
         // the BENCH_ISOLATION.md protocol used to reconstruct by hand
         val iso = isolated.get(name).map { case (isoMed, isoMin) =>
-          val b = baseline(name)._1
+          val b = baseline.medians(name)
           s""","baseline_median":${ms(b)},"isolated_median":${ms(isoMed)},""" +
             s""""isolated_min":${ms(isoMin)},"isolated_verdict":"${
               BenchContract.isolationVerdict(isoMed, b)}""""
@@ -243,7 +247,7 @@ object Bench {
         s""""${esc(name)}":{$body}"""
       }.mkString("{", ",", "}")
       val payload =
-        s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"queries":$detail}"""
+        s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"canary_mt_sec":${ms(canaryMt)},"queries":$detail}"""
           .getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -258,7 +262,7 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val lines = BenchContract.lines(total.toString, qs, errsField, sfDir,
-      ms(canary).toString, failedNames)
+      ms(canary).toString, ms(canaryMt).toString, failedNames)
     lines.init.foreach(println)
     spark.stop()
     // The headline total prints LAST, after spark.stop(), so a
@@ -300,29 +304,38 @@ object BenchContract {
                        expectedEmpty: Set[String]): Option[String] =
     if (isEmpty && !expectedEmpty(name)) Some("EmptyResult") else None
 
-  /** Previous round's tracked per-query medians + its canary, read from
-    * the committed BENCH_DETAIL.json — the isolation tail phase's
+  /** The tracked BENCH_DETAIL.json contents the isolation phase
+    * compares against: per-query medians plus the recording boot's two
+    * canaries (canaryMtSec = 0.0 for artifacts written before r17 —
+    * the single-thread fallback in [[canaryRatioOf]] covers them).
+    */
+  case class Baseline(medians: Map[String, Double],
+                      canarySec: Double, canaryMtSec: Double)
+  object Baseline { val empty: Baseline = Baseline(Map.empty, 0.0, 0.0) }
+
+  /** Previous round's tracked per-query medians + its canaries, read
+    * from the committed BENCH_DETAIL.json — the isolation tail phase's
     * baseline. Empty when the file is missing, unparseable, or recorded
     * at a DIFFERENT sf (a local sf0.01 full run must never baseline an
     * sf0.1 driver run — their medians differ 10× and everything would
-    * flag). Returns name -> (median_sec, file_canary_sec).
+    * flag).
     */
-  def readBaseline(path: String, sfDir: String): Map[String, (Double, Double)] =
+  def readBaseline(path: String, sfDir: String): Baseline =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)) Baseline.empty
       else parseBaseline(
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline read failed (isolation phase off): $e")
-      Map.empty
+      Baseline.empty
     }
 
   /** [[readBaseline]]'s parse, factored for unit tests: Jackson tree
     * over the detail schema this file itself writes. Failed entries
     * (err, no median) are skipped.
     */
-  def parseBaseline(json: String, sfDir: String): Map[String, (Double, Double)] = {
+  def parseBaseline(json: String, sfDir: String): Baseline = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     // path-NORMALIZED compare: a respelled-but-identical sf dir (trailing
     // slash, relative form) must not silently disable the isolation phase
@@ -335,17 +348,36 @@ object BenchContract {
     if (norm(fileSf) != norm(sfDir)) {
       System.err.println(s"[bench] baseline sf '$fileSf' != run sf '$sfDir'" +
         " (isolation phase off)")
-      Map.empty
+      Baseline.empty
     } else {
       val canary = root.path("canary_sec").asDouble(0.0)
+      val canaryMt = root.path("canary_mt_sec").asDouble(0.0)
       val qs = root.path("queries")
       import scala.jdk.CollectionConverters._
-      qs.fields().asScala.flatMap { e =>
+      val medians = qs.fields().asScala.flatMap { e =>
         val med = e.getValue.path("median")
-        if (med.isNumber) Some(e.getKey -> ((med.asDouble, canary))) else None
+        if (med.isNumber) Some(e.getKey -> med.asDouble) else None
       }.toMap
+      Baseline(medians, canary, canaryMt)
     }
   }
+
+  /** The cross-boot normalization ratio the flagging phase scales
+    * baselines by: the MULTI-THREAD canary ratio when both boots
+    * recorded one — Spark queries on local[32] are parallel workloads,
+    * and the documented boot-drift class is exactly "multi-thread
+    * throughput moved while the single-thread canary stayed equal"
+    * (BENCH_ISOLATION.md r10/r14/r16) — falling back to the
+    * single-thread ratio against pre-r17 artifacts, and to 1.0 when
+    * there is no baseline at all.
+    */
+  def canaryRatioOf(thisCanary: Double, thisCanaryMt: Double,
+                    baseline: Baseline): Double =
+    if (baseline.canaryMtSec > 0 && thisCanaryMt > 0)
+      thisCanaryMt / baseline.canaryMtSec
+    else if (baseline.canarySec > 0 && thisCanary > 0)
+      thisCanary / baseline.canarySec
+    else 1.0
 
   /** Which succeeded queries the isolation tail re-measures: in-suite
     * median > 1.4× the canary-adjusted baseline median AND current
@@ -420,12 +452,61 @@ object BenchContract {
     times.min
   }
 
+  /** MULTI-THREAD machine-speed canary (r16 verdict #2): `threads`
+    * Java threads each run the [[canarySeconds]] avalanche pass over
+    * their OWN array, and one parallel pass is timed wall-clock (min of
+    * three after a warm-up pass) — the aggregate parallel throughput
+    * the single-thread canary provably cannot see. Three rounds of
+    * flag adjudication (BENCH_ISOLATION.md r10/r14/r16) ended in
+    * "boot-level multi-thread drift at equal single-thread canary";
+    * this records that drift as a number so cross-boot comparisons
+    * normalize by it ([[canaryRatioOf]]) instead of re-litigating the
+    * class by hand. Per-thread work equals the single canary's, so
+    * canary_mt_sec ≈ canary_sec under ideal scaling and the mt/single
+    * ratio reads directly as parallel efficiency. Spark-free,
+    * deterministic, DCE-anchored like its single-thread twin.
+    */
+  def canaryMtSeconds(threads: Int = 32): Double = {
+    val arrays = Array.tabulate(threads)(t =>
+      Array.tabulate(1 << 15)(i => (i + t).toLong * -7046029254386353131L))
+    val sinks = new java.util.concurrent.atomic.AtomicLong(0L)
+    def parallelPass(): Unit = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val arr = arrays(t)
+          var h = 2870177450012600261L
+          var r = 0
+          while (r < 4096) {
+            var i = 0
+            while (i < arr.length) {
+              h = java.lang.Long.rotateLeft(
+                h ^ (arr(i) * -4417276706812531889L), 31) * -7046029288634856825L
+              i += 1
+            }
+            r += 1
+          }
+          sinks.addAndGet(h)
+        })
+      }
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+    }
+    parallelPass() // JIT warm-up
+    val times = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      parallelPass()
+      (System.nanoTime() - t0) / 1e9
+    }
+    require(sinks.get() != 42L, "unreachable — anchors the loops against DCE")
+    times.min
+  }
+
   /** The lines to print, in order; the LAST line is always the compact
     * full-schema total (the canonical parse target) and the total of
     * all line lengths + newlines is <= [[TailWindow]] by construction.
     */
   def lines(total: String, queriesJson: String, errsField: String,
-            sfDir: String, canarySec: String,
+            sfDir: String, canarySec: String, canaryMtSec: String,
             failedNames: Seq[String] = Nil): Seq[String] = {
     // Failures ride the CANONICAL total line — the one parse the driver
     // is guaranteed to record — so a failing round cannot read as green
@@ -435,7 +516,7 @@ object BenchContract {
     // inside the tail window (names are also in query_errors on the map
     // line and in BENCH_DETAIL.json).
     def totalWith(failedField: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec$failedField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$failedField}"""
     val totalLine =
       if (failedNames.isEmpty) totalWith("")
       else {

@@ -95,7 +95,15 @@ object Sessions {
     * Bench/Verify mains only — tests and ad-hoc sessions keep every
     * warning.
     */
+  // once-guard: each call would otherwise compose ANOTHER duplicate
+  // DENY RegexFilter onto the logger configs — a process initializing
+  // both the Bench and Verify mains (or calling twice) must not
+  // accumulate redundant filters (r16 ADVICE)
+  private val warnFiltersApplied =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def quietKnownBenignWindowWarnings(): Unit = {
+    if (!warnFiltersApplied.compareAndSet(false, true)) return
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.Filter.Result

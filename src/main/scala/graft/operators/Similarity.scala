@@ -397,36 +397,51 @@ object Similarity {
     * the index write and the inline probe share the IDENTICAL basis.
     */
   private val pcaFits = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Long, Long, Long), (Seq[Double], Seq[Seq[Double]])]
+    .empty[(String, Int, Int, Long, Long, Long),
+      (Long, (Seq[Double], Seq[Seq[Double]]))]
+  private val pcaFitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Memo bound: the memo only exists for in-process stored==inline
     * exactness (a handful of fixture frames per JVM), so cap it — a
     * long-lived service fitting many corpora must not grow it without
-    * bound. Eviction is a full clear: correctness never depends on a
-    * hit, only speed.
+    * bound. Eviction drops the single OLDEST entry (insertion seq in
+    * the value), never the whole map: a full clear could evict a fit
+    * between an index write and its inline probe, resting the
+    * "stored == inline identical basis" guarantee on re-fit float
+    * bit-determinism instead of on the memo (r16 ADVICE).
     */
   private val pcaFitsCap = 64
 
-  private[graft] def fitGramMomentsBasis(emb: DataFrame, key: String, dim: Int,
-                                         k: Int): (Seq[Double], Seq[Seq[Double]]) = {
-    // Order-insensitive content fingerprint: (count, xor, sum mod 2^64)
-    // of per-row hashes. xor alone cancels on rows repeated an even
-    // number of times; the exact 2^64-modular SUM (decimal accumulator,
-    // ANSI-overflow-safe at any row count) breaks that — a collision
-    // now needs equal count AND equal xor AND equal modular sum.
+  /** Order-insensitive content fingerprint shared by every fit memo
+    * ([[pcaFits]], [[quantizers]], [[pqBooks]]): (count, xor, sum mod
+    * 2^64) of per-row hashes. bit_xor alone cancels on rows repeated an
+    * even number of times; the exact 2^64-modular SUM (decimal
+    * accumulator — a plain long sum of 64-bit hashes would throw under
+    * ANSI mode) breaks that — a collision now needs equal count AND
+    * equal xor AND equal modular sum. One aggregate scan per fit
+    * request, orders of magnitude cheaper than the fit it guards.
+    */
+  private def contentFingerprint(emb: DataFrame): (Long, Long, Long) = {
     val fpRow = emb.agg(
       count(lit(1)).as("n"),
       coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("hx"),
       coalesce(sum(expr("xxhash64(vec_id, embedding)").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")).as("hs")).head()
-    val sumFp = fpRow.getDecimal(2).toBigInteger.longValue()
-    if (pcaFits.size >= pcaFitsCap) pcaFits.clear()
-    pcaFits.getOrElseUpdate((key, dim, k, fpRow.getLong(0), fpRow.getLong(1), sumFp), {
+    (fpRow.getLong(0), fpRow.getLong(1),
+      fpRow.getDecimal(2).toBigInteger.longValue())
+  }
+
+  private[graft] def fitGramMomentsBasis(emb: DataFrame, key: String, dim: Int,
+                                         k: Int): (Seq[Double], Seq[Seq[Double]]) = {
+    val (nFp, xorFp, sumFp) = contentFingerprint(emb)
+    if (pcaFits.size >= pcaFitsCap)
+      pcaFits.minByOption(_._2._1).foreach { case (oldest, _) => pcaFits.remove(oldest) }
+    pcaFits.getOrElseUpdate((key, dim, k, nFp, xorFp, sumFp), {
       val m = Pca.momentsOn(emb, dim)
       val (_, gram) = Pca.gramFromMoments(m, dim)
       val (_, vecs) = Pca.jacobiEigen(gram)
-      (m.toSeq, vecs.take(k).map(_.toSeq).toSeq)
-    })
+      (pcaFitSeq.incrementAndGet(), (m.toSeq, vecs.take(k).map(_.toSeq).toSeq))
+    })._2
   }
 
   /** IVF-SQ8 — the two prunings COMPOSED, FAISS's `IVF<nlist>,SQ8`
@@ -551,17 +566,17 @@ object Similarity {
     * query work — in production the quantizer is trained once (on a
     * sample) and shipped to every query, exactly like a table isn't
     * re-bucketed per join. Keyed by (caller key, nlist, DATA
-    * FINGERPRINT): the fingerprint — row count + order-insensitive
-    * bit_xor of xxhash64(vec_id, embedding), one aggregate per fit
-    * request — means a caller reusing a key for a DIFFERENT frame
-    * (different rows OR the same ids re-embedded with a new model) gets
-    * a fresh fit instead of silently degraded cells (round-7 advisor
-    * item; the old contract only warned in the scaladoc). XOR can in
-    * principle cancel across PAIRS of identical whole rows, but two
-    * frames colliding on (count, xor) while differing in content
-    * requires duplicate-row choreography no real corpus performs — and
-    * the failure mode is a stale fit, not a wrong result (candidates
-    * are exact-verified downstream). Deterministic (seeded),
+    * FINGERPRINT): the fingerprint — [[contentFingerprint]]'s (count,
+    * bit_xor, 2^64-modular sum) over xxhash64(vec_id, embedding), one
+    * aggregate per fit request — means a caller reusing a key for a
+    * DIFFERENT frame (different rows OR the same ids re-embedded with a
+    * new model) gets a fresh fit instead of silently degraded cells
+    * (round-7 advisor item; the even-multiplicity xor-cancellation
+    * residue closed via the modular-sum component in r17, the pcaFits
+    * precedent). A stale-fit collision now needs equal count AND xor
+    * AND modular sum — and the failure mode is a stale fit, not a
+    * wrong result (candidates are exact-verified downstream).
+    * Deterministic (seeded),
     * so the cache never changes a result. Memo lifetime is the process:
     * a long-lived service re-fits at most once per (key, nlist,
     * fingerprint) and entries are never evicted — bounded in practice
@@ -569,7 +584,8 @@ object Similarity {
     * changed fingerprint) is the invalidation story.
     */
   private val quantizers =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long, Long), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Long, Long, Long), Seq[Seq[Double]]]
 
   def annTopKIvf(spark: SparkSession, sfDir: String,
                  nQueries: Int = 10, k: Int = 5,
@@ -640,7 +656,12 @@ object Similarity {
     * recall/scan trade, not the fresh-fit ideal. `scanned` counts
     * stored candidate ROWS (a multi-assign layout counts a vector once
     * per probed assignment — the bytes the coarse join actually
-    * reads); the exact full-scan endpoint laws hold at nassign = 1.
+    * reads); the exact full-scan endpoint laws hold at nassign = 1 AND
+    * with every query_id a member of the indexed corpus: a non-member
+    * query has no own-cell row to exclude (own = 0), so at
+    * nprobe = nlist `scanned` exceeds n_queries·(n_corpus−1) and
+    * scan_ppm exceeds 10^6 (recall = 10^6 still holds — all cells
+    * probed is still brute force over the corpus).
     */
   def ivfRecallCurveFromIndex(centroids: Seq[Seq[Double]], cells: DataFrame,
                               queries: DataFrame, k: Int = 5,
@@ -653,6 +674,12 @@ object Similarity {
     * [[ivfRecallCurveFromIndex]]: `data` is the cell-assigned frame the
     * probes scan, `vectors` the deduplicated corpus the brute ground
     * truth scores.
+    *
+    * Memory contract of a tuning run: the CELL-ASSIGNED CORPUS is
+    * persisted for the ladder (its ground truth is inherently one
+    * corpus scan, and every ladder step re-reads the assignment) — at
+    * extreme scale sample the corpus side too before calling, exactly
+    * as the query side is already sampled.
     */
   private def recallCurveCore(centroids: Seq[Seq[Double]], data0: DataFrame,
                               vectors: DataFrame, queries: DataFrame,
@@ -661,6 +688,12 @@ object Similarity {
     require(nprobes.nonEmpty, "recall curve needs at least one nprobe")
     nprobes.foreach(p => require(p >= 1 && p <= nlist,
       s"nprobe=$p must be in [1, nlist=$nlist]"))
+    // an empty query sample would make n_truth = n_queries = 0 and the
+    // ppm integer DIVs divide by zero (an error under ANSI mode, not a
+    // refusal) — mirror the nprobe range checks with a clear message
+    require(!queries.isEmpty,
+      "recall curve needs a non-empty query sample (n_truth/n_queries " +
+        "would be 0 and the ppm shares would divide by zero)")
     val data = graft.CacheScope.track(data0.persist())
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
@@ -868,7 +901,7 @@ object Similarity {
     * `trustKey` fast path resolves through without touching the data.
     */
   private val lastFit =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long, Long)]
 
   /** Memoized coarse-quantizer fit (see [[quantizers]]): L2 k-means over
     * unit-normalized vectors ranks cells identically to cosine
@@ -889,17 +922,11 @@ object Similarity {
                                   trustKey: Boolean = false): Seq[Seq[Double]] = {
     val trusted =
       if (trustKey) lastFit.get((key, nlist))
-        .flatMap(fp => quantizers.get((key, nlist, fp._1, fp._2)))
+        .flatMap(fp => quantizers.get((key, nlist, fp._1, fp._2, fp._3)))
       else None
     trusted.getOrElse {
-      // bit_xor, not sum: order-insensitive like sum but cannot overflow
-      // (ANSI mode would throw on a long sum of 64-bit hashes). The hash
-      // covers ids AND embedding values — same ids re-embedded must miss
-      val fpRow = emb.agg(
-        count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
-      val fp = (fpRow.getLong(0), fpRow.getLong(1))
-      val centroids = quantizers.getOrElseUpdate((key, nlist, fp._1, fp._2), {
+      val fp = contentFingerprint(emb)
+      val centroids = quantizers.getOrElseUpdate((key, nlist, fp._1, fp._2, fp._3), {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val train = emb.select(array_to_vector(unitVec(col("embedding"))).as("features"))
@@ -1049,21 +1076,20 @@ object Similarity {
   // -------------------------------------------------------------------
 
   /** Memoized PQ codebooks, keyed (caller key, m, ksub, data
-    * fingerprint) — the [[quantizers]] contract verbatim: the fit is
-    * index build, deterministic (seeded), re-fit on a changed
-    * fingerprint, never evicted. The m sub-fits each run on the
+    * fingerprint — [[contentFingerprint]]'s three components) — the
+    * [[quantizers]] contract verbatim: the fit is index build,
+    * deterministic (seeded), re-fit on a changed fingerprint, never
+    * evicted. The m sub-fits each run on the
     * subvector slice; in production each would train on a sample — the
     * codebook is m·ksub·(dim/m) doubles regardless of corpus size.
     */
   private val pqBooks = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Long, Long), Seq[Seq[Seq[Double]]]]
+    .empty[(String, Int, Int, Long, Long, Long), Seq[Seq[Seq[Double]]]]
 
   private[graft] def fitPqCodebooks(emb: DataFrame, key: String,
                                     m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
-    val fpRow = emb.agg(
-      count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h")).head()
-    pqBooks.getOrElseUpdate((key, m, ksub, fpRow.getLong(0), fpRow.getLong(1)), {
+    val fp = contentFingerprint(emb)
+    pqBooks.getOrElseUpdate((key, m, ksub, fp._1, fp._2, fp._3), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)

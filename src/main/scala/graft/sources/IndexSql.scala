@@ -106,6 +106,10 @@ object IndexSql {
     * (needs query_id, eq) — [[Similarity.ivfRecallCurveFromIndex]];
     * the serving-knob dashboard twin of [[registerIvfDriftStats]]
     * (drift says when to re-fit, this says where to set nprobe).
+    * The exact full-scan endpoint laws (recall_ppm = scan_ppm = 10^6
+    * at nprobe = nlist) assume `queriesTable`'s query_ids are drawn
+    * from the INDEXED corpus — non-member queries have no own-cell
+    * exclusion, so their scan_ppm can exceed 10^6 at full fan-out.
     */
   def registerIvfRecallCurve(spark: SparkSession, viewName: String,
                              indexPath: String, queriesTable: String,

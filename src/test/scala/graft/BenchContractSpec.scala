@@ -13,15 +13,15 @@ class BenchContractSpec extends AnyFunSuite {
     (1 to n).map(i => s""""q_fake_query_name_$i":1.2""").mkString("{", ",", "}")
 
   test("small suites keep the per-query map line plus the total line") {
-    val lines = BenchContract.lines("12.345", fakeMap(10), "", "/root/testdata/sf0.1", "0.321")
+    val lines = BenchContract.lines("12.345", fakeMap(10), "", "/root/testdata/sf0.1", "0.321", "0.456")
     assert(lines.size === 2)
     assert(lines.head.contains("\"queries\":{"), "map line first")
     assert(lines.last ===
-      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321}""")
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321,"canary_mt_sec":0.456}""")
   }
 
   test("oversized suites drop the map line, never the canonical total line") {
-    val lines = BenchContract.lines("99.9", fakeMap(200), "", "/root/testdata/sf0.1", "0.321")
+    val lines = BenchContract.lines("99.9", fakeMap(200), "", "/root/testdata/sf0.1", "0.321", "0.456")
     assert(lines.size === 1)
     assert(lines.head.contains("\"unit\":\"sec\""), "the survivor is the full-schema total")
     assert(lines.head.contains("\"canary_sec\":0.321"),
@@ -32,7 +32,7 @@ class BenchContractSpec extends AnyFunSuite {
     for (n <- Seq(0, 1, 50, 80, 81, 100, 500, 2000)) {
       val lines = BenchContract.lines("123.456", fakeMap(n),
         s""","query_errors":{"q_fake_query_name_1":"IllegalStateException"}""",
-        "/root/testdata/sf0.1", "12.345")
+        "/root/testdata/sf0.1", "12.345", "13.579")
       val printed = lines.map(_.length + 1).sum // + newline per println
       assert(printed <= BenchContract.TailWindow,
         s"at $n queries the contract output is $printed chars — overflows the tail window")
@@ -46,7 +46,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("failed queries ride the canonical total line, never silently green") {
     val lines = BenchContract.lines("12.345", fakeMap(10),
       ""","query_errors":{"q_events_daily":"AnalysisException"}""",
-      "/root/testdata/sf0.1", "0.321", Seq("q_events_daily", "q_cust_activity_full"))
+      "/root/testdata/sf0.1", "0.321", "0.456", Seq("q_events_daily", "q_cust_activity_full"))
     assert(lines.last.contains(""""failed":2"""),
       "the failure count must be on the canonical (last) line — the one " +
         "parse the driver is guaranteed to record")
@@ -57,7 +57,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("a huge failure list degrades to the count, never overflows the window") {
     val many = (1 to 200).map(i => s"q_fake_query_name_$i")
     val lines = BenchContract.lines("99.9", fakeMap(200), "",
-      "/root/testdata/sf0.1", "0.321", many)
+      "/root/testdata/sf0.1", "0.321", "0.456", many)
     val printed = lines.map(_.length + 1).sum
     assert(printed <= BenchContract.TailWindow,
       s"failure reporting overflowed the tail window ($printed chars)")
@@ -68,9 +68,9 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("zero failures leave the canonical line byte-identical to before") {
     val lines = BenchContract.lines("12.345", fakeMap(10), "",
-      "/root/testdata/sf0.1", "0.321", Nil)
+      "/root/testdata/sf0.1", "0.321", "0.456", Nil)
     assert(lines.last ===
-      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321}""")
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321,"canary_mt_sec":0.456}""")
   }
 
   test("a 0-row bench query is classified EmptyResult and reports as failed") {
@@ -83,7 +83,7 @@ class BenchContractSpec extends AnyFunSuite {
     // one parse the driver is guaranteed to record
     val lines = BenchContract.lines("12.345", fakeMap(10),
       ""","query_errors":{"q_events_by_day_partitioned":"EmptyResult"}""",
-      "/root/testdata/sf0.1", "0.321", Seq("q_events_by_day_partitioned"))
+      "/root/testdata/sf0.1", "0.321", "0.456", Seq("q_events_by_day_partitioned"))
     assert(lines.last.contains(""""failed":1"""))
     assert(lines.last.contains(""""failed_queries":["q_events_by_day_partitioned"]"""))
   }
@@ -134,17 +134,50 @@ class BenchContractSpec extends AnyFunSuite {
       "queries":{"q_a":{"min":1.0,"median":1.2,"max":2.0,"reps":3},
                  "q_bad":{"err":"AnalysisException","reps":3}}}"""
     val parsed = BenchContract.parseBaseline(json, "/root/testdata/sf0.1")
-    assert(parsed === Map("q_a" -> ((1.2, 0.209))))
+    assert(parsed.medians === Map("q_a" -> 1.2))
+    assert(parsed.canarySec === 0.209)
+    // pre-r17 artifact: no multi-thread canary recorded — parses as 0.0
+    // so canaryRatioOf falls back to the single-thread ratio
+    assert(parsed.canaryMtSec === 0.0)
     // a detail file recorded at a DIFFERENT sf must never baseline this
     // run — sf0.01 medians would flag every sf0.1 query 10x over
-    assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.01") === Map.empty)
+    assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.01")
+      === BenchContract.Baseline.empty)
     // ... but a RESPELLED-identical path (trailing slash, dot segments)
     // must not silently disable the phase (r14 ADVICE): the compare is
     // path-normalized, not string equality
     assert(BenchContract.parseBaseline(json, "/root/testdata/sf0.1/")
-      === Map("q_a" -> ((1.2, 0.209))))
+      .medians === Map("q_a" -> 1.2))
     assert(BenchContract.parseBaseline(json, "/root/testdata/./sf0.1")
-      === Map("q_a" -> ((1.2, 0.209))))
+      .medians === Map("q_a" -> 1.2))
+    // r17+ artifact: the multi-thread canary rides along
+    val json17 = """{"base_reps":3,"sf":"/root/testdata/sf0.1","canary_sec":0.209,
+      "canary_mt_sec":0.412,"queries":{"q_a":{"median":1.2,"reps":3}}}"""
+    assert(BenchContract.parseBaseline(json17, "/root/testdata/sf0.1")
+      === BenchContract.Baseline(Map("q_a" -> 1.2), 0.209, 0.412))
+  }
+
+  test("cross-boot ratio prefers the multi-thread canary, falls back cleanly") {
+    import BenchContract.{Baseline, canaryRatioOf}
+    // both boots recorded mt: the mt ratio wins — the documented
+    // boot-drift class is mt throughput moving at EQUAL single-thread
+    // canary, which the single ratio (here 1.0) would miss entirely
+    assert(canaryRatioOf(0.210, 0.600, Baseline(Map.empty, 0.210, 0.400))
+      === 0.600 / 0.400)
+    // pre-r17 baseline (mt absent): single-thread fallback
+    assert(canaryRatioOf(0.300, 0.500, Baseline(Map.empty, 0.200, 0.0))
+      === 0.300 / 0.200)
+    // no baseline at all: neutral ratio
+    assert(canaryRatioOf(0.300, 0.500, Baseline.empty) === 1.0)
+  }
+
+  test("the multi-thread canary is deterministic work at a plausible cost") {
+    // small thread count keeps the unit test cheap; the plausibility
+    // band is the same contract as the single-thread canary's
+    val a = BenchContract.canaryMtSeconds(threads = 4)
+    assert(a > 0.005 && a < 30.0,
+      s"mt canary measured $a s — outside any plausible machine-speed " +
+        "band, the workload constant has drifted")
   }
 
   test("benign-warning allowlist is exactly the documented pair, message-scoped") {
