@@ -503,9 +503,31 @@ object SparkEntry {
     // the serving-knob tuning run: measured nprobe -> (recall_ppm,
     // scan_ppm) curve vs the exact oracle over the same query sample;
     // rows-only (kmeans cells) — monotonicity + the nprobe=nlist
-    // degenerate-to-brute endpoints are pinned in SimilaritySpec
+    // degenerate-to-brute endpoints are pinned in SimilaritySpec.
+    // Ladder {1, 4, 16} since r17 (verdict #5): the registered query
+    // is a diagnostic, so it keeps exactly the spec-law points (one
+    // interior + the exact endpoint) instead of a dense ladder
     "q_embed_ivf_recall" -> ((s, d) => operators.Similarity.ivfRecallCurve(s, d,
-      nprobes = Seq(1, 4, 12, 16))),
+      nprobes = Seq(1, 4, 16))),
+    // the same serving-curve contract for the OTHER stored families'
+    // knobs (r16 verdict #3), one query per curve, all rows-only with
+    // spec-pinned laws: PCA width k' (recall NOT monotone — geometry,
+    // not subsetting; the k'=dim full-rotation exactness endpoint is
+    // the pinned law, and on this near-isotropic fixture the 16->32
+    // cliff is the decision the curve answers)...
+    "q_embed_pca_recall" -> ((s, d) => operators.Similarity.pcaRecallCurve(s, d,
+      kprimes = Seq(16, 32, 64))),
+    // ...LSH table count (nested plane prefixes => candidate
+    // supersets: recall AND measured scanned monotone by
+    // construction, no exact endpoint — LSH never guarantees full
+    // recall)...
+    "q_embed_lsh_recall" -> ((s, d) => operators.Similarity.lshRecallCurve(s, d,
+      nTabless = Seq(1, 4, 16))),
+    // ...and PQ rerank depth (nested shortlists => both monotone;
+    // depth >= corpus degrades to exact brute — the full-rerank
+    // precedent as a measured curve point at sf0.001 in the spec)
+    "q_embed_pq_rerank" -> ((s, d) => operators.Similarity.pqRerankCurve(s, d,
+      reranks = Seq(8, 64, 512))),
     // same probe against the MATERIALIZED (parquet) IVF index — the
     // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
     // the same reason, stored == inline asserted in SimilaritySpec

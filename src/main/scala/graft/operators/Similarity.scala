@@ -444,6 +444,103 @@ object Similarity {
     })._2
   }
 
+  /** MEASURED k′ → recall curve for the PCA two-stage probe — the
+    * [[ivfRecallCurve]] contract applied to the PCA family's serving
+    * knob (r16 verdict #3): on THIS near-isotropic fixture recall
+    * cliffs from ~0.96 at k′ = 32 to ~0.56 at 16, exactly where an
+    * operator needs the measured answer, not the guess. For each
+    * requested k′, one row (kprime, hits, scanned, n_truth, n_queries,
+    * n_corpus, recall_ppm, scan_ppm, byte_ppm): `hits` counts probe
+    * results that are true exact top-k neighbors (ground truth =
+    * [[bruteTopKOn]] over the SAME query sample — one corpus scan,
+    * paid once), `scanned` the candidate rows the coarse pass scores
+    * (measured ONCE — PCA prunes BYTES, not candidates, so the count
+    * is step-independent and scan_ppm reads 10^6 at every k′: the
+    * honest contrast with IVF/LSH), and `byte_ppm` = k′·10^6 DIV dim
+    * is the coarse pass's float-byte share — the axis this knob
+    * actually trades against recall.
+    *
+    * ONE fit at k′ = dim serves the whole ladder: eigenbases are
+    * NESTED (the k′-basis is the first k′ rows of the full one), so
+    * the corpus projects ONCE at full width and each step slices the
+    * prefix — slicing a full projection IS projecting under the
+    * prefix basis (component dot products are independent), so each
+    * step measures exactly [[annTopKPcaFromIndex]] at that k′.
+    * Recall is NOT monotone by construction here (unlike the
+    * fan-out/rerank ladders, shrinking k′ changes the geometry rather
+    * than subsetting candidates) — but the k′ = dim endpoint is
+    * exact: a full orthonormal rotation preserves cosine ranking, so
+    * the shortlist contains the true top-k and recall_ppm = 10^6
+    * (spec-pinned). Rows-only driver check (float path); the
+    * invariants are the spec's.
+    */
+  def pcaRecallCurve(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 5, rerank: Int = 40,
+                     kprimes: Seq[Int] = Seq(8, 16, 32, 64),
+                     dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (_, basis) = fitGramMomentsBasis(emb, sfDir, dim, dim)
+    pcaCurveCore(basis,
+      projectWithBasis(emb, basis).select(col("vec_id"), col("pc")),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, rerank, kprimes)
+  }
+
+  /** [[pcaRecallCurve]] over a PREBUILT (basis, reduced, vectors)
+    * index ([[graft.sources.SimilarityIndexes.readPcaIndex]]) — tune
+    * the width you actually SERVE: the ladder slices prefixes of the
+    * STORED basis and the STORED reduced table, so k′ steps are
+    * bounded by the index's own width (a 32-wide index can answer
+    * k′ ≤ 32; re-fit to widen). The k′ = dim exactness endpoint only
+    * exists when the stored basis IS full-rank — a truncated index's
+    * top ladder step reports its real (lossy) recall instead.
+    */
+  def pcaRecallCurveFromIndex(basis: Seq[Seq[Double]], reduced: DataFrame,
+                              vectors: DataFrame, queries: DataFrame,
+                              k: Int = 5, rerank: Int = 40,
+                              kprimes: Seq[Int] = Seq(8, 16, 32)): DataFrame =
+    pcaCurveCore(basis, reduced, vectors, queries, k, rerank, kprimes)
+
+  /** The measurement shared by [[pcaRecallCurve]] and
+    * [[pcaRecallCurveFromIndex]]. Memory contract as
+    * [[ivfRecallCurve]]'s core: the full-width reduced corpus persists
+    * for the ladder; sample the corpus side too at extreme scale.
+    */
+  private def pcaCurveCore(basis: Seq[Seq[Double]], reduced0: DataFrame,
+                           vectors0: DataFrame, queries0: DataFrame,
+                           k: Int, rerank: Int, kprimes: Seq[Int]): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    require(kprimes.nonEmpty, "recall curve needs at least one kprime")
+    kprimes.foreach(kp => require(kp >= 1 && kp <= basis.length,
+      s"kprime=$kp must be in [1, basis width=${basis.length}]"))
+    val queries = broadcast(requireQuerySample(queries0))
+    val dim = basis.head.length
+    val vectors = graft.CacheScope.track(vectors0.persist())
+    val reduced = graft.CacheScope.track(reduced0.persist())
+    val truth = graft.CacheScope.track(
+      bruteTopKOn(vectors, queries, k)
+        .select(col("query_id"), col("neighbor_id")).persist())
+    // step-independent candidate count, measured once: the coarse pass
+    // scores every (query, other-vector) pair regardless of k′
+    val scannedF = broadcast(reduced.select(col("vec_id"))
+      .join(broadcast(queries.select(col("query_id"))),
+        col("vec_id") =!= col("query_id"))
+      .agg(count(lit(1)).as("scanned")))
+    val perStep = kprimes.distinct.sorted.map { kp =>
+      val hits = pcaProbe(
+          reduced.select(col("vec_id"), slice(col("pc"), 1, kp).as("pc")),
+          vectors, queries, basis.take(kp), k, rerank)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(scannedF)
+        .select(lit(kp).as("kprime"), col("hits"), col("scanned"))
+    }.reduce(_ unionByName _)
+    ladderPpm(perStep, "kprime", truth, vectors)
+      .withColumn("byte_ppm", expr(s"kprime * 1000000 DIV $dim"))
+  }
+
   /** IVF-SQ8 — the two prunings COMPOSED, FAISS's `IVF<nlist>,SQ8`
     * factory index re-expressed as Spark joins: IVF cell probing cuts
     * WHICH vectors the coarse pass scans (nprobe/nlist of the corpus)
@@ -644,8 +741,8 @@ object Similarity {
     recallCurveCore(centroids,
       assignCells(emb, centroids, nassign = 1),
       emb.select(col("vec_id"), col("embedding")),
-      broadcast(emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
       k, nprobes)
   }
 
@@ -668,7 +765,7 @@ object Similarity {
                               nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): DataFrame =
     recallCurveCore(centroids, cells,
       cells.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"),
-      broadcast(queries), k, nprobes)
+      queries, k, nprobes)
 
   /** The measurement shared by [[ivfRecallCurve]] and
     * [[ivfRecallCurveFromIndex]]: `data` is the cell-assigned frame the
@@ -682,7 +779,7 @@ object Similarity {
     * as the query side is already sampled.
     */
   private def recallCurveCore(centroids: Seq[Seq[Double]], data0: DataFrame,
-                              vectors: DataFrame, queries: DataFrame,
+                              vectors: DataFrame, queries0: DataFrame,
                               k: Int, nprobes: Seq[Int]): DataFrame = {
     val nlist = centroids.size
     require(nprobes.nonEmpty, "recall curve needs at least one nprobe")
@@ -690,10 +787,11 @@ object Similarity {
       s"nprobe=$p must be in [1, nlist=$nlist]"))
     // an empty query sample would make n_truth = n_queries = 0 and the
     // ppm integer DIVs divide by zero (an error under ANSI mode, not a
-    // refusal) — mirror the nprobe range checks with a clear message
-    require(!queries.isEmpty,
-      "recall curve needs a non-empty query sample (n_truth/n_queries " +
-        "would be 0 and the ppm shares would divide by zero)")
+    // refusal) — mirror the nprobe range checks with a clear message.
+    // Checked BEFORE the broadcast wrap: an isEmpty probe on a
+    // hint-carrying frame logs a spurious HintErrorLogger WARN per call
+    // (the hint never reaches a join in that throwaway plan)
+    val queries = broadcast(requireQuerySample(queries0))
     val data = graft.CacheScope.track(data0.persist())
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
@@ -726,12 +824,39 @@ object Similarity {
         .select(lit(np).as("nprobe"), col("hits"),
           (col("gross") - col("own")).as("scanned"))
     }.reduce(_ unionByName _)
+    ladderPpm(perProbe, "nprobe", truth, vectors)
+  }
+
+  /** The non-empty-query-sample refusal every serving curve starts
+    * with: an empty sample would make n_truth = n_queries = 0 and the
+    * ppm integer DIVs divide by zero — an ANSI-mode error deep in the
+    * plan instead of a clear message (r16 ADVICE). Returns the frame
+    * for chaining; callers check BEFORE broadcast-wrapping so the
+    * throwaway isEmpty plan never carries a join hint (which logs a
+    * spurious HintErrorLogger WARN per call).
+    */
+  private def requireQuerySample(queries: DataFrame): DataFrame = {
+    require(!queries.isEmpty,
+      "recall curve needs a non-empty query sample (n_truth/n_queries " +
+        "would be 0 and the ppm shares would divide by zero)")
+    queries
+  }
+
+  /** The ppm-share assembly every serving curve ends with
+    * ([[ivfRecallCurve]], [[pcaRecallCurve]], [[lshRecallCurve]],
+    * [[pqRerankCurve]]): per-step (stepCol, hits, scanned) rows join
+    * the ONE measured totals row (truth size, query count, corpus
+    * size) and emit the integer-exact recall/scan shares. 1-row ×
+    * 1-row crossJoin — the q_tfidf_terms constant-build BNLJ shape.
+    */
+  private def ladderPpm(perStep: DataFrame, stepCol: String,
+                        truth: DataFrame, vectors: DataFrame): DataFrame = {
     val totals = broadcast(truth.agg(
         count(lit(1)).as("n_truth"),
         countDistinct(col("query_id")).as("n_queries"))
       .crossJoin(vectors.agg(count(lit(1)).as("n_corpus"))))
-    perProbe.crossJoin(totals)
-      .select(col("nprobe"), col("hits"), col("scanned"),
+    perStep.crossJoin(totals)
+      .select(col(stepCol), col("hits"), col("scanned"),
         col("n_truth"), col("n_queries"), col("n_corpus"),
         expr("hits * 1000000 DIV n_truth").as("recall_ppm"),
         expr("scanned * 1000000 DIV (n_queries * (n_corpus - 1))").as("scan_ppm"))
@@ -1040,20 +1165,120 @@ object Similarity {
     // side of that bucket is bounded
     val qKeys = queries.select(col("query_id"),
       explode(sketchKeys(col("eq"), pl)).as("key"))
+    lshRankCandidates(lshCandidateIds(sketches, qKeys, maxBucket),
+      vectors, queries, k)
+  }
+
+  /** The LSH probe's candidate generation, shared with the recall
+    * curve so the curve measures the REAL probe: hot-bucket cap over
+    * the data side (counted on the SAME key partitioning the join
+    * shuffles on), bucket equi-join, self-pair exclusion, ids-only
+    * pair dedup (never `.distinct()` over rows carrying float
+    * payloads).
+    */
+  private def lshCandidateIds(sketches: DataFrame, qKeys: DataFrame,
+                              maxBucket: Int): DataFrame = {
     val capped = sketches
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val candIds = capped.join(qKeys, Seq("key"))
+    capped.join(qKeys, Seq("key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+  }
+
+  /** The LSH probe's exact stage, shared with the recall curve: score
+    * the deduped candidate ids through one vec_id join against the
+    * vectors table (tiny query side broadcast), per-query top-k via
+    * the salted two-phase window.
+    */
+  private def lshRankCandidates(candIds: DataFrame, vectors: DataFrame,
+                                queries: DataFrame, k: Int): DataFrame =
     saltedTopPerQuery(candIds.join(vectors, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         rankSim(col("eq"), col("embedding")).as("sim")),
       Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+
+  /** MEASURED nTables → recall/scan curve for the LSH probe — the
+    * [[ivfRecallCurve]] contract applied to the LSH family's serving
+    * knob (r16 verdict #3): more tables buy recall with a strictly
+    * larger candidate join, and this measures both sides of that
+    * trade from the index's real buckets. For each requested table
+    * count t, one row (ntables, hits, scanned, n_truth, n_queries,
+    * n_corpus, recall_ppm, scan_ppm): `hits` counts probe results
+    * that are true exact top-k neighbors ([[bruteTopKOn]] ground
+    * truth over the SAME query sample, one corpus scan paid once),
+    * `scanned` the DEDUPED candidate pairs the exact stage re-scores
+    * at that t — the measured join cost, so hot buckets and
+    * cross-table overlap show up honestly (a pair sharing three
+    * tables costs one re-score, not three).
+    *
+    * ONE sketch pass serves the whole ladder: the seeded plane
+    * generation is SEQUENTIAL, so t tables' planes are a PREFIX of
+    * the max ladder step's and `key < t·65536` filters the max-step
+    * sketch frame down to exactly the t-table index. Candidate sets
+    * are therefore nested supersets in t — recall and scanned are
+    * non-decreasing BY CONSTRUCTION (a true top-k neighbor surfaced
+    * at t tables cannot be displaced at t′ > t: at most k−1 corpus
+    * vectors precede it in the exact order), both spec-pinned. No
+    * exact endpoint exists (LSH never guarantees full recall — the
+    * honest contrast with IVF's nprobe = nlist law). Rows-only
+    * driver check (float path); invariants are the spec's.
+    */
+  def lshRecallCurve(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 10, k: Int = 5,
+                     nTabless: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     bitsPerTable: Int = 2, maxBucket: Int = 10000,
+                     dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    lshRecallCurveFromIndex(
+      lshSketchFrames(emb, nTabless.max, bitsPerTable, dim),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nTabless, bitsPerTable, maxBucket, dim)
+  }
+
+  /** [[lshRecallCurve]] over a PREBUILT sketch index
+    * ([[graft.sources.SimilarityIndexes.readLshIndex]]) — tune the
+    * index you actually SERVE: ladder steps are bounded by the
+    * index's own stored table count (its meta nTables), and each step
+    * probes exactly the stored buckets' first t tables.
+    */
+  def lshRecallCurveFromIndex(sketches: DataFrame, vectors0: DataFrame,
+                              queries0: DataFrame, k: Int,
+                              nTabless: Seq[Int], bitsPerTable: Int,
+                              maxBucket: Int, dim: Int): DataFrame = {
+    require(nTabless.nonEmpty, "recall curve needs at least one nTables")
+    nTabless.foreach(t => require(t >= 1,
+      s"nTables=$t must be >= 1 (and <= the sketch frame's table count)"))
+    val queries = broadcast(requireQuerySample(queries0))
+    val vectors = graft.CacheScope.track(vectors0.persist())
+    val sk = graft.CacheScope.track(sketches.persist())
+    val truth = graft.CacheScope.track(
+      bruteTopKOn(vectors, queries, k)
+        .select(col("query_id"), col("neighbor_id")).persist())
+    val pl = planes(nTabless.max, bitsPerTable, dim)
+    val qKeysAll = queries.select(col("query_id"),
+      explode(sketchKeys(col("eq"), pl)).as("key"))
+    val perStep = nTabless.distinct.sorted.map { t =>
+      // key = bits + table·65536 ⇒ `key < t·65536` IS the t-table
+      // index (plane prefix property); cap re-counts over the
+      // filtered frame exactly as a t-table probe would
+      val cand = graft.CacheScope.track(lshCandidateIds(
+        sk.filter(col("key") < t * 65536L),
+        qKeysAll.filter(col("key") < t * 65536L), maxBucket).persist())
+      val scanned = cand.agg(count(lit(1)).as("scanned"))
+      val hits = lshRankCandidates(cand, vectors, queries, k)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(scanned)
+        .select(lit(t).as("ntables"), col("hits"), col("scanned"))
+    }.reduce(_ unionByName _)
+    ladderPpm(perStep, "ntables", truth, vectors)
   }
 
   // -------------------------------------------------------------------
@@ -1296,14 +1521,127 @@ object Similarity {
                          vectors: DataFrame, queries: DataFrame,
                          k: Int = 5, rerank: Int = 64): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    exactRerank(coarseShortlist(pqScoredOn(books, codes, queries), rerank),
+      vectors, k)
+  }
+
+  /** The PQ coarse-scored frame (query_id, eq, neighbor_id, qsim)
+    * shared by [[annTopKPqFromIndex]] and [[pqRerankCurve]]: per-query
+    * ADC lookup tables broadcast with the queries, every code row
+    * scored by m table lookups.
+    */
+  private def pqScoredOn(books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                         queries: DataFrame): DataFrame = {
     val lutQueries = queries
       .select(col("query_id"), col("eq"), unitVec(col("eq")).as("__graft_uq"))
       .select(col("query_id"), col("eq"),
         pqLuts(col("__graft_uq"), books).as("luts"))
-    val shortlist = coarseShortlist(codes.join(broadcast(lutQueries),
-        col("vec_id") =!= col("query_id"))
+    codes.join(broadcast(lutQueries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
-        pqSim(col("luts"), col("codes")).as("qsim")), rerank)
-    exactRerank(shortlist, vectors, k)
+        pqSim(col("luts"), col("codes")).as("qsim"))
+  }
+
+  /** MEASURED rerank depth → recall/scan curve for the two-stage
+    * code probes — the [[ivfRecallCurve]] contract applied to the
+    * rerank knob (r16 verdict #3), here for PQ, the family whose
+    * 16-byte reconstruction is coarsest and whose rerank depth
+    * therefore matters most. For each requested depth r, one row
+    * (rerank, hits, scanned, n_truth, n_queries, n_corpus,
+    * recall_ppm, scan_ppm): `hits` counts probe results that are true
+    * exact top-k neighbors ([[bruteTopKOn]] ground truth, one corpus
+    * scan paid once), `scanned` the shortlist rows the exact stage
+    * actually re-reads as float vectors at that depth — the
+    * candidate-sized point-lookup I/O this knob buys recall with.
+    *
+    * ONE coarse ADC pass serves the whole ladder: the shortlist is
+    * ranked ONCE at the deepest requested depth with its coarse rank
+    * kept, and `arank <= r` IS [[coarseShortlist]] at depth r
+    * (row_number prefix property) — so each step measures exactly
+    * [[annTopKPqFromIndex]] at that rerank. Depth-r shortlists are
+    * nested supersets ⇒ recall and scanned non-decreasing BY
+    * CONSTRUCTION, and at r >= corpus the exact stage sees every
+    * candidate — the probe IS brute force and recall_ppm = 10^6
+    * (both spec-pinned, the full-rerank == brute precedent).
+    * Rows-only driver check (kmeans codebooks); invariants are the
+    * spec's.
+    */
+  def pqRerankCurve(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 5,
+                    reranks: Seq[Int] = Seq(8, 64, 512),
+                    m: Int = 16, ksub: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = fitPqCodebooks(emb, sfDir, m, ksub)
+    pqRerankCurveFromIndex(books, quantizePqOn(emb, books),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, reranks)
+  }
+
+  /** [[pqRerankCurve]] over a PREBUILT (codebooks, codes, vectors)
+    * index ([[graft.sources.SimilarityIndexes.readPqIndex]]) — tune
+    * the depth you actually SERVE against the stored codes as-is.
+    */
+  def pqRerankCurveFromIndex(books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                             vectors: DataFrame, queries: DataFrame,
+                             k: Int = 5,
+                             reranks: Seq[Int] = Seq(8, 64, 512)): DataFrame =
+    rerankCurveCore(pqScoredOn(books, codes, broadcast(queries)),
+      vectors, queries, k, reranks)
+
+  /** [[pqRerankCurve]] for the SQ8 family — the same knob at the
+    * shallower storage trade (SQ8's int8 reconstruction error is far
+    * below PQ's, so its curve saturates at much smaller depths; the
+    * two curves together bound where each family's rerank budget
+    * should sit). Same laws, same core, spec-pinned alongside.
+    */
+  def sqRerankCurve(spark: SparkSession, sfDir: String,
+                    nQueries: Int = 10, k: Int = 5,
+                    reranks: Seq[Int] = Seq(8, 64, 512)): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    rerankCurveCore(
+      quantizeSq8On(emb).join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("eq"), col("vec_id").as("neighbor_id"),
+          sq8Sim(col("eq"), col("codes")).as("qsim")),
+      emb.select(col("vec_id"), col("embedding")), queries, k, reranks)
+  }
+
+  /** The measurement shared by the rerank-depth curves: `scored` is
+    * the family's coarse-scored frame (query_id, eq, neighbor_id,
+    * qsim). Memory contract as [[ivfRecallCurve]]'s core: the
+    * max-depth ranked shortlist persists for the ladder (bounded by
+    * max(reranks) rows per query); sample the query side at scale —
+    * the corpus side is never materialized beyond the shortlist.
+    */
+  private def rerankCurveCore(scored: DataFrame, vectors0: DataFrame,
+                              queries0: DataFrame, k: Int,
+                              reranks: Seq[Int]): DataFrame = {
+    require(reranks.nonEmpty, "rerank curve needs at least one depth")
+    reranks.foreach(r => require(r >= k,
+      s"rerank=$r must be >= k=$k (the exact stage emits k rows)"))
+    val queries = broadcast(requireQuerySample(queries0))
+    val vectors = graft.CacheScope.track(vectors0.persist())
+    val truth = graft.CacheScope.track(
+      bruteTopKOn(vectors, queries, k)
+        .select(col("query_id"), col("neighbor_id")).persist())
+    val rmax = reranks.max
+    val shortMax = graft.CacheScope.track(
+      saltedTopPerQuery(scored,
+          Seq(col("qsim").desc, col("neighbor_id").asc), rmax, "arank")
+        .select(col("query_id"), col("eq"), col("neighbor_id"), col("arank"))
+        .persist())
+    val perStep = reranks.distinct.sorted.map { r =>
+      val sl = shortMax.filter(col("arank") <= r)
+        .select(col("query_id"), col("eq"), col("neighbor_id"))
+      val scanned = sl.agg(count(lit(1)).as("scanned"))
+      val hits = exactRerank(sl, vectors, k)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(scanned)
+        .select(lit(r).as("rerank"), col("hits"), col("scanned"))
+    }.reduce(_ unionByName _)
+    ladderPpm(perStep, "rerank", truth, vectors)
   }
 }

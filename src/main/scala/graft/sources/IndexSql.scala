@@ -121,6 +121,59 @@ object IndexSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** `SELECT * FROM <viewName>` = the measured k′ → recall/byte curve
+    * of the STORED PCA index for the queries in `queriesTable` —
+    * [[Similarity.pcaRecallCurveFromIndex]]; the
+    * [[registerIvfRecallCurve]] contract for the PCA family's width
+    * knob (ladder steps bounded by the stored basis width). Same
+    * corpus-member-queries assumption as the IVF curve.
+    */
+  def registerPcaRecallCurve(spark: SparkSession, viewName: String,
+                             indexPath: String, queriesTable: String,
+                             k: Int = 5, rerank: Int = 40,
+                             kprimes: Seq[Int] = Seq(8, 16, 32)): Unit = {
+    val (basis, reduced, vectors) = SimilarityIndexes.readPcaIndex(spark, indexPath)
+    Similarity.pcaRecallCurveFromIndex(basis, reduced, vectors,
+        spark.table(queriesTable).select("query_id", "eq"), k, rerank, kprimes)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = the measured nTables → recall/scan
+    * curve of the STORED LSH sketch index —
+    * [[Similarity.lshRecallCurveFromIndex]] at the index's pinned
+    * (bits, dim); ladder steps bounded by the index's stored table
+    * count. Same corpus-member-queries assumption as the IVF curve.
+    */
+  def registerLshRecallCurve(spark: SparkSession, viewName: String,
+                             indexPath: String, queriesTable: String,
+                             k: Int = 5, nTabless: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                             maxBucket: Int = 10000): Unit = {
+    val (sketches, vectors, (nTables, bits, dim)) =
+      SimilarityIndexes.readLshIndex(spark, indexPath)
+    require(nTabless.forall(_ <= nTables),
+      s"ladder step exceeds the stored index's nTables=$nTables")
+    Similarity.lshRecallCurveFromIndex(sketches, vectors,
+        spark.table(queriesTable).select("query_id", "eq"),
+        k, nTabless, bits, maxBucket, dim)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = the measured rerank depth →
+    * recall/scan curve of the STORED PQ index —
+    * [[Similarity.pqRerankCurveFromIndex]] under the index's stored
+    * codebooks. Same corpus-member-queries assumption as the IVF
+    * curve.
+    */
+  def registerPqRerankCurve(spark: SparkSession, viewName: String,
+                            indexPath: String, queriesTable: String,
+                            k: Int = 5,
+                            reranks: Seq[Int] = Seq(8, 64, 512)): Unit = {
+    val (books, codes, vectors) = SimilarityIndexes.readPqIndex(spark, indexPath)
+    Similarity.pqRerankCurveFromIndex(books, codes, vectors,
+        spark.table(queriesTable).select("query_id", "eq"), k, reranks)
+      .createOrReplaceTempView(viewName)
+  }
+
   /** `SELECT * FROM <viewName>` = (query_id, neighbor_id, rank) top-k
     * over the stored PCA serving index —
     * [[Similarity.annTopKPcaFromIndex]] under the index's STORED basis.

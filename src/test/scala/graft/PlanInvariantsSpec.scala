@@ -23,6 +23,13 @@ class PlanInvariantsSpec extends SparkSpec {
     // of its hit/scanned aggregates and one 1-row totals frame — every
     // build side constant-size
     "q_embed_ivf_recall",
+    // the r17 serving-curve family shares that exact composition: the
+    // brute ground truth's constant-build BNLJ plus per-step 1-row ×
+    // 1-row hit/scanned crossJoins and the 1-row totals frame — and
+    // the PCA / PQ / SQ8 curves' coarse passes are the SAME
+    // constant-build BNLJ their probes run (q_embed_ann_pca /
+    // q_embed_ann_pq precedents)
+    "q_embed_pca_recall", "q_embed_lsh_recall", "q_embed_pq_rerank",
     // the PQ ADC coarse pass streams the 16-byte code rows past the
     // same ~10-row broadcast query frame (with its precomputed lookup
     // tables riding along) — constant build side, stored twin shares

@@ -126,6 +126,174 @@ class SimilaritySpec extends SparkSpec {
       "SQL view must serve the same curve as the Scala stored probe")
   }
 
+  test("pcaRecallCurve: full-rotation exactness endpoint at k' = dim, honest " +
+      "byte/scan axes, stored-index and SQL twins identical") {
+    val rows = Similarity.pcaRecallCurve(spark, sf,
+        kprimes = Seq(8, 16, 32, 64))
+      .orderBy($"kprime")
+      .select($"kprime", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm", $"byte_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(8, 16, 32, 64))
+    // k' = dim is a full orthonormal rotation: cosine ranking is
+    // preserved exactly, so the shortlist contains the true top-k and
+    // the exact re-rank recovers it in full
+    assert(rows.last._7 === 1000000L,
+      s"k'=dim must recall the exact top-k in full (got ${rows.last._7} ppm)")
+    // PCA prunes BYTES, not candidates: every step scores every
+    // (query, other-vector) pair — scanned is step-constant at
+    // n_queries * (n_corpus - 1) and scan_ppm reads 10^6 throughout
+    // (the honest contrast with IVF/LSH); byte_ppm is the real axis
+    rows.foreach { r =>
+      assert(r._3 === r._5 * (r._6 - 1),
+        s"k'=${r._1}: scanned ${r._3} != n_queries*(n_corpus-1)")
+      assert(r._8 === 1000000L)
+      assert(r._9 === r._1.toLong * 1000000L / 64L,
+        s"k'=${r._1}: byte_ppm ${r._9} is not the width share")
+    }
+    // the fixture's documented near-isotropic cliff: 32 of 64
+    // components hold recall, 16 do not — the decision the curve is
+    // FOR, measured (0.96 vs ~0.56 on this fixture)
+    val recallAt = rows.map(r => r._1 -> r._7).toMap
+    assert(recallAt(32) >= 850000L,
+      s"k'=32 recall ${recallAt(32)} ppm collapsed on the fixture")
+    assert(recallAt(16) < recallAt(32),
+      "the 16->32 cliff vanished — the fixture or the curve changed")
+
+    // stored twin: write the index at FULL width under the same qKey so
+    // the memoized fit pins the identical basis — any divergence is in
+    // the curve arithmetic. The SQL view serves the same rows.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pca-recall").toString
+    graft.sources.SimilarityIndexes.writePcaIndex(
+      Tables.embeddings(spark, sf), s"$dir/idx", qKey = sf, k = 64)
+    val (basis, reduced, vectors) = graft.sources.SimilarityIndexes
+      .readPcaIndex(spark, s"$dir/idx")
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.pcaRecallCurveFromIndex(basis, reduced, vectors,
+      queries, kprimes = Seq(8, 16, 32, 64))
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      rows.map(r => Row9(r).toString).toSeq.sorted,
+      "recall curve over the stored index must equal the inline measurement")
+    queries.createOrReplaceTempView("pca_recall_queries")
+    graft.sources.IndexSql.registerPcaRecallCurve(spark, "pca_recall_sql",
+      s"$dir/idx", "pca_recall_queries", kprimes = Seq(8, 16, 32, 64))
+    assert(spark.sql("SELECT * FROM pca_recall_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      stored.collect().map(_.toString).sorted.toSeq,
+      "SQL view must serve the same curve as the Scala stored probe")
+  }
+
+  // row-tuple -> Row rendering shared by the curve stored-twin asserts
+  private def Row9(r: (Int, Long, Long, Long, Long, Long, Long, Long, Long)) =
+    org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)
+
+  test("lshRecallCurve: recall and measured scanned monotone in nTables " +
+      "(nested plane prefixes), stored-index and SQL twins identical") {
+    val rows = Similarity.lshRecallCurve(spark, sf,
+        nTabless = Seq(1, 2, 4, 8, 16))
+      .orderBy($"ntables")
+      .select($"ntables", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 16))
+    // t tables' planes are a PREFIX of t'>t tables' (sequential seeded
+    // generation), so candidate sets are nested supersets: recall and
+    // the DEDUPED candidate count are non-decreasing by construction
+    assert(rows.map(_._7).toSeq === rows.map(_._7).toSeq.sorted,
+      s"recall_ppm must be monotone in nTables: ${rows.map(_._7).toSeq}")
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted,
+      s"scanned must be monotone in nTables: ${rows.map(_._3).toSeq}")
+    // deduped pairs can never exceed the all-pairs pool — and unlike
+    // IVF there is no exact endpoint law: LSH never guarantees recall
+    rows.foreach(r => assert(r._3 <= r._5 * (r._6 - 1) && r._8 <= 1000000L))
+    // at the full default table count the curve must reproduce the
+    // probe family's spec-asserted recall floor
+    assert(rows.last._7 >= 900000L,
+      s"16-table recall ${rows.last._7} ppm under the family's 0.9 floor")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-recall").toString
+    graft.sources.SimilarityIndexes.writeLshIndex(
+      Tables.embeddings(spark, sf), s"$dir/idx")
+    val (sketches, vectors, (nT, bits, dim)) = graft.sources.SimilarityIndexes
+      .readLshIndex(spark, s"$dir/idx")
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.lshRecallCurveFromIndex(sketches, vectors, queries,
+      k = 5, nTabless = Seq(1, 4, 16), bitsPerTable = bits,
+      maxBucket = 10000, dim = dim)
+    val inline = Similarity.lshRecallCurve(spark, sf, nTabless = Seq(1, 4, 16))
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      inline.collect().map(_.toString).sorted.toSeq,
+      "recall curve over the stored sketches must equal the inline measurement")
+    queries.createOrReplaceTempView("lsh_recall_queries")
+    graft.sources.IndexSql.registerLshRecallCurve(spark, "lsh_recall_sql",
+      s"$dir/idx", "lsh_recall_queries", nTabless = Seq(1, 4, 16))
+    assert(spark.sql("SELECT * FROM lsh_recall_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      stored.collect().map(_.toString).sorted.toSeq,
+      "SQL view must serve the same curve as the Scala stored probe")
+    assert(nT === 16, "fixture index must pin the default table count")
+  }
+
+  test("rerank-depth curves (PQ + SQ8): monotone in depth, degrade to exact " +
+      "brute at depth >= corpus, stored-index and SQL twins identical") {
+    val nCorpus = vecs.size
+    val rows = Similarity.pqRerankCurve(spark, sf,
+        reranks = Seq(5, 20, nCorpus))
+      .orderBy($"rerank")
+      .select($"rerank", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(5, 20, nCorpus))
+    // depth-r shortlists are nested prefixes of one coarse ranking:
+    // recall and the re-read float-vector count are monotone
+    assert(rows.map(_._7).toSeq === rows.map(_._7).toSeq.sorted)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).toSeq.sorted)
+    // at depth >= corpus the exact stage sees every candidate: the
+    // probe IS brute force (the full-rerank == brute precedent as a
+    // measured curve point), and the shortlist is the full pair pool
+    assert(rows.last._7 === 1000000L,
+      s"depth>=corpus must recall in full (got ${rows.last._7} ppm)")
+    assert(rows.last._3 === rows.last._5 * (rows.last._6 - 1))
+    assert(rows.last._8 === 1000000L)
+    // the shallowest depth re-reads exactly k floats per query
+    assert(rows.head._3 === rows.head._5 * 5)
+
+    // SQ8's reconstruction is far finer than PQ's: its curve must
+    // saturate at least as fast at every shared depth
+    val sq = Similarity.sqRerankCurve(spark, sf, reranks = Seq(5, 20, nCorpus))
+      .orderBy($"rerank").select($"rerank", $"recall_ppm")
+      .as[(Int, Long)].collect()
+    assert(sq.last._2 === 1000000L)
+    assert(sq.map(_._2).toSeq === sq.map(_._2).toSeq.sorted)
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-rerank").toString
+    graft.sources.SimilarityIndexes.writePqIndex(
+      Tables.embeddings(spark, sf), s"$dir/idx", qKey = sf)
+    val (books, codes, vectors) = graft.sources.SimilarityIndexes
+      .readPqIndex(spark, s"$dir/idx")
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val stored = Similarity.pqRerankCurveFromIndex(books, codes, vectors,
+      queries, reranks = Seq(5, 20, nCorpus))
+    val inline = Similarity.pqRerankCurve(spark, sf,
+      reranks = Seq(5, 20, nCorpus))
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      inline.collect().map(_.toString).sorted.toSeq,
+      "rerank curve over the stored index must equal the inline measurement")
+    queries.createOrReplaceTempView("pq_rerank_queries")
+    graft.sources.IndexSql.registerPqRerankCurve(spark, "pq_rerank_sql",
+      s"$dir/idx", "pq_rerank_queries", reranks = Seq(5, 20, nCorpus))
+    assert(spark.sql("SELECT * FROM pq_rerank_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      stored.collect().map(_.toString).sorted.toSeq,
+      "SQL view must serve the same curve as the Scala stored probe")
+  }
+
   test("salted two-phase shortlist == plain window: fixture SQ8 + IVF-PQ coarse " +
     "passes, and skewed tied data") {
     import org.apache.spark.sql.expressions.Window
