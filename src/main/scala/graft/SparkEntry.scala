@@ -523,11 +523,21 @@ object SparkEntry {
     // recall)...
     "q_embed_lsh_recall" -> ((s, d) => operators.Similarity.lshRecallCurve(s, d,
       nTabless = Seq(1, 4, 16))),
-    // ...and PQ rerank depth (nested shortlists => both monotone;
+    // ...PQ rerank depth (nested shortlists => both monotone;
     // depth >= corpus degrades to exact brute — the full-rerank
-    // precedent as a measured curve point at sf0.001 in the spec)
+    // precedent as a measured curve point at sf0.001 in the spec)...
     "q_embed_pq_rerank" -> ((s, d) => operators.Similarity.pqRerankCurve(s, d,
       reranks = Seq(8, 64, 512))),
+    // ...and the COMPOSED families' fan-out knob measured over the
+    // REAL two-stage probes (scanned counts code rows — the bytes the
+    // composition exists to shrink; recall honestly NOT monotone by
+    // construction at fixed rerank, approximate coarse scores can
+    // displace — spec pins scanned monotonicity, the full-fan-out
+    // scan endpoint, and nprobe=nlist == the pure family's recall)
+    "q_embed_ivfsq_recall" -> ((s, d) => operators.Similarity.ivfSqRecallCurve(s, d,
+      nprobes = Seq(1, 4, 16))),
+    "q_embed_ivfpq_recall" -> ((s, d) => operators.Similarity.ivfPqRecallCurve(s, d,
+      nprobes = Seq(1, 4, 16))),
     // same probe against the MATERIALIZED (parquet) IVF index — the
     // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
     // the same reason, stored == inline asserted in SimilaritySpec

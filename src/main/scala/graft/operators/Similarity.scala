@@ -743,7 +743,7 @@ object Similarity {
       emb.select(col("vec_id"), col("embedding")),
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nprobes)
+      k, nprobes, (d, q, np) => ivfProbe(centroids, d, q, k, np))
   }
 
   /** [[ivfRecallCurve]] over a PREBUILT (centroids, cells) index
@@ -765,12 +765,102 @@ object Similarity {
                               nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): DataFrame =
     recallCurveCore(centroids, cells,
       cells.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"),
-      queries, k, nprobes)
+      queries, k, nprobes, (d, q, np) => ivfProbe(centroids, d, q, k, np))
 
-  /** The measurement shared by [[ivfRecallCurve]] and
-    * [[ivfRecallCurveFromIndex]]: `data` is the cell-assigned frame the
-    * probes scan, `vectors` the deduplicated corpus the brute ground
-    * truth scores.
+  /** MEASURED nprobe → recall/scan curve for the COMPOSED IVF-SQ8
+    * probe — [[ivfRecallCurve]]'s contract over the family actually
+    * served at scale: `scanned` counts the int8 CODE rows the probed
+    * cells hold (the rows the coarse join reads — a quarter of the
+    * float bytes each, which is the point of the composition), and
+    * `hits` comes from the REAL two-stage probe at the given `rerank`
+    * — so unlike plain IVF's exact endpoint, recall here is monotone
+    * in practice but NOT by construction: a wider fan-out can displace
+    * a true neighbor from the fixed-size shortlist when the int8
+    * coarse scores misrank it (the honest price of approximate coarse
+    * scoring, and exactly what this curve exists to surface). The
+    * pinned laws are instead: scanned monotone (cell-population
+    * supersets), the full-fan-out scan endpoint, and nprobe = nlist
+    * == the PURE SQ8 probe's recall exactly (cell pruning off — the
+    * degrade precedent). Rows-only driver check (kmeans cells).
+    */
+  def ivfSqRecallCurve(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+                       nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                       rerank: Int = 20, trustKey: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    recallCurveCore(centroids,
+      quantizeSq8On(assignCells(emb, centroids, nassign = 1)),
+      vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobes,
+      (d, q, np) => ivfSqProbe(centroids, d, vectors, q, k, np, rerank))
+  }
+
+  /** [[ivfSqRecallCurve]] over a PREBUILT index
+    * ([[graft.sources.SimilarityIndexes.readIvfSqIndex]]) — tune the
+    * quantized inverted lists you actually serve.
+    */
+  def ivfSqRecallCurveFromIndex(centroids: Seq[Seq[Double]], codes: DataFrame,
+                                vectors: DataFrame, queries: DataFrame,
+                                k: Int = 5,
+                                nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                                rerank: Int = 20): DataFrame =
+    recallCurveCore(centroids, codes, vectors, queries, k, nprobes,
+      (d, q, np) => ivfSqProbe(centroids, d, vectors, q, k, np, rerank))
+
+  /** [[ivfSqRecallCurve]] for IVF-PQ — the production big-corpus
+    * index's fan-out knob measured over the real ADC probe: `scanned`
+    * counts the 16-byte PQ code rows the probed cells hold, `hits`
+    * the two-stage probe's true top-k recoveries at the given
+    * `rerank`. Same laws as IVF-SQ8 (scanned monotone, full-fan-out
+    * scan endpoint, nprobe = nlist == pure PQ exactly); same honest
+    * non-guarantee on recall monotonicity at fixed rerank.
+    */
+  def ivfPqRecallCurve(spark: SparkSession, sfDir: String,
+                       nQueries: Int = 10, k: Int = 5, nlist: Int = 16,
+                       nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                       rerank: Int = 64, m: Int = 16, ksub: Int = 32,
+                       trustKey: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = fitQuantizer(emb, sfDir, nlist, trustKey)
+    val books = fitPqCodebooks(emb, sfDir, m, ksub)
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    recallCurveCore(centroids,
+      quantizePqOn(assignCells(emb, centroids, nassign = 1), books),
+      vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobes,
+      (d, q, np) => annTopKIvfPqFromIndex(centroids, books, d, vectors,
+        q, k, np, rerank))
+  }
+
+  /** [[ivfPqRecallCurve]] over a PREBUILT index
+    * ([[graft.sources.SimilarityIndexes.readIvfPqIndex]]).
+    */
+  def ivfPqRecallCurveFromIndex(centroids: Seq[Seq[Double]],
+                                books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                                vectors: DataFrame, queries: DataFrame,
+                                k: Int = 5,
+                                nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                                rerank: Int = 64): DataFrame =
+    recallCurveCore(centroids, codes, vectors, queries, k, nprobes,
+      (d, q, np) => annTopKIvfPqFromIndex(centroids, books, d, vectors,
+        q, k, np, rerank))
+
+  /** The measurement shared by every NPROBE curve ([[ivfRecallCurve]],
+    * [[ivfSqRecallCurve]], [[ivfPqRecallCurve]] and their stored
+    * twins): `data` is the cell-assigned frame the probes scan (float
+    * vectors for plain IVF, SQ8/PQ code rows for the composed
+    * families — `scanned` counts ITS rows, so the composed curves
+    * honestly charge code rows, not float rows), `vectors` the
+    * deduplicated corpus the brute ground truth scores, and `probe`
+    * the family's real serving probe at one fan-out — the curve
+    * measures whatever the family actually serves, re-rank stage and
+    * all.
     *
     * Memory contract of a tuning run: the CELL-ASSIGNED CORPUS is
     * persisted for the ladder (its ground truth is inherently one
@@ -780,7 +870,9 @@ object Similarity {
     */
   private def recallCurveCore(centroids: Seq[Seq[Double]], data0: DataFrame,
                               vectors: DataFrame, queries0: DataFrame,
-                              k: Int, nprobes: Seq[Int]): DataFrame = {
+                              k: Int, nprobes: Seq[Int],
+                              probe: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
     val nlist = centroids.size
     require(nprobes.nonEmpty, "recall curve needs at least one nprobe")
     nprobes.foreach(p => require(p >= 1 && p <= nlist,
@@ -815,7 +907,7 @@ object Similarity {
       val own = pc.as("p").join(qCells.as("q"),
           col("p.query_id") === col("q.qid") && col("p.cell") === col("q.qcell"))
         .agg(count(lit(1)).as("own"))
-      val hits = ivfProbe(centroids, data, queries, k, np)
+      val hits = probe(data, queries, np)
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       // 1-row × 1-row crossJoins — the q_tfidf_terms constant-build

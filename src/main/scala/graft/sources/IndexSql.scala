@@ -121,6 +121,41 @@ object IndexSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** `SELECT * FROM <viewName>` = the measured nprobe → recall/scan
+    * curve of the STORED IVF-SQ8 index —
+    * [[Similarity.ivfSqRecallCurveFromIndex]]; `scanned` counts the
+    * int8 code rows the probed cells hold. Same corpus-member-queries
+    * assumption as the IVF curve.
+    */
+  def registerIvfSqRecallCurve(spark: SparkSession, viewName: String,
+                               indexPath: String, queriesTable: String,
+                               k: Int = 5,
+                               nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                               rerank: Int = 20): Unit = {
+    val (centroids, codes, vectors) = SimilarityIndexes.readIvfSqIndex(spark, indexPath)
+    Similarity.ivfSqRecallCurveFromIndex(centroids, codes, vectors,
+        spark.table(queriesTable).select("query_id", "eq"), k, nprobes, rerank)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** `SELECT * FROM <viewName>` = the measured nprobe → recall/scan
+    * curve of the STORED IVF-PQ index —
+    * [[Similarity.ivfPqRecallCurveFromIndex]]; `scanned` counts the
+    * 16-byte PQ code rows the probed cells hold. Same
+    * corpus-member-queries assumption as the IVF curve.
+    */
+  def registerIvfPqRecallCurve(spark: SparkSession, viewName: String,
+                               indexPath: String, queriesTable: String,
+                               k: Int = 5,
+                               nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                               rerank: Int = 64): Unit = {
+    val (centroids, books, codes, vectors) =
+      SimilarityIndexes.readIvfPqIndex(spark, indexPath)
+    Similarity.ivfPqRecallCurveFromIndex(centroids, books, codes, vectors,
+        spark.table(queriesTable).select("query_id", "eq"), k, nprobes, rerank)
+      .createOrReplaceTempView(viewName)
+  }
+
   /** `SELECT * FROM <viewName>` = the measured k′ → recall/byte curve
     * of the STORED PCA index for the queries in `queriesTable` —
     * [[Similarity.pcaRecallCurveFromIndex]]; the

@@ -208,6 +208,7 @@ class GrepEngineSpec extends SparkSpec {
       "q_embed_neardup", "q_embed_ann", "q_embed_ann_lsh", "q_embed_ann_ivf",
       "q_embed_ivf_recall",
       "q_embed_pca_recall", "q_embed_lsh_recall", "q_embed_pq_rerank",
+      "q_embed_ivfsq_recall", "q_embed_ivfpq_recall",
       "q_embed_ann_sq", "q_embed_ann_sq_idx",
       "q_embed_ann_ivfsq", "q_embed_ann_ivfsq_idx",
       "q_embed_ann_ivf_idx", "q_embed_ann_lsh_idx",

@@ -30,6 +30,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // constant-build BNLJ their probes run (q_embed_ann_pca /
     // q_embed_ann_pq precedents)
     "q_embed_pca_recall", "q_embed_lsh_recall", "q_embed_pq_rerank",
+    "q_embed_ivfsq_recall", "q_embed_ivfpq_recall",
     // the PQ ADC coarse pass streams the 16-byte code rows past the
     // same ~10-row broadcast query frame (with its precomputed lookup
     // tables riding along) — constant build side, stored twin shares

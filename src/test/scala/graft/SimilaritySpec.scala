@@ -294,6 +294,88 @@ class SimilaritySpec extends SparkSpec {
       "SQL view must serve the same curve as the Scala stored probe")
   }
 
+  test("composed nprobe curves (IVF-SQ8 + IVF-PQ): scanned monotone, full " +
+      "fan-out degrades to the pure family exactly, stored and SQL twins") {
+    // ground truth the pure-family comparison scores against
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+    val truth = Similarity.annTopKBrute(spark, sf)
+      .select($"query_id", $"neighbor_id")
+
+    val sqRows = Similarity.ivfSqRecallCurve(spark, sf,
+        nprobes = Seq(1, 4, 8, 16))
+      .orderBy($"nprobe")
+      .select($"nprobe", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(sqRows.map(_._1).toSeq === Seq(1, 4, 8, 16))
+    // cell-population supersets: the CODE-ROW scan cost is monotone by
+    // construction (recall deliberately is NOT pinned monotone — the
+    // int8 coarse pass can displace a true neighbor from the fixed
+    // shortlist at wider fan-out; the curve exists to surface that)
+    assert(sqRows.map(_._3).toSeq === sqRows.map(_._3).toSeq.sorted)
+    assert(sqRows.last._3 === sqRows.last._5 * (sqRows.last._6 - 1),
+      "full fan-out must scan every candidate code row once")
+    assert(sqRows.last._8 === 1000000L)
+    // nprobe = nlist turns cell pruning off: the curve's hit count
+    // must equal the PURE SQ8 two-stage probe's, exactly
+    val pureSqHits = Similarity.annTopKSqOn(emb, queries, k = 5, rerank = 20)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(sqRows.last._2 === pureSqHits,
+      s"IVF-SQ at nprobe=nlist hit ${sqRows.last._2} != pure SQ8 $pureSqHits")
+
+    val pqRows = Similarity.ivfPqRecallCurve(spark, sf,
+        nprobes = Seq(1, 4, 8, 16))
+      .orderBy($"nprobe")
+      .select($"nprobe", $"hits", $"scanned", $"n_truth", $"n_queries",
+        $"n_corpus", $"recall_ppm", $"scan_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(pqRows.map(_._3).toSeq === pqRows.map(_._3).toSeq.sorted)
+    assert(pqRows.last._3 === pqRows.last._5 * (pqRows.last._6 - 1))
+    assert(pqRows.last._8 === 1000000L)
+    val purePqHits = Similarity.annTopKPq(spark, sf)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(pqRows.last._2 === purePqHits,
+      s"IVF-PQ at nprobe=nlist hit ${pqRows.last._2} != pure PQ $purePqHits")
+
+    // stored twins: same qKey => memoized fits pin identical centroids
+    // and codebooks, so stored == inline bit-for-bit; SQL views serve
+    // the same rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-composed-recall").toString
+    graft.sources.SimilarityIndexes.writeIvfSqIndex(emb, s"$dir/sq", qKey = sf)
+    val (cs, sqCodes, sqVecs) = graft.sources.SimilarityIndexes
+      .readIvfSqIndex(spark, s"$dir/sq")
+    val sqStored = Similarity.ivfSqRecallCurveFromIndex(cs, sqCodes, sqVecs,
+      queries, nprobes = Seq(1, 4, 8, 16))
+    val sqInline = Similarity.ivfSqRecallCurve(spark, sf,
+      nprobes = Seq(1, 4, 8, 16))
+    assert(sqStored.collect().map(_.toString).sorted.toSeq ===
+      sqInline.collect().map(_.toString).sorted.toSeq)
+    queries.createOrReplaceTempView("composed_recall_queries")
+    graft.sources.IndexSql.registerIvfSqRecallCurve(spark, "ivfsq_recall_sql",
+      s"$dir/sq", "composed_recall_queries", nprobes = Seq(1, 4, 8, 16))
+    assert(spark.sql("SELECT * FROM ivfsq_recall_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      sqStored.collect().map(_.toString).sorted.toSeq)
+
+    graft.sources.SimilarityIndexes.writeIvfPqIndex(emb, s"$dir/pq", qKey = sf)
+    val (cp, books, pqCodes, pqVecs) = graft.sources.SimilarityIndexes
+      .readIvfPqIndex(spark, s"$dir/pq")
+    val pqStored = Similarity.ivfPqRecallCurveFromIndex(cp, books, pqCodes,
+      pqVecs, queries, nprobes = Seq(1, 4, 8, 16))
+    val pqInline = Similarity.ivfPqRecallCurve(spark, sf,
+      nprobes = Seq(1, 4, 8, 16))
+    assert(pqStored.collect().map(_.toString).sorted.toSeq ===
+      pqInline.collect().map(_.toString).sorted.toSeq)
+    graft.sources.IndexSql.registerIvfPqRecallCurve(spark, "ivfpq_recall_sql",
+      s"$dir/pq", "composed_recall_queries", nprobes = Seq(1, 4, 8, 16))
+    assert(spark.sql("SELECT * FROM ivfpq_recall_sql")
+      .collect().map(_.toString).sorted.toSeq ===
+      pqStored.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("salted two-phase shortlist == plain window: fixture SQ8 + IVF-PQ coarse " +
     "passes, and skewed tied data") {
     import org.apache.spark.sql.expressions.Window
