@@ -504,40 +504,44 @@ object SparkEntry {
     // scan_ppm) curve vs the exact oracle over the same query sample;
     // rows-only (kmeans cells) — monotonicity + the nprobe=nlist
     // degenerate-to-brute endpoints are pinned in SimilaritySpec.
-    // Ladder {1, 4, 16} since r17 (verdict #5): the registered query
-    // is a diagnostic, so it keeps exactly the spec-law points (one
-    // interior + the exact endpoint) instead of a dense ladder
-    "q_embed_ivf_recall" -> ((s, d) => operators.Similarity.ivfRecallCurve(s, d,
-      nprobes = Seq(1, 4, 16))),
+    // Since r17 (verdict #5) the registered curve queries keep exactly
+    // the spec-law ladder points (one interior + the endpoint) and —
+    // except PCA — probe the writeOnce'd STORED fixture indexes (the
+    // production "tune the index you serve" question; timed reps pay
+    // probes, never fits/encodes; stored == inline spec-pinned)
+    "q_embed_ivf_recall" -> ((s, d) => sources.SimilarityIndexes
+      .ivfRecallCurveDocs(s, d, nprobes = Seq(1, 4, 16))),
     // the same serving-curve contract for the OTHER stored families'
     // knobs (r16 verdict #3), one query per curve, all rows-only with
     // spec-pinned laws: PCA width k' (recall NOT monotone — geometry,
     // not subsetting; the k'=dim full-rotation exactness endpoint is
     // the pinned law, and on this near-isotropic fixture the 16->32
-    // cliff is the decision the curve answers)...
+    // cliff is the decision the curve answers; INLINE spelling — the
+    // endpoint law needs the full-width basis the 32-wide stored
+    // fixture index cannot ladder to)...
     "q_embed_pca_recall" -> ((s, d) => operators.Similarity.pcaRecallCurve(s, d,
       kprimes = Seq(16, 32, 64))),
     // ...LSH table count (nested plane prefixes => candidate
     // supersets: recall AND measured scanned monotone by
     // construction, no exact endpoint — LSH never guarantees full
     // recall)...
-    "q_embed_lsh_recall" -> ((s, d) => operators.Similarity.lshRecallCurve(s, d,
-      nTabless = Seq(1, 4, 16))),
+    "q_embed_lsh_recall" -> ((s, d) => sources.SimilarityIndexes
+      .lshRecallCurveDocs(s, d, nTabless = Seq(1, 4, 16))),
     // ...PQ rerank depth (nested shortlists => both monotone;
     // depth >= corpus degrades to exact brute — the full-rerank
     // precedent as a measured curve point at sf0.001 in the spec)...
-    "q_embed_pq_rerank" -> ((s, d) => operators.Similarity.pqRerankCurve(s, d,
-      reranks = Seq(8, 64, 512))),
+    "q_embed_pq_rerank" -> ((s, d) => sources.SimilarityIndexes
+      .pqRerankCurveDocs(s, d, reranks = Seq(8, 64, 512))),
     // ...and the COMPOSED families' fan-out knob measured over the
     // REAL two-stage probes (scanned counts code rows — the bytes the
     // composition exists to shrink; recall honestly NOT monotone by
     // construction at fixed rerank, approximate coarse scores can
     // displace — spec pins scanned monotonicity, the full-fan-out
     // scan endpoint, and nprobe=nlist == the pure family's recall)
-    "q_embed_ivfsq_recall" -> ((s, d) => operators.Similarity.ivfSqRecallCurve(s, d,
-      nprobes = Seq(1, 4, 16))),
-    "q_embed_ivfpq_recall" -> ((s, d) => operators.Similarity.ivfPqRecallCurve(s, d,
-      nprobes = Seq(1, 4, 16))),
+    "q_embed_ivfsq_recall" -> ((s, d) => sources.SimilarityIndexes
+      .ivfSqRecallCurveDocs(s, d, nprobes = Seq(1, 4, 16))),
+    "q_embed_ivfpq_recall" -> ((s, d) => sources.SimilarityIndexes
+      .ivfPqRecallCurveDocs(s, d, nprobes = Seq(1, 4, 16))),
     // same probe against the MATERIALIZED (parquet) IVF index — the
     // embedding-side counterpart of q_dedup_incr_near_idx; rows-only for
     // the same reason, stored == inline asserted in SimilaritySpec

@@ -1173,6 +1173,102 @@ object SimilarityIndexes {
       k, rerank)
   }
 
+  /** [[Similarity.ivfRecallCurve]] measured over the materialized IVF
+    * index — the driver spelling of the serving curve since r17
+    * (r16 verdict #5): probing the STORED layout is both the
+    * production question ("tune the index you actually serve") and
+    * cheaper at driver cadence — the fixture index is writeOnce'd, so
+    * the timed reps pay probes only, never the fit fingerprint or the
+    * per-rep cell assignment. Stored == inline is spec-pinned
+    * (SimilaritySpec), so the trim changes what is timed, not what is
+    * true.
+    */
+  def ivfRecallCurveDocs(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 5,
+                         nprobes: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivf", sfDir)
+    DedupIndexes.writeOnce(path)(writeIvfIndex(emb, path, sfDir))
+    val (centroids, cells) = readIvfIndex(spark, path)
+    Similarity.ivfRecallCurveFromIndex(centroids, cells,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobes)
+  }
+
+  /** [[Similarity.lshRecallCurve]] measured over the materialized
+    * sketch index — [[ivfRecallCurveDocs]]'s contract for the LSH
+    * table-count knob (ladder bounded by the stored meta nTables).
+    */
+  def lshRecallCurveDocs(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 5,
+                         nTabless: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("lsh", sfDir)
+    DedupIndexes.writeOnce(path)(writeLshIndex(emb, path))
+    val (sketches, vectors, (nTables, bits, dim)) = readLshIndex(spark, path)
+    require(nTabless.forall(_ <= nTables),
+      s"ladder step exceeds the stored index's nTables=$nTables")
+    Similarity.lshRecallCurveFromIndex(sketches, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nTabless, bits, maxBucket = 10000, dim = dim)
+  }
+
+  /** [[Similarity.pqRerankCurve]] measured over the materialized PQ
+    * index — [[ivfRecallCurveDocs]]'s contract for the rerank-depth
+    * knob (timed reps pay the ADC pass and the ladder, never the
+    * codebook fingerprint or the per-rep corpus encode).
+    */
+  def pqRerankCurveDocs(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 10, k: Int = 5,
+                        reranks: Seq[Int] = Seq(8, 64, 512)): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("pq", sfDir)
+    DedupIndexes.writeOnce(path)(writePqIndex(emb, path, sfDir))
+    val (books, codes, vectors) = readPqIndex(spark, path)
+    Similarity.pqRerankCurveFromIndex(books, codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, reranks)
+  }
+
+  /** [[Similarity.ivfSqRecallCurve]] measured over the materialized
+    * IVF-SQ8 index — [[ivfRecallCurveDocs]]'s contract for the
+    * composed family's fan-out knob.
+    */
+  def ivfSqRecallCurveDocs(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 5,
+                           nprobes: Seq[Int] = Seq(1, 4, 16),
+                           rerank: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivfsq", sfDir)
+    DedupIndexes.writeOnce(path)(writeIvfSqIndex(emb, path, sfDir))
+    val (centroids, codes, vectors) = readIvfSqIndex(spark, path)
+    Similarity.ivfSqRecallCurveFromIndex(centroids, codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobes, rerank)
+  }
+
+  /** [[Similarity.ivfPqRecallCurve]] measured over the materialized
+    * IVF-PQ index — [[ivfRecallCurveDocs]]'s contract for the
+    * production big-corpus composition's fan-out knob.
+    */
+  def ivfPqRecallCurveDocs(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 10, k: Int = 5,
+                           nprobes: Seq[Int] = Seq(1, 4, 16),
+                           rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivfpq", sfDir)
+    DedupIndexes.writeOnce(path)(writeIvfPqIndex(emb, path, sfDir))
+    val (centroids, books, codes, vectors) = readIvfPqIndex(spark, path)
+    Similarity.ivfPqRecallCurveFromIndex(centroids, books, codes, vectors,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobes, rerank)
+  }
+
   /** [[Similarity.semanticDedup]] blocking on the materialized
     * multi-assign (nassign = 4) cell table — the q_semantic_dedup
     * stored-probe twin, completing the stored-index symmetry across
