@@ -171,6 +171,25 @@ object SparkEntry {
     "q_sample_weighted_src" -> ((s, d) => operators.TextAnalysis.weightedSampleBySource(s, d)),
     // conjunctive AND search ranked by the tf-idf integer spelling
     "q_search_rank" -> ((s, d) => operators.TextAnalysis.searchRanked(s, d)),
+    // BM25 (k1=1.2, b=0.75) in milli fixed-point: tf saturation +
+    // doc-length normalization over the same conjunctive query
+    "q_search_bm25" -> ((s, d) => operators.TextAnalysis.searchBm25(s, d)),
+    // ---- co-purchase graph analytics (operators.Graph) ----
+    // distinct part pairs per order via bounded HOF expansion (<= 7
+    // parts/order), one orderkey shuffle — the oracle self-joins
+    "q_graph_edges" -> (operators.Graph.copurchaseEdges _),
+    // 5 synchronous ppm fixed-point PageRank steps over ONE persisted
+    // src-partitioned adjacency; per-edge integer truncation makes the
+    // unrolled-CTE oracle bit-identical
+    "q_graph_pagerank" -> ((s, d) => operators.Graph.pageRank(s, d)),
+    // per-node triangle counts + clustering coefficient via per-edge
+    // adjacency intersection (codegen array_intersect, no wedge-set
+    // shuffle); the id-ordered wedge-join oracle enumerates the same
+    // triangle bag
+    "q_graph_triangles" -> (operators.Graph.triangleStats _),
+    // top-3 "also bought" neighbors per part (per-node window, never a
+    // global sort)
+    "q_graph_recs" -> ((s, d) => operators.Graph.itemRecs(s, d)),
     // per-source hash-rank ceiling via the skew-safe banded exact rank
     "q_source_cap" -> ((s, d) => operators.TextAnalysis.capPerSource(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
@@ -1341,6 +1360,108 @@ object SparkEntry {
              FROM tf JOIN dfq USING (term) GROUP BY doc_id)
       SELECT doc_id, score FROM sc WHERE nt = 2
       ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // BM25 milli fixed-point: every DIV (// here) truncates at the same
+    // point as the engine's spelling, so scores are bit-identical
+    "q_search_bm25" -> ("""
+      WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs,
+                     (SUM(dl) * 1000) // COUNT(*) AS avgdl_milli FROM dl),
+      tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             WHERE tok IN ('spark', 'join') GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      nm AS (SELECT tf.doc_id, tf.tf, dfq.df, tot.n_docs,
+                    250 + (750 * ((dl.dl * 1000000) // tot.avgdl_milli)) // 1000 AS norm_milli
+             FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+      sc AS (SELECT doc_id,
+                    SUM(((n_docs * 1000) // df) *
+                        ((tf * 2200 * 1000) //
+                         (tf * 1000 + (1200 * norm_milli) // 1000))) AS score,
+                    COUNT(*) AS nt
+             FROM nm GROUP BY 1)
+      SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc WHERE nt = 2
+      ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // the oracle builds the same co-purchase bag through an orderkey
+    // equi-self-join; the engine never self-joins the fact table
+    "q_graph_edges" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS w
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2""".stripMargin.trim),
+    // 5 unrolled synchronous steps, per-edge integer truncation —
+    // bit-identical to the engine's loop by construction
+    "q_graph_pagerank" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+      d AS (SELECT pa AS src, pb AS dst, w FROM e
+            UNION ALL SELECT pb, pa, w FROM e),
+      deg AS (SELECT src, SUM(w) AS wdeg FROM d GROUP BY 1),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT d.dst AS node,
+                    150000 + SUM((850 * r.r * d.w) // (1000 * deg.wdeg)) AS r
+             FROM d JOIN r0 r ON d.src = r.node JOIN deg ON deg.src = d.src
+             GROUP BY 1),
+      r2 AS (SELECT d.dst AS node,
+                    150000 + SUM((850 * r.r * d.w) // (1000 * deg.wdeg)) AS r
+             FROM d JOIN r1 r ON d.src = r.node JOIN deg ON deg.src = d.src
+             GROUP BY 1),
+      r3 AS (SELECT d.dst AS node,
+                    150000 + SUM((850 * r.r * d.w) // (1000 * deg.wdeg)) AS r
+             FROM d JOIN r2 r ON d.src = r.node JOIN deg ON deg.src = d.src
+             GROUP BY 1),
+      r4 AS (SELECT d.dst AS node,
+                    150000 + SUM((850 * r.r * d.w) // (1000 * deg.wdeg)) AS r
+             FROM d JOIN r3 r ON d.src = r.node JOIN deg ON deg.src = d.src
+             GROUP BY 1),
+      r5 AS (SELECT d.dst AS node,
+                    150000 + SUM((850 * r.r * d.w) // (1000 * deg.wdeg)) AS r
+             FROM d JOIN r4 r ON d.src = r.node JOIN deg ON deg.src = d.src
+             GROUP BY 1)
+      SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r5""".stripMargin.trim),
+    // id-ordered triangle enumeration (x < y < z) counts each triangle
+    // once — the engine's degree-ordered orientation yields the same bag
+    "q_graph_triangles" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+                (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+              GROUP BY 1),
+      t AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+            FROM e e1
+            JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+            JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+      pn AS (SELECT node, COUNT(*) AS tri FROM
+               (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+             GROUP BY 1)
+      SELECT deg.node AS part, CAST(deg.deg AS BIGINT) AS deg,
+             CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+             CAST((2 * COALESCE(pn.tri, 0) * 1000000)
+                  // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
+      FROM deg LEFT JOIN pn USING (node)
+      WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_recs" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+      d AS (SELECT pa AS part, pb AS rec, w FROM e
+            UNION ALL SELECT pb, pa, w FROM e),
+      r AS (SELECT part, rec, w,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY part
+                        ORDER BY w DESC, rec ASC) AS BIGINT) AS rnk
+            FROM d)
+      SELECT part, rec, w, rnk FROM r WHERE rnk <= 3""".stripMargin.trim),
     "q_rep_topgram" -> ("""
       WITH t1 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),

@@ -925,6 +925,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 CONJUNCTIVE RANKED SEARCH — [[searchRanked]]'s production
+    * sibling: same AND semantics and idf spelling, plus BM25's two
+    * ranking refinements, in milli fixed-point so the DuckDB oracle is
+    * bit-identical (Okapi's float ln-idf would hash-differ; the scaled
+    * integer family does not):
+    *
+    *   - tf SATURATION (k1 = 1.2): the 50th occurrence of a term adds
+    *     almost nothing — sat = tf·(k1+1) / (tf + k1·norm), spelled
+    *     (tf·2200·1000) DIV (tf·1000 + (1200·norm_milli) DIV 1000);
+    *   - LENGTH NORMALIZATION (b = 0.75): long documents must beat
+    *     short ones on term MASS, not length — norm_milli =
+    *     250 + (750·(dl·10⁶ DIV avgdl_milli)) DIV 1000.
+    *
+    * score = Σ_terms idf_scaled · sat_milli, idf_scaled = n_docs·1000
+    * DIV df (the [[tfidfTopTerms]] spelling). Every division is
+    * truncating integer DIV at the same point in both engines.
+    *
+    * Plan: token explode filtered to the query terms AT THE SCAN, so
+    * tf/df frames are query-term-sized; doc lengths ride a second
+    * corpus scan whose join to tf is pruned to (doc_id, dl); the
+    * 1-row (n_docs, avgdl) totals frame crossJoins in broadcast (the
+    * tf-idf constant-build shape); the cut is a TakeOrdered.
+    */
+  def searchBm25(spark: SparkSession, sfDir: String,
+                 terms: Seq[String] = Seq("spark", "join"),
+                 k: Int = 10): DataFrame =
+    searchBm25On(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      terms, k)
+
+  def searchBm25On(docTexts: DataFrame, terms: Seq[String],
+                   k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25On needs at least one term")
+    val docLens = docTexts.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val totals = docLens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("toks"))
+      .select(col("n_docs"), expr("(toks * 1000) DIV n_docs").as("avgdl_milli"))
+    val tf = docTexts
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("norm_milli",
+        expr("250 + (750 * ((dl * 1000000) DIV avgdl_milli)) DIV 1000"))
+      .withColumn("sat_milli",
+        expr("(tf * 2200 * 1000) DIV (tf * 1000 + (1200 * norm_milli) DIV 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("((n_docs * 1000) DIV df) * sat_milli")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size.toLong)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** EXACT corpus-wide frequent tokens (frequency > N/(k+1)) in two
     * bounded-state passes — the sketch-then-recount spelling of heavy
     * hitters that survives a vocabulary too large for any groupBy:

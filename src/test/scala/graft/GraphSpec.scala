@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Co-purchase graph analytics (q_graph_edges / q_graph_pagerank /
+  * q_graph_triangles / q_graph_recs): values are hash-checked against
+  * DuckDB by the driver; this suite pins the laws the rollups can't
+  * show — pair-expansion exactness, PageRank fixed-point/mass
+  * conservation, orientation invariance of the triangle count, and
+  * the recommendation tiebreak.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lines(rows: (Long, Long)*) =
+    rows.toDF("l_orderkey", "l_partkey")
+
+  test("edges: per-order pair expansion, canonical a<b, weight = shared orders") {
+    val e = Graph.copurchaseEdgesOn(lines(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 20L), (2L, 10L),           // reversed arrival order, same pair
+      (3L, 30L),                      // singleton order contributes nothing
+      (4L, 10L), (4L, 10L), (4L, 20L) // duplicate line collapses first
+    )).as[(Long, Long, Long)].collect().toSet
+    assert(e === Set(
+      (10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("pagerank: a regular graph is an exact fixed point at 1_000_000 ppm") {
+    // 4-cycle, unit weights: every node has wdeg 2 and two in-edges, so
+    // each step computes 150000 + 2 * ((850 * 1000000) DIV 2000) =
+    // exactly 1000000 — no truncation drift on regular graphs
+    val cycle = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val ranks = Graph.pageRankOn(cycle, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks === Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L))
+  }
+
+  test("pagerank: hub outranks leaves; mass conserved up to truncation loss") {
+    // star: hub 1 with 4 leaves
+    val star = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val ranks = Graph.pageRankOn(star, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val hub = ranks(1L)
+    val leaves = ranks.filterNot(_._1 == 1L).values
+    assert(leaves.forall(hub > _), s"hub $hub must outrank leaves $leaves")
+    assert(leaves.toSet.size === 1, "symmetric leaves must tie exactly")
+    // each of the 8 directed edges truncates < 1 ppm unit per step; the
+    // 0.85 damping factor caps the accumulated loss well under 8 * 5
+    val total = ranks.values.sum
+    assert(total <= 5L * 1000000L)
+    assert(total >= 5L * 1000000L - 40L)
+  }
+
+  test("pagerank: iteration-count contract is guarded") {
+    val e = Seq((1L, 2L, 1L)).toDF("part_a", "part_b", "w")
+    intercept[IllegalArgumentException](Graph.pageRankOn(e, iters = 0))
+    intercept[IllegalArgumentException](Graph.pageRankOn(e, iters = 21))
+  }
+
+  test("triangles: K4 minus one edge — counts, zero rows, cc bounds") {
+    // edges ab ac bc bd cd: triangles abc, bcd
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+    val got = Graph.triangleStatsOn(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 1000000L),      // deg 2, 1 triangle -> cc = 1
+      (2L, 3L, 2L, 666666L),       // 2*2*1e6 DIV (3*2)
+      (3L, 3L, 2L, 666666L),
+      (4L, 2L, 1L, 1000000L)))
+  }
+
+  test("triangles: a triangle-free node with deg >= 2 appears with tri = 0") {
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("part_a", "part_b", "w")
+    val got = Graph.triangleStatsOn(path)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // only node 2 has deg >= 2
+    assert(got === Set((2L, 2L, 0L, 0L)))
+  }
+
+  test("triangles: adjacency-intersection spelling matches the naive id-ordered count") {
+    // deterministic pseudo-random graph: 18 nodes, edge iff the pair
+    // hash lands under the threshold — dense enough for many triangles
+    val all = for {
+      a <- 1L to 18L; b <- (a + 1) to 18L
+      if ((a * 2654435761L + b * 40503L) % 97) < 30
+    } yield (a, b)
+    assert(all.size > 30, s"fixture too sparse: ${all.size} edges")
+    val edgeSet = all.toSet
+    val naivePerNode = scala.collection.mutable.Map[Long, Long]()
+    for {
+      (a, b) <- all; c <- (b + 1) to 18L
+      if edgeSet.contains((b, c)) && edgeSet.contains((a, c))
+    } {
+      Seq(a, b, c).foreach(n => naivePerNode(n) = naivePerNode.getOrElse(n, 0L) + 1L)
+    }
+    val e = all.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+    val got = Graph.triangleStatsOn(e)
+      .select(col("part"), col("tri")).as[(Long, Long)].collect().toMap
+    val degOk = all.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).collect { case (n, xs) if xs.size >= 2 => n }.toSet
+    assert(got.keySet === degOk)
+    got.foreach { case (n, tri) =>
+      assert(tri === naivePerNode.getOrElse(n, 0L),
+        s"node $n: engine $tri vs naive ${naivePerNode.getOrElse(n, 0L)}")
+    }
+  }
+
+  test("recs: strength ranking with id tiebreak, bounded at k per part") {
+    val e = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 7L), (1L, 5L, 1L),
+      (2L, 3L, 2L)).toDF("part_a", "part_b", "w")
+    val got = Graph.itemRecsOn(e, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 7L, 1L), (1L, 2L, 5L, 2L), // w tie 2-vs-3 broken by id
+      (2L, 1L, 5L, 1L), (2L, 3L, 2L, 2L),
+      (3L, 1L, 5L, 1L), (3L, 2L, 2L, 2L),
+      (4L, 1L, 7L, 1L),
+      (5L, 1L, 1L, 1L)))
+  }
+}

@@ -128,6 +128,47 @@ class HeavyHittersSpec extends SparkSpec {
     }.getMessage.contains("at least one term"))
   }
 
+  test("bm25: length normalization, tf saturation, exact integer contract") {
+    // doc 1 and doc 2 carry IDENTICAL term counts (a×1, b×1); doc 2 is
+    // padded 4x longer. doc 3 stacks a×7 at the same length as doc 2.
+    // doc 4 fails the conjunctive gate.
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b x y z x y z"),
+      (3L, "a a a a a a a b"),
+      (4L, "a x")).toDF("doc_id", "text")
+    val got = TextAnalysis.searchBm25On(docs, Seq("a", "b"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "conjunctive gate")
+    // law 1 — length normalization: same tf, longer doc scores lower
+    assert(got(1L) > got(2L),
+      s"short doc ${got(1L)} must beat the padded twin ${got(2L)}")
+    // law 2 — saturation: 7 extra 'a's buy less than 2x doc 2's score
+    assert(got(3L) > got(2L) && got(3L) < 2L * got(2L),
+      s"tf gain must be sublinear: ${got(3L)} vs ${got(2L)}")
+    // exact integer contract — replicate the fixed-point formula
+    val dls = Map(1L -> 2L, 2L -> 8L, 3L -> 8L, 4L -> 2L)
+    val nDocs = 4L
+    val avgdlMilli = dls.values.sum * 1000L / nDocs
+    val dfOf = Map("a" -> 4L, "b" -> 3L)
+    def score(tfs: Map[String, Long], dl: Long): Long =
+      tfs.map { case (t, tf) =>
+        val norm = 250L + 750L * (dl * 1000000L / avgdlMilli) / 1000L
+        val sat = tf * 2200L * 1000L / (tf * 1000L + 1200L * norm / 1000L)
+        (nDocs * 1000L / dfOf(t)) * sat
+      }.sum
+    assert(got === Map(
+      1L -> score(Map("a" -> 1L, "b" -> 1L), 2L),
+      2L -> score(Map("a" -> 1L, "b" -> 1L), 8L),
+      3L -> score(Map("a" -> 7L, "b" -> 1L), 8L)))
+    // k cut + empty refusal share searchRanked's contract
+    assert(TextAnalysis.searchBm25On(docs, Seq("a", "b"), 1)
+      .as[(Long, Long)].collect().map(_._1).toSeq === Seq(got.maxBy(r => (r._2, -r._1))._1))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.searchBm25On(docs, Seq.empty, 5)
+    }.getMessage.contains("at least one term"))
+  }
+
   test("misra_gries is SQL-registered via GraftExtensions") {
     val cands = spark.sql(
       """SELECT misra_gries(tok, 3) AS c FROM (
