@@ -190,6 +190,15 @@ object SparkEntry {
     // top-3 "also bought" neighbors per part (per-node window, never a
     // global sort)
     "q_graph_recs" -> ((s, d) => operators.Graph.itemRecs(s, d)),
+    // Resource-Allocation link prediction from seed parts: integer ppm
+    // scores over seed-anchored 2-hop candidates, existing edges
+    // anti-joined out
+    "q_graph_linkpred" -> ((s, d) => operators.Graph.linkPredict(s, d)),
+    // stored-ledger twins: 80% base build + 20% delta append, probed
+    // through the merge-on-read reconciled edge set (within-order
+    // pairing additivity makes reconciled == inline, oracle shared)
+    "q_graph_pagerank_idx" -> (sources.GraphIndexes.pageRankProbe _),
+    "q_graph_recs_idx" -> (sources.GraphIndexes.recsProbe _),
     // per-source hash-rank ceiling via the skew-safe banded exact rank
     "q_source_cap" -> ((s, d) => operators.TextAnalysis.capPerSource(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
@@ -679,7 +688,13 @@ object SparkEntry {
     "q_grep_multi_idx" -> "q_grep_multi",
     "q_grep_regex_idx" -> "q_grep_regex",
     "q_grep_topk_idx" -> "q_grep_topk",
-    "q_grep_word_idx" -> "q_grep_word"
+    "q_grep_word_idx" -> "q_grep_word",
+    // the graph-ledger probes reconcile base + delta ingests into the
+    // SAME edge set the inline build derives (within-order pairing is
+    // additive across order partitions) — identical oracles certify
+    // the merge-on-read sum and the parquet round-trip
+    "q_graph_pagerank_idx" -> "q_graph_pagerank",
+    "q_graph_recs_idx" -> "q_graph_recs"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   /** Builds the curation-ledger oracle variants from ONE spelling of the
@@ -1449,6 +1464,30 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_linkpred" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      d AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT src AS z, COUNT(*) AS zdeg FROM d GROUP BY 1),
+      se AS (SELECT src AS u, dst AS z FROM d WHERE src % 100 = 0),
+      h2 AS (SELECT se.u, d2.dst AS v, deg.zdeg
+             FROM se JOIN d d2 ON d2.src = se.z JOIN deg ON deg.z = se.z
+             WHERE d2.dst <> se.u),
+      sc AS (SELECT u, v, SUM(1000000 // zdeg) AS score_ppm
+             FROM h2 GROUP BY 1, 2),
+      nn AS (SELECT sc.u, sc.v, sc.score_ppm FROM sc
+             LEFT JOIN d ON d.src = sc.u AND d.dst = sc.v
+             WHERE d.src IS NULL),
+      r AS (SELECT u, v, score_ppm,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY u
+                        ORDER BY score_ppm DESC, v ASC) AS BIGINT) AS rnk
+            FROM nn)
+      SELECT u AS part, v AS candidate,
+             CAST(score_ppm AS BIGINT) AS score_ppm, rnk
+      FROM r WHERE rnk <= 5""".stripMargin.trim),
     "q_graph_recs" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w

@@ -155,6 +155,53 @@ object Graph {
         expr("(2 * tri * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
   }
 
+  /** LINK PREDICTION from seed parts via the Resource-Allocation
+    * index: for each seed u, score every distance-2 candidate v (not
+    * already a neighbor) as RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 10⁶ DIV deg(z)
+    * — common neighbors count more when they are SELECTIVE (a hub that
+    * co-occurs with everything predicts nothing). Integer ppm
+    * spelling, so the oracle is bit-identical where the float 1/deg
+    * (or Adamic-Adar's 1/log deg) would hash-drift.
+    *
+    * Plan: seed-ANCHORED two-hop expansion — seed out-edges (u, z)
+    * join the adjacency (z, v), never the all-pairs wedge set (the
+    * full RA matrix is Σ C(deg, 2) rows; anchoring bounds it by
+    * |seed edges| · avg-degree). Existing edges leave via a
+    * left-anti join on the directed edge set; the per-seed top-k is a
+    * per-node window (partition key = seed, never global).
+    */
+  def linkPredict(spark: SparkSession, sfDir: String,
+                  seedMod: Int = 100, k: Int = 5): DataFrame =
+    linkPredictOn(copurchaseEdges(spark, sfDir), seedMod, k)
+
+  def linkPredictOn(edges: DataFrame, seedMod: Int, k: Int): DataFrame = {
+    require(seedMod >= 1, s"linkPredict needs seedMod >= 1, got $seedMod")
+    require(k >= 1, s"linkPredict needs k >= 1, got $k")
+    val e = edges.localCheckpoint()
+    val directed = e.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(e.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val deg = directed.groupBy(col("src").as("z"))
+      .agg(count(lit(1)).as("zdeg"))
+    val seedEdges = directed.filter(pmod(col("src"), lit(seedMod.toLong)) === 0L)
+      .select(col("src").as("u"), col("dst").as("z"))
+    val hop2 = seedEdges
+      .join(directed.select(col("src").as("z"), col("dst").as("v")), "z")
+      .filter(col("v") =!= col("u"))
+      .join(deg, "z")
+    val scored = hop2
+      .groupBy(col("u"), col("v"))
+      .agg(sum(expr("1000000 DIV zdeg")).as("score_ppm"))
+      .join(directed.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    val bySeed = Window.partitionBy(col("u"))
+      .orderBy(col("score_ppm").desc, col("v").asc)
+    scored
+      .withColumn("rnk", row_number().over(bySeed).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u").as("part"), col("v").as("candidate"),
+        col("score_ppm"), col("rnk"))
+  }
+
   /** Top-k "also bought" recommendations per part: the k strongest
     * co-purchase neighbors, ranked by edge weight (count of shared
     * orders) with neighbor id as the deterministic tiebreak — the

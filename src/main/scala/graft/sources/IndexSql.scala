@@ -283,4 +283,26 @@ object IndexSql {
     graft.streaming.StreamingOps
       .changelogState(spark, stateDir, keyCol, seqCol, opCol)
       .createOrReplaceTempView(viewName)
+
+  /** `SELECT * FROM <viewName>` = (part, rec, w, rnk) top-k "also
+    * bought" neighbors over a stored co-purchase ledger
+    * ([[GraphIndexes]]) — [[graft.operators.Graph.itemRecsOn]] over
+    * the merge-on-read reconciled edge set.
+    */
+  def registerGraphRecs(spark: SparkSession, viewName: String,
+                        indexPath: String, k: Int = 3): Unit =
+    graft.operators.Graph
+      .itemRecsOn(GraphIndexes.readGraphEdges(spark, indexPath), k)
+      .createOrReplaceTempView(viewName)
+
+  /** `SELECT * FROM <viewName>` = (node, rank_ppm) fixed-point
+    * PageRank over a stored co-purchase ledger —
+    * [[graft.operators.Graph.pageRankOn]], same integer contract as
+    * the driver query.
+    */
+  def registerGraphPageRank(spark: SparkSession, viewName: String,
+                            indexPath: String, iters: Int = 5): Unit =
+    graft.operators.Graph
+      .pageRankOn(GraphIndexes.readGraphEdges(spark, indexPath), iters)
+      .createOrReplaceTempView(viewName)
 }

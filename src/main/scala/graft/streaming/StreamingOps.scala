@@ -1102,6 +1102,65 @@ object StreamingOps {
     }.start()
   }
 
+  /** Streaming ORDER-LINE ingest maintaining the stored co-purchase
+    * graph ledger ([[graft.sources.GraphIndexes]]) — the GRAPH member
+    * of the ingest family, so the PageRank/recs serving twins never go
+    * stale under a live order stream.
+    *
+    * Contract: each delivery carries COMPLETE orders (every line of
+    * every order it claims) — co-purchase pairing is within-order, so
+    * a split order would under-count its edges; order id is the
+    * content identity (a re-delivered order is anti-joined away at
+    * both the corpus and the ledger, the vec_id contract of the
+    * embeddings sink). Exactly-once story: raw lines land in
+    * `corpusDir` first (fresh orders only); the ledger bootstraps FROM
+    * the corpus when no complete index exists — which self-heals a
+    * build that crashed before its manifest — and otherwise appends
+    * this batch's genuinely-new orders under `ingest=b<batchId>`,
+    * overwrite-on-own-label so a replay rewrites instead of
+    * double-counting. A pure re-delivery produces an empty delta and
+    * no vacant ingest label.
+    */
+  def ingestOrderLinesGraph(lines: DataFrame, corpusDir: String,
+                            indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    assertIndexDisjointFromCorpus(lines.sparkSession, corpusDir, indexDir)
+    lines.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
+        val spark = batch.sparkSession
+        // persisted: feeds the corpus append and the ledger delta;
+        // scope-tracked so the batch body's exit unpersists it
+        val b = graft.CacheScope.track(batch
+          .select(col("l_orderkey"), col("l_partkey")).distinct().persist())
+        val fresh =
+          if (flatDirHasData(spark, corpusDir))
+            b.join(spark.read.parquet(corpusDir)
+                .select(col("l_orderkey")).distinct(),
+              Seq("l_orderkey"), "left_anti")
+          else b
+        fresh.write.mode("append").parquet(corpusDir)
+        val label = s"b$batchId"
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
+          // the bootstrap waits for data — an empty first delivery must
+          // neither wedge the stream on an unreadable corpus dir nor
+          // claim an empty manifest (the embeddings-sink contract)
+          if (flatDirHasData(spark, corpusDir) &&
+              !spark.read.parquet(corpusDir).isEmpty)
+            graft.sources.GraphIndexes.writeGraphIndex(
+              spark.read.parquet(corpusDir), indexDir)
+        } else {
+          val delta = graft.CacheScope.track(b
+            .join(graft.sources.GraphIndexes.indexedOrderIds(
+                spark, indexDir, excludeLabel = Some(label)),
+              Seq("l_orderkey"), "left_anti")
+            .persist())
+          if (!delta.isEmpty)
+            graft.sources.GraphIndexes.appendGraph(delta, indexDir, label)
+        }
+      }
+      ()
+    }.start()
+  }
+
   /** Streaming LINE ingest into a stored trigram grep index
     * ([[graft.sources.TextIndexes]]) — the text-QUERY member of the
     * ingest family, completing the symmetry: every stored index family

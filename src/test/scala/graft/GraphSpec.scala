@@ -111,6 +111,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("linkpred: RA weighting, neighbor exclusion, seed anchoring") {
+    // path fixture: seed 10 - {1, 3} - 2 - 4; candidate 2 is reachable
+    // through BOTH selective brokers (deg 2 each) -> RA = 2 * 500000
+    val e1 = Seq((1L, 10L, 1L), (1L, 2L, 1L), (3L, 10L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L)).toDF("part_a", "part_b", "w")
+    val got1 = Graph.linkPredictOn(e1, seedMod = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got1 === Set((10L, 2L, 1000000L, 1L)))
+    // add the direct edge (10, 2): 2 is now a NEIGHBOR and must leave;
+    // the next candidate is 4, brokered only by 2 (deg 4 -> 250000)
+    val e2 = e1.unionByName(Seq((2L, 10L, 1L)).toDF("part_a", "part_b", "w"))
+    val got2 = Graph.linkPredictOn(e2, seedMod = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 === Set((10L, 4L, 250000L, 1L)))
+    // every node seeded: ranks are per-seed, dense from 1, capped at k
+    val all = Graph.linkPredictOn(e1, seedMod = 1, k = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(all.forall(_._4 === 1L), "k = 1 keeps only the top candidate")
+    assert(all.map(_._1).distinct.length === all.length,
+      "one row per seed at k = 1")
+    intercept[IllegalArgumentException](Graph.linkPredictOn(e1, 0, 5))
+    intercept[IllegalArgumentException](Graph.linkPredictOn(e1, 10, 0))
+  }
+
   test("recs: strength ranking with id tiebreak, bounded at k per part") {
     val e = Seq(
       (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 7L), (1L, 5L, 1L),

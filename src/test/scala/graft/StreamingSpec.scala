@@ -1818,4 +1818,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch2,
       "streamed merge-on-read must equal the batch apply")
   }
+
+  test("order-line ingest maintains the co-purchase ledger: streamed == one-shot") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-graph-stream")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("ledger").toString
+    val b1 = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+    val b2 = Seq((3L, 20L), (3L, 30L), (4L, 10L), (4L, 40L))
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamingOps.ingestOrderLinesGraph(
+      ms.toDF().toDF("l_orderkey", "l_partkey"), corpusDir, indexDir)
+    try {
+      // empty first delivery: no wedge, no bootstrap, no manifest claim
+      ms.addData(Seq.empty[(Long, Long)])
+      q.processAllAvailable()
+      assert(!graft.sources.DedupIndexes.hasData(spark, s"$indexDir/manifest"),
+        "an empty delivery must not bootstrap")
+      // batch 1 bootstraps the full build from the corpus
+      ms.addData(b1)
+      q.processAllAvailable()
+      assert(graft.sources.GraphIndexes.indexedOrderIds(spark, indexDir)
+        .as[Long].collect().toSet === Set(1L, 2L))
+      // batch 2: new orders PLUS a re-delivered order 1 with a TAMPERED
+      // extra line — order id is the content identity, so the replayed
+      // order must change nothing (first write wins) at the corpus AND
+      // the ledger
+      ms.addData(b2 ++ Seq((1L, 40L)))
+      q.processAllAvailable()
+      val streamed = graft.sources.GraphIndexes.readGraphEdges(spark, indexDir)
+        .as[(Long, Long, Long)].collect().toSet
+      val oneShot = graft.operators.Graph.copurchaseEdgesOn(
+        (b1 ++ b2).toDF("l_orderkey", "l_partkey"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === oneShot,
+        "streamed ledger must equal the one-shot build over the same orders")
+      assert(spark.read.parquet(corpusDir).count() === (b1 ++ b2).size.toLong,
+        "each order's lines land exactly once in the corpus")
+      // a pure re-delivery is an empty delta: no new ingest label appears
+      val labelsBefore = spark.read.parquet(s"$indexDir/edges")
+        .select($"ingest").distinct().as[String].collect().toSet
+      ms.addData(b2)
+      q.processAllAvailable()
+      val labelsAfter = spark.read.parquet(s"$indexDir/edges")
+        .select($"ingest").distinct().as[String].collect().toSet
+      assert(labelsAfter === labelsBefore,
+        "a pure re-delivery must not accumulate a vacant ingest label")
+      assert(graft.sources.GraphIndexes.readGraphEdges(spark, indexDir)
+        .as[(Long, Long, Long)].collect().toSet === oneShot)
+    } finally q.stop()
+  }
 }
