@@ -174,6 +174,10 @@ object SparkEntry {
     // BM25 (k1=1.2, b=0.75) in milli fixed-point: tf saturation +
     // doc-length normalization over the same conjunctive query
     "q_search_bm25" -> ((s, d) => operators.TextAnalysis.searchBm25(s, d)),
+    // the stored-postings twin: bucket-pruned inverted-index probe
+    // through the SAME bm25Rank core (80% base + 20% delta append;
+    // novel-only postings make reconciled == inline)
+    "q_search_bm25_idx" -> (sources.SearchIndexes.bm25Probe _),
     // ---- co-purchase graph analytics (operators.Graph) ----
     // distinct part pairs per order via bounded HOF expansion (<= 7
     // parts/order), one orderkey shuffle — the oracle self-joins
@@ -194,6 +198,10 @@ object SparkEntry {
     // scores over seed-anchored 2-hop candidates, existing edges
     // anti-joined out
     "q_graph_linkpred" -> ((s, d) => operators.Graph.linkPredict(s, d)),
+    // item-item CF serving composition: customer scores = summed
+    // co-purchase weights from owned parts, owned excluded, per-cust
+    // top-k (seed-anchored like linkpred)
+    "q_graph_custrecs" -> ((s, d) => operators.Graph.customerRecs(s, d)),
     // stored-ledger twins: 80% base build + 20% delta append, probed
     // through the merge-on-read reconciled edge set (within-order
     // pairing additivity makes reconciled == inline, oracle shared)
@@ -694,7 +702,11 @@ object SparkEntry {
     // additive across order partitions) — identical oracles certify
     // the merge-on-read sum and the parquet round-trip
     "q_graph_pagerank_idx" -> "q_graph_pagerank",
-    "q_graph_recs_idx" -> "q_graph_recs"
+    "q_graph_recs_idx" -> "q_graph_recs",
+    // the postings probe ranks through the same bm25Rank core over the
+    // same corpus — identical oracle certifies the bucket-pruned
+    // round-trip end to end
+    "q_search_bm25_idx" -> "q_search_bm25"
   ).map { case (idx, twin) => idx -> oracleSqlBase(twin) }
 
   /** Builds the curation-ledger oracle variants from ONE spelling of the
@@ -1464,6 +1476,29 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_custrecs" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+      d AS (SELECT pa AS part, pb AS v, w FROM e
+            UNION ALL SELECT pb, pa, w FROM e),
+      owned AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey),
+      sd AS (SELECT cust, part FROM owned WHERE cust % 150 = 0),
+      sc AS (SELECT sd.cust, d.v, SUM(d.w) AS score
+             FROM sd JOIN d USING (part) GROUP BY 1, 2),
+      nn AS (SELECT sc.cust, sc.v, sc.score FROM sc
+             LEFT JOIN owned ON owned.cust = sc.cust AND owned.part = sc.v
+             WHERE owned.cust IS NULL),
+      r AS (SELECT cust, v, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cust
+                        ORDER BY score DESC, v ASC) AS BIGINT) AS rnk
+            FROM nn)
+      SELECT cust, v AS candidate, CAST(score AS BIGINT) AS score, rnk
+      FROM r WHERE rnk <= 5""".stripMargin.trim),
     "q_graph_linkpred" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

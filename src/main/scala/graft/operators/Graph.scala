@@ -155,6 +155,56 @@ object Graph {
         expr("(2 * tri * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
   }
 
+  /** CUSTOMER recommendations through the item-item structure — the
+    * serving composition of the co-purchase graph: a candidate part's
+    * score for a customer is the summed co-purchase weight from every
+    * part the customer already bought, already-owned parts excluded —
+    * classic item-item collaborative filtering, integer-exact (scores
+    * are edge-weight sums).
+    *
+    * Plan: seed customers' ownership rows fan out through the
+    * bidirected edge set (ownership ⋈ adjacency on part — candidate
+    * volume bounded by |seed ownership| · avg-degree, the linkPredict
+    * anchoring), one (cust, candidate) aggregate, a left-anti join
+    * back onto ownership, and a per-customer top-k window.
+    */
+  def customerRecs(spark: SparkSession, sfDir: String,
+                   seedMod: Int = 150, k: Int = 5): DataFrame = {
+    val owned = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        "o_orderkey")
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    customerRecsOn(copurchaseEdges(spark, sfDir), owned, seedMod, k)
+  }
+
+  /** [[customerRecs]] over any (part_a, part_b, w) edge set and
+    * (cust, part) ownership frame — spec entry point.
+    */
+  def customerRecsOn(edges: DataFrame, owned: DataFrame,
+                     seedMod: Int, k: Int): DataFrame = {
+    require(seedMod >= 1, s"customerRecs needs seedMod >= 1, got $seedMod")
+    require(k >= 1, s"customerRecs needs k >= 1, got $k")
+    val e = edges.localCheckpoint()
+    val directed = e.select(col("part_a").as("part"), col("part_b").as("v"), col("w"))
+      .unionAll(e.select(col("part_b").as("part"), col("part_a").as("v"), col("w")))
+    val seedOwned = owned.filter(pmod(col("cust"), lit(seedMod.toLong)) === 0L)
+    val scored = seedOwned
+      .join(directed, "part")
+      .groupBy(col("cust"), col("v"))
+      .agg(sum(col("w")).as("score"))
+      .join(owned.select(col("cust"), col("part").as("v")),
+        Seq("cust", "v"), "left_anti")
+    val byCust = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("v").asc)
+    scored
+      .withColumn("rnk", row_number().over(byCust).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("cust"), col("v").as("candidate"), col("score"), col("rnk"))
+  }
+
   /** LINK PREDICTION from seed parts via the Resource-Allocation
     * index: for each seed u, score every distance-2 candidate v (not
     * already a neighbor) as RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 10⁶ DIV deg(z)

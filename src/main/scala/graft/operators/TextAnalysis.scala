@@ -960,14 +960,27 @@ object TextAnalysis {
     require(terms.nonEmpty, "searchBm25On needs at least one term")
     val docLens = docTexts.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val totals = docLens
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("toks"))
-      .select(col("n_docs"), expr("(toks * 1000) DIV n_docs").as("avgdl_milli"))
     val tf = docTexts
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, docLens, terms, k)
+  }
+
+  /** The BM25 ranking core shared by the scan spelling above and the
+    * stored-postings probe ([[graft.sources.SearchIndexes]]): `tf` is
+    * (doc_id, term, tf) ALREADY restricted to the query terms, `docLens`
+    * is (doc_id, dl) for the WHOLE corpus — df and the corpus totals
+    * derive here, identically in both spellings, so SQL users and index
+    * probes cannot fork the score.
+    */
+  private[graft] def bm25Rank(tf: DataFrame, docLens: DataFrame,
+                              terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one term")
+    val totals = docLens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("toks"))
+      .select(col("n_docs"), expr("(toks * 1000) DIV n_docs").as("avgdl_milli"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, "term")
       .join(docLens, "doc_id")

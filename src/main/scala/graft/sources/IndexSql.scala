@@ -305,4 +305,16 @@ object IndexSql {
     graft.operators.Graph
       .pageRankOn(GraphIndexes.readGraphEdges(spark, indexPath), iters)
       .createOrReplaceTempView(viewName)
+
+  /** `SELECT * FROM <viewName>` = (doc_id, score) BM25 top-k over a
+    * stored postings index ([[SearchIndexes]]) for a fixed conjunctive
+    * query — bucket-pruned postings through the same
+    * [[graft.operators.TextAnalysis.bm25Rank]] core as the scan
+    * spelling.
+    */
+  def registerBm25Search(spark: SparkSession, viewName: String,
+                         indexPath: String, terms: Seq[String],
+                         k: Int = 10): Unit =
+    SearchIndexes.searchBm25FromIndex(spark, indexPath, terms, k)
+      .createOrReplaceTempView(viewName)
 }

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{TextAnalysis, TextOps}
+
+/** Materialized RANKED-SEARCH postings: the inverted index behind the
+  * BM25 stored twin (q_search_bm25_idx) and the SQL search view — the
+  * query-side counterpart of [[TextIndexes]]' trigram grep family
+  * (grep finds lines; this RANKS documents).
+  *
+  * At 100 TB a ranked-search serving path must touch the QUERY TERMS'
+  * postings, never the corpus text: the (term, doc_id, tf) postings
+  * land PARTITIONED BY a term-hash bucket — the [[TextIndexes
+  * .bucketOf]] spelling, shared verbatim by write and probe so pruning
+  * can never drop a term — and the probe reads only the query terms'
+  * buckets (partition pruning + a term row-group predicate), plus the
+  * doc-length table (doc-scale, 2 columns). BM25's corpus statistics
+  * (df, n_docs, avgdl) derive from the stored frames through the SAME
+  * [[TextAnalysis.bm25Rank]] core the scan spelling uses, so the two
+  * spellings cannot fork the score.
+  *
+  * Ledger mechanics are the family standard: per-ingest directories
+  * with overwrite-on-own-label replay idempotence; doc_id is the
+  * content identity (novel-only postings via the manifest anti-join,
+  * written last); meta pins the bucket layout; tokenization is pinned
+  * to the corpus-wide whitespace contract ([[TextOps.tokens]]).
+  */
+object SearchIndexes {
+
+  import DedupIndexes.{BaseLabel, hasData, resolveIndex, delete,
+    assertTargetNotOverInputs, writeOnce}
+
+  /** (doc_id, term, tf) + (doc_id, dl) for a docs frame — the shared
+    * head of the write and append paths. UNFILTERED term space: the
+    * index serves any future query.
+    */
+  private def postingFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    (tf, dl)
+  }
+
+  private def writePostings(tf: DataFrame, dir: String, nbuckets: Int): Unit =
+    tf.withColumn("bucket", TextIndexes.bucketOf(col("term"), nbuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Full (re)build over `docs(doc_id, text)`; previous index removed. */
+  def writeSearchIndex(docs: DataFrame, path: String,
+                       nbuckets: Int = TextIndexes.DefaultBuckets): Unit = {
+    require(nbuckets > 0, s"nbuckets=$nbuckets must be positive")
+    assertTargetNotOverInputs(docs, path)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    delete(spark, path)
+    Seq(nbuckets).toDF("nbuckets").write.mode("overwrite").parquet(s"$path/meta")
+    val (tf, dl) = postingFrames(docs)
+    writePostings(tf, s"$path/postings/ingest=$BaseLabel", nbuckets)
+    dl.write.mode("overwrite").parquet(s"$path/doclen/ingest=$BaseLabel")
+    docs.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/manifest/ingest=$BaseLabel")
+  }
+
+  /** APPEND a delivery: postings + doc lengths for the docs NOVEL to
+    * the index (manifest anti-join, own label excluded so a replay
+    * re-derives instead of skipping), overwrite-on-own-label, manifest
+    * last — the family contract.
+    */
+  def appendSearch(batch: DataFrame, path0: String, label: String): Unit = {
+    require(label.nonEmpty && label != BaseLabel,
+      s"append label must not collide with the full-build label '$BaseLabel'")
+    val spark = batch.sparkSession
+    val path = resolveIndex(spark, path0)
+    val nbuckets = readSearchMeta(spark, path)
+    val known =
+      if (!hasData(spark, s"$path/manifest"))
+        spark.range(0).select(col("id").as("doc_id"))
+      else spark.read.parquet(s"$path/manifest")
+        .filter(col("ingest") =!= label).select(col("doc_id"))
+    val novel = batch.select(col("doc_id"), col("text"))
+      .join(known, Seq("doc_id"), "left_anti").persist()
+    try {
+      val (tf, dl) = postingFrames(novel)
+      writePostings(tf, s"$path/postings/ingest=$label", nbuckets)
+      dl.write.mode("overwrite").parquet(s"$path/doclen/ingest=$label")
+      novel.select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$path/manifest/ingest=$label")
+    } finally { novel.unpersist(); () }
+  }
+
+  /** The stored (postings, doclen) frames, postings PRUNED to the
+    * query terms' buckets: the bucket values evaluate driver-side over
+    * a terms-sized local frame with the write's own [[TextIndexes
+    * .bucketOf]] spelling, so the partition filter can never disagree
+    * with the layout. Postings are novel-only by the append
+    * discipline — no merge-on-read aggregation is needed.
+    */
+  def readForTerms(spark: SparkSession, path0: String,
+                   terms: Seq[String]): (DataFrame, DataFrame) = {
+    require(terms.nonEmpty, "readForTerms needs at least one term")
+    val path = resolveIndex(spark, path0)
+    val nbuckets = readSearchMeta(spark, path)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(TextIndexes.bucketOf(col("term"), nbuckets).as("bucket"))
+      .as[Int].collect().toSeq.distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id"), col("dl"))
+    (tf, dl)
+  }
+
+  /** BM25 top-k over the stored index — [[TextAnalysis.bm25Rank]] on
+    * the pruned postings; identical scores to the scan spelling over
+    * the same corpus by the shared core.
+    */
+  def searchBm25FromIndex(spark: SparkSession, path: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    val (tf, dl) = readForTerms(spark, path, terms)
+    TextAnalysis.bm25Rank(tf, dl, terms, k)
+  }
+
+  /** The nbuckets the stored layout was written with. */
+  def readSearchMeta(spark: SparkSession, path0: String): Int = {
+    val path = resolveIndex(spark, path0)
+    require(hasData(spark, s"$path/meta"),
+      s"no search-index meta at $path — build it with writeSearchIndex " +
+        "before appending or probing")
+    spark.read.parquet(s"$path/meta").head().getAs[Int]("nbuckets")
+  }
+
+  // -- driver-query stored twin: 80% base build + 20% delta append,
+  // probed with the inline query's terms — novel-only postings make
+  // the reconciled index equal the full-corpus derivation, so the twin
+  // shares the inline oracle. --
+
+  private def fixturePath(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val path = DedupIndexes.scratch("target/search_index", "bm25", sfDir)
+    writeOnce(path) {
+      writeSearchIndex(docs.filter(col("doc_id") % 10 < 8), path)
+      appendSearch(docs.filter(col("doc_id") % 10 >= 8), path, "delta")
+    }
+    path
+  }
+
+  /** [[TextAnalysis.searchBm25]] probing the stored postings. */
+  def bm25Probe(spark: SparkSession, sfDir: String): DataFrame =
+    searchBm25FromIndex(spark, fixturePath(spark, sfDir),
+      Seq("spark", "join"), 10)
+}

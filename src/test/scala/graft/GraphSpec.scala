@@ -111,6 +111,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("custrecs: item-item CF scoring, ownership exclusion, per-cust ranks") {
+    val edges = Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val owned = Seq((150L, 10L), (151L, 20L), (300L, 10L), (300L, 20L))
+      .toDF("cust", "part")
+    val got = Graph.customerRecsOn(edges, owned, seedMod = 150, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      // cust 150 owns {10}: 20 scores 3, 30 scores 1
+      (150L, 20L, 3L, 1L), (150L, 30L, 1L, 2L),
+      // cust 300 owns {10, 20}: both routes land on 30 (1 + 1); the
+      // owned candidates 10 and 20 are excluded
+      (300L, 30L, 2L, 1L)))
+    // cust 151 is not a seed (151 % 150 != 0)
+    assert(!got.exists(_._1 == 151L))
+    intercept[IllegalArgumentException](Graph.customerRecsOn(edges, owned, 0, 5))
+    intercept[IllegalArgumentException](Graph.customerRecsOn(edges, owned, 150, 0))
+  }
+
   test("linkpred: RA weighting, neighbor exclusion, seed anchoring") {
     // path fixture: seed 10 - {1, 3} - 2 - 4; candidate 2 is reachable
     // through BOTH selective brokers (deg 2 each) -> RA = 2 * 500000

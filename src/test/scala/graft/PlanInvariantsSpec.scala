@@ -73,8 +73,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // actives the 1-ROW last-day clip — all constant build sides
     "q_key_skew", "q_events_trend", "q_search_rank", "q_rolling_actives",
     // BM25 rides the same broadcast 1-ROW (n_docs, avgdl) totals frame
-    // as q_search_rank's corpus count — constant build side
-    "q_search_bm25",
+    // as q_search_rank's corpus count — constant build side (the
+    // stored-postings twin shares the bm25Rank core)
+    "q_search_bm25", "q_search_bm25_idx",
     // the bloom prune crossJoins the broadcast 1-ROW filter frame —
     // the whole point is the constant build side
     "q_bloom_semi",

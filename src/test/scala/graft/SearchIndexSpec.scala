@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.sources.SearchIndexes
+import org.apache.spark.sql.DataFrame
+
+/** Stored BM25 postings (q_search_bm25_idx): the driver hash-checks
+  * the probe against the inline oracle; this suite pins the postings
+  * mechanics — scan == probe score identity, novel-only first-write-
+  * wins, replay idempotence, bucket pruning reaching the scan, and
+  * SQL parity.
+  */
+class SearchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    s"target/test_search_idx/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def fixture: DataFrame = Seq(
+    (1L, "a b c a"),
+    (2L, "a b x y z x y z"),
+    (3L, "a a a a a a a b"),
+    (4L, "c d e"),
+    (5L, "b b a c")).toDF("doc_id", "text")
+
+  private def ranked(df: DataFrame): Seq[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSeq
+
+  test("build + append probe equals the inline scan ranking") {
+    val path = tmp("parity")
+    SearchIndexes.writeSearchIndex(fixture.filter($"doc_id" <= 3), path)
+    SearchIndexes.appendSearch(fixture.filter($"doc_id" > 3), path, "d1")
+    val probe = ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10))
+    val inline = ranked(TextAnalysis.searchBm25On(fixture, Seq("a", "b"), 10))
+    assert(probe === inline,
+      "stored postings must rank exactly like the corpus scan")
+  }
+
+  test("novel-only postings: a re-delivered doc keeps its first write") {
+    val path = tmp("novel")
+    SearchIndexes.writeSearchIndex(fixture, path)
+    val before = ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10))
+    // doc 1 re-arrives TAMPERED (a×50): the manifest anti-join must
+    // drop it — re-ranking under a fitted corpus is a rebuild decision
+    SearchIndexes.appendSearch(
+      Seq((1L, ("a " * 50).trim)).toDF("doc_id", "text"), path, "d1")
+    assert(ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10)) === before)
+  }
+
+  test("append replay is idempotent by label ownership") {
+    val path = tmp("replay")
+    SearchIndexes.writeSearchIndex(fixture.filter($"doc_id" <= 3), path)
+    val delta = fixture.filter($"doc_id" > 3)
+    SearchIndexes.appendSearch(delta, path, "d1")
+    val once = ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "c"), 10))
+    SearchIndexes.appendSearch(delta, path, "d1") // failure replay
+    assert(ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "c"), 10)) === once)
+    assert(spark.read.parquet(s"$path/doclen").count() === 5L,
+      "replay must rewrite its label, not duplicate doc lengths")
+  }
+
+  test("the probe prunes postings partitions to the query terms' buckets") {
+    val path = tmp("prune")
+    SearchIndexes.writeSearchIndex(fixture, path)
+    val (tf, _) = SearchIndexes.readForTerms(spark, path, Seq("a"))
+    val scan = tf.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan parquet")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"bucket partition filter must reach the postings scan:\n$scan")
+    // and pruning loses nothing: the pruned tf equals a term filter
+    // over the unpruned postings
+    val full = spark.read.parquet(s"$path/postings")
+      .filter($"term" === "a").select("doc_id", "term", "tf")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf.as[(Long, String, Long)].collect().toSet === full)
+  }
+
+  test("meta refusal and SQL parity") {
+    assert(intercept[IllegalArgumentException] {
+      SearchIndexes.searchBm25FromIndex(spark, tmp("absent"), Seq("a"), 5)
+    }.getMessage.contains("no search-index meta"))
+    val path = tmp("sql")
+    SearchIndexes.writeSearchIndex(fixture, path)
+    graft.sources.IndexSql.registerBm25Search(
+      spark, "bm25_view", path, Seq("a", "b"), 10)
+    assert(ranked(spark.sql("SELECT * FROM bm25_view")) ===
+      ranked(SearchIndexes.searchBm25FromIndex(spark, path, Seq("a", "b"), 10)))
+  }
+}
