@@ -202,6 +202,9 @@ object SparkEntry {
     // co-purchase weights from owned parts, owned excluded, per-cust
     // top-k (seed-anchored like linkpred)
     "q_graph_custrecs" -> ((s, d) => operators.Graph.customerRecs(s, d)),
+    // temporal cut: per-order-month edge weights, month-over-month
+    // delta per pair (lag window partitioned by pair), top-k movers
+    "q_graph_trending" -> ((s, d) => operators.Graph.trendingPairs(s, d)),
     // stored-ledger twins: 80% base build + 20% delta append, probed
     // through the merge-on-read reconciled edge set (within-order
     // pairing additivity makes reconciled == inline, oracle shared)
@@ -1476,6 +1479,25 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_trending" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      om AS (SELECT o_orderkey,
+                    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo
+             FROM orders),
+      pm AS (SELECT om.mo, a.l_partkey AS pa, b.l_partkey AS pb,
+                    COUNT(*) AS w
+             FROM lines a JOIN lines b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             JOIN om ON om.o_orderkey = a.l_orderkey
+             GROUP BY 1, 2, 3),
+      dv AS (SELECT mo, pa AS part_a, pb AS part_b, w,
+                    w - COALESCE(LAG(w) OVER (PARTITION BY pa, pb
+                                              ORDER BY mo), 0) AS dw
+             FROM pm)
+      SELECT part_a, part_b, mo, CAST(w AS BIGINT) AS w,
+             CAST(dw AS BIGINT) AS dw
+      FROM dv
+      ORDER BY dw DESC, part_a ASC, part_b ASC, mo ASC LIMIT 20""".stripMargin.trim),
     "q_graph_custrecs" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w

@@ -155,6 +155,56 @@ object Graph {
         expr("(2 * tri * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
   }
 
+  /** TRENDING co-purchase pairs — the temporal cut of the graph: edge
+    * weights per ORDER MONTH (an order's month is its o_orderdate, so
+    * each order lands in exactly one bucket and the monthly edge sets
+    * partition the corpus), month-over-month delta per pair via a
+    * per-pair lag window (delta is vs the previous OBSERVED month —
+    * zero-activity months don't gap-fill a pair that by definition has
+    * no row), global top-k movers with a full deterministic tiebreak.
+    *
+    * Plan: the pair expansion rides the same bounded per-order HOF as
+    * [[copurchaseEdgesOn]] with the month attached before the
+    * explode; the lag window partitions by PAIR (never global); the
+    * cut is a TakeOrdered.
+    */
+  def trendingPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val orderMonths = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mo"))
+    trendingPairsOn(lines, orderMonths, k)
+  }
+
+  def trendingPairsOn(lines: DataFrame, orderMonths: DataFrame,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"trendingPairs needs k >= 1, got $k")
+    val sets = lines.distinct()
+      .join(orderMonths, "l_orderkey")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"),
+        first(col("mo")).as("mo"))
+      .filter(size(col("parts")) >= 2)
+    val pairs = sets.select(col("mo"), explode(flatten(
+      transform(sequence(lit(1), size(col("parts")) - 1), i =>
+        transform(sequence(i + 1, size(col("parts"))), j =>
+          struct(element_at(col("parts"), i).as("part_a"),
+            element_at(col("parts"), j).as("part_b")))))).as("pr"))
+    val monthly = pairs
+      .select(col("mo"), col("pr.part_a"), col("pr.part_b"))
+      .groupBy(col("mo"), col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("w"))
+    val byPair = Window.partitionBy(col("part_a"), col("part_b"))
+      .orderBy(col("mo").asc)
+    monthly
+      .withColumn("dw", col("w") - coalesce(lag(col("w"), 1).over(byPair), lit(0L)))
+      .select(col("part_a"), col("part_b"), col("mo"), col("w"), col("dw"))
+      .orderBy(col("dw").desc, col("part_a").asc, col("part_b").asc, col("mo").asc)
+      .limit(k)
+  }
+
   /** CUSTOMER recommendations through the item-item structure — the
     * serving composition of the co-purchase graph: a candidate part's
     * score for a customer is the summed co-purchase weight from every

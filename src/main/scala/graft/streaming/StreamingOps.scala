@@ -1161,6 +1161,61 @@ object StreamingOps {
     }.start()
   }
 
+  /** Streaming DOCUMENT ingest maintaining the stored BM25 postings
+    * index ([[graft.sources.SearchIndexes]]) — the ranked-search
+    * member of the ingest family, so the q_search_bm25_idx serving
+    * path never goes stale under live document arrival.
+    *
+    * Identity and exactly-once mirror [[ingestOrderLinesGraph]]:
+    * doc_id is the content identity (a re-delivered or tampered doc is
+    * anti-joined away at the corpus and dropped by the index's own
+    * novel-only append discipline), raw docs land in `corpusDir`
+    * first, the index bootstraps FROM the corpus when no complete one
+    * exists (self-healing a crashed build), and steady-state batches
+    * append under `ingest=b<batchId>` with overwrite-on-own-label
+    * replay idempotence. A pure re-delivery leaves no vacant label:
+    * the sink skips the append when nothing novel remains.
+    */
+  def ingestDocsSearchIndex(docs: DataFrame, corpusDir: String,
+                            indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    assertIndexDisjointFromCorpus(docs.sparkSession, corpusDir, indexDir)
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.CacheScope.scoped {
+        val spark = batch.sparkSession
+        val b = graft.CacheScope.track(batch
+          .select(col("doc_id"), col("text"))
+          .groupBy(col("doc_id"))
+          .agg(min_by(col("text"), xxhash64(col("text"))).as("text"))
+          .persist())
+        val fresh =
+          if (flatDirHasData(spark, corpusDir))
+            b.join(spark.read.parquet(corpusDir).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else b
+        fresh.write.mode("append").parquet(corpusDir)
+        val label = s"b$batchId"
+        if (!graft.sources.DedupIndexes.hasCompleteIndex(spark, indexDir)) {
+          if (flatDirHasData(spark, corpusDir) &&
+              !spark.read.parquet(corpusDir).isEmpty)
+            graft.sources.SearchIndexes.writeSearchIndex(
+              spark.read.parquet(corpusDir), indexDir)
+        } else {
+          // the index's own manifest anti-join inside appendSearch
+          // drops non-novel docs; skip entirely when the whole batch
+          // is a re-delivery so no vacant label accumulates
+          val novel = graft.CacheScope.track(b
+            .join(spark.read.parquet(s"${graft.sources.DedupIndexes.resolveIndex(spark, indexDir)}/manifest")
+                .filter(col("ingest") =!= label).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .persist())
+          if (!novel.isEmpty)
+            graft.sources.SearchIndexes.appendSearch(novel, indexDir, label)
+        }
+      }
+      ()
+    }.start()
+  }
+
   /** Streaming LINE ingest into a stored trigram grep index
     * ([[graft.sources.TextIndexes]]) — the text-QUERY member of the
     * ingest family, completing the symmetry: every stored index family

@@ -111,6 +111,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("trending: per-month weights, lag delta per pair, deterministic top-k") {
+    // month 100: one order with {10, 20}; month 101: three such orders
+    // plus one bringing in part 30
+    val ls = lines(
+      (1L, 10L), (1L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L), (4L, 20L), (5L, 10L), (5L, 20L),
+      (6L, 10L), (6L, 30L))
+    val om = Seq((1L, 100L), (3L, 101L), (4L, 101L), (5L, 101L), (6L, 101L))
+      .toDF("l_orderkey", "mo")
+    val all = Graph.trendingPairsOn(ls, om, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(all === Seq(
+      (10L, 20L, 101L, 3L, 2L), // 3 vs last month's 1
+      (10L, 20L, 100L, 1L, 1L), // first observed month: delta = w
+      (10L, 30L, 101L, 1L, 1L)))
+    // the k cut respects the (dw desc, a, b, mo) total order
+    val top = Graph.trendingPairsOn(ls, om, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(top === all.take(2))
+  }
+
   test("custrecs: item-item CF scoring, ownership exclusion, per-cust ranks") {
     val edges = Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L))
       .toDF("part_a", "part_b", "w")

@@ -1868,4 +1868,39 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet === oneShot)
     } finally q.stop()
   }
+
+  test("document ingest maintains the BM25 postings: streamed == one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-search-stream")
+    val corpusDir = root.resolve("corpus").toString
+    val indexDir = root.resolve("postings").toString
+    val b1 = Seq((1L, "a b c a"), (2L, "a b x y z x y z"))
+    val b2 = Seq((3L, "a a a a a a a b"), (4L, "c d e"), (5L, "b b a c"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.ingestDocsSearchIndex(
+      ms.toDF().toDF("doc_id", "text"), corpusDir, indexDir)
+    def probe(): Seq[(Long, Long)] =
+      graft.sources.SearchIndexes.searchBm25FromIndex(
+        spark, indexDir, Seq("a", "b"), 10).as[(Long, Long)].collect().toSeq
+    try {
+      ms.addData(b1)
+      q.processAllAvailable()
+      // batch 2 includes a TAMPERED re-delivery of doc 1: first write
+      // wins at the corpus and the postings alike
+      ms.addData(b2 ++ Seq((1L, ("a " * 50).trim)))
+      q.processAllAvailable()
+      val oneShot = graft.operators.TextAnalysis.searchBm25On(
+        (b1 ++ b2).toDF("doc_id", "text"), Seq("a", "b"), 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(probe() === oneShot,
+        "streamed postings must rank exactly like the one-shot scan")
+      // pure re-delivery: no vacant ingest label, ranking unchanged
+      val labels = spark.read.parquet(s"$indexDir/doclen")
+        .select($"ingest").distinct().as[String].collect().toSet
+      ms.addData(b2)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$indexDir/doclen")
+        .select($"ingest").distinct().as[String].collect().toSet === labels)
+      assert(probe() === oneShot)
+    } finally q.stop()
+  }
 }
