@@ -194,6 +194,25 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** Order lines replicated `factor`x as DISJOINT subgraphs: orderkeys
+    * AND partkeys shift per replica, so the co-purchase graph is
+    * `factor` isolated copies — linear edge/node/triangle growth with
+    * constant per-order fan-out, the shape that catches an all-pairs
+    * term without conflating it with densification.
+    */
+  private def replicatedLines(spark: SparkSession, sfDir: String,
+                              factor: Int): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val oStride = base.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val pStride = base.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      base.select(
+        (col("l_orderkey") + lit(i * oStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * pStride)).as("l_partkey"))
+    }.reduce(_ union _)
+  }
+
   private def timeIt(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val rows = f
@@ -776,6 +795,24 @@ object ScaleSmoke {
         .revenueConcentrationOn(conc, 1, 10000L).count())
       spark.catalog.clearCache()
 
+      // co-purchase graph family over DISJOINT replicated subgraphs
+      // (orderkeys AND partkeys shift per replica): edge/triangle/rank
+      // volume scales linearly with the factor while per-order pair
+      // fan-out stays constant — super-linear growth here would expose
+      // an all-pairs term hiding in the edge build, the 5-step rank
+      // loop, or the adjacency-intersection triangle pass
+      val glines = replicatedLines(spark, sfDir, factor)
+      val (tGe, nGe) = timeIt(
+        graft.operators.Graph.copurchaseEdgesOn(glines).count())
+      spark.catalog.clearCache()
+      val gedges = graft.operators.Graph.copurchaseEdgesOn(glines)
+      val (tGpr, nGpr) = timeIt(
+        graft.operators.Graph.pageRankOn(gedges, 5).count())
+      spark.catalog.clearCache()
+      val (tGtri, nGtri) = timeIt(
+        graft.operators.Graph.triangleStatsOn(gedges).count())
+      spark.catalog.clearCache()
+
       println(s"""{"factor":$factor,"minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
         s""""cluster_sec":$tCl,"cluster_docs":$nCl,""" +
         s""""incremental_sec":$tInc,"incremental_new":$nInc,""" +
@@ -825,7 +862,10 @@ object ScaleSmoke {
         s""""fuzzy_sec":$tFz,"fuzzy_pairs":$nFz,""" +
         s""""bloomsemi_sec":$tBl,"bloomsemi_rows":$nBl,""" +
         s""""sourcecap_sec":$tCap,"sourcecap_rows":$nCap,""" +
-        s""""concentration_sec":$tCon,"concentration_rows":$nCon}""")
+        s""""concentration_sec":$tCon,"concentration_rows":$nCon,""" +
+        s""""graph_edges_sec":$tGe,"graph_edges":$nGe,""" +
+        s""""graph_pagerank_sec":$tGpr,"graph_nodes":$nGpr,""" +
+        s""""graph_tri_sec":$tGtri,"graph_tri_rows":$nGtri}""")
     }
 
     // --- IVF drift canary (factor-independent): the re-fit signal

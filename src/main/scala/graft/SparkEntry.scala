@@ -205,6 +205,13 @@ object SparkEntry {
     // temporal cut: per-order-month edge weights, month-over-month
     // delta per pair (lag window partitioned by pair), top-k movers
     "q_graph_trending" -> ((s, d) => operators.Graph.trendingPairs(s, d)),
+    // traversal member: per-seed closure sizes at 1..2 co-purchase
+    // hops (frontier-delta BFS, seed-anchored state). 2 hops for the
+    // driver query: the dense fixture saturates at hop 2-3, so hop 3
+    // is a closure x degree join (~218M rows) answering an
+    // already-saturated question
+    "q_graph_reach" -> ((s, d) =>
+      operators.Graph.reachability(s, d, seedMod = 200, maxHops = 2)),
     // stored-ledger twins: 80% base build + 20% delta append, probed
     // through the merge-on-read reconciled edge set (within-order
     // pairing additivity makes reconciled == inline, oracle shared)
@@ -1479,6 +1486,26 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_reach" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      d AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+      seeds AS (SELECT DISTINCT src AS seed FROM d WHERE src % 200 = 0),
+      r0 AS (SELECT seed, seed AS node FROM seeds),
+      r1 AS (SELECT DISTINCT seed, node FROM (
+               SELECT r0.seed, d.dst AS node FROM r0 JOIN d ON d.src = r0.node
+               UNION ALL SELECT seed, node FROM r0)),
+      r2 AS (SELECT DISTINCT seed, node FROM (
+               SELECT r1.seed, d.dst AS node FROM r1 JOIN d ON d.src = r1.node
+               UNION ALL SELECT seed, node FROM r1))
+      SELECT seed AS part, CAST(1 AS BIGINT) AS hop,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable FROM r1 GROUP BY seed
+      UNION ALL
+      SELECT seed, CAST(2 AS BIGINT), CAST(COUNT(*) - 1 AS BIGINT)
+      FROM r2 GROUP BY seed""".stripMargin.trim),
     "q_graph_trending" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       om AS (SELECT o_orderkey,

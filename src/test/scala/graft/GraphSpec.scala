@@ -111,6 +111,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("reach: chain frontier growth, cycle plateau, seed excluded") {
+    // chain 10 - 1 - 2 - 3: each hop reaches one more node
+    val chain = Seq((1L, 10L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val got = Graph.reachabilityOn(chain, seedMod = 10, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L, 1L), (10L, 2L, 2L), (10L, 3L, 3L)))
+    // triangle 10-1-2: closure saturates at hop 1 and PLATEAUS; the
+    // seed itself never counts even though the cycle returns to it
+    val tri = Seq((1L, 10L, 1L), (2L, 10L, 1L), (1L, 2L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val sat = Graph.reachabilityOn(tri, seedMod = 10, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sat === Set((10L, 1L, 2L), (10L, 2L, 2L), (10L, 3L, 2L)))
+    intercept[IllegalArgumentException](Graph.reachabilityOn(chain, 10, 0))
+    intercept[IllegalArgumentException](Graph.reachabilityOn(chain, 10, 6))
+  }
+
   test("trending: per-month weights, lag delta per pair, deterministic top-k") {
     // month 100: one order with {10, 20}; month 101: three such orders
     // plus one bringing in part 30
