@@ -212,6 +212,12 @@ object SparkEntry {
     // already-saturated question
     "q_graph_reach" -> ((s, d) =>
       operators.Graph.reachability(s, d, seedMod = 200, maxHops = 2)),
+    // degree distribution in the length(bin(x)) log2 staircase — the
+    // skew-shape question graph partitioning starts from
+    "q_graph_degrees" -> (operators.Graph.degreeHistogram _),
+    // SCD2 dimension build: per-version validity intervals from an
+    // orders-derived attribute changelog (one per-key lead window)
+    "q_scd2_orders" -> (operators.Snapshot.scd2Orders _),
     // stored-ledger twins: 80% base build + 20% delta append, probed
     // through the merge-on-read reconciled edge set (within-order
     // pairing additivity makes reconciled == inline, oracle shared)
@@ -1486,6 +1492,32 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    "q_graph_degrees" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+                (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+              GROUP BY 1)
+      SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+             COUNT(*) AS n_nodes,
+             CAST(MIN(deg) AS BIGINT) AS min_deg,
+             CAST(MAX(deg) AS BIGINT) AS max_deg
+      FROM deg GROUP BY 1""".stripMargin.trim),
+    // lead over (key, seq) mirrors the engine's single per-key window;
+    // cents fixed-point keeps the payload integer
+    "q_scd2_orders" -> ("""
+      WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM orders),
+      v AS (SELECT key, cents, seq AS valid_from,
+                   LEAD(seq, 1) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+            FROM ch)
+      SELECT key, cents, valid_to, valid_from,
+             CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM v""".stripMargin.trim),
     "q_graph_reach" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

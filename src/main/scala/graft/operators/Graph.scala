@@ -41,18 +41,23 @@ object Graph {
     copurchaseEdgesOn(
       Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")))
 
+  /** All (i, j) i < j pairs of a SORTED part array as structs — the
+    * shared pair-expansion HOF of the plain and per-month edge builds.
+    * Sequence bounds require size >= 2 (callers filter).
+    */
+  private def pairStructs(parts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(sequence(lit(1), size(parts) - 1), i =>
+      transform(sequence(i + 1, size(parts)), j =>
+        struct(element_at(parts, i).as("part_a"),
+          element_at(parts, j).as("part_b")))))
+
   def copurchaseEdgesOn(lines: DataFrame): DataFrame = {
     val sets = lines.distinct()
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2)
-    // all (i, j), i < j — sequence bounds are valid because size >= 2
-    val pairs = sets.select(explode(flatten(
-      transform(sequence(lit(1), size(col("parts")) - 1), i =>
-        transform(sequence(i + 1, size(col("parts"))), j =>
-          struct(element_at(col("parts"), i).as("part_a"),
-            element_at(col("parts"), j).as("part_b")))))).as("pr"))
-    pairs.select(col("pr.part_a"), col("pr.part_b"))
+    sets.select(explode(pairStructs(col("parts"))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("w"))
   }
@@ -155,6 +160,27 @@ object Graph {
         expr("(2 * tri * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
   }
 
+  /** Degree DISTRIBUTION of the co-purchase graph in log₂ buckets
+    * (the repo's `length(bin(x))` integer staircase — q_event_latency_
+    * hist's spelling, bit-identical in DuckDB): bucket b holds nodes
+    * with 2^(b-1) ≤ degree < 2^b, with exact min/max inside each. The
+    * shape question (is this graph power-law or flat?) every
+    * partitioning/skew decision on graph data starts from — ~64
+    * buckets of state regardless of graph size.
+    */
+  def degreeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    degreeHistogramOn(copurchaseEdges(spark, sfDir))
+
+  def degreeHistogramOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("part_a").as("a"), col("part_b").as("b"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.groupBy(expr("CAST(length(bin(deg)) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
   /** Multi-hop REACHABILITY from seed parts — the traversal member of
     * the family: for each seed, how many distinct parts are within
     * 1, 2, …, maxHops co-purchase hops (seed itself excluded). The
@@ -241,11 +267,8 @@ object Graph {
         // that is deterministic BY TYPE, not by data shape
         max(col("mo")).as("mo"))
       .filter(size(col("parts")) >= 2)
-    val pairs = sets.select(col("mo"), explode(flatten(
-      transform(sequence(lit(1), size(col("parts")) - 1), i =>
-        transform(sequence(i + 1, size(col("parts"))), j =>
-          struct(element_at(col("parts"), i).as("part_a"),
-            element_at(col("parts"), j).as("part_b")))))).as("pr"))
+    val pairs = sets.select(col("mo"),
+      explode(pairStructs(col("parts"))).as("pr"))
     val monthly = pairs
       .select(col("mo"), col("pr.part_a"), col("pr.part_b"))
       .groupBy(col("mo"), col("part_a"), col("part_b"))

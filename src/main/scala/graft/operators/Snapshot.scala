@@ -233,6 +233,45 @@ object Snapshot {
     * update class planted by re-sourcing the doc_id ≡ 11 mod 20 rows —
     * all three op classes non-vacuous.
     */
+  /** SCD TYPE-2 dimension build from a changelog: one row per VERSION
+    * of each key with its validity interval — valid_from = the
+    * version's own seq, valid_to = the NEXT change's seq on that key
+    * (whatever its op), open (NULL, is_current = 1) when no later
+    * change exists. A delete emits no row of its own but CLOSES the
+    * prior version through the same lead — tombstoned keys end with no
+    * current version, exactly the warehouse contract.
+    *
+    * Plan: one per-key window (partition = key, order = seq — never
+    * global), one filter. Everything integer/string, so the oracle's
+    * LEAD spelling is bit-identical.
+    */
+  def scd2On(changes: DataFrame, keyCol: String, seqCol: String,
+             opCol: String): DataFrame = {
+    val nextSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol).asc)
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(nextSeq))
+      .filter(col(opCol) =!= "D")
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)))
+      .drop(seqCol, opCol)
+  }
+
+  /** [[scd2On]] over an orders-derived attribute stream: each order is
+    * an update to its customer's "latest order total" attribute (key =
+    * custkey, seq = orderkey, cents fixed-point) — the SCD2 history a
+    * warehouse keeps for a slowly-changing customer attribute.
+    */
+  def scd2Orders(spark: SparkSession, sfDir: String): DataFrame =
+    scd2On(
+      Tables.orders(spark, sfDir).select(
+        col("o_custkey").as("key"),
+        col("o_orderkey").as("seq"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        lit("U").as("op")),
+      "key", "seq", "op")
+
   def deriveChangelog(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -111,6 +111,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("degrees: log2 staircase buckets with exact in-bucket extremes") {
+    // star center 1 with 5 leaves, plus an edge between leaves 2-3:
+    // degrees = {1: 5, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1}
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 3L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+    val got = Graph.degreeHistogramOn(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 1L, 1L),   // deg 1 -> bin "1"  (len 1): nodes 4, 5, 6
+      (2L, 2L, 2L, 2L),   // deg 2 -> bin "10" (len 2): nodes 2, 3
+      (3L, 1L, 5L, 5L)))  // deg 5 -> bin "101" (len 3): node 1
+  }
+
   test("reach: chain frontier growth, cycle plateau, seed excluded") {
     // chain 10 - 1 - 2 - 3: each hop reaches one more node
     val chain = Seq((1L, 10L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))

@@ -240,4 +240,27 @@ class SnapshotSpec extends SparkSpec {
     // one row per surviving key — the compaction invariant
     assert(out.count() === keys.size.toLong)
   }
+
+  test("scd2: version chaining, delete closes without emitting, current flag") {
+    import spark.implicits._
+    // key 1: I@10 -> U@20 -> D@30 (tombstoned, no current version)
+    // key 2: I@15 -> U@40 (open current version)
+    // key 3: I@50 only (immediately current)
+    val ch = Seq(
+      (1L, 10L, 100L, "I"), (1L, 20L, 110L, "U"), (1L, 30L, 110L, "D"),
+      (2L, 15L, 200L, "I"), (2L, 40L, 210L, "U"),
+      (3L, 50L, 300L, "I")).toDF("key", "seq", "cents", "op")
+    val got = Snapshot.scd2On(ch, "key", "seq", "op")
+      .select($"key", $"cents", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Long, Long, Option[Long], Long)].collect().toSet
+    assert(got === Set(
+      (1L, 100L, 10L, Some(20L), 0L),
+      (1L, 110L, 20L, Some(30L), 0L), // CLOSED by the delete's seq
+      (2L, 200L, 15L, Some(40L), 0L),
+      (2L, 210L, 40L, None, 1L),
+      (3L, 300L, 50L, None, 1L)))
+    // intervals tile per key: no gaps, no overlaps, one current at most
+    assert(got.count(r => r._1 == 1L && r._5 == 1L) === 0,
+      "a tombstoned key must end with no current version")
+  }
 }
