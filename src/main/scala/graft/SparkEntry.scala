@@ -178,6 +178,9 @@ object SparkEntry {
     // through the SAME bm25Rank core (80% base + 20% delta append;
     // novel-only postings make reconciled == inline)
     "q_search_bm25_idx" -> (sources.SearchIndexes.bm25Probe _),
+    // disjunctive (match-ANY) BM25 — standard ranked retrieval, the
+    // same fixed-point core minus the arity gate
+    "q_search_bm25_any" -> ((s, d) => operators.TextAnalysis.searchBm25Any(s, d)),
     // ---- co-purchase graph analytics (operators.Graph) ----
     // distinct part pairs per order via bounded HOF expansion (<= 7
     // parts/order), one orderkey shuffle — the oracle self-joins
@@ -218,6 +221,9 @@ object SparkEntry {
     // SCD2 dimension build: per-version validity intervals from an
     // orders-derived attribute changelog (one per-key lead window)
     "q_scd2_orders" -> (operators.Snapshot.scd2Orders _),
+    // cohort revenue matrix (retention's monetized sibling): per
+    // (signup-day, week offset) distinct users + events + cents
+    "q_cohort_revenue" -> (operators.EventAnalytics.cohortRevenue _),
     // stored-ledger twins: 80% base build + 20% delta append, probed
     // through the merge-on-read reconciled edge set (within-order
     // pairing additivity makes reconciled == inline, oracle shared)
@@ -1426,6 +1432,27 @@ object SparkEntry {
              FROM nm GROUP BY 1)
       SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc WHERE nt = 2
       ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // the disjunctive spelling: same fixed-point pipeline, no arity gate
+    "q_search_bm25_any" -> ("""
+      WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs,
+                     (SUM(dl) * 1000) // COUNT(*) AS avgdl_milli FROM dl),
+      tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             WHERE tok IN ('spark', 'join') GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      nm AS (SELECT tf.doc_id, tf.tf, dfq.df, tot.n_docs,
+                    250 + (750 * ((dl.dl * 1000000) // tot.avgdl_milli)) // 1000 AS norm_milli
+             FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+      sc AS (SELECT doc_id,
+                    SUM(((n_docs * 1000) // df) *
+                        ((tf * 2200 * 1000) //
+                         (tf * 1000 + (1200 * norm_milli) // 1000))) AS score
+             FROM nm GROUP BY 1)
+      SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+      ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
     // the oracle builds the same co-purchase bag through an orderkey
     // equi-self-join; the engine never self-joins the fact table
     "q_graph_edges" -> ("""
@@ -1492,6 +1519,20 @@ object SparkEntry {
                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
       FROM deg LEFT JOIN pn USING (node)
       WHERE deg.deg >= 2""".stripMargin.trim),
+    // per-event cents cast BEFORE the sum mirrors the engine's
+    // deterministic long-sum money convention
+    "q_cohort_revenue" -> ("""
+      WITH wd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                  FROM events),
+      co AS (SELECT user_id, MIN(day) AS cohort_day FROM wd GROUP BY 1)
+      SELECT co.cohort_day,
+             CAST(date_diff('day', co.cohort_day, wd.day) AS BIGINT) // 7 AS week_k,
+             CAST(COUNT(DISTINCT wd.user_id) AS BIGINT) AS n_users,
+             COUNT(*) AS n_events,
+             CAST(SUM(wd.cents) AS BIGINT) AS rev_cents
+      FROM wd JOIN co USING (user_id)
+      GROUP BY 1, 2""".stripMargin.trim),
     "q_graph_degrees" -> ("""
       WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

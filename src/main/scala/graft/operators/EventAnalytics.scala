@@ -142,6 +142,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** COHORT REVENUE MATRIX — [[retentionOn]]'s monetized sibling: per
+    * (signup-day cohort, week offset), the distinct active users, the
+    * event count, and the revenue in cents fixed-point (per-event
+    * decimal(18,2)·100 cast BEFORE the sum, so the aggregate is a
+    * deterministic long sum — the money convention everywhere in this
+    * repo). The LTV-curve input every growth dashboard starts from.
+    *
+    * Plan: one per-user min-day aggregate joined back (user-keyed
+    * shuffles), one (cohort, week) aggregate with map-side combine;
+    * the distinct-user count rides the same aggregate.
+    */
+  def cohortRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRevenueOn(Tables.events(spark, sfDir))
+
+  def cohortRevenueOn(events: DataFrame): DataFrame = {
+    val withDay = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cohorts = withDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    withDay.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"), col("cents"),
+        expr("CAST(datediff(day, cohort_day) AS BIGINT) DIV 7").as("week_k"))
+      .groupBy(col("cohort_day"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("rev_cents"))
+  }
+
   /** WEEKLY CHURN — per global week index (days since the corpus-wide
     * first day, DIV 7): how many users were active, and how many of
     * those are GONE the following week. The last observed week has no

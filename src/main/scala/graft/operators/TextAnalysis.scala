@@ -976,13 +976,14 @@ object TextAnalysis {
     * probes cannot fork the score.
     */
   private[graft] def bm25Rank(tf: DataFrame, docLens: DataFrame,
-                              terms: Seq[String], k: Int): DataFrame = {
+                              terms: Seq[String], k: Int,
+                              matchAll: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25Rank needs at least one term")
     val totals = docLens
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("toks"))
       .select(col("n_docs"), expr("(toks * 1000) DIV n_docs").as("avgdl_milli"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(df, "term")
+    val scored = tf.join(df, "term")
       .join(docLens, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("norm_milli",
@@ -992,10 +993,32 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(expr("((n_docs * 1000) DIV df) * sat_milli")).as("score"),
         count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === terms.distinct.size.toLong)
+    val gated =
+      if (matchAll) scored.filter(col("n_terms") === terms.distinct.size.toLong)
+      else scored
+    gated
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** DISJUNCTIVE (match-ANY) BM25 — standard ranked retrieval: every
+    * doc containing at least one query term is scored over the terms
+    * it has; the idf weighting demotes the common-term-only matches.
+    * Same fixed-point core as [[searchBm25On]] minus the arity gate.
+    */
+  def searchBm25Any(spark: SparkSession, sfDir: String,
+                    terms: Seq[String] = Seq("spark", "join"),
+                    k: Int = 10): DataFrame = {
+    val docTexts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docLens = docTexts.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val tf = docTexts
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, docLens, terms, k, matchAll = false)
   }
 
   /** EXACT corpus-wide frequent tokens (frequency > N/(k+1)) in two

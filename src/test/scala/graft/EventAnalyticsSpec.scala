@@ -43,6 +43,28 @@ class EventAnalyticsSpec extends SparkSpec {
       "2024-01-07" -> 0L))
   }
 
+  test("cohort revenue: per-cohort week offsets, distinct users, exact cents") {
+    val events = Seq(
+      // user 1: cohort 01-01; week 0 twice (same day + day 6), week 1
+      (1L, ts("2024-01-01 10:00:00"), 1.50),
+      (1L, ts("2024-01-01 11:00:00"), 2.25),
+      (1L, ts("2024-01-07 09:00:00"), 0.10),
+      (1L, ts("2024-01-08 09:00:00"), 4.00),
+      // user 2: cohort 01-01 as well — shares the cohort row
+      (2L, ts("2024-01-01 12:00:00"), 10.00),
+      // user 3: its own 01-05 cohort
+      (3L, ts("2024-01-05 12:00:00"), 3.33)
+    ).toDF("user_id", "ts", "value")
+    val got = EventAnalytics.cohortRevenueOn(events)
+      .select(col("cohort_day").cast("string"), col("week_k"),
+        col("n_users"), col("n_events"), col("rev_cents"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 2L, 4L, 1385L), // 150+225+10+1000 (day 6 is week 0)
+      ("2024-01-01", 1L, 1L, 1L, 400L),  // day 7 starts week 1
+      ("2024-01-05", 0L, 1L, 1L, 333L)))
+  }
+
   test("funnel: strict ordering — a purchase before the first click doesn't count") {
     val events = ev(
       // user 1: full ordered funnel

@@ -167,6 +167,18 @@ class HeavyHittersSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       TextAnalysis.searchBm25On(docs, Seq.empty, 5)
     }.getMessage.contains("at least one term"))
+    // the disjunctive spelling admits doc 4 (term a only) and scores
+    // conjunctive docs IDENTICALLY — the gate is the only difference
+    val any = TextAnalysis.bm25Rank(
+      docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term".isin("a", "b"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")),
+      docs.select($"doc_id", size(split($"text", " ")).cast("long").as("dl")),
+      Seq("a", "b"), 10, matchAll = false)
+      .as[(Long, Long)].collect().toMap
+    assert(any.keySet === Set(1L, 2L, 3L, 4L))
+    got.foreach { case (id, s) => assert(any(id) === s,
+      s"doc $id: disjunctive score ${any(id)} must equal conjunctive $s") }
   }
 
   test("misra_gries is SQL-registered via GraftExtensions") {

@@ -75,7 +75,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // BM25 rides the same broadcast 1-ROW (n_docs, avgdl) totals frame
     // as q_search_rank's corpus count — constant build side (the
     // stored-postings twin shares the bm25Rank core)
-    "q_search_bm25", "q_search_bm25_idx",
+    "q_search_bm25", "q_search_bm25_idx", "q_search_bm25_any",
     // the bloom prune crossJoins the broadcast 1-ROW filter frame —
     // the whole point is the constant build side
     "q_bloom_semi",
