@@ -454,4 +454,81 @@ class PropertySpec extends SparkSpec {
     }
     check("wordsetKey", prop, n = 8)
   }
+
+  // deterministic pseudo-random undirected edge sets (a < b, no dupes):
+  // the graph-family oracles below re-derive everything by brute force
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(4, 12)
+    density <- Gen.chooseNum(25, 70)
+    seed <- Gen.chooseNum(0L, 999L)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    (for { a <- 1L to n; b <- (a + 1) to n if rnd.nextInt(100) < density }
+      yield (a, b)).toList
+  }
+
+  test("triangle stats equal brute force on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty)) { es =>
+      val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+      val got = graft.operators.Graph.triangleStatsOn(df)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val eSet = es.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = nodes.map(n => n -> es.count(e => e._1 == n || e._2 == n).toLong).toMap
+      def hasEdge(a: Long, b: Long) = eSet((a min b, a max b))
+      val tri = nodes.map { n =>
+        n -> (for {
+          (a, b) <- es if a != n && b != n
+          if hasEdge(n, a) && hasEdge(n, b)
+        } yield 1L).size.toLong
+      }.toMap
+      val want = nodes.filter(deg(_) >= 2).map { n =>
+        (n, deg(n), tri(n), 2L * tri(n) * 1000000L / (deg(n) * (deg(n) - 1L)))
+      }.toSet
+      got == want
+    }
+    check("triangleBrute", prop, n = 6)
+  }
+
+  test("pagerank conserves damped mass and ignores row layout on random graphs") {
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty), Gen.chooseNum(1, 6)) {
+      (es, parts) =>
+        val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+        val ranks = graft.operators.Graph.pageRankOn(df, iters = 3)
+          .as[(Long, Long)].collect().toMap
+        val n = es.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        val total = ranks.values.sum
+        // per directed edge per step the truncation loses < 1 ppm unit
+        val massOk = total <= n * 1000000L &&
+          total >= n * 1000000L - 3L * 2L * es.size
+        val floorOk = ranks.values.forall(_ >= 150000L)
+        // row layout (order + partitioning) must not leak into values
+        val shuffled = new scala.util.Random(es.size.toLong).shuffle(es)
+          .map { case (a, b) => (a, b, 1L) }
+          .toDF("part_a", "part_b", "w").repartition(parts)
+        val again = graft.operators.Graph.pageRankOn(shuffled, iters = 3)
+          .as[(Long, Long)].collect().toMap
+        massOk && floorOk && again == ranks
+    }
+    check("pagerankMass", prop, n = 5)
+  }
+
+  test("reachability equals brute-force BFS closure on random graphs") {
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty)) { es =>
+      val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+      val got = graft.operators.Graph.reachabilityOn(df, seedMod = 2, maxHops = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val seeds = adj.keySet.filter(_ % 2 == 0)
+      val want = (for {
+        s <- seeds
+        closures = Iterator.iterate(Set(s))(r => r ++ r.flatMap(adj(_))).drop(1).take(3).toSeq
+        (r, h) <- closures.zipWithIndex
+      } yield (s, (h + 1).toLong, (r - s).size.toLong)).toSet
+      got == want
+    }
+    check("reachBfs", prop, n = 5)
+  }
 }
