@@ -127,6 +127,29 @@ class GraphIndexSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet)
   }
 
+  test("compaction generation swap: pointer flip serves the new tree atomically") {
+    import graft.sources.DedupIndexes
+    val root = tmp("pointered")
+    val gen1 = s"$root/gen1"
+    GraphIndexes.writeGraphIndex(fixture.filter($"l_orderkey" <= 4), gen1)
+    GraphIndexes.appendGraph(fixture.filter($"l_orderkey" > 4), gen1, "d1")
+    DedupIndexes.flipPointer(spark, root, "gen1")
+    val before = edgeSet(GraphIndexes.readGraphEdges(spark, root))
+    // compact into gen2, flip — reads through the ROOT see the same
+    // reconciled ledger from the fresh single-generation tree
+    val gen2 = s"$root/gen2"
+    GraphIndexes.compactGraphTo(spark, gen1, gen2)
+    DedupIndexes.flipPointer(spark, root, "gen2")
+    assert(edgeSet(GraphIndexes.readGraphEdges(spark, root)) === before)
+    assert(GraphIndexes.indexedOrderIds(spark, root).as[Long].collect().toSet ===
+      (1L to 6L).toSet)
+    // a manifest-less target is refused — the old generation keeps serving
+    assert(intercept[IllegalArgumentException] {
+      DedupIndexes.flipPointer(spark, root, "gen3-absent")
+    }.getMessage.contains("refusing"))
+    assert(edgeSet(GraphIndexes.readGraphEdges(spark, root)) === before)
+  }
+
   test("stored probes equal their inline twins on the fixture tables") {
     val sf = TestSpark.sf0001
     val inlinePr = Graph.pageRank(spark, sf).as[(Long, Long)].collect().toSet
