@@ -514,6 +514,58 @@ class PropertySpec extends SparkSpec {
     check("pagerankMass", prop, n = 5)
   }
 
+  test("RA link prediction equals brute force on random graphs") {
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty), Gen.chooseNum(1, 3)) {
+      (es, k) =>
+        val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+        val got = graft.operators.Graph.linkPredictOn(df, seedMod = 2, k = k)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+        val want = (for {
+          u <- adj.keySet if u % 2 == 0
+          scored = (for {
+            v <- adj.keySet if v != u && !adj(u)(v)
+            ra = adj(u).intersect(adj(v)).toSeq
+              .map(z => 1000000L / adj(z).size).sum
+            if ra > 0L
+          } yield (v, ra)).toSeq.sortBy { case (v, ra) => (-ra, v) }
+          ((v, ra), i) <- scored.zipWithIndex if i < k
+        } yield (u, v, ra, (i + 1).toLong)).toSet
+        got == want
+    }
+    check("linkpredBrute", prop, n = 5)
+  }
+
+  test("customer CF recs equal brute force on random ownership") {
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty), Gen.chooseNum(0L, 99L)) {
+      (es, seed) =>
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val rnd = new scala.util.Random(seed)
+        val owned = (for { c <- 2L to 8L; p <- nodes if rnd.nextInt(100) < 40 }
+          yield (c, p)).toList
+        if (owned.isEmpty) true else {
+          val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+          val got = graft.operators.Graph.customerRecsOn(
+            df, owned.toDF("cust", "part"), seedMod = 2, k = 2)
+            .as[(Long, Long, Long, Long)].collect().toSet
+          val w = es.map { case (a, b) => ((a, b), 1L) }.toMap
+          def wOf(a: Long, b: Long) = w.getOrElse((a min b, a max b), 0L)
+          val byCust = owned.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+          val want = (for {
+            (c, ps) <- byCust if c % 2 == 0
+            scored = (for {
+              v <- nodes.toSet -- ps
+              s = ps.toSeq.map(p => wOf(p, v)).sum if s > 0L
+            } yield (v, s)).toSeq.sortBy { case (v, s) => (-s, v) }
+            ((v, s), i) <- scored.zipWithIndex if i < 2
+          } yield (c, v, s, (i + 1).toLong)).toSet
+          got == want
+        }
+    }
+    check("custrecsBrute", prop, n = 5)
+  }
+
   test("reachability equals brute-force BFS closure on random graphs") {
     val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty)) { es =>
       val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
