@@ -12,6 +12,12 @@ object Bench {
     // measuring it turns that re-derivation into a recorded ratio.
     val canary = BenchContract.canarySeconds()
     val canaryMt = BenchContract.canaryMtSeconds()
+    // third control (r17 verdict #1): the r17 driver boot's mt canary
+    // was FASTER than the close's while its suite ran 4.6% slower —
+    // CPU canaries alone cannot explain such a boot. This one reads
+    // the sf dir's actual bytes, so a cold page cache / slow I/O path
+    // at boot becomes a recorded number instead of a hypothesis.
+    val canaryIo = BenchContract.canaryIoSeconds(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -172,11 +178,15 @@ object Bench {
         canaryRatio = BenchContract.canaryRatioOf(canary, canaryMt, baseline))
     // bound the tail phase (5 reps each) so a pathological round — a
     // genuinely slower machine flags everything — cannot double bench
-    // time; the drop is LOGGED, never silent
-    val isoCap = 8
+    // time. Raised 8 → 12 after the r17 driver boot flagged 21 (r17
+    // verdict #1); whatever still drops spills its EVIDENCE (in-suite
+    // median + baseline) into BENCH_DETAIL.json's flags_dropped map —
+    // a stderr line the harness tail never captures is not a record
+    val isoCap = 12
     if (isoFlags.size > isoCap)
       System.err.println(s"[bench] isolation tail capped at $isoCap of " +
         s"${isoFlags.size} flags; dropped: ${isoFlags.drop(isoCap).mkString(", ")}")
+    val droppedFlags: Seq[String] = isoFlags.drop(isoCap)
     val isolated: Map[String, (Double, Double)] =
       isoFlags.take(isoCap).map { name =>
         dropCaches(); System.gc()
@@ -189,6 +199,12 @@ object Bench {
         }
         name -> ((secs.sorted.apply(secs.size / 2), secs.min))
       }.toMap
+    // END-of-run mt canary (r17 verdict #1): the boot canaries run
+    // before the suite; load arriving DURING a ~4-minute run (the
+    // documented faster-canary-yet-slower-suite driver boot) is
+    // invisible to them. Re-measuring the same workload after the last
+    // query bounds the run's machine era from both ends.
+    val canaryMtEnd = BenchContract.canaryMtSeconds()
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // The driver captures only the LAST 2000 chars of merged output and
     // line-scans it for JSON (BENCH_r01..r05 all have parsed:null: the
@@ -246,8 +262,16 @@ object Bench {
         }
         s""""${esc(name)}":{$body}"""
       }.mkString("{", ",", "}")
+      // cap-dropped isolation flags keep their evidence in the tracked
+      // artifact (in-suite median + the baseline it tripped), so a
+      // judge can adjudicate them without this boot's stderr
+      val droppedJson = droppedFlags.map { name =>
+        s""""${esc(name)}":{"median":${ms(results(name)._1)},"baseline_median":${ms(baseline.medians(name))}}"""
+      }.mkString("{", ",", "}")
+      val droppedField =
+        if (droppedFlags.isEmpty) "" else s""","flags_dropped":$droppedJson"""
       val payload =
-        s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"canary_mt_sec":${ms(canaryMt)},"queries":$detail}"""
+        s"""{"base_reps":$reps,"sf":"$sfDir","canary_sec":${ms(canary)},"canary_mt_sec":${ms(canaryMt)},"canary_io_sec":${ms(canaryIo)},"canary_mt_end_sec":${ms(canaryMtEnd)}$droppedField,"queries":$detail}"""
           .getBytes("UTF-8")
       val p = java.nio.file.Paths.get("target/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -262,7 +286,8 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), payload)
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val lines = BenchContract.lines(total.toString, qs, errsField, sfDir,
-      ms(canary).toString, ms(canaryMt).toString, failedNames)
+      ms(canary).toString, ms(canaryMt).toString, failedNames,
+      extraFields = s""","canary_io_sec":${ms(canaryIo)},"canary_mt_end_sec":${ms(canaryMtEnd)}""")
     lines.init.foreach(println)
     spark.stop()
     // The headline total prints LAST, after spark.stop(), so a
@@ -452,6 +477,55 @@ object BenchContract {
     times.min
   }
 
+  /** I/O / page-cache canary (r17 verdict #1): one timed sequential
+    * pass over the sf dir's regular files (sorted by name — a
+    * deterministic byte stream), 1 MiB reads folded into a checksum
+    * sink, capped at 256 MiB. Run BEFORE the SparkSession exists, so
+    * it records the storage state the suite's first reads will see: a
+    * boot with freshly regenerated testdata (cold page cache) or a
+    * contended I/O path reports seconds-per-fixed-bytes where the CPU
+    * canaries — which the r17 driver boot passed while its suite ran
+    * 4.6% slower — are blind. Reading the bytes also WARMS the cache,
+    * identically on every boot, so the canary equalizes what it
+    * measures. 0.0 when the dir is missing/unreadable (a canary must
+    * never fail the bench).
+    */
+  def canaryIoSeconds(sfDir: String): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.isDirectory(dir)) 0.0
+      else {
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.getFileName.toString)
+        val buf = new Array[Byte](1 << 20)
+        val cap = 256L << 20
+        var read = 0L
+        var sink = 0L
+        val t0 = System.nanoTime()
+        files.foreach { f =>
+          if (read < cap) {
+            val in = java.nio.file.Files.newInputStream(f)
+            try {
+              var n = in.read(buf)
+              while (n > 0 && read < cap) {
+                read += n
+                sink ^= buf(0).toLong + buf(n - 1).toLong + n
+                n = in.read(buf)
+              }
+            } finally in.close()
+          }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(sink != Long.MinValue, "unreachable — anchors the reads against DCE")
+        sec
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] io canary failed (recorded as 0): $e")
+      0.0
+    }
+
   /** MULTI-THREAD machine-speed canary (r16 verdict #2): `threads`
     * Java threads each run the [[canarySeconds]] avalanche pass over
     * their OWN array, and one parallel pass is timed wall-clock (min of
@@ -507,7 +581,8 @@ object BenchContract {
     */
   def lines(total: String, queriesJson: String, errsField: String,
             sfDir: String, canarySec: String, canaryMtSec: String,
-            failedNames: Seq[String] = Nil): Seq[String] = {
+            failedNames: Seq[String] = Nil,
+            extraFields: String = ""): Seq[String] = {
     // Failures ride the CANONICAL total line — the one parse the driver
     // is guaranteed to record — so a failing round cannot read as green
     // (round 10's summary showed rc=0 / total=63.1s while nine queries
@@ -515,8 +590,11 @@ object BenchContract {
     // always fits; the name list is included only while the line stays
     // inside the tail window (names are also in query_errors on the map
     // line and in BENCH_DETAIL.json).
+    // extraFields (io / end-of-run canaries) ride the canonical line
+    // like the boot canaries — diagnostics must survive the map-line
+    // drop, and the canonical line is the one parse that always lands
     def totalWith(failedField: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$failedField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$extraFields$failedField}"""
     val totalLine =
       if (failedNames.isEmpty) totalWith("")
       else {

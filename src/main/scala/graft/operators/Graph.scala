@@ -16,23 +16,48 @@ import org.apache.spark.sql.functions._
   * on summation order; truncating integer division does not).
   *
   * 100 TB shape: the edge build is ONE shuffle (groupBy orderkey) with
-  * per-group state bounded by order size (TPC-H ≤ 7 lines — the pair
-  * expansion is a HOF over a ≤7-element array, never a self-join that
-  * would shuffle the fact table twice); PageRank iterations reuse ONE
-  * persisted src-partitioned adjacency across all steps, so each step
-  * shuffles only the node-sized rank frame plus the contribution
-  * aggregate; triangle enumeration orients edges by the (degree, id)
-  * total order, bounding wedge fan-out per node by its OUT-degree
-  * (O(sqrt m) on skewed graphs — the classic compact-forward bound)
-  * instead of its full degree.
+  * per-group state bounded by [[MaxBasket]] (TPC-H orders hold ≤ 7
+  * lines; pathological mega-baskets are excluded, see
+  * [[copurchaseEdgesOn]]) — the pair expansion is a HOF over a bounded
+  * sorted array, never a self-join that would shuffle the fact table
+  * twice; PageRank iterations reuse ONE persisted src-partitioned
+  * adjacency across all steps, so each step shuffles only the
+  * node-sized rank frame plus the contribution aggregate; triangle
+  * enumeration is the EDGE-ITERATOR with full (unoriented) adjacency
+  * lists — per-node state is bounded by that node's full degree, the
+  * standard adjacency-list trade ([[triangleStatsOn]]'s scaladoc), not
+  * the compact-forward O(sqrt m) orientation bound (orienting by
+  * (degree, id) would halve list sizes but needs a second assembly to
+  * credit all three corners per triangle; measured unnecessary at this
+  * degree distribution — revisit if a hub's full adjacency row ever
+  * dominates).
   */
 object Graph {
+
+  /** Largest basket (distinct parts per order) the edge build pairs.
+    * The per-group collect_set and the quadratic pair HOF are bounded
+    * by basket size — fine on order logs shaped like TPC-H (≤ 7 lines
+    * per order), but ONE mega-order with 10⁴ distinct parts would
+    * materialize a 10⁴-element array row and explode ~5·10⁷ pairs from
+    * a single group, breaking the "bounded per-group state" contract.
+    * Baskets larger than this are EXCLUDED, the standard market-basket
+    * treatment (a bulk/institutional order that large carries no
+    * item-affinity signal — every pair in it is noise at weight ~1
+    * each); exclusion is deterministic (a size predicate on the
+    * distinct-part set, never a prefix truncation that would silently
+    * keep an arbitrary subset of a basket's pairs). The bound sits far
+    * above TPC-H's ≤ 7-part baskets, so on the fixtures the gated and
+    * ungated edge sets are IDENTICAL at every SF and the unbounded
+    * DuckDB self-join oracles remain exact (GraphSpec plants a
+    * mega-basket to pin the exclusion itself).
+    */
+  val MaxBasket = 256
 
   /** Distinct co-purchase edges (part_a < part_b, w = number of
     * distinct orders containing both parts).
     *
     * Plan: distinct (orderkey, partkey) → groupBy orderkey with a
-    * sorted collect_set (bounded: orders hold ≤ 7 parts) → HOF pair
+    * sorted collect_set (bounded by [[MaxBasket]]) → HOF pair
     * expansion (i < j over the array) → explode → count per pair. One
     * wide shuffle on orderkey + the final pair aggregate; the DuckDB
     * oracle arrives at the same bag through an orderkey equi-self-join.
@@ -52,10 +77,14 @@ object Graph {
           element_at(parts, j).as("part_b")))))
 
   def copurchaseEdgesOn(lines: DataFrame): DataFrame = {
+    // size gate AFTER the collect (Spark has no capped collect_set, so
+    // the collected array is O(basket) for the one pathological group)
+    // but BEFORE the pair HOF — the O(basket²) expansion, the part
+    // that actually breaks at scale, never runs on a mega-basket
     val sets = lines.distinct()
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
+      .filter(size(col("parts")).between(2, MaxBasket))
     sets.select(explode(pairStructs(col("parts"))).as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy(col("part_a"), col("part_b"))
@@ -266,7 +295,9 @@ object Graph {
         // one month per order by construction; max is the spelling
         // that is deterministic BY TYPE, not by data shape
         max(col("mo")).as("mo"))
-      .filter(size(col("parts")) >= 2)
+      // same MaxBasket gate as copurchaseEdgesOn — the monthly edge
+      // sets must partition exactly the corpus the plain build pairs
+      .filter(size(col("parts")).between(2, MaxBasket))
     val pairs = sets.select(col("mo"),
       explode(pairStructs(col("parts"))).as("pr"))
     val monthly = pairs

@@ -88,10 +88,17 @@ object GraphIndexes {
   def appendGraphNewOrders(batchLines: DataFrame, path0: String,
                            label: String): Unit = {
     val path = resolveIndex(batchLines.sparkSession, path0)
+    // meta validated up front so a bogus path still refuses loudly even
+    // when the delivery turns out to be fully already-indexed
+    requireGraphMeta(batchLines.sparkSession, path)
     val fresh = batchLines.join(
       indexedOrderIds(batchLines.sparkSession, path, excludeLabel = Some(label)),
       Seq("l_orderkey"), "left_anti")
-    appendGraph(fresh, path, label)
+    // a delivery that is ENTIRELY already-indexed must not write a
+    // vacant ingest label (empty edges + manifest directories per
+    // overlapping delivery) — the streaming sink's no-vacant-label
+    // guard, applied at the API level too (r17 ADVICE)
+    if (!fresh.isEmpty) appendGraph(fresh, path, label)
   }
 
   /** The reconciled co-purchase edge set (part_a, part_b, w): ONE sum

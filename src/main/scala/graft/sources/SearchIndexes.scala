@@ -32,6 +32,14 @@ object SearchIndexes {
   import DedupIndexes.{BaseLabel, hasData, resolveIndex, delete,
     assertTargetNotOverInputs, writeOnce}
 
+  /** The posting-derivation scheme this family stores — meta's
+    * fork-prevention tag ([[GraphIndexes.Kind]]'s precedent, r17
+    * ADVICE): another nbuckets-keyed index family landing at the same
+    * path must fail the explicit kind refusal in [[readSearchMeta]],
+    * not a later incidental schema error.
+    */
+  val Kind = "bm25"
+
   /** (doc_id, term, tf) + (doc_id, dl) for a docs frame — the shared
     * head of the write and append paths. UNFILTERED term space: the
     * index serves any future query.
@@ -58,7 +66,8 @@ object SearchIndexes {
     val spark = docs.sparkSession
     import spark.implicits._
     delete(spark, path)
-    Seq(nbuckets).toDF("nbuckets").write.mode("overwrite").parquet(s"$path/meta")
+    Seq((Kind, nbuckets)).toDF("kind", "nbuckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
     val (tf, dl) = postingFrames(docs)
     writePostings(tf, s"$path/postings/ingest=$BaseLabel", nbuckets)
     dl.write.mode("overwrite").parquet(s"$path/doclen/ingest=$BaseLabel")
@@ -99,6 +108,19 @@ object SearchIndexes {
     * .bucketOf]] spelling, so the partition filter can never disagree
     * with the layout. Postings are novel-only by the append
     * discipline — no merge-on-read aggregation is needed.
+    *
+    * HALF-CLAIMED-LABEL hygiene (r17 ADVICE): [[appendSearch]] writes
+    * postings, then doclen, then manifest; a crash between the first
+    * two leaves postings rows whose docs are absent from doclen — they
+    * can never be SCORED (the doclen inner join drops them) but their
+    * tf rows would inflate df, skewing every query sharing those terms
+    * until the same-label replay heals the window. The returned
+    * postings are therefore semi-joined to doclen's doc ids, so df and
+    * scoring derive from the same healed doc population structurally —
+    * no caller needs to know a crashed label (the graph family's
+    * excludeIngest, made automatic). Doc-keyed like [[TextAnalysis
+    * .bm25Rank]]'s own doclen join, and over the term-pruned (tiny)
+    * postings side — no new corpus-scale work.
     */
   def readForTerms(spark: SparkSession, path0: String,
                    terms: Seq[String]): (DataFrame, DataFrame) = {
@@ -109,12 +131,13 @@ object SearchIndexes {
     val buckets = terms.toDF("term")
       .select(TextIndexes.bucketOf(col("term"), nbuckets).as("bucket"))
       .as[Int].collect().toSeq.distinct
+    val dl = spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id"), col("dl"))
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
-    val dl = spark.read.parquet(s"$path/doclen")
-      .select(col("doc_id"), col("dl"))
+      .join(dl.select(col("doc_id")), Seq("doc_id"), "left_semi")
     (tf, dl)
   }
 
@@ -128,13 +151,28 @@ object SearchIndexes {
     TextAnalysis.bm25Rank(tf, dl, terms, k)
   }
 
-  /** The nbuckets the stored layout was written with. */
+  /** The nbuckets the stored layout was written with, after the kind
+    * refusal: a path whose meta carries no `kind` column (not this
+    * family's layout) or a different kind value is rejected with the
+    * explicit fork-prevention message, never an incidental downstream
+    * schema error ([[GraphIndexes]]' requireGraphMeta contract).
+    */
   def readSearchMeta(spark: SparkSession, path0: String): Int = {
     val path = resolveIndex(spark, path0)
     require(hasData(spark, s"$path/meta"),
       s"no search-index meta at $path — build it with writeSearchIndex " +
         "before appending or probing")
-    spark.read.parquet(s"$path/meta").head().getAs[Int]("nbuckets")
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.schema.fieldNames.contains("kind"),
+      s"index meta at $path carries no posting-kind tag — not a " +
+        s"'$Kind' search index (or a pre-kind layout; rebuild it with " +
+        "writeSearchIndex)")
+    val row = meta.head()
+    val kind = row.getAs[String]("kind")
+    require(kind == Kind,
+      s"index at $path stores posting kind '$kind', not '$Kind' — " +
+        "refusing to mix derivations in one index")
+    row.getAs[Int]("nbuckets")
   }
 
   // -- driver-query stored twin: 80% base build + 20% delta append,

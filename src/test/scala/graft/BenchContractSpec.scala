@@ -73,6 +73,36 @@ class BenchContractSpec extends AnyFunSuite {
       """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321,"canary_mt_sec":0.456}""")
   }
 
+  test("extra canary fields ride the canonical line and survive the map drop") {
+    val extras = ""","canary_io_sec":0.042,"canary_mt_end_sec":0.512"""
+    val small = BenchContract.lines("12.345", fakeMap(10), "",
+      "/root/testdata/sf0.1", "0.321", "0.456", Nil, extras)
+    assert(small.last ===
+      """{"metric":"total","value":12.345,"unit":"sec","sf":"/root/testdata/sf0.1","canary_sec":0.321,"canary_mt_sec":0.456,"canary_io_sec":0.042,"canary_mt_end_sec":0.512}""")
+    // oversized suite: map line drops, the diagnostics do not
+    val big = BenchContract.lines("99.9", fakeMap(200), "",
+      "/root/testdata/sf0.1", "0.321", "0.456", Nil, extras)
+    assert(big.size === 1)
+    assert(big.head.contains("\"canary_io_sec\":0.042") &&
+      big.head.contains("\"canary_mt_end_sec\":0.512"),
+      "the io / end-of-run canaries must survive the map-line drop")
+    // and the window invariant still holds with extras + failures
+    val printed = BenchContract.lines("99.9", fakeMap(2000), "",
+      "/root/testdata/sf0.1", "0.321", "0.456",
+      (1 to 200).map(i => s"q_fake_query_name_$i"), extras)
+      .map(_.length + 1).sum
+    assert(printed <= BenchContract.TailWindow)
+  }
+
+  test("io canary: deterministic read of a dir's files; missing dir reads 0") {
+    assert(BenchContract.canaryIoSeconds("/no/such/dir/anywhere") === 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("iocanary")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array.fill[Byte](1 << 16)(7))
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array.fill[Byte](1 << 16)(9))
+    val sec = BenchContract.canaryIoSeconds(dir.toString)
+    assert(sec > 0.0 && sec < 5.0, s"128 KiB must read in bounded time, got $sec")
+  }
+
   test("a 0-row bench query is classified EmptyResult and reports as failed") {
     // the red path of the empty-read class (r12 verdict ask): a query
     // whose fixture read silently came back empty must be flagged...

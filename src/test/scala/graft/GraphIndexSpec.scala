@@ -64,6 +64,27 @@ class GraphIndexSpec extends SparkSpec {
       "order 4's pairs must not be double-counted")
   }
 
+  test("appendGraphNewOrders on a fully already-indexed delivery writes no vacant label") {
+    val path = tmp("novacant")
+    GraphIndexes.writeGraphIndex(fixture, path)
+    val before = edgeSet(GraphIndexes.readGraphEdges(spark, path))
+    // every order in this delivery is already claimed by the base build:
+    // the append must SKIP, not write empty edges/manifest directories
+    // per overlapping delivery (r17 ADVICE — the streaming sink's
+    // no-vacant-label guard, now at the API level)
+    GraphIndexes.appendGraphNewOrders(fixture, path, "dup")
+    assert(spark.read.parquet(s"$path/edges").select("ingest")
+      .distinct().as[String].collect().toSeq === Seq("base"),
+      "no vacant ingest generation may appear")
+    assert(spark.read.parquet(s"$path/manifest").select("ingest")
+      .distinct().as[String].collect().toSeq === Seq("base"))
+    assert(edgeSet(GraphIndexes.readGraphEdges(spark, path)) === before)
+    // the skip path still validates the target: a bogus path refuses
+    assert(intercept[IllegalArgumentException] {
+      GraphIndexes.appendGraphNewOrders(fixture, tmp("absent"), "dup")
+    }.getMessage.contains("no graph-index meta"))
+  }
+
   test("exclude-ingest read leaves a crashed batch's own deltas out") {
     val path = tmp("exclude")
     val base = fixture.filter($"l_orderkey" <= 4)

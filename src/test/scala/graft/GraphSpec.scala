@@ -27,6 +27,27 @@ class GraphSpec extends SparkSpec {
       (10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
   }
 
+  test("edges: a mega-basket above MaxBasket is excluded, not paired or truncated") {
+    // order 1 is a normal basket; order 99 holds MaxBasket + 1 distinct
+    // parts — the pathological bulk order whose O(basket^2) pair
+    // expansion the gate exists to refuse (Graph.MaxBasket scaladoc)
+    val mega = (0 until Graph.MaxBasket + 1).map(i => (99L, 1000L + i))
+    val e = Graph.copurchaseEdgesOn(
+      lines((Seq((1L, 10L), (1L, 20L)) ++ mega): _*))
+      .as[(Long, Long, Long)].collect().toSet
+    // the normal order's pair survives with its exact weight; NOTHING
+    // from the mega-basket leaks through — exclusion is whole-basket,
+    // never a prefix truncation that would keep an arbitrary pair subset
+    assert(e === Set((10L, 20L, 1L)))
+    // the temporal build shares the gate: the monthly edge sets must
+    // partition exactly the corpus the plain build pairs
+    val om = Seq((1L, 100L), (99L, 100L)).toDF("l_orderkey", "mo")
+    val t = Graph.trendingPairsOn(
+      lines((Seq((1L, 10L), (1L, 20L)) ++ mega): _*), om, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(t === Set((10L, 20L, 100L, 1L, 1L)))
+  }
+
   test("pagerank: a regular graph is an exact fixed point at 1_000_000 ppm") {
     // 4-cycle, unit weights: every node has wdeg 2 and two in-edges, so
     // each step computes 150000 + 2 * ((850 * 1000000) DIV 2000) =

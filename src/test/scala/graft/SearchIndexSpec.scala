@@ -80,10 +80,50 @@ class SearchIndexSpec extends SparkSpec {
     assert(tf.as[(Long, String, Long)].collect().toSet === full)
   }
 
+  test("a half-claimed append (postings without doclen) cannot skew df") {
+    val path = tmp("crashwin")
+    SearchIndexes.writeSearchIndex(fixture, path)
+    val before = ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10))
+    // simulate appendSearch crashing BETWEEN its postings and doclen
+    // writes: a new ingest's tf rows land, its doclen/manifest never do
+    // (r17 ADVICE — df derives from stored tf, so these rows would
+    // inflate df for every query sharing the terms). The write mirrors
+    // the real layout: bucket-partitioned under postings/ingest=<label>.
+    val nb = graft.sources.TextIndexes.DefaultBuckets
+    Seq((90L, "a", 3L), (91L, "b", 2L)).toDF("doc_id", "term", "tf")
+      .withColumn("bucket",
+        graft.sources.TextIndexes.bucketOf(org.apache.spark.sql.functions.col("term"), nb))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/ingest=crashed")
+    assert(ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10)) === before,
+      "postings rows with no doclen partner must be invisible to df and scores")
+    // the structural guard lives in readForTerms: the pruned tf frame
+    // itself excludes the half-claimed docs
+    val (tf, _) = SearchIndexes.readForTerms(spark, path, Seq("a", "b"))
+    assert(!tf.select("doc_id").as[Long].collect().toSet.exists(_ >= 90L))
+  }
+
   test("meta refusal and SQL parity") {
     assert(intercept[IllegalArgumentException] {
       SearchIndexes.searchBm25FromIndex(spark, tmp("absent"), Seq("a"), 5)
     }.getMessage.contains("no search-index meta"))
+    // kind fork-prevention (r17 ADVICE, the GraphIndexes contract):
+    // a different nbuckets-keyed family at the same path must hit the
+    // explicit refusal, not a later incidental schema error
+    val foreign = tmp("foreign")
+    Seq(("trigram", 16)).toDF("kind", "nbuckets")
+      .write.mode("overwrite").parquet(s"$foreign/meta")
+    assert(intercept[IllegalArgumentException] {
+      SearchIndexes.searchBm25FromIndex(spark, foreign, Seq("a"), 5)
+    }.getMessage.contains("refusing to mix"))
+    // a pre-kind layout (meta without the tag) is likewise refused
+    val untagged = tmp("untagged")
+    Seq(16).toDF("nbuckets").write.mode("overwrite").parquet(s"$untagged/meta")
+    assert(intercept[IllegalArgumentException] {
+      SearchIndexes.searchBm25FromIndex(spark, untagged, Seq("a"), 5)
+    }.getMessage.contains("no posting-kind tag"))
     val path = tmp("sql")
     SearchIndexes.writeSearchIndex(fixture, path)
     graft.sources.IndexSql.registerBm25Search(
