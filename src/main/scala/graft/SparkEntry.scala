@@ -574,11 +574,13 @@ object SparkEntry {
     // spec-pinned laws: PCA width k' (recall NOT monotone — geometry,
     // not subsetting; the k'=dim full-rotation exactness endpoint is
     // the pinned law, and on this near-isotropic fixture the 16->32
-    // cliff is the decision the curve answers; INLINE spelling — the
-    // endpoint law needs the full-width basis the 32-wide stored
-    // fixture index cannot ladder to)...
-    "q_embed_pca_recall" -> ((s, d) => operators.Similarity.pcaRecallCurve(s, d,
-      kprimes = Seq(16, 32, 64))),
+    // cliff is the decision the curve answers; since r18 a FULL-WIDTH
+    // stored fixture index serves the ladder, so the endpoint law
+    // holds AND the timed reps pay probes only — r17's inline
+    // spelling re-fit-fingerprinted and re-projected the corpus per
+    // rep)...
+    "q_embed_pca_recall" -> ((s, d) => sources.SimilarityIndexes
+      .pcaRecallCurveDocs(s, d, kprimes = Seq(16, 32, 64))),
     // ...LSH table count (nested plane prefixes => candidate
     // supersets: recall AND measured scanned monotone by
     // construction, no exact endpoint — LSH never guarantees full

@@ -127,11 +127,19 @@ object Similarity {
     * neighbor_id asc everywhere here) or neither spelling is
     * deterministic.
     */
+  /** `extraPart` prepends partition columns to BOTH windows — the
+    * step-exploded curve pipelines rank every ladder step in ONE pair
+    * of windows by partitioning on (step, query_id); per-partition
+    * semantics (and thus results) are identical to running the plain
+    * spelling once per step.
+    */
   private[graft] def saltedTopPerQuery(scored: DataFrame, ord: Seq[Column],
                                        n: Int, rankCol: String,
-                                       salts: Int = 8): DataFrame = {
-    val w1 = Window.partitionBy(col("query_id"), col("__graft_salt")).orderBy(ord: _*)
-    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+                                       salts: Int = 8,
+                                       extraPart: Seq[Column] = Nil): DataFrame = {
+    val parts = extraPart :+ col("query_id")
+    val w1 = Window.partitionBy(parts :+ col("__graft_salt"): _*).orderBy(ord: _*)
+    val w2 = Window.partitionBy(parts: _*).orderBy(ord: _*)
     scored
       .withColumn("__graft_salt", pmod(hash(col("neighbor_id")), lit(salts)))
       .withColumn("__graft_r1", row_number().over(w1))
@@ -287,17 +295,18 @@ object Similarity {
     * (measured ~1.6× on the stored IVF/LSH probes when it was salted).
     */
   private def exactRerank(shortlist: DataFrame, vectors: DataFrame,
-                          k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
+                          k: Int, extraPart: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(extraPart :+ col("query_id"): _*)
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     shortlist
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        rankSim(col("eq"), col("embedding")).as("sim"))
+      .select(extraPart ++ Seq(col("query_id"), col("neighbor_id"),
+        rankSim(col("eq"), col("embedding")).as("sim")): _*)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .select(extraPart ++ Seq(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank")): _*)
   }
 
   /** PCA two-stage ANN (the FAISS `PCAR<k'>,...` pre-transform shape):
@@ -516,27 +525,51 @@ object Similarity {
     kprimes.foreach(kp => require(kp >= 1 && kp <= basis.length,
       s"kprime=$kp must be in [1, basis width=${basis.length}]"))
     val queries = broadcast(requireQuerySample(queries0))
+    val spark = queries0.sparkSession
+    import spark.implicits._
+    val steps = kprimes.distinct.sorted
+    val stepsDf = steps.toDF("step")
     val dim = basis.head.length
     val vectors = graft.CacheScope.track(vectors0.persist())
     val reduced = graft.CacheScope.track(reduced0.persist())
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
         .select(col("query_id"), col("neighbor_id")).persist())
+    // ONE corpus join serves the whole ladder: queries project ONCE at
+    // the widest requested k′ and each step's coarse similarity is the
+    // PREFIX slice of both sides — slicing a projection IS projecting
+    // under the prefix basis (component dot products are independent,
+    // the nested-eigenbasis property this curve's scaladoc pins), so
+    // each step scores exactly [[pcaProbe]] at that k′ while the
+    // reduced corpus is read once, not once per step. The per-step
+    // shortlists and exact re-ranks run as ONE window pipeline
+    // partitioned by (step, query) — identical per-partition semantics.
+    val qReduced = projectWithBasis(queries, basis.take(steps.max),
+      vecCol = "eq", outCol = "qpc")
+    val stepped = reduced
+      .join(broadcast(qReduced), col("vec_id") =!= col("query_id"))
+      .withColumn("step", explode(typedlit(steps)))
+      .select(col("step"), col("query_id"), col("eq"),
+        col("vec_id").as("neighbor_id"),
+        rankSim(slice(col("qpc"), lit(1), col("step")),
+          slice(col("pc"), lit(1), col("step"))).as("qsim"))
+    val shortlist = saltedTopPerQuery(stepped,
+        Seq(col("qsim").desc, col("neighbor_id").asc), rerank, "arank",
+        extraPart = Seq(col("step")))
+      .select(col("step"), col("query_id"), col("eq"), col("neighbor_id"))
+    val hits = exactRerank(shortlist, vectors, k, extraPart = Seq(col("step")))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("step")).agg(count(lit(1)).as("hits"))
     // step-independent candidate count, measured once: the coarse pass
     // scores every (query, other-vector) pair regardless of k′
     val scannedF = broadcast(reduced.select(col("vec_id"))
       .join(broadcast(queries.select(col("query_id"))),
         col("vec_id") =!= col("query_id"))
       .agg(count(lit(1)).as("scanned")))
-    val perStep = kprimes.distinct.sorted.map { kp =>
-      val hits = pcaProbe(
-          reduced.select(col("vec_id"), slice(col("pc"), 1, kp).as("pc")),
-          vectors, queries, basis.take(kp), k, rerank)
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      hits.crossJoin(scannedF)
-        .select(lit(kp).as("kprime"), col("hits"), col("scanned"))
-    }.reduce(_ unionByName _)
+    val perStep = stepsDf.join(hits, Seq("step"), "left")
+      .crossJoin(scannedF)
+      .select(col("step").as("kprime"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("scanned"))
     ladderPpm(perStep, "kprime", truth, vectors)
       .withColumn("byte_ppm", expr(s"kprime * 1000000 DIV $dim"))
   }
@@ -743,8 +776,16 @@ object Similarity {
       emb.select(col("vec_id"), col("embedding")),
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nprobes, (d, q, np) => ivfProbe(centroids, d, q, k, np))
+      k, nprobes, ivfCurveScore, rerank = None)
   }
+
+  /** The coarse scorer the IVF curves hand [[recallCurveCore]]: exact
+    * cosine over the probed cells' float rows — [[ivfProbe]]'s scoring
+    * column over the shared candidate join.
+    */
+  private val ivfCurveScore: DataFrame => DataFrame = df => df.select(
+    col("query_id"), col("eq"), col("vec_id").as("neighbor_id"), col("pr"),
+    rankSim(col("eq"), col("embedding")).as("qsim"))
 
   /** [[ivfRecallCurve]] over a PREBUILT (centroids, cells) index
     * ([[graft.sources.SimilarityIndexes.readIvfIndex]]) — tune the
@@ -765,7 +806,7 @@ object Similarity {
                               nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16)): DataFrame =
     recallCurveCore(centroids, cells,
       cells.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"),
-      queries, k, nprobes, (d, q, np) => ivfProbe(centroids, d, q, k, np))
+      queries, k, nprobes, ivfCurveScore, rerank = None)
 
   /** MEASURED nprobe → recall/scan curve for the COMPOSED IVF-SQ8
     * probe — [[ivfRecallCurve]]'s contract over the family actually
@@ -795,9 +836,15 @@ object Similarity {
       vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nprobes,
-      (d, q, np) => ivfSqProbe(centroids, d, vectors, q, k, np, rerank))
+      k, nprobes, sqCurveScore, rerank = Some(rerank))
   }
+
+  /** [[ivfSqProbe]]'s int8 coarse scorer over the shared candidate
+    * join — the IVF-SQ8 curves' scorer for [[recallCurveCore]].
+    */
+  private val sqCurveScore: DataFrame => DataFrame = df => df.select(
+    col("query_id"), col("eq"), col("vec_id").as("neighbor_id"), col("pr"),
+    sq8Sim(col("eq"), col("codes")).as("qsim"))
 
   /** [[ivfSqRecallCurve]] over a PREBUILT index
     * ([[graft.sources.SimilarityIndexes.readIvfSqIndex]]) — tune the
@@ -809,7 +856,7 @@ object Similarity {
                                 nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
                                 rerank: Int = 20): DataFrame =
     recallCurveCore(centroids, codes, vectors, queries, k, nprobes,
-      (d, q, np) => ivfSqProbe(centroids, d, vectors, q, k, np, rerank))
+      sqCurveScore, rerank = Some(rerank))
 
   /** [[ivfSqRecallCurve]] for IVF-PQ — the production big-corpus
     * index's fan-out knob measured over the real ADC probe: `scanned`
@@ -831,12 +878,30 @@ object Similarity {
     recallCurveCore(centroids,
       quantizePqOn(assignCells(emb, centroids, nassign = 1), books),
       vectors,
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
-      k, nprobes,
-      (d, q, np) => annTopKIvfPqFromIndex(centroids, books, d, vectors,
-        q, k, np, rerank))
+      lutQueriesOf(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")), books),
+      k, nprobes, pqCurveScore, rerank = Some(rerank))
   }
+
+  /** [[annTopKIvfPqFromIndex]]'s ADC coarse scorer over the shared
+    * candidate join — the IVF-PQ curves' scorer for
+    * [[recallCurveCore]]. The per-query lookup tables ride the QUERY
+    * side ([[lutQueriesOf]]) through the ranked fan-out broadcast.
+    */
+  private val pqCurveScore: DataFrame => DataFrame = df => df.select(
+    col("query_id"), col("eq"), col("vec_id").as("neighbor_id"), col("pr"),
+    pqSim(col("luts"), col("codes")).as("qsim"))
+
+  /** (query_id, eq) → (query_id, eq, luts): the ADC lookup-table
+    * attachment shared by [[pqScoredOn]]'s spelling and the IVF-PQ
+    * curves' query side.
+    */
+  private def lutQueriesOf(queries: DataFrame,
+                           books: Seq[Seq[Seq[Double]]]): DataFrame =
+    queries
+      .select(col("query_id"), col("eq"), unitVec(col("eq")).as("__graft_uq"))
+      .select(col("query_id"), col("eq"),
+        pqLuts(col("__graft_uq"), books).as("luts"))
 
   /** [[ivfPqRecallCurve]] over a PREBUILT index
     * ([[graft.sources.SimilarityIndexes.readIvfPqIndex]]).
@@ -847,9 +912,9 @@ object Similarity {
                                 k: Int = 5,
                                 nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
                                 rerank: Int = 64): DataFrame =
-    recallCurveCore(centroids, codes, vectors, queries, k, nprobes,
-      (d, q, np) => annTopKIvfPqFromIndex(centroids, books, d, vectors,
-        q, k, np, rerank))
+    recallCurveCore(centroids, codes, vectors,
+      lutQueriesOf(queries, books), k, nprobes,
+      pqCurveScore, rerank = Some(rerank))
 
   /** The measurement shared by every NPROBE curve ([[ivfRecallCurve]],
     * [[ivfSqRecallCurve]], [[ivfPqRecallCurve]] and their stored
@@ -869,10 +934,10 @@ object Similarity {
     * as the query side is already sampled.
     */
   private def recallCurveCore(centroids: Seq[Seq[Double]], data0: DataFrame,
-                              vectors: DataFrame, queries0: DataFrame,
+                              vectors0: DataFrame, queries0: DataFrame,
                               k: Int, nprobes: Seq[Int],
-                              probe: (DataFrame, DataFrame, Int) => DataFrame)
-      : DataFrame = {
+                              score: DataFrame => DataFrame,
+                              rerank: Option[Int]): DataFrame = {
     val nlist = centroids.size
     require(nprobes.nonEmpty, "recall curve needs at least one nprobe")
     nprobes.foreach(p => require(p >= 1 && p <= nlist,
@@ -884,39 +949,88 @@ object Similarity {
     // hint-carrying frame logs a spurious HintErrorLogger WARN per call
     // (the hint never reaches a join in that throwaway plan)
     val queries = broadcast(requireQuerySample(queries0))
+    val spark = queries0.sparkSession
+    import spark.implicits._
+    val steps = nprobes.distinct.sorted
+    val stepsDf = steps.toDF("step")
     val data = graft.CacheScope.track(data0.persist())
+    val vectors = graft.CacheScope.track(vectors0.persist())
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
         .select(col("query_id"), col("neighbor_id")).persist())
+    // ONE coarse scoring pass at the MAX fan-out, each candidate
+    // carrying its query's cell rank `pr` — `pr <= np` of this frame
+    // IS the probe's candidate set at fan-out np (the row_number
+    // prefix property, [[probedCellsRanked]]), so every ladder step
+    // measures exactly the served probe at that np while the corpus
+    // side is scored once, not once per step (the r17 curves re-ran
+    // the full probe per step: 3 steps cost ~2× this spelling at
+    // sf0.1, and at scale re-scanning the probed cells per step is
+    // strictly wasted I/O). Per-step equality vs the real probes is
+    // spec-pinned (SimilaritySpec "prefix-cut == served probe").
+    val pcMax = probedCellsRanked(centroids, queries, steps.max)
+    val cand = score(data.join(broadcast(pcMax), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")))
+    // step explosion: a candidate is visible at every ladder step
+    // >= its cell rank; ONE window pipeline then ranks all steps at
+    // once (partition keys (step, query_id) — per-partition semantics
+    // identical to one probe per step)
+    val stepped = cand
+      .withColumn("step", explode(typedlit(steps)))
+      .filter(col("pr") <= col("step"))
+    val perStepTopK = rerank match {
+      // exact coarse scores (plain IVF): dedup multi-assign candidates
+      // by max like [[ivfProbe]], then the direct top-k
+      case None =>
+        saltedTopPerQuery(
+          stepped.groupBy(col("step"), col("query_id"), col("neighbor_id"))
+            .agg(max(col("qsim")).as("qsim")),
+          Seq(col("qsim").desc, col("neighbor_id").asc), k, "rank",
+          extraPart = Seq(col("step")))
+          .select(col("step"), col("query_id"), col("neighbor_id"))
+      // approximate coarse scores (SQ8/PQ codes): per-(step, query)
+      // shortlist at the family's rerank depth, then the exact float
+      // re-rank — [[ivfSqProbe]]/[[annTopKIvfPqFromIndex]]'s two-stage
+      // arithmetic with the step in the partition keys
+      case Some(r) =>
+        require(r >= k, s"rerank=$r must be >= k=$k")
+        val shortlist = saltedTopPerQuery(stepped,
+            Seq(col("qsim").desc, col("neighbor_id").asc), r, "arank",
+            extraPart = Seq(col("step")))
+          .select(col("step"), col("query_id"), col("eq"), col("neighbor_id"))
+        exactRerank(shortlist, vectors, k, extraPart = Seq(col("step")))
+    }
+    val hits = perStepTopK
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("step")).agg(count(lit(1)).as("hits"))
     // scanned-candidate counts derive from ONE shared population pass
-    // (cell → row count) + the tiny per-nprobe fan-out, instead of a
-    // corpus-sized candidate join per nprobe: Σ pop over probed cells,
-    // minus the probed own-cells (the probe's vec_id ≠ query_id
-    // exclusion). Exactly the candidate rows the probe's coarse join
-    // reads — measured from the stored assignment, at fan-out cost.
-    val pop = graft.CacheScope.track(
-      data.groupBy(col("cell")).agg(count(lit(1)).as("pop")).persist())
-    val qCells = broadcast(data
+    // (cell → row count) + the tiny ranked fan-out, for ALL steps in
+    // one aggregation: Σ pop over cells with pr <= step, minus the
+    // probed own-cells (the probe's vec_id ≠ query_id exclusion).
+    // Exactly the candidate rows the probe's coarse join reads at
+    // each fan-out — measured from the stored assignment.
+    val pop = data.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val qCells = data
       .join(queries.select(col("query_id")), col("vec_id") === col("query_id"))
-      .select(col("query_id").as("qid"), col("cell").as("qcell")))
-    val perProbe = nprobes.distinct.sorted.map { np =>
-      val pc = probedCells(centroids, queries, np)
-        .select(col("query_id"), col("cell"))
-      val gross = pc.join(pop, Seq("cell"))
-        .agg(coalesce(sum(col("pop")), lit(0L)).as("gross"))
-      val own = pc.as("p").join(qCells.as("q"),
-          col("p.query_id") === col("q.qid") && col("p.cell") === col("q.qcell"))
-        .agg(count(lit(1)).as("own"))
-      val hits = probe(data, queries, np)
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      // 1-row × 1-row crossJoins — the q_tfidf_terms constant-build
-      // BNLJ shape (PlanInvariantsSpec intendedBnlj)
-      hits.crossJoin(gross).crossJoin(own)
-        .select(lit(np).as("nprobe"), col("hits"),
-          (col("gross") - col("own")).as("scanned"))
-    }.reduce(_ unionByName _)
-    ladderPpm(perProbe, "nprobe", truth, vectors)
+      .select(col("query_id").as("qid"), col("cell").as("qcell"))
+    val scanned = pcMax.select(col("query_id"), col("cell"), col("pr"))
+      .join(pop, Seq("cell"))
+      .join(qCells,
+        col("query_id") === col("qid") && col("cell") === col("qcell"), "left")
+      .withColumn("step", explode(typedlit(steps)))
+      .filter(col("pr") <= col("step"))
+      .groupBy(col("step"))
+      .agg((sum(col("pop")) - count(col("qid"))).as("scanned"))
+    // left joins from the step axis: a step whose probe returns no row
+    // (or probes only empty cells) must still emit its curve row as 0,
+    // not vanish from the ladder
+    val perStep = stepsDf
+      .join(hits, Seq("step"), "left")
+      .join(scanned, Seq("step"), "left")
+      .select(col("step").as("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("scanned"), lit(0L)).as("scanned"))
+    ladderPpm(perStep, "nprobe", truth, vectors)
   }
 
   /** The non-empty-query-sample refusal every serving curve starts
@@ -970,14 +1084,26 @@ object Similarity {
     * fan-out the probe scores, so the curve measures the real probe).
     */
   private def probedCells(centroids: Seq[Seq[Double]], queries: DataFrame,
-                          nprobe: Int): DataFrame = {
-    val probes = queries.select(col("query_id"), col("eq"),
+                          nprobe: Int): DataFrame =
+    probedCellsRanked(centroids, queries, nprobe).drop("pr")
+
+  /** [[probedCells]] KEEPING the per-query cell rank `pr` and every
+    * query column: the row_number prefix property makes
+    * `filter(pr <= np)` of this frame EXACTLY [[probedCells]] at
+    * fan-out np for any np <= the requested one — the step-exploded
+    * curve pipelines ladder on that, the [[pqRerankCurve]] `arank`
+    * precedent applied to the fan-out knob.
+    */
+  private def probedCellsRanked(centroids: Seq[Seq[Double]], queries: DataFrame,
+                                nprobe: Int): DataFrame = {
+    val qCols = queries.columns.map(col(_))
+    val probes = queries.select(qCols :+
       posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
-        .as(Seq("cell", "csim")))
+        .as(Seq("cell", "csim")): _*)
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
     probes.withColumn("pr", row_number().over(wP))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("eq"), col("cell"))
+      .drop("csim")
   }
 
   private def ivfProbe(centroids: Seq[Seq[Double]], cells: DataFrame,
@@ -1348,28 +1474,60 @@ object Similarity {
     nTabless.foreach(t => require(t >= 1,
       s"nTables=$t must be >= 1 (and <= the sketch frame's table count)"))
     val queries = broadcast(requireQuerySample(queries0))
+    val spark = queries0.sparkSession
+    import spark.implicits._
+    val steps = nTabless.distinct.sorted
+    val stepsDf = steps.toDF("step")
     val vectors = graft.CacheScope.track(vectors0.persist())
-    val sk = graft.CacheScope.track(sketches.persist())
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
         .select(col("query_id"), col("neighbor_id")).persist())
-    val pl = planes(nTabless.max, bitsPerTable, dim)
+    val pl = planes(steps.max, bitsPerTable, dim)
     val qKeysAll = queries.select(col("query_id"),
       explode(sketchKeys(col("eq"), pl)).as("key"))
-    val perStep = nTabless.distinct.sorted.map { t =>
-      // key = bits + table·65536 ⇒ `key < t·65536` IS the t-table
-      // index (plane prefix property); cap re-counts over the
-      // filtered frame exactly as a t-table probe would
-      val cand = graft.CacheScope.track(lshCandidateIds(
-        sk.filter(col("key") < t * 65536L),
-        qKeysAll.filter(col("key") < t * 65536L), maxBucket).persist())
-      val scanned = cand.agg(count(lit(1)).as("scanned"))
-      val hits = lshRankCandidates(cand, vectors, queries, k)
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      hits.crossJoin(scanned)
-        .select(lit(t).as("ntables"), col("hits"), col("scanned"))
-    }.reduce(_ unionByName _)
+    // ONE capped bucket join at the max table count, keeping each
+    // candidate pair's MINIMUM colliding table: key = bits + table·65536
+    // (plane prefix property), so the t-table probe's candidate set is
+    // EXACTLY `mintable < t` of this frame — a bucket's population
+    // lives entirely inside one table, so the hot-bucket cap verdict is
+    // table-count-independent and counting it once over the max-table
+    // frame equals re-counting per step ([[lshCandidateIds]]'s cap over
+    // each filtered frame). Candidates are then exact-scored ONCE and
+    // every ladder step ranks in one window pipeline partitioned by
+    // (step, query) — the r17 spelling re-joined the buckets and
+    // re-scored the candidates once per step.
+    val capped = sketches
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cand = capped.join(qKeysAll, Seq("key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("min(key DIV 65536)").cast("int").as("mintable"))
+    val scored = graft.CacheScope.track(cand
+      .join(vectors, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("mintable"), rankSim(col("eq"), col("embedding")).as("qsim"))
+      .persist())
+    val stepped = scored
+      .withColumn("step", explode(typedlit(steps)))
+      .filter(col("mintable") < col("step"))
+    val hits = saltedTopPerQuery(stepped,
+        Seq(col("qsim").desc, col("neighbor_id").asc), k, "rank",
+        extraPart = Seq(col("step")))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("step")).agg(count(lit(1)).as("hits"))
+    val scanned = scored
+      .withColumn("step", explode(typedlit(steps)))
+      .filter(col("mintable") < col("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("scanned"))
+    val perStep = stepsDf
+      .join(hits, Seq("step"), "left")
+      .join(scanned, Seq("step"), "left")
+      .select(col("step").as("ntables"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("scanned"), lit(0L)).as("scanned"))
     ladderPpm(perStep, "ntables", truth, vectors)
   }
 
@@ -1718,22 +1876,38 @@ object Similarity {
     val truth = graft.CacheScope.track(
       bruteTopKOn(vectors, queries, k)
         .select(col("query_id"), col("neighbor_id")).persist())
-    val rmax = reranks.max
+    val spark = queries0.sparkSession
+    import spark.implicits._
+    val steps = reranks.distinct.sorted
+    val stepsDf = steps.toDF("step")
+    val rmax = steps.max
+    // the max-depth shortlist is ranked once ([[coarseShortlist]]'s
+    // arank prefix property); since r18 the per-depth exact re-ranks
+    // also run as ONE join + window pipeline over a step-exploded
+    // shortlist instead of |depths| independent subtrees — the
+    // per-(step, query) partitions reproduce [[exactRerank]] at each
+    // depth exactly
     val shortMax = graft.CacheScope.track(
       saltedTopPerQuery(scored,
           Seq(col("qsim").desc, col("neighbor_id").asc), rmax, "arank")
         .select(col("query_id"), col("eq"), col("neighbor_id"), col("arank"))
         .persist())
-    val perStep = reranks.distinct.sorted.map { r =>
-      val sl = shortMax.filter(col("arank") <= r)
-        .select(col("query_id"), col("eq"), col("neighbor_id"))
-      val scanned = sl.agg(count(lit(1)).as("scanned"))
-      val hits = exactRerank(sl, vectors, k)
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      hits.crossJoin(scanned)
-        .select(lit(r).as("rerank"), col("hits"), col("scanned"))
-    }.reduce(_ unionByName _)
+    val stepped = shortMax
+      .withColumn("step", explode(typedlit(steps)))
+      .filter(col("arank") <= col("step"))
+    val hits = exactRerank(
+        stepped.select(col("step"), col("query_id"), col("eq"), col("neighbor_id")),
+        vectors, k, extraPart = Seq(col("step")))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("step")).agg(count(lit(1)).as("hits"))
+    val scanned = stepped
+      .groupBy(col("step")).agg(count(lit(1)).as("scanned"))
+    val perStep = stepsDf
+      .join(hits, Seq("step"), "left")
+      .join(scanned, Seq("step"), "left")
+      .select(col("step").as("rerank"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("scanned"), lit(0L)).as("scanned"))
     ladderPpm(perStep, "rerank", truth, vectors)
   }
 }

@@ -238,6 +238,58 @@ class SimilaritySpec extends SparkSpec {
     assert(nT === 16, "fixture index must pin the default table count")
   }
 
+  test("stepped curves: every ladder point's hits equal the SERVED probe's") {
+    // The r18 curve cores score candidates once at the max knob value
+    // and ladder by prefix cuts (pr / mintable / arank / slice) inside
+    // ONE window pipeline — this pins the property that makes that
+    // legal: at EVERY ladder point the curve's hit count equals the
+    // real serving probe's, for every family. A drift here means the
+    // curve tunes a knob the probes don't actually have.
+    val truth = Similarity.annTopKBrute(spark, sf)
+      .select($"query_id", $"neighbor_id")
+    def hitsOf(probe: org.apache.spark.sql.DataFrame): Long =
+      probe.join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    def curveHits(df: org.apache.spark.sql.DataFrame, stepCol: String): Map[Int, Long] =
+      df.select(org.apache.spark.sql.functions.col(stepCol).cast("int"), $"hits")
+        .as[(Int, Long)].collect().toMap
+    val ivf = curveHits(
+      Similarity.ivfRecallCurve(spark, sf, nprobes = Seq(1, 4, 16)), "nprobe")
+    Seq(1, 4, 16).foreach { np =>
+      assert(ivf(np) === hitsOf(Similarity.annTopKIvf(spark, sf, nprobe = np)),
+        s"IVF curve at nprobe=$np diverged from the served probe")
+    }
+    val sq = curveHits(
+      Similarity.ivfSqRecallCurve(spark, sf, nprobes = Seq(1, 8, 16)), "nprobe")
+    Seq(1, 8, 16).foreach { np =>
+      assert(sq(np) === hitsOf(Similarity.annTopKIvfSq(spark, sf, nprobe = np)),
+        s"IVF-SQ8 curve at nprobe=$np diverged from the served probe")
+    }
+    val pq = curveHits(
+      Similarity.ivfPqRecallCurve(spark, sf, nprobes = Seq(1, 8, 16)), "nprobe")
+    Seq(1, 8, 16).foreach { np =>
+      assert(pq(np) === hitsOf(Similarity.annTopKIvfPq(spark, sf, nprobe = np)),
+        s"IVF-PQ curve at nprobe=$np diverged from the served probe")
+    }
+    val lsh = curveHits(
+      Similarity.lshRecallCurve(spark, sf, nTabless = Seq(1, 4, 16)), "ntables")
+    Seq(1, 4, 16).foreach { t =>
+      assert(lsh(t) === hitsOf(Similarity.annTopKLsh(spark, sf, nTables = t)),
+        s"LSH curve at nTables=$t diverged from the served probe")
+    }
+    val pca = curveHits(
+      Similarity.pcaRecallCurve(spark, sf, kprimes = Seq(16, 32, 64)), "kprime")
+    Seq(16, 32, 64).foreach { kp =>
+      assert(pca(kp) === hitsOf(Similarity.annTopKPca(spark, sf, pcaDim = kp)),
+        s"PCA curve at k'=$kp diverged from the served probe")
+    }
+    val pqr = curveHits(
+      Similarity.pqRerankCurve(spark, sf, reranks = Seq(8, 64)), "rerank")
+    Seq(8, 64).foreach { r =>
+      assert(pqr(r) === hitsOf(Similarity.annTopKPq(spark, sf, rerank = r)),
+        s"PQ rerank curve at depth=$r diverged from the served probe")
+    }
+  }
+
   test("rerank-depth curves (PQ + SQ8): monotone in depth, degrade to exact " +
       "brute at depth >= corpus, stored-index and SQL twins identical") {
     val nCorpus = vecs.size
