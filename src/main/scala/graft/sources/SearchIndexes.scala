@@ -94,12 +94,48 @@ object SearchIndexes {
     val novel = batch.select(col("doc_id"), col("text"))
       .join(known, Seq("doc_id"), "left_anti").persist()
     try {
-      val (tf, dl) = postingFrames(novel)
-      writePostings(tf, s"$path/postings/ingest=$label", nbuckets)
-      dl.write.mode("overwrite").parquet(s"$path/doclen/ingest=$label")
-      novel.select(col("doc_id")).distinct()
-        .write.mode("overwrite").parquet(s"$path/manifest/ingest=$label")
+      // a delivery that is ENTIRELY already-indexed must not write a
+      // vacant ingest label (empty postings/doclen/manifest dirs per
+      // overlapping delivery) — the streaming sink's no-vacant-label
+      // guard at the API level, the appendGraphNewOrders precedent
+      if (!novel.isEmpty) {
+        val (tf, dl) = postingFrames(novel)
+        writePostings(tf, s"$path/postings/ingest=$label", nbuckets)
+        dl.write.mode("overwrite").parquet(s"$path/doclen/ingest=$label")
+        novel.select(col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(s"$path/manifest/ingest=$label")
+      }
     } finally { novel.unpersist(); () }
+  }
+
+  /** Collapse a long-appended postings ledger into a fresh
+    * single-generation index at `dst` — postings, doc lengths, and the
+    * union manifest under `ingest=base`, reading ONLY the stored index,
+    * never the corpus text (postings are novel-only by the append
+    * discipline, so reconciliation is a plain re-bucketed union). The
+    * caller owns the src→dst pointer flip
+    * ([[DedupIndexes.flipPointer]]) — the [[GraphIndexes
+    * .compactGraphTo]] contract, completing the family symmetry.
+    */
+  def compactSearchTo(spark: SparkSession, src0: String, dst: String): Unit = {
+    val src = resolveIndex(spark, src0)
+    require(!DedupIndexes.pathsOverlap(spark, src, dst),
+      "compaction rewrites into a NEW, non-overlapping path; an equal " +
+        "or nested src/dst would read and delete the same files")
+    val nbuckets = readSearchMeta(spark, src)
+    delete(spark, dst)
+    import spark.implicits._
+    Seq((Kind, nbuckets)).toDF("kind", "nbuckets")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    spark.read.parquet(s"$src/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .withColumn("bucket", TextIndexes.bucketOf(col("term"), nbuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dst/postings/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/doclen").select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$dst/doclen/ingest=$BaseLabel")
+    spark.read.parquet(s"$src/manifest").select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
   }
 
   /** The stored (postings, doclen) frames, postings PRUNED to the

@@ -80,6 +80,56 @@ class SearchIndexSpec extends SparkSpec {
     assert(tf.as[(Long, String, Long)].collect().toSet === full)
   }
 
+  test("an entirely already-indexed delivery writes no vacant label") {
+    val path = tmp("novacant")
+    SearchIndexes.writeSearchIndex(fixture, path)
+    val before = ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10))
+    // every doc is already claimed by the base build: the append must
+    // SKIP, not accumulate empty postings/doclen/manifest directories
+    // per overlapping delivery (the appendGraphNewOrders guard at the
+    // search family's API level)
+    SearchIndexes.appendSearch(fixture, path, "dup")
+    Seq("postings", "doclen", "manifest").foreach { part =>
+      assert(spark.read.parquet(s"$path/$part").select("ingest")
+        .distinct().as[String].collect().toSeq === Seq("base"),
+        s"no vacant ingest generation may appear under $part")
+    }
+    assert(ranked(SearchIndexes.searchBm25FromIndex(
+      spark, path, Seq("a", "b"), 10)) === before)
+  }
+
+  test("compaction preserves the served ranking without the corpus text") {
+    import graft.sources.DedupIndexes
+    val src = tmp("compact-src")
+    SearchIndexes.writeSearchIndex(fixture.filter($"doc_id" <= 2), src)
+    SearchIndexes.appendSearch(fixture.filter($"doc_id" === 3L), src, "d1")
+    SearchIndexes.appendSearch(fixture.filter($"doc_id" > 3), src, "d2")
+    val dst = tmp("compact-dst")
+    SearchIndexes.compactSearchTo(spark, src, dst)
+    assert(ranked(SearchIndexes.searchBm25FromIndex(spark, dst, Seq("a", "b"), 10)) ===
+      ranked(SearchIndexes.searchBm25FromIndex(spark, src, Seq("a", "b"), 10)),
+      "compacted index must rank exactly like the appended ledger")
+    // one generation, same layout contract (kind + buckets preserved)
+    assert(spark.read.parquet(s"$dst/postings").select("ingest")
+      .distinct().as[String].collect().toSeq === Seq("base"))
+    assert(SearchIndexes.readSearchMeta(spark, dst) ===
+      SearchIndexes.readSearchMeta(spark, src))
+    assert(intercept[IllegalArgumentException] {
+      SearchIndexes.compactSearchTo(spark, src, s"$src/nested")
+    }.getMessage.contains("non-overlapping"))
+    // generation swap through a pointer root — the graph precedent
+    val root = tmp("pointered")
+    val gen1 = s"$root/gen1"
+    SearchIndexes.writeSearchIndex(fixture, gen1)
+    DedupIndexes.flipPointer(spark, root, "gen1")
+    val served = ranked(SearchIndexes.searchBm25FromIndex(spark, root, Seq("a"), 10))
+    val gen2 = s"$root/gen2"
+    SearchIndexes.compactSearchTo(spark, gen1, gen2)
+    DedupIndexes.flipPointer(spark, root, "gen2")
+    assert(ranked(SearchIndexes.searchBm25FromIndex(spark, root, Seq("a"), 10)) === served)
+  }
+
   test("a half-claimed append (postings without doclen) cannot skew df") {
     val path = tmp("crashwin")
     SearchIndexes.writeSearchIndex(fixture, path)
