@@ -181,6 +181,10 @@ object SparkEntry {
     // disjunctive (match-ANY) BM25 — standard ranked retrieval, the
     // same fixed-point core minus the arity gate
     "q_search_bm25_any" -> ((s, d) => operators.TextAnalysis.searchBm25Any(s, d)),
+    // exact ADJACENT-token phrase match ranked by occurrence count —
+    // one codegen HOF fold per doc (no explode/shuffle before the
+    // TakeOrdered cut); overlapping occurrences count per start
+    "q_search_phrase" -> ((s, d) => operators.TextAnalysis.searchPhrase(s, d)),
     // ---- co-purchase graph analytics (operators.Graph) ----
     // distinct part pairs per order via bounded HOF expansion (<= 7
     // parts/order), one orderkey shuffle — the oracle self-joins
@@ -218,6 +222,15 @@ object SparkEntry {
     // degree distribution in the length(bin(x)) log2 staircase — the
     // skew-shape question graph partitioning starts from
     "q_graph_degrees" -> (operators.Graph.degreeHistogram _),
+    // weighted-Jaccard normalized co-purchase similarity: w DIV
+    // (wdeg_a + wdeg_b - w) in ppm — mutual specificity, not raw
+    // popularity; two node-sized joins + TakeOrdered
+    "q_graph_sim" -> ((s, d) => operators.Graph.itemSimilarity(s, d)),
+    // bounded-round min-label propagation (5 BSP rounds, self-loops
+    // fold keep-own-label into the one neighbor-min aggregate per
+    // round) — fixed-budget component/community bootstrapping, exact
+    // vs the unrolled-CTE oracle
+    "q_graph_labelprop" -> ((s, d) => operators.Graph.labelPropagation(s, d)),
     // SCD2 dimension build: per-version validity intervals from an
     // orders-derived attribute changelog (one per-key lead window)
     "q_scd2_orders" -> (operators.Snapshot.scd2Orders _),
@@ -1455,6 +1468,57 @@ object SparkEntry {
              FROM nm GROUP BY 1)
       SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
       ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // adjacent-bigram phrase count: the oracle folds the same
+    // start-position conjunction as a list lambda (1-based, like the
+    // engine's element_at); overlapping occurrences count per start
+    "q_search_phrase" -> ("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      c AS (SELECT doc_id,
+                   CAST(len(list_filter(range(1, len(l)),
+                     i -> l[i] = 'spark' AND l[i+1] = 'join')) AS BIGINT) AS n_occ
+            FROM t)
+      SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+      ORDER BY n_occ DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // weighted-Jaccard similarity: the same edge bag + weighted-degree
+    // frame, integer DIV at the same point
+    "q_graph_sim" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+      deg AS (SELECT p, SUM(w) AS wdeg FROM
+                (SELECT pa AS p, w FROM e UNION ALL SELECT pb, w FROM e)
+              GROUP BY 1)
+      SELECT e.pa AS part_a, e.pb AS part_b, CAST(e.w AS BIGINT) AS w,
+             CAST((e.w * 1000000) // (da.wdeg + db.wdeg - e.w) AS BIGINT)
+               AS sim_ppm
+      FROM e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
+      ORDER BY sim_ppm DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin.trim),
+    // 5 unrolled min-label BSP rounds; self-loops fold keep-own-label
+    // into the same neighbor-min aggregate — bit-identical by
+    // construction (pure integer MIN)
+    "q_graph_labelprop" -> ("""
+      WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      d AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+      n AS (SELECT DISTINCT src FROM d),
+      a AS (SELECT src, dst FROM d UNION ALL SELECT src, src FROM n),
+      l0 AS (SELECT src AS node, src AS label FROM n),
+      l1 AS (SELECT a.dst AS node, MIN(l.label) AS label
+             FROM a JOIN l0 l ON a.src = l.node GROUP BY 1),
+      l2 AS (SELECT a.dst AS node, MIN(l.label) AS label
+             FROM a JOIN l1 l ON a.src = l.node GROUP BY 1),
+      l3 AS (SELECT a.dst AS node, MIN(l.label) AS label
+             FROM a JOIN l2 l ON a.src = l.node GROUP BY 1),
+      l4 AS (SELECT a.dst AS node, MIN(l.label) AS label
+             FROM a JOIN l3 l ON a.src = l.node GROUP BY 1),
+      l5 AS (SELECT a.dst AS node, MIN(l.label) AS label
+             FROM a JOIN l4 l ON a.src = l.node GROUP BY 1)
+      SELECT node, CAST(label AS BIGINT) AS label FROM l5""".stripMargin.trim),
     // the oracle builds the same co-purchase bag through an orderkey
     // equi-self-join; the engine never self-joins the fact table
     "q_graph_edges" -> ("""

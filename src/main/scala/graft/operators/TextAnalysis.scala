@@ -1021,6 +1021,58 @@ object TextAnalysis {
     bm25Rank(tf, docLens, terms, k, matchAll = false)
   }
 
+  /** PHRASE SEARCH — exact ADJACENT-token match, the retrieval member
+    * between conjunctive AND (any positions) and grep substring (no
+    * token boundaries): documents where the query tokens appear
+    * consecutively, ranked by occurrence count with doc_id as the
+    * deterministic tiebreak. Occurrences may overlap (each start
+    * position counts — "a a a" holds two "a a" occurrences), the
+    * spelling both engines share.
+    *
+    * Plan: the whole match is ONE codegen HOF fold over each doc's
+    * token array (Σ over start positions of an all-positions-equal
+    * conjunction) — no explode, no shuffle before the final top-k cut
+    * (a TakeOrdered); at 100 TB this is a pure scan. The guard keeps
+    * docs shorter than the phrase out of the fold: Spark's
+    * `sequence(1, 0)` DESCENDS rather than yielding empty, so the
+    * un-guarded fold would probe positions 1 and 0 on a 1-token doc.
+    * For interactive serving the stored-postings spelling would add a
+    * positional postings index; this is the ad-hoc scan spelling.
+    */
+  def searchPhrase(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = Seq("spark", "join"),
+                   k: Int = 10): DataFrame =
+    searchPhraseOn(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      phrase, k)
+
+  def searchPhraseOn(docTexts: DataFrame, phrase: Seq[String],
+                     k: Int): DataFrame = {
+    require(phrase.size >= 2,
+      s"searchPhrase needs a phrase of >= 2 tokens (got ${phrase.size}; " +
+        "single-term retrieval is searchRanked/searchBm25)")
+    require(k >= 1, s"searchPhrase needs k >= 1, got $k")
+    // tokens STAGED as a column first: the fold references the array
+    // phrase.size times per position, and an inlined split(text) would
+    // re-tokenize per reference (the assignCells/l2sqAll
+    // no-double-evaluation rule — measured 2.9 s -> 1.6 s at sf0.1
+    // when staged)
+    val toks = col("__graft_toks")
+    val hit = (i: Column) => phrase.zipWithIndex.map { case (p, j) =>
+      element_at(toks, i + lit(j)) === lit(p)
+    }.reduce(_ && _)
+    val nOcc = when(size(toks) >= phrase.size,
+      aggregate(sequence(lit(1), size(toks) - lit(phrase.size - 1)), lit(0L),
+        (acc, i) => acc + when(hit(i), lit(1L)).otherwise(lit(0L))))
+      .otherwise(lit(0L))
+    docTexts
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__graft_toks"))
+      .select(col("doc_id"), nOcc.as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** EXACT corpus-wide frequent tokens (frequency > N/(k+1)) in two
     * bounded-state passes — the sketch-then-recount spelling of heavy
     * hitters that survives a vocabulary too large for any groupBy:

@@ -227,6 +227,40 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.linkPredictOn(e1, 10, 0))
   }
 
+  test("itemsim: weighted-Jaccard normalization, exact ppm, k cut on the total order") {
+    // wdeg: 1 -> 4, 2 -> 4, 3 -> 2
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val all = Graph.itemSimilarityOn(e, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(all === Seq(
+      (1L, 2L, 3L, 600000L),   // 3e6 DIV (4+4-3)
+      (1L, 3L, 1L, 200000L),   // 1e6 DIV (4+2-1) — sim tie vs (2,3)...
+      (2L, 3L, 1L, 200000L)))  // ...broken by (part_a, part_b)
+    assert(Graph.itemSimilarityOn(e, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq === all.take(2))
+    intercept[IllegalArgumentException](Graph.itemSimilarityOn(e, 0))
+  }
+
+  test("labelprop: min labels travel exactly one hop per round; islands stay apart") {
+    // chain 5 - 3 - 8 - 10 plus the disconnected edge 20 - 21
+    val e = Seq((3L, 5L, 1L), (3L, 8L, 1L), (8L, 10L, 1L), (20L, 21L, 1L))
+      .toDF("part_a", "part_b", "w")
+    val r1 = Graph.labelPropagationOn(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // after ONE round the min label 3 reaches only direct neighbors:
+    // node 10 sees only {10, 8} and settles on 8 for now
+    assert(r1 === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 10L -> 8L,
+      20L -> 20L, 21L -> 20L))
+    val r2 = Graph.labelPropagationOn(e, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 10L -> 3L,
+      20L -> 20L, 21L -> 20L),
+      "round 2 must carry the chain minimum one more hop, islands untouched")
+    intercept[IllegalArgumentException](Graph.labelPropagationOn(e, 0))
+    intercept[IllegalArgumentException](Graph.labelPropagationOn(e, 11))
+  }
+
   test("recs: strength ranking with id tiebreak, bounded at k per part") {
     val e = Seq(
       (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 7L), (1L, 5L, 1L),

@@ -128,6 +128,37 @@ class HeavyHittersSpec extends SparkSpec {
     }.getMessage.contains("at least one term"))
   }
 
+  test("phrase: adjacency semantics, overlap counting, short-doc guard, k cut") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" at starts 1 and 3
+      (2L, "b a"),         // reversed order never matches
+      (3L, "a"),           // shorter than the phrase — the guard path
+      (4L, "x a b"),       // one occurrence mid-doc
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.searchPhraseOn(docs, Seq("a", "b"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (4L, 1L)),
+      "adjacent matches only, ranked by count then doc_id")
+    // overlapping occurrences count once per START position
+    val overlap = TextAnalysis.searchPhraseOn(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), Seq("a", "a"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(overlap === Seq((1L, 2L)), "\"a a a\" holds two \"a a\" starts")
+    // a 3-token phrase needs all three positions in order
+    val tri = TextAnalysis.searchPhraseOn(docs, Seq("a", "b", "a"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(tri === Seq((1L, 2L)), "doc 1 holds \"a b a\" at starts 1 and 3")
+    // k cut on the (n_occ desc, doc_id asc) total order
+    assert(TextAnalysis.searchPhraseOn(docs, Seq("a", "b"), 1)
+      .as[(Long, Long)].collect().toSeq === got.take(1))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.searchPhraseOn(docs, Seq("a"), 5)
+    }.getMessage.contains(">= 2 tokens"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.searchPhraseOn(docs, Seq("a", "b"), 0)
+    }.getMessage.contains("k >= 1"))
+  }
+
   test("bm25: length normalization, tf saturation, exact integer contract") {
     // doc 1 and doc 2 carry IDENTICAL term counts (a×1, b×1); doc 2 is
     // padded 4x longer. doc 3 stacks a×7 at the same length as doc 2.
