@@ -185,6 +185,11 @@ object SparkEntry {
     // one codegen HOF fold per doc (no explode/shuffle before the
     // TakeOrdered cut); overlapping occurrences count per start
     "q_search_phrase" -> ((s, d) => operators.TextAnalysis.searchPhrase(s, d)),
+    // the stored twin over the SAME bm25 postings index (now carrying
+    // 1-based position lists): bucket-pruned term reads + shifted
+    // array_intersect — the corpus text is never touched; scan ==
+    // probe spec-pinned, oracle shared
+    "q_search_phrase_idx" -> (sources.SearchIndexes.phraseProbe _),
     // ---- co-purchase graph analytics (operators.Graph) ----
     // distinct part pairs per order via bounded HOF expansion (<= 7
     // parts/order), one orderkey shuffle — the oracle self-joins
@@ -1472,6 +1477,15 @@ object SparkEntry {
     // start-position conjunction as a list lambda (1-based, like the
     // engine's element_at); overlapping occurrences count per start
     "q_search_phrase" -> ("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      c AS (SELECT doc_id,
+                   CAST(len(list_filter(range(1, len(l)),
+                     i -> l[i] = 'spark' AND l[i+1] = 'join')) AS BIGINT) AS n_occ
+            FROM t)
+      SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+      ORDER BY n_occ DESC, doc_id ASC LIMIT 10""".stripMargin.trim),
+    // the stored positional twin shares the scan spelling's oracle
+    "q_search_phrase_idx" -> ("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       c AS (SELECT doc_id,
                    CAST(len(list_filter(range(1, len(l)),

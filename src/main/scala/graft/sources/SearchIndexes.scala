@@ -40,15 +40,23 @@ object SearchIndexes {
     */
   val Kind = "bm25"
 
-  /** (doc_id, term, tf) + (doc_id, dl) for a docs frame — the shared
-    * head of the write and append paths. UNFILTERED term space: the
-    * index serves any future query.
+  /** (doc_id, term, tf, positions) + (doc_id, dl) for a docs frame —
+    * the shared head of the write and append paths. UNFILTERED term
+    * space: the index serves any future query. `positions` (sorted
+    * 1-based token offsets; tf = its size) is what upgrades the layout
+    * from ranked retrieval to POSITIONAL retrieval — the phrase probe
+    * ([[searchPhraseFromIndex]]) intersects shifted position lists
+    * instead of re-scanning corpus text, and at 100 TB positions cost
+    * one long per token against the text they replace reading.
     */
   private def postingFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("term"))
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
     val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        // posexplode is 0-based; store the scan spelling's 1-based
+        // offsets so probe arithmetic matches element_at exactly
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
     val dl = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("dl"))
     (tf, dl)
@@ -127,8 +135,10 @@ object SearchIndexes {
     import spark.implicits._
     Seq((Kind, nbuckets)).toDF("kind", "nbuckets")
       .write.mode("overwrite").parquet(s"$dst/meta")
+    // positions ride the compaction — dropping them would silently
+    // demote a positional index to ranked-only
     spark.read.parquet(s"$src/postings")
-      .select(col("doc_id"), col("term"), col("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("positions"))
       .withColumn("bucket", TextIndexes.bucketOf(col("term"), nbuckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dst/postings/ingest=$BaseLabel")
@@ -159,7 +169,22 @@ object SearchIndexes {
     * postings side — no new corpus-scale work.
     */
   def readForTerms(spark: SparkSession, path0: String,
-                   terms: Seq[String]): (DataFrame, DataFrame) = {
+                   terms: Seq[String]): (DataFrame, DataFrame) =
+    readForTermsCols(spark, path0, terms,
+      Seq(col("doc_id"), col("term"), col("tf")))
+
+  /** [[readForTerms]] KEEPING the stored position lists — the phrase
+    * probe's read (ranked probes never pay the array bytes).
+    */
+  private def readForTermsPositions(spark: SparkSession, path0: String,
+                                    terms: Seq[String]): (DataFrame, DataFrame) =
+    readForTermsCols(spark, path0, terms,
+      Seq(col("doc_id"), col("term"), col("tf"), col("positions")))
+
+  private def readForTermsCols(spark: SparkSession, path0: String,
+                               terms: Seq[String],
+                               cols: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, DataFrame) = {
     require(terms.nonEmpty, "readForTerms needs at least one term")
     val path = resolveIndex(spark, path0)
     val nbuckets = readSearchMeta(spark, path)
@@ -172,7 +197,7 @@ object SearchIndexes {
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("term"), col("tf"))
+      .select(cols: _*)
       .join(dl.select(col("doc_id")), Seq("doc_id"), "left_semi")
     (tf, dl)
   }
@@ -185,6 +210,41 @@ object SearchIndexes {
                           terms: Seq[String], k: Int): DataFrame = {
     val (tf, dl) = readForTerms(spark, path, terms)
     TextAnalysis.bm25Rank(tf, dl, terms, k)
+  }
+
+  /** PHRASE top-k over the stored POSITIONAL postings — the serving
+    * spelling of [[TextAnalysis.searchPhraseOn]]: a start position i
+    * matches iff i ∈ ∩ⱼ (P(termⱼ) − j), where P is the term's stored
+    * 1-based position list, so the probe is one bucket-pruned read of
+    * the phrase terms' postings + (|phrase| − 1) doc-keyed inner joins
+    * intersecting SHIFTED position arrays in codegen — the corpus text
+    * is never touched (the scan spelling folds every doc's token
+    * array; on a 100 TB corpus this reads |phrase| buckets instead).
+    * Duplicate phrase terms work by construction (the same list joins
+    * itself at two shifts). Scan == probe is spec-pinned, so the
+    * stored twin shares the scan query's oracle. Healing: positions
+    * ride [[readForTerms]]' doclen semi-join, so a half-claimed label
+    * can no more fabricate a phrase hit than skew df.
+    */
+  def searchPhraseFromIndex(spark: SparkSession, path: String,
+                            phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2,
+      s"searchPhrase needs a phrase of >= 2 tokens (got ${phrase.size})")
+    require(k >= 1, s"searchPhrase needs k >= 1, got $k")
+    val (tfp, _) = readForTermsPositions(spark, path, phrase.distinct)
+    val perSlot = phrase.zipWithIndex.map { case (p, j) =>
+      tfp.filter(col("term") === lit(p))
+        .select(col("doc_id"),
+          transform(col("positions"), x => x - lit(j)).as(s"p$j"))
+    }
+    val joined = perSlot.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+    joined
+      .select(col("doc_id"),
+        size(phrase.indices.map(j => col(s"p$j"))
+          .reduceLeft(array_intersect)).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** The nbuckets the stored layout was written with, after the kind
@@ -229,5 +289,12 @@ object SearchIndexes {
   /** [[TextAnalysis.searchBm25]] probing the stored postings. */
   def bm25Probe(spark: SparkSession, sfDir: String): DataFrame =
     searchBm25FromIndex(spark, fixturePath(spark, sfDir),
+      Seq("spark", "join"), 10)
+
+  /** [[TextAnalysis.searchPhrase]] probing the SAME stored postings —
+    * one index serves ranked AND positional retrieval.
+    */
+  def phraseProbe(spark: SparkSession, sfDir: String): DataFrame =
+    searchPhraseFromIndex(spark, fixturePath(spark, sfDir),
       Seq("spark", "join"), 10)
 }

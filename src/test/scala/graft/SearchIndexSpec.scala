@@ -80,6 +80,34 @@ class SearchIndexSpec extends SparkSpec {
     assert(tf.as[(Long, String, Long)].collect().toSet === full)
   }
 
+  test("positional phrase probe equals the scan spelling across append + compaction") {
+    val path = tmp("phrase")
+    SearchIndexes.writeSearchIndex(fixture.filter($"doc_id" <= 3), path)
+    SearchIndexes.appendSearch(fixture.filter($"doc_id" > 3), path, "d1")
+    def scanP(phrase: Seq[String]) = ranked(
+      TextAnalysis.searchPhraseOn(fixture, phrase, 10))
+    def probeP(at: String, phrase: Seq[String]) = ranked(
+      SearchIndexes.searchPhraseFromIndex(spark, at, phrase, 10))
+    // "a b": doc 1 "a b c a" -> 1; doc 2 "a b ..." -> 1; doc 5 "b b a c" -> 0;
+    // doc 3 "a a a a a a a b" -> 1 — the probe must agree with the fold
+    assert(probeP(path, Seq("a", "b")) === scanP(Seq("a", "b")),
+      "stored positional probe must count phrase starts like the scan fold")
+    // duplicate-term phrase: the same position list joins itself at two shifts
+    assert(probeP(path, Seq("a", "a")) === scanP(Seq("a", "a")))
+    // 3-token phrase
+    assert(probeP(path, Seq("x", "y", "z")) === scanP(Seq("x", "y", "z")))
+    // a phrase whose TERMS all exist but never adjacently yields no rows
+    assert(probeP(path, Seq("c", "b")) === scanP(Seq("c", "b")))
+    // positions survive compaction (dropping them would silently
+    // demote the index to ranked-only)
+    val dst = tmp("phrase-compact")
+    SearchIndexes.compactSearchTo(spark, path, dst)
+    assert(probeP(dst, Seq("a", "b")) === scanP(Seq("a", "b")))
+    assert(intercept[IllegalArgumentException] {
+      SearchIndexes.searchPhraseFromIndex(spark, path, Seq("a"), 5)
+    }.getMessage.contains(">= 2 tokens"))
+  }
+
   test("an entirely already-indexed delivery writes no vacant label") {
     val path = tmp("novacant")
     SearchIndexes.writeSearchIndex(fixture, path)
