@@ -236,6 +236,11 @@ object SparkEntry {
     // round) — fixed-budget component/community bootstrapping, exact
     // vs the unrolled-CTE oracle
     "q_graph_labelprop" -> ((s, d) => operators.Graph.labelPropagation(s, d)),
+    // EXACT connected components (component = min part id), reusing
+    // the dedup clusterer's convergent min-label machinery; the oracle
+    // takes min label over a recursive-CTE reachability closure —
+    // convergence is engine-side, the partition is spelling-free
+    "q_graph_components" -> (operators.Graph.components _),
     // SCD2 dimension build: per-version validity intervals from an
     // orders-derived attribute changelog (one per-key lead window)
     "q_scd2_orders" -> (operators.Snapshot.scd2Orders _),
@@ -1509,6 +1514,22 @@ object SparkEntry {
                AS sim_ppm
       FROM e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb
       ORDER BY sim_ppm DESC, part_a ASC, part_b ASC LIMIT 50""".stripMargin.trim),
+    // exact components: min label over the recursive reachability
+    // closure — DuckDB's WITH RECURSIVE dedups the (node, label) pair
+    // stream, so the closure is component-bounded, never a path walk
+    "q_graph_components" -> ("""
+      WITH RECURSIVE lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      d AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+      reach(node, label) AS (
+        SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM d)
+        UNION
+        SELECT d.dst, r.label FROM reach r JOIN d ON d.src = r.node)
+      SELECT node AS part, CAST(MIN(label) AS BIGINT) AS component
+      FROM reach GROUP BY 1""".stripMargin.trim),
     // 5 unrolled min-label BSP rounds; self-loops fold keep-own-label
     // into the same neighbor-min aggregate — bit-identical by
     // construction (pure integer MIN)

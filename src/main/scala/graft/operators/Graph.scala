@@ -490,6 +490,27 @@ object Graph {
     labels
   }
 
+  /** EXACT connected components of the co-purchase graph — each part
+    * labeled with its component's MINIMUM part id. The convergent
+    * sibling of [[labelPropagation]]: where the fixed-round member
+    * buys a bounded scan budget, this one buys the exact partition —
+    * by REUSING the engine's proven component machinery
+    * ([[Dedup.clusterPairs]]: min-label propagation with per-round
+    * localCheckpoint lineage cuts and a label-sum convergence check,
+    * the same code path the MinHash near-dup clusters ship on), so
+    * graph components and dedup clusters can never fork semantics.
+    * Exact vs a recursive-CTE oracle (min label over the reachability
+    * closure) — the convergence loop is engine-side only; the RESULT
+    * is spelling-independent.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame =
+    componentsOn(copurchaseEdges(spark, sfDir))
+
+  def componentsOn(edges: DataFrame): DataFrame =
+    Dedup.clusterPairs(edges.select(
+        col("part_a").as("doc_a"), col("part_b").as("doc_b")))
+      .select(col("doc_id").as("part"), col("cluster_id").as("component"))
+
   /** Top-k "also bought" recommendations per part: the k strongest
     * co-purchase neighbors, ranked by edge weight (count of shared
     * orders) with neighbor id as the deterministic tiebreak — the

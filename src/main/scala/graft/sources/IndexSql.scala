@@ -317,4 +317,13 @@ object IndexSql {
                          k: Int = 10): Unit =
     SearchIndexes.searchBm25FromIndex(spark, indexPath, terms, k)
       .createOrReplaceTempView(viewName)
+
+  /** Positional phrase search over the same stored postings —
+    * [[registerBm25Search]]'s contract for the adjacency member.
+    */
+  def registerPhraseSearch(spark: SparkSession, viewName: String,
+                           indexPath: String, phrase: Seq[String],
+                           k: Int = 10): Unit =
+    SearchIndexes.searchPhraseFromIndex(spark, indexPath, phrase, k)
+      .createOrReplaceTempView(viewName)
 }

@@ -261,6 +261,24 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.labelPropagationOn(e, 11))
   }
 
+  test("components: exact partition by min id, beyond any fixed round budget") {
+    // a 12-node chain (diameter 11 — far past labelprop's 5-round
+    // budget) plus a separate triangle: the convergent member must
+    // label the WHOLE chain with its minimum while the bounded member
+    // provably cannot
+    val chain = (1L until 12L).map(i => (i, i + 1, 1L))
+    val tri = Seq((20L, 21L, 1L), (21L, 22L, 1L), (20L, 22L, 1L))
+    val e = (chain ++ tri).toDF("part_a", "part_b", "w")
+    val got = Graph.componentsOn(e).as[(Long, Long)].collect().toMap
+    assert(got === ((1L to 12L).map(_ -> 1L) ++ Seq(20L, 21L, 22L).map(_ -> 20L)).toMap)
+    // the fixed-round sibling at 5 rounds leaves the chain's far end
+    // unconverged — exactly the trade the two members exist to offer
+    val bounded = Graph.labelPropagationOn(e, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(bounded(12L) > 1L, "a 5-round budget must not reach 11 hops")
+    assert(got(12L) === 1L)
+  }
+
   test("recs: strength ranking with id tiebreak, bounded at k per part") {
     val e = Seq(
       (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 7L), (1L, 5L, 1L),

@@ -208,5 +208,9 @@ class SearchIndexSpec extends SparkSpec {
       spark, "bm25_view", path, Seq("a", "b"), 10)
     assert(ranked(spark.sql("SELECT * FROM bm25_view")) ===
       ranked(SearchIndexes.searchBm25FromIndex(spark, path, Seq("a", "b"), 10)))
+    graft.sources.IndexSql.registerPhraseSearch(
+      spark, "phrase_view", path, Seq("a", "b"), 10)
+    assert(ranked(spark.sql("SELECT * FROM phrase_view")) ===
+      ranked(SearchIndexes.searchPhraseFromIndex(spark, path, Seq("a", "b"), 10)))
   }
 }
