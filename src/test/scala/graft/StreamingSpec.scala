@@ -1901,6 +1901,16 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$indexDir/doclen")
         .select($"ingest").distinct().as[String].collect().toSet === labels)
       assert(probe() === oneShot)
+      // the SAME streamed index serves POSITIONAL retrieval: the phrase
+      // probe over the maintained postings equals the one-shot scan
+      // fold (positions ride every append label)
+      assert(graft.sources.SearchIndexes.searchPhraseFromIndex(
+          spark, indexDir, Seq("a", "b"), 10)
+          .as[(Long, Long)].collect().toSeq ===
+        graft.operators.TextAnalysis.searchPhraseOn(
+          (b1 ++ b2).toDF("doc_id", "text"), Seq("a", "b"), 10)
+          .as[(Long, Long)].collect().toSeq,
+        "streamed positional postings must count phrase starts like the scan")
     } finally q.stop()
   }
 }
