@@ -467,6 +467,69 @@ class PropertySpec extends SparkSpec {
       yield (a, b)).toList
   }
 
+  test("label propagation equals driver-side r-round min folding on random graphs") {
+    val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty), Gen.chooseNum(1, 6)) {
+      (es, rounds) =>
+        val df = es.map { case (a, b) => (a, b, 1L) }.toDF("part_a", "part_b", "w")
+        val got = graft.operators.Graph.labelPropagationOn(df, rounds)
+          .as[(Long, Long)].collect().toMap
+        // first principles: labels as a map, folded r times over
+        // min(self, neighbors) — no Spark, no window machinery
+        val nbrs = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+        var want = nbrs.keys.map(n => n -> n).toMap
+        (1 to rounds).foreach { _ =>
+          want = want.map { case (n, l) =>
+            n -> (nbrs(n).map(want) :+ l).min
+          }
+        }
+        got == want
+    }
+    check("labelPropBrute", prop, n = 8)
+  }
+
+  test("weighted-Jaccard item similarity equals the brute formula on random graphs") {
+    val wGraphGen = graphGen.suchThat(_.nonEmpty).flatMap { es =>
+      Gen.listOfN(es.size, Gen.chooseNum(1L, 5L)).map(ws => es.zip(ws))
+    }
+    val prop = Prop.forAll(wGraphGen) { ews =>
+      val df = ews.map { case ((a, b), w) => (a, b, w) }
+        .toDF("part_a", "part_b", "w")
+      val k = ews.size // full cut: every pair surfaces, order checked
+      val got = graft.operators.Graph.itemSimilarityOn(df, k)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val wdeg = ews.flatMap { case ((a, b), w) => Seq(a -> w, b -> w) }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      val want = ews.map { case ((a, b), w) =>
+        (a, b, w, w * 1000000L / (wdeg(a) + wdeg(b) - w))
+      }.sortBy { case (a, b, _, s) => (-s, a, b) }
+      got == want
+    }
+    check("itemSimBrute", prop, n = 8)
+  }
+
+  test("phrase search equals brute start-position counting on random corpora") {
+    val tok = Gen.oneOf("a", "b", "c", "x")
+    val docGen = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, docGen))
+    val phraseGen = Gen.chooseNum(2, 3).flatMap(n => Gen.listOfN(n, tok))
+    val prop = Prop.forAll(corpusGen, phraseGen) { (docs, phrase) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis
+        .searchPhraseOn(df, phrase, k = docs.size + 1)
+        .as[(Long, Long)].collect().toSeq
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        val ts = t.split(" ").filter(_.nonEmpty).toSeq
+        val n = ts.sliding(phrase.size).count(_ == phrase)
+        if (n > 0) Some((i.toLong, n.toLong)) else None
+      }.sortBy { case (id, n) => (-n, id) }
+      got == want
+    }
+    check("phraseBrute", prop, n = 10)
+  }
+
   test("triangle stats equal brute force on random graphs") {
     import org.apache.spark.sql.functions.col
     val prop = Prop.forAll(graphGen.suchThat(_.nonEmpty)) { es =>
