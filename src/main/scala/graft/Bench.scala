@@ -496,9 +496,15 @@ object BenchContract {
       val dir = java.nio.file.Paths.get(sfDir)
       if (!java.nio.file.Files.isDirectory(dir)) 0.0
       else {
-        val files = java.nio.file.Files.list(dir).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .toSeq.sortBy(_.getFileName.toString)
+        // the listing stream must be closed (r18 ADVICE: an unclosed
+        // Files.list leaks a directory fd per bench boot, and the
+        // catch-all below would mask the eventual EMFILE as a 0.0)
+        val listing = java.nio.file.Files.list(dir)
+        val files =
+          try listing.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally listing.close()
         val buf = new Array[Byte](1 << 20)
         val cap = 256L << 20
         var read = 0L

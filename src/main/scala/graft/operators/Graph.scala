@@ -447,10 +447,13 @@ object Graph {
     * hops connects them to the same minimum — the standard BSP
     * label-propagation step, integer-exact and therefore hash-green
     * against an unrolled-CTE oracle (exact components need unbounded
-    * rounds; the repo's exact-component member is the doubling
-    * [[Dedup]].clusterPairs, O(log n) rounds, used where convergence
-    * is the contract — THIS member is the fixed-budget scan a
-    * 1000-executor nightly job actually schedules).
+    * rounds; the repo's exact-component member is [[Dedup]]
+    * .clusterPairs — one-hop min-label propagation run to convergence,
+    * O(diameter) rounds with a maxIter guard, falling back to the
+    * O(log n) large-star/small-star contraction
+    * ([[Dedup]].clusterPairsStar) only on non-convergence — used where
+    * convergence is the contract; THIS member is the fixed-budget scan
+    * a 1000-executor nightly job actually schedules).
     *
     * Plan: self-loops fold the keep-own-label term into the SAME
     * neighbor-min aggregate, so each round is exactly ONE edge-keyed

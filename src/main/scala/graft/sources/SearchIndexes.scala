@@ -118,12 +118,26 @@ object SearchIndexes {
 
   /** Collapse a long-appended postings ledger into a fresh
     * single-generation index at `dst` — postings, doc lengths, and the
-    * union manifest under `ingest=base`, reading ONLY the stored index,
+    * manifest under `ingest=base`, reading ONLY the stored index,
     * never the corpus text (postings are novel-only by the append
     * discipline, so reconciliation is a plain re-bucketed union). The
     * caller owns the src→dst pointer flip
     * ([[DedupIndexes.flipPointer]]) — the [[GraphIndexes
     * .compactGraphTo]] contract, completing the family symmetry.
+    *
+    * CRASH-WINDOW HEALING AT COMPACTION (r18 ADVICE): a crashed
+    * [[appendSearch]] can leave postings rows whose docs never reached
+    * doclen. [[readForTerms]]' doclen semi-join keeps them invisible to
+    * serving, and a same-LABEL replay heals them by overwriting the
+    * label dirs — but compaction erases labels, so folding those rows
+    * into `ingest=base` unhealed would make a later replay append the
+    * same docs as novel and double-count their tf/df forever. The
+    * compacted generation therefore persists exactly the SCOREABLE doc
+    * population: postings are semi-joined to doclen's doc ids (the
+    * readForTerms guard, applied structurally at rest), and the base
+    * manifest IS doclen's distinct doc ids — half-claimed docs stay
+    * unclaimed, so the replay that re-delivers them lands them whole as
+    * genuinely novel, with no surviving base rows to duplicate.
     */
   def compactSearchTo(spark: SparkSession, src0: String, dst: String): Unit = {
     val src = resolveIndex(spark, src0)
@@ -135,16 +149,19 @@ object SearchIndexes {
     import spark.implicits._
     Seq((Kind, nbuckets)).toDF("kind", "nbuckets")
       .write.mode("overwrite").parquet(s"$dst/meta")
+    val scoreable = spark.read.parquet(s"$src/doclen")
+      .select(col("doc_id")).distinct()
     // positions ride the compaction — dropping them would silently
     // demote a positional index to ranked-only
     spark.read.parquet(s"$src/postings")
       .select(col("doc_id"), col("term"), col("tf"), col("positions"))
+      .join(scoreable, Seq("doc_id"), "left_semi")
       .withColumn("bucket", TextIndexes.bucketOf(col("term"), nbuckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dst/postings/ingest=$BaseLabel")
     spark.read.parquet(s"$src/doclen").select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$dst/doclen/ingest=$BaseLabel")
-    spark.read.parquet(s"$src/manifest").select(col("doc_id")).distinct()
+    scoreable
       .write.mode("overwrite").parquet(s"$dst/manifest/ingest=$BaseLabel")
   }
 

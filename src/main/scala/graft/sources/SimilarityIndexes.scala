@@ -1061,10 +1061,16 @@ object SimilarityIndexes {
     * and stored-probe rep (r17 verdict #3's cost audit). Production
     * callers use the public read*Index directly, which stays uncached:
     * an appended or compacted index must re-read.
+    *
+    * Keyed by (session, path) — r18 ADVICE: the cached values include
+    * session-bound DataFrame handles, so a second SparkSession in one
+    * JVM (outside the one-session convention of TestSpark/Bench) must
+    * miss rather than be served frames referencing a stopped session.
     */
-  private val fixtureReads = scala.collection.concurrent.TrieMap.empty[String, Any]
-  private def memoRead[T](key: String)(read: => T): T =
-    fixtureReads.getOrElseUpdate(key, read).asInstanceOf[T]
+  private val fixtureReads =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Any]
+  private def memoRead[T](spark: SparkSession, key: String)(read: => T): T =
+    fixtureReads.getOrElseUpdate((spark, key), read).asInstanceOf[T]
 
   /** [[Similarity.annTopKIvf]] probing the materialized IVF index. */
   def annIvfProbeDocs(spark: SparkSession, sfDir: String,
@@ -1073,7 +1079,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivf", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfIndex(emb, path, sfDir))
-    val (centroids, cells) = memoRead(s"ivf:$path")(readIvfIndex(spark, path))
+    val (centroids, cells) = memoRead(spark, s"ivf:$path")(readIvfIndex(spark, path))
     Similarity.annTopKIvfFromIndex(centroids, cells,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1090,7 +1096,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("lsh", sfDir)
     DedupIndexes.writeOnce(path)(writeLshIndex(emb, path))
-    val (sketches, vectors, (nTables, bits, dim)) = memoRead(s"lsh:$path")(readLshIndex(spark, path))
+    val (sketches, vectors, (nTables, bits, dim)) = memoRead(spark, s"lsh:$path")(readLshIndex(spark, path))
     Similarity.annTopKLshFromIndex(sketches, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1108,7 +1114,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("sq", sfDir)
     DedupIndexes.writeOnce(path)(writeSqIndex(emb, path))
-    val (codes, vectors) = memoRead(s"sq:$path")(readSqIndex(spark, path))
+    val (codes, vectors) = memoRead(spark, s"sq:$path")(readSqIndex(spark, path))
     Similarity.annTopKSqFromIndex(codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1126,7 +1132,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivfsq", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfSqIndex(emb, path, sfDir))
-    val (centroids, codes, vectors) = memoRead(s"ivfsq:$path")(readIvfSqIndex(spark, path))
+    val (centroids, codes, vectors) = memoRead(spark, s"ivfsq:$path")(readIvfSqIndex(spark, path))
     Similarity.annTopKIvfSqFromIndex(centroids, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1144,7 +1150,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("pq", sfDir)
     DedupIndexes.writeOnce(path)(writePqIndex(emb, path, sfDir))
-    val (books, codes, vectors) = memoRead(s"pq:$path")(readPqIndex(spark, path))
+    val (books, codes, vectors) = memoRead(spark, s"pq:$path")(readPqIndex(spark, path))
     Similarity.annTopKPqFromIndex(books, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1162,7 +1168,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivfpq", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfPqIndex(emb, path, sfDir))
-    val (centroids, books, codes, vectors) = memoRead(s"ivfpq:$path")(readIvfPqIndex(spark, path))
+    val (centroids, books, codes, vectors) = memoRead(spark, s"ivfpq:$path")(readIvfPqIndex(spark, path))
     Similarity.annTopKIvfPqFromIndex(centroids, books, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1180,7 +1186,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("pca", sfDir)
     DedupIndexes.writeOnce(path)(writePcaIndex(emb, path, sfDir, k = pcaDim))
-    val (basis, reduced, vectors) = memoRead(s"pca:$path")(readPcaIndex(spark, path))
+    val (basis, reduced, vectors) = memoRead(spark, s"pca:$path")(readPcaIndex(spark, path))
     Similarity.annTopKPcaFromIndex(basis, reduced, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1203,7 +1209,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivf", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfIndex(emb, path, sfDir))
-    val (centroids, cells) = memoRead(s"ivf:$path")(readIvfIndex(spark, path))
+    val (centroids, cells) = memoRead(spark, s"ivf:$path")(readIvfIndex(spark, path))
     Similarity.ivfRecallCurveFromIndex(centroids, cells,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1230,7 +1236,7 @@ object SimilarityIndexes {
     val path = scratch("pca64", sfDir)
     DedupIndexes.writeOnce(path)(writePcaIndex(emb, path, sfDir, k = 64))
     val (basis, reduced, vectors) =
-      memoRead(s"pca64:$path")(readPcaIndex(spark, path))
+      memoRead(spark, s"pca64:$path")(readPcaIndex(spark, path))
     Similarity.pcaRecallCurveFromIndex(basis, reduced, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1247,7 +1253,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("lsh", sfDir)
     DedupIndexes.writeOnce(path)(writeLshIndex(emb, path))
-    val (sketches, vectors, (nTables, bits, dim)) = memoRead(s"lsh:$path")(readLshIndex(spark, path))
+    val (sketches, vectors, (nTables, bits, dim)) = memoRead(spark, s"lsh:$path")(readLshIndex(spark, path))
     require(nTabless.forall(_ <= nTables),
       s"ladder step exceeds the stored index's nTables=$nTables")
     Similarity.lshRecallCurveFromIndex(sketches, vectors,
@@ -1267,7 +1273,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("pq", sfDir)
     DedupIndexes.writeOnce(path)(writePqIndex(emb, path, sfDir))
-    val (books, codes, vectors) = memoRead(s"pq:$path")(readPqIndex(spark, path))
+    val (books, codes, vectors) = memoRead(spark, s"pq:$path")(readPqIndex(spark, path))
     Similarity.pqRerankCurveFromIndex(books, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1285,7 +1291,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivfsq", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfSqIndex(emb, path, sfDir))
-    val (centroids, codes, vectors) = memoRead(s"ivfsq:$path")(readIvfSqIndex(spark, path))
+    val (centroids, codes, vectors) = memoRead(spark, s"ivfsq:$path")(readIvfSqIndex(spark, path))
     Similarity.ivfSqRecallCurveFromIndex(centroids, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
@@ -1303,7 +1309,7 @@ object SimilarityIndexes {
     val emb = Tables.embeddings(spark, sfDir)
     val path = scratch("ivfpq", sfDir)
     DedupIndexes.writeOnce(path)(writeIvfPqIndex(emb, path, sfDir))
-    val (centroids, books, codes, vectors) = memoRead(s"ivfpq:$path")(readIvfPqIndex(spark, path))
+    val (centroids, books, codes, vectors) = memoRead(spark, s"ivfpq:$path")(readIvfPqIndex(spark, path))
     Similarity.ivfPqRecallCurveFromIndex(centroids, books, codes, vectors,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")),

@@ -183,6 +183,42 @@ class SearchIndexSpec extends SparkSpec {
     assert(!tf.select("doc_id").as[Long].collect().toSet.exists(_ >= 90L))
   }
 
+  test("compaction heals the crash window so a post-compaction replay cannot double-count") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("crash-compact")
+    SearchIndexes.writeSearchIndex(fixture.filter($"doc_id" <= 3), src)
+    // simulate appendSearch(docs 4-5, "d1") crashing AFTER its postings
+    // write, BEFORE doclen/manifest — the real posting derivation under
+    // the real layout, so compaction sees exactly what a crash leaves
+    val delta = fixture.filter($"doc_id" > 3)
+    val nb = SearchIndexes.readSearchMeta(spark, src)
+    delta.select(col("doc_id"),
+        posexplode(graft.operators.TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .withColumn("bucket", graft.sources.TextIndexes.bucketOf(col("term"), nb))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$src/postings/ingest=d1")
+    // r18 ADVICE scenario: unhealed, compaction would fold these rows
+    // into ingest=base as claimed-by-nobody, and the label replay below
+    // would append the same docs again — duplicate (doc, term) rows
+    val dst = tmp("crash-compact-dst")
+    SearchIndexes.compactSearchTo(spark, src, dst)
+    assert(spark.read.parquet(s"$dst/postings").filter($"doc_id" > 3).count() === 0L,
+      "compaction must not persist postings for docs absent from doclen")
+    assert(spark.read.parquet(s"$dst/manifest").filter($"doc_id" > 3).count() === 0L,
+      "half-claimed docs must stay unclaimed so a replay can land them whole")
+    SearchIndexes.appendSearch(delta, dst, "d1") // the delivery's replay
+    val postings = spark.read.parquet(s"$dst/postings")
+    assert(postings.groupBy($"doc_id", $"term").count().filter($"count" > 1).count() === 0L,
+      "replay after compaction must not duplicate (doc, term) postings")
+    assert(spark.read.parquet(s"$dst/doclen").count() === 5L)
+    assert(ranked(SearchIndexes.searchBm25FromIndex(spark, dst, Seq("a", "b"), 10)) ===
+      ranked(TextAnalysis.searchBm25On(fixture, Seq("a", "b"), 10)),
+      "healed + replayed index must rank exactly like the full-corpus scan")
+  }
+
   test("meta refusal and SQL parity") {
     assert(intercept[IllegalArgumentException] {
       SearchIndexes.searchBm25FromIndex(spark, tmp("absent"), Seq("a"), 5)
