@@ -145,48 +145,79 @@ object Graph {
     * (ppm) over the UNWEIGHTED co-purchase graph — the density signal
     * community detection and spam-structure analysis start from.
     *
-    * Plan (edge-iterator with adjacency intersection): build the
-    * sorted neighbor list per node (state bounded by max degree — the
-    * standard adjacency-list trade), join each undirected edge (u, v)
-    * to both endpoints' lists, and count the triangles ON that edge as
-    * |N(u) ∩ N(v)| — a per-row array intersection inside codegen,
-    * never a wedge-set shuffle (the first spelling materialized the
-    * Σ C(deg,2) wedge join: 15M rows and 4× this cost at sf0.1). A
-    * triangle lands on each of its three edges once and on each corner
-    * node twice, so tri(node) = (Σ incident-edge counts) DIV 2 — the
-    * sum is even by construction. The id-ordered wedge-join DuckDB
-    * oracle enumerates the same triangle bag — spelling changes the
-    * plan, never the result.
+    * Plan (COMPACT-FORWARD edge iterator, r18 verdict #2): order nodes
+    * by (degree, id) and orient every undirected edge toward its
+    * higher-ordered endpoint, so the per-node adjacency list holds only
+    * FORWARD neighbors — O(√m) per node on ANY graph (a node of
+    * forward-degree d has d neighbors of degree ≥ its own, so
+    * d² ≤ Σdeg = 2m), where the unoriented spelling held O(deg_max)
+    * and a 100×-skew hub's row became a task-OOM risk. Each triangle
+    * {x,y,z} (ordered x<y<z) is found exactly once, at its lowest
+    * corner edge (x,y), as z ∈ N⁺(x) ∩ N⁺(y) — a per-row array
+    * intersection inside codegen, never a wedge-set shuffle (the first
+    * spelling materialized the Σ C(deg,2) wedge join: 15M rows and 4×
+    * this cost at sf0.1). The intersected witnesses are exploded
+    * (output-sized: one row per triangle) and each triangle credits
+    * its three corners once; degrees ride the same union-aggregate.
+    * The id-ordered wedge-join DuckDB oracle enumerates the same
+    * triangle bag — spelling changes the plan, never the result.
     */
   def triangleStats(spark: SparkSession, sfDir: String): DataFrame =
     triangleStatsOn(copurchaseEdges(spark, sfDir))
 
+  /** (node, nbrs) with nbrs = the node's HIGHER-(degree, id)-ordered
+    * neighbors only — the bounded-state adjacency [[triangleStatsOn]]
+    * intersects (exposed for the spec's state-bound assertion). The
+    * orientation filter runs BEFORE the groupBy, so no aggregation
+    * state ever holds a hub's full neighbor set; `deg` is node-sized
+    * (the optimizer broadcasts it at any realistic node count).
+    * `directed` is the both-ways edge frame; each undirected edge
+    * survives the filter exactly once, pointing up the order.
+    */
+  private[graft] def forwardAdjacency(directed: DataFrame, deg: DataFrame): DataFrame =
+    directed
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .filter(col("da") > col("db") ||
+        (col("da") === col("db") && col("a") > col("b")))
+      .groupBy(col("b").as("node"))
+      .agg(sort_array(collect_set(col("a"))).as("nbrs"))
+
   def triangleStatsOn(edges: DataFrame): DataFrame = {
     // edge list materialized once (the pageRankOn checkpoint note:
     // un-checkpointed, the fact-table edge build replays per
-    // reference), then the node-sized adjacency once more — it feeds
-    // BOTH endpoint joins
+    // reference); the node-sized degree + forward adjacency once more —
+    // each feeds multiple joins
     val und = edges.select(col("part_a").as("a"), col("part_b").as("b"))
       .localCheckpoint()
     val directed = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-    val adj = directed.groupBy(col("a").as("node"))
-      .agg(sort_array(collect_set(col("b"))).as("nbrs"))
-      .localCheckpoint()
-    val perEdge = und
-      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), "a")
-      .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), "b")
-      .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("t"))
-    // ONE aggregate carries both outputs: a node's degree IS its count
-    // of incident edge rows, so no separate degree frame or final join
-    perEdge.select(explode(array(
-        struct(col("a").as("node"), col("t")),
-        struct(col("b").as("node"), col("t")))).as("x"))
-      .groupBy(col("x.node").as("node"))
-      .agg(expr("sum(x.t) DIV 2").as("tri"), count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2)
-      .select(col("node").as("part"), col("deg"), col("tri"),
-        expr("(2 * tri * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
+    val deg = directed.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val adj = forwardAdjacency(directed, deg).localCheckpoint()
+    // forward edges re-derived FROM adj (u paired with each v in its
+    // list) so the edge frame and the intersected lists cannot disagree;
+    // inner joins: u always has a forward list (v is in it); an edge
+    // whose v has no forward neighbors hosts no triangle at this corner
+    val perEdge = adj.select(col("node").as("u"), col("nbrs").as("nu"),
+        explode(col("nbrs")).as("v"))
+      .join(adj.select(col("node").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // one output-sized explode credits all three corners: the two low
+    // corners get the edge's whole count (2 rows per triangle-bearing
+    // edge), each witness w gets 1 — rows ≈ triangles + 2·edges, not
+    // 3·triangles
+    val credits = perEdge.select(explode(concat(
+        array(struct(col("u").as("n"), size(col("ws")).cast("long").as("c")),
+          struct(col("v").as("n"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"), w => struct(w.as("n"), lit(1L).as("c"))))).as("x"))
+      .groupBy(col("x.n").as("node")).agg(sum(col("x.c")).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(credits, Seq("node"), "left")
+      .select(col("node").as("part"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("(2 * coalesce(tri, 0) * 1000000) DIV (deg * (deg - 1))").as("cc_ppm"))
   }
 
   /** Degree DISTRIBUTION of the co-purchase graph in log₂ buckets

@@ -132,6 +132,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangles: forward orientation bounds hub state below the unoriented list") {
+    // hub graph: node 1 joined to 2..40 plus a small clique — the skew
+    // shape where the unoriented adjacency held a 39-element hub row
+    val star = (2L to 40L).map(b => (1L, b))
+    val cross = Seq((2L, 3L), (3L, 4L), (2L, 4L))
+    val e = (star ++ cross).map { case (a, b) => (a, b, 1L) }
+      .toDF("part_a", "part_b", "w")
+    val und = e.select(col("part_a").as("a"), col("part_b").as("b"))
+    val directed = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = directed.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val fwd = Graph.forwardAdjacency(directed, deg)
+      .select(col("node"), size(col("nbrs")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    // the deg-39 hub is the HIGHEST-ordered node: every edge points AT
+    // it, so its forward list is absent/empty while the unoriented list
+    // held all 39 neighbors; no node's forward list exceeds its clique
+    assert(!fwd.contains(1L), "hub must carry no forward adjacency state")
+    assert(fwd.values.max <= 3,
+      s"forward lists must stay clique-sized on the hub graph: $fwd")
+    // and the oriented spelling still counts every triangle at the hub:
+    // {1,2,3} {1,3,4} {1,2,4} {2,3,4}
+    val got = Graph.triangleStatsOn(e).select(col("part"), col("tri"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 3L && got(2L) === 3L && got(3L) === 3L && got(4L) === 3L)
+  }
+
   test("degrees: log2 staircase buckets with exact in-bucket extremes") {
     // star center 1 with 5 leaves, plus an edge between leaves 2-3:
     // degrees = {1: 5, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1}
