@@ -563,8 +563,10 @@ object SparkEntry {
     // first-iteration adjacent-char pair table: the exact frame the
     // first merge decision reads, hash-checked against DuckDB
     "q_bpe_pairs" -> ((s, d) => operators.Bpe.bpePairs(s, d)),
-    // 8 learned merges; rows-only (iterative, not SQL-expressible) —
-    // BpeSpec asserts == a first-principles reimplementation
+    // 8 learned merges, hash-checked since r19 against a scripted
+    // 8-step unroll oracle (counts and tie-breaks are integer/
+    // deterministic); BpeSpec additionally asserts == a
+    // first-principles reimplementation
     "q_bpe_merges" -> ((s, d) => operators.Bpe.bpeMerges(s, d)),
     // per-doc share of corpus-unique 3-grams (novelty-weighted
     // sampling signal); equi-join df spelling so AQE can split a
@@ -714,7 +716,53 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Scripted unroll of [[operators.Bpe.learnMergesOn]]'s first `k`
+    * merges as one DuckDB query (r18 verdict #7 — counts and tie-breaks
+    * are integer/deterministic, so the iterative learner is hash-
+    * checkable). Each word's segmentation rides as a STRING of
+    * chr(1)-sym-chr(2) wrapped symbols; applying merge (l, r) is then a
+    * plain `replace` of the wrapped pair — SQL replace scans left to
+    * right and continues AFTER each replacement, which is exactly the
+    * greedy leftmost-first fold of [[operators.Bpe.applyMerge]] (an
+    * "a a a" run becomes [aa, a] in both). Step i picks its winner with
+    * the engine's own (cnt desc, lsym, rsym) tie-break and step i+1
+    * re-counts pairs from the replaced strings.
+    */
+  private def bpeMergesOracleSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+      SELECT syms[i] AS lsym, syms[i + 1] AS rsym, freq
+      FROM (SELECT string_split(substr(seg, 2, length(seg) - 2),
+                     chr(2) || chr(1)) AS syms, freq
+            FROM s${i - 1}) s,
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+      WHERE len(syms) >= 2),
+      t$i AS (SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM p$i GROUP BY lsym, rsym ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+      s$i AS (SELECT replace(seg, chr(1) || t.lsym || chr(2) || chr(1) || t.rsym || chr(2),
+                            chr(1) || t.lsym || t.rsym || chr(2)) AS seg, freq
+           FROM s${i - 1}, t$i t)"""
+    }.mkString(",\n      ")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS step, lsym, rsym, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        GROUP BY word),
+      s0 AS (
+        SELECT list_aggregate(list_transform(generate_series(1, length(word)),
+                 i -> chr(1) || substr(word, i, 1) || chr(2)), 'string_agg', '') AS seg,
+               freq
+        FROM wf WHERE length(word) >= 1),
+      $steps
+      $out""".stripMargin.trim
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase.updated(
+    "q_bpe_merges", bpeMergesOracleSql(8)
+  ).updated(
     // the stats oracle wraps the LEDGER oracle as a derived table, so the
     // two cannot drift on any stage spelling
     "q_pipeline_stats",

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * 1-row `TakeOrdered` collect of the winning pair — the per-step
   * driver decision is control-plane by construction, exactly the
   * [[graft.engine.GrepEngine]] rarest-trigram precedent. The segment
-  * recompute chain is re-planned from the persisted word table each
-  * step, so lineage stays O(steps) on a vocab-sized frame.
+  * frame is localCheckpoint'ed every [[CheckpointEvery]] merges and the
+  * merge count is capped at [[MaxMerges]], so plan depth stays CONSTANT
+  * in k (not O(k) nested HOFs) and the job count is bounded — the
+  * lineage contract a 32000-merge production vocabulary needs.
   */
 object Bpe {
 
@@ -68,12 +70,36 @@ object Bpe {
           .otherwise(concat(acc, array(x)))
       })
 
+  /** Hard ceiling on the learnable merge count — the [[Graph]]
+    * `pageRank iters <= 20` contract applied to the merge loop: the
+    * loop is driver-SEQUENCED by construction (each step's winner is a
+    * 1-row control-plane scalar), so an unbounded `k` is an unbounded
+    * number of Spark jobs. 2^16 comfortably covers real tokenizer
+    * vocabularies (GPT-2's 50k table is ~32k merges over a 256-byte
+    * alphabet; callers wanting more are past what one driver loop
+    * should schedule).
+    */
+  val MaxMerges = 65536
+
+  /** LINEAGE CONTRACT (r18 verdict #3): `seg` is re-derived through a
+    * nested [[applyMerge]] HOF per step, so the analyzed plan nests one
+    * `aggregate` expression per merge since the last cut — at real
+    * vocabulary sizes (k ≈ 32000) the analyzer dies long before the
+    * cluster does. The loop therefore `localCheckpoint`s the vocab-sized
+    * segmentation frame every [[CheckpointEvery]] merges, bounding plan
+    * depth at a constant while keeping the per-step work one tiny
+    * aggregate + a 1-row TakeOrdered.
+    */
+  val CheckpointEvery = 16
+
   /** Learn `k` merges from a (doc_id, text) frame. Returns
     * (step, lsym, rsym, cnt) — the merge table in learned order. Stops
     * early when no pair remains (fully merged vocabulary).
     */
   def learnMergesOn(docs: DataFrame, k: Int): DataFrame = {
-    require(k > 0, s"learnMergesOn needs a positive merge count, got $k")
+    require(k > 0 && k <= MaxMerges,
+      s"learnMergesOn needs 1 <= k <= $MaxMerges (driver-sequenced merge " +
+        s"loop — see the MaxMerges contract), got $k")
     val spark = docs.sparkSession
     val words = graft.CacheScope.track(wordFreqOn(docs).persist())
     var seg = words.select(charSyms(col("word")).as("syms"), col("freq"))
@@ -91,6 +117,9 @@ object Bpe {
           top(0).getLong(2))
         merges += ((step, l, r, c))
         seg = seg.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+        // cut the nested-HOF lineage on a fixed cadence (vocab-sized
+        // materialization — cheap next to even one corpus pass)
+        if (step % CheckpointEvery == 0) seg = seg.localCheckpoint()
         step += 1
       }
     }

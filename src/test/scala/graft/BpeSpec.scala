@@ -81,6 +81,27 @@ class BpeSpec extends SparkSpec {
     assert(got.size === 8, "fixture vocabulary exhausted before 8 merges")
   }
 
+  test("merge lineage survives multiple checkpoint windows; k ceiling guarded") {
+    // five 10-char words over disjoint alphabets: no cross-word pair
+    // sharing, so exactly 9 merges per word are available — 45 total,
+    // letting k = 34 cross the CheckpointEvery=16 cuts at steps 16 and
+    // 32 (>= 2 windows, the r18 verdict's spec shape)
+    assert(Bpe.CheckpointEvery === 16, "spec fixture sized for 16-step windows")
+    val ws = Seq("abcdefghij", "klmnopqrst", "uvwxyzABCD",
+      "EFGHIJKLMN", "OPQRSTUVWX")
+    val docs = ws.zipWithIndex
+      .map { case (w, i) => ((w + " ") * (i + 2)).trim }
+      .map(Tuple1(_)).toDF("text")
+    val wf = ws.zipWithIndex.map { case (w, i) => (w, (i + 2).toLong) }.toMap
+    val got = Bpe.learnMergesOn(docs, 34)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === refBpe(wf, 34))
+    assert(got.size === 34, "fixture must not exhaust inside the window test")
+    intercept[IllegalArgumentException](
+      Bpe.learnMergesOn(docs, Bpe.MaxMerges + 1))
+    intercept[IllegalArgumentException](Bpe.learnMergesOn(docs, 0))
+  }
+
   test("learner stops early on a fully merged vocabulary") {
     val docs = Seq(Tuple1("ab ab")).toDF("text")
     val got = Bpe.learnMergesOn(docs, 10)
