@@ -269,9 +269,15 @@ object SparkEntry {
         lit(".7 tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
         lit("-4242 ref 90000"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")
       ).as("text")))),
-    // -- multimodal: binary asset columns + stubbed decode (Multimodal.scala) --
+    // -- multimodal: binary asset columns + REAL image decode (Multimodal.scala) --
     "q_mm_asset_stats" -> (operators.Multimodal.assetStats _),
     "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
+    // real PPM/PGM decode of the in-flight image view (native
+    // ImageDecode expression — BMP and PNG paths spec-covered with
+    // golden pixels); rows-only because DuckDB cannot decode images,
+    // integer-exact values pinned in MultimodalSpec against an
+    // independent re-derivation from the raw text
+    "q_mm_decode" -> (operators.Multimodal.imageDecodeStats _),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")

@@ -118,4 +118,121 @@ class MultimodalSpec extends SparkSpec {
     val got = df.as[(Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  // ---- real image decode (r19): golden-pixel specs per format ----
+
+  private type Stats = (String, Int, Int, Int, Seq[Int], Seq[Int], Seq[Int])
+
+  private def decodeOne(payload: Array[Byte]): Option[Stats] = {
+    val rows = Seq(Tuple1(payload)).toDF("payload")
+      .select(graft.functions.ImageDecode.imageStats(col("payload")).as("s"))
+      .filter(col("s").isNotNull)
+      .select("s.format", "s.width", "s.height", "s.channels",
+        "s.ch_min", "s.ch_max", "s.ch_mean")
+      .as[Stats].collect()
+    rows.headOption
+  }
+
+  // 2x2 RGB golden pixels shared by the P6 / BMP / PNG tests:
+  // (10,20,30) (40,50,60) / (70,80,90) (250,0,128)
+  private val goldenPix = Seq(
+    Seq(10, 20, 30), Seq(40, 50, 60), Seq(70, 80, 90), Seq(250, 0, 128))
+  private val goldenStats =
+    ("?", 2, 2, 3, Seq(10, 0, 30), Seq(250, 80, 128), Seq(92, 37, 77))
+
+  test("P6 decode: golden pixels, header comments, trailing bytes tolerated") {
+    val header = "P6\n# a comment\n 2\t2 #inline\n255\n".getBytes("US-ASCII")
+    val raster = goldenPix.flatten.map(_.toByte).toArray
+    val junk = "trailing".getBytes("US-ASCII")
+    val got = decodeOne(header ++ raster ++ junk)
+    assert(got === Some(goldenStats.copy(_1 = "ppm")))
+  }
+
+  test("P5 decode: grayscale golden pixels") {
+    val p = "P5\n3 1\n255\n".getBytes("US-ASCII") ++
+      Array(0, 128, 255).map(_.toByte)
+    assert(decodeOne(p) ===
+      Some(("pgm", 3, 1, 1, Seq(0), Seq(255), Seq(127))))
+  }
+
+  test("BMP decode: 24-bit bottom-up with row padding, BGR reordered to RGB") {
+    // hand-assembled BITMAPINFOHEADER file: 2x2, rowSize 8 (2 pad bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 to 3).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write('B'); out.write('M'); le32(54 + 16) // file size
+    le32(0); le32(54)                             // reserved, data offset
+    le32(40); le32(2); le32(2)                    // header size, w, h (bottom-up)
+    le16(1); le16(24); le32(0); le32(16)          // planes, bpp, compression, image size
+    le32(2835); le32(2835); le32(0); le32(0)      // ppm resolution, palette counts
+    // pixel rows bottom-up, BGR, 2 pad bytes each: row1 = golden row 2
+    Seq(Seq(2, 3), Seq(0, 1)).foreach { rowIdx =>
+      rowIdx.foreach { i =>
+        val Seq(r, g, b) = goldenPix(i); out.write(b); out.write(g); out.write(r)
+      }
+      out.write(0); out.write(0)
+    }
+    assert(decodeOne(out.toByteArray) === Some(goldenStats.copy(_1 = "bmp")))
+  }
+
+  test("PNG decode: a genuine ImageIO round-trip recovers the golden pixels") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    Seq((0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3)).foreach { case (x, y, i) =>
+      val Seq(r, g, b) = goldenPix(i)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    assert(decodeOne(buf.toByteArray) === Some(goldenStats.copy(_1 = "png")))
+  }
+
+  test("undecodable payloads are NULL, not errors") {
+    assert(decodeOne("not an image at all".getBytes("US-ASCII")) === None)
+    // truncated P6: header promises 192 raster bytes, delivers 3
+    assert(decodeOne("P6\n8 8\n255\nabc".getBytes("US-ASCII")) === None)
+    // 16-bit netpbm (maxval > 255) is out of the supported subset
+    assert(decodeOne(("P5\n1 1\n65535\n  ").getBytes("US-ASCII")) === None)
+    // PNG magic with a corrupt body must not throw
+    val corrupt = Array(0x89, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3, 4)
+      .map(_.toByte)
+    assert(decodeOne(corrupt) === None)
+  }
+
+  test("q_mm_decode equals an independent re-derivation from the raw text") {
+    val got = Multimodal.imageDecodeStats(spark, sf)
+      .select(col("asset_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("ch_min"), col("ch_max"), col("ch_mean"))
+      .as[(Long, String, Int, Int, Int, Seq[Int], Seq[Int], Seq[Int])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, fmt, w, h, c, mins, maxs, means) =>
+      val text = texts(id)
+      assert(text.forall(_ < 128), s"fixture doc $id not ASCII; spec assumes 1 byte/char")
+      val padded =
+        if (text.length >= 192) text.substring(0, 192)
+        else text + ("x" * (192 - text.length))
+      val n = if (id % 2 == 0) 192 else 64
+      val bytes = padded.getBytes("UTF-8").take(n).map(_ & 0xFF)
+      val cc = if (id % 2 == 0) 3 else 1
+      assert((fmt, w, h, c) === (if (id % 2 == 0) "ppm" else "pgm", 8, 8, cc))
+      (0 until cc).foreach { ch =>
+        val samples = bytes.indices.collect { case i if i % cc == ch => bytes(i) }
+        assert(mins(ch) === samples.min, s"doc $id ch $ch min")
+        assert(maxs(ch) === samples.max, s"doc $id ch $ch max")
+        assert(means(ch) === samples.map(_.toLong).sum / samples.size, s"doc $id ch $ch mean")
+      }
+    }
+  }
+
+  test("decode expression participates in whole-stage codegen and drops the payload") {
+    val df = Multimodal.imageDecodeStats(spark, sf)
+    assert(!df.columns.contains("payload"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("imagestatsexpr") && l.contains("*(")), s"plan:\n$plan")
+  }
 }
