@@ -252,6 +252,7 @@ object SparkEntry {
     // pairing additivity makes reconciled == inline, oracle shared)
     "q_graph_pagerank_idx" -> (sources.GraphIndexes.pageRankProbe _),
     "q_graph_recs_idx" -> (sources.GraphIndexes.recsProbe _),
+    "q_graph_reach_idx" -> (sources.GraphIndexes.reachProbe _),
     // per-source hash-rank ceiling via the skew-safe banded exact rank
     "q_source_cap" -> ((s, d) => operators.TextAnalysis.capPerSource(s, d)),
     // the synthetic fixture contains no digits/'@' (verified), so this
@@ -804,6 +805,7 @@ object SparkEntry {
     // the merge-on-read sum and the parquet round-trip
     "q_graph_pagerank_idx" -> "q_graph_pagerank",
     "q_graph_recs_idx" -> "q_graph_recs",
+    "q_graph_reach_idx" -> "q_graph_reach",
     // the postings probe ranks through the same bm25Rank core over the
     // same corpus — identical oracle certifies the bucket-pruned
     // round-trip end to end

@@ -282,9 +282,13 @@ object Graph {
       // the whole expansion is one query whose shared subtrees Spark
       // reuses, and an eager materialization barrier per hop costs
       // more than it saves; from hop 2 the frontier recursion starts
-      // compounding and the barrier wins
+      // compounding and the barrier wins — except at the FINAL hop,
+      // where nothing expands further and the closure's one remaining
+      // consumer is its own count (a barrier there is pure overhead)
       reached = reached.unionAll(frontier)
-      if (h >= 2) { reached = reached.localCheckpoint(); frontier = frontier.localCheckpoint() }
+      if (h >= 2 && h < maxHops) {
+        reached = reached.localCheckpoint(); frontier = frontier.localCheckpoint()
+      }
       reached.groupBy(col("seed"))
         .agg((count(lit(1)) - 1L).as("n_reachable"))
         .select(col("seed").as("part"), lit(h.toLong).as("hop"),

@@ -182,5 +182,10 @@ class GraphIndexSpec extends SparkSpec {
     val storedRecs = GraphIndexes.recsProbe(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(storedRecs === inlineRecs)
+    val inlineReach = Graph.reachability(spark, sf, seedMod = 200, maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val storedReach = GraphIndexes.reachProbe(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(storedReach === inlineReach)
   }
 }
