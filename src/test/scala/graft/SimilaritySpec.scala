@@ -559,6 +559,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(stored === inline && stored.nonEmpty,
       "stored PQ probe diverged from the inline encode-and-probe path")
+    // the registered driver spellings (in-flight encode under stored
+    // fixture quantizers, r19) answer identically to the fit-path
+    // inline queries they replaced
+    assert(graft.sources.SimilarityIndexes.annPqInlineDocs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet === inline,
+      "fixture-codebook inline PQ spelling diverged from the fit path")
+    assert(graft.sources.SimilarityIndexes.annIvfPqInlineDocs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Similarity.annTopKIvfPq(spark, sf).as[(Long, Long, Long)].collect().toSet,
+      "fixture-quantizer inline IVF-PQ spelling diverged from the fit path")
     // append parity: the appended batch encodes under the STORED
     // codebooks, so the grown index answers identically to a full build
     val lo = emb.filter($"vec_id" % 10 < 8)
