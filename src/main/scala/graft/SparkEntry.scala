@@ -279,6 +279,10 @@ object SparkEntry {
     // integer-exact values pinned in MultimodalSpec against an
     // independent re-derivation from the raw text
     "q_mm_decode" -> (operators.Multimodal.imageDecodeStats _),
+    // real RIFF/PCM WAV decode of the in-flight audio view (native
+    // AudioDecode expression); rows-only for the same reason, exact
+    // values pinned in MultimodalSpec
+    "q_mm_audio" -> (operators.Multimodal.audioStatsDocs _),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")

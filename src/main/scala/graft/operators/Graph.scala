@@ -494,7 +494,12 @@ object Graph {
     * neighbor-min aggregate, so each round is exactly ONE edge-keyed
     * join + node-keyed aggregate over a checkpointed adjacency —
     * [[pageRankOn]]'s loop shape; lineage linear in rounds (≤ 10 by
-    * guard).
+    * guard). No PER-ROUND cut is needed (unlike [[Dedup]].clusterPairs,
+    * which checkpoints inside its loop): here only the NODE frame grows
+    * a fixed join+aggregate per round against the one checkpointed
+    * adjacency — ≤ 10 stacked two-operator layers on a two-column frame
+    * — where the convergent clusterer rewrites its EDGE frame each
+    * round and would compound without cuts.
     */
   def labelPropagation(spark: SparkSession, sfDir: String,
                        rounds: Int = 5): DataFrame =

@@ -91,6 +91,39 @@ object Multimodal {
   def imageDecodeStats(spark: SparkSession, sfDir: String): DataFrame =
     decodeStats(encodedImages(spark, sfDir))
 
+  /** Deterministic in-flight AUDIO view — [[encodedImages]]' sibling:
+    * each doc's text bytes become the sample data of a REAL PCM-8 mono
+    * 8 kHz WAV (header emitted by the native wrap expression; any byte
+    * string is valid PCM-8 sample data).
+    */
+  def encodedAudio(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      graft.functions.AudioDecode.wrapPcm8Wav(
+        encode(col("text"), "UTF-8")).as("payload"))
+
+  /** REAL per-asset WAV decode ([[decodeStats]]' audio sibling):
+    * RIFF/PCM parse via [[graft.functions.AudioDecode.audioStats]],
+    * payload dropped in the same projection, undecodable rows kept
+    * visible behind the flag.
+    */
+  def audioDecodeStats(assetsDf: DataFrame): DataFrame =
+    assetsDf.select(col("asset_id"),
+        graft.functions.AudioDecode.audioStats(col("payload")).as("s"))
+      .select(col("asset_id"), col("s").isNotNull.as("decodable"),
+        col("s.format").as("format"), col("s.sample_rate").as("sample_rate"),
+        col("s.channels").as("channels"), col("s.n_frames").as("n_frames"),
+        col("s.duration_ms").as("duration_ms"),
+        col("s.ch_min").as("ch_min"), col("s.ch_max").as("ch_max"),
+        col("s.ch_rms").as("ch_rms"))
+
+  /** Driver spelling: WAV decode stats over the in-flight audio view —
+    * rows-only (DuckDB cannot parse WAV); integer-exact values pinned
+    * in MultimodalSpec against an independent re-derivation.
+    */
+  def audioStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
+    audioDecodeStats(encodedAudio(spark, sfDir))
+
   /** Feature extraction: 16-bin byte histogram of the payload as float
     * features — a deterministic stand-in for an embedding MODEL (decode
     * itself is real — [[decodeStats]]); swap for a model-backed

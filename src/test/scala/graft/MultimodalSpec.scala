@@ -228,6 +228,100 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- real WAV audio decode (r19): golden-sample specs ----
+
+  private type AStats = (String, Int, Int, Int, Long, Seq[Int], Seq[Int], Seq[Int])
+
+  private def isqrtRef(x: Long): Int =
+    BigInt(x).bigInteger.sqrt().intValue()
+
+  private def decodeAudio(payload: Array[Byte]): Option[AStats] = {
+    val rows = Seq(Tuple1(payload)).toDF("payload")
+      .select(graft.functions.AudioDecode.audioStats(col("payload")).as("s"))
+      .filter(col("s").isNotNull)
+      .select("s.format", "s.sample_rate", "s.channels", "s.n_frames",
+        "s.duration_ms", "s.ch_min", "s.ch_max", "s.ch_rms")
+      .as[AStats].collect()
+    rows.headOption
+  }
+
+  /** Hand-assembled PCM-16 WAV with an unknown chunk before fmt/data
+    * (the RIFF walk must skip it) — stereo, interleaved `frames`.
+    */
+  private def goldenWav16(rate: Int, frames: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    def le32(v: Int): Unit = (0 to 3).foreach(j => out.write((v >> (8 * j)) & 0xFF))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    val dataBytes = frames.size * 4
+    tag("RIFF"); le32(4 + 8 + 5 + 1 + 8 + 16 + 8 + dataBytes); tag("WAVE")
+    tag("LIST"); le32(5); (1 to 5).foreach(out.write) // odd size: pad byte follows
+    out.write(0)
+    tag("fmt "); le32(16); le16(1); le16(2); le32(rate); le32(rate * 4)
+    le16(4); le16(16)
+    tag("data"); le32(dataBytes)
+    frames.foreach { case (l, r) => le16(l & 0xFFFF); le16(r & 0xFFFF) }
+    out.toByteArray
+  }
+
+  test("WAV decode: PCM-16 stereo golden samples, unknown chunk skipped") {
+    val frames = Seq((0, 5), (1000, -5), (-32768, 32767))
+    val got = decodeAudio(goldenWav16(16000, frames))
+    def expect(ch: Seq[Int]): (Int, Int, Int) = {
+      val sq = ch.map(s => s.toLong * s).sum / ch.size
+      (ch.min, ch.max, isqrtRef(sq))
+    }
+    val (l, r) = (frames.map(_._1), frames.map(_._2))
+    val (lmin, lmax, lrms) = expect(l)
+    val (rmin, rmax, rrms) = expect(r)
+    assert(got === Some(("wav", 16000, 2, 3, 3L * 1000 / 16000,
+      Seq(lmin, rmin), Seq(lmax, rmax), Seq(lrms, rrms))))
+  }
+
+  test("WAV decode: PCM-8 wrap -> decode round-trip equals the byte re-derivation") {
+    val payload = "hello wav  ÿ bytes".getBytes("ISO-8859-1")
+    val wav = Seq(Tuple1(payload)).toDF("p")
+      .select(graft.functions.AudioDecode.wrapPcm8Wav(col("p"), 8000).as("w"))
+      .as[Array[Byte]].head()
+    val samples = payload.map(b => (b & 0xFF) - 128)
+    val sq = samples.map(s => s.toLong * s).sum / samples.length
+    assert(decodeAudio(wav) === Some(("wav", 8000, 1, samples.length,
+      samples.length.toLong * 1000 / 8000,
+      Seq(samples.min), Seq(samples.max), Seq(isqrtRef(sq)))))
+  }
+
+  test("WAV refusals: float format, truncated data, garbage are NULL") {
+    assert(decodeAudio("RIFFxxxxWAVEnot a real chunk walk".getBytes("US-ASCII")) === None)
+    // audioFormat = 3 (IEEE float) is outside the PCM subset; the fmt
+    // body starts at 34 here (12 RIFF + 8+5+1 padded LIST + 8 fmt hdr)
+    val f32 = goldenWav16(8000, Seq((1, 2)))
+    assert(f32(34) === 1.toByte, "fixture layout drifted: fmt body not at 34")
+    f32(34) = 3 // patch audioFormat
+    assert(decodeAudio(f32) === None)
+    // data chunk promising more bytes than the file holds
+    val trunc = goldenWav16(8000, Seq((1, 2), (3, 4)))
+    assert(decodeAudio(trunc.dropRight(6)) === None)
+  }
+
+  test("q_mm_audio equals an independent re-derivation from the raw text") {
+    val got = Multimodal.audioStatsDocs(spark, sf)
+      .select(col("asset_id"), col("decodable"), col("sample_rate"),
+        col("channels"), col("n_frames"), col("ch_min"), col("ch_max"), col("ch_rms"))
+      .as[(Long, Boolean, Int, Int, Int, Seq[Int], Seq[Int], Seq[Int])]
+      .collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2), "every in-flight WAV must decode")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, rate, ch, n, mins, maxs, rms) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val samples = bytes.map(b => (b & 0xFF) - 128)
+      assert((rate, ch, n) === (8000, 1, samples.length), s"doc $id header")
+      val sq = samples.map(s => s.toLong * s).sum / samples.length
+      assert((mins.head, maxs.head, rms.head) ===
+        ((samples.min, samples.max, isqrtRef(sq))), s"doc $id stats")
+    }
+  }
+
   test("decode expression participates in whole-stage codegen and drops the payload") {
     val df = Multimodal.imageDecodeStats(spark, sf)
     assert(!df.columns.contains("payload"))
