@@ -283,6 +283,10 @@ object SparkEntry {
     // AudioDecode expression); rows-only for the same reason, exact
     // values pinned in MultimodalSpec
     "q_mm_audio" -> (operators.Multimodal.audioStatsDocs _),
+    // real RIFF/AVI video decode of the in-flight DIB-frame view
+    // (native VideoDecode expression — the MJPEG path is spec-covered
+    // through an ImageIO JPEG round-trip); rows-only likewise
+    "q_mm_video" -> (operators.Multimodal.videoStatsDocs _),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")

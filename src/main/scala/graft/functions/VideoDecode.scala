@@ -1,0 +1,285 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL video decode for the stock-JDK-decodable subset: RIFF/AVI with
+  * uncompressed 24-bit DIB frames (`00db` — a pure-JVM parse, exact) or
+  * compressed frames (`00dc` — MJPEG et al., decoded through
+  * `javax.imageio`, whose JPEG path the JDK bundles). The
+  * [[ImageDecode]]/[[AudioDecode]] contract completed for the third
+  * modality: binary payload in, `(format, width, height, n_frames,
+  * duration_ms, ch_min, ch_max, ch_mean)` out — stats aggregated over
+  * EVERY decoded frame's pixels in R,G,B order — NULL for anything that
+  * is not a parseable AVI (unknown stream codecs, truncated chunks, a
+  * frame disagreeing with the header dimensions).
+  *
+  * Container walk: `RIFF('AVI ')` → `avih` (frame period µs, declared
+  * dims) → `LIST('movi')` → frame chunks, with unknown chunks skipped
+  * and odd-size pad bytes honored — the [[AudioDecode]] RIFF discipline
+  * on the nested-LIST layout. duration_ms = n_frames · µs-per-frame
+  * DIV 1000; DIB rows are bottom-up BGR with 4-byte row padding (stats
+  * are row-order independent, so no flip — the BMP rule).
+  *
+  * 100 TB shape: identical to the siblings — per-row projection work,
+  * zero shuffle; DIB frames are allocation-free scans, MJPEG pays
+  * ImageIO's churn with the in-memory cache ([[ImageDecode]] sets it).
+  */
+object VideoDecode {
+
+  val statsType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("ch_min", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_max", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_mean", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  def videoStats(payload: Column): Column =
+    CatalystBridge.column(VideoStatsExpr(CatalystBridge.expression(payload)))
+
+  def computeRow(payload: Array[Byte]): GenericInternalRow = {
+    val d = compute(payload)
+    if (d == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(d.format), d.width, d.height, d.nFrames,
+      d.durationMs, new GenericArrayData(d.mins),
+      new GenericArrayData(d.maxs), new GenericArrayData(d.means)))
+  }
+
+  final case class Decoded(format: String, width: Int, height: Int,
+                           nFrames: Int, durationMs: Long, mins: Array[Int],
+                           maxs: Array[Int], means: Array[Int])
+
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | (p(o + 1) & 0xFF) << 8 |
+      (p(o + 2) & 0xFF) << 16 | (p(o + 3) & 0xFF) << 24
+  private def tag(p: Array[Byte], o: Int, t: String): Boolean =
+    p(o) == t.charAt(0) && p(o + 1) == t.charAt(1) &&
+      p(o + 2) == t.charAt(2) && p(o + 3) == t.charAt(3)
+
+  /** Mutable per-channel accumulator shared by both frame paths. */
+  private final class Acc {
+    val mins = Array.fill(3)(255)
+    val maxs = new Array[Int](3)
+    val sums = new Array[Long](3)
+    var pixels = 0L
+    def add(r: Int, g: Int, b: Int): Unit = {
+      if (r < mins(0)) mins(0) = r
+      if (r > maxs(0)) maxs(0) = r
+      if (g < mins(1)) mins(1) = g
+      if (g > maxs(1)) maxs(1) = g
+      if (b < mins(2)) mins(2) = b
+      if (b > maxs(2)) maxs(2) = b
+      sums(0) += r; sums(1) += g; sums(2) += b
+      pixels += 1
+    }
+  }
+
+  def compute(p: Array[Byte]): Decoded = {
+    if (p == null || p.length < 64) return null
+    if (!tag(p, 0, "RIFF") || !tag(p, 8, "AVI ")) return null
+    var usPerFrame = 0L
+    var w = 0
+    var h = 0
+    var mjpeg = false
+    val acc = new Acc
+    var nFrames = 0
+    // one linear walk over ALL chunks (LIST headers descended in place:
+    // their body is itself a chunk sequence starting after the 4-byte
+    // list type) — simpler than recursion and identical for well-formed
+    // files, the AudioDecode discipline
+    var i = 12
+    while (i + 8 <= p.length) {
+      val isList = tag(p, i, "LIST")
+      val size = le32(p, i + 4)
+      if (size < 0 || i + 8 + size.toLong > p.length) return null
+      if (isList) {
+        i += 12 // descend: skip the list type tag, walk its children
+      } else {
+        if (tag(p, i, "avih")) {
+          if (size < 40) return null
+          usPerFrame = le32(p, i + 8).toLong & 0xFFFFFFFFL
+          w = le32(p, i + 8 + 32)
+          h = le32(p, i + 8 + 36)
+          if (w <= 0 || h <= 0 || usPerFrame <= 0) return null
+        } else if (i + 8 + size <= p.length &&
+          (p(i + 2) == 'd' && (p(i + 3) == 'b' || p(i + 3) == 'c'))) {
+          // a frame chunk (##db raw DIB / ##dc compressed)
+          if (w <= 0) return null // header must precede frames
+          if (p(i + 3) == 'b') {
+            if (!addDibFrame(p, i + 8, size, w, h, acc)) return null
+          } else {
+            mjpeg = true
+            if (!addImageIoFrame(p, i + 8, size, w, h, acc)) return null
+          }
+          nFrames += 1
+        }
+        i += 8 + size + (size & 1)
+      }
+    }
+    if (nFrames == 0 || acc.pixels == 0) return null
+    Decoded(if (mjpeg) "avi-mjpeg" else "avi-dib", w, h, nFrames,
+      nFrames.toLong * usPerFrame / 1000L, acc.mins, acc.maxs,
+      acc.sums.map(s => (s / acc.pixels).toInt))
+  }
+
+  /** Raw 24-bit DIB bits: bottom-up BGR rows padded to 4 bytes. */
+  private def addDibFrame(p: Array[Byte], off: Int, size: Int,
+                          w: Int, h: Int, acc: Acc): Boolean = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (rowSize.toLong * h > size) return false
+    var y = 0
+    var i = off
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        acc.add(p(i + 2) & 0xFF, p(i + 1) & 0xFF, p(i) & 0xFF)
+        x += 1
+        i += 3
+      }
+      i += rowSize - w * 3
+      y += 1
+    }
+    true
+  }
+
+  private def addImageIoFrame(p: Array[Byte], off: Int, size: Int,
+                              w: Int, h: Int, acc: Acc): Boolean = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p, off, size))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth != w || img.getHeight != h) return false
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        acc.add((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Deterministic AVI BUILDER (the fixture-view helper, completing the
+    * [[AudioDecode.wrapPcm8Wav]] family): slice payload bytes into
+    * `nFrames` w×h 24-bit DIB frames (payload repeated cyclically to
+    * fill) inside a minimal-but-valid AVI — RIFF('AVI '), avih, a video
+    * strl, and a movi list of `00db` chunks.
+    */
+  def wrapDibAvi(payload: Column, width: Int = 8, height: Int = 8,
+                 nFrames: Int = 4, usPerFrame: Int = 40000): Column = {
+    require(width > 0 && height > 0 && nFrames > 0 && usPerFrame > 0,
+      s"invalid AVI shape ($width x $height x $nFrames @ $usPerFrame us)")
+    CatalystBridge.column(WrapAviExpr(CatalystBridge.expression(payload),
+      frameW = width, frameH = height, nFrames = nFrames,
+      usPerFrame = usPerFrame))
+  }
+
+  def wrap(payload: Array[Byte], w: Int, h: Int, nFrames: Int,
+           usPerFrame: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * h
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviBody = 4 + nFrames * (8 + frameBytes)
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val out = new Array[Byte](8 + riffBody)
+    var o = 0
+    def putTag(t: String): Unit = { t.foreach { c => out(o) = c.toByte; o += 1 } }
+    def put32(v: Int): Unit =
+      (0 to 3).foreach { j => out(o) = ((v >> (8 * j)) & 0xFF).toByte; o += 1 }
+    putTag("RIFF"); put32(riffBody); putTag("AVI ")
+    putTag("LIST"); put32(hdrlBody); putTag("hdrl")
+    putTag("avih"); put32(56)
+    put32(usPerFrame); put32(0); put32(0); put32(0)
+    put32(nFrames); put32(0); put32(1); put32(0)
+    put32(w); put32(h); (0 until 4).foreach(_ => put32(0))
+    putTag("LIST"); put32(4 + (8 + 56) + (8 + 40)); putTag("strl")
+    putTag("strh"); put32(56)
+    putTag("vids"); putTag("DIB "); put32(0); put32(0)
+    put32(0); put32(usPerFrame); put32(1000000); put32(0)
+    put32(nFrames); put32(frameBytes); put32(-1); put32(0)
+    put32(0); put32(0)
+    putTag("strf"); put32(40)
+    put32(40); put32(w); put32(h); out(o) = 1; out(o + 1) = 0; o += 2
+    out(o) = 24; out(o + 1) = 0; o += 2
+    put32(0); put32(frameBytes); put32(2835); put32(2835); put32(0); put32(0)
+    putTag("LIST"); put32(moviBody); putTag("movi")
+    val n = math.max(payload.length, 1)
+    var src = 0
+    (0 until nFrames).foreach { _ =>
+      putTag("00db"); put32(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w * 3) {
+          out(o) = if (payload.length == 0) 0 else payload(src % n)
+          src += 1; o += 1; x += 1
+        }
+        var pad = rowSize - w * 3
+        while (pad > 0) { out(o) = 0; o += 1; pad -= 1 }
+        y += 1
+      }
+    }
+    out
+  }
+}
+
+case class VideoStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = VideoDecode.statsType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"video_stats expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoDecode.computeRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.VideoDecode.computeRow($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoStatsExpr =
+    copy(child = newChild)
+}
+
+case class WrapAviExpr(child: Expression, frameW: Int, frameH: Int,
+                       nFrames: Int, usPerFrame: Int) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wrap_dib_avi expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoDecode.wrap(input.asInstanceOf[Array[Byte]], frameW, frameH,
+      nFrames, usPerFrame)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.VideoDecode.wrap(
+         |  $c, $frameW, $frameH, $nFrames, $usPerFrame);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WrapAviExpr =
+    copy(child = newChild)
+}

@@ -124,6 +124,39 @@ object Multimodal {
   def audioStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
     audioDecodeStats(encodedAudio(spark, sfDir))
 
+  /** Deterministic in-flight VIDEO view — the triad's third member:
+    * each doc's text bytes become four 8×8 24-bit DIB frames of a REAL
+    * AVI (header + movi list emitted by the native wrap expression;
+    * payload repeats cyclically across frames).
+    */
+  def encodedVideo(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      graft.functions.VideoDecode.wrapDibAvi(
+        encode(col("text"), "UTF-8")).as("payload"))
+
+  /** REAL per-asset AVI decode ([[decodeStats]]' video sibling):
+    * container walk + per-frame pixel decode via
+    * [[graft.functions.VideoDecode.videoStats]], payload dropped in the
+    * same projection.
+    */
+  def videoDecodeStats(assetsDf: DataFrame): DataFrame =
+    assetsDf.select(col("asset_id"),
+        graft.functions.VideoDecode.videoStats(col("payload")).as("s"))
+      .select(col("asset_id"), col("s").isNotNull.as("decodable"),
+        col("s.format").as("format"), col("s.width").as("width"),
+        col("s.height").as("height"), col("s.n_frames").as("n_frames"),
+        col("s.duration_ms").as("duration_ms"),
+        col("s.ch_min").as("ch_min"), col("s.ch_max").as("ch_max"),
+        col("s.ch_mean").as("ch_mean"))
+
+  /** Driver spelling: AVI decode stats over the in-flight video view —
+    * rows-only (DuckDB cannot parse AVI); integer-exact values pinned
+    * in MultimodalSpec against an independent re-derivation.
+    */
+  def videoStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
+    videoDecodeStats(encodedVideo(spark, sfDir))
+
   /** Feature extraction: 16-bin byte histogram of the payload as float
     * features — a deterministic stand-in for an embedding MODEL (decode
     * itself is real — [[decodeStats]]); swap for a model-backed

@@ -322,6 +322,117 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- real AVI video decode (r19): container + frame specs ----
+
+  private type VStats = (String, Int, Int, Int, Long, Seq[Int], Seq[Int], Seq[Int])
+
+  private def decodeVideo(payload: Array[Byte]): Option[VStats] = {
+    val rows = Seq(Tuple1(payload)).toDF("payload")
+      .select(graft.functions.VideoDecode.videoStats(col("payload")).as("s"))
+      .filter(col("s").isNotNull)
+      .select("s.format", "s.width", "s.height", "s.n_frames",
+        "s.duration_ms", "s.ch_min", "s.ch_max", "s.ch_mean")
+      .as[VStats].collect()
+    rows.headOption
+  }
+
+  /** Independent expected stats for a DIB AVI built by wrap(): payload
+    * repeats cyclically over nFrames w×h BGR rasters.
+    */
+  private def dibExpect(payload: Array[Byte], w: Int, h: Int,
+                        nFrames: Int): (Seq[Int], Seq[Int], Seq[Int]) = {
+    val total = nFrames * w * h * 3
+    val bytes = (0 until total).map(k => payload(k % payload.length) & 0xFF)
+    // byte k is channel B,G,R for k % 3 = 0,1,2; stats report R,G,B
+    def ch(rgb: Int): Seq[Int] = {
+      val disk = 2 - rgb // R reads byte offset 2, G 1, B 0
+      bytes.zipWithIndex.collect { case (v, k) if k % 3 == disk => v }
+    }
+    val (r, g, b) = (ch(0), ch(1), ch(2))
+    (Seq(r.min, g.min, b.min), Seq(r.max, g.max, b.max),
+      Seq(r, g, b).map(s => (s.map(_.toLong).sum / s.size).toInt))
+  }
+
+  test("AVI-DIB decode: wrap -> decode round-trip equals the byte re-derivation") {
+    val payload = "a moving picture of bytes".getBytes("US-ASCII")
+    val avi = Seq(Tuple1(payload)).toDF("p")
+      .select(graft.functions.VideoDecode.wrapDibAvi(col("p"), 8, 8, 4, 40000).as("w"))
+      .as[Array[Byte]].head()
+    val (mins, maxs, means) = dibExpect(payload, 8, 8, 4)
+    assert(decodeVideo(avi) ===
+      Some(("avi-dib", 8, 8, 4, 160L, mins, maxs, means)))
+  }
+
+  test("AVI-MJPEG decode: JPEG frames through the real ImageIO path") {
+    // two 4x4 near-uniform frames, JPEG-encoded; expected stats decode
+    // the same JPEG bytes spec-side so container walk + aggregation are
+    // what is under test (pixel decode is ImageIO's on both sides)
+    def jpegFrame(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      (0 until 4).foreach(x => (0 until 4).foreach(y => img.setRGB(x, y, rgb)))
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", buf))
+      buf.toByteArray
+    }
+    val frames = Seq(jpegFrame(0x406080), jpegFrame(0xC02010))
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(t: String): Unit = t.foreach(c => out.write(c.toInt))
+    def le32(v: Int): Unit = (0 to 3).foreach(j => out.write((v >> (8 * j)) & 0xFF))
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    tag("RIFF"); le32(4 + 8 + 56 + 8 + moviBody); tag("AVI ")
+    tag("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0); le32(2); le32(0); le32(1); le32(0)
+    le32(4); le32(4); (0 until 4).foreach(_ => le32(0))
+    tag("LIST"); le32(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); le32(f.length); out.write(f)
+      if (f.length % 2 == 1) out.write(0)
+    }
+    val got = decodeVideo(out.toByteArray)
+    // spec-side reference: ImageIO-decode the same frames, same stats
+    val pix = frames.flatMap { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      for (y <- 0 until 4; x <- 0 until 4) yield img.getRGB(x, y)
+    }
+    def ch(sh: Int): Seq[Int] = pix.map(p => (p >> sh) & 0xFF)
+    val chans = Seq(ch(16), ch(8), ch(0))
+    assert(got === Some(("avi-mjpeg", 4, 4, 2, 80L,
+      chans.map(_.min), chans.map(_.max),
+      chans.map(s => (s.map(_.toLong).sum / s.size).toInt))))
+  }
+
+  test("AVI refusals: garbage, truncated frame, frame before header, wrong dims") {
+    assert(decodeVideo("RIFF????AVI not a chunk walk at all".getBytes("US-ASCII")) === None)
+    val payload = "bytes".getBytes("US-ASCII")
+    val good = graft.functions.VideoDecode.wrap(payload, 8, 8, 2, 40000)
+    // truncate inside the last frame: the declared chunk size overruns
+    assert(decodeVideo(good.dropRight(10)) === None)
+    // a 00db frame with no avih header seen yet
+    val noHdr = new java.io.ByteArrayOutputStream()
+    def tag(t: String): Unit = t.foreach(c => noHdr.write(c.toInt))
+    def le32(v: Int): Unit = (0 to 3).foreach(j => noHdr.write((v >> (8 * j)) & 0xFF))
+    tag("RIFF"); le32(4 + 8 + 4); tag("AVI "); tag("00db"); le32(4); le32(0)
+    assert(decodeVideo(noHdr.toByteArray) === None)
+  }
+
+  test("q_mm_video equals an independent re-derivation from the raw text") {
+    val got = Multimodal.videoStatsDocs(spark, sf)
+      .select(col("asset_id"), col("decodable"), col("format"), col("width"),
+        col("height"), col("n_frames"), col("duration_ms"),
+        col("ch_min"), col("ch_max"), col("ch_mean"))
+      .as[(Long, Boolean, String, Int, Int, Int, Long, Seq[Int], Seq[Int], Seq[Int])]
+      .collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2), "every in-flight AVI must decode")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, fmt, w, h, n, ms, mins, maxs, means) =>
+      assert((fmt, w, h, n, ms) === (("avi-dib", 8, 8, 4, 160L)), s"doc $id header")
+      val (emins, emaxs, emeans) = dibExpect(texts(id).getBytes("UTF-8"), 8, 8, 4)
+      assert((mins, maxs, means) === ((emins, emaxs, emeans)), s"doc $id stats")
+    }
+  }
+
   test("decode expression participates in whole-stage codegen and drops the payload") {
     val df = Multimodal.imageDecodeStats(spark, sf)
     assert(!df.columns.contains("payload"))
