@@ -1913,4 +1913,42 @@ class StreamingSpec extends SparkSpec {
         "streamed positional postings must count phrase starts like the scan")
     } finally q.stop()
   }
+
+  test("streaming multimodal decode equals the batch spelling per asset") {
+    // decode is a stateless per-row projection, so it must stream
+    // as-is (append mode, no state) and agree with the batch path on
+    // every asset — the r19 decode family's streaming twin
+    import graft.functions.{AudioDecode, ImageDecode}
+    val ms = MemoryStream[(Long, String)]
+    val assets = ms.toDF().toDF("asset_id", "text")
+      .select($"asset_id",
+        AudioDecode.wrapPcm8Wav(encode($"text", "UTF-8")).as("wav"),
+        concat(encode(lit("P5\n4 4\n255\n"), "UTF-8"),
+          encode(rpad($"text", 16, "x"), "UTF-8")).as("pgm"))
+      .select($"asset_id",
+        AudioDecode.audioStats($"wav").as("a"),
+        ImageDecode.imageStats($"pgm").as("i"))
+      .select($"asset_id", $"a.n_frames", $"a.ch_rms", $"i.ch_mean")
+    val q = assets.writeStream.format("memory").queryName("mmdec")
+      .outputMode("append").start()
+    try {
+      val docs = Seq((1L, "first streamed asset"), (2L, "second one"))
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      ms.addData((3L, "a late third delivery"))
+      q.processAllAvailable()
+      val streamed = spark.table("mmdec")
+        .as[(Long, Int, Seq[Int], Seq[Int])].collect().toSet
+      val batch = (docs :+ (3L, "a late third delivery")).toDF("asset_id", "text")
+        .select($"asset_id",
+          AudioDecode.audioStats(
+            AudioDecode.wrapPcm8Wav(encode($"text", "UTF-8"))).as("a"),
+          ImageDecode.imageStats(concat(encode(lit("P5\n4 4\n255\n"), "UTF-8"),
+            encode(rpad($"text", 16, "x"), "UTF-8"))).as("i"))
+        .select($"asset_id", $"a.n_frames", $"a.ch_rms", $"i.ch_mean")
+        .as[(Long, Int, Seq[Int], Seq[Int])].collect().toSet
+      assert(streamed === batch && streamed.size === 3,
+        "stateless decode must be batch==stream identical per asset")
+    } finally q.stop()
+  }
 }
