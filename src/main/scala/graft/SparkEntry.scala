@@ -399,14 +399,15 @@ object SparkEntry {
     // universe — flagged = what a full rebuild would NEWLY drop (the
     // rebuild-due signal; ivfRefitDue's precedent). Rows-only: the
     // flagged set's equality with rebuild-minus-committed is asserted
-    // in PipelineSpec
+    // in PipelineSpec; hash-checked since r19 (retroContamOracleSql)
     "q_pipeline_retro_contam" -> ((s, d) => sources.CurateState.retroContamDocs(s, d)),
     // retro-NEAR-DUP report — the second rebuild-drift axis: the full
     // rebuild dedup graph recomputed from the stored MinHash index
     // alone (banded self-join + exact verification), flagged = kept
     // committed reps a rebuild's component merge would drop (planted
-    // cross-batch bridge trios make it non-vacuous). Rows-only:
-    // flagged == rebuild-merged asserted in PipelineSpec
+    // cross-batch bridge trios make it non-vacuous); hash-checked
+    // since r19 (retroNearDupOracleSql), flagged == rebuild-merged
+    // additionally asserted in PipelineSpec
     "q_pipeline_retro_neardup" -> ((s, d) => sources.CurateState.retroNearDupDocs(s, d)),
     // ledger with the GPT-3-style classifier stage on: NB log-odds of
     // the en reference vs this corpus, kept train docs in the bottom
@@ -778,8 +779,158 @@ object SparkEntry {
       $out""".stripMargin.trim
   }
 
+  /** DuckDB oracle for the retro-decontamination report (r19 — moves
+    * q_pipeline_retro_contam from rows-only to hash-green): the
+    * committed corpus state is re-derived from first principles as
+    * TWO ledgers — batch1's commit is a full rebuild over batch1
+    * ALONE (docsWhere, no plants: `CurateState.init` judges the raw
+    * batch) and batch2's commit is the incr oracle verbatim (the
+    * equality contract) — then every committed TRAIN doc's distinct
+    * word-3-grams are covered against the committed EVAL docs' gram
+    * universe under the state's 40% threshold. Committed kept docs
+    * are always base-corpus docs (plants lose their races by
+    * construction), so texts join back to `documents` directly; docs
+    * too short to shingle surface as (0, 0, 0, unflagged) via the
+    * left join — the explode_outer contract.
+    */
+  private def retroContamOracleSql: String = {
+    val led1 = pipelineOracle(nearPlants = false, fuzzy = true,
+      covPct = Some(40), docsWhere = " WHERE doc_id < 250", plants = false)
+    val led2 = oracleSqlBase("q_pipeline_curate_incr")
+    s"""
+      WITH committed AS MATERIALIZED (
+        SELECT doc_id, outcome FROM ($led1) t1
+        UNION ALL
+        SELECT doc_id, outcome FROM ($led2) t2),
+      train AS (SELECT d.doc_id, d.text FROM documents d
+                JOIN committed c ON d.doc_id = c.doc_id AND c.outcome = 'train'),
+      ev AS (SELECT d.text FROM documents d
+             JOIN committed c ON d.doc_id = c.doc_id AND c.outcome = 'eval'),
+      uni AS MATERIALIZED (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+              FROM (SELECT string_split(text, ' ') AS ws FROM ev) w,
+                   (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+              WHERE len(ws) >= 3),
+      tgd AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train) w,
+                   (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+              WHERE len(ws) >= 3),
+      agg AS (SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                CAST(SUM(CASE WHEN ng IN (SELECT ng FROM uni) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+              FROM tgd GROUP BY doc_id)
+      SELECT t.doc_id,
+             COALESCE(a.n_shared, 0) AS n_shared,
+             COALESCE(a.n_ngrams, 0) AS n_ngrams,
+             COALESCE(a.n_shared, 0) * 100 // GREATEST(COALESCE(a.n_ngrams, 0), 1) AS cov_pct,
+             CAST(COALESCE(a.n_shared, 0) * 100 // GREATEST(COALESCE(a.n_ngrams, 0), 1) >= 40 AS BIGINT) AS flagged
+      FROM train t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin.trim
+  }
+
+  /** DuckDB oracle for the retro-near-dup report (r19 — the
+    * [[retroContamOracleSql]] treatment for the OTHER audit axis): the
+    * committed state over the bridge-trio corpus is re-derived as two
+    * first-principles ledgers (batch1 rebuild over docs<250 ∪ B1a ∪
+    * B1b; the union rebuild restricted to batch2's rows — docs ≥ 250
+    * and the 6M-range bridges; contamination disabled at the 101
+    * threshold, mirroring the harness), then the FULL rebuild dedup
+    * graph — exact ≥ 0.8 word-3-gram Jaccard pairs over ALL committed
+    * exact-dedup survivors (near-losers included: the bridge spans
+    * them) — is component-labeled by recursive min-reachability, and
+    * every committed KEPT doc reports its rebuild rep. The token-slice
+    * plants mirror `CurateState.retroNdBatches` exactly (Spark
+    * slice(a, i, n) == DuckDB a[i:i+n-1], both truncating).
+    */
+  private def retroNearDupOracleSql: String = {
+    def sliceDoc(idExpr: String, listExpr: String) = s"""
+                 SELECT $idExpr AS doc_id,
+                        array_to_string($listExpr, ' ') AS text
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) sx
+                 WHERE doc_id % 50 = 7 AND len(ws) >= 54"""
+    val b1a = sliceDoc("doc_id * 2 + 5000000", "list_concat(ws[41:48], ws[1:40])")
+    val b1b = sliceDoc("doc_id * 2 + 5000001", "list_concat(ws[1:40], ws[49:54])")
+    val bridge = sliceDoc("doc_id + 6000000", "ws[1:40]")
+    val extras1 = s"\n                 UNION ALL$b1a\n                 UNION ALL$b1b"
+    val extrasU = extras1 + s"\n                 UNION ALL$bridge"
+    val led1 = pipelineOracle(nearPlants = false, fuzzy = true,
+      covPct = Some(101), docsWhere = " WHERE doc_id < 250", plants = false,
+      extraDocsSql = extras1)
+    val led2 = pipelineOracle(nearPlants = false, fuzzy = true,
+      covPct = Some(101), plants = false, extraDocsSql = extrasU,
+      finalWhere = "\n      WHERE (k.doc_id >= 250 AND k.doc_id < 5000000) OR k.doc_id >= 6000000")
+    // batch2's COMMITTED outcomes cannot reuse the union-rebuild
+    // restriction (the bridge corpus deliberately breaks the
+    // ordered-id contract: batch1 holds 5M-range plants ABOVE batch2's
+    // base ids), so the kept set is spelled as the engine's own
+    // incremental judge: exact-stage outcomes still agree (no fp group
+    // spans batches here), and the near-dup stage re-derives from the
+    // SAME exact pair set — in-batch clusters drop WHOLE on any
+    // cross-batch state hit, hit-free clusters keep their min id,
+    // pairless docs drop iff they themselves hit the state.
+    s"""
+      WITH RECURSIVE
+      t1led AS MATERIALIZED (SELECT doc_id, outcome FROM ($led1) x1),
+      t2led AS MATERIALIZED (SELECT doc_id, outcome FROM ($led2) x2),
+      corpus AS MATERIALIZED (SELECT doc_id, text FROM documents$extrasU),
+      s1 AS (SELECT doc_id FROM t1led
+             WHERE outcome IN ('train', 'eval', 'dropped_near_duplicate')),
+      c2 AS (SELECT doc_id FROM t2led
+             WHERE outcome NOT IN ('dropped_lang', 'dropped_quality', 'dropped_duplicate')),
+      surv AS MATERIALIZED (
+        SELECT co.doc_id, co.text FROM corpus co JOIN s1 USING (doc_id)
+        UNION ALL
+        SELECT co.doc_id, co.text FROM corpus co JOIN c2 USING (doc_id)),
+      w3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+      g3 AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+             FROM w3, (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+             WHERE len(ws) >= 3),
+      sz3 AS (SELECT doc_id, COUNT(*) AS sz FROM g3 GROUP BY doc_id),
+      i3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM g3 a JOIN g3 b ON a.ng = b.ng AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pr3 AS MATERIALIZED (SELECT doc_a, doc_b
+              FROM i3 JOIN sz3 sa ON sa.doc_id = doc_a JOIN sz3 sb ON sb.doc_id = doc_b
+              WHERE inter * 9 >= 4 * (sa.sz + sb.sz)),
+      ed3 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pr3
+              UNION ALL SELECT doc_b AS u, doc_a AS v FROM pr3),
+      reach3(u, lab) AS (
+        SELECT u, u FROM ed3
+        UNION
+        SELECT e.u, rr.lab FROM ed3 e JOIN reach3 rr ON rr.u = e.v),
+      comp3 AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM reach3 GROUP BY u),
+      inp AS (SELECT p.doc_a, p.doc_b FROM pr3 p
+              JOIN c2 ca ON ca.doc_id = p.doc_a
+              JOIN c2 cb ON cb.doc_id = p.doc_b),
+      hit AS (SELECT DISTINCT x.doc_id FROM (
+                SELECT doc_a AS doc_id, doc_b AS other FROM pr3
+                UNION ALL SELECT doc_b AS doc_id, doc_a AS other FROM pr3) x
+              JOIN c2 ON c2.doc_id = x.doc_id
+              JOIN s1 ON s1.doc_id = x.other),
+      ed2 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM inp
+              UNION ALL SELECT doc_b AS u, doc_a AS v FROM inp),
+      reach2(u, lab) AS (
+        SELECT u, u FROM ed2
+        UNION
+        SELECT e.u, rr.lab FROM ed2 e JOIN reach2 rr ON rr.u = e.v),
+      comp2 AS (SELECT u AS doc_id, MIN(lab) AS cid FROM reach2 GROUP BY u),
+      lab2 AS (SELECT c2.doc_id, COALESCE(comp2.cid, c2.doc_id) AS cid
+               FROM c2 LEFT JOIN comp2 USING (doc_id)),
+      chit AS (SELECT DISTINCT l.cid FROM lab2 l JOIN hit h ON h.doc_id = l.doc_id),
+      kept AS (SELECT doc_id FROM t1led WHERE outcome IN ('train', 'eval')
+               UNION ALL
+               SELECT l.doc_id FROM lab2 l
+               WHERE l.doc_id = l.cid
+                 AND l.cid NOT IN (SELECT cid FROM chit))
+      SELECT kp.doc_id,
+             COALESCE(c3.cluster_id, kp.doc_id) AS rebuild_rep,
+             CAST(kp.doc_id <> COALESCE(c3.cluster_id, kp.doc_id) AS BIGINT) AS flagged
+      FROM kept kp LEFT JOIN comp3 c3 USING (doc_id)""".stripMargin.trim
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase.updated(
     "q_bpe_merges", bpeMergesOracleSql(8)
+  ).updated(
+    "q_pipeline_retro_contam", retroContamOracleSql
+  ).updated(
+    "q_pipeline_retro_neardup", retroNearDupOracleSql
   ).updated(
     // the stats oracle wraps the LEDGER oracle as a derived table, so the
     // two cannot drift on any stage spelling
@@ -1009,7 +1160,13 @@ object SparkEntry {
                              plantFromSql: String = "",
                              finalWhere: String = "",
                              surfaceText: Boolean = false,
-                             quotePlants: Boolean = false): String = {
+                             quotePlants: Boolean = false,
+                             docsWhere: String = "",
+                             plants: Boolean = true,
+                             extraDocsSql: String = ""): String = {
+    // `docsWhere` restricts the input corpus itself (the retro oracle's
+    // batch1-only rebuild); `plants = false` drops the exact-dup plant
+    // too (CurateState.init judges the raw batch — no plants at all)
     // stage 1b: whole-token case-insensitive blocklist — list_has_any
     // over the lowered token list is DuckDB's spelling of Spark's
     // arrays_overlap (equivalence of the two engine spellings is
@@ -1046,9 +1203,11 @@ object SparkEntry {
                  FROM documents WHERE doc_id % 13 = 5$plantFromSql"""
     val shared = s"""
       WITH RECURSIVE
-      d AS (SELECT doc_id, text FROM documents
+      d AS (SELECT doc_id, text FROM documents$docsWhere${
+      if (plants) s"""
                  UNION ALL
-                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0$plantFromSql$nearPlantSql$quotePlantSql),
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0$plantFromSql"""
+      else ""}$nearPlantSql$quotePlantSql$extraDocsSql),
       m AS (SELECT doc_id, text,
         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

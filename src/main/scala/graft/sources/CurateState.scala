@@ -517,7 +517,9 @@ object CurateState {
     * b2 commit is fixture work here, memoized on its ledger dir —
     * replay-idempotent if the committing query already ran), then every
     * committed TRAIN doc scored against the full stored eval-gram
-    * universe. Rows-only driver check (the flagged set's equality with
+    * universe. Hash-checked since r19 (a first-principles DuckDB
+    * re-derivation of both committed ledgers + the coverage report);
+    * additionally (the flagged set's equality with
     * "rebuild-dropped minus already-dropped" is asserted in
     * PipelineSpec); every quality-passing train doc has >= 18 n-grams,
     * so the report covers each committed train doc exactly once —
@@ -552,9 +554,12 @@ object CurateState {
   // Decontamination is disabled for this state (contamMinPct = 101 —
   // cov_pct can never reach it) so the near-dup axis is isolated: every
   // exact+near-dup survivor is KEPT and B1b's flag cannot be masked by
-  // a split-dependent contamination drop. Rows-only driver check; the
-  // flagged == rebuild-merged equality is asserted in PipelineSpec on
-  // a controlled trio. --
+  // a split-dependent contamination drop. Hash-checked since r19 (the
+  // oracle re-derives batch1's rebuild, batch2's INCREMENTAL judge —
+  // the unordered plant ids break the union-restriction shortcut — and
+  // the rebuild component graph from the exact pair set); the
+  // flagged == rebuild-merged equality is additionally asserted in
+  // PipelineSpec on a controlled trio. --
 
   private def retroNdBatches(spark: SparkSession,
                              sfDir: String): (DataFrame, DataFrame) = {
