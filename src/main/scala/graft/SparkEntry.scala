@@ -275,17 +275,18 @@ object SparkEntry {
     "q_mm_frame_stats" -> (operators.Multimodal.frameStats _),
     // real PPM/PGM decode of the in-flight image view (native
     // ImageDecode expression — BMP and PNG paths spec-covered with
-    // golden pixels); rows-only because DuckDB cannot decode images,
-    // integer-exact values pinned in MultimodalSpec against an
-    // independent re-derivation from the raw text
+    // golden pixels); hash-checked since r20: the fixture text is
+    // ASCII so DuckDB re-derives the raster byte stats via
+    // ord(substr(...)), per-channel arrays scalarized to CSV strings
     "q_mm_decode" -> (operators.Multimodal.imageDecodeStats _),
     // real RIFF/PCM WAV decode of the in-flight audio view (native
-    // AudioDecode expression); rows-only for the same reason, exact
-    // values pinned in MultimodalSpec
+    // AudioDecode expression); hash-checked likewise — the oracle
+    // re-centers the text bytes and reproduces the exact integer RMS
     "q_mm_audio" -> (operators.Multimodal.audioStatsDocs _),
     // real RIFF/AVI video decode of the in-flight DIB-frame view
     // (native VideoDecode expression — the MJPEG path is spec-covered
-    // through an ImageIO JPEG round-trip); rows-only likewise
+    // through an ImageIO JPEG round-trip); hash-checked likewise —
+    // the oracle cycles the text bytes over the four BGR frame rasters
     "q_mm_video" -> (operators.Multimodal.videoStatsDocs _),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
@@ -2040,6 +2041,74 @@ object SparkEntry {
       SELECT mime, COUNT(*) AS n_frames,
              CAST(SUM(fl) AS BIGINT) AS total_frame_bytes
       FROM f GROUP BY mime""".stripMargin.trim),
+    // decode-triad oracles (r20): the in-flight views wrap the ASCII
+    // fixture text, so characters ARE payload bytes — DuckDB re-derives
+    // every per-channel stat with ord(substr(...)) and string_aggs the
+    // channels into the same CSV spelling the Spark side emits.
+    // q_mm_decode: P6 (even doc_id, 3 channels interleaved RGB over the
+    // first 192 bytes of rpad(text,192,'x')) / P5 (odd, 1 channel over
+    // the first 64); mean = floor(sum/64) — npix is 8x8 either way.
+    "q_mm_decode" -> ("""
+      WITH d AS (SELECT doc_id, rpad(text, 192, 'x') AS padded FROM documents),
+      px AS (SELECT doc_id,
+                    CASE WHEN doc_id % 2 = 0 THEN CAST((i - 1) % 3 AS INTEGER)
+                         ELSE 0 END AS ch,
+                    ord(substr(padded, CAST(i AS INTEGER), 1)) AS v
+             FROM d, (SELECT unnest(generate_series(
+                    1, CASE WHEN doc_id % 2 = 0 THEN 192 ELSE 64 END)) AS i)),
+      st AS (SELECT doc_id, ch, MIN(v) AS mn, MAX(v) AS mx,
+                    CAST(SUM(v) // 64 AS INTEGER) AS me
+             FROM px GROUP BY doc_id, ch),
+      agg AS (SELECT doc_id,
+                     string_agg(CAST(mn AS VARCHAR), ',' ORDER BY ch) AS ch_min,
+                     string_agg(CAST(mx AS VARCHAR), ',' ORDER BY ch) AS ch_max,
+                     string_agg(CAST(me AS VARCHAR), ',' ORDER BY ch) AS ch_mean
+              FROM st GROUP BY doc_id)
+      SELECT doc_id AS asset_id, TRUE AS decodable,
+             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+             CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+             ch_min, ch_max, ch_mean
+      FROM agg""".stripMargin.trim),
+    // q_mm_audio: PCM-8 re-centers bytes to [-128,127]; rms is the
+    // exact integer sqrt of sum(s^2) DIV n (values <= 128, so
+    // floor(sqrt(double)) is exact here)
+    "q_mm_audio" -> ("""
+      WITH s AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n,
+                        ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
+                 FROM documents,
+                      (SELECT unnest(generate_series(1, length(text))) AS i)),
+      st AS (SELECT doc_id, MAX(n) AS n, MIN(v) AS mn, MAX(v) AS mx,
+                    SUM(CAST(v AS BIGINT) * v) AS sq
+             FROM s GROUP BY doc_id)
+      SELECT doc_id AS asset_id, TRUE AS decodable, 'wav' AS format,
+             CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+             n AS n_frames,
+             CAST(CAST(n AS BIGINT) * 1000 // 8000 AS BIGINT) AS duration_ms,
+             CAST(mn AS VARCHAR) AS ch_min, CAST(mx AS VARCHAR) AS ch_max,
+             CAST(CAST(floor(sqrt(CAST(sq // n AS DOUBLE))) AS BIGINT) AS VARCHAR) AS ch_rms
+      FROM st""".stripMargin.trim),
+    // q_mm_video: 4 frames x 192 bytes of cyclically repeated text,
+    // disk order BGR (j%3 = 0,1,2 -> channel 2,1,0 of the R,G,B stats);
+    // per-channel pixel count is 4*64 = 256; duration 4*40000us = 160ms
+    "q_mm_video" -> ("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      px AS (SELECT doc_id, CAST(2 - ((src % 192) % 3) AS INTEGER) AS ch,
+                    ord(substr(text, CAST(src % n AS INTEGER) + 1, 1)) AS v
+             FROM d, (SELECT unnest(generate_series(0, 767)) AS src)),
+      st AS (SELECT doc_id, ch, MIN(v) AS mn, MAX(v) AS mx,
+                    CAST(SUM(v) // 256 AS INTEGER) AS me
+             FROM px GROUP BY doc_id, ch),
+      agg AS (SELECT doc_id,
+                     string_agg(CAST(mn AS VARCHAR), ',' ORDER BY ch) AS ch_min,
+                     string_agg(CAST(mx AS VARCHAR), ',' ORDER BY ch) AS ch_max,
+                     string_agg(CAST(me AS VARCHAR), ',' ORDER BY ch) AS ch_mean
+              FROM st GROUP BY doc_id)
+      SELECT doc_id AS asset_id, TRUE AS decodable, 'avi-dib' AS format,
+             CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             CAST(4 AS INTEGER) AS n_frames, CAST(160 AS BIGINT) AS duration_ms,
+             ch_min, ch_max, ch_mean
+      FROM agg""".stripMargin.trim),
     // featureNearDups: library+spec only — the stub features are
     // non-discriminative on this fixture (see Multimodal.scaladoc);
     // exact pair set asserted vs a driver-side reimplementation in

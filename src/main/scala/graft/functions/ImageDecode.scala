@@ -128,8 +128,15 @@ object ImageDecode {
     // the ubiquitous subset: BITMAPINFOHEADER(+), uncompressed 24-bit
     if (hdrSize < 40 || w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return null
     val h = math.abs(hRaw)
-    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > p.length) return null
+    // math.abs(Int.MinValue) is still negative — refuse, don't emit a
+    // bogus zero-pixel row
+    if (h <= 0) return null
+    // row size in LONG: a crafted width > ~715M overflows w*3 in Int,
+    // turning the bounds check below into a pass and the pixel scan
+    // into an out-of-bounds read (ADVICE r19) — undecodable means NULL
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > p.length) return null
+    val rowSize = rowSizeL.toInt // safe: bounded by p.length above
     // channel stats are row-order independent, so bottom-up vs top-down
     // needs no flip — only the padding must be skipped
     statsInterleaved("bmp", w, h, 3, p, dataOff,

@@ -135,8 +135,12 @@ object VideoDecode {
   /** Raw 24-bit DIB bits: bottom-up BGR rows padded to 4 bytes. */
   private def addDibFrame(p: Array[Byte], off: Int, size: Int,
                           w: Int, h: Int, acc: Acc): Boolean = {
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (rowSize.toLong * h > size) return false
+    // row size in LONG: an avih width > ~715M overflows w*3 in Int and
+    // a negative product would pass the bounds check while the pixel
+    // scan reads out of bounds (ADVICE r19) — refuse instead
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (rowSizeL * h > size) return false
+    val rowSize = rowSizeL.toInt // safe: bounded by the chunk size above
     var y = 0
     var i = off
     while (y < h) {

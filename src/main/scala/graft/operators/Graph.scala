@@ -23,14 +23,14 @@ import org.apache.spark.sql.functions._
   * twice; PageRank iterations reuse ONE persisted src-partitioned
   * adjacency across all steps, so each step shuffles only the
   * node-sized rank frame plus the contribution aggregate; triangle
-  * enumeration is the EDGE-ITERATOR with full (unoriented) adjacency
-  * lists — per-node state is bounded by that node's full degree, the
-  * standard adjacency-list trade ([[triangleStatsOn]]'s scaladoc), not
-  * the compact-forward O(sqrt m) orientation bound (orienting by
-  * (degree, id) would halve list sizes but needs a second assembly to
-  * credit all three corners per triangle; measured unnecessary at this
-  * degree distribution — revisit if a hub's full adjacency row ever
-  * dominates).
+  * enumeration is COMPACT-FORWARD since r19 ([[forwardAdjacency]]):
+  * each undirected edge is oriented up the (degree, id) order and the
+  * orientation filter runs BEFORE the groupBy, so no aggregation
+  * state ever holds a hub's full neighbor set — per-node forward
+  * lists are bounded by O(sqrt m), the classic compact-forward
+  * guarantee. Crediting all three corners per triangle is a per-edge
+  * explode over the intersected lists ([[triangleStatsOn]]), cheap
+  * next to the state bound it buys.
   */
 object Graph {
 

@@ -9,15 +9,17 @@ import graft.functions.ByteHistogram.byteHistogram
   * `binary` payload columns with typed metadata, flowing through the
   * same engine as text and embeddings.
   *
-  * IMAGE decode is REAL since r19: [[graft.functions.ImageDecode]] is a
-  * native expression genuinely parsing PPM/PGM/BMP payloads (pure-JVM
-  * parsers) and PNG (JDK `javax.imageio` — actual inflate + filter
-  * reconstruction), emitting integer-exact
-  * `(format, width, height, channels, per-channel min/max/mean)`.
-  * AUDIO/VIDEO decode remains honestly out of scope (no codecs in a
-  * stock JDK); for feature EXTRACTION beyond decode stats, the
-  * deterministic [[byteHistogram]] features stand in for an embedding
-  * model. All the Spark-side structure a production pipeline needs is
+  * The full decode TRIAD is REAL since r19: [[graft.functions.ImageDecode]]
+  * genuinely parses PPM/PGM/BMP payloads (pure-JVM parsers) and PNG
+  * (JDK `javax.imageio` — actual inflate + filter reconstruction),
+  * [[graft.functions.AudioDecode]] walks RIFF/PCM WAV (8/16-bit,
+  * exact integer RMS), and [[graft.functions.VideoDecode]] walks
+  * RIFF/AVI containers (raw 24-bit DIB frames exactly, MJPEG via
+  * ImageIO) — each a nullable codegen struct expression emitting
+  * integer-exact per-channel min/max/mean|rms stats. Only feature
+  * EXTRACTION beyond decode stats uses the deterministic
+  * [[byteHistogram]] stand-in for an embedding model (no ML runtime
+  * in a stock JDK). All the Spark-side structure a production pipeline needs is
   * real: binary columns survive parquet/shuffle untouched, metadata
   * travels in a struct, decode/extraction is a per-row projection (no
   * shuffle), and extracted features feed the existing similarity stack
@@ -83,13 +85,28 @@ object Multimodal {
         col("s.ch_min").as("ch_min"), col("s.ch_max").as("ch_max"),
         col("s.ch_mean").as("ch_mean"))
 
-  /** Driver spelling: decode stats over the in-flight image view —
-    * rows-only only because DuckDB cannot decode images; the values are
-    * integer-exact and MultimodalSpec pins them against an independent
-    * driver-side re-derivation from the raw text.
+  /** Driver-facing scalarization (r19 verdict #1): the per-channel
+    * ArrayType stats columns become "v0,v1,v2" CSV strings so the
+    * driver's recording path can sort rows (ndarray cells are
+    * unhashable in pandas) AND so a DuckDB oracle can reproduce them
+    * with `string_agg` — the decode triad is hash-checked since r20.
+    * NULL stays NULL for undecodable rows (bare concat_ws would
+    * coerce a null array to ""). The struct/array spelling
+    * ([[decodeStats]] et al.) remains the operator API.
+    */
+  private def scalarized(df: DataFrame, arrayCols: Seq[String]): DataFrame =
+    arrayCols.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col("decodable"), concat_ws(",", col(c).cast("array<string>")))))
+
+  /** Driver spelling: decode stats over the in-flight image view with
+    * the per-channel arrays scalarized to CSV strings; hash-checked
+    * against a DuckDB `ord(substr(...))` byte-stats oracle (the
+    * fixture text is ASCII, so characters ARE raster bytes), and
+    * pinned in MultimodalSpec against an independent re-derivation.
     */
   def imageDecodeStats(spark: SparkSession, sfDir: String): DataFrame =
-    decodeStats(encodedImages(spark, sfDir))
+    scalarized(decodeStats(encodedImages(spark, sfDir)),
+      Seq("ch_min", "ch_max", "ch_mean"))
 
   /** Deterministic in-flight AUDIO view — [[encodedImages]]' sibling:
     * each doc's text bytes become the sample data of a REAL PCM-8 mono
@@ -117,12 +134,15 @@ object Multimodal {
         col("s.ch_min").as("ch_min"), col("s.ch_max").as("ch_max"),
         col("s.ch_rms").as("ch_rms"))
 
-  /** Driver spelling: WAV decode stats over the in-flight audio view —
-    * rows-only (DuckDB cannot parse WAV); integer-exact values pinned
-    * in MultimodalSpec against an independent re-derivation.
+  /** Driver spelling: WAV decode stats over the in-flight audio view,
+    * per-channel arrays scalarized to CSV ([[scalarized]]); hash-checked
+    * against a DuckDB oracle re-deriving the sample stats (incl. the
+    * exact integer RMS) from the text bytes, and pinned in
+    * MultimodalSpec against an independent re-derivation.
     */
   def audioStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
-    audioDecodeStats(encodedAudio(spark, sfDir))
+    scalarized(audioDecodeStats(encodedAudio(spark, sfDir)),
+      Seq("ch_min", "ch_max", "ch_rms"))
 
   /** Deterministic in-flight VIDEO view — the triad's third member:
     * each doc's text bytes become four 8×8 24-bit DIB frames of a REAL
@@ -150,12 +170,15 @@ object Multimodal {
         col("s.ch_min").as("ch_min"), col("s.ch_max").as("ch_max"),
         col("s.ch_mean").as("ch_mean"))
 
-  /** Driver spelling: AVI decode stats over the in-flight video view —
-    * rows-only (DuckDB cannot parse AVI); integer-exact values pinned
-    * in MultimodalSpec against an independent re-derivation.
+  /** Driver spelling: AVI decode stats over the in-flight video view,
+    * per-channel arrays scalarized to CSV ([[scalarized]]); hash-checked
+    * against a DuckDB oracle cycling the text bytes over the four DIB
+    * frame rasters, and pinned in MultimodalSpec against an
+    * independent re-derivation.
     */
   def videoStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
-    videoDecodeStats(encodedVideo(spark, sfDir))
+    scalarized(videoDecodeStats(encodedVideo(spark, sfDir)),
+      Seq("ch_min", "ch_max", "ch_mean"))
 
   /** Feature extraction: 16-bin byte histogram of the payload as float
     * features — a deterministic stand-in for an embedding MODEL (decode

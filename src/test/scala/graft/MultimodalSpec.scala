@@ -200,12 +200,53 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeOne(corrupt) === None)
   }
 
+  /** Minimal 54-byte BMP header with attacker-controlled w/h fields. */
+  private def bmpHeader(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 to 3).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write('B'); out.write('M'); le32(54); le32(0); le32(54)
+    le32(40); le32(w); le32(h)
+    le16(1); le16(24); le32(0); le32(0)
+    le32(2835); le32(2835); le32(0); le32(0)
+    out.toByteArray
+  }
+
+  test("crafted BMP headers refuse as NULL instead of reading out of bounds") {
+    // width > ~715M overflows w*3 in Int: a negative rowSize would slip
+    // past the bounds check and the scan would throw (ADVICE r19)
+    assert(decodeOne(bmpHeader(0x30000000, 2)) === None)
+    // math.abs(Int.MinValue) stays negative: a zero-pixel bogus row
+    // must not be emitted
+    assert(decodeOne(bmpHeader(2, 0x80000000)) === None)
+    assert(decodeOne(bmpHeader(2, Int.MaxValue)) === None) // plain overrun
+  }
+
+  test("crafted AVI avih width refuses as NULL instead of reading out of bounds") {
+    val good = graft.functions.VideoDecode.wrap(
+      "bytes".getBytes("US-ASCII"), 8, 8, 1, 40000)
+    // patch the avih width field (RIFF 12 + LIST hdr 8 + 'hdrl' 4 +
+    // 'avih'+size 8 + 32 into the body = offset 64) to an Int-overflow
+    // width; the DIB frame bounds check must refuse in Long
+    val w = 0x30000000
+    (0 to 3).foreach(j => good(64 + j) = ((w >> (8 * j)) & 0xFF).toByte)
+    val rows = Seq(Tuple1(good)).toDF("payload")
+      .select(graft.functions.VideoDecode.videoStats(col("payload")).as("s"))
+      .filter(col("s").isNotNull).collect()
+    assert(rows.isEmpty)
+  }
+
   test("q_mm_decode equals an independent re-derivation from the raw text") {
+    // driver spelling scalarizes the channel arrays to CSV (r20)
     val got = Multimodal.imageDecodeStats(spark, sf)
       .select(col("asset_id"), col("format"), col("width"), col("height"),
         col("channels"), col("ch_min"), col("ch_max"), col("ch_mean"))
-      .as[(Long, String, Int, Int, Int, Seq[Int], Seq[Int], Seq[Int])]
+      .as[(Long, String, Int, Int, Int, String, String, String)]
       .collect().toSeq.sortBy(_._1)
+      .map(t => (t._1, t._2, t._3, t._4, t._5,
+        t._6.split(",").toSeq.map(_.toInt),
+        t._7.split(",").toSeq.map(_.toInt),
+        t._8.split(",").toSeq.map(_.toInt)))
     assert(got.nonEmpty)
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect().toMap
@@ -304,11 +345,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("q_mm_audio equals an independent re-derivation from the raw text") {
+    // driver spelling scalarizes the channel arrays to CSV (r20)
     val got = Multimodal.audioStatsDocs(spark, sf)
       .select(col("asset_id"), col("decodable"), col("sample_rate"),
         col("channels"), col("n_frames"), col("ch_min"), col("ch_max"), col("ch_rms"))
-      .as[(Long, Boolean, Int, Int, Int, Seq[Int], Seq[Int], Seq[Int])]
+      .as[(Long, Boolean, Int, Int, Int, String, String, String)]
       .collect().toSeq
+      .map(t => (t._1, t._2, t._3, t._4, t._5,
+        t._6.split(",").toSeq.map(_.toInt),
+        t._7.split(",").toSeq.map(_.toInt),
+        t._8.split(",").toSeq.map(_.toInt)))
     assert(got.nonEmpty && got.forall(_._2), "every in-flight WAV must decode")
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect().toMap
@@ -417,12 +463,17 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("q_mm_video equals an independent re-derivation from the raw text") {
+    // driver spelling scalarizes the channel arrays to CSV (r20)
     val got = Multimodal.videoStatsDocs(spark, sf)
       .select(col("asset_id"), col("decodable"), col("format"), col("width"),
         col("height"), col("n_frames"), col("duration_ms"),
         col("ch_min"), col("ch_max"), col("ch_mean"))
-      .as[(Long, Boolean, String, Int, Int, Int, Long, Seq[Int], Seq[Int], Seq[Int])]
+      .as[(Long, Boolean, String, Int, Int, Int, Long, String, String, String)]
       .collect().toSeq
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7,
+        t._8.split(",").toSeq.map(_.toInt),
+        t._9.split(",").toSeq.map(_.toInt),
+        t._10.split(",").toSeq.map(_.toInt)))
     assert(got.nonEmpty && got.forall(_._2), "every in-flight AVI must decode")
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect().toMap
