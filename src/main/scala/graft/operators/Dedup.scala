@@ -1084,10 +1084,15 @@ object Dedup {
     // initialization IS the first propagation round: every node starts
     // at min(self, neighbors) — one aggregation over the edge list,
     // saving a full join round (every node has >= 1 edge by construction)
+    // localCheckpoint(eager = false) throughout: the labelSum aggregate
+    // that immediately follows every checkpoint materializes it anyway,
+    // so the eager default paid one full extra job per round (profiled
+    // on the r20 live-judge triage — CC rounds were half checkpoint
+    // overhead on small pair graphs)
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("mv"))
       .select(col("doc_id"), least(col("doc_id"), col("mv")).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
@@ -1102,7 +1107,7 @@ object Dedup {
         .union(labels)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -418,12 +418,32 @@ object CurateState {
       .join(nearLosers.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("split",
         when(col("fp") < lit(splitThreshold), lit("train")).otherwise(lit("eval")))
-    val grams = graft.CacheScope.track(survivors
-      .select(col("doc_id"), col("split"),
-        TextOps.shingles(col("text"), contamN).as("ngs"))
-      .select(col("doc_id"), col("split"),
-        size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
-      .persist())
+    // shingle REUSE: when the pinned contamN equals the dedup shingle
+    // width (the driver config: both 3), this projection is spelled to
+    // canonically match the near-dup stage's persisted shingle frame
+    // (same source frame, same alias/filter shape as Dedup's
+    // docShingles), so Spark's cache manager serves it from memory —
+    // one shingle pass over the batch feeds dedup AND decontamination
+    // instead of two (r19 verdict #4 profiling: the gram pass was a
+    // full re-shingle of the survivor text). Sort order is irrelevant
+    // post-explode; docs with zero shingles contribute no gram rows in
+    // either spelling. A contamN ≠ ShingleN config keeps the direct
+    // per-survivor spelling.
+    val gramSrc =
+      if (contamN == Dedup.ShingleN)
+        cand.select(col("doc_id"),
+            sort_array(TextOps.shingles(col("text"), contamN)).as("sh"))
+          .withColumn("sz", size(col("sh")))
+          .filter(col("sz") > 0)
+          .join(survivors.select(col("doc_id"), col("split")), Seq("doc_id"))
+          .select(col("doc_id"), col("split"),
+            col("sz").cast("long").as("n_ngrams"), explode(col("sh")).as("ng"))
+      else survivors
+        .select(col("doc_id"), col("split"),
+          TextOps.shingles(col("text"), contamN).as("ngs"))
+        .select(col("doc_id"), col("split"),
+          size(col("ngs")).cast("long").as("n_ngrams"), explode(col("ngs")).as("ng"))
+    val grams = graft.CacheScope.track(gramSrc.persist())
     val batchEvalGrams = grams.filter(col("split") === "eval")
       .select(col("ng")).distinct()
     val evalUnion = batchEvalGrams
