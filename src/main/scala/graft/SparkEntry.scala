@@ -288,6 +288,17 @@ object SparkEntry {
     // through an ImageIO JPEG round-trip); hash-checked likewise —
     // the oracle cycles the text bytes over the four BGR frame rasters
     "q_mm_video" -> (operators.Multimodal.videoStatsDocs _),
+    // REAL image resize (r20): decode → 2x2 integer box-average →
+    // re-encode as netpbm → decode AGAIN — the round-trip runs through
+    // the real decoder twice; hash-checked (the oracle recomputes every
+    // block mean from the text bytes)
+    "q_mm_resize" -> (operators.Multimodal.imageResizeStats _),
+    // REAL per-frame video stats (r20): frame sampling on the real AVI
+    // container, one row per decoded frame; hash-checked
+    "q_mm_video_frames" -> (operators.Multimodal.videoFrameStatsDocs _),
+    // REAL windowed audio RMS (r20): the energy-contour primitive over
+    // 64-frame windows, final short window honest; hash-checked
+    "q_mm_audio_windows" -> ((s, d) => operators.Multimodal.audioWindowStatsDocs(s, d)),
     // -- non-parquet sources (SURVEY.md §2.2 scans row): csv/json round-trips --
     "q_csv_nation_region" -> ((s, d) =>
       sources.Roundtrip.csv(s, d, "nation")
@@ -2109,6 +2120,72 @@ object SparkEntry {
              CAST(4 AS INTEGER) AS n_frames, CAST(160 AS BIGINT) AS duration_ms,
              ch_min, ch_max, ch_mean
       FROM agg""".stripMargin.trim),
+    // q_mm_resize: the 8x8 view resized 2x to 4x4 — output pixel
+    // (ox,oy,ch) = floor(mean of the 2x2 input block); stats over the
+    // 16 output pixels; mean = floor(sum/16)
+    "q_mm_resize" -> ("""
+      WITH d AS (SELECT doc_id, rpad(text, 192, 'x') AS padded FROM documents),
+      ob AS (SELECT doc_id, padded, CAST(o % 4 AS INTEGER) AS ox,
+                    CAST(o // 4 AS INTEGER) AS oy, CAST(ch AS INTEGER) AS ch
+             FROM d,
+                  (SELECT unnest(generate_series(0, 15)) AS o),
+                  (SELECT unnest(generate_series(0, 2)) AS ch)
+             WHERE doc_id % 2 = 0 OR ch = 0),
+      ib AS (SELECT doc_id, ch, oy, ox,
+               ord(substr(padded, CAST(CASE WHEN doc_id % 2 = 0
+                   THEN 1 + ((2*oy + dy) * 8 + (2*ox + dx)) * 3 + ch
+                   ELSE 1 + (2*oy + dy) * 8 + (2*ox + dx) END AS INTEGER), 1)) AS b
+             FROM ob,
+                  (SELECT unnest(generate_series(0, 1)) AS dy),
+                  (SELECT unnest(generate_series(0, 1)) AS dx)),
+      opx AS (SELECT doc_id, ch, oy, ox, SUM(b) // 4 AS v
+              FROM ib GROUP BY doc_id, ch, oy, ox),
+      st AS (SELECT doc_id, ch, MIN(v) AS mn, MAX(v) AS mx, SUM(v) // 16 AS me
+             FROM opx GROUP BY doc_id, ch),
+      agg AS (SELECT doc_id,
+                     string_agg(CAST(mn AS VARCHAR), ',' ORDER BY ch) AS ch_min,
+                     string_agg(CAST(mx AS VARCHAR), ',' ORDER BY ch) AS ch_max,
+                     string_agg(CAST(me AS VARCHAR), ',' ORDER BY ch) AS ch_mean
+              FROM st GROUP BY doc_id)
+      SELECT doc_id AS asset_id, TRUE AS decodable,
+             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'pgm' END AS format,
+             CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+             ch_min, ch_max, ch_mean
+      FROM agg""".stripMargin.trim),
+    // q_mm_video_frames: the q_mm_video byte model PER FRAME — frame f
+    // covers src = f*192 + j, per-channel pixel count 64
+    "q_mm_video_frames" -> ("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      px AS (SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+                    CAST(2 - (j % 3) AS INTEGER) AS ch,
+                    ord(substr(text, CAST((f * 192 + j) % n AS INTEGER) + 1, 1)) AS v
+             FROM d,
+                  (SELECT unnest(generate_series(0, 3)) AS f),
+                  (SELECT unnest(generate_series(0, 191)) AS j)),
+      st AS (SELECT doc_id, frame_no, ch, MIN(v) AS mn, MAX(v) AS mx,
+                    SUM(v) // 64 AS me
+             FROM px GROUP BY doc_id, frame_no, ch),
+      agg AS (SELECT doc_id, frame_no,
+                     string_agg(CAST(mn AS VARCHAR), ',' ORDER BY ch) AS ch_min,
+                     string_agg(CAST(mx AS VARCHAR), ',' ORDER BY ch) AS ch_max,
+                     string_agg(CAST(me AS VARCHAR), ',' ORDER BY ch) AS ch_mean
+              FROM st GROUP BY doc_id, frame_no)
+      SELECT doc_id AS asset_id, frame_no, ch_min, ch_max, ch_mean
+      FROM agg""".stripMargin.trim),
+    // q_mm_audio_windows: per-64-frame-window RMS, exact integer sqrt
+    // (values <= 128 — floor(sqrt(double)) exact), final window short
+    "q_mm_audio_windows" -> ("""
+      WITH s AS (SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS window_no,
+                        ord(substr(text, CAST(i AS INTEGER), 1)) - 128 AS v
+                 FROM documents,
+                      (SELECT unnest(generate_series(1, length(text))) AS i)),
+      st AS (SELECT doc_id, window_no, COUNT(*) AS cnt,
+                    SUM(CAST(v AS BIGINT) * v) AS sq
+             FROM s GROUP BY doc_id, window_no)
+      SELECT doc_id AS asset_id, window_no, CAST(cnt AS INTEGER) AS n_frames,
+             CAST(CAST(floor(sqrt(CAST(sq // cnt AS DOUBLE))) AS BIGINT) AS VARCHAR) AS ch_rms
+      FROM st""".stripMargin.trim),
     // featureNearDups: library+spec only — the stub features are
     // non-discriminative on this fixture (see Multimodal.scaladoc);
     // exact pair set asserted vs a driver-side reimplementation in

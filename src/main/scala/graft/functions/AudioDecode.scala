@@ -78,7 +78,13 @@ object AudioDecode {
     r.toInt
   }
 
-  def compute(p: Array[Byte]): Decoded = {
+  /** Located PCM payload: (data offset, data size, rate, channels,
+    * bits) — the shared product of the RIFF chunk walk.
+    */
+  private final case class Pcm(off: Int, size: Int, sampleRate: Int,
+                               channels: Int, bits: Int)
+
+  private def findPcm(p: Array[Byte]): Pcm = {
     if (p == null || p.length < 44) return null
     if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return null
     // RIFF chunk walk: fmt must precede data; unknown chunks skipped
@@ -101,11 +107,17 @@ object AudioDecode {
         haveFmt = true
       } else if (tag(p, i, "data")) {
         if (!haveFmt) return null
-        return pcmStats(p, i + 8, size, sampleRate, channels, bits)
+        return Pcm(i + 8, size, sampleRate, channels, bits)
       }
       i += 8 + size + (size & 1) // chunks pad to even offsets
     }
     null
+  }
+
+  def compute(p: Array[Byte]): Decoded = {
+    val pcm = findPcm(p)
+    if (pcm == null) null
+    else pcmStats(p, pcm.off, pcm.size, pcm.sampleRate, pcm.channels, pcm.bits)
   }
 
   private def pcmStats(p: Array[Byte], off: Int, size: Int,
@@ -136,6 +148,63 @@ object AudioDecode {
     }
     Decoded(sampleRate, channels, nFrames, mins, maxs,
       sq.map(x => isqrt(x / nFrames)))
+  }
+
+  /** WINDOWED energy contour (r20 — the standard audio feature-
+    * extraction primitive: per-window RMS over fixed frame windows, the
+    * shape every VAD / loudness / segmentation stage consumes): one
+    * struct per `windowFrames`-frame window — (window_no, n_frames,
+    * per-channel RMS via the same exact integer sqrt as the whole-file
+    * stats). The final window may be short (its true frame count is in
+    * `n_frames`); NULL for anything [[compute]] refuses — same walk,
+    * same refusal set. Per-row projection, zero shuffle.
+    */
+  val windowStatsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("window_no", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("ch_rms", ArrayType(IntegerType, containsNull = false), nullable = false))),
+    containsNull = false)
+
+  def audioWindowStats(payload: Column, windowFrames: Int): Column = {
+    require(windowFrames >= 1, s"windowFrames=$windowFrames must be >= 1")
+    CatalystBridge.column(AudioWindowStatsExpr(
+      CatalystBridge.expression(payload), windowFrames))
+  }
+
+  def computeWindows(p: Array[Byte], windowFrames: Int): GenericArrayData = {
+    val pcm = findPcm(p)
+    if (pcm == null) return null
+    val bytesPerSample = pcm.bits / 8
+    val frameBytes = pcm.channels * bytesPerSample
+    val nFrames = pcm.size / frameBytes
+    if (nFrames <= 0) return null
+    val nWin = (nFrames + windowFrames - 1) / windowFrames
+    val rows = new Array[Any](nWin)
+    var wi = 0
+    while (wi < nWin) {
+      val f0 = wi * windowFrames
+      val f1 = math.min(nFrames, f0 + windowFrames)
+      val cnt = f1 - f0
+      val sq = new Array[Long](pcm.channels)
+      var f = f0
+      var i = pcm.off + f0 * frameBytes
+      while (f < f1) {
+        var c = 0
+        while (c < pcm.channels) {
+          val s =
+            if (pcm.bits == 8) (p(i) & 0xFF) - 128
+            else le16(p, i).toShort.toInt
+          sq(c) += s.toLong * s
+          c += 1
+          i += bytesPerSample
+        }
+        f += 1
+      }
+      rows(wi) = new GenericInternalRow(Array[Any](
+        wi, cnt, new GenericArrayData(sq.map(x => isqrt(x / cnt)))))
+      wi += 1
+    }
+    new GenericArrayData(rows)
   }
 
   /** Deterministic WAV BUILDER (the ingest-side fixture-view helper,
@@ -192,6 +261,31 @@ case class AudioStatsExpr(child: Expression) extends UnaryExpression {
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
+    copy(child = newChild)
+}
+
+case class AudioWindowStatsExpr(child: Expression, windowFrames: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = AudioDecode.windowStatsType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"audio_window_stats expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioDecode.computeWindows(input.asInstanceOf[Array[Byte]], windowFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.AudioDecode.computeWindows($c, $windowFrames);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioWindowStatsExpr =
     copy(child = newChild)
 }
 

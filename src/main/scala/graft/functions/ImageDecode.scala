@@ -177,6 +177,91 @@ object ImageDecode {
     Decoded(fmt, w, h, c, mins, maxs, sums.map(s => (s / npix).toInt))
   }
 
+  /** REAL image RESIZE for the netpbm subset (r20 — retires the
+    * feature-pooling "resize" stand-in as the only downsampling path):
+    * decode a P5/P6 payload, box-average each `factor`×`factor` block
+    * with exact integer floor division, re-encode as the same format —
+    * a decode → transform → re-encode stage whose output is itself a
+    * valid image [[compute]] accepts. Trailing rows/columns that do not
+    * fill a block are truncated (deterministic, the standard integer
+    * downsample contract); NULL for non-PNM payloads, maxval > 255, or
+    * an output dimension of zero. Per-row projection, zero shuffle.
+    */
+  def resizePnm(payload: Column, factor: Int): Column = {
+    require(factor >= 1, s"resize factor=$factor must be >= 1")
+    CatalystBridge.column(
+      ResizePnmExpr(CatalystBridge.expression(payload), factor))
+  }
+
+  def computeResize(p: Array[Byte], factor: Int): Array[Byte] = {
+    if (p == null || p.length < 10) return null
+    if (p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return null
+    val channels = if (p(1) == '6') 3 else 1
+    // header parse: the decodePnm discipline (comments, arbitrary ws,
+    // exactly one ws byte before the raster)
+    var i = 2
+    val hdr = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      var skipping = true
+      while (skipping && i < p.length) {
+        if (isWs(p(i))) i += 1
+        else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else skipping = false
+      }
+      if (i >= p.length || p(i) < '0' || p(i) > '9') return null
+      var x = 0L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        x = x * 10 + (p(i) - '0')
+        if (x > Int.MaxValue) return null
+        i += 1
+      }
+      hdr(v) = x.toInt
+      v += 1
+    }
+    if (i >= p.length || !isWs(p(i))) return null
+    i += 1
+    val (w, h, maxv) = (hdr(0), hdr(1), hdr(2))
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return null
+    val need = w.toLong * h * channels
+    if (need > Int.MaxValue || (p.length - i).toLong < need) return null
+    val ow = w / factor
+    val oh = h / factor
+    if (ow <= 0 || oh <= 0) return null
+    val header = (if (channels == 3) "P6" else "P5") + s"\n$ow $oh\n255\n"
+    val hb = header.getBytes("US-ASCII")
+    val out = new Array[Byte](hb.length + ow * oh * channels)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    val div = factor * factor
+    var oy = 0
+    var o = hb.length
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        while (c < channels) {
+          var sum = 0L
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            val rowBase = i + ((oy * factor + dy).toLong * w).toInt * channels
+            while (dx < factor) {
+              sum += (p(rowBase + (ox * factor + dx) * channels + c) & 0xFF)
+              dx += 1
+            }
+            dy += 1
+          }
+          out(o) = (sum / div).toByte
+          o += 1
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   // In-memory only: ImageIO's default stream cache writes a temp FILE
   // per read — at per-row decode rates that is accidental disk I/O
   javax.imageio.ImageIO.setUseCache(false)
@@ -265,5 +350,31 @@ case class ImageStatsExpr(child: Expression) extends UnaryExpression {
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ImageStatsExpr =
+    copy(child = newChild)
+}
+
+case class ResizePnmExpr(child: Expression, factor: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  // non-PNM / truncated / zero-output payloads yield NULL
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"resize_pnm expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ImageDecode.computeResize(input.asInstanceOf[Array[Byte]], factor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ImageDecode.computeResize($c, $factor);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ResizePnmExpr =
     copy(child = newChild)
 }

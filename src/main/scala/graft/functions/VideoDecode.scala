@@ -132,6 +132,62 @@ object VideoDecode {
       acc.sums.map(s => (s / acc.pixels).toInt))
   }
 
+  /** PER-FRAME stats (r20 — real frame SAMPLING on a real container,
+    * retiring the byte-slice "frame" stand-in as the only per-frame
+    * path): one struct per decoded frame, RGB channel stats over that
+    * frame's pixels alone. NULL for anything [[compute]] refuses —
+    * same walk, same refusal set.
+    */
+  val frameStatsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("ch_min", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_max", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ch_mean", ArrayType(IntegerType, containsNull = false), nullable = false))),
+    containsNull = false)
+
+  def videoFrameStats(payload: Column): Column =
+    CatalystBridge.column(VideoFrameStatsExpr(CatalystBridge.expression(payload)))
+
+  def computeFrames(p: Array[Byte]): GenericArrayData = {
+    if (p == null || p.length < 64) return null
+    if (!tag(p, 0, "RIFF") || !tag(p, 8, "AVI ")) return null
+    var w = 0
+    var h = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[GenericInternalRow]
+    var i = 12
+    while (i + 8 <= p.length) {
+      val isList = tag(p, i, "LIST")
+      val size = le32(p, i + 4)
+      if (size < 0 || i + 8 + size.toLong > p.length) return null
+      if (isList) {
+        i += 12
+      } else {
+        if (tag(p, i, "avih")) {
+          if (size < 40) return null
+          val usPerFrame = le32(p, i + 8).toLong & 0xFFFFFFFFL
+          w = le32(p, i + 8 + 32)
+          h = le32(p, i + 8 + 36)
+          if (w <= 0 || h <= 0 || usPerFrame <= 0) return null
+        } else if (i + 8 + size <= p.length &&
+          (p(i + 2) == 'd' && (p(i + 3) == 'b' || p(i + 3) == 'c'))) {
+          if (w <= 0) return null
+          val acc = new Acc // fresh per frame: stats describe THIS frame
+          val ok =
+            if (p(i + 3) == 'b') addDibFrame(p, i + 8, size, w, h, acc)
+            else addImageIoFrame(p, i + 8, size, w, h, acc)
+          if (!ok || acc.pixels == 0) return null
+          rows += new GenericInternalRow(Array[Any](
+            rows.size,
+            new GenericArrayData(acc.mins), new GenericArrayData(acc.maxs),
+            new GenericArrayData(acc.sums.map(s => (s / acc.pixels).toInt))))
+        }
+        i += 8 + size + (size & 1)
+      }
+    }
+    if (rows.isEmpty) return null
+    new GenericArrayData(rows.toArray[Any])
+  }
+
   /** Raw 24-bit DIB bits: bottom-up BGR rows padded to 4 bytes. */
   private def addDibFrame(p: Array[Byte], off: Int, size: Int,
                           w: Int, h: Int, acc: Acc): Boolean = {
@@ -261,6 +317,30 @@ case class VideoStatsExpr(child: Expression) extends UnaryExpression {
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): VideoStatsExpr =
+    copy(child = newChild)
+}
+
+case class VideoFrameStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = VideoDecode.frameStatsType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"video_frame_stats expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoDecode.computeFrames(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.VideoDecode.computeFrames($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameStatsExpr =
     copy(child = newChild)
 }
 

@@ -108,6 +108,25 @@ object Multimodal {
     scalarized(decodeStats(encodedImages(spark, sfDir)),
       Seq("ch_min", "ch_max", "ch_mean"))
 
+  /** REAL image RESIZE (r20): the in-flight image view box-downsampled
+    * 8×8 → 4×4 by [[graft.functions.ImageDecode.resizePnm]] — an
+    * actual decode → integer box-average → re-encode per row, whose
+    * output is itself a decodable netpbm payload.
+    */
+  def resizedImages(spark: SparkSession, sfDir: String,
+                    factor: Int = 2): DataFrame =
+    encodedImages(spark, sfDir).select(col("asset_id"),
+      graft.functions.ImageDecode.resizePnm(col("payload"), factor).as("payload"))
+
+  /** Driver spelling: decode stats of the RESIZED image view (the
+    * round-trip proof — the resized payload re-enters the real
+    * decoder), arrays scalarized to CSV; hash-checked against a DuckDB
+    * oracle computing every 2×2 integer block mean from the text bytes.
+    */
+  def imageResizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    scalarized(decodeStats(resizedImages(spark, sfDir)),
+      Seq("ch_min", "ch_max", "ch_mean"))
+
   /** Deterministic in-flight AUDIO view — [[encodedImages]]' sibling:
     * each doc's text bytes become the sample data of a REAL PCM-8 mono
     * 8 kHz WAV (header emitted by the native wrap expression; any byte
@@ -179,6 +198,37 @@ object Multimodal {
   def videoStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
     scalarized(videoDecodeStats(encodedVideo(spark, sfDir)),
       Seq("ch_min", "ch_max", "ch_mean"))
+
+  /** REAL per-frame video stats (r20 — frame SAMPLING on a real
+    * container, the per-frame fan-out [[sampleFrames]] stubs with byte
+    * slices): one row per decoded AVI frame with that frame's own RGB
+    * channel stats, CSV-scalarized. Undecodable assets contribute no
+    * frame rows (the per-asset `decodable` flag lives on the
+    * container-level [[videoDecodeStats]]).
+    */
+  def videoFrameStatsDocs(spark: SparkSession, sfDir: String): DataFrame =
+    encodedVideo(spark, sfDir)
+      .select(col("asset_id"),
+        explode(graft.functions.VideoDecode.videoFrameStats(col("payload"))).as("f"))
+      .select(col("asset_id"), col("f.frame_no").as("frame_no"),
+        concat_ws(",", col("f.ch_min").cast("array<string>")).as("ch_min"),
+        concat_ws(",", col("f.ch_max").cast("array<string>")).as("ch_max"),
+        concat_ws(",", col("f.ch_mean").cast("array<string>")).as("ch_mean"))
+
+  /** REAL windowed audio energy contour (r20): per-64-frame-window RMS
+    * over the in-flight WAV view — the VAD/loudness-segmentation
+    * primitive — CSV-scalarized; the final short window reports its
+    * true frame count.
+    */
+  def audioWindowStatsDocs(spark: SparkSession, sfDir: String,
+                           windowFrames: Int = 64): DataFrame =
+    encodedAudio(spark, sfDir)
+      .select(col("asset_id"),
+        explode(graft.functions.AudioDecode.audioWindowStats(
+          col("payload"), windowFrames)).as("w"))
+      .select(col("asset_id"), col("w.window_no").as("window_no"),
+        col("w.n_frames").as("n_frames"),
+        concat_ws(",", col("w.ch_rms").cast("array<string>")).as("ch_rms"))
 
   /** Feature extraction: 16-bin byte histogram of the payload as float
     * features — a deterministic stand-in for an embedding MODEL (decode

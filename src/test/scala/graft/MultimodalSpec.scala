@@ -484,6 +484,155 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- r20 real transforms: resize / per-frame / windowed RMS ----
+
+  private def resizeOne(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    val rows = Seq(Tuple1(payload)).toDF("payload")
+      .select(graft.functions.ImageDecode.resizePnm(col("payload"), factor).as("r"))
+      .filter(col("r").isNotNull).as[Array[Byte]].collect()
+    rows.headOption
+  }
+
+  test("PNM resize: golden 4x2 P6 box means, output re-decodes, refusals NULL") {
+    // 4x2 P6, factor 2 -> 2x1; block means are exact integer floors
+    val raster = Array(
+      10, 0, 0, 20, 0, 0, 100, 5, 1, 103, 5, 2, // row 0
+      30, 0, 0, 43, 0, 0, 101, 5, 3, 102, 5, 6 // row 1
+    ).map(_.toByte)
+    val p = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ raster
+    val out = resizeOne(p, 2).get
+    // (10+20+30+43)/4 = 25; (100+103+101+102)/4 = 101; (1+2+3+6)/4 = 3
+    assert(new String(out.take(11), "US-ASCII") === "P6\n2 1\n255\n")
+    assert(out.drop(11).map(_ & 0xFF).toSeq === Seq(25, 0, 0, 101, 5, 3))
+    // the re-encoded payload is itself decodable by the real decoder
+    assert(decodeOne(out) ===
+      Some(("ppm", 2, 1, 3, Seq(25, 0, 0), Seq(101, 5, 3), Seq(63, 2, 1))))
+    // grayscale path
+    val g = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array(1, 2, 3, 6).map(_.toByte)
+    assert(resizeOne(g, 2).map(_.toSeq) ===
+      Some(("P5\n1 1\n255\n".getBytes("US-ASCII") :+ 3.toByte).toSeq))
+    // refusals: non-PNM, factor exceeding dims, truncated raster
+    assert(resizeOne("BMnot a pnm image".getBytes("US-ASCII"), 2) === None)
+    assert(resizeOne(g, 4) === None) // 2x2 / 4 -> zero output
+    assert(resizeOne("P6\n8 8\n255\nabc".getBytes("US-ASCII"), 2) === None)
+  }
+
+  test("q_mm_resize equals an independent box-mean re-derivation from the raw text") {
+    val got = Multimodal.imageResizeStats(spark, sf)
+      .select(col("asset_id"), col("decodable"), col("format"), col("width"),
+        col("height"), col("channels"), col("ch_min"), col("ch_max"), col("ch_mean"))
+      .as[(Long, Boolean, String, Int, Int, Int, String, String, String)]
+      .collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2), "every resized view must re-decode")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, fmt, w, h, c, minsCsv, maxsCsv, meansCsv) =>
+      val cc = if (id % 2 == 0) 3 else 1
+      assert((fmt, w, h, c) === (if (id % 2 == 0) "ppm" else "pgm", 4, 4, cc))
+      val text = texts(id)
+      val padded =
+        if (text.length >= 192) text.substring(0, 192)
+        else text + ("x" * (192 - text.length))
+      val bytes = padded.getBytes("UTF-8").map(_ & 0xFF)
+      def in(x: Int, y: Int, ch: Int): Int =
+        if (cc == 3) bytes((y * 8 + x) * 3 + ch) else bytes(y * 8 + x)
+      (0 until cc).foreach { ch =>
+        val outPix = for (oy <- 0 until 4; ox <- 0 until 4) yield
+          (in(2 * ox, 2 * oy, ch) + in(2 * ox + 1, 2 * oy, ch) +
+            in(2 * ox, 2 * oy + 1, ch) + in(2 * ox + 1, 2 * oy + 1, ch)) / 4
+        val (mins, maxs, means) = (minsCsv.split(",").map(_.toInt),
+          maxsCsv.split(",").map(_.toInt), meansCsv.split(",").map(_.toInt))
+        assert(mins(ch) === outPix.min, s"doc $id ch $ch min")
+        assert(maxs(ch) === outPix.max, s"doc $id ch $ch max")
+        assert(means(ch) === outPix.map(_.toLong).sum / 16, s"doc $id ch $ch mean")
+      }
+    }
+  }
+
+  test("per-frame video stats: each frame's stats stand alone (golden wrap)") {
+    // 2 frames of 2x1: payload cycles, so frame bytes differ per frame
+    val payload = Array(10, 20, 30, 40, 50, 60, 70).map(_.toByte)
+    val avi = graft.functions.VideoDecode.wrap(payload, 2, 1, 2, 40000)
+    val rows = Seq(Tuple1(avi)).toDF("p")
+      .select(posexplode(graft.functions.VideoDecode.videoFrameStats(col("p")))
+        .as(Seq("i", "f")))
+      .select(col("f.frame_no"), col("f.ch_min"), col("f.ch_max"), col("f.ch_mean"))
+      .as[(Int, Seq[Int], Seq[Int], Seq[Int])].collect().toSeq.sortBy(_._1)
+    // rowSize pads 2*3=6 to 8: frame bytes = [b g r b g r pad pad],
+    // src runs over payload cyclically INCLUDING the pad writes? no —
+    // wrap writes pads as zero without consuming payload; frame 0 data
+    // = 10,20,30,40,50,60; frame 1 = 70,10,20,30,40,50
+    assert(rows === Seq(
+      (0, Seq(30, 20, 10).zip(Seq(60, 50, 40)).map(_._1),
+        Seq(60, 50, 40), Seq((30 + 60) / 2, (20 + 50) / 2, (10 + 40) / 2)),
+      (1, Seq(20, 10, 70).zip(Seq(50, 40, 30)).map(x => math.min(x._1, x._2)),
+        Seq(20, 10, 70).zip(Seq(50, 40, 30)).map(x => math.max(x._1, x._2)),
+        Seq((20 + 50) / 2, (10 + 40) / 2, (70 + 30) / 2))))
+  }
+
+  test("q_mm_video_frames equals an independent per-frame re-derivation") {
+    val got = Multimodal.videoFrameStatsDocs(spark, sf)
+      .select(col("asset_id"), col("frame_no"),
+        col("ch_min"), col("ch_max"), col("ch_mean"))
+      .as[(Long, Int, String, String, String)].collect().toSeq
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got.map(_._1).distinct.size * 4 === got.size, "4 frames per asset")
+    got.foreach { case (id, f, minsCsv, maxsCsv, meansCsv) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      def ch(rgb: Int): Seq[Int] = {
+        val disk = 2 - rgb
+        (0 until 192).collect { case j if j % 3 == disk =>
+          bytes((f * 192 + j) % bytes.length) & 0xFF
+        }
+      }
+      val chans = (0 until 3).map(ch)
+      assert(minsCsv.split(",").map(_.toInt).toSeq === chans.map(_.min), s"doc $id f $f")
+      assert(maxsCsv.split(",").map(_.toInt).toSeq === chans.map(_.max), s"doc $id f $f")
+      assert(meansCsv.split(",").map(_.toInt).toSeq ===
+        chans.map(s => (s.map(_.toLong).sum / 64).toInt), s"doc $id f $f")
+    }
+  }
+
+  test("windowed audio RMS: golden windows incl. the short final one") {
+    // 5 PCM-8 samples, window 2 -> windows of 2,2,1 frames
+    val wav = graft.functions.AudioDecode.wrap(
+      Array(128 + 3, 128 - 4, 128, 128 + 10, 128 - 5).map(_.toByte), 8000)
+    val rows = Seq(Tuple1(wav)).toDF("p")
+      .select(posexplode(graft.functions.AudioDecode.audioWindowStats(col("p"), 2))
+        .as(Seq("i", "w")))
+      .select(col("w.window_no"), col("w.n_frames"), col("w.ch_rms"))
+      .as[(Int, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    def rms(ss: Int*): Int = isqrtRef(ss.map(s => s.toLong * s).sum / ss.size)
+    assert(rows === Seq(
+      (0, 2, Seq(rms(3, -4))), (1, 2, Seq(rms(0, 10))), (2, 1, Seq(rms(-5)))))
+    // refusal: garbage payload explodes to zero rows
+    assert(Seq(Tuple1("not a wav".getBytes("US-ASCII"))).toDF("p")
+      .select(explode(graft.functions.AudioDecode.audioWindowStats(col("p"), 2)))
+      .count() === 0L)
+  }
+
+  test("q_mm_audio_windows equals an independent re-derivation from the raw text") {
+    val got = Multimodal.audioWindowStatsDocs(spark, sf)
+      .select(col("asset_id"), col("window_no"), col("n_frames"), col("ch_rms"))
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val samples = texts(id).getBytes("UTF-8").map(b => (b & 0xFF) - 128)
+      assert(rows.size === (samples.length + 63) / 64, s"doc $id window count")
+      rows.foreach { case (_, w, n, rmsCsv) =>
+        val win = samples.slice(w * 64, math.min(samples.length, w * 64 + 64))
+        assert(n === win.length, s"doc $id w $w n_frames")
+        assert(rmsCsv.toInt ===
+          isqrtRef(win.map(s => s.toLong * s).sum / win.length), s"doc $id w $w rms")
+      }
+    }
+  }
+
   test("decode expression participates in whole-stage codegen and drops the payload") {
     val df = Multimodal.imageDecodeStats(spark, sf)
     assert(!df.columns.contains("payload"))
