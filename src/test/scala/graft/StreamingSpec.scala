@@ -1951,4 +1951,41 @@ class StreamingSpec extends SparkSpec {
         "stateless decode must be batch==stream identical per asset")
     } finally q.stop()
   }
+
+  test("streaming multimodal transforms (resize/frames/windows) equal the batch spelling") {
+    // the r20 transform family is stateless per-row like decode — the
+    // resize round-trip, per-frame explode, and windowed RMS must all
+    // stream in append mode and agree with the batch path per asset
+    import graft.functions.{AudioDecode, ImageDecode, VideoDecode}
+    val ms = MemoryStream[(Long, String)]
+    def xform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select($"asset_id",
+          ImageDecode.imageStats(ImageDecode.resizePnm(
+            concat(encode(lit("P5\n4 4\n255\n"), "UTF-8"),
+              encode(rpad($"text", 16, "x"), "UTF-8")), 2)).as("r"),
+          VideoDecode.videoFrameStats(VideoDecode.wrapDibAvi(
+            encode($"text", "UTF-8"), 2, 2, 2, 40000)).as("f"),
+          AudioDecode.audioWindowStats(
+            AudioDecode.wrapPcm8Wav(encode($"text", "UTF-8")), 4).as("w"))
+        .select($"asset_id", $"r.ch_mean".as("rmean"),
+          $"f"(0)("ch_mean").as("f0mean"), size($"w").as("nwin"),
+          $"w"(0)("ch_rms").as("w0rms"))
+    val q = xform(ms.toDF().toDF("asset_id", "text"))
+      .writeStream.format("memory").queryName("mmxf")
+      .outputMode("append").start()
+    try {
+      val docs = Seq((1L, "first streamed asset"), (2L, "second one"))
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      ms.addData((3L, "a late third delivery"))
+      q.processAllAvailable()
+      val streamed = spark.table("mmxf")
+        .as[(Long, Seq[Int], Seq[Int], Int, Seq[Int])].collect().toSet
+      val batch = xform((docs :+ (3L, "a late third delivery"))
+          .toDF("asset_id", "text"))
+        .as[(Long, Seq[Int], Seq[Int], Int, Seq[Int])].collect().toSet
+      assert(streamed === batch && streamed.size === 3,
+        "stateless transforms must be batch==stream identical per asset")
+    } finally q.stop()
+  }
 }
