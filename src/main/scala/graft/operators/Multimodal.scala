@@ -241,9 +241,12 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       byteHistogram(col("payload"), bins).as("features"))
 
-  /** "Frame sampling" stub: every `stride`-th kilobyte slice of the
-    * payload becomes one frame row (posexplode) — the per-frame fan-out
-    * a video pipeline needs, on binary slices via substring.
+  /** GENERIC frame sampling over opaque binary (every `stride`-th
+    * slice becomes one frame row via posexplode) — the per-frame
+    * fan-out shape for payloads the engine cannot decode. For REAL
+    * containers the decoded path is [[videoFrameStatsDocs]] /
+    * [[graft.functions.VideoDecode.videoFrameStats]] (r20), which
+    * walks the AVI and emits true per-frame pixel stats.
     */
   def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 64,
                    stride: Int = 128): DataFrame =
@@ -264,10 +267,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame")).cast("long")).as("total_frame_bytes"))
 
-  /** "Resize" stub: sum-pool a feature vector down by `factor`
-    * (16-bin histogram → 4 coarse bins), the downsampling stage of an
-    * image pipeline as pure composed builtins. L1 normalization is
-    * preserved (pooled bins sum to the same total).
+  /** FEATURE-space downsampling: sum-pool a feature vector by `factor`
+    * (16-bin histogram → 4 coarse bins) as pure composed builtins;
+    * L1 normalization is preserved (pooled bins sum to the same
+    * total). PIXEL-space resize is real since r20 —
+    * [[graft.functions.ImageDecode.resizePnm]] / [[imageResizeStats]]
+    * box-average the decoded raster and re-encode a decodable payload.
     */
   def resizeFeatures(features: Column, bins: Int, factor: Int): Column = {
     require(bins % factor == 0, s"bins=$bins must divide by factor=$factor")
