@@ -121,14 +121,14 @@ object Graph {
     // references it four times (two union branches + their wdeg
     // aggregate), which un-checkpointed replays the fact-table edge
     // build 4x — measured 6.3 s -> 3.1 s at sf0.1
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
       .unionAll(e.select(col("part_b").as("src"), col("part_a").as("dst"), col("w")))
     val wdeg = directed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     // the wdeg equi-join already shuffles both sides by src, so its
     // output IS src-partitioned; checkpointed so every iteration
     // replays RDD blocks — ONE fact scan total, however many steps
-    val adj = directed.join(wdeg, "src").localCheckpoint()
+    val adj = directed.join(wdeg, "src").localCheckpoint(false)
     var ranks = wdeg.select(col("src").as("node"), lit(1000000L).as("rank_ppm"))
     (1 to iters).foreach { _ =>
       ranks = adj
@@ -189,11 +189,11 @@ object Graph {
     // reference); the node-sized degree + forward adjacency once more —
     // each feeds multiple joins
     val und = edges.select(col("part_a").as("a"), col("part_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val directed = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val deg = directed.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
-    val adj = forwardAdjacency(directed, deg).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).localCheckpoint(false)
+    val adj = forwardAdjacency(directed, deg).localCheckpoint(false)
     // forward edges re-derived FROM adj (u paired with each v in its
     // list) so the edge frame and the intersected lists cannot disagree;
     // inner joins: u always has a forward list (v is in it); an edge
@@ -265,7 +265,7 @@ object Graph {
     require(seedMod >= 1, s"reachability needs seedMod >= 1, got $seedMod")
     require(maxHops >= 1 && maxHops <= 5,
       s"reachability needs 1 <= maxHops <= 5 (each hop is a join round), got $maxHops")
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(e.select(col("part_b").as("src"), col("part_a").as("dst")))
     val seeds = directed.select(col("src")).distinct()
@@ -287,7 +287,7 @@ object Graph {
       // consumer is its own count (a barrier there is pure overhead)
       reached = reached.unionAll(frontier)
       if (h >= 2 && h < maxHops) {
-        reached = reached.localCheckpoint(); frontier = frontier.localCheckpoint()
+        reached = reached.localCheckpoint(false); frontier = frontier.localCheckpoint(false)
       }
       reached.groupBy(col("seed"))
         .agg((count(lit(1)) - 1L).as("n_reachable"))
@@ -380,7 +380,7 @@ object Graph {
                      seedMod: Int, k: Int): DataFrame = {
     require(seedMod >= 1, s"customerRecs needs seedMod >= 1, got $seedMod")
     require(k >= 1, s"customerRecs needs k >= 1, got $k")
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("part"), col("part_b").as("v"), col("w"))
       .unionAll(e.select(col("part_b").as("part"), col("part_a").as("v"), col("w")))
     val seedOwned = owned.filter(pmod(col("cust"), lit(seedMod.toLong)) === 0L)
@@ -420,7 +420,7 @@ object Graph {
   def linkPredictOn(edges: DataFrame, seedMod: Int, k: Int): DataFrame = {
     require(seedMod >= 1, s"linkPredict needs seedMod >= 1, got $seedMod")
     require(k >= 1, s"linkPredict needs k >= 1, got $k")
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(e.select(col("part_b").as("src"), col("part_a").as("dst")))
     val deg = directed.groupBy(col("src").as("z"))
@@ -463,7 +463,7 @@ object Graph {
 
   def itemSimilarityOn(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"itemSimilarity needs k >= 1, got $k")
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val deg = e.select(col("part_a").as("p"), col("w"))
       .unionAll(e.select(col("part_b").as("p"), col("w")))
       .groupBy(col("p")).agg(sum(col("w")).as("wdeg"))
@@ -508,7 +508,7 @@ object Graph {
   def labelPropagationOn(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"labelPropagation needs 1 <= rounds <= 10 (fixed-round contract), got $rounds")
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(e.select(col("part_b").as("src"), col("part_a").as("dst")))
     val nodes = directed.select(col("src")).distinct()
@@ -521,7 +521,7 @@ object Graph {
     val adj = directed
       .unionAll(nodes.select(col("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = nodes.select(col("src").as("node"), col("src").as("label"))
     (1 to rounds).foreach { _ =>
       labels = adj
@@ -570,7 +570,7 @@ object Graph {
   def itemRecsOn(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"itemRecs needs k >= 1, got $k")
     // both union branches reference the edge build — materialize once
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false)
     val directed = e.select(col("part_a").as("part"), col("part_b").as("rec"), col("w"))
       .unionAll(e.select(col("part_b").as("part"), col("part_a").as("rec"), col("w")))
     val byStrength = Window.partitionBy(col("part"))
