@@ -119,7 +119,7 @@ object Bpe {
         seg = seg.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
         // cut the nested-HOF lineage on a fixed cadence (vocab-sized
         // materialization — cheap next to even one corpus pass)
-        if (step % CheckpointEvery == 0) seg = seg.localCheckpoint()
+        if (step % CheckpointEvery == 0) seg = seg.localCheckpoint(false)
         step += 1
       }
     }

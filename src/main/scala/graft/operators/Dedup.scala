@@ -553,7 +553,7 @@ object Dedup {
               "doc_id")
             .select(col("doc_id"), col("c.text").as("text"),
               (col("prev") + col("c.n_tokens_removed")).as("n_tokens_removed"))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
       round += 1
@@ -1145,7 +1145,7 @@ object Dedup {
     val nodes = pairs.select(col("doc_a").as("n"))
       .union(pairs.select(col("doc_b").as("n"))).distinct().persist()
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -1166,7 +1166,7 @@ object Dedup {
         .union(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged = small.count() == edges.count() && small.except(edges).isEmpty
       edges = small
       iter += 1
