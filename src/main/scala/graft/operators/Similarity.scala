@@ -1607,21 +1607,21 @@ object Similarity {
     * per-row projection — no shuffle, no UDF.
     */
   def quantizePqOn(emb: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m = books.length
-    val dsub = books.head.head.length
     // a `cell` column (the IVF-PQ composition feeds an assigned frame)
     // rides through — the quantizeSq8On contract; anything else drops
     val keep = Seq(col("vec_id")) ++
       (if (emb.columns.contains("cell")) Seq(col("cell")) else Nil)
-    val withU = emb.select(keep :+ unitVec(col("embedding")).as("u"): _*)
-    val withD = books.indices.foldLeft(withU) { (df, j) =>
-      df.withColumn(s"__graft_d$j",
-        l2sqAll(slice(col("u"), j * dsub + 1, dsub), books(j)))
-    }
-    withD.select(keep :+
-      array(books.indices.map(j =>
-        (array_position(col(s"__graft_d$j"), array_min(col(s"__graft_d$j"))) - 1)
-          .cast("tinyint")): _*).as("codes"): _*)
+    // NATIVE codegen encode (r20 optimization, guide §4): the composed
+    // spelling — per-subspace l2sqAll distance arrays + array_position/
+    // array_min argmins over `unitVec` — ran m·ksub interpreted HOF
+    // closures (+ one zipped-array alloc per centroid) per row; HOFs are
+    // CodegenFallback, and the in-flight corpus encode was ~75% of the
+    // inline PQ queries. PqEncode fuses normalize + argmin into one
+    // whole-stage-codegen loop with BIT-IDENTICAL arithmetic
+    // (SimilaritySpec pins codes equality against the composed spelling,
+    // which also keeps stored fixture code tables valid byte-for-byte).
+    emb.select(keep :+
+      graft.functions.PqEncode.pqEncode(col("embedding"), books).as("codes"): _*)
   }
 
   /** The per-query ADC lookup table: luts[j][c+1] = dot(unit query's
