@@ -67,14 +67,16 @@ object Graph {
       Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")))
 
   /** All (i, j) i < j pairs of a SORTED part array as structs — the
-    * shared pair-expansion HOF of the plain and per-month edge builds.
-    * Sequence bounds require size >= 2 (callers filter).
+    * shared pair expansion of the plain and per-month edge builds.
+    * NATIVE since r20 ([[graft.functions.PairStructs]], guide §4): the
+    * HOF spelling (flatten of nested transforms over sequences) was
+    * interpreted per basket and paid a closure + sequence allocation per
+    * outer index at every graph query's edge build; the native loop
+    * emits the identical array (GraphSpec pins it). Callers filter
+    * size >= 2; the expression is total anyway.
     */
   private def pairStructs(parts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    flatten(transform(sequence(lit(1), size(parts) - 1), i =>
-      transform(sequence(i + 1, size(parts)), j =>
-        struct(element_at(parts, i).as("part_a"),
-          element_at(parts, j).as("part_b")))))
+    graft.functions.PairStructs.pairStructs(parts)
 
   def copurchaseEdgesOn(lines: DataFrame): DataFrame = {
     // size gate AFTER the collect (Spark has no capped collect_set, so
@@ -127,8 +129,14 @@ object Graph {
     val wdeg = directed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     // the wdeg equi-join already shuffles both sides by src, so its
     // output IS src-partitioned; checkpointed so every iteration
-    // replays RDD blocks — ONE fact scan total, however many steps
-    val adj = directed.join(wdeg, "src").localCheckpoint(false)
+    // replays RDD blocks — ONE fact scan total, however many steps.
+    // Deliberately EAGER where the rest of the family went lazy (r20):
+    // the 5-step loop query references adj at five nesting depths and
+    // its broadcast subtrees race to compute the same lazy blocks —
+    // measured min 4.46 s eager vs 4.83–5.13 s lazy at sf0.1; the
+    // single-consumer checkpoints around it stay lazy (one job saved
+    // each, no contended first-compute).
+    val adj = directed.join(wdeg, "src").localCheckpoint()
     var ranks = wdeg.select(col("src").as("node"), lit(1000000L).as("rank_ppm"))
     (1 to iters).foreach { _ =>
       ranks = adj

@@ -319,4 +319,25 @@ class GraphSpec extends SparkSpec {
       (4L, 1L, 7L, 1L),
       (5L, 1L, 1L, 1L)))
   }
+
+  test("native pair_structs equals the HOF pair expansion (values AND order)") {
+    // fixture baskets at sf0.001 plus hand shapes: size-2, size-5, the
+    // MaxBasket-boundary path is covered by the edge tests above
+    val baskets = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+    def hof(parts: org.apache.spark.sql.Column) =
+      flatten(transform(sequence(lit(1), size(parts) - 1), i =>
+        transform(sequence(i + 1, size(parts)), j =>
+          struct(element_at(parts, i).as("part_a"),
+            element_at(parts, j).as("part_b")))))
+    val both = baskets.select(col("l_orderkey"),
+      graft.functions.PairStructs.pairStructs(col("parts")).as("nat"),
+      hof(col("parts")).as("ref"))
+    assert(both.count() > 0)
+    assert(both.filter(not(col("nat") === col("ref"))).isEmpty,
+      "native pair expansion diverged from the HOF spelling")
+  }
 }
