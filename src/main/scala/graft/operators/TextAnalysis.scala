@@ -92,8 +92,14 @@ object TextAnalysis {
   /** Number of tokens of `toks` that appear in `profile` (occurrences,
     * not distinct — `filter` keeps duplicates, unlike array_intersect).
     */
+  // NATIVE since r20 ([[graft.functions.ProfileHits]], guide §4): the
+  // HOF spelling `size(filter(toks, t => w1 === t || ...))` evaluated a
+  // |profile|-branch OR per token interpreted (ArrayFilter is
+  // CodegenFallback) — once per language profile inside every curation
+  // gate's scan projection; the native probe is one hash-set lookup per
+  // token in codegen. Exact-count parity pinned in TextAnalysisSpec.
   private def profileHits(toks: Column, profile: Seq[String]): Column =
-    size(filter(toks, t => profile.map(w => t === lit(w)).reduce(_ || _)))
+    graft.functions.ProfileHits.profileHits(toks, profile)
 
   /** Language-ID: CJK scripts by codepoint range, alphabetic languages by
     * stopword-profile argmax (ties broken by profile order, 'und' =

@@ -625,4 +625,24 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(re === banded)
   }
+
+  test("native profile_hits equals the HOF filter-count spelling") {
+    import graft.functions.ProfileHits.profileHits
+    val profile = Seq("the", "and", "of", "la", "de")
+    def hof(toks: org.apache.spark.sql.Column) =
+      size(filter(toks, t => profile.map(w => t === lit(w)).reduce(_ || _)))
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val diff = docs.filter(
+      profileHits(col("toks"), profile) =!= hof(col("toks"))).count()
+    assert(diff === 0L)
+    // duplicates count per occurrence; null array stays null
+    import spark.implicits._
+    val hand = Seq((1L, Seq("the", "the", "x")), (2L, Seq[String]()))
+      .toDF("id", "toks")
+    assert(hand.select(profileHits(col("toks"), profile)).as[Int].collect()
+      .toSeq === Seq(2, 0))
+    val nul = Seq((1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    assert(nul.select(profileHits(col("toks"), profile)).collect().head.isNullAt(0))
+  }
 }
