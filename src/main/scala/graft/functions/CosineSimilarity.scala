@@ -35,21 +35,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // tinyint arrays accepted since r20: SQ8 codes score through the
+    // same kernel without the interpreted cast-to-float transform the
+    // composed sq8Sim spelling paid per candidate row (byte -> float ->
+    // double equals byte -> double exactly, so results are unchanged)
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float|double> args, got " +
+        s"cosine_sim expects array<float|double|tinyint> args, got " +
           s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def getterOf(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(ByteType, _) => "getByte"
+    case _ => "getDouble"
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -58,15 +63,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = a.numElements()
     require(b.numElements() == n,
       s"cosine_sim: length mismatch ${n} vs ${b.numElements()}")
-    val aF = elemIsFloat(left); val bF = elemIsFloat(right)
+    def get(arr: ArrayData, e: Expression, i: Int): Double = e.dataType match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(ByteType, _) => arr.getByte(i).toDouble
+      case _ => arr.getDouble(i)
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       // null element ⇒ null result (builtin-arithmetic parity; a vector
       // with missing dimensions has no meaningful similarity)
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = get(a, left, i)
+      val y = get(b, right, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -74,8 +83,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val aGet = getterOf(left)
+    val bGet = getterOf(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

@@ -225,8 +225,12 @@ object Similarity {
     * cancels entirely — the codes score raw, no reconstruction
     * multiply in the hot loop.
     */
+  // codes score through the byte-array overload of the fused cosine
+  // kernel directly (r20): the cast-to-float `transform` was an
+  // interpreted HOF per candidate row, and byte → float → double equals
+  // byte → double exactly, so scores are bit-identical
   private def sq8Sim(eq: Column, codes: Column): Column =
-    rankSim(eq, transform(codes, c => c.cast("float")))
+    rankSim(eq, codes)
 
   /** ANN top-k over the SQ8-quantized corpus with EXACT re-rank — the
     * two-stage retrieval every production vector store runs: (1) the
@@ -1660,10 +1664,12 @@ object Similarity {
   /** ADC score of a code row against a query's lookup tables: m
     * element_at reads + adds — the candidate's float vector is never
     * touched. */
+  // NATIVE since r20 ([[graft.functions.PqAdc]], guide §4): the
+  // aggregate/zip_with spelling allocated a zipped array and ran
+  // interpreted closures per CANDIDATE row — the coarse pass's per-row
+  // work over (corpus × queries). Same sequential sum, bit-identical.
   private[graft] def pqSim(luts: Column, codes: Column): Column =
-    aggregate(zip_with(luts, codes,
-        (l, c) => element_at(l, c.cast("int") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.PqAdc.pqAdc(luts, codes)
 
   /** ANN top-k over the PQ-coded corpus with EXACT re-rank
     * (q_embed_ann_pq): coarse ADC pass over the 16×-smaller code table
