@@ -106,7 +106,13 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
       codes(j) = bestC.toByte
       j += 1
     }
-    new GenericArrayData(codes)
+    // primitive (unsafe) output (r21, the Sq8.encode storage lesson):
+    // the ADC scan probes the codes per (query × candidate), and a
+    // boxed GenericArrayData from a stage-fused expression loses the
+    // unsafe-projection materialization the CodegenFallback composed
+    // spelling got for free
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -160,8 +166,8 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
          |    }
          |    $codes[$j] = (byte) $bestC;
          |  }
-         |  ${ev.value} =
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($codes);
          |}
        """.stripMargin
     })

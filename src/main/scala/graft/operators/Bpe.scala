@@ -44,31 +44,34 @@ object Bpe {
 
   /** Adjacent-symbol pair counts over a (syms, freq) segmentation
     * frame, weighted by word frequency. Pair structs are built
-    * pre-explode so the symbol array never rides the exploded rows.
+    * pre-explode so the symbol array never rides the exploded rows —
+    * natively ([[graft.functions.AdjacentStructs]], r21 guide §4): the
+    * former `transform(sequence(1, size - 1), i =>
+    * struct(element_at(i), element_at(i + 1)))` spelling was an
+    * interpreted HOF per row per merge iteration (BpeSpec pins the
+    * native == composed parity).
     */
   def pairCountsOn(seg: DataFrame): DataFrame =
     seg.filter(size(col("syms")) >= 2)
-      .select(col("freq"), explode(transform(
-        sequence(lit(1), size(col("syms")) - 1),
-        i => struct(element_at(col("syms"), i).as("lsym"),
-          element_at(col("syms"), i + 1).as("rsym")))).as("p"))
+      .select(col("freq"), explode(graft.functions.AdjacentStructs
+        .adjacentStructs(col("syms"), "lsym", "rsym")).as("p"))
       .groupBy(col("p.lsym"), col("p.rsym"))
       .agg(sum(col("freq")).as("cnt"))
 
   /** One BPE merge applied to a symbol array: every leftmost-first
     * adjacent (l, r) becomes the fused symbol — the standard greedy
-    * left-to-right application, spelled as a codegen'd `aggregate`
-    * fold (an "aa"+merge(a,a) run becomes [aa, a], matching the
-    * reference algorithm).
+    * left-to-right application (an "aa"+merge(a,a) run becomes
+    * [aa, a], matching the reference algorithm). Native one-pass loop
+    * ([[graft.functions.BpeMergeApply]], r21 guide §4): the former
+    * `aggregate` fold — seed `[]`, per element compare acc's last
+    * symbol / append or slice+concat-merge — was an interpreted HOF
+    * whose closure paid O(n) array copies per element (O(n²) per row)
+    * per merge step; BpeSpec pins the native == composed parity
+    * including the merged-symbol-never-re-merges and null-element
+    * edges.
     */
   def applyMerge(syms: Column, l: String, r: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, x) => {
-        val lastSym = when(size(acc) > 0, element_at(acc, -1)).otherwise(lit(""))
-        when(lastSym === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))
-      })
+    graft.functions.BpeMergeApply.bpeMerge(syms, l, r)
 
   /** Hard ceiling on the learnable merge count — the [[Graph]]
     * `pageRank iters <= 20` contract applied to the merge loop: the

@@ -201,10 +201,13 @@ object Classifier {
             (lit(1.0) / sqrt(size(col("slots")) + 1)).as("v"))).as("feats"))
 
   /** Margin of a feature row against a weight literal: one fold, m
-    * lookups — scan-fused, no join. */
+    * lookups — scan-fused, no join. Native since r21 (guide §4): the
+    * composed `aggregate(feats, 0.0, acc + element_at(typedlit(w),
+    * e.i + 1) * e.v)` was an interpreted HOF paying a literal-array
+    * probe per feature per doc, ×iters at fit time
+    * (NativeHofParitySpec pins native == composed parity). */
   private def marginCol(w: Seq[Double]): Column =
-    aggregate(col("feats"), lit(0.0),
-      (acc, e) => acc + element_at(typedlit(w), e.getField("i") + 1) * e.getField("v"))
+    graft.functions.LogRegMargin.logRegMargin(col("feats"), w)
 
   /** Fit logistic regression on a labeled (doc_id, text, y ∈ {0,1})
     * frame: `iters` full-batch GD steps at rate `lr` with L2 strength

@@ -55,8 +55,12 @@ object Clustering {
     */
   private[graft] def assignWithSim(emb: DataFrame,
                                    centroids: Seq[Seq[Double]]): DataFrame = {
-    val sims = array(centroids.map(c =>
-      cosineSim(col("embedding"), typedlit(c))): _*)
+    // native all-centroid scorer (r21, guide §4): the composed
+    // `array(cosineSim(e, lit(c1)), ..., cosineSim(e, lit(cN)))`
+    // re-accumulated |e|² once per centroid and carried one dim-sized
+    // literal per centroid through every plan (NativeHofParitySpec
+    // pins native == composed parity)
+    val sims = graft.functions.CellSims.cellSims(col("embedding"), centroids)
     emb.select(col("vec_id"), sims.as("sims"))
       .select(col("vec_id"),
         (array_position(col("sims"), array_max(col("sims"))) - 1)

@@ -594,11 +594,14 @@ object Dedup {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    // native cut filter (r21, guide §4): the composed `filter(toks,
+    // (_, i) => !exists(cuts, c => i >= c.s && i < c.e))` nested two
+    // interpreted HOFs — O(tokens × cuts) closures per doc on every
+    // verbatim-clean pass (NativeHofParitySpec pins native == composed)
     docTexts.join(merged, Seq("doc_id"), "left")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("kept", when(col("cuts").isNull, col("toks")).otherwise(
-        filter(col("toks"), (_, i) =>
-          !exists(col("cuts"), c => i >= c("s") && i < c("e")))))
+        graft.functions.CutTokens.cutTokens(col("toks"), col("cuts"))))
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("text"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))

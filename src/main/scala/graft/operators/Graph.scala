@@ -216,10 +216,13 @@ object Graph {
     // corners get the edge's whole count (2 rows per triangle-bearing
     // edge), each witness w gets 1 — rows ≈ triangles + 2·edges, not
     // 3·triangles
-    val credits = perEdge.select(explode(concat(
-        array(struct(col("u").as("n"), size(col("ws")).cast("long").as("c")),
-          struct(col("v").as("n"), size(col("ws")).cast("long").as("c"))),
-        transform(col("ws"), w => struct(w.as("n"), lit(1L).as("c"))))).as("x"))
+    // native credit structs (r21, guide §4): the composed
+    // `concat(array(struct(u, size), struct(v, size)), transform(ws,
+    // w => struct(w, 1L)))` paid an interpreted transform closure per
+    // witness plus a concat copy per edge row (GraphSpec pins native ==
+    // composed parity, values and order)
+    val credits = perEdge.select(explode(graft.functions.CreditStructs
+        .creditStructs(col("u"), col("v"), col("ws"))).as("x"))
       .groupBy(col("x.n").as("node")).agg(sum(col("x.c")).as("tri"))
     deg.filter(col("deg") >= 2)
       .join(credits, Seq("node"), "left")

@@ -179,12 +179,15 @@ object Lm {
     */
   def bigramVocabOn(refTexts: DataFrame, bigramSize: Int): DataFrame = {
     require(bigramSize > 0, s"bigramVocabOn needs a positive bigramSize, got $bigramSize")
+    // native adjacent-pair structs (r21, guide §4): the composed
+    // `transform(sequence(1, size - 1), i => struct(element_at(i) prev,
+    // element_at(i + 1) tok))` was an interpreted HOF per reference row
+    // (LmSpec pins native == composed parity)
     refTexts
       .select(TextOps.tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("prev"),
-          element_at(col("ws"), i + 1).as("tok")))).as("p"))
+      .select(explode(graft.functions.AdjacentStructs
+        .adjacentStructs(col("ws"), "prev", "tok")).as("p"))
       .select(col("p.prev"), col("p.tok"))
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("bcnt"))
       .orderBy(col("bcnt").desc, col("prev"), col("tok"))
@@ -224,12 +227,14 @@ object Lm {
     val bi = bigramVocabOn(refTexts, bigramSize)
     val ntot = refTexts.select(
       sum(size(TextOps.tokens(col("text"))).cast("long")).as("ntot"))
+    // native positional (tok, prev) structs (r21, guide §4): the
+    // composed `transform(sequence(1, size), i => struct(element_at(i),
+    // when(i > 1, element_at(i - 1))))` was an interpreted HOF per
+    // corpus row (LmSpec pins native == composed parity)
     val positions = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("ws"))),
-          i => struct(element_at(col("ws"), i).as("tok"),
-            when(i > 1, element_at(col("ws"), i - 1)).as("prev")))).as("p"))
+      .select(col("doc_id"), explode(graft.functions.PositionalBigrams
+        .positionalBigrams(col("ws"))).as("p"))
       .select(col("doc_id"), col("p.tok"), col("p.prev"))
     val uniSurprise =
       bitlen(col("ntot")) - bitlen(coalesce(col("cnt"), lit(0L)) + 1)

@@ -205,18 +205,15 @@ object Pca {
     */
   def projectOn(emb: DataFrame, model: PcaModel,
                 vecCol: String = "embedding",
-                outCol: String = "pc"): DataFrame = {
-    val meanLit = typedlit(model.mean.toSeq)
-    val compsLit = typedlit(model.components.map(_.toSeq).toSeq)
-    emb
-      .withColumn("__graft_centered",
-        zip_with(col(vecCol), meanLit, (x, m) => x.cast("double") - m))
-      .withColumn(outCol,
-        transform(compsLit, c =>
-          aggregate(zip_with(c, col("__graft_centered"), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x)))
-      .drop("__graft_centered")
-  }
+                outCol: String = "pc"): DataFrame =
+    // native projection (r21, guide §4): the composed spelling — a
+    // staged `zip_with` centering column plus `transform(compsLit,
+    // aggregate(zip_with(c, centered, a*b), 0, +))` — ran k·dim
+    // interpreted HOF closures with a zipped allocation per component
+    // per row (NativeHofParitySpec pins native == composed parity,
+    // including the null-component / length-mismatch → k-nulls edges)
+    emb.withColumn(outCol, graft.functions.PcaProject.pcaProject(
+      col(vecCol), model.mean.toSeq, model.components.map(_.toSeq).toSeq))
 
   /** The q_embed_pca driver query: fit k=4 on the embeddings table,
     * project every vector, surface integer-scaled coordinates (the

@@ -568,15 +568,17 @@ object Pipeline {
       case Some(ref) =>
         val w = Classifier.nbWeightsOn(ref, docs.select(col("text")), clfVocab)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val wlit = typedlit(w)
         val led = stageCheckpoint("ledger_preclf", ledger)
+        // native token-weight fold (r21, guide §4): the composed
+        // `aggregate(ws, 0L, acc + coalesce(element_at(wlit, t), 0L))`
+        // paid an interpreted map-literal probe per token per doc
+        // (NativeHofParitySpec pins native == composed parity)
         val scored = survForGrams
           .join(led.filter(col("outcome") === "train").select(col("doc_id")),
             "doc_id")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
           .select(col("doc_id"),
-            aggregate(col("ws"), lit(0L),
-              (acc, t) => acc + coalesce(element_at(wlit, t), lit(0L)))
+            graft.functions.TokenWeightSum.tokenWeightSum(col("ws"), w)
               .as("score"),
             size(col("ws")).cast("long").as("n"))
           .select(col("doc_id"),

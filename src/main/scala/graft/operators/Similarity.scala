@@ -200,19 +200,20 @@ object Similarity {
     * rides through; anything else is dropped — the quantized artifact
     * stays payload-free.
     */
+  // native SQ8 kernels (r21, guide §4): the composed spelling — an
+  // `aggregate` max-abs fold (seed 0.0, greatest(acc, abs(x))) plus a
+  // `when(maxabs = 0, transform(_ => 0)).otherwise(transform(x =>
+  // round(x / maxabs * 127) cast int cast tinyint))` code pass — ran
+  // two interpreted HOFs per corpus row; graft.functions.Sq8 fuses each
+  // into one whole-stage-codegen loop with bit-identical arithmetic
+  // (SimilaritySpec pins maxabs + codes equality against the composed
+  // spelling, which also certifies the stored fixture code tables)
   def quantizeSq8On(emb: DataFrame): DataFrame = {
     val keep = Seq(col("vec_id")) ++
       (if (emb.columns.contains("cell")) Seq(col("cell")) else Nil)
     emb
-      .withColumn("maxabs",
-        aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast("double")))))
-      .withColumn("codes",
-        when(col("maxabs") === 0.0,
-          transform(col("embedding"), _ => lit(0).cast("tinyint")))
-          .otherwise(transform(col("embedding"),
-            x => round(x.cast("double") / col("maxabs") * 127.0)
-              .cast("int").cast("tinyint"))))
+      .withColumn("maxabs", graft.functions.Sq8.sq8MaxAbs(col("embedding")))
+      .withColumn("codes", graft.functions.Sq8.sq8Codes(col("embedding")))
       .select(keep ++ Seq(col("maxabs"), col("codes")): _*)
   }
 
@@ -635,7 +636,7 @@ object Similarity {
                          k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val probes = queries.select(col("query_id"), col("eq"),
-      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+      posexplode(graft.functions.CellSims.cellSims(col("eq"), centroids))
         .as(Seq("cell", "csim")))
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
     val probeCells = probes.withColumn("pr", row_number().over(wP))
@@ -1102,7 +1103,7 @@ object Similarity {
                                 nprobe: Int): DataFrame = {
     val qCols = queries.columns.map(col(_))
     val probes = queries.select(qCols :+
-      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+      posexplode(graft.functions.CellSims.cellSims(col("eq"), centroids))
         .as(Seq("cell", "csim")): _*)
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
     probes.withColumn("pr", row_number().over(wP))
@@ -1139,18 +1140,26 @@ object Similarity {
     val nlist = centroids.size
     require(nassign >= 1 && nassign <= nlist,
       s"nassign=$nassign must be in [1, nlist=$nlist]")
-    def simsArr(e: Column): Column =
-      array(centroids.map(c => cosineSim(e, typedlit(c))): _*)
+    // native all-centroid scorer (r21, guide §4): the composed
+    // `array(cosineSim(e, lit(c1)), ..., cosineSim(e, lit(cN)))`
+    // re-accumulated |e|² once per centroid and carried one dim-sized
+    // literal per centroid through every ANN plan's analysis
+    // (NativeHofParitySpec pins native == composed parity; the probe-
+    // side posexplode sites share the same expression)
     val assigned0 = emb.select(col("vec_id"), col("embedding"),
-      simsArr(col("embedding")).as("sims0"))
+      graft.functions.CellSims.cellSims(col("embedding"), centroids).as("sims0"))
+    // exclusion stages are the native MaskArgmax (r21, guide §4): the
+    // composed `zip_with(sims, sequence(1, nlist), (x, i) => when(i ===
+    // array_position(sims, array_max(sims)), -2.0).otherwise(x))` was a
+    // CodegenFallback HOF re-evaluating array_position PER ELEMENT —
+    // O(nlist²) interpreted comparisons per vector per stage
+    // (SimilaritySpec pins native == composed parity)
     val assigned = (0 until nassign).foldLeft(assigned0) { (df, k) =>
       val withCell = df.withColumn(s"c$k",
         (array_position(col(s"sims$k"), array_max(col(s"sims$k"))) - 1).cast("int"))
       if (k == nassign - 1) withCell
       else withCell.withColumn(s"sims${k + 1}",
-        zip_with(col(s"sims$k"), sequence(lit(1), lit(nlist)),
-          (x, i) => when(i === array_position(col(s"sims$k"), array_max(col(s"sims$k"))),
-            lit(-2.0)).otherwise(x)))
+        graft.functions.MaskArgmax.maskArgmax(col(s"sims$k")))
     }
     assigned.select(col("vec_id"), col("embedding"),
       explode(array((0 until nassign).map(k => col(s"c$k")): _*)).as("cell"))
@@ -1760,7 +1769,7 @@ object Similarity {
       .select(col("query_id"), col("eq"),
         pqLuts(col("__graft_uq"), books).as("luts"))
     val probes = lutQueries.select(col("query_id"), col("eq"), col("luts"),
-      posexplode(array(centroids.map(c => cosineSim(col("eq"), typedlit(c))): _*))
+      posexplode(graft.functions.CellSims.cellSims(col("eq"), centroids))
         .as(Seq("cell", "csim")))
     val wP = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell").asc)
     val probeCells = probes.withColumn("pr", row_number().over(wP))

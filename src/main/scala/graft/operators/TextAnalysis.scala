@@ -1064,13 +1064,14 @@ object TextAnalysis {
     // no-double-evaluation rule — measured 2.9 s -> 1.6 s at sf0.1
     // when staged)
     val toks = col("__graft_toks")
-    val hit = (i: Column) => phrase.zipWithIndex.map { case (p, j) =>
-      element_at(toks, i + lit(j)) === lit(p)
-    }.reduce(_ && _)
-    val nOcc = when(size(toks) >= phrase.size,
-      aggregate(sequence(lit(1), size(toks) - lit(phrase.size - 1)), lit(0L),
-        (acc, i) => acc + when(hit(i), lit(1L)).otherwise(lit(0L))))
-      .otherwise(lit(0L))
+    // native phrase counter (r21, guide §4): the composed fold —
+    // `aggregate(sequence(1, n - |p| + 1), 0L, acc + when(AND_j
+    // element_at(toks, i + j) = p_j, 1))` under a size >= |p| guard —
+    // evaluated |p| interpreted element_at probes per position per doc
+    // (NativeHofParitySpec pins native == composed parity; the
+    // coalesce keeps the guard's null-array → 0 behavior)
+    val nOcc = coalesce(
+      graft.functions.PhraseCount.phraseCount(toks, phrase), lit(0L))
     docTexts
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__graft_toks"))
       .select(col("doc_id"), nOcc.as("n_occ"))
